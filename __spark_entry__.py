@@ -1,38 +1,279 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator-inventory entries (SURVEY.md §2) to
+callables ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Determinism rules used throughout so value
+hashes match bit-for-bit across engines:
+
+- Sums over doubles go through per-row CAST to DECIMAL(18,2) (the data
+  is 2-decimal money), exact decimal summation, then CAST AS DOUBLE —
+  identical in Spark and DuckDB regardless of partial-sum order.
+- l_quantity is integral → plain double sums are exact.
+- AVG is expressed as exact-sum / count (double division of identical
+  operands).
+- Window/topk orderings always carry a unique tie-break key.
+- Floating results that pass through transcendental/ratio math are
+  rounded to 6 decimals on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view named like the file.
+
+    events.ts is parquet TIMESTAMP(NANOS); Spark 4 has no ns timestamp,
+    so read it as long and convert to µs TimestampType (the data is
+    µs-precision — lossless; SURVEY.md §1.2 maps HDK timestamp[ns] the
+    same way)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for field in df.schema.fields:
+                if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                    )
+            df.createOrReplaceTempView(t)
+
+
+def _sql(query: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir)
+        return spark.sql(query)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (identical text runs on Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+DEC = "CAST({c} AS DECIMAL(18,2))"
+DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+CHARGE = DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(18,2)))"
+
+# Queries where the exact same SQL text is valid and deterministic on
+# both engines. Each entry: name -> SQL.
+_COMMON_SQL: dict[str, str] = {
+    # ---- §2.1 Aggregate + §2.5: TPC-H Q1 shape (scan→filter→agg→sort)
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity)                            AS sum_qty,
+               CAST(SUM({DEC.format(c='l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({DISC_PRICE}) AS DOUBLE)          AS sum_disc_price,
+               CAST(SUM({CHARGE}) AS DOUBLE)              AS sum_charge,
+               SUM(l_quantity) / COUNT(*)                 AS avg_qty,
+               COUNT(*)                                   AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    # ---- §2.3 Filter conjunction + global agg (TPC-H Q6 shape)
+    "q6_revenue_forecast": f"""
+        SELECT CAST(SUM({DEC.format(c='l_extendedprice')} * {DEC.format(c='l_discount')}) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """,
+    # ---- §2.4 multi-join + group + order + limit (TPC-H Q3 shape)
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey,
+               CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    # ---- §2.4 five-way join through region (TPC-H Q5 shape)
+    "q5_region_revenue": f"""
+        SELECT n_name,
+               CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey   = o_custkey
+        JOIN lineitem ON l_orderkey  = o_orderkey
+        JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    # ---- §2.5 plain aggregates incl. COUNT DISTINCT / MIN / MAX
+    "agg_basic_stats": """
+        SELECT COUNT(*)                   AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey)  AS n_parts,
+               MIN(l_quantity)            AS min_qty,
+               MAX(l_quantity)            AS max_qty,
+               SUM(l_quantity)            AS sum_qty,
+               MIN(l_shipdate)            AS first_ship,
+               MAX(l_shipdate)            AS last_ship
+        FROM lineitem
+    """,
+    # ---- §2.4 LEFT join with NULL probing
+    "join_left_nulls": """
+        SELECT o_orderpriority,
+               COUNT(*)            AS n,
+               COUNT(c_name)       AS n_matched,
+               SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 9000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # ---- §2.4 SEMI join (IN-subquery form: reference translateInSubquery)
+    "join_semi_in_subquery": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 48)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # ---- §2.4 ANTI join (NOT EXISTS)
+    "join_anti_customers": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    # ---- §2.3 scalar subquery (reference IR/Expr.h:415 ScalarSubquery)
+    "scalar_subquery_above_avg": """
+        SELECT COUNT(*) AS n_above
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """,
+    # ---- §2.1 UNION ALL (reference IR/Node.h:849 LogicalUnion)
+    "union_all_parties": """
+        SELECT kind, COUNT(*) AS n, COUNT(DISTINCT nationkey) AS n_nations
+        FROM (
+            SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+        ) u
+        GROUP BY kind
+        ORDER BY kind
+    """,
+    # ---- §2.3 CASE WHEN + IN-list + arithmetic
+    "case_in_bucketize": """
+        SELECT CASE WHEN o_totalprice < 1000  THEN 'small'
+                    WHEN o_totalprice < 10000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               COUNT(*) AS n,
+               SUM(CASE WHEN o_orderstatus IN ('F','P') THEN 1 ELSE 0 END) AS n_closed
+        FROM orders
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    # ---- §2.7 sort with NULLS placement + OFFSET/LIMIT
+    "sort_nulls_offset": """
+        SELECT c_custkey, nullable_bal
+        FROM (
+            SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nullable_bal
+            FROM customer
+        ) t
+        ORDER BY nullable_bal DESC NULLS FIRST, c_custkey
+        LIMIT 50 OFFSET 10
+    """,
+    # ---- §2.6 ranking window functions (unique tie-break via orderkey)
+    "window_rank_orders": """
+        SELECT o_orderkey, o_orderpriority, rn, rnk, drnk
+        FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+                   CAST(RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS drnk
+            FROM orders
+        ) t
+        WHERE rn <= 5
+        ORDER BY o_orderpriority, rn
+    """,
+    # ---- §2.6 lag/lead + running aggregate over window
+    "window_running_sum": """
+        SELECT user_id, event_id,
+               LAG(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+               LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running_value
+        FROM events
+        WHERE user_id < 50
+        ORDER BY user_id, event_id
+    """,
+    # ---- §2.8 date extract/trunc surface
+    "date_extract_trunc": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)    AS yr,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY yr, qtr
+    """,
+    # ---- §2.8 string functions (reference surface: LOWER/LENGTH/SUBSTRING/||/LIKE)
+    "string_funcs": """
+        SELECT LOWER(p_brand) AS brand_lower,
+               COUNT(*) AS n,
+               CAST(MIN(LENGTH(p_name)) AS BIGINT) AS min_name_len,
+               MAX(SUBSTRING(p_name, 1, 5)) AS max_prefix
+        FROM part
+        WHERE p_name LIKE '%gold%' OR p_type LIKE 'SMALL%'
+        GROUP BY 1
+        ORDER BY brand_lower
+    """,
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    load_tables(spark, "/root/testdata/sf0.001")
+    return spark.sql(_COMMON_SQL["q1_pricing_summary"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, sql in _COMMON_SQL.items():
+        out[name] = _sql(sql)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_COMMON_SQL)

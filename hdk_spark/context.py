@@ -1,0 +1,237 @@
+"""The `HDK` facade — pyhdk-compatible entry object over a SparkSession.
+
+Mirrors the user-facing API of the reference's ``pyhdk.init()`` /
+``HDK`` class (reference python/pyhdk/hdk.py:2956 ``init``, class at
+:2113) with the storage verbs of ArrowStorage (reference
+omniscidb/ArrowStorage/ArrowStorage.h:81-133):
+
+    create_table  — ArrowStorage.h:81   → empty DataFrame temp view
+    import_csv    — ArrowStorage.h:98   → spark.read.csv
+    import_parquet— ArrowStorage.h:129  → spark.read.parquet
+    import_arrow  — ArrowStorage.h:85   → spark.createDataFrame
+    append_*      — ArrowStorage.h:95   → unionByName re-registration
+    drop_table    — hdk.py:2169         → catalog.dropTempView
+    sql           — hdk.py:2456         → spark.sql (aliases as views)
+    scan          — hdk.py:1560         → builder QueryNode
+
+Tables are Spark temp views; "fragments" (the reference's unit of
+parallelism, 32M rows by default, ArrowStorage.h:40) map to DataFrame
+partitions — ``fragment_size`` is accepted and used as a partition-count
+hint where it matters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hdk_spark.session import get_spark
+from hdk_spark.types import to_schema
+
+
+class HDK:
+    """Engine object wrapping a SparkSession (pyhdk `HDK` equivalent)."""
+
+    def __init__(self, spark: SparkSession | None = None, **config: Any):
+        self.spark = spark or get_spark(**{str(k): str(v) for k, v in config.items()})
+        self._tables: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------------
+    # storage verbs (reference ArrowStorage / pyhdk HDK methods)
+    # ------------------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        schema: list[tuple[str, str]] | Any,
+        fragment_size: int | None = None,
+    ) -> "Table":
+        """Create an empty table with an explicit schema
+        (reference ArrowStorage.h:81; pyhdk hdk.py:2130)."""
+        struct = to_schema(schema) if isinstance(schema, list) else schema
+        df = self.spark.createDataFrame([], struct)
+        return self._register(name, df)
+
+    def import_parquet(self, path: str, name: str | None = None) -> "Table":
+        """reference ArrowStorage.h:129 (importParquetFile); hdk.py:2313."""
+        name = name or _table_name_from_path(path)
+        return self._register(name, self.spark.read.parquet(path))
+
+    def import_csv(
+        self,
+        path: str,
+        name: str | None = None,
+        schema: list[tuple[str, str]] | None = None,
+        header: bool = True,
+        delimiter: str = ",",
+        skip_rows: int = 0,
+        block_size: int | None = None,  # parse granularity — Spark-managed
+    ) -> "Table":
+        """reference ArrowStorage.h:98 (CsvParseOptions at :43); hdk.py:2229."""
+        reader = self.spark.read.option("header", header).option("sep", delimiter)
+        if skip_rows:
+            # CsvParseOptions.skip_rows: drop leading lines before parse.
+            reader = reader.option("skipLines", skip_rows)
+        if schema is not None:
+            reader = reader.schema(to_schema(schema))
+        else:
+            reader = reader.option("inferSchema", True)
+        name = name or _table_name_from_path(path)
+        return self._register(name, reader.csv(path))
+
+    def import_arrow(self, table: Any, name: str | None = None) -> "Table":
+        """Import a pyarrow Table or pandas DataFrame
+        (reference ArrowStorage.h:85; hdk.py:2361)."""
+        import pandas as pd
+
+        name = name or "arrow_table"
+        if isinstance(table, pd.DataFrame):
+            df = self.spark.createDataFrame(table)
+        else:  # pyarrow.Table
+            df = self.spark.createDataFrame(table.to_pandas())
+        return self._register(name, df)
+
+    import_pandas = import_arrow
+
+    def append_arrow(self, table: Any, name: str) -> "Table":
+        """Incremental append (reference ArrowStorage.h:95 appendArrowTable).
+        Batch-mode equivalent: union + re-register; streaming ingest lives
+        in hdk_spark.streaming."""
+        import pandas as pd
+
+        existing = self._tables[name]
+        if isinstance(table, pd.DataFrame):
+            new = self.spark.createDataFrame(table, existing.schema)
+        else:
+            new = self.spark.createDataFrame(table.to_pandas(), existing.schema)
+        return self._register(name, existing.unionByName(new))
+
+    def append_parquet(self, path: str, name: str) -> "Table":
+        existing = self._tables[name]
+        return self._register(name, existing.unionByName(self.spark.read.parquet(path)))
+
+    def append_csv(self, path: str, name: str, **csv_opts: Any) -> "Table":
+        existing = self._tables[name]
+        reader = self.spark.read.option("header", csv_opts.get("header", True)).option(
+            "sep", csv_opts.get("delimiter", ",")
+        )
+        return self._register(name, existing.unionByName(reader.schema(existing.schema).csv(path)))
+
+    def drop_table(self, name: str) -> None:
+        """reference hdk.py:2169."""
+        self._tables.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    def _register(self, name: str, df: DataFrame) -> "Table":
+        df.createOrReplaceTempView(name)
+        self._tables[name] = df
+        return Table(self, name, df)
+
+    # ------------------------------------------------------------------
+    # query entry points
+    # ------------------------------------------------------------------
+    def sql(self, query: str, **table_aliases: "Table | DataFrame") -> "Result":
+        """Run SQL. Keyword aliases are registered as temp views for the
+        query's duration — the Spark-native analog of the reference's CTE
+        splicing (hdk.py:2494-2511 builds `WITH alias AS (...)`)."""
+        for alias, t in table_aliases.items():
+            df = t.df if isinstance(t, Table) else t
+            df.createOrReplaceTempView(alias)
+        return Result(self.spark.sql(query))
+
+    def scan(self, name: str) -> Any:
+        """Builder entry (reference QueryBuilder::scan,
+        omniscidb/QueryBuilder/QueryBuilder.h:585; pyhdk hdk.py:1560)."""
+        from hdk_spark.builder import QueryNode
+
+        return QueryNode(self, self.table(name).df, name=name)
+
+    def from_df(self, df: DataFrame) -> Any:
+        """Builder node from an arbitrary DataFrame (extension)."""
+        from hdk_spark.builder import QueryNode
+
+        return QueryNode(self, df)
+
+    def table(self, name: str) -> "Table":
+        if name not in self._tables:
+            self._tables[name] = self.spark.table(name)
+        return Table(self, name, self._tables[name])
+
+
+class Table:
+    """Handle to a registered table; also a builder seed (pyhdk returns
+    scan-able table handles from import_*)."""
+
+    def __init__(self, hdk: HDK, name: str, df: DataFrame):
+        self.hdk = hdk
+        self.name = name
+        self.df = df
+
+    def scan(self):
+        return self.hdk.scan(self.name)
+
+    # pyhdk table handles forward builder verbs (hdk.py QueryNodeAPI)
+    def __getattr__(self, item):
+        return getattr(self.scan(), item)
+
+    @property
+    def schema(self):
+        return self.df.schema
+
+    @property
+    def row_count(self) -> int:
+        return self.df.count()
+
+
+class Result:
+    """Executed-query handle (reference ResultSetTableToken,
+    omniscidb/ResultSetRegistry/ResultSetTableToken.h: toArrow at :130).
+    Spark is lazy, so 'execution' happens on first materialization; the
+    handle stays queryable like the reference's result temp tables
+    (test_run_on_res, reference python/tests/test_pyhdk_api.py:953)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def to_arrow(self):
+        return self.df.toArrow()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    @property
+    def row_count(self) -> int:
+        return self.df.count()
+
+    def head(self, n: int = 5):
+        """reference hdk.py:1030."""
+        return Result(self.df.limit(n))
+
+    def tail(self, n: int = 5):
+        """reference hdk.py:1044 — last n rows in result order."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        total = self.df.count()
+        w = Window.orderBy(F.monotonically_increasing_id())
+        ranked = self.df.withColumn("__rn", F.row_number().over(w))
+        return Result(ranked.filter(F.col("__rn") > total - n).drop("__rn"))
+
+    @property
+    def scan(self):
+        """Re-query the result as a table ("run on result")."""
+        from hdk_spark.builder import QueryNode
+
+        return QueryNode(None, self.df)
+
+
+def init(spark: SparkSession | None = None, **config: Any) -> HDK:
+    """pyhdk-compatible entry point (reference hdk.py:2956)."""
+    return HDK(spark, **config)
+
+
+def _table_name_from_path(path: str) -> str:
+    import os
+
+    base = os.path.basename(path.rstrip("/"))
+    return base.split(".")[0]

@@ -1,0 +1,11 @@
+"""Beyond-reference operator library: large-scale training-data pipeline
+operators (dedup, similarity search, text analysis, multimodal columns).
+
+These extend the reference's OLAP surface (SURVEY.md §2) with the
+operations a 100 TB LLM-data pipeline needs; all are DataFrame-native
+compositions or Arrow-batched pandas UDFs.
+"""
+
+from hdk_spark.operators import dedup, similarity, text
+
+__all__ = ["dedup", "similarity", "text"]

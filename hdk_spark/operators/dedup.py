@@ -1,0 +1,389 @@
+"""Deduplication operators for training-data pipelines (beyond the
+reference's OLAP surface).
+
+Scale design notes (the point of doing this on Spark):
+
+- exact_dedup: one hash-aggregate shuffle on the dedup key. At 100 TB,
+  group by a *digest* of the text (sha2) instead of the text itself so
+  shuffle rows stay small.
+- ngram_jaccard_pairs: inverted-index self-join on shingles — the
+  standard way to avoid the O(n²) cross join; candidate pairs only
+  materialize for docs sharing ≥1 shingle, and a length-ratio block
+  prunes further.
+- minhash_lsh: (shingle → 64-perm minhash signature → banded bucket
+  join → exact-jaccard verify). Signature computation is one pass over
+  exploded shingles with xxhash64 (JVM); the bucket join replaces the
+  quadratic candidate generation with an equi-join Catalyst can shuffle
+  or broadcast.
+- simhash: 64-bit fingerprint; near-dup pairs found by the block-split
+  trick (pairs within hamming distance d must share one of d+1 16-bit
+  blocks → equi-join on block value).
+- embedding near-dup: exact cosine over normalized vectors, joined on
+  an LSH bucket (random hyperplane signs) to stay sub-quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct ``key_col`` with the
+    surviving (minimum) id and the duplicate count. Hash-groupBy; at
+    scale, group on sha2(key) to shrink shuffle width."""
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .drop(key_col)
+        .select("keep_id", "n_dupes")
+    )
+
+
+def exact_dedup_digest(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Same result as exact_dedup but shuffles a 256-bit digest instead
+    of the full document — the 100 TB-friendly variant."""
+    return (
+        df.select(F.sha2(F.col(key_col).cast("string"), 256).alias("__digest"), id_col)
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keep_id", "n_dupes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array<string> column."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join — oracle-expressible)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: explode distinct shingles → self-equi-join on
+    shingle → count common shingles per pair → |A∪B| = |A|+|B|-common.
+    One shuffle on the shingle key + one on the pair key; never a cross
+    join. Integer arithmetic until the final division → deterministic.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    """Deterministic (a, b) params for the universal-hash permutations
+    h_i(x) = (a_i * x + b_i) mod p. Plain LCG so no numpy dependency in
+    the hot path."""
+    rng = seed
+    params = []
+    for _ in range(num_perm):
+        rng = (rng * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (rng % (_MERSENNE - 1)) + 1
+        rng = (rng * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = rng % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc minhash signature (array<long> of length num_perm).
+
+    One explode + one groupBy: shingle base hash via xxhash64 (JVM),
+    then min over (a_i·h+b_i) mod p per permutation — the classic
+    one-pass formulation; no Python in the loop.
+    """
+    params = _perm_params(num_perm, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s")
+    )
+    # base hash as non-negative int in [0, 2^61-1)
+    h = F.pmod(F.xxhash64(F.col("s")), F.lit(_MERSENNE))
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard on the minhash signatures.
+
+    bands=16 over 64 perms → rows/band=4; candidate prob at jaccard s is
+    1-(1-s^4)^16 (s=0.5 → ~0.65, s=0.8 → ~0.99). Candidates come from an
+    equi-join on (band, band-hash) — linear shuffle, no cross join.
+    `jaccard_est` is the signature agreement fraction.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: for each bit, +1/-1 per token hash
+    bit, fingerprint bit = sign of the sum. Expressed as 64 JVM-side
+    aggregates over exploded tokens."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    )
+    h = F.xxhash64(F.col("t"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via the block-split
+    trick: split 64 bits into (max_hamming+1) blocks; any qualifying
+    pair must agree exactly on ≥1 block → equi-join per block."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    fps = simhash(df, id_col, text_col)
+    blocks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for bi in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    """Left-to-right fold dot product in double — fixed FP evaluation
+    order (reproducible in SQL oracles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``use_lsh=True`` blocks the self
+    join on a random-hyperplane sign bucket (sub-quadratic candidate
+    set, slight recall loss); False is the exact quadratic baseline."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    if use_lsh:
+        from hdk_spark.operators.similarity import _hyperplanes, _bucket_expr
+
+        planes = _hyperplanes(n_planes, _vec_dim(df, vec_col), seed)
+        base = base.withColumn("bucket", _bucket_expr(F.col("v"), planes))
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+    else:
+        join_cond = F.col("a.id") < F.col("b.id")
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"]) if row else 0

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline. The
+  query set is broadcast (it's small by construction); the corpus scan
+  is a single pass, so at 100 TB this is one read + a TakeOrdered per
+  query, no shuffle of the corpus.
+- ann_lsh_topk: random-hyperplane LSH variant — candidates restricted
+  to the query's sign-bucket (equi-join on bucket id), then exact
+  cosine within the bucket. Sub-linear candidate count at scale;
+  recall < 1 by design.
+
+Dot products use a fixed left-to-right fold in double precision so the
+value is bit-reproducible in SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+    Ties break on neighbor id (deterministic)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    queries = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    joined = base.join(F.broadcast(queries), F.col("id") != F.col("qid"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = joined.select(
+        "qid", F.col("id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based gaussian-ish
+    via sum of uniforms). Plain Python so the same constants can be
+    inlined into an oracle SQL string."""
+    state = seed
+
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return state / float(1 << 63)
+
+    return [
+        [sum(nxt() for _ in range(4)) - 2.0 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _bucket_expr(vec, planes: list[list[float]]):
+    """Bucket id = bit pattern of sign(v·h) across hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket as the query,
+    then exact cosine within the bucket. With B=2^n_planes buckets the
+    candidate set is ~N/B per query — the scan and the topk shrink by B
+    at the cost of recall near bucket boundaries."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    planes = _hyperplanes(n_planes, dim, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    ).withColumn("bucket", _bucket_expr(F.col("v"), planes))
+    queries = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("id") != F.col("qid")),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = joined.select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+                F.round("cosine", 6).alias("cosine"))
+    )

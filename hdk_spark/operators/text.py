@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure pyspark.sql.functions compositions (whole-stage codegen; no
+Python UDFs), designed so the same arithmetic is expressible in ANSI SQL
+for oracle checking:
+
+  tokenize / token_count — whitespace + BPE-ish regex token counting
+  quality features       — length / punctuation / stopword ratios
+  quality_score          — weighted combination
+  lang_id                — stopword-hit-ratio heuristic language ID
+  fingerprint            — rolling polynomial hash over tokens
+
+Beyond-reference: the reference (intel/hdk) has no text operators beyond
+LIKE/REGEXP (SURVEY.md §2.8 — "no UPPER/TRIM/REPLACE/SPLIT").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists: enough signal for the heuristic, small
+# enough to inline as literals in both Spark and oracle SQL.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+
+_WS = r"\s+"
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokenize(text))
+    )
+
+
+# A BPE-ish estimate: words + punctuation marks each count; long words
+# cost extra tokens per 4 chars (the usual ~4-chars-per-token rule).
+def token_count_bpe(text: Column) -> Column:
+    words = tokenize(text)
+    word_tokens = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("long"),
+    )
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    return word_tokens + punct.cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    return F.when(F.length(text) > 0, punct.cast("double") / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokenize(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: rewards mid-length docs, moderate
+    punctuation, presence of stopwords (prose-ness). Deterministic
+    arithmetic over counts → oracle-reproducible."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    p = punct_ratio(text)
+    punct_score = F.lit(1.0) - F.least(p * F.lit(5.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text, "en") * F.lit(4.0), F.lit(1.0))
+    return len_score * F.lit(0.4) + punct_score * F.lit(0.3) + sw_score * F.lit(0.3)
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram-free heuristic language ID: highest stopword hit-count
+    wins; ties break alphabetically (deterministic)."""
+    toks = tokenize(F.lower(text))
+    scores = {
+        lang: F.size(
+            F.filter(
+                toks,
+                lambda t, _sw=STOPWORDS[lang]: F.array_contains(
+                    F.array(*[F.lit(w) for w in _sw]), t
+                ),
+            )
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    best = None
+    best_score = None
+    # fold: keep lang with strictly greater score (alphabetical-first tie-break)
+    out = F.lit("und")
+    max_score = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        s = scores[lang]
+        out = F.when(s > max_score, F.lit(lang)).otherwise(out)
+        max_score = F.when(s > max_score, s).otherwise(max_score)
+    del best, best_score
+    return out
+
+
+# Rolling polynomial fingerprint. Per-word value uses only O(1) char ops
+# (first/last char codes + length) so both Spark and a SQL oracle can
+# compute it; the fold is mod 2^31-1 to stay in exact int64 range.
+_FP_MOD = 2_147_483_647  # 2^31 - 1
+_FP_MULT = 1_000_003
+
+
+def _word_val(w: Column) -> Column:
+    return (
+        F.ascii(F.substring(w, 1, 1)) * F.lit(10_007)
+        + F.ascii(F.substring(w, -1, 1)) * F.lit(101)
+        + F.length(w)
+    ).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: fold over tokens of
+    (acc * 1000003 + word_val) mod (2^31-1)."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * F.lit(_FP_MULT) + _word_val(w), F.lit(_FP_MOD)),
+    )
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: id, token counts, quality features,
+    heuristic language, fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

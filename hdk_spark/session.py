@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Single place every entry point (facade, tests, bench, driver contract)
+gets its session from, so the tuning story is consistent:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  plays the role of the reference's adaptive device/layout choices
+  (reference omniscidb/QueryEngine/MemoryLayoutBuilder.cpp picks hash
+  layouts by observed cardinality; AQE is the Spark-native equivalent).
+- shuffle.partitions sized to local cores for tests; on a real cluster
+  AQE coalescing makes the initial number mostly irrelevant.
+- Arrow enabled for toPandas()/pandas-UDF boundaries.
+- UTC session timezone so results compare cleanly against UTC-naive
+  oracles (DuckDB) and parquet ms/ns timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/customer/supplier/part at TPC-H
+    # ratios) stay well under this; broadcast them instead of shuffling
+    # the fact side. 64m is conservative for 100TB-scale clusters with
+    # multi-GB executor heaps.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local[...] runs one JVM: the driver is the only memory pool.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def get_spark(app_name: str = "hdk_spark", **overrides: str) -> SparkSession:
+    """Return the shared SparkSession, creating it on first use."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    ).appName(app_name)
+    for k, v in {**_DEFAULTS, **overrides}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,92 @@
+"""Driver-mimic comparison: row-count + schema + order-insensitive
+value equality between a Spark DataFrame and a DuckDB result.
+
+Stricter than it needs to be on purpose — values must compare EXACTLY
+equal (after pandas normalization) so that any driver-side hashing
+scheme also matches. Columns are sorted by name; rows are sorted by all
+columns to make the comparison order-insensitive.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        # tz-aware → naive UTC so Spark (UTC session) and DuckDB align
+        if pd.api.types.is_datetime64tz_dtype(s):
+            df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        elif s.dtype == object:
+            # decimals / arrays / bytes → canonical strings
+            df[c] = s.map(_canon)
+    sort_cols = list(df.columns)
+    df = df.sort_values(by=sort_cols, na_position="first", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _canon(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(_canon(x) for x in v.tolist()) + "]"
+    except ImportError:
+        pass
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
+    sp = normalize(spark_df.toPandas())
+    du = normalize(duck_rel.df())
+    assert len(sp) == len(du), f"{name}: row count {len(sp)} != {len(du)}"
+    assert list(sp.columns) == list(du.columns), (
+        f"{name}: columns {list(sp.columns)} != {list(du.columns)}"
+    )
+    for c in sp.columns:
+        a, b = sp[c], du[c]
+        if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+            ok = _float_eq(a, b)
+        else:
+            ok = a.astype(object).where(pd.notna(a), None).equals(
+                b.astype(object).where(pd.notna(b), None)
+            )
+        if not ok:
+            diff = _first_diff(a, b)
+            raise AssertionError(f"{name}: column {c!r} differs at {diff}")
+
+
+def _float_eq(a: pd.Series, b: pd.Series) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        xn = x is None or (isinstance(x, float) and math.isnan(x)) or pd.isna(x)
+        yn = y is None or (isinstance(y, float) and math.isnan(y)) or pd.isna(y)
+        if xn or yn:
+            if xn != yn:
+                return False
+            continue
+        if float(x) != float(y):  # exact — bit-identical is the contract
+            return False
+    return True
+
+
+def _first_diff(a: pd.Series, b: pd.Series):
+    for i, (x, y) in enumerate(zip(a, b)):
+        if pd.isna(x) and pd.isna(y):
+            continue
+        if (pd.isna(x) != pd.isna(y)) or (not pd.isna(x) and x != y):
+            return f"row {i}: spark={x!r} duckdb={y!r}"
+    return f"length {len(a)} vs {len(b)}"

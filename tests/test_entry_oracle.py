@@ -1,0 +1,30 @@
+"""The correctness gate, locally: run every queries() entry on Spark
+and its oracle_sql() on DuckDB at sf0.01 and require exact equality
+(driver-mimic; see oracle_compare.py)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_CORRECT
+from tests.oracle_compare import assert_frames_match
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_against_oracle(name, spark, duck):
+    q = QUERIES[name]
+    spark_df = q(spark, SF_CORRECT)
+    if name not in ORACLES:
+        # rows-only contract for non-SQL-expressible ops
+        assert spark_df.count() >= 0
+        return
+    rel = duck.sql(ORACLES[name])
+    assert_frames_match(spark_df, rel, name)
