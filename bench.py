@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set mirrors the reference's taxi/synthetic benchmark shapes
+(reference omniscidb/Benchmarks/taxi/taxi_reduced_bench.cpp:53-85 Q1-Q4)
+re-expressed over the driver's TPC-H-ish tables, plus one join-heavy
+query, one window query, and one dedup-shaped query — the shapes that
+dominate at 100 TB.
+
+Methodology: one warm-up run of the smallest query (JIT/codegen warm),
+then each query executed fully via the noop sink (no driver collect);
+per-query wall seconds reported, total as the headline value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+BENCH_SQL = {
+    # taxi Q1 shape: low-cardinality group-by count
+    "q1_groupby_count": """
+        SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+    """,
+    # taxi Q2 shape: group-by + avg
+    "q2_groupby_avg": """
+        SELECT l_linenumber, AVG(l_extendedprice) AS avg_price
+        FROM lineitem GROUP BY l_linenumber
+    """,
+    # taxi Q3 shape: group-by + extract(year)
+    "q3_groupby_year": """
+        SELECT l_returnflag, EXTRACT(YEAR FROM l_shipdate) AS yr, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+    # taxi Q4 shape: multi-key group-by with cast + order
+    "q4_multikey_sorted": """
+        SELECT l_returnflag, EXTRACT(YEAR FROM l_shipdate) AS yr,
+               CAST(l_quantity AS INT) AS qty, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2, 3 ORDER BY yr, n DESC
+    """,
+    # join-heavy: TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem)
+    "q5_join_heavy": """
+        SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10
+    """,
+    # window: per-user running aggregate
+    "q6_window": """
+        SELECT user_id, event_id,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running
+        FROM events
+    """,
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hdk_spark.session import get_spark
+    from __spark_entry__ import load_tables
+
+    spark = get_spark("hdk_spark_bench")
+    load_tables(spark, SF_DIR)
+
+    def execute(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM/codegen/parquet-footer caches + Python UDF workers
+    execute(spark.sql(BENCH_SQL["q1_groupby_count"]))
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    execute(spark.range(1000).repartition(32).select(_warm(F.col("id"))))
+
+    timings: dict[str, float] = {}
+    for name, sql in BENCH_SQL.items():
+        t0 = time.perf_counter()
+        execute(spark.sql(sql))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # dedup-shaped benchmark over documents (minhash signatures + LSH)
+    from hdk_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.table("documents")
+    t0 = time.perf_counter()
+    execute(minhash_lsh_dedup(docs, threshold=0.5))
+    timings["q7_minhash_dedup"] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
