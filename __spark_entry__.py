@@ -57,8 +57,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> None:
             df = spark.read.parquet(path)
             for field in df.schema.fields:
                 if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                    # integer `div`, not `/`: float division of ~1e18 ns
+                    # longs loses µs precision (double has 53 bits)
                     df = df.withColumn(
-                        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
             df.createOrReplaceTempView(t)
 
@@ -269,11 +271,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from hdk_spark.entry_queries import COMMON_SQL_EXTRA, SPARK_IMPLS
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, sql in _COMMON_SQL.items():
+    for name, sql in {**_COMMON_SQL, **COMMON_SQL_EXTRA}.items():
         out[name] = _sql(sql)
+    out.update(SPARK_IMPLS)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_COMMON_SQL)
+    from hdk_spark.entry_queries import COMMON_SQL_EXTRA, ORACLES
+
+    return {**_COMMON_SQL, **COMMON_SQL_EXTRA, **ORACLES}

@@ -1,0 +1,839 @@
+"""Batch-2 driver-contract queries: DataFrame-API implementations through
+the hdk_spark operator/function layer, each with a DuckDB oracle whose
+arithmetic mirrors the Spark expression bit-for-bit (see the determinism
+rules in __spark_entry__.py).
+
+Split out of __spark_entry__.py to keep the contract file readable; it
+imports SPARK_IMPLS / ORACLES / NO_ORACLE from here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# §2.5 custom aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_agg_quantile_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE with all five reference interpolation modes
+    (reference Shared/quantile.h:300-337)."""
+    from hdk_spark.functions import quantile
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            quantile(q, 0.5, "lower").alias("q_lower"),
+            quantile(q, 0.5, "higher").alias("q_higher"),
+            quantile(q, 0.5, "nearest").alias("q_nearest"),
+            quantile(q, 0.5, "midpoint").alias("q_midpoint"),
+            quantile(q, 0.5, "linear").alias("q_linear"),
+            quantile(F.col("l_extendedprice"), 0.25, "linear").alias("q25_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_QUANTILE_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag AS rf,
+         list_sort(list(l_quantity)) AS v,
+         list_sort(list(l_extendedprice)) AS vp,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+), p AS (
+  SELECT rf, v, vp, CAST(n-1 AS DOUBLE)*0.5 AS pos, CAST(n-1 AS DOUBLE)*0.25 AS pos25 FROM g
+)
+SELECT rf AS l_returnflag,
+       CAST(v[CAST(floor(pos) AS INT)+1] AS DOUBLE) AS q_lower,
+       CAST(v[CAST(ceil(pos)  AS INT)+1] AS DOUBLE) AS q_higher,
+       CAST(v[CAST(floor(pos+0.5) AS INT)+1] AS DOUBLE) AS q_nearest,
+       CAST(v[CAST(floor(pos) AS INT)+1] AS DOUBLE)
+         + (CAST(v[CAST(ceil(pos) AS INT)+1] AS DOUBLE) - CAST(v[CAST(floor(pos) AS INT)+1] AS DOUBLE)) * 0.5
+         AS q_midpoint,
+       CAST(v[CAST(floor(pos) AS INT)+1] AS DOUBLE)
+         + (CAST(v[CAST(ceil(pos) AS INT)+1] AS DOUBLE) - CAST(v[CAST(floor(pos) AS INT)+1] AS DOUBLE)) * (pos - floor(pos))
+         AS q_linear,
+       CAST(vp[CAST(floor(pos25) AS INT)+1] AS DOUBLE)
+         + (CAST(vp[CAST(ceil(pos25) AS INT)+1] AS DOUBLE) - CAST(vp[CAST(floor(pos25) AS INT)+1] AS DOUBLE)) * (pos25 - floor(pos25))
+         AS q25_price
+FROM p ORDER BY rf
+"""
+
+
+def q_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPK / BOTTOMK array aggregates (reference TopKAggRuntime.h:14)."""
+    from hdk_spark.functions import topk, bottomk
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            topk(F.col("l_quantity"), 5).alias("top5_qty"),
+            bottomk(F.col("l_quantity"), 5).alias("bottom5_qty"),
+            topk(F.col("l_extendedprice"), 3).alias("top3_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT l_returnflag,
+       (list_sort(list(l_quantity), 'DESC'))[1:5] AS top5_qty,
+       (list_sort(list(l_quantity), 'ASC'))[1:5]  AS bottom5_qty,
+       (list_sort(list(l_extendedprice), 'DESC'))[1:3] AS top3_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_agg_sample_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE + SINGLE_VALUE on functionally-dependent columns (every
+    group has exactly one distinct value, so 'arbitrary' is determined)."""
+    from hdk_spark.functions import sample, single_value
+
+    _tables(spark, sf_dir)
+    n = spark.table("nation")
+    return (
+        n.groupBy("n_nationkey")
+        .agg(
+            sample(F.col("n_name")).alias("any_name"),
+            single_value(F.col("n_regionkey")).alias("the_region"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+_SAMPLE_ORACLE = """
+SELECT n_nationkey, min(n_name) AS any_name, min(n_regionkey) AS the_region
+FROM nation GROUP BY n_nationkey ORDER BY n_nationkey
+"""
+
+
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV_SAMP / VAR_SAMP / CORR (reference OpTypeEnums.h:91-92,
+    expanded compound aggregates). Rounded to 6 — both engines use
+    numerically-stable streaming moments; agreement is well past 1e-6."""
+    _tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_linenumber,
+               round(stddev_samp(l_quantity), 6)  AS sd_qty,
+               round(var_samp(l_quantity), 6)     AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(avg(l_discount), 6)          AS avg_disc
+        FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+        """
+    )
+
+
+_MOMENTS_ORACLE = """
+SELECT l_linenumber,
+       round(stddev_samp(l_quantity), 6)  AS sd_qty,
+       round(var_samp(l_quantity), 6)     AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(avg(l_discount), 6)          AS avg_disc
+FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+"""
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_COUNT_DISTINCT (HLL, reference HyperLogLog.h) and
+    APPROX_QUANTILE (reference approx_quantile.h t-digest). Estimates
+    are engine-specific → rows-only check (no oracle)."""
+    from hdk_spark.functions import approx_quantile
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        approx_quantile(F.col("l_extendedprice"), 0.5).alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 expression surface
+# ---------------------------------------------------------------------------
+
+
+def q_expr_bitwise_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor/not + /INT + mod (reference OpTypeEnums.h:25-33)."""
+    from hdk_spark.functions import div_int
+
+    _tables(spark, sf_dir)
+    c = spark.table("customer").filter(F.col("c_custkey") <= 100)
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(16)).alias("bor"),
+        k.bitwiseXOR(F.lit(85)).alias("bxor"),
+        F.bitwise_not(k).alias("bnot"),
+        div_int(k, F.lit(7)).alias("divint"),
+        (k % 7).alias("mod7"),
+    )
+
+
+_BITWISE_ORACLE = """
+SELECT c_custkey,
+       c_custkey & 255 AS band,
+       c_custkey | 16  AS bor,
+       xor(c_custkey, 85) AS bxor,
+       ~c_custkey AS bnot,
+       c_custkey // 7 AS divint,
+       c_custkey % 7 AS mod7
+FROM customer WHERE c_custkey <= 100
+"""
+
+
+def q_expr_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (kBwEq), IS NULL, IN-list over synthesized
+    NULLs (reference OpTypeEnums.h:16,35; IR/Expr.h:444 InValues)."""
+    from hdk_spark.functions import null_safe_eq
+
+    _tables(spark, sf_dir)
+    c = spark.table("customer")
+    nullable = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return (
+        c.select(
+            null_safe_eq(F.col("c_acctbal"), nullable).alias("ns_eq"),
+            nullable.isNull().alias("is_neg"),
+            F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING").alias("in_seg"),
+        )
+        .groupBy("ns_eq", "is_neg", "in_seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("ns_eq", "is_neg", "in_seg")
+    )
+
+
+_NULL_SAFE_ORACLE = """
+SELECT (c_acctbal IS NOT DISTINCT FROM (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END)) AS ns_eq,
+       (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL AS is_neg,
+       c_mktsegment IN ('AUTOMOBILE','BUILDING') AS in_seg,
+       count(*) AS n
+FROM customer GROUP BY 1,2,3 ORDER BY 1,2,3
+"""
+
+
+def q_expr_width_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDTH_BUCKET histogram over a deterministic SAMPLE_RATIO filter
+    (reference IR/Expr.h:698,571)."""
+    from hdk_spark.functions import width_bucket, sample_ratio
+
+    _tables(spark, sf_dir)
+    c = spark.table("customer")
+    return (
+        c.filter(sample_ratio(0.25, F.col("c_custkey")))
+        .groupBy(
+            width_bucket(F.col("c_acctbal"), -1000.0, 10000.0, 11)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_WIDTH_BUCKET_ORACLE = """
+WITH s AS (
+  SELECT * FROM customer
+  WHERE (c_custkey * 2654435761) % 4294967296 < CAST(0.25 * 4294967296 AS BIGINT)
+)
+SELECT CAST(CASE WHEN c_acctbal < -1000 THEN 0
+                 WHEN c_acctbal >= 10000 THEN 12
+                 ELSE CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) + 1
+            END AS BIGINT) AS bucket,
+       count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+# identical SQL text runs on both engines
+_MATH_SQL = """
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 6) AS sq,
+       abs(p_retailprice - 1000.0)   AS ab,
+       CAST(ceil(p_retailprice)  AS BIGINT) AS ce,
+       CAST(floor(p_retailprice) AS BIGINT) AS fl,
+       sign(p_retailprice - 1000.0) AS sg,
+       round(ln(p_retailprice), 6)    AS lnp,
+       round(log10(p_retailprice), 6) AS lg,
+       round(pow(p_retailprice, 2), 4) AS p2,
+       round(exp(p_retailprice / 1000.0), 6) AS ex,
+       round(sin(p_retailprice), 6) AS sn,
+       round(cos(p_retailprice), 6) AS cs
+FROM part WHERE p_partkey <= 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 arrays
+# ---------------------------------------------------------------------------
+
+
+def q_array_item_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-based ITEM + CARDINALITY (reference kArrayAt is 1-based,
+    test_pyhdk_api.py:927; CardinalityExpr IR/Expr.h:616)."""
+    from hdk_spark.functions import item, cardinality
+
+    _tables(spark, sf_dir)
+    e = spark.table("embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        item(F.col("embedding"), 1).alias("first_elem"),
+        item(F.col("embedding"), 64).alias("last_elem"),
+        cardinality(F.col("embedding")).cast("long").alias("dim"),
+    )
+
+
+_ARRAY_ITEM_ORACLE = """
+SELECT vec_id,
+       embedding[1]  AS first_elem,
+       embedding[64] AS last_elem,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings WHERE vec_id < 100
+"""
+
+
+def q_unnest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST (reference kUnnest; ArrayOps.cpp)."""
+    from hdk_spark.functions import unnest
+
+    _tables(spark, sf_dir)
+    e = spark.table("embeddings").filter(F.col("vec_id") < 5)
+    return e.select("vec_id", unnest(F.col("embedding")).alias("val"))
+
+
+_UNNEST_ORACLE = """
+SELECT vec_id, unnest(embedding) AS val FROM embeddings WHERE vec_id < 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 date/time
+# ---------------------------------------------------------------------------
+
+
+def q_date_add_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATEADD / DATEDIFF across units (reference DateAdd.cpp,
+    IR/Expr.h:889-956). o_orderdate is midnight-aligned so day-diff
+    semantics coincide across engines."""
+    from hdk_spark.functions import date_add, date_diff
+
+    _tables(spark, sf_dir)
+    o = spark.table("orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        date_add("month", 3, d).alias("plus3m"),
+        date_add("day", 7, d).alias("plus7d"),
+        date_add("hour", 36, d).alias("plus36h"),
+        date_diff("day", F.lit("1995-01-01 00:00:00").cast("timestamp"), d).alias(
+            "days_since"
+        ),
+    )
+
+
+_DATE_ADD_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 MONTH AS plus3m,
+       o_orderdate + INTERVAL 7 DAY   AS plus7d,
+       o_orderdate + INTERVAL 36 HOUR AS plus36h,
+       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+FROM orders WHERE o_orderkey <= 1000
+"""
+
+
+def q_date_trunc_exotic_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc quarterday / week / week_sunday / week_saturday
+    (reference DateTruncate.cpp:57,88,93)."""
+    from hdk_spark.functions import date_trunc
+
+    _tables(spark, sf_dir)
+    e = spark.table("events").filter(F.col("event_id") < 500)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        date_trunc("quarterday", ts).alias("t_qday"),
+        date_trunc("week", ts).alias("t_week"),
+        date_trunc("week_sunday", ts).alias("t_week_sun"),
+        date_trunc("week_saturday", ts).alias("t_week_sat"),
+    )
+
+
+_TRUNC_TS_ORACLE = """
+SELECT event_id,
+       make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(ts)) AS BIGINT) % 21600) * 1000000) AS t_qday,
+       date_trunc('week', ts) AS t_week,
+       CAST(ts::DATE - CAST(dayofweek(ts::DATE) AS INT) AS TIMESTAMP) AS t_week_sun,
+       CAST(ts::DATE - CAST((dayofweek(ts::DATE) + 1) % 7 AS INT) AS TIMESTAMP) AS t_week_sat
+FROM events WHERE event_id < 500
+"""
+
+
+def q_date_trunc_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc decade / century / millennium
+    (reference DateTruncate.cpp:219,239,249 — PostgreSQL-style: century
+    and millennium start at year x(x)01, decade at year-year%10)."""
+    from hdk_spark.functions import date_trunc
+
+    _tables(spark, sf_dir)
+    o = spark.table("orders")
+    d = F.col("o_orderdate")
+    # century/millennium truncs land in year 1001/1901 — outside pandas'
+    # datetime64[ns] range — so emit ISO strings (oracle does the same)
+    return (
+        o.groupBy(
+            F.date_format(date_trunc("decade", d), "yyyy-MM-dd").alias("decade"),
+            F.date_format(date_trunc("century", d), "yyyy-MM-dd").alias("century"),
+            F.date_format(date_trunc("millennium", d), "yyyy-MM-dd").alias("millennium"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("decade")
+    )
+
+
+_TRUNC_EPOCH_ORACLE = """
+SELECT strftime(make_date(CAST(year(o_orderdate) - year(o_orderdate) % 10 AS INT), 1, 1), '%Y-%m-%d') AS decade,
+       strftime(make_date(CAST((year(o_orderdate) - 1) // 100 * 100 + 1 AS INT), 1, 1), '%Y-%m-%d') AS century,
+       strftime(make_date(CAST((year(o_orderdate) - 1) // 1000 * 1000 + 1 AS INT), 1, 1), '%Y-%m-%d') AS millennium,
+       count(*) AS n
+FROM orders GROUP BY 1,2,3 ORDER BY 1
+"""
+
+
+def q_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG_EXTRACT/DATEPART across the reference field enum
+    (reference IR/DateTimeEnums.h:62-82; Utils/ExtractFromTime.cpp)."""
+    from hdk_spark.functions import extract
+
+    _tables(spark, sf_dir)
+    e = spark.table("events").filter(F.col("event_id") < 500)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        extract("year", ts).alias("f_year"),
+        extract("quarter", ts).alias("f_quarter"),
+        extract("month", ts).alias("f_month"),
+        extract("day", ts).alias("f_day"),
+        extract("hour", ts).alias("f_hour"),
+        extract("minute", ts).alias("f_minute"),
+        extract("second", ts).alias("f_second"),
+        extract("milli", ts).alias("f_milli"),
+        extract("micro", ts).alias("f_micro"),
+        extract("dayofweek", ts).alias("f_dow"),
+        extract("isodayofweek", ts).alias("f_isodow"),
+        extract("dayofyear", ts).alias("f_doy"),
+        extract("week", ts).alias("f_week"),
+        extract("epoch", ts).alias("f_epoch"),
+        extract("quarterday", ts).alias("f_qday"),
+    )
+
+
+_EXTRACT_ORACLE = """
+SELECT event_id,
+       CAST(year(ts) AS BIGINT)    AS f_year,
+       CAST(quarter(ts) AS BIGINT) AS f_quarter,
+       CAST(month(ts) AS BIGINT)   AS f_month,
+       CAST(day(ts) AS BIGINT)     AS f_day,
+       CAST(hour(ts) AS BIGINT)    AS f_hour,
+       CAST(minute(ts) AS BIGINT)  AS f_minute,
+       CAST(date_part('second', ts) AS BIGINT) AS f_second,
+       CAST(floor((epoch_us(ts) % 1000000) / 1000) AS BIGINT) AS f_milli,
+       CAST(epoch_us(ts) % 1000000 AS BIGINT) AS f_micro,
+       CAST(dayofweek(ts) AS BIGINT) AS f_dow,
+       CAST(isodow(ts) AS BIGINT)    AS f_isodow,
+       CAST(dayofyear(ts) AS BIGINT) AS f_doy,
+       CAST(weekofyear(ts) AS BIGINT) AS f_week,
+       CAST(floor(epoch(ts)) AS BIGINT) AS f_epoch,
+       CAST(hour(ts) // 6 + 1 AS BIGINT) AS f_qday
+FROM events WHERE event_id < 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization, tumbling windows, JSON props
+# ---------------------------------------------------------------------------
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum (window-function
+    composition; a Structured Streaming variant lives in
+    hdk_spark.streaming)."""
+    _tables(spark, sf_dir)
+    e = spark.table("events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("sess_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE user_id < 50
+), s AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+# identical SQL text on both engines
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS h, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (beyond-reference;
+    the reference has no JSON functions)."""
+    _tables(spark, sf_dir)
+    e = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(k).alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# LogicalValues
+# ---------------------------------------------------------------------------
+
+
+def q_values_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogicalValues literal rows (reference IR/Node.h:785)."""
+    return spark.createDataFrame(
+        [(1, "ALPHA"), (2, "BETA"), (3, "GAMMA")], "id long, name string"
+    )
+
+
+_VALUES_ORACLE = """
+SELECT * FROM (VALUES (CAST(1 AS BIGINT),'ALPHA'),(2,'BETA'),(3,'GAMMA')) t(id, name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text (beyond-reference pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdk_spark.operators.dedup import exact_dedup
+
+    _tables(spark, sf_dir)
+    return exact_dedup(spark.table("documents"), "text", "doc_id")
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdk_spark.operators.dedup import ngram_jaccard_pairs
+
+    _tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        spark.table("documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1, 1)),
+             i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+2]
+           )
+         ) AS s_list
+  FROM documents
+), e AS (
+  SELECT id, len(s_list) AS n_sh, unnest(s_list) AS s FROM sh WHERE len(s_list) > 0
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+"""
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (p, q) -> p + q)"
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdk_spark.operators.dedup import embedding_neardup_pairs
+
+    _tables(spark, sf_dir)
+    return embedding_neardup_pairs(
+        spark.table("embeddings"), "vec_id", "embedding", threshold=0.8
+    )
+
+
+_EMB_COSINE_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm FROM b
+)
+SELECT a.id AS id_a, c.id AS id_b,
+       round({_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm), 6) AS cosine
+FROM n a JOIN n c ON a.id < c.id
+WHERE {_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm) >= 0.8
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdk_spark.operators.similarity import cosine_topk
+
+    _tables(spark, sf_dir)
+    return cosine_topk(spark.table("embeddings"), [0, 1, 2], k=5)
+
+
+_SIM_TOPK_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm FROM b
+), q AS (
+  SELECT id AS qid, v AS qv, norm AS qnorm FROM n WHERE id IN (0, 1, 2)
+), scored AS (
+  SELECT q.qid, n.id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='n.v')} / (q.qnorm * n.norm) AS cos
+  FROM q JOIN n ON n.id != q.qid
+), ranked AS (
+  SELECT qid, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+         cos
+  FROM scored
+)
+SELECT qid, neighbor_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdk_spark.operators.text import analyze
+
+    _tables(spark, sf_dir)
+    return analyze(spark.table("documents"))
+
+
+_SW = {
+    "en": "['the','a','and','of','to','in','is','it','that','for']",
+    "de": "['der','die','das','und','ist','ein','eine','zu','mit','von']",
+    "fr": "['le','la','les','et','est','un','une','dans','pour','que']",
+    "es": "['el','la','los','y','es','un','una','en','por','que']",
+}
+
+_TEXT_PROFILE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+  FROM documents
+), f AS (
+  SELECT doc_id, text, toks, ltoks,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+         len(list_filter(ltoks, x -> list_contains({_SW['en']}, x))) AS hits_en,
+         len(list_filter(ltoks, x -> list_contains({_SW['de']}, x))) AS hits_de,
+         len(list_filter(ltoks, x -> list_contains({_SW['fr']}, x))) AS hits_fr,
+         len(list_filter(ltoks, x -> list_contains({_SW['es']}, x))) AS hits_es
+  FROM t
+), g AS (
+  SELECT doc_id, text, toks, n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio_raw,
+         CASE WHEN len(ltoks) > 0
+              THEN CAST(hits_en AS DOUBLE) / len(ltoks) ELSE 0.0 END AS sw_ratio_raw,
+         greatest(hits_de, hits_en, hits_es, hits_fr) AS max_hits,
+         hits_de, hits_en, hits_es, hits_fr
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, w -> CAST(ceil(length(w) / 4) AS BIGINT))),
+         (a, b) -> a + b)
+         + CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS BIGINT)
+         AS n_tokens_bpe,
+       round(punct_ratio_raw, 6) AS punct_ratio,
+       round(sw_ratio_raw, 6) AS stopword_ratio,
+       round(least(length(text) / 500.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.3
+             + least(sw_ratio_raw * 4.0, 1.0) * 0.3, 6) AS quality,
+       CASE WHEN max_hits <= 0 THEN 'und'
+            WHEN hits_de = max_hits THEN 'de'
+            WHEN hits_en = max_hits THEN 'en'
+            WHEN hits_es = max_hits THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, w -> CAST(ascii(substr(w, 1, 1)) * 10007
+                                          + ascii(substr(w, -1, 1)) * 101
+                                          + length(w) AS BIGINT))),
+         (acc, wv) -> (acc * 1000003 + wv) % 2147483647) AS fingerprint
+FROM g
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the sketch is engine-specific
+    (crc32 basis), so this gets the rows-only check; recall against the
+    exact-jaccard oracle is asserted in tests/test_dedup.py."""
+    from hdk_spark.operators.dedup import minhash_lsh_dedup
+
+    _tables(spark, sf_dir)
+    return minhash_lsh_dedup(spark.table("documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    from hdk_spark.operators.dedup import simhash_pairs
+
+    _tables(spark, sf_dir)
+    return simhash_pairs(spark.table("documents"), max_hamming=3)
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check; recall asserted
+    in tests/test_similarity.py)."""
+    from hdk_spark.operators.similarity import ann_lsh_topk
+
+    _tables(spark, sf_dir)
+    return ann_lsh_topk(spark.table("embeddings"), [0, 1, 2], k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_quantile_modes": q_agg_quantile_modes,
+    "agg_topk_bottomk": q_agg_topk,
+    "agg_sample_single_value": q_agg_sample_single,
+    "agg_moments": q_agg_moments,
+    "agg_approx": q_agg_approx,
+    "expr_bitwise_div": q_expr_bitwise_div,
+    "expr_null_safe_in": q_expr_null_safe,
+    "expr_width_bucket_sample": q_expr_width_bucket_sample,
+    "array_item_cardinality": q_array_item_cardinality,
+    "array_unnest": q_unnest_explode,
+    "date_add_diff": q_date_add_diff,
+    "date_trunc_exotic": q_date_trunc_exotic_ts,
+    "date_trunc_epochs": q_date_trunc_epochs,
+    "date_extract_fields": q_extract_fields,
+    "events_sessionize": q_events_sessionize,
+    "events_json_props": q_json_props,
+    "values_literal": q_values_literal,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "similarity_cosine_topk": q_similarity_topk,
+    "text_profile": q_text_profile,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+}
+
+ORACLES: dict[str, str] = {
+    "agg_quantile_modes": _QUANTILE_ORACLE,
+    "agg_topk_bottomk": _TOPK_ORACLE,
+    "agg_sample_single_value": _SAMPLE_ORACLE,
+    "agg_moments": _MOMENTS_ORACLE,
+    "expr_bitwise_div": _BITWISE_ORACLE,
+    "expr_null_safe_in": _NULL_SAFE_ORACLE,
+    "expr_width_bucket_sample": _WIDTH_BUCKET_ORACLE,
+    "array_item_cardinality": _ARRAY_ITEM_ORACLE,
+    "array_unnest": _UNNEST_ORACLE,
+    "date_add_diff": _DATE_ADD_ORACLE,
+    "date_trunc_exotic": _TRUNC_TS_ORACLE,
+    "date_trunc_epochs": _TRUNC_EPOCH_ORACLE,
+    "date_extract_fields": _EXTRACT_ORACLE,
+    "events_sessionize": _SESSIONIZE_ORACLE,
+    "events_json_props": _JSON_ORACLE,
+    "values_literal": _VALUES_ORACLE,
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+    "dedup_embedding_cosine": _EMB_COSINE_ORACLE,
+    "similarity_cosine_topk": _SIM_TOPK_ORACLE,
+    "text_profile": _TEXT_PROFILE_ORACLE,
+}
+
+# common-SQL-text queries added on top of __spark_entry__._COMMON_SQL
+COMMON_SQL_EXTRA: dict[str, str] = {
+    "expr_math_funcs": _MATH_SQL,
+    "events_tumbling_hour": _TUMBLING_SQL,
+}

@@ -51,7 +51,9 @@ _register_extract("second")(lambda c: F.second(c).cast("long"))
 # sub-second fields: reference returns the *fractional* component count
 # (ExtractFromTime.cpp extract_millisecond = epoch ms % 1000 of the second)
 _register_extract("milli")(
-    lambda c: (F.unix_micros(c) - F.unix_seconds(c) * F.lit(1_000_000)).cast("long") / 1000
+    lambda c: F.floor(
+        (F.unix_micros(c) - F.unix_seconds(c) * F.lit(1_000_000)) / 1000
+    ).cast("long")
 )
 _register_extract("micro")(
     lambda c: (F.unix_micros(c) - F.unix_seconds(c) * F.lit(1_000_000)).cast("long")
@@ -188,7 +190,7 @@ def date_add(field: str, number, col: Column) -> Column:
     if f not in _ADD_UNITS:
         raise ValueError(f"unsupported dateadd field: {field}")
     n = F.lit(number) if not isinstance(number, Column) else number
-    return F.timestampadd(_ADD_UNITS[f], n, col.cast("timestamp"))
+    return F.timestamp_add(_ADD_UNITS[f], n, col.cast("timestamp"))
 
 
 def date_diff(field: str, start: Column, end: Column) -> Column:
@@ -198,7 +200,7 @@ def date_diff(field: str, start: Column, end: Column) -> Column:
     unit = _ADD_UNITS.get(f)
     if unit is None:
         raise ValueError(f"unsupported datediff field: {field}")
-    return F.timestampdiff(unit, start.cast("timestamp"), end.cast("timestamp"))
+    return F.timestamp_diff(unit, start.cast("timestamp"), end.cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

@@ -90,27 +90,18 @@ def lang_id(text: Column) -> Column:
     """N-gram-free heuristic language ID: highest stopword hit-count
     wins; ties break alphabetically (deterministic)."""
     toks = tokenize(F.lower(text))
-    scores = {
-        lang: F.size(
-            F.filter(
-                toks,
-                lambda t, _sw=STOPWORDS[lang]: F.array_contains(
-                    F.array(*[F.lit(w) for w in _sw]), t
-                ),
-            )
-        )
-        for lang in sorted(STOPWORDS)
-    }
-    best = None
-    best_score = None
+
+    def _hits(words: list[str]) -> Column:
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
     # fold: keep lang with strictly greater score (alphabetical-first tie-break)
     out = F.lit("und")
     max_score = F.lit(0)
     for lang in sorted(STOPWORDS):
-        s = scores[lang]
+        s = _hits(STOPWORDS[lang])
         out = F.when(s > max_score, F.lit(lang)).otherwise(out)
         max_score = F.when(s > max_score, s).otherwise(max_score)
-    del best, best_score
     return out
 
 
@@ -146,7 +137,7 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
+        token_count(t).cast("long").alias("n_tokens"),
         token_count_bpe(t).alias("n_tokens_bpe"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
