@@ -157,6 +157,83 @@ class HDK:
             self._tables[name] = self.spark.table(name)
         return Table(self, name, self._tables[name])
 
+    def import_pydict(self, values: dict, table_name: str | None = None) -> "Table":
+        """reference hdk.py:2416 (import_pydict)."""
+        import pandas as pd
+
+        return self.import_arrow(pd.DataFrame(values), table_name or "pydict_table")
+
+    # ------------------------------------------------------------------
+    # global expression constructors (reference hdk.py:2652-2953)
+    # ------------------------------------------------------------------
+    def cst(self, value: Any, cst_type: str | None = None, scale_decimal: bool = True):
+        from hdk_spark import builder
+
+        return builder.cst(value, cst_type, scale_decimal)
+
+    const = cst
+
+    def date(self, value: str):
+        from hdk_spark import builder
+
+        return builder.date(value)
+
+    def time(self, value: str):
+        from hdk_spark import builder
+
+        return builder.time(value)
+
+    def timestamp(self, value: str):
+        from hdk_spark import builder
+
+        return builder.timestamp(value)
+
+    def count(self):
+        from hdk_spark import builder
+
+        return builder.count()
+
+    def row_number(self):
+        from hdk_spark import builder
+
+        return builder.row_number()
+
+    def rank(self):
+        from hdk_spark import builder
+
+        return builder.rank()
+
+    def dense_rank(self):
+        from hdk_spark import builder
+
+        return builder.dense_rank()
+
+    def percent_rank(self):
+        from hdk_spark import builder
+
+        return builder.percent_rank()
+
+    def cume_dist(self):
+        from hdk_spark import builder
+
+        return builder.cume_dist()
+
+    def ntile(self, tile_count: int):
+        from hdk_spark import builder
+
+        return builder.ntile(tile_count)
+
+    def if_then_else(self, cond, true_val, false_val):
+        from hdk_spark import builder
+
+        return builder.if_then_else(cond, true_val, false_val)
+
+    def type(self, type_str: str):
+        """reference hdk.py:2578 — parse an HDK type string."""
+        from hdk_spark.types import to_spark_type
+
+        return to_spark_type(type_str)
+
 
 class Table:
     """Handle to a registered table; also a builder seed (pyhdk returns
