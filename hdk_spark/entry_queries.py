@@ -767,6 +767,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(spark.table("documents"), max_hamming=3)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode profile: documents → opaque bytes + typed
+    metadata → Arrow-batched mapInPandas decode. byte_len is computable
+    in DuckDB (octet_length over the UTF-8 payload), so this gets a
+    full value oracle; the pixel stats come from the stubbed codec and
+    are checked for determinism in tests/test_multimodal.py."""
+    from hdk_spark.operators.multimodal import decode_image, synth_media_from_documents
+
+    _tables(spark, sf_dir)
+    media = synth_media_from_documents(spark.table("documents"), "image")
+    return decode_image(media).select(
+        "media_id",
+        "byte_len",
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.channels").alias("meta_channels"),
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS byte_len,
+       CAST(length(text) % 640 + 16 AS INT) AS meta_width,
+       3 AS meta_channels
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the stubbed demux kernel
+    (rows-only check; exact counts asserted in tests)."""
+    from hdk_spark.operators.multimodal import sample_frames, synth_media_from_documents
+
+    _tables(spark, sf_dir)
+    videos = synth_media_from_documents(spark.table("documents"), "video")
+    frames = sample_frames(videos, every_n=30)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.min("frame_idx").alias("first_idx"),
+        F.max("frame_idx").alias("last_idx"),
+    )
+
+
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only check; recall asserted
     in tests/test_similarity.py)."""
@@ -806,6 +848,8 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_ann_lsh": q_similarity_ann_lsh,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -830,6 +874,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": _EMB_COSINE_ORACLE,
     "similarity_cosine_topk": _SIM_TOPK_ORACLE,
     "text_profile": _TEXT_PROFILE_ORACLE,
+    "multimodal_decode": _MULTIMODAL_ORACLE,
 }
 
 # common-SQL-text queries added on top of __spark_entry__._COMMON_SQL

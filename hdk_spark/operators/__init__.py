@@ -6,6 +6,6 @@ operations a 100 TB LLM-data pipeline needs; all are DataFrame-native
 compositions or Arrow-batched pandas UDFs.
 """
 
-from hdk_spark.operators import dedup, similarity, text
+from hdk_spark.operators import dedup, multimodal, similarity, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "text"]

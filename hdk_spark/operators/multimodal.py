@@ -1,0 +1,261 @@
+"""Multimodal (image/audio/video) column operators for training-data
+pipelines (beyond-reference; the reference has no binary/media types —
+its lattice stops at arrays, omniscidb/IR/Type.h:23-40).
+
+Design for 100 TB: media lives as opaque ``binary`` columns with a
+typed metadata struct alongside (width/height/codec/...), so Spark
+shuffles bytes it never interprets and the heavy per-item work runs in
+Arrow-batched ``mapInPandas`` stages that stream batches instead of
+materializing whole partitions.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT available in this
+environment, so the decode kernels are STUBBED: each has
+  - a ``deterministic fake`` path (derives stable pseudo-content from
+    the bytes) used by default and in tests, and
+  - a ``real`` path that raises NotImplementedError where the codec
+    call would go.
+Everything around the stub — schemas, UDF signatures, Arrow batch
+shapes, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# typed metadata schemas
+# ---------------------------------------------------------------------------
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def media_table_schema(kind: str = "image") -> T.StructType:
+    """Canonical multimodal table layout: id, opaque bytes, typed meta."""
+    meta = {"image": IMAGE_META, "audio": AUDIO_META, "video": VIDEO_META}[kind]
+    return T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("meta", meta),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# stubbed decode kernels (deterministic fakes; real codec path raises)
+# ---------------------------------------------------------------------------
+
+
+def _fake_pixels_stats(data: bytes) -> tuple[float, float]:
+    """Deterministic pseudo-decode: stable per-byte statistics standing
+    in for decoded pixel mean/std. STUB — replace with PIL decode."""
+    if not data:
+        return 0.0, 0.0
+    arr = memoryview(data)
+    n = len(arr)
+    mean = sum(arr) / n
+    var = sum((b - mean) ** 2 for b in arr) / n
+    return float(mean), float(var**0.5)
+
+
+def _fake_embedding(data: bytes, dim: int) -> list[float]:
+    """Deterministic pseudo-feature vector from a rolling digest.
+    STUB — replace with a vision/audio encoder."""
+    out = []
+    seed = data or b"\x00"
+    h = hashlib.sha256(seed)
+    raw = h.digest()
+    while len(out) < dim:
+        for i in range(0, len(raw), 4):
+            if len(out) >= dim:
+                break
+            v = int.from_bytes(raw[i : i + 4], "little")
+            out.append((v % 20000) / 10000.0 - 1.0)
+        raw = hashlib.sha256(raw).digest()
+    return out
+
+
+def decode_image(df: DataFrame, data_col: str = "data", use_real_codec: bool = False) -> DataFrame:
+    """Decode stage: binary → per-image stats (mean/std of 'pixels',
+    crc, byte length). Arrow-batched mapInPandas so each task streams
+    record batches; output schema = input + decode columns."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("byte_len", T.LongType()),
+            T.StructField("crc32", T.LongType()),
+            T.StructField("pixel_mean", T.DoubleType()),
+            T.StructField("pixel_std", T.DoubleType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codec:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libjpeg — not in this "
+                    "environment; deterministic fake path is the default"
+                )
+            stats = [_fake_pixels_stats(b or b"") for b in pdf[data_col]]
+            pdf = pdf.copy()
+            pdf["byte_len"] = [len(b or b"") for b in pdf[data_col]]
+            pdf["crc32"] = [zlib.crc32(b or b"") for b in pdf[data_col]]
+            pdf["pixel_mean"] = [s[0] for s in stats]
+            pdf["pixel_std"] = [s[1] for s in stats]
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def extract_features(
+    df: DataFrame, data_col: str = "data", dim: int = 64
+) -> DataFrame:
+    """Feature-extraction stage: binary → float embedding column
+    (array<double>, unit-norm-free). The fake encoder is deterministic
+    so downstream similarity/dedup stages are testable end-to-end."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != data_col]
+        + [T.StructField("embedding", T.ArrayType(T.DoubleType()))]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            emb = [_fake_embedding(b or b"", dim) for b in pdf[data_col]]
+            out = pdf.drop(columns=[data_col])
+            out["embedding"] = emb
+            yield out
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    data_col: str = "data",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Resize stage (STUB): passes bytes through unchanged but rewrites
+    the metadata struct — the real kernel would transcode pixels. The
+    plumbing (struct rebuild inside mapInPandas, schema preservation)
+    is the part that matters for the pipeline shape."""
+    out_schema = df.schema
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            metas = []
+            for m in pdf[meta_col]:
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            pdf[meta_col] = metas
+            # STUB: real path would decode → resample → re-encode bytes
+            yield pdf
+
+    return df.mapInPandas(resize, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    data_col: str = "data",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Video frame-sampling stage: one output row per sampled frame
+    (media_id, frame_idx, frame bytes). Fake path slices the source
+    bytes deterministically; real path would demux with ffmpeg."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, data, meta in zip(pdf["media_id"], pdf[data_col], pdf[meta_col]):
+                n_frames = int(meta["n_frames"]) if meta is not None else 0
+                data = data or b""
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    # STUB: slice bytes as stand-in for a decoded frame
+                    lo = (fi * 16) % max(1, len(data))
+                    frames.append(bytes(data[lo : lo + 16]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(sample, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# synthetic media builder (tests/demos: documents.text → fake bytes)
+# ---------------------------------------------------------------------------
+
+
+def synth_media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Build a deterministic multimodal table from the documents table:
+    text bytes become the opaque payload, metadata derived from length.
+    Pure column ops (JVM-side) — no Python in the synthesis path."""
+    data = F.encode(F.col("text"), "UTF-8")
+    n = F.length(F.col("text"))
+    if kind == "image":
+        meta = F.struct(
+            (n % 640 + 16).cast("int").alias("width"),
+            (n % 480 + 16).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake/raw").alias("format"),
+        )
+    elif kind == "audio":
+        meta = F.struct(
+            F.lit(16000).alias("sample_rate"),
+            (n * 100).cast("long").alias("n_samples"),
+            F.lit(1).alias("channels"),
+            F.lit("fake/pcm").alias("codec"),
+        )
+    else:  # video
+        meta = F.struct(
+            F.lit(320).alias("width"),
+            F.lit(240).alias("height"),
+            (n % 300 + 1).cast("long").alias("n_frames"),
+            F.lit(30.0).alias("fps"),
+            F.lit("fake/raw").alias("codec"),
+        )
+    return docs.select(
+        F.col("doc_id").alias("media_id"), data.alias("data"), meta.alias("meta")
+    )
