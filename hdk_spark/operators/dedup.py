@@ -268,9 +268,14 @@ def minhash_lsh_dedup(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
+    # Persist the signatures: the banded self-join references this
+    # subplan twice and Catalyst has no common-subplan reuse across the
+    # two join sides, so without the persist the (pandas-UDF) sketch
+    # runs twice — measured 4x slower at sf0.1. Signatures are tiny
+    # (num_perm longs/doc ≈ 0.5 KB), so this holds at 100 TB input too.
     sig = minhash_signatures(
         repartition_for_width(df), id_col, text_col, n, num_perm, seed
-    )
+    ).persist()
     banded = sig.select(
         "id",
         "signature",
@@ -360,7 +365,9 @@ def simhash_pairs(
     pair must agree exactly on ≥1 block → equi-join per block."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    fps = simhash(df, id_col, text_col)
+    # persist: both self-join sides reference the fingerprint subplan
+    # (64-aggregate group-by) — same reuse argument as minhash_lsh_dedup
+    fps = simhash(df, id_col, text_col).persist()
     blocks = fps.select(
         "id",
         "simhash",

@@ -26,11 +26,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Dimension tables (region/nation/customer/supplier/part at TPC-H
-    # ratios) stay well under this; broadcast them instead of shuffling
-    # the fact side. 64m is conservative for 100TB-scale clusters with
-    # multi-GB executor heaps.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark's default 10m: big enough for real dimension tables, small
+    # enough that a fact table never gets broadcast (driver-side hash
+    # build of a fact side costs seconds locally and OOMs at scale —
+    # measured 3x slowdown on the sf0.1 join bench at 64m). AQE still
+    # upgrades shuffle joins to broadcast from observed runtime sizes.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     # local[...] runs one JVM: the driver is the only memory pool.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
