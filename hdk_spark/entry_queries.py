@@ -819,6 +819,142 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# batch 3: window analytics, strings, casts, subqueries, set ops
+# ---------------------------------------------------------------------------
+
+# identical SQL text on both engines
+_WINDOW_ANALYTICS_SQL = """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER w AS BIGINT)             AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6)             AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6)                AS cume,
+       FIRST_VALUE(o_orderkey) OVER w              AS first_key,
+       LAST_VALUE(o_orderkey) OVER w               AS last_key,
+       LAG(o_orderkey, 2) OVER w                   AS lag2,
+       LEAD(o_orderkey, 3) OVER w                  AS lead3
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+# identical text: correlated scalar subquery (reference
+# CorrelatedSubqueryTest.cpp; ScalarSubquery IR/Expr.h:415)
+_CORRELATED_SQL = """
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+       (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+FROM customer
+WHERE c_custkey <= 500
+ORDER BY c_custkey
+"""
+
+# identical text: n-ary UNION ALL (reference LogicalUnion is n-ary,
+# IR/Node.h:849)
+_UNION_NARY_SQL = """
+SELECT kind, COUNT(*) AS n FROM (
+  SELECT 'c' AS kind, c_nationkey AS k FROM customer
+  UNION ALL
+  SELECT 's' AS kind, s_nationkey AS k FROM supplier
+  UNION ALL
+  SELECT 'n' AS kind, n_regionkey AS k FROM nation
+) u GROUP BY kind ORDER BY kind
+"""
+
+# identical text: HAVING (filter over aggregate node)
+_HAVING_SQL = """
+SELECT l_partkey, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) >= 8 AND SUM(l_quantity) > 200
+ORDER BY l_partkey
+"""
+
+# identical text: DISTINCT projection (aggregate with no agg exprs)
+_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+FROM lineitem ORDER BY 1, 2, 3
+"""
+
+# identical text: decimal arithmetic + scale propagation (aggregation
+# runs in exact DECIMAL; final outputs cast to DOUBLE because decimal
+# values normalize differently across engine->pandas bridges)
+_DECIMAL_AGG_SQL = """
+SELECT l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_dec,
+       CAST(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS DOUBLE) AS avg_dec,
+       CAST(MIN(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS min_disc,
+       CAST(MAX(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS max_tax
+FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+"""
+
+
+def q_string_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / ILIKE (escape) / REGEXP_LIKE / || / SUBSTRING — the full
+    reference string surface (reference IR/Expr.h:636 LikeExpr, :671
+    RegexpExpr; StringFunctions.cpp; '||' concat)."""
+    _tables(spark, sf_dir)
+    p = spark.table("part")
+    name = F.col("p_name")
+    return (
+        p.select(
+            "p_partkey",
+            name.like("%gold%").alias("has_gold"),
+            name.ilike("%GOLD%").alias("has_gold_i"),
+            name.rlike("^[a-m]").alias("starts_a_to_m"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+            F.substring(name, 1, 8).alias("prefix8"),
+            F.length(name).cast("long").alias("name_len"),
+            F.lower(F.col("p_type")).alias("type_lower"),
+        )
+        .filter(F.col("p_partkey") <= 2000)
+    )
+
+
+_STRING_LIKE_ORACLE = """
+SELECT p_partkey,
+       p_name LIKE '%gold%'  AS has_gold,
+       p_name ILIKE '%GOLD%' AS has_gold_i,
+       regexp_matches(p_name, '^[a-m]') AS starts_a_to_m,
+       p_brand || '/' || p_type AS brand_type,
+       substring(p_name, 1, 8) AS prefix8,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       lower(p_type) AS type_lower
+FROM part WHERE p_partkey <= 2000
+"""
+
+
+def q_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST across the numeric/string/temporal directions (reference
+    QueryEngine/CastIR.cpp). C++/Spark double→int truncates toward
+    zero; the DuckDB oracle mirrors with trunc()."""
+    _tables(spark, sf_dir)
+    c = spark.table("customer").filter(F.col("c_custkey") <= 1000)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        bal.cast("int").alias("bal_int"),
+        bal.cast("decimal(12,2)").cast("double").alias("bal_dec"),
+        bal.cast("string").alias("bal_str"),
+        F.col("c_custkey").cast("double").alias("key_dbl"),
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_name").substr(10, 5).cast("int").alias("name_num"),
+    )
+
+
+_CAST_ORACLE = """
+SELECT c_custkey,
+       CAST(trunc(c_acctbal) AS INT) AS bal_int,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
+       CAST(c_acctbal AS VARCHAR) AS bal_str,
+       CAST(c_custkey AS DOUBLE) AS key_dbl,
+       CAST(c_custkey AS VARCHAR) AS key_str,
+       CAST(substring(c_name, 10, 5) AS INT) AS name_num
+FROM customer WHERE c_custkey <= 1000
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -850,6 +986,8 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    "string_like_regex": q_string_like_regex,
+    "cast_matrix": q_cast_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -875,10 +1013,18 @@ ORACLES: dict[str, str] = {
     "similarity_cosine_topk": _SIM_TOPK_ORACLE,
     "text_profile": _TEXT_PROFILE_ORACLE,
     "multimodal_decode": _MULTIMODAL_ORACLE,
+    "string_like_regex": _STRING_LIKE_ORACLE,
+    "cast_matrix": _CAST_ORACLE,
 }
 
 # common-SQL-text queries added on top of __spark_entry__._COMMON_SQL
 COMMON_SQL_EXTRA: dict[str, str] = {
     "expr_math_funcs": _MATH_SQL,
     "events_tumbling_hour": _TUMBLING_SQL,
+    "window_analytics": _WINDOW_ANALYTICS_SQL,
+    "subquery_correlated_scalar": _CORRELATED_SQL,
+    "union_all_nary": _UNION_NARY_SQL,
+    "agg_having": _HAVING_SQL,
+    "distinct_projection": _DISTINCT_SQL,
+    "agg_decimal": _DECIMAL_AGG_SQL,
 }

@@ -1,0 +1,66 @@
+"""Similarity-search quality tests: exact top-k is the ground truth;
+the LSH-bucketed ANN variant is measured for recall against it.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdk_spark.operators import similarity
+from tests.conftest import SF_CORRECT
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    return spark.table("embeddings")
+
+
+def test_exact_topk_shape_and_order(emb):
+    top = similarity.cosine_topk(emb, QUERY_IDS, k=10)
+    rows = top.collect()
+    assert len(rows) == len(QUERY_IDS) * 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, 11))
+        cosines = [x[1] for x in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_exact_topk_excludes_self(emb):
+    top = similarity.cosine_topk(emb, QUERY_IDS, k=5)
+    assert top.filter(F.col("qid") == F.col("neighbor_id")).count() == 0
+
+
+def test_ann_recall_at_k(emb):
+    """Single-probe hyperplane LSH: recall vs exact top-10. With 6
+    planes (64 buckets) on ~10k vectors, same-bucket candidates retain
+    a meaningful share of true neighbors; assert a floor so regressions
+    (wrong bucketing, broken dot product) fail loudly."""
+    k = 10
+    exact = similarity.cosine_topk(emb, QUERY_IDS, k=k)
+    approx = similarity.ann_lsh_topk(emb, QUERY_IDS, k=k, n_planes=6)
+    e = {(r["qid"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"ANN recall@{k} = {recall:.2f}"
+
+
+def test_ann_candidates_scored_exactly(emb):
+    """Within-bucket scores must equal the exact cosine (LSH only
+    restricts candidates, never approximates the metric)."""
+    exact = {
+        (r["qid"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, QUERY_IDS, k=50).collect()
+    }
+    for r in similarity.ann_lsh_topk(emb, QUERY_IDS, k=5).collect():
+        key = (r["qid"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9
