@@ -1,0 +1,127 @@
+"""Storage-verb and facade tests (SURVEY.md §2.2), modeled on the
+reference's ArrowStorage/import tests (reference
+omniscidb/Tests/ArrowStorageTest.cpp, python/tests/test_pyhdk_data_import.py).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+import hdk_spark
+
+
+@pytest.fixture(scope="module")
+def hdk(spark):
+    return hdk_spark.init(spark)
+
+
+def test_import_csv_with_options(hdk, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("a|b|c\n1|x|2.5\n2|y|3.5\n")
+    t = hdk.import_csv(str(p), name="csv_opts", delimiter="|", header=True)
+    assert t.row_count == 2
+    assert [f.name for f in t.schema.fields] == ["a", "b", "c"]
+    got = hdk.sql("SELECT SUM(a) AS sa, SUM(c) AS sc FROM csv_opts").to_pandas()
+    assert got["sa"][0] == 3 and got["sc"][0] == 6.0
+
+
+def test_import_csv_explicit_schema(hdk, tmp_path):
+    p = tmp_path / "typed.csv"
+    p.write_text("k,v\n1,10\n2,20\n")
+    t = hdk.import_csv(
+        str(p), name="csv_typed", schema=[("k", "int32"), ("v", "int64")]
+    )
+    from pyspark.sql import types as T
+
+    assert t.schema["k"].dataType == T.IntegerType()
+    assert t.schema["v"].dataType == T.LongType()
+
+
+def test_import_arrow_and_pandas(hdk):
+    import pyarrow as pa
+
+    pdf = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    t1 = hdk.import_arrow(pdf, "pandas_t")
+    assert t1.row_count == 3
+    at = pa.table({"x": [10, 20]})
+    t2 = hdk.import_arrow(at, "arrow_t")
+    assert t2.row_count == 2
+
+
+def test_append_arrow(hdk):
+    pdf = pd.DataFrame({"x": [1], "y": ["a"]})
+    hdk.import_arrow(pdf, "appendable")
+    hdk.append_arrow(pd.DataFrame({"x": [2], "y": ["b"]}), "appendable")
+    assert hdk.table("appendable").row_count == 2
+
+
+def test_import_parquet_and_append(hdk, tmp_path, spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    d1 = str(tmp_path / "p1")
+    d2 = str(tmp_path / "p2")
+    base.write.parquet(d1)
+    base.write.parquet(d2)
+    t = hdk.import_parquet(d1, "pq_t")
+    assert t.row_count == 2
+    hdk.append_parquet(d2, "pq_t")
+    assert hdk.table("pq_t").row_count == 4
+
+
+def test_drop_table(hdk):
+    hdk.import_arrow(pd.DataFrame({"x": [1]}), "to_drop")
+    hdk.drop_table("to_drop")
+    with pytest.raises(Exception):
+        hdk.spark.table("to_drop").collect()
+
+
+def test_sql_with_table_aliases(hdk):
+    t = hdk.import_arrow(pd.DataFrame({"x": [1, 2, 3]}), "alias_src")
+    res = hdk.sql("SELECT COUNT(*) AS n FROM my_alias WHERE x > 1", my_alias=t)
+    assert res.to_pandas()["n"][0] == 2
+
+
+def test_result_surface(hdk):
+    hdk.import_arrow(pd.DataFrame({"x": [3, 1, 2]}), "res_t")
+    res = hdk.sql("SELECT x FROM res_t ORDER BY x")
+    assert res.row_count == 3
+    assert list(res.to_pandas()["x"]) == [1, 2, 3]
+    arrow = res.to_arrow()
+    assert arrow.num_rows == 3
+    assert [r["x"] for r in res.head(2).df.collect()] == [1, 2]
+    assert [r["x"] for r in res.tail(1).df.collect()] == [3]
+
+
+def test_result_rescan(hdk):
+    hdk.import_arrow(pd.DataFrame({"g": [1, 1, 2], "v": [10, 20, 5]}), "rescan_t")
+    res = hdk.sql("SELECT g, SUM(v) AS sv FROM rescan_t GROUP BY g")
+    n = res.scan
+    out = n.filter(n["sv"] > 10).run()
+    assert [tuple(r) for r in out.df.collect()] == [(1, 30)]
+
+
+def test_create_table_types_roundtrip(hdk):
+    t = hdk.create_table(
+        "typed_empty",
+        [
+            ("b", "bool"),
+            ("i", "int16"),
+            ("f", "fp32"),
+            ("d", "dec(12,3)"),
+            ("s", "text"),
+            ("dt", "date"),
+            ("ts", "timestamp[ms]"),
+            ("arr", "array(int64)"),
+        ],
+    )
+    from pyspark.sql import types as T
+
+    s = t.schema
+    assert s["b"].dataType == T.BooleanType()
+    assert s["i"].dataType == T.ShortType()
+    assert s["f"].dataType == T.FloatType()
+    assert s["d"].dataType == T.DecimalType(12, 3)
+    assert s["dt"].dataType == T.DateType()
+    assert s["ts"].dataType == T.TimestampType()
+    assert s["arr"].dataType == T.ArrayType(T.LongType())
+    hdk.drop_table("typed_empty")

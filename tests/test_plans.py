@@ -1,0 +1,158 @@
+"""Physical-plan regression tests: the scale contract, made executable.
+
+Each test pins a property that matters at 100 TB and that correctness
+tests cannot see: filters reaching the parquet scan, column pruning,
+dimension-side broadcast, no cartesian products in the sub-quadratic
+operators, whole-stage codegen coverage, partial aggregation. If a
+refactor silently changes a plan shape, these fail before a cluster
+bill does.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tables(spark):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 10"
+    )
+    p = plan(df)
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_shipdate)" in p or "GreaterThan(l_shipdate" in p
+    assert "LessThan(l_quantity,10" in p
+
+
+def test_column_pruning_in_read_schema(spark):
+    df = spark.sql("SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
+    p = plan(df)
+    # 16-column table, 1-column read
+    assert "ReadSchema: struct<l_returnflag:string>" in p
+
+
+def test_dimension_join_broadcasts_dimension_side(spark):
+    df = spark.sql(
+        """SELECT n_name, COUNT(*) FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"""
+    )
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_fact_fact_join_does_not_cartesian(spark):
+    df = spark.sql(
+        """SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey"""
+    )
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partial_aggregation_before_exchange(spark):
+    df = spark.sql(
+        "SELECT l_partkey, SUM(l_quantity) FROM lineitem GROUP BY l_partkey"
+    )
+    p = plan(df)
+    # two HashAggregates (partial + final) around one hash exchange
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_whole_stage_codegen_covers_agg_pipeline(spark):
+    df = spark.sql(
+        "SELECT l_returnflag, SUM(l_quantity) FROM lineitem GROUP BY l_returnflag"
+    )
+    df.collect()  # AQE finalizes the physical plan only on execution
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen stages; both the scan+
+    # partial-agg stage and the final-agg stage must be codegen'd
+    assert "*(1)" in s and "*(2)" in s
+
+
+def test_topk_uses_take_ordered(spark):
+    df = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+    )
+    p = plan(df)
+    # distributed top-k, not a global sort
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_minhash_lsh_has_no_cartesian(spark):
+    from hdk_spark.operators.dedup import minhash_lsh_dedup
+
+    df = minhash_lsh_dedup(spark.table("documents"), threshold=0.5)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_jaccard_joins_on_shingle_key(spark):
+    from hdk_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(spark.table("documents"), threshold=0.5)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+
+
+def test_ann_lsh_no_cartesian_and_broadcast_queries(spark):
+    from hdk_spark.operators.similarity import ann_lsh_topk
+
+    df = ann_lsh_topk(spark.table("embeddings"), [0, 1, 2], k=5)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_in_subquery_becomes_semi_join(spark):
+    df = spark.sql(
+        """SELECT COUNT(*) FROM orders
+           WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)"""
+    )
+    p = plan(df)
+    assert "LeftSemi" in p
+
+
+def test_window_single_exchange_per_partitioning(spark):
+    df = spark.sql(
+        """SELECT user_id, SUM(value) OVER (PARTITION BY user_id ORDER BY ts) AS r,
+                  AVG(value) OVER (PARTITION BY user_id ORDER BY ts) AS a
+           FROM events"""
+    )
+    p = plan(df)
+    # both window functions share one partitioning: exactly one exchange
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_scalar_functions_stay_jvm_side(spark):
+    """Expression layer must not inject Python UDFs (SURVEY §2.3/2.8
+    surface is all Catalyst)."""
+    from hdk_spark.functions import scalar as sf
+
+    e = spark.table("events")
+    df = e.select(
+        sf.extract("week", F.col("ts")),
+        sf.date_trunc("quarterday", F.col("ts")),
+        sf.date_add("month", 2, F.col("ts")),
+        sf.width_bucket(F.col("value"), 0.0, 100.0, 10),
+        sf.sample_ratio(0.5, F.col("event_id")),
+    )
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
