@@ -955,6 +955,94 @@ FROM customer WHERE c_custkey <= 1000
 
 
 # ---------------------------------------------------------------------------
+# batch 4: theta joins, EXISTS, correlated-min, conditional agg,
+# expression group keys, array construction
+# ---------------------------------------------------------------------------
+
+# identical text: pure non-equi condition → nested-loop join (the
+# reference's JoinLoop fallback path, QueryEngine/LoopControlFlow/
+# JoinLoop.cpp, gated by allow_loop_joins on tiny inputs)
+_THETA_JOIN_SQL = """
+SELECT a.n_name AS name_a, b.n_name AS name_b
+FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+ORDER BY name_a, name_b
+"""
+
+# identical text: EXISTS form of semi join (TPC-H Q4 shape)
+_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# identical text: correlated MIN subquery in WHERE (TPC-H Q2 shape,
+# adapted to lineitem since the driver tables have no partsupp)
+_CORRELATED_MIN_SQL = """
+SELECT l_partkey, l_suppkey, l_extendedprice
+FROM lineitem l1
+WHERE l_partkey <= 200
+  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = l1.l_partkey)
+ORDER BY l_partkey, l_suppkey, l_extendedprice
+"""
+
+# identical text: conditional aggregation ratio (TPC-H Q14 shape)
+_PROMO_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+         AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY yr
+"""
+
+# identical text: expression-valued group keys (reference
+# IR/Node.h:376 — group keys may be arbitrary exprs)
+_EXPR_GROUP_KEY_SQL = """
+SELECT l_quantity % 10 AS qmod, l_linenumber * 2 AS ln2,
+       COUNT(*) AS n, SUM(l_quantity) AS sq
+FROM lineitem
+GROUP BY l_quantity % 10, l_linenumber * 2
+ORDER BY qmod, ln2
+"""
+
+
+def q_array_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY[...] literal + array_append + ITEM over the result
+    (reference ArrayExpr IR/Expr.h:1090; array_append
+    ExtensionFunctionsArray.hpp:52)."""
+    from hdk_spark.functions import item
+
+    _tables(spark, sf_dir)
+    n = spark.table("nation")
+    arr = F.array(F.col("n_nationkey"), F.col("n_regionkey"))
+    appended = F.array_append(arr, F.col("n_nationkey") + F.col("n_regionkey"))
+    return n.select(
+        "n_nationkey",
+        arr.alias("pair"),
+        appended.alias("triple"),
+        item(appended, 3).alias("third"),
+        F.size(appended).cast("long").alias("n_elems"),
+    ).orderBy("n_nationkey")
+
+
+_ARRAY_CONSTRUCT_ORACLE = """
+SELECT n_nationkey,
+       [n_nationkey, n_regionkey] AS pair,
+       list_append([n_nationkey, n_regionkey], n_nationkey + n_regionkey) AS triple,
+       list_append([n_nationkey, n_regionkey], n_nationkey + n_regionkey)[3] AS third,
+       CAST(3 AS BIGINT) AS n_elems
+FROM nation ORDER BY n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -988,6 +1076,7 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "string_like_regex": q_string_like_regex,
     "cast_matrix": q_cast_matrix,
+    "array_construct": q_array_construct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1015,6 +1104,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": _MULTIMODAL_ORACLE,
     "string_like_regex": _STRING_LIKE_ORACLE,
     "cast_matrix": _CAST_ORACLE,
+    "array_construct": _ARRAY_CONSTRUCT_ORACLE,
 }
 
 # common-SQL-text queries added on top of __spark_entry__._COMMON_SQL
@@ -1027,4 +1117,9 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "agg_having": _HAVING_SQL,
     "distinct_projection": _DISTINCT_SQL,
     "agg_decimal": _DECIMAL_AGG_SQL,
+    "join_theta_loop": _THETA_JOIN_SQL,
+    "join_exists": _EXISTS_SQL,
+    "subquery_correlated_min": _CORRELATED_MIN_SQL,
+    "agg_conditional_promo": _PROMO_SQL,
+    "agg_expr_group_keys": _EXPR_GROUP_KEY_SQL,
 }
