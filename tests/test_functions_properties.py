@@ -1,0 +1,222 @@
+"""Property-based tests for the custom function layer: each Spark
+implementation is checked against a pure-Python reference of the HDK
+spec on hypothesis-generated data. (The reference repo has no property
+tests — SURVEY.md §5 'NOT used' — this goes beyond its strategy.)
+"""
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hdk_spark.functions import (
+    bottomk,
+    date_trunc,
+    div_int,
+    extract,
+    quantile,
+    sample_ratio,
+    topk,
+    width_bucket,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# python references of the HDK specs
+# ---------------------------------------------------------------------------
+
+
+def ref_quantile(vals, q, mode):
+    """reference Shared/quantile.h:300-337."""
+    v = sorted(vals)
+    n = len(v)
+    pos = (n - 1) * q
+    lo, hi = math.floor(pos), math.ceil(pos)
+    left, right = float(v[lo]), float(v[hi])
+    if mode == "lower":
+        return left
+    if mode == "higher":
+        return right
+    if mode == "nearest":
+        return float(v[math.floor(pos + 0.5)])
+    if mode == "midpoint":
+        return left + (right - left) * 0.5
+    return left + (right - left) * (pos - math.floor(pos))
+
+
+def ref_width_bucket(x, lo, hi, n):
+    """reference RuntimeFunctions.cpp:1479 (PostgreSQL semantics)."""
+    if x < lo:
+        return 0
+    if x >= hi:
+        return n + 1
+    return int((x - lo) / ((hi - lo) / n)) + 1
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+@settings(**SETTINGS)
+def test_quantile_modes_match_reference(spark, vals, q):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    row = df.agg(
+        *[quantile(F.col("v"), q, m).alias(m)
+          for m in ("lower", "higher", "nearest", "midpoint", "linear")]
+    ).collect()[0]
+    for m in ("lower", "higher", "nearest", "midpoint", "linear"):
+        expect = ref_quantile(vals, q, m)
+        assert row[m] == pytest.approx(expect, rel=1e-9, abs=1e-9), (m, vals, q)
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-100, max_value=200, allow_nan=False),
+        min_size=1, max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_width_bucket_matches_reference(spark, xs):
+    lo, hi, n = 0.0, 100.0, 7
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = [
+        r["b"]
+        for r in df.select(
+            width_bucket(F.col("x"), lo, hi, n).cast("long").alias("b")
+        ).collect()
+    ]
+    assert got == [ref_width_bucket(x, lo, hi, n) for x in xs]
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.integers(min_value=-10**6, max_value=10**6).filter(lambda x: x != 0),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_div_int_truncates_toward_zero(spark, pairs):
+    # C++ int64 division truncates toward zero (reference "/INT")
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [r["d"] for r in df.select(div_int(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert got == [int(a / b) for a, b in pairs]
+
+
+@given(
+    ts=st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1905, 1, 1),
+            max_value=dt.datetime(2100, 12, 31),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_date_trunc_epoch_fields_match_reference(spark, ts):
+    # reference DateTruncate.cpp:219,239,249 — decade starts year-y%10,
+    # century/millennium start at x(x)01
+    df = spark.createDataFrame([(t,) for t in ts], "t timestamp")
+    rows = df.select(
+        F.date_format(date_trunc("decade", F.col("t")), "yyyy-MM-dd").alias("d"),
+        F.date_format(date_trunc("century", F.col("t")), "yyyy-MM-dd").alias("c"),
+        F.date_format(date_trunc("millennium", F.col("t")), "yyyy-MM-dd").alias("m"),
+        F.date_format(date_trunc("quarterday", F.col("t")), "yyyy-MM-dd HH:mm:ss").alias("qd"),
+    ).collect()
+    for t, r in zip(ts, rows):
+        assert r["d"] == f"{t.year - t.year % 10:04d}-01-01"
+        assert r["c"] == f"{(t.year - 1) // 100 * 100 + 1:04d}-01-01"
+        assert r["m"] == f"{(t.year - 1) // 1000 * 1000 + 1:04d}-01-01"
+        qh = t.hour // 6 * 6
+        assert r["qd"] == t.strftime(f"%Y-%m-%d {qh:02d}:00:00")
+
+
+@given(
+    ts=st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1970, 1, 1),
+            max_value=dt.datetime(2100, 12, 31),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_week_anchors_match_reference(spark, ts):
+    # week_sunday/week_saturday truncate to the most recent anchor day
+    df = spark.createDataFrame([(t,) for t in ts], "t timestamp")
+    rows = df.select(
+        F.date_format(date_trunc("week", F.col("t")), "yyyy-MM-dd").alias("mon"),
+        F.date_format(date_trunc("week_sunday", F.col("t")), "yyyy-MM-dd").alias("sun"),
+        F.date_format(date_trunc("week_saturday", F.col("t")), "yyyy-MM-dd").alias("sat"),
+    ).collect()
+    for t, r in zip(ts, rows):
+        d = t.date()
+        mon = d - dt.timedelta(days=d.weekday())
+        sun = d - dt.timedelta(days=(d.weekday() + 1) % 7)
+        sat = d - dt.timedelta(days=(d.weekday() + 2) % 7)
+        assert r["mon"] == mon.isoformat()
+        assert r["sun"] == sun.isoformat()
+        assert r["sat"] == sat.isoformat()
+
+
+@given(
+    ts=st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1970, 1, 1),
+            max_value=dt.datetime(2100, 12, 31),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_extract_fields_match_python(spark, ts):
+    df = spark.createDataFrame([(t,) for t in ts], "t timestamp")
+    rows = df.select(
+        extract("dayofweek", F.col("t")).alias("dow"),
+        extract("isodayofweek", F.col("t")).alias("isodow"),
+        extract("dayofyear", F.col("t")).alias("doy"),
+        extract("quarterday", F.col("t")).alias("qd"),
+        extract("epoch", F.col("t")).alias("ep"),
+    ).collect()
+    for t, r in zip(ts, rows):
+        assert r["dow"] == (t.weekday() + 1) % 7  # 0=Sunday like the reference
+        assert r["isodow"] == t.isoweekday()
+        assert r["doy"] == t.timetuple().tm_yday
+        assert r["qd"] == t.hour // 6 + 1
+        assert r["ep"] == int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+
+
+def test_sample_ratio_deterministic_and_unbiased(spark):
+    df = spark.range(0, 20000)
+    a = df.filter(sample_ratio(0.25, F.col("id"))).count()
+    b = df.filter(sample_ratio(0.25, F.col("id"))).count()
+    assert a == b  # deterministic across runs
+    assert abs(a / 20000 - 0.25) < 0.02  # multiplicative hash is uniform
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_topk_bottomk_match_sorted(spark, vals, k):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = df.agg(
+        topk(F.col("v"), k).alias("t"), bottomk(F.col("v"), k).alias("b")
+    ).collect()[0]
+    assert row["t"] == sorted(vals, reverse=True)[:k]
+    assert row["b"] == sorted(vals)[:k]
