@@ -122,6 +122,17 @@ def main() -> None:
     docs = spark.table("documents")
     timings["q7_minhash_dedup"] = best_of(lambda: minhash_lsh_dedup(docs, threshold=0.5))
 
+    # text-pipeline profile (tokens/quality/lang/fingerprint, all JVM-side)
+    from hdk_spark.operators.text import analyze
+
+    timings["q8_text_profile"] = best_of(lambda: analyze(docs))
+
+    # ANN over embeddings (multi-table LSH + exact rescoring)
+    from hdk_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.table("embeddings")
+    timings["q9_ann_topk"] = best_of(lambda: ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=10))
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

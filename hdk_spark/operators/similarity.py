@@ -15,6 +15,9 @@ value is bit-reproducible in SQL oracles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -123,6 +126,8 @@ def ann_lsh_topk(
     Plan shape: corpus exploded to n_tables rows (table_id, bucket) —
     linear, no cross join; the query side is broadcast; candidate pairs
     dedup on (qid, id) before scoring; TakeOrdered per query."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     base = df.select(
@@ -133,19 +138,27 @@ def ann_lsh_topk(
     tables = [
         _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
     ]
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"), _bucket_expr(F.col("v"), tables[t]).alias("b")
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # one (dim × n_tables*n_planes) matrix: all sign bits in a single
+    # vectorized matmul per Arrow batch — the interpreted HOF version
+    # (n_tables*n_planes aggregate() calls per row) measured ~10× slower
+    planes_mat = np.array(
+        [p for tbl in tables for p in tbl], dtype=np.float64
+    ).T  # dim × (n_tables*n_planes)
+    pow2 = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+        signs = (m @ planes_mat) >= 0  # batch × tables*planes
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        ids = (signs * pow2[None, None, :]).sum(axis=2)  # batch × tables
+        return pd.Series(list(ids))
+
     # persist: referenced by both sides of the candidate join (same
     # reasoning as dedup sketches)
-    hashed = base.withColumn("tb", F.explode(buckets)).select(
-        "id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.b").alias("b")
-    )
+    hashed = base.select(
+        "id", "v", "norm", F.posexplode(_buckets(F.col("v"))).alias("tbl", "b")
+    ).persist()
     queries = hashed.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
