@@ -1,0 +1,81 @@
+"""Randomized differential testing: generate SQL from a constrained
+grammar (filters, group-bys, exact aggregates, sorts — arithmetic kept
+engine-deterministic), run the SAME text on Spark and DuckDB, and
+require identical results. This is the generative extension of the
+reference's SQLite-comparator strategy (reference
+Tests/ArrowSQLRunner/SQLiteComparator.h) that its fixed corpus lacks.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_compare import assert_frames_match
+
+# deterministic building blocks over lineitem (driver schema has 11
+# cols — no l_shipmode/l_comment/l_*date beyond l_shipdate)
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+KEY_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+# l_quantity is integral-valued double → SUM/MIN/MAX exact in fp64
+NUM_COLS = ["l_quantity"]
+
+preds = st.one_of(
+    st.tuples(st.sampled_from(INT_COLS), st.sampled_from(["<", "<=", ">", ">=", "="]),
+              st.integers(min_value=0, max_value=5000)).map(
+        lambda t: f"{t[0]} {t[1]} {t[2]}"
+    ),
+    st.tuples(st.sampled_from(["l_returnflag"]), st.sampled_from(["'A'", "'N'", "'R'"])).map(
+        lambda t: f"{t[0]} = {t[1]}"
+    ),
+    st.tuples(st.sampled_from(INT_COLS), st.integers(min_value=2, max_value=9),
+              st.integers(min_value=0, max_value=8)).map(
+        lambda t: f"{t[0]} % {t[1]} = {t[2]}"
+    ),
+    st.sampled_from([
+        "l_quantity BETWEEN 10 AND 40",
+        "l_linestatus IN ('O', 'F')",
+        "l_shipdate < TIMESTAMP '1997-06-01 00:00:00'",
+        "l_discount IS NOT NULL",
+    ]),
+)
+
+aggs = st.lists(
+    st.one_of(
+        st.just("COUNT(*)"),
+        st.sampled_from(INT_COLS + NUM_COLS).map(lambda c: f"SUM({c})"),
+        st.sampled_from(INT_COLS + NUM_COLS).map(lambda c: f"MIN({c})"),
+        st.sampled_from(INT_COLS + NUM_COLS).map(lambda c: f"MAX({c})"),
+        st.sampled_from(INT_COLS).map(lambda c: f"COUNT(DISTINCT {c})"),
+    ),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@st.composite
+def queries(draw):
+    where = draw(st.lists(preds, min_size=0, max_size=3))
+    keys = draw(st.lists(st.sampled_from(KEY_COLS), min_size=0, max_size=2, unique=True))
+    ags = draw(aggs)
+    sel = list(keys) + [f"{a} AS c{i}" for i, a in enumerate(ags)]
+    sql = f"SELECT {', '.join(sel)} FROM lineitem"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+        sql += " ORDER BY " + ", ".join(keys)
+    return sql
+
+
+@given(sql=queries())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_agg_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
