@@ -20,7 +20,11 @@ from hdk_spark.session import get_spark, stop_spark
 from hdk_spark.context import HDK, init
 from hdk_spark import functions
 from hdk_spark import operators
+from hdk_spark import partitioning
 
-__all__ = ["init", "HDK", "get_spark", "stop_spark", "functions", "operators"]
+__all__ = [
+    "init", "HDK", "get_spark", "stop_spark", "functions", "operators",
+    "partitioning",
+]
 
 __version__ = "0.1.0"
