@@ -767,6 +767,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(spark.table("documents"), max_hamming=3)
 
 
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (k-means coarse quantizer + nprobe
+    equi-join + exact rescoring; rows-only check — recall asserted in
+    tests/test_similarity.py)."""
+    from hdk_spark.operators.similarity import ann_ivf_topk
+
+    _tables(spark, sf_dir)
+    return ann_ivf_topk(spark.table("embeddings"), [0, 1, 2], k=5)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode profile: documents → opaque bytes + typed
     metadata → Arrow-batched mapInPandas decode. byte_len is computable
@@ -1072,6 +1082,7 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_ann_ivf": q_similarity_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "string_like_regex": q_string_like_regex,

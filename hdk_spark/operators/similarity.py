@@ -102,6 +102,94 @@ def _bucket_expr(vec, planes: list[list[float]]):
     return bucket
 
 
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means (driver-side, on a bounded sample) —
+    the coarse quantizer for IVF. Sample size is capped by the caller,
+    so this stays O(sample × k × iters) regardless of corpus size."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = sample[assign == c]
+            if len(m):
+                centroids[c] = m.mean(axis=0)
+    return centroids
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file): corpus vectors are
+    assigned to their nearest of ``n_lists`` k-means centroids; each
+    query probes its ``nprobe`` nearest lists and scores ONLY those
+    candidates with exact cosine.
+
+    Scale shape: training reads a bounded sample to the driver (cap
+    ``train_sample``); assignment is one vectorized pandas-UDF pass;
+    the probe is an equi-join on list id — candidates shrink by
+    ~n_lists/nprobe vs a full scan, and precision stays 1 because
+    scoring is exact. This is the standard IVF-Flat layout (FAISS-style)
+    expressed as DataFrame ops."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    sample_rows = (
+        df.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+    )
+    centroids = _kmeans_fit(
+        np.array(sample_rows, dtype=np.float64), n_lists, seed=seed
+    )
+
+    @pandas_udf("long")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1))
+
+    @pandas_udf("array<long>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(list(d.argsort(axis=1)[:, :nprobe].astype(np.int64)))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    ).withColumn("list_id", _assign(F.col("v"))).persist()
+    queries = (
+        base.filter(F.col("id").isin(query_ids))
+        .select(
+            F.col("id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(_probe(F.col("v"))).alias("qlist"),
+        )
+    )
+    cand = base.join(
+        F.broadcast(queries),
+        (F.col("list_id") == F.col("qlist")) & (F.col("id") != F.col("qid")),
+    ).select("qid", "qv", "qnorm", "id", "v", "norm").dropDuplicates(["qid", "id"])
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = cand.select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_ids: list[int],

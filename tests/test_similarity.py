@@ -53,6 +53,29 @@ def test_ann_recall_at_k(emb):
     assert recall >= 0.2, f"ANN recall@{k} = {recall:.2f}"
 
 
+def test_ivf_recall_at_k(emb):
+    """IVF with nprobe/n_lists = 1/4 of the lists probed: recall floor
+    well above chance; exact rescoring keeps precision 1."""
+    k = 10
+    exact = similarity.cosine_topk(emb, QUERY_IDS, k=k)
+    approx = similarity.ann_ivf_topk(emb, QUERY_IDS, k=k, n_lists=16, nprobe=4)
+    e = {(r["qid"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall@{k} = {recall:.2f}"
+
+
+def test_ivf_scores_match_exact(emb):
+    exact = {
+        (r["qid"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, QUERY_IDS, k=50).collect()
+    }
+    for r in similarity.ann_ivf_topk(emb, QUERY_IDS, k=5).collect():
+        key = (r["qid"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
 def test_ann_candidates_scored_exactly(emb):
     """Within-bucket scores must equal the exact cosine (LSH only
     restricts candidates, never approximates the metric)."""
