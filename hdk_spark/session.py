@@ -26,12 +26,14 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Spark's default 10m: big enough for real dimension tables, small
-    # enough that a fact table never gets broadcast (driver-side hash
-    # build of a fact side costs seconds locally and OOMs at scale —
-    # measured 3x slowdown on the sf0.1 join bench at 64m). AQE still
-    # upgrades shuffle joins to broadcast from observed runtime sizes.
-    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # 4m (vs Spark's 10m default): Spark scales a scan's size estimate
+    # by the column-pruning ratio, so a 10MB fact file projected to 3
+    # of 16 columns estimates ~2MB and gets broadcast — the driver-side
+    # hash build of the 600k-row side measured 1-2s/query at sf0.1 and
+    # OOMs at scale. 4m keeps true dimension tables broadcast while
+    # fact sides shuffle; AQE still upgrades from observed runtime
+    # sizes when a join side is genuinely small.
+    "spark.sql.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
     # local[...] runs one JVM: the driver is the only memory pool.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
