@@ -130,12 +130,14 @@ class HDK:
     # ------------------------------------------------------------------
     # query entry points
     # ------------------------------------------------------------------
-    def sql(self, query: str, **table_aliases: "Table | DataFrame") -> "Result":
+    def sql(self, query: str, **table_aliases: Any) -> "Result":
         """Run SQL. Keyword aliases are registered as temp views for the
         query's duration — the Spark-native analog of the reference's CTE
-        splicing (hdk.py:2494-2511 builds `WITH alias AS (...)`)."""
+        splicing (hdk.py:2494-2511 builds `WITH alias AS (...)`). Aliases
+        accept Table handles, builder QueryNodes, Results, or raw
+        DataFrames."""
         for alias, t in table_aliases.items():
-            df = t.df if isinstance(t, Table) else t
+            df = t.df if hasattr(t, "df") else t
             df.createOrReplaceTempView(alias)
         return Result(self.spark.sql(query))
 

@@ -1023,6 +1023,33 @@ ORDER BY qmod, ln2
 """
 
 
+# identical text: aggregates over zero input rows (reference
+# Tests/ArrowBasedExecuteTest.cpp AggregateOnEmptyTable — COUNT=0,
+# SUM/AVG/MIN/MAX=NULL)
+_AGG_EMPTY_SQL = """
+SELECT COUNT(*) AS n, COUNT(l_quantity) AS n_vals,
+       SUM(l_quantity) AS s, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+FROM lineitem WHERE l_orderkey < 0
+"""
+
+# identical text: NULL group keys form their own group (reference
+# GroupByBoundariesAndNull)
+_GROUPBY_NULL_KEY_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg,
+       COUNT(*) AS n, COUNT(c_acctbal) AS n_bal
+FROM customer GROUP BY 1 ORDER BY seg NULLS FIRST
+"""
+
+# identical text: boolean + empty-string group keys (reference
+# BooleanColumn, EmptyString)
+_GROUPBY_BOOL_EMPTY_SQL = """
+SELECT l_quantity > 25 AS big,
+       CASE WHEN l_linenumber = 1 THEN '' ELSE 'x' END AS tag,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY big, tag
+"""
+
+
 def q_array_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY[...] literal + array_append + ITEM over the result
     (reference ArrayExpr IR/Expr.h:1090; array_append
@@ -1133,4 +1160,7 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "subquery_correlated_min": _CORRELATED_MIN_SQL,
     "agg_conditional_promo": _PROMO_SQL,
     "agg_expr_group_keys": _EXPR_GROUP_KEY_SQL,
+    "agg_empty_input": _AGG_EMPTY_SQL,
+    "groupby_null_keys": _GROUPBY_NULL_KEY_SQL,
+    "groupby_bool_empty_string": _GROUPBY_BOOL_EMPTY_SQL,
 }
