@@ -1023,6 +1023,17 @@ ORDER BY qmod, ln2
 """
 
 
+# identical text: INTERVAL literal arithmetic (reference
+# DATETIME_PLUS / INTERVAL_* ops, IR/DateTimeEnums.h:21-39)
+_INTERVAL_ARITH_SQL = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 1 YEAR   AS plus_1y,
+       o_orderdate + INTERVAL 2 MONTH  AS plus_2mo,
+       o_orderdate - INTERVAL 10 DAY   AS minus_10d,
+       o_orderdate + INTERVAL 12 HOUR  AS plus_12h
+FROM orders WHERE o_orderkey <= 500
+"""
+
 # identical text: aggregates over zero input rows (reference
 # Tests/ArrowBasedExecuteTest.cpp AggregateOnEmptyTable — COUNT=0,
 # SUM/AVG/MIN/MAX=NULL)
@@ -1163,4 +1174,5 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "agg_empty_input": _AGG_EMPTY_SQL,
     "groupby_null_keys": _GROUPBY_NULL_KEY_SQL,
     "groupby_bool_empty_string": _GROUPBY_BOOL_EMPTY_SQL,
+    "date_interval_arith": _INTERVAL_ARITH_SQL,
 }
