@@ -159,11 +159,32 @@ class HDK:
             self._tables[name] = self.spark.table(name)
         return Table(self, name, self._tables[name])
 
-    def import_pydict(self, values: dict, table_name: str | None = None) -> "Table":
-        """reference hdk.py:2416 (import_pydict)."""
+    def import_pydict(self, values: dict, table_name: "str | Table | None" = None) -> "Table":
+        """reference hdk.py:2416 (import_pydict). Passing an existing
+        Table handle appends to it (reference test_pyhdk_api.py:1018)."""
         import pandas as pd
 
+        if isinstance(table_name, Table):
+            return self.append_arrow(pd.DataFrame(values), table_name.name)
         return self.import_arrow(pd.DataFrame(values), table_name or "pydict_table")
+
+    def register_udf(self, name: str, fn: Any, return_type: str = "fp64",
+                     vectorized: bool = False):
+        """Register a Python function callable from SQL by name — the
+        Spark-native analog of the reference's compiled C++ UDFs
+        (reference UdfCompiler/UdfCompiler.h:31 compileUdf; registration
+        ExtensionFunctionsWhitelist.cpp). ``vectorized=True`` registers
+        an Arrow-batched pandas UDF (the fast path)."""
+        from hdk_spark.types import to_spark_type
+
+        t = to_spark_type(return_type)
+        if vectorized:
+            from pyspark.sql.pandas.functions import pandas_udf
+
+            return self.spark.udf.register(name, pandas_udf(fn, t))
+        from pyspark.sql.functions import udf
+
+        return self.spark.udf.register(name, udf(fn, t))
 
     # ------------------------------------------------------------------
     # global expression constructors (reference hdk.py:2652-2953)
@@ -261,6 +282,11 @@ class Table:
     def row_count(self) -> int:
         return self.df.count()
 
+    @property
+    def shape(self) -> tuple[int, int]:
+        """reference test_pyhdk_api.py:1014 (rows, cols)."""
+        return (self.df.count(), len(self.df.columns))
+
 
 class Result:
     """Executed-query handle (reference ResultSetTableToken,
@@ -281,6 +307,24 @@ class Result:
     @property
     def row_count(self) -> int:
         return self.df.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """reference test_pyhdk_api.py:1014."""
+        return (self.df.count(), len(self.df.columns))
+
+    def row(self, i: int) -> list:
+        """i-th result row as a plain list (reference
+        test_pyhdk_api.py:989 test_row). Arrays come back as lists,
+        NULLs as None."""
+        rows = self.df.limit(i + 1).collect()
+        if i >= len(rows):
+            raise IndexError(f"row {i} out of range")
+
+        def conv(v):
+            return list(v) if isinstance(v, (list, tuple)) else v
+
+        return [conv(v) for v in rows[i]]
 
     def head(self, n: int = 5):
         """reference hdk.py:1030."""

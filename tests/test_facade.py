@@ -100,6 +100,34 @@ def test_result_rescan(hdk):
     assert [tuple(r) for r in out.df.collect()] == [(1, 30)]
 
 
+def test_shape_and_row(hdk):
+    # reference test_shape (test_pyhdk_api.py:1014) / test_row (:989)
+    t = hdk.import_pydict({"a": [1, 2, 3, 4, 5], "b": [10, 20, 30, 40, 50]}, "shape_t")
+    assert t.shape == (5, 2)
+    hdk.import_pydict({"a": [6], "b": [60]}, t)
+    assert hdk.table("shape_t").shape == (6, 2)
+    res = hdk.sql("SELECT a, b FROM shape_t ORDER BY a")
+    assert res.shape == (6, 2)
+    assert res.row(0) == [1, 10]
+    assert res.row(5) == [6, 60]
+    with pytest.raises(IndexError):
+        res.row(6)
+
+
+def test_register_udf(hdk):
+    hdk.register_udf("plus_one", lambda x: x + 1, "int64")
+    hdk.import_pydict({"x": [1, 2, 3]}, "udf_t")
+    got = hdk.sql("SELECT SUM(plus_one(x)) AS s FROM udf_t").to_pandas()
+    assert got["s"][0] == 9
+
+    def vec_double(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    hdk.register_udf("vec_double", vec_double, "fp64", vectorized=True)
+    got = hdk.sql("SELECT SUM(vec_double(x)) AS s FROM udf_t").to_pandas()
+    assert got["s"][0] == 12.0
+
+
 def test_create_table_types_roundtrip(hdk):
     t = hdk.create_table(
         "typed_empty",
