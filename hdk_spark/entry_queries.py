@@ -777,6 +777,76 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(spark.table("embeddings"), [0, 1, 2], k=5)
 
 
+def q_temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference; pandas merge_asof / DuckDB ASOF
+    JOIN semantics): each event picks up the latest purchase snapshot
+    of its user at-or-before its timestamp. Spark impl is the
+    union+window one-shuffle formulation (operators/temporal.py)."""
+    from hdk_spark.operators.temporal import asof_join
+
+    _tables(spark, sf_dir)
+    e = spark.table("events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("pvalue"))
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["pvalue"],
+    )
+    return joined.select("event_id", "ts_right", "pvalue_right")
+
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, round(max(value), 6) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, p.ts AS ts_right, p.pvalue AS pvalue_right
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def q_temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval containment, no equi key): lineitem ship
+    dates against month intervals derived from orders. Bucketized
+    equi-join implementation (operators/temporal.py)."""
+    from hdk_spark.operators.temporal import range_join
+
+    _tables(spark, sf_dir)
+    ranges = (
+        spark.table("orders")
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("mstart"))
+        .distinct()
+        .withColumn("mend", F.col("mstart") + F.expr("INTERVAL 1 MONTH"))
+    )
+    li = spark.table("lineitem").select("l_shipdate", "l_quantity")
+    joined = range_join(
+        li, ranges, "l_shipdate", "mstart", "mend", granularity_seconds=7 * 86400
+    )
+    return (
+        joined.groupBy("mstart")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sq"))
+        .orderBy("mstart")
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH r AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS mstart,
+         date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS mend
+  FROM orders
+)
+SELECT mstart, count(*) AS n, SUM(l_quantity) AS sq
+FROM lineitem JOIN r ON l_shipdate >= mstart AND l_shipdate < mend
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode profile: documents → opaque bytes + typed
     metadata → Arrow-batched mapInPandas decode. byte_len is computable
@@ -1121,6 +1191,8 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
+    "temporal_asof_join": q_temporal_asof_join,
+    "temporal_range_join": q_temporal_range_join,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "string_like_regex": q_string_like_regex,
@@ -1154,6 +1226,8 @@ ORACLES: dict[str, str] = {
     "string_like_regex": _STRING_LIKE_ORACLE,
     "cast_matrix": _CAST_ORACLE,
     "array_construct": _ARRAY_CONSTRUCT_ORACLE,
+    "temporal_asof_join": _ASOF_ORACLE,
+    "temporal_range_join": _RANGE_JOIN_ORACLE,
 }
 
 # common-SQL-text queries added on top of __spark_entry__._COMMON_SQL

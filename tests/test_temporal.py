@@ -1,0 +1,117 @@
+"""As-of and range join operators: semantics vs pandas merge_asof /
+plain inequality joins, tolerance behavior, and plan shape (the
+bucketized range join must not plan a cartesian product).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hdk_spark.operators.temporal import asof_join, range_join
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tables(spark):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    e = spark.table("events").filter(F.col("user_id") < 200)
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cval"))
+    )
+    got = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["cval"])
+        .orderBy("event_id")
+        .toPandas()
+    )
+    lp = left.orderBy("ts", "event_id").toPandas()
+    rp = right.orderBy("ts").toPandas()
+    expect = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward"
+    ).sort_values("event_id").reset_index(drop=True)
+    assert list(got["event_id"]) == list(expect["event_id"])
+    # float series can't hold None; compare through a NaN sentinel
+    assert got["cval_right"].fillna(-1e18).tolist() == expect["cval"].fillna(-1e18).tolist()
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    e = spark.table("events").filter(F.col("user_id") < 100)
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    loose = asof_join(left, right, on="ts", by="user_id", right_cols=["pv"])
+    tight = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["pv"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    n_loose = loose.filter(F.col("pv_right").isNotNull()).count()
+    n_tight = tight.filter(F.col("pv_right").isNotNull()).count()
+    assert n_tight <= n_loose
+    # every tight match is within the hour
+    bad = tight.filter(
+        F.col("pv_right").isNotNull()
+        & (F.col("ts").cast("long") - F.col("ts_right").cast("long") > 3600)
+    )
+    assert bad.count() == 0
+
+
+def test_asof_exact_timestamp_is_matched(spark):
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "id long, k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 42.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = asof_join(left, right, on="ts", by="k", right_cols=["v"]).collect()[0]
+    assert got["v_right"] == 42.0  # <= includes the equal timestamp
+
+
+def test_range_join_matches_inequality_join(spark):
+    li = spark.table("lineitem").select("l_shipdate", "l_quantity").limit(20000)
+    ranges = (
+        spark.table("orders")
+        .select(F.date_trunc("month", "o_orderdate").alias("s"))
+        .distinct()
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 1 MONTH"))
+    )
+    got = range_join(li, ranges, "l_shipdate", "s", "e", granularity_seconds=86400 * 10)
+    plain = li.join(
+        ranges, (F.col("l_shipdate") >= F.col("s")) & (F.col("l_shipdate") < F.col("e"))
+    )
+    assert got.count() == plain.count()
+    a = got.groupBy("s").count().orderBy("s").collect()
+    b = plain.groupBy("s").count().orderBy("s").collect()
+    assert a == b
+
+
+def test_joins_avoid_cartesian(spark):
+    e = spark.table("events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.groupBy("user_id", "ts").agg(F.max("value").alias("v"))
+    aj = asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+    p1 = aj._sc._jvm.PythonSQLUtils.explainString(aj._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in p1 and "Join" not in p1  # pure window plan
+
+    ranges = (
+        spark.table("orders")
+        .select(F.date_trunc("month", "o_orderdate").alias("s"))
+        .distinct()
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 1 MONTH"))
+    )
+    rj = range_join(
+        spark.table("lineitem").select("l_shipdate"), ranges, "l_shipdate",
+        "s", "e", granularity_seconds=86400 * 10,
+    )
+    p2 = rj._sc._jvm.PythonSQLUtils.explainString(rj._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
