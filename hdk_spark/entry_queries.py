@@ -1230,6 +1230,196 @@ ORACLES: dict[str, str] = {
     "temporal_range_join": _RANGE_JOIN_ORACLE,
 }
 
+# ---------------------------------------------------------------------------
+# TPC-H shape batch 2 (Q7/Q8/Q9/Q10/Q13/Q14/Q15/Q17/Q18/Q19, adapted to the
+# driver's trimmed schema — no partsupp, no l_shipmode/commitdate/receiptdate,
+# no c_phone/o_comment; filters rewritten onto existing columns).
+#
+# Float determinism contract: every SUM over prices goes through
+# CAST(... AS DECIMAL(18,2)) so partial-aggregation order can't change the
+# result; only the final value is cast to DOUBLE. Ratios divide two such
+# doubles (exact inputs → identical quotient on both engines).
+# ---------------------------------------------------------------------------
+
+_DEC = "CAST({c} AS DECIMAL(18,2))"
+_DISC = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           {_DISC} AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_SQL = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           {_DISC} AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q9_SQL = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           {_DISC} AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({_DISC}) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+         / CAST(SUM({_DISC}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+_Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM({_DISC}) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# Q17 in its de-correlated form, with the avg-threshold predicate
+# rewritten multiplication-only (qty * 5 * cnt < sum_qty) so no engine
+# ever divides: exact decimal/integer arithmetic end-to-end.
+_Q17_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey AS pk,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+           COUNT(*) AS cn
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT CAST(SUM({_DEC.format(c='l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN per_part ON pk = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cn < sq
+"""
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       SUM(l_quantity) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+_Q19_SQL = f"""
+SELECT CAST(SUM({_DISC}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
 # common-SQL-text queries added on top of __spark_entry__._COMMON_SQL
 COMMON_SQL_EXTRA: dict[str, str] = {
     "expr_math_funcs": _MATH_SQL,
@@ -1249,4 +1439,14 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "groupby_null_keys": _GROUPBY_NULL_KEY_SQL,
     "groupby_bool_empty_string": _GROUPBY_BOOL_EMPTY_SQL,
     "date_interval_arith": _INTERVAL_ARITH_SQL,
+    "tpch_q7_volume_shipping": _Q7_SQL,
+    "tpch_q8_market_share": _Q8_SQL,
+    "tpch_q9_profit_by_nation": _Q9_SQL,
+    "tpch_q10_returned_items": _Q10_SQL,
+    "tpch_q13_customer_distribution": _Q13_SQL,
+    "tpch_q14_promo_revenue": _Q14_SQL,
+    "tpch_q15_top_supplier": _Q15_SQL,
+    "tpch_q17_small_qty_revenue": _Q17_SQL,
+    "tpch_q18_large_volume_customer": _Q18_SQL,
+    "tpch_q19_disjunctive_filter": _Q19_SQL,
 }
