@@ -1164,6 +1164,152 @@ FROM nation ORDER BY n_nationkey
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Structured Streaming driver-contract queries (§2.10 beyond-reference).
+# Each runs a real streaming query (file source → event-time stateful op →
+# memory sink) to completion with trigger(availableNow=True), then returns
+# the sink as a batch DataFrame. With complete output mode the final result
+# is input-determined, so a plain batch DuckDB oracle value-checks it.
+# ---------------------------------------------------------------------------
+
+_STREAM_RUN_N = 0
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded-stream source: explicit schema from
+    the batch reader (ts arrives as ns-long, converted to µs timestamp
+    exactly like load_tables)."""
+    import hashlib
+    import tempfile
+
+    from hdk_spark.streaming import stream_parquet
+
+    _tables(spark, sf_dir)  # sets nanosAsLong + registers batch views
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file stream source requires a directory: stage a symlink dir
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"hdk_stream_src_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    s = stream_parquet(spark, stage, schema)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s
+
+
+def _run_stream(stream_df: DataFrame, output_mode: str) -> str:
+    from hdk_spark.streaming import run_to_memory
+
+    global _STREAM_RUN_N
+    _STREAM_RUN_N += 1
+    name = f"__hdk_stream_sink_{_STREAM_RUN_N}"
+    run_to_memory(stream_df, name, output_mode=output_mode)
+    return name
+
+
+def q_streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over the events stream
+    (watermarked groupBy window — state bounded for unbounded input),
+    driven to completion and compared against the batch date_trunc
+    aggregation oracle."""
+    from hdk_spark.streaming import tumbling_agg
+
+    s = _events_stream(spark, sf_dir)
+    agg = tumbling_agg(
+        s,
+        "ts",
+        "1 hour",
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ],
+        group_cols=["event_type"],
+    )
+    name = _run_stream(agg, "complete")
+    return spark.table(name).select("window_start", "event_type", "n", "sum_value")
+
+
+_STREAMING_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) on the events stream via
+    F.session_window — the streaming-native form of events_sessionize;
+    per-user session/event counts must equal the batch lag+cumsum
+    oracle."""
+    from hdk_spark.streaming import sessionize
+
+    s = _events_stream(spark, sf_dir).filter(F.col("user_id") < 50)
+    sess = sessionize(
+        s,
+        "ts",
+        ["user_id"],
+        gap="30 minutes",
+        agg_exprs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    name = _run_stream(sess, "complete")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAMING_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE user_id < 50
+), s AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates on key columns) over the
+    events stream, then a per-type count — equals batch DISTINCT +
+    GROUP BY."""
+    from hdk_spark.streaming import stream_dedup
+
+    s = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    d = stream_dedup(s, ["user_id", "event_type"])
+    name = _run_stream(d, "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_type_pairs"))
+        .orderBy("event_type")
+    )
+
+
+_STREAMING_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_user_type_pairs
+FROM (SELECT DISTINCT user_id, event_type FROM events) t
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+
 SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_quantile_modes": q_agg_quantile_modes,
     "agg_topk_bottomk": q_agg_topk,
@@ -1193,6 +1339,9 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_ivf": q_similarity_ann_ivf,
     "temporal_asof_join": q_temporal_asof_join,
     "temporal_range_join": q_temporal_range_join,
+    "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup_counts": q_streaming_dedup_counts,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "string_like_regex": q_string_like_regex,
@@ -1228,6 +1377,9 @@ ORACLES: dict[str, str] = {
     "array_construct": _ARRAY_CONSTRUCT_ORACLE,
     "temporal_asof_join": _ASOF_ORACLE,
     "temporal_range_join": _RANGE_JOIN_ORACLE,
+    "streaming_tumbling_agg": _STREAMING_TUMBLING_ORACLE,
+    "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
+    "streaming_dedup_counts": _STREAMING_DEDUP_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
