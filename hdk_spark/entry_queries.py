@@ -1572,6 +1572,55 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
 
+# ---------------------------------------------------------------------------
+# SQL surface beyond the reference's planner (HDK's Calcite bridge rejects
+# GROUPING SETS / ROLLUP / CUBE / INTERSECT / EXCEPT — reference
+# omniscidb/Calcite/ — but a Spark-first engine gets them natively, so they
+# ship as first-class, oracle-checked surface).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_st, GROUPING(o_orderpriority) AS g_pr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
+"""
+
+_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey
+"""
+
+_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+EXCEPT
+SELECT o_custkey FROM orders
+ORDER BY custkey
+"""
+
 # common-SQL-text queries added on top of __spark_entry__._COMMON_SQL
 COMMON_SQL_EXTRA: dict[str, str] = {
     "expr_math_funcs": _MATH_SQL,
@@ -1601,4 +1650,9 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "tpch_q17_small_qty_revenue": _Q17_SQL,
     "tpch_q18_large_volume_customer": _Q18_SQL,
     "tpch_q19_disjunctive_filter": _Q19_SQL,
+    "rollup_lineitem_status": _ROLLUP_SQL,
+    "cube_lineitem_status": _CUBE_SQL,
+    "grouping_sets_orders": _GROUPING_SETS_SQL,
+    "set_intersect_customers": _INTERSECT_SQL,
+    "set_except_customers": _EXCEPT_SQL,
 }
