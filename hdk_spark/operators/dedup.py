@@ -276,9 +276,16 @@ def minhash_lsh_dedup(
     sig = minhash_signatures(
         repartition_for_width(df), id_col, text_col, n, num_perm, seed
     ).persist()
+    # Banded relation stays NARROW (id, band, bh — 24 B/row): the
+    # self-join shuffles |docs|×bands rows, so carrying the 0.5 KB
+    # signature array through it would multiply shuffle volume ~20×.
+    # Signatures re-attach per candidate pair afterwards (candidates
+    # ≪ banded rows). shuffle_hash hint: the equi-join on (band, bh)
+    # needs no sort order, and SMJ's sort of the banded relation was
+    # the measured bottleneck; a hash join per shuffle partition is
+    # the right physical op at any scale.
     banded = sig.select(
         "id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -292,23 +299,25 @@ def minhash_lsh_dedup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
+    b = banded.hint("shuffle_hash").alias("b")
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        sig.hint("shuffle_hash").select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.hint("shuffle_hash").select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")),
+        "id_b",
     )
     est = F.size(
         F.filter(

@@ -26,14 +26,24 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 4m (vs Spark's 10m default): Spark scales a scan's size estimate
-    # by the column-pruning ratio, so a 10MB fact file projected to 3
-    # of 16 columns estimates ~2MB and gets broadcast — the driver-side
-    # hash build of the 600k-row side measured 1-2s/query at sf0.1 and
-    # OOMs at scale. 4m keeps true dimension tables broadcast while
-    # fact sides shuffle; AQE still upgrades from observed runtime
-    # sizes when a join side is genuinely small.
-    "spark.sql.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
+    # 1.5m (vs Spark's 10m default): Spark scales a scan's size estimate
+    # by the column-pruning ratio, so an 11MB fact file projected to 3
+    # of 11 columns estimates ~3MB and gets broadcast — the driver-side
+    # hash build of the 600k-row side measured ~0.5s/query at sf0.1 and
+    # OOMs at scale. 1.5m keeps true dimension tables (customer/orders
+    # pruned, supplier, part, nation, region) broadcast while fact scans
+    # shuffle; AQE still upgrades a join to broadcast from observed
+    # runtime sizes when a side is genuinely small (e.g. a filtered
+    # dim⋈dim intermediate).
+    "spark.sql.autoBroadcastJoinThreshold": str(1536 * 1024),
+    # Runtime (AQE) broadcast decisions use MEASURED shuffle sizes, not
+    # pruning-scaled guesses, so a much higher bar is safe there: a join
+    # side observed ≤32 MB broadcasts even when its static estimate was
+    # wrong in either direction. This recovers broadcast plans for
+    # mid-size intermediates (LSH bucket relations, filtered dim⋈dim
+    # results) without ever risking a driver-side build of a
+    # misestimated fact table.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     # local[...] runs one JVM: the driver is the only memory pool.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",

@@ -75,9 +75,19 @@ def test_salted_join_spreads_hot_key(spark):
     dim = spark.createDataFrame([(i, f"d{i}") for i in range(1, 102)], "k long, d string")
     # this tiny fixture would broadcast (no shuffle → nothing to
     # spread) and AQE would coalesce back to one partition — disable
-    # both to observe the salted shuffle itself
+    # static + adaptive broadcast and coalescing to observe the salted
+    # shuffle itself
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         out = P.salted_join(big, dim, "k", salt=8)
         assert out.count() == 10000
@@ -90,8 +100,8 @@ def test_salted_join_spreads_hot_key(spark):
         )
         assert parts > 1
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def test_repartition_by_keys_reused_across_aggs(spark):
