@@ -340,6 +340,44 @@ class Result:
         ranked = self.df.withColumn("__rn", F.row_number().over(w))
         return Result(ranked.filter(F.col("__rn") > total - n).drop("__rn"))
 
+    def to_explain_str(self) -> str:
+        """Physical-plan text (reference _sql.pyx:85 to_explain_str —
+        there it returns the IR dump; here the Spark formatted plan)."""
+        return self.df._sc._jvm.PythonSQLUtils.explainString(
+            self.df._jdf.queryExecution(), "formatted"
+        )
+
+    def to_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: "list[str] | None" = None,
+        bucket_by: "tuple[int, list[str]] | None" = None,
+        table_name: str | None = None,
+    ) -> None:
+        """Distributed parquet export (beyond-reference: pyhdk only
+        reads files). ``partition_by`` → hive-style directory pruning;
+        ``bucket_by=(n, cols)`` → bucketed saveAsTable so later joins/
+        aggs on those keys skip the shuffle (see partitioning.py)."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if bucket_by:
+            n, cols = bucket_by
+            name = table_name or _table_name_from_path(path)
+            w.option("path", path).bucketBy(n, *cols).sortBy(*cols).saveAsTable(name)
+            return
+        w.parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
+               delimiter: str = ",") -> None:
+        (
+            self.df.write.mode(mode)
+            .option("header", header)
+            .option("sep", delimiter)
+            .csv(path)
+        )
+
     @property
     def scan(self):
         """Re-query the result as a table ("run on result")."""

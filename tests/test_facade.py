@@ -153,3 +153,25 @@ def test_create_table_types_roundtrip(hdk):
     assert s["ts"].dataType == T.TimestampType()
     assert s["arr"].dataType == T.ArrayType(T.LongType())
     hdk.drop_table("typed_empty")
+
+
+def test_result_export_roundtrip(hdk, tmp_path):
+    hdk.import_pydict({"k": [1, 1, 2, 2, 3], "v": [10.0, 20.0, 30.0, 40.0, 50.0]}, "exp_t")
+    res = hdk.sql("SELECT k, SUM(v) AS sv FROM exp_t GROUP BY k")
+
+    pq = str(tmp_path / "out_parquet")
+    res.to_parquet(pq, partition_by=["k"])
+    back = hdk.import_parquet(pq, "exp_back")
+    assert back.row_count == 3
+    got = hdk.sql("SELECT CAST(k AS BIGINT) AS k, sv FROM exp_back ORDER BY k").to_pandas()
+    assert got["sv"].tolist() == [30.0, 70.0, 50.0]
+
+    csv = str(tmp_path / "out_csv")
+    res.to_csv(csv)
+    back2 = hdk.import_csv(csv, "exp_back_csv", header=True)
+    assert back2.row_count == 3
+
+    plan = res.to_explain_str()
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    for n in ("exp_t", "exp_back", "exp_back_csv"):
+        hdk.drop_table(n)
