@@ -267,6 +267,22 @@ def truncate(value: Column, scale: int = 0) -> Column:
     )
 
 
+def distance_in_meters(
+    fromlon: Column, fromlat: Column, tolon: Column, tolat: Column
+) -> Column:
+    """Haversine great-circle distance (reference
+    QueryEngine/ExtensionFunctions.hpp:428 distance_in_meters, R =
+    6372797.560856 m) — all JVM built-ins, codegen-friendly."""
+    lat_arc = F.radians(fromlat - tolat)
+    lon_arc = F.radians(fromlon - tolon)
+    lat_h = F.pow(F.sin(lat_arc * 0.5), F.lit(2.0))
+    lon_h = F.pow(F.sin(lon_arc * 0.5), F.lit(2.0))
+    tmp = F.cos(F.radians(fromlat)) * F.cos(F.radians(tolat))
+    return F.lit(6372797.560856) * (
+        F.lit(2.0) * F.asin(F.sqrt(lat_h + tmp * lon_h))
+    )
+
+
 # ---------------------------------------------------------------------------
 # math surface (reference QueryEngine/ExtensionFunctions.hpp:47-387)
 # ---------------------------------------------------------------------------
@@ -301,6 +317,7 @@ MATH_FUNCS = {
     "truncate": truncate,
     "isnan": F.isnan,
     "pi": lambda: F.lit(math.pi),
+    "distance_in_meters": distance_in_meters,
 }
 
 _STRING_FUNCS = {

@@ -220,3 +220,35 @@ def test_topk_bottomk_match_sorted(spark, vals, k):
     ).collect()[0]
     assert row["t"] == sorted(vals, reverse=True)[:k]
     assert row["b"] == sorted(vals)[:k]
+
+
+@given(
+    coords=st.lists(
+        st.tuples(
+            st.floats(min_value=-179.9, max_value=179.9),
+            st.floats(min_value=-89.9, max_value=89.9),
+            st.floats(min_value=-179.9, max_value=179.9),
+            st.floats(min_value=-89.9, max_value=89.9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_distance_in_meters_matches_reference_formula(spark, coords):
+    # pure-python transcription of reference ExtensionFunctions.hpp:428
+    def ref(fromlon, fromlat, tolon, tolat):
+        k = 0.017453292519943295769236907684886
+        lat_h = math.sin((fromlat - tolat) * k * 0.5) ** 2
+        lon_h = math.sin((fromlon - tolon) * k * 0.5) ** 2
+        tmp = math.cos(fromlat * k) * math.cos(tolat * k)
+        return 6372797.560856 * (2.0 * math.asin(math.sqrt(lat_h + tmp * lon_h)))
+
+    from hdk_spark.functions.scalar import distance_in_meters
+
+    df = spark.createDataFrame(coords, "flon double, flat double, tlon double, tlat double")
+    got = df.select(
+        distance_in_meters(F.col("flon"), F.col("flat"), F.col("tlon"), F.col("tlat")).alias("d")
+    ).collect()
+    for row, c in zip(got, coords):
+        assert row["d"] == pytest.approx(ref(*c), rel=1e-12, abs=1e-6)
