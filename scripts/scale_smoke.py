@@ -1,0 +1,114 @@
+"""10× scale-up smoke: replicate sf0.1 with shifted keys, re-run the
+headline shapes, print steady-state timings. Results → SCALE.md.
+
+Usage: python scripts/scale_smoke.py [--regen]
+Writes synthetic data to /tmp/sf1_synth (outside the read-only
+testdata tree).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_synth"
+COPIES = 10
+
+KEYED = {
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000,
+                 "l_suppkey": 100_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "part": {"p_partkey": 1_000_000},
+    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"emb_id": 10_000_000},
+}
+
+
+def regen(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SRC)
+    for t, shifts in KEYED.items():
+        base = spark.table(t)
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for col, stride in shifts.items():
+                if col in c.columns:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(DST, f"{t}.parquet"))
+    for t in ("nation", "region"):
+        spark.table(t).write.mode("overwrite").parquet(
+            os.path.join(DST, f"{t}.parquet")
+        )
+    print("regenerated", DST)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hdk_spark.session import get_spark
+
+    spark = get_spark("scale_smoke")
+    if "--regen" in sys.argv or not os.path.exists(DST):
+        regen(spark)
+
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, DST)
+
+    def best(make, n=2):
+        b = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            make().write.format("noop").mode("overwrite").save()
+            b = min(b, time.perf_counter() - t0)
+        return round(b, 2)
+
+    Q5 = """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10"""
+    print("rows:", {t: spark.table(t).count() for t in ("lineitem", "orders", "events", "documents")})
+    print("q1_groupby_count:", best(lambda: spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")))
+    print("q5_join_heavy:", best(lambda: spark.sql(Q5)))
+    print("q6_window:", best(lambda: spark.sql(
+        "SELECT user_id, event_id, SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r FROM events")))
+
+    from hdk_spark.operators.dedup import minhash_lsh_dedup
+
+    print("q7_minhash_dedup:", best(lambda: minhash_lsh_dedup(
+        spark.table("documents"), threshold=0.5), n=1))
+
+    from hdk_spark.operators.similarity import ann_lsh_topk
+
+    print("q9_ann_topk:", best(lambda: ann_lsh_topk(
+        spark.table("embeddings"), [0, 1, 2, 3, 4], k=10)))
+
+    # plan sanity at 10×: lineitem side must NOT broadcast
+    df = spark.sql(Q5)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    import re
+    bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    print("q5 plan: BroadcastHashJoin x", bhj, "| SortMergeJoin:",
+          "SortMergeJoin" in plan, "| ShuffledHashJoin:", "ShuffledHashJoin" in plan)
+
+
+if __name__ == "__main__":
+    main()
