@@ -150,47 +150,62 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     toks = F.col("__toks")
     ltoks = F.col("__ltoks")
 
-    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
-    punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
-    word_tokens = F.aggregate(
-        toks, F.lit(0).cast("long"),
-        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("long"),
-    )
-    p_ratio = F.when(
-        F.length(text) > 0, punct.cast("double") / F.length(text)
-    ).otherwise(F.lit(0.0))
-
     def hits(words: list[str]) -> Column:
         sw = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(ltoks, lambda x: F.array_contains(sw, x)))
 
-    sw_ratio = F.when(
-        F.size(ltoks) > 0, hits(STOPWORDS["en"]).cast("double") / F.size(ltoks)
+    langs = sorted(STOPWORDS)
+    # Second barriered stage: every array-walking expression evaluated
+    # exactly ONCE into a scalar column (each stopword scan fed two
+    # consumers before — CollapseProject would inline and double the
+    # interpreted per-token work).
+    counts = staged.select(
+        F.col(id_col),
+        F.length(text).alias("__len"),
+        F.length(F.trim(text)).alias("__tlen"),
+        F.size(toks).alias("__ntok"),
+        F.size(ltoks).alias("__nltok"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", "")))
+        .alias("__punct"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("long"),
+        ).alias("__wtok"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, w: F.pmod(acc * F.lit(_FP_MULT) + _word_val(w), F.lit(_FP_MOD)),
+        ).alias("__fp"),
+        F.array(*[hits(STOPWORDS[lg]) for lg in langs]).alias("__hits"),
+    ).withColumn("__barrier2", F.rand())
+
+    # final projection: plain scalar arithmetic over the counts
+    n_tokens = F.when(F.col("__tlen") == 0, F.lit(0)).otherwise(F.col("__ntok"))
+    p_ratio = F.when(
+        F.col("__len") > 0, F.col("__punct").cast("double") / F.col("__len")
     ).otherwise(F.lit(0.0))
-    len_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    en_hits = F.col("__hits")[langs.index("en")]
+    sw_ratio = F.when(
+        F.col("__nltok") > 0, en_hits.cast("double") / F.col("__nltok")
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(F.col("__len").cast("double") / F.lit(500.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(p_ratio * F.lit(5.0), F.lit(1.0))
     sw_score = F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
     quality = len_score * F.lit(0.4) + punct_score * F.lit(0.3) + sw_score * F.lit(0.3)
 
     lang = F.lit("und")
     max_score = F.lit(0)
-    for lg in sorted(STOPWORDS):
-        s = hits(STOPWORDS[lg])
+    for i, lg in enumerate(langs):
+        s = F.col("__hits")[i]
         lang = F.when(s > max_score, F.lit(lg)).otherwise(lang)
         max_score = F.when(s > max_score, s).otherwise(max_score)
 
-    fp = F.aggregate(
-        toks, F.lit(0).cast("long"),
-        lambda acc, w: F.pmod(acc * F.lit(_FP_MULT) + _word_val(w), F.lit(_FP_MOD)),
-    )
-
-    return staged.select(
+    return counts.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
-        (word_tokens + punct.cast("long")).alias("n_tokens_bpe"),
+        (F.col("__wtok") + F.col("__punct").cast("long")).alias("n_tokens_bpe"),
         F.round(p_ratio, 6).alias("punct_ratio"),
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
         lang.alias("lang_pred"),
-        fp.alias("fingerprint"),
+        F.col("__fp").alias("fingerprint"),
     )
