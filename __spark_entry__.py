@@ -48,6 +48,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> None:
     µs-precision — lossless; SURVEY.md §1.2 maps HDK timestamp[ns] the
     same way)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # right-size shuffles for the test SFs on a vanilla session (the
+    # 200-partition default just adds per-task overhead at ≤600k rows;
+    # AQE coalescing handles the rest either way)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
