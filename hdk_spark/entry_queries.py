@@ -1319,6 +1319,39 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 min over the events stream
+    (overlapping event-time windows — each event lands in 4). Oracle:
+    the explode-k batch formulation (verified identical to Spark's own
+    F.window batch semantics)."""
+    from hdk_spark.streaming import sliding_agg
+
+    s = _events_stream(spark, sf_dir)
+    agg = sliding_agg(
+        s,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ],
+    )
+    name = _run_stream(agg, "complete")
+    return spark.table(name).select("window_start", "n", "sum_value")
+
+
+_STREAMING_SLIDING_ORACLE = """
+SELECT make_timestamp(CAST((floor(epoch(ts)/900)*900 - k*900) AS BIGINT) * 1000000)
+         AS window_start,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, range(4) r(k)
+WHERE epoch(ts) < floor(epoch(ts)/900)*900 - k*900 + 3600
+GROUP BY 1
+"""
+
+
 def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicates on key columns) over the
     events stream, then a per-type count — equals batch DISTINCT +
@@ -1375,6 +1408,7 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_range_join": q_temporal_range_join,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_sliding_agg": q_streaming_sliding_agg,
     "streaming_dedup_counts": q_streaming_dedup_counts,
     "geo_distance": q_geo_distance,
     "multimodal_decode": q_multimodal_decode,
@@ -1414,6 +1448,7 @@ ORACLES: dict[str, str] = {
     "temporal_range_join": _RANGE_JOIN_ORACLE,
     "streaming_tumbling_agg": _STREAMING_TUMBLING_ORACLE,
     "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
+    "streaming_sliding_agg": _STREAMING_SLIDING_ORACLE,
     "streaming_dedup_counts": _STREAMING_DEDUP_ORACLE,
     "geo_distance": _GEO_DISTANCE_ORACLE,
 }
@@ -1643,6 +1678,14 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
 """
 
+_UNION_DISTINCT_SQL = """
+SELECT custkey FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) u ORDER BY custkey
+"""
+
 _INTERSECT_SQL = """
 SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 INTERSECT
@@ -1689,6 +1732,7 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "rollup_lineitem_status": _ROLLUP_SQL,
     "cube_lineitem_status": _CUBE_SQL,
     "grouping_sets_orders": _GROUPING_SETS_SQL,
+    "set_union_distinct": _UNION_DISTINCT_SQL,
     "set_intersect_customers": _INTERSECT_SQL,
     "set_except_customers": _EXCEPT_SQL,
 }
