@@ -213,7 +213,13 @@ def ann_lsh_topk(
 
     Plan shape: corpus exploded to n_tables rows (table_id, bucket) —
     linear, no cross join; the query side is broadcast; candidate pairs
-    dedup on (qid, id) before scoring; TakeOrdered per query."""
+    dedup on (qid, id) before scoring; TakeOrdered per query. Candidate
+    volume is bounded by |queries| × bucket occupancy, so the only
+    corpus-scale cost is the cached bucket relation (×n_tables vector
+    bytes — measured faster than narrow-rows + re-attach joins up to
+    10× local scale); for corpora where that amplification doesn't fit
+    cache, ann_ivf_topk is the scale path (×1 vector storage, bounded
+    driver-side training)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     dim_row = df.select(F.size(vec_col).alias("d")).first()
