@@ -1469,6 +1469,38 @@ _DISC = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 )
 
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# Q22 adapted (no c_phone): "country" is derived from the custkey; the
+# threshold subquery computes AVG as exact-decimal-sum / count so both
+# engines compare against the identical double.
+_Q22_SQL = """
+SELECT cntry, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+    SELECT c_custkey % 10 AS cntry, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+) t
+GROUP BY cntry
+ORDER BY cntry
+"""
+
 _Q7_SQL = f"""
 SELECT supp_nation, cust_nation, l_year,
        CAST(SUM(volume) AS DOUBLE) AS revenue
@@ -1719,6 +1751,8 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "groupby_null_keys": _GROUPBY_NULL_KEY_SQL,
     "groupby_bool_empty_string": _GROUPBY_BOOL_EMPTY_SQL,
     "date_interval_arith": _INTERVAL_ARITH_SQL,
+    "tpch_q4_order_priority": _Q4_SQL,
+    "tpch_q22_idle_customers": _Q22_SQL,
     "tpch_q7_volume_shipping": _Q7_SQL,
     "tpch_q8_market_share": _Q8_SQL,
     "tpch_q9_profit_by_nation": _Q9_SQL,
