@@ -1164,6 +1164,36 @@ FROM nation ORDER BY n_nationkey
 # registry
 # ---------------------------------------------------------------------------
 
+def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState:
+    per-key running event count + last-seen timestamp — the reference
+    has NO streaming operators at all, SURVEY §2.10). Driven to
+    completion, the final state per key equals the batch aggregate, so
+    it gets a full value oracle despite being an imperative stateful
+    op."""
+    from hdk_spark.streaming import running_counts_stateful
+
+    s = _events_stream(spark, sf_dir).filter(F.col("user_id") < 100)
+    counts = running_counts_stateful(s, "user_id", "ts")
+    name = _run_stream(counts, "update")
+    # update-mode sink may hold one row per key per micro-batch; the
+    # final state is the max running count / latest timestamp
+    return (
+        spark.table(name)
+        .groupBy("key")
+        .agg(F.max("n_events").alias("n_events"), F.max("last_ts").alias("last_ts"))
+        .orderBy("key")
+    )
+
+
+_STREAMING_STATEFUL_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_events,
+       MAX(ts) AS last_ts
+FROM events WHERE user_id < 100
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haversine great-circle distance (reference
     ExtensionFunctions.hpp:428 distance_in_meters) over synthetic
@@ -1410,6 +1440,7 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_sliding_agg": q_streaming_sliding_agg,
     "streaming_dedup_counts": q_streaming_dedup_counts,
+    "streaming_stateful_counts": q_streaming_stateful_counts,
     "geo_distance": q_geo_distance,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -1450,6 +1481,7 @@ ORACLES: dict[str, str] = {
     "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
     "streaming_sliding_agg": _STREAMING_SLIDING_ORACLE,
     "streaming_dedup_counts": _STREAMING_DEDUP_ORACLE,
+    "streaming_stateful_counts": _STREAMING_STATEFUL_ORACLE,
     "geo_distance": _GEO_DISTANCE_ORACLE,
 }
 
