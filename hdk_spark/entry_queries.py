@@ -1742,6 +1742,30 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
 """
 
+# Explicit ROWS/RANGE window frames — rejected by the reference
+# (SURVEY §2.6 "default frames only"); native in Spark and DuckDB.
+# l_quantity is integral so the running sums/avgs are exact.
+_WINDOW_FRAMES_SQL = """
+SELECT l_orderkey, l_linenumber,
+       SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS roll2,
+       AVG(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runavg
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+# LATERAL correlated subquery (top-N per group) — no reference analog;
+# the modern SQL form of the per-key limit pattern.
+_LATERAL_TOPN_SQL = """
+SELECT c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c_custkey < 300
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
 _UNION_DISTINCT_SQL = """
 SELECT custkey FROM (
   SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1798,6 +1822,8 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "rollup_lineitem_status": _ROLLUP_SQL,
     "cube_lineitem_status": _CUBE_SQL,
     "grouping_sets_orders": _GROUPING_SETS_SQL,
+    "window_explicit_frames": _WINDOW_FRAMES_SQL,
+    "lateral_topn_per_group": _LATERAL_TOPN_SQL,
     "set_union_distinct": _UNION_DISTINCT_SQL,
     "set_intersect_customers": _INTERSECT_SQL,
     "set_except_customers": _EXCEPT_SQL,
