@@ -1164,6 +1164,31 @@ FROM nation ORDER BY n_nationkey
 # registry
 # ---------------------------------------------------------------------------
 
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide aggregation): per user-bucket event counts spread
+    across event-type columns — groupBy().pivot() is the Spark-native
+    form; the oracle is the equivalent conditional aggregation
+    (beyond-reference: HDK's Calcite bridge has no PIVOT)."""
+    _tables(spark, sf_dir)
+    e = spark.table("events").withColumn("bucket", F.col("user_id") % 10)
+    return (
+        e.groupBy("bucket")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+        .orderBy("bucket")
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id % 10 AS bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState:
     per-key running event count + last-seen timestamp — the reference
@@ -1441,6 +1466,7 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sliding_agg": q_streaming_sliding_agg,
     "streaming_dedup_counts": q_streaming_dedup_counts,
     "streaming_stateful_counts": q_streaming_stateful_counts,
+    "pivot_event_types": q_pivot_event_types,
     "geo_distance": q_geo_distance,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -1482,6 +1508,7 @@ ORACLES: dict[str, str] = {
     "streaming_sliding_agg": _STREAMING_SLIDING_ORACLE,
     "streaming_dedup_counts": _STREAMING_DEDUP_ORACLE,
     "streaming_stateful_counts": _STREAMING_STATEFUL_ORACLE,
+    "pivot_event_types": _PIVOT_ORACLE,
     "geo_distance": _GEO_DISTANCE_ORACLE,
 }
 
