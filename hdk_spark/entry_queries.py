@@ -1164,6 +1164,44 @@ FROM nation ORDER BY n_nationkey
 # registry
 # ---------------------------------------------------------------------------
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): three lineitem measures melt into
+    (measure, value) rows, then aggregate per returnflag × measure.
+    Spark-native form is the stack() table generator; oracle is the
+    equivalent UNION ALL."""
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        ),
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_returnflag, measure, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT l_returnflag, 'qty' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+) u
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (wide aggregation): per user-bucket event counts spread
     across event-type columns — groupBy().pivot() is the Spark-native
@@ -1467,6 +1505,7 @@ SPARK_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_counts": q_streaming_dedup_counts,
     "streaming_stateful_counts": q_streaming_stateful_counts,
     "pivot_event_types": q_pivot_event_types,
+    "unpivot_measures": q_unpivot_measures,
     "geo_distance": q_geo_distance,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -1509,6 +1548,7 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_counts": _STREAMING_DEDUP_ORACLE,
     "streaming_stateful_counts": _STREAMING_STATEFUL_ORACLE,
     "pivot_event_types": _PIVOT_ORACLE,
+    "unpivot_measures": _UNPIVOT_ORACLE,
     "geo_distance": _GEO_DISTANCE_ORACLE,
 }
 
