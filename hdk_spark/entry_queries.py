@@ -1809,6 +1809,25 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
 """
 
+# Extended string surface — the reference's string layer is LOWER/
+# LENGTH/SUBSTRING/||/LIKE only (SURVEY §2.8 "No UPPER/TRIM/REPLACE/
+# SPLIT"); a text pipeline needs the rest.
+_STRING_EXTENDED_SQL = """
+SELECT p_brand,
+       UPPER(p_name)                         AS uname,
+       TRIM(CONCAT('  ', p_name, '  '))      AS trimmed,
+       REPLACE(p_name, ' ', '_')             AS snake,
+       LEFT(p_name, 4)                       AS l4,
+       RIGHT(p_name, 3)                      AS r3,
+       REPEAT(p_brand, 2)                    AS twice,
+       REVERSE(p_type)                       AS rtype,
+       LPAD(p_brand, 10, '.')                AS padded,
+       CONTAINS(p_name, 'red')               AS has_red,
+       (p_type LIKE 'SM%')                   AS is_small,
+       POSITION('a' IN p_name)               AS a_pos
+FROM part WHERE p_partkey < 200
+"""
+
 # Explicit ROWS/RANGE window frames — rejected by the reference
 # (SURVEY §2.6 "default frames only"); native in Spark and DuckDB.
 # l_quantity is integral so the running sums/avgs are exact.
@@ -1889,6 +1908,7 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "rollup_lineitem_status": _ROLLUP_SQL,
     "cube_lineitem_status": _CUBE_SQL,
     "grouping_sets_orders": _GROUPING_SETS_SQL,
+    "string_funcs_extended": _STRING_EXTENDED_SQL,
     "window_explicit_frames": _WINDOW_FRAMES_SQL,
     "lateral_topn_per_group": _LATERAL_TOPN_SQL,
     "set_union_distinct": _UNION_DISTINCT_SQL,
