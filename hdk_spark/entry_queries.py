@@ -278,7 +278,7 @@ SELECT p_partkey,
        abs(p_retailprice - 1000.0)   AS ab,
        CAST(ceil(p_retailprice)  AS BIGINT) AS ce,
        CAST(floor(p_retailprice) AS BIGINT) AS fl,
-       sign(p_retailprice - 1000.0) AS sg,
+       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sg,
        round(ln(p_retailprice), 6)    AS lnp,
        round(log10(p_retailprice), 6) AS lg,
        round(pow(p_retailprice, 2), 4) AS p2,
@@ -1874,6 +1874,50 @@ SELECT o_custkey FROM orders
 ORDER BY custkey
 """
 
+# TPC-H Q21 shape — EXISTS + NOT-EXISTS correlated self-joins on the
+# fact table (the hardest join shape in the suite; reference exercises
+# the class in omniscidb/Tests/CorrelatedSubqueryTest.cpp). The driver
+# lineitem has no l_receiptdate/l_commitdate, so "supplier was late" is
+# adapted to l_returnflag = 'R' — shape (two decorrelated self-joins +
+# 4-way join + agg + topk) is identical to stock Q21.
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders     ON o_orderkey = l1.l_orderkey
+JOIN nation     ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+# NOW/CURRENT_TIMESTAMP/CURRENT_DATE/NOW() (reference Calcite surface,
+# SURVEY §2.8 Misc). Deterministic despite the moving clock: every
+# o_orderdate in the data is ≤ 1998, so the counts are exact constants
+# for any run date after 1998 — the query still genuinely evaluates the
+# clock functions on both engines.
+_CURRENT_BOUNDS_SQL = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderdate < CURRENT_TIMESTAMP THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_before_now_ts,
+       CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) <= CURRENT_DATE THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_on_or_before_today,
+       CAST(SUM(CASE WHEN o_orderdate < NOW() THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_before_now
+FROM orders
+"""
+
 # common-SQL-text queries added on top of __spark_entry__._COMMON_SQL
 COMMON_SQL_EXTRA: dict[str, str] = {
     "expr_math_funcs": _MATH_SQL,
@@ -1914,4 +1958,6 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "set_union_distinct": _UNION_DISTINCT_SQL,
     "set_intersect_customers": _INTERSECT_SQL,
     "set_except_customers": _EXCEPT_SQL,
+    "tpch_q21_waiting_suppliers": _Q21_SQL,
+    "date_current_bounds": _CURRENT_BOUNDS_SQL,
 }
