@@ -634,23 +634,67 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdk_spark.operators.dedup import embedding_neardup_pairs
 
     _tables(spark, sf_dir)
+    # LSH candidate generation (the scale path — banded bucket
+    # equi-join, never a cross join) + exact rescore. threshold=0.4
+    # because the synthetic embeddings carry no planted near-dups (max
+    # pairwise cosine ≈ 0.51 at sf0.01 / 0.60 at sf0.1) — 0.4 yields a
+    # non-trivial result set. dim=64 is the testdata embedding width
+    # (pinned to skip the driver-side dim probe).
     return embedding_neardup_pairs(
-        spark.table("embeddings"), "vec_id", "embedding", threshold=0.8
+        spark.table("embeddings"), "vec_id", "embedding",
+        threshold=0.4, mode="lsh", n_planes=8, n_tables=4, seed=7, dim=64,
     )
 
 
-_EMB_COSINE_ORACLE = f"""
+def _emb_lsh_oracle(
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB oracle for the LSH-bucketed near-dup pairs: the
+    ±1-hyperplane buckets are seed-deterministic constants, so the SAME
+    candidate generation (pairs sharing a sign-bucket in ≥1 table) is
+    expressed as SQL with inline ±1.0 literal arrays. Dot products fold
+    left-to-right in double on both engines → bit-identical buckets and
+    cosines; the OR-of-bucket-equalities join is set-equal to the Spark
+    side's banded equi-join + dropDuplicates."""
+    from hdk_spark.operators.dedup import rademacher_planes
+
+    planes = rademacher_planes(n_planes * n_tables, dim, seed)
+
+    def dot_plane(p: list[float]) -> str:
+        lit = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in p) + "]"
+        return _DOT.format(a="v", b=lit)
+
+    buckets = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN {dot_plane(planes[t * n_planes + i])} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    bucket_cols = ",\n         ".join(buckets)
+    any_match = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
 WITH b AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), n AS (
-  SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm FROM b
+  SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm,
+         {bucket_cols}
+  FROM b
 )
 SELECT a.id AS id_a, c.id AS id_b,
        round({_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm), 6) AS cosine
-FROM n a JOIN n c ON a.id < c.id
-WHERE {_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm) >= 0.8
+FROM n a JOIN n c ON a.id < c.id AND ({any_match})
+WHERE {_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm) >= {threshold}
 """
+
+
+_EMB_COSINE_ORACLE = _emb_lsh_oracle()
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
 
@@ -100,11 +101,35 @@ def ngram_jaccard_pairs(
     shingle → count common shingles per pair → |A∪B| = |A|+|B|-common.
     One shuffle on the shingle key + one on the pair key; never a cross
     join. Integer arithmetic until the final division → deterministic.
+
+    ``max_doc_freq`` caps the inverted-index posting-list length: a
+    stop-shingle shared by k documents would otherwise materialize k²
+    candidate rows in the self-join — the quadratic hot-key failure mode
+    on natural-language corpora at scale. Shingles with document
+    frequency above the cap are dropped from candidate generation (the
+    denominators na/nb keep the full shingle counts, so the reported
+    jaccard only ever UNDER-estimates for affected pairs: precision of
+    the ≥ threshold cut is preserved; recall for pairs whose overlap is
+    mostly stop-shingles degrades gracefully). ``None`` disables the cap
+    (exact — what the SQL oracle expresses).
     """
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        # DF count shuffles on the same key as the self-join below, and
+        # the semi-join keeps the posting lists bounded before they can
+        # pair up. Hot shingles are by definition few distinct values,
+        # but their posting lists are huge — filtering here is what
+        # bounds the join output.
+        keep = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("s")
+        )
+        exploded = exploded.join(keep, "s", "semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -468,42 +493,119 @@ def _dot(a, b):
     )
 
 
+def rademacher_planes(
+    n_planes: int, dim: int, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes (sign random projections).
+    ±1 entries keep every dot product a plain signed sum of the input
+    components — bit-identical under IEEE double in any engine that
+    folds left-to-right, so the same bucketing is expressible as an
+    exact SQL oracle with tiny literals."""
+    state = seed
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row: list[float] = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (state >> 32) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    use_lsh: bool = False,
+    mode: str = "lsh",
     n_planes: int = 8,
-    seed: int = 42,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. ``use_lsh=True`` blocks the self
-    join on a random-hyperplane sign bucket (sub-quadratic candidate
-    set, slight recall loss); False is the exact quadratic baseline."""
+    """Pairs with cosine ≥ threshold over an embedding column.
+
+    ``mode='lsh'`` (default): multi-table random-hyperplane candidate
+    generation + exact cosine rescore — the scale path. Each vector gets
+    one sign-bucket per hash table; candidates are pairs sharing a
+    bucket in ≥1 table (banded equi-join on (table, bucket), exactly the
+    minhash_lsh_dedup shape: narrow (id, table, bucket) self-join, then
+    vectors re-attach by id for the exact rescore). Precision is 1
+    (every output pair passed the exact test); recall is
+    1-(1-p^n_planes)^n_tables for per-plane agreement p = 1-θ/π — raise
+    n_planes with corpus size (≈log2(n) keeps buckets small) and
+    n_tables for recall. Candidate volume is Σ_buckets |bucket|² per
+    table, sub-quadratic whenever buckets stay small; never a cross
+    join.
+
+    ``mode='exact'``: the all-pairs quadratic baseline — only for small
+    inputs and oracle generation.
+    """
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    if use_lsh:
-        from hdk_spark.operators.similarity import _hyperplanes, _bucket_expr
+    if mode == "exact":
+        a, b = base.alias("a"), base.alias("b")
+        cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        )
 
-        planes = _hyperplanes(n_planes, _vec_dim(df, vec_col), seed)
-        base = base.withColumn("bucket", _bucket_expr(F.col("v"), planes))
-        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
-            F.col("a.id") < F.col("b.id")
+    from hdk_spark.operators.similarity import _bucket_expr
+
+    d = dim if dim is not None else _vec_dim(df, vec_col)
+    planes = rademacher_planes(n_planes * n_tables, d, seed)
+    # Persist: the banded self-join references this subplan twice and the
+    # rescore re-attaches vectors by id — same no-common-subplan-reuse
+    # argument as minhash_lsh_dedup's signature persist.
+    base = base.persist()
+    bucketed = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr(
+                            F.col("v"), planes[t * n_planes : (t + 1) * n_planes]
+                        ).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    a = bucketed.alias("a")
+    b = bucketed.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-    else:
-        join_cond = F.col("a.id") < F.col("b.id")
-    a, b = base.alias("a"), base.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    paired = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")),
+        "id_a",
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, join_cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cosine"),
-        )
+        paired.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

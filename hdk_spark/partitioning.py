@@ -63,12 +63,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``left`` is large and skewed on ``on``.
 
-    left rows get a random salt in [0, salt); right rows are replicated
+    left rows get a salt in [0, salt); right rows are replicated
     ``salt`` times; the join key becomes (on, salt) so a hot key's rows
     spread over ``salt`` reducers. Semantics identical to
     ``left.join(right, on, how)`` for 1:N joins (right unique on key).
+
+    The salt is derived deterministically from the row's columns (not
+    F.rand()): if a task is recomputed after a shuffle-fetch failure,
+    a random salt could re-assign rows and duplicate/drop join output;
+    a hash of the row contents re-salts identically on replay.
     """
-    salted_l = left.withColumn("__salt", (F.rand() * salt).cast("int"))
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+    )
     salted_r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

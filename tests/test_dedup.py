@@ -93,15 +93,71 @@ def test_simhash_finds_near_identical_docs(docs, spark):
         assert (r["doc_id"], r["doc_id"] + 1_000_000) in pairs
 
 
-def test_embedding_neardup_lsh_recall(spark):
+def test_embedding_neardup_lsh_recall_on_planted_dups(spark):
+    """Plant near-identical copies (tiny multiplicative perturbation →
+    cosine ≈ 0.999) and require the default LSH path to recover ≥90% of
+    the pairs the exact path finds, with precision 1 (every LSH pair is
+    exactly rescored, so lsh ⊆ exact)."""
     from __spark_entry__ import load_tables
 
     load_tables(spark, SF_CORRECT)
     emb = spark.table("embeddings")
-    exact = _pairs(dedup.embedding_neardup_pairs(emb, threshold=0.9))
-    approx = _pairs(dedup.embedding_neardup_pairs(emb, threshold=0.9, use_lsh=True))
-    if not exact:
-        pytest.skip("no near-dup embeddings at this sf")
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3  # single-table hyperplane LSH loses boundary pairs
-    assert approx <= exact  # LSH candidates verified exactly: no false positives
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.05 * F.sin(F.col("vec_id") * 31 + i)),
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(copies)
+    exact = _pairs(
+        dedup.embedding_neardup_pairs(aug, threshold=0.95, mode="exact")
+    )
+    planted = {p for p in exact if p[1] == p[0] + 1_000_000}
+    assert len(planted) >= emb.count() * 0.9  # the perturbation is small
+    lsh = _pairs(dedup.embedding_neardup_pairs(aug, threshold=0.95, dim=64))
+    assert lsh <= exact  # exact rescore: no false positives
+    recall = len(planted & lsh) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on {len(planted)} planted pairs"
+
+
+def test_embedding_neardup_lsh_plan_has_no_cartesian(spark):
+    """The default (LSH) path must plan as equi-joins only — the whole
+    point of the banded bucket join is that no cross join ever appears,
+    at any scale."""
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    emb = spark.table("embeddings")
+    plan = dedup.embedding_neardup_pairs(
+        emb, threshold=0.4, dim=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_hot_shingle_cap_bounds_candidates(spark):
+    """A stop-shingle shared by k docs contributes k²/2 candidate rows
+    unless capped. With max_doc_freq below k the hot contribution is
+    dropped (output empty — the docs share ONLY the hot shingle);
+    uncapped, the same corpus pairs quadratically."""
+    k = 60
+    rows = [(i, f"common stop shingle u{i}a u{i}b u{i}c") for i in range(k)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_doc_freq=None
+    ).count()
+    assert uncapped == k * (k - 1) // 2  # quadratic blowup from one shingle
+    capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_doc_freq=k - 1
+    ).count()
+    assert capped == 0
+
+
+def test_ngram_cap_no_effect_below_threshold(docs):
+    """On the driver corpus the default cap (1000) never binds (max
+    shingle DF is ~7 at sf0.01), so capped and exact results agree —
+    this is why the unfiltered SQL oracle stays exact."""
+    a = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=1000))
+    b = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None))
+    assert a == b
