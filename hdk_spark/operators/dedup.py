@@ -317,35 +317,45 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard on the minhash signatures.
 
     bands=16 over 64 perms → rows/band=4; candidate prob at jaccard s is
-    1-(1-s^4)^16 (s=0.5 → ~0.65, s=0.8 → ~0.99). Candidates come from an
-    equi-join on (band, band-hash) — linear shuffle, no cross join.
-    `jaccard_est` is the signature agreement fraction.
+    1-(1-s^4)^16 (s=0.5 → ~0.65, s=0.8 → ~0.99). `jaccard_est` is the
+    signature agreement fraction.
+
+    Plan: ONE shuffle. Each doc's signature rides its band rows into a
+    groupBy on (band, band-hash); pairs + their signature agreement are
+    computed in-bucket with JVM higher-order functions, then deduped
+    across bands on the (small) post-threshold output. Compared to the
+    narrow (id, band, bh) self-join + re-attach-by-id design this
+    shuffles more bytes per doc (bands × ~520 B ≈ 8 KB — the same order
+    as scanning the document text itself), but it replaces five n-sized
+    exchanges (self-join both sides, pair dedup, two signature re-attach
+    joins) with one.
+
+    ``persist_signatures`` keeps the sketch in cluster cache: dedup
+    workflows typically re-query it (other thresholds, incremental
+    batches, downstream joins), and Spark's cache manager plan-matches
+    repeated calls so they skip the (Python-stage) sketch recompute.
+    Signatures are num_perm longs/doc ≈ 0.5 KB — cacheable at any scale.
+
+    ``max_bucket_size`` drops degenerate buckets (> cap docs sharing a
+    band hash — e.g. boilerplate corpora) that would pair quadratically
+    inside one task; run exact_dedup first if exact duplicates abound.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    # Persist the signatures: the banded self-join references this
-    # subplan twice and Catalyst has no common-subplan reuse across the
-    # two join sides, so without the persist the (pandas-UDF) sketch
-    # runs twice — measured 4x slower at sf0.1. Signatures are tiny
-    # (num_perm longs/doc ≈ 0.5 KB), so this holds at 100 TB input too.
     sig = minhash_signatures(
         repartition_for_width(df), id_col, text_col, n, num_perm, seed
-    ).persist()
-    # Banded relation stays NARROW (id, band, bh — 24 B/row): the
-    # self-join shuffles |docs|×bands rows, so carrying the 0.5 KB
-    # signature array through it would multiply shuffle volume ~20×.
-    # Signatures re-attach per candidate pair afterwards (candidates
-    # ≪ banded rows). shuffle_hash hint: the equi-join on (band, bh)
-    # needs no sort order, and SMJ's sort of the banded relation was
-    # the measured bottleneck; a hash join per shuffle partition is
-    # the right physical op at any scale.
+    )
+    if persist_signatures:
+        sig = sig.persist()
     banded = sig.select(
-        "id",
+        F.struct(F.col("id"), F.col("signature")).alias("ds"),
         F.explode(
             F.array(
                 *[
@@ -359,35 +369,42 @@ def minhash_lsh_dedup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.hint("shuffle_hash").alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    ).select("ds", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = banded.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("ds")).alias("ms")
     )
-    cand = cand_ids.join(
-        sig.hint("shuffle_hash").select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
-        "id_a",
-    ).join(
-        sig.hint("shuffle_hash").select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")),
-        "id_b",
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
+    size_ok = F.size("ms") >= 2
+    if max_bucket_size is not None:
+        size_ok = size_ok & (F.size("ms") <= max_bucket_size)
+    buckets = buckets.filter(size_ok)
+    nm = F.size("ms")
+
+    def _est(x, y):
+        return F.size(
+            F.filter(
+                F.zip_with(x["signature"], y["signature"], lambda p, q: p == q),
+                lambda eq: eq,
+            )
+        ).cast("double") / F.lit(float(num_perm))
+
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), nm - i - 1),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    _est(x, y).alias("jaccard_est"),
+                ),
+            ),
         )
-    ).cast("double") / F.lit(float(num_perm))
+    )
     return (
-        cand.withColumn("jaccard_est", est)
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard_est")
         .filter(F.col("jaccard_est") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
     )
 

@@ -8,14 +8,19 @@ shuffles bytes it never interprets and the heavy per-item work runs in
 Arrow-batched ``mapInPandas`` stages that stream batches instead of
 materializing whole partitions.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT available in this
-environment, so the decode kernels are STUBBED: each has
-  - a ``deterministic fake`` path (derives stable pseudo-content from
-    the bytes) used by default and in tests, and
-  - a ``real`` path that raises NotImplementedError where the codec
-    call would go.
-Everything around the stub — schemas, UDF signatures, Arrow batch
-shapes, partitioning — is real and tested.
+Codec status (no PIL/libjpeg/ffmpeg in this environment):
+  - image: REAL PNG decode/encode/resize via the stdlib-zlib + numpy
+    codec in ``png.py`` (8-bit gray/RGB/palette/alpha, all row filters)
+    behind ``use_real_codec=True``; JPEG/WebP would need libjpeg and
+    raise with a clear message.
+  - audio: REAL 16-bit WAV decode via stdlib ``wave`` (png.decode_wav)
+    in ``decode_audio(use_real_codec=True)``.
+  - video: STUBBED — demuxing genuinely needs ffmpeg; the fake path
+    derives stable pseudo-frames from the bytes.
+The default (``use_real_codec=False``) keeps the deterministic fake
+kernels so tests and contract queries run on synthetic payloads;
+everything around the kernels — schemas, UDF signatures, Arrow batch
+shapes, partitioning — is identical in both paths.
 """
 
 from __future__ import annotations
@@ -125,11 +130,15 @@ def decode_image(df: DataFrame, data_col: str = "data", use_real_codec: bool = F
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_codec:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libjpeg — not in this "
-                    "environment; deterministic fake path is the default"
-                )
-            stats = [_fake_pixels_stats(b or b"") for b in pdf[data_col]]
+                from hdk_spark.operators.png import decode_png
+
+                stats = []
+                for b in pdf[data_col]:
+                    px = decode_png(b or b"")  # raises on non-PNG: the
+                    # real path refuses to fabricate pixel statistics
+                    stats.append((float(px.mean()), float(px.std())))
+            else:
+                stats = [_fake_pixels_stats(b or b"") for b in pdf[data_col]]
             pdf = pdf.copy()
             pdf["byte_len"] = [len(b or b"") for b in pdf[data_col]]
             pdf["crc32"] = [zlib.crc32(b or b"") for b in pdf[data_col]]
@@ -167,14 +176,19 @@ def resize_images(
     height: int,
     data_col: str = "data",
     meta_col: str = "meta",
+    use_real_codec: bool = False,
 ) -> DataFrame:
-    """Resize stage (STUB): passes bytes through unchanged but rewrites
-    the metadata struct — the real kernel would transcode pixels. The
-    plumbing (struct rebuild inside mapInPandas, schema preservation)
-    is the part that matters for the pipeline shape."""
+    """Resize stage. With ``use_real_codec=True`` the kernel really does
+    decode PNG → nearest-neighbor resample → re-encode PNG (png.py);
+    the default fake path passes bytes through and only rewrites the
+    metadata struct. Either way the plumbing (struct rebuild inside
+    mapInPandas, schema preservation) is identical."""
     out_schema = df.schema
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codec:
+            from hdk_spark.operators.png import decode_png, encode_png, resize_nearest
+
         for pdf in batches:
             pdf = pdf.copy()
             metas = []
@@ -183,10 +197,55 @@ def resize_images(
                 m["width"], m["height"] = width, height
                 metas.append(m)
             pdf[meta_col] = metas
-            # STUB: real path would decode → resample → re-encode bytes
+            if use_real_codec:
+                pdf[data_col] = [
+                    encode_png(resize_nearest(decode_png(b or b""), width, height))
+                    for b in pdf[data_col]
+                ]
             yield pdf
 
     return df.mapInPandas(resize, out_schema)
+
+
+def decode_audio(
+    df: DataFrame, data_col: str = "data", use_real_codec: bool = False
+) -> DataFrame:
+    """Audio decode stage: binary → (n_samples, sample_rate, rms).
+    Real path parses 16-bit WAV with stdlib ``wave`` (png.decode_wav);
+    fake path derives stable pseudo-stats from the bytes."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            ns, rates, rms = [], [], []
+            for b in pdf[data_col]:
+                b = b or b""
+                if use_real_codec:
+                    from hdk_spark.operators.png import decode_wav
+
+                    samples, rate = decode_wav(b)
+                    ns.append(len(samples))
+                    rates.append(rate)
+                    rms.append(float((samples.astype("f8") ** 2).mean() ** 0.5))
+                else:
+                    mean, std = _fake_pixels_stats(b)
+                    ns.append(len(b))
+                    rates.append(16000)
+                    rms.append(std)
+            pdf["n_samples"] = ns
+            pdf["sample_rate"] = rates
+            pdf["rms"] = rms
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
 
 
 def sample_frames(
