@@ -141,6 +141,20 @@ class HDK:
             df.createOrReplaceTempView(alias)
         return Result(self.spark.sql(query))
 
+    def execute_ra(self, plan: "dict | str", **table_aliases: Any) -> "Result":
+        """Raw relational-algebra entry point: execute a Calcite-style
+        RA JSON plan (the reference's third query path — pre-built plan
+        straight to the executor, python/tests/test_pyhdk_calcite_json
+        .py, omniscidb/Tests/NoCatalogRelAlgTest.cpp). Keyword aliases
+        supply no-catalog table bindings."""
+        from hdk_spark.plans import execute_plan
+
+        tables = {
+            alias: (t.df if hasattr(t, "df") else t)
+            for alias, t in table_aliases.items()
+        } or None
+        return Result(execute_plan(self.spark, plan, tables))
+
     def scan(self, name: str) -> Any:
         """Builder entry (reference QueryBuilder::scan,
         omniscidb/QueryBuilder/QueryBuilder.h:585; pyhdk hdk.py:1560)."""

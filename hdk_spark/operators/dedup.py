@@ -445,18 +445,25 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via the block-split
     trick: split 64 bits into (max_hamming+1) blocks; any qualifying
-    pair must agree exactly on ≥1 block → equi-join per block."""
+    pair must agree exactly on ≥1 block.
+
+    Same one-shuffle shape as minhash_lsh_dedup: each doc's 8-byte
+    fingerprint rides its block rows into a groupBy on (block, value);
+    pairs + hamming distance are computed in-bucket with JVM
+    higher-order functions and deduped across blocks post-filter. The
+    carried payload here is a single long, so this strictly dominates
+    the self-join + re-attach design at any scale. ``max_bucket_size``
+    guards degenerate corpora (thousands of docs sharing a block
+    value → quadratic in-bucket pairing)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    # persist: both self-join sides reference the fingerprint subplan
-    # (64-aggregate group-by) — same reuse argument as minhash_lsh_dedup
-    fps = simhash(df, id_col, text_col).persist()
+    fps = simhash(df, id_col, text_col)
     blocks = fps.select(
-        "id",
-        "simhash",
+        F.struct("id", "simhash").alias("dh"),
         F.explode(
             F.array(
                 *[
@@ -470,28 +477,35 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "simhash", "b.blk", "b.bv")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    ).select("dh", "b.blk", "b.bv")
+    buckets = blocks.groupBy("blk", "bv").agg(
+        F.array_sort(F.collect_list("dh")).alias("ms")
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    size_ok = F.size("ms") >= 2
+    if max_bucket_size is not None:
+        size_ok = size_ok & (F.size("ms") <= max_bucket_size)
+    buckets = buckets.filter(size_ok)
+    nm = F.size("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), nm - i - 1),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
+    )
     return (
-        cand.withColumn("hamming", ham)
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
