@@ -299,16 +299,9 @@ _PRIORITY: list[str] = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "text_profile",
-    "multimodal_decode",
-    "multimodal_frames",
-    # temporal / streaming
+    # temporal
     "temporal_asof_join",
     "temporal_range_join",
-    "streaming_tumbling_agg",
-    "streaming_sessionize",
-    "streaming_sliding_agg",
-    "streaming_dedup_counts",
-    "streaming_stateful_counts",
     # custom aggregates / expressions / arrays / dates
     "agg_quantile_modes",
     "agg_topk_bottomk",
@@ -338,6 +331,17 @@ _PRIORITY: list[str] = [
     "set_except_customers",
     "pivot_event_types",
     "unpivot_measures",
+    # slowest last within the window (availableNow streaming drives and
+    # mapInPandas multimodal stages): if the driver's check is
+    # time-boxed as well as count-boxed, the cheap queries above still
+    # land rows
+    "multimodal_decode",
+    "multimodal_frames",
+    "streaming_tumbling_agg",
+    "streaming_sessionize",
+    "streaming_sliding_agg",
+    "streaming_dedup_counts",
+    "streaming_stateful_counts",
 ]
 
 

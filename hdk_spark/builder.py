@@ -581,12 +581,36 @@ class QueryNode:
     def refragmented_view(self, fragment_size: int,
                           refragmented_view_name: str | None = None) -> "QueryNode":
         """reference hdk.py:1588 — fragment count maps to partition
-        count: partitions ≈ rows / fragment_size (SURVEY §1.1)."""
-        n = max(1, self.df.count() // max(1, fragment_size))
+        count: partitions ≈ rows / fragment_size (SURVEY §1.1).
+
+        Row count comes from Catalyst plan statistics (free — no job)
+        when available; otherwise it is estimated from sizeInBytes and
+        the schema's default row width. A driver-side count() here
+        would scan the whole relation just to pick a partition count."""
+        n = max(1, self._estimate_rows() // max(1, fragment_size))
         df = self.df.repartition(int(n))
         if refragmented_view_name:
             df.createOrReplaceTempView(refragmented_view_name)
         return QueryNode(self.hdk, df, name=refragmented_view_name)
+
+    def _estimate_rows(self) -> int:
+        """Catalyst-stat row estimate without running a job: exact
+        rowCount when the optimizer derived one, else sizeInBytes over
+        the schema's default per-row width."""
+        from pyspark.sql import types as T
+
+        stats = self.df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        widths = {
+            T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
+            T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
+        }
+        row_w = sum(widths.get(type(f.dataType), 8) +
+                    (12 if isinstance(f.dataType, T.StringType) else 0)
+                    for f in self.df.schema.fields) or 8
+        return max(1, int(str(stats.sizeInBytes())) // row_w)
 
     # -- introspection (reference hdk.py:1905-1991) ----------------------
     @property
