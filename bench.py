@@ -102,7 +102,11 @@ def main() -> None:
 
     execute(spark.range(1000).repartition(32).select(_warm(F.col("id"))))
 
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    # 5 iterations (was 3): this VM shows sporadic ~6 s ambient stalls
+    # (neighbor CPU steal, not GC — verified with GC MXBean deltas);
+    # best-of-5 makes the reported steady-state robust to one or two
+    # stalled iterations.
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     def best_of(make_df) -> float:
         best = float("inf")
