@@ -102,15 +102,51 @@ def main() -> None:
 
     execute(spark.range(1000).repartition(32).select(_warm(F.col("id"))))
 
+    # vCPU ramp: this VM's cores come up heavily frequency-throttled
+    # (measured 70× on the first numpy burst, steady after ~1 s of
+    # sustained load) — spin every python worker and the JVM pool
+    # briefly so timed queries see ramped cores, not the power-state
+    # transient.
+    @pandas_udf("long")
+    def _spin(s: pd.Series) -> pd.Series:
+        import time as _t
+
+        import numpy as _np
+
+        x = _np.arange(200_000, dtype=_np.int64)
+        t_end = _t.perf_counter() + 0.5
+        while _t.perf_counter() < t_end:
+            (x * 2654435761) % 2147483647
+        return s
+
+    def ramp_python() -> None:
+        execute(spark.range(32, numPartitions=32).select(_spin(F.col("id"))))
+
+    def ramp_jvm() -> None:
+        execute(
+            spark.range(60_000_000, numPartitions=32).selectExpr(
+                "sum(id * 2654435761 % 97) AS s"
+            )
+        )
+
+    ramp_python()
+    ramp_jvm()
+
     # 5 iterations (was 3): this VM shows sporadic ~6 s ambient stalls
     # (neighbor CPU steal, not GC — verified with GC MXBean deltas);
     # best-of-5 makes the reported steady-state robust to one or two
     # stalled iterations.
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
-    def best_of(make_df) -> float:
+    def best_of(make_df, python_stage: bool = False) -> float:
         best = float("inf")
+        if python_stage:
+            ramp_python()
         for _ in range(iters):
+            # cores de-ramp during idle gaps; a short sustained JVM
+            # burst before each timed run keeps the measurement on
+            # ramped cores (see the vCPU-throttle note above)
+            ramp_jvm()
             t0 = time.perf_counter()
             execute(make_df())
             best = min(best, time.perf_counter() - t0)
@@ -124,7 +160,9 @@ def main() -> None:
     from hdk_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.table("documents")
-    timings["q7_minhash_dedup"] = best_of(lambda: minhash_lsh_dedup(docs, threshold=0.5))
+    timings["q7_minhash_dedup"] = best_of(
+        lambda: minhash_lsh_dedup(docs, threshold=0.5), python_stage=True
+    )
 
     # text-pipeline profile (tokens/quality/lang/fingerprint, all JVM-side)
     from hdk_spark.operators.text import analyze

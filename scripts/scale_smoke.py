@@ -93,7 +93,7 @@ def main() -> None:
     from hdk_spark.operators.dedup import minhash_lsh_dedup
 
     print("q7_minhash_dedup:", best(lambda: minhash_lsh_dedup(
-        spark.table("documents"), threshold=0.5), n=1))
+        spark.table("documents"), threshold=0.5)))
 
     from hdk_spark.operators.similarity import ann_lsh_topk
 
