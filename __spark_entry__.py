@@ -342,6 +342,14 @@ _PRIORITY: list[str] = [
     "streaming_sliding_agg",
     "streaming_dedup_counts",
     "streaming_stateful_counts",
+    # round-2 additions: land right after the ~50-query driver window;
+    # round 3 rotates them (and any still-unchecked names) to the front
+    "dedup_clusters",
+    "sample_stratified",
+    "sample_mixture_split",
+    "pack_sequences",
+    "text_top_terms",
+    "tpch_q20_excess_suppliers",
 ]
 
 

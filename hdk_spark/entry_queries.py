@@ -2005,3 +2005,225 @@ COMMON_SQL_EXTRA: dict[str, str] = {
     "tpch_q21_waiting_suppliers": _Q21_SQL,
     "date_current_bounds": _CURRENT_BOUNDS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: dedup clustering (connected components), deterministic
+# sampling / mixture / split, sequence packing, vocabulary top-k, TPC-H Q20
+# shape. All hash-derived randomness uses the arithmetic scheme of
+# hdk_spark/operators/sampling.py so the DuckDB oracle runs the identical
+# formula.
+# ---------------------------------------------------------------------------
+
+from hdk_spark.operators.sampling import hash_bucket_sql as _hb_sql  # noqa: E402
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (word-3-gram Jaccard ≥ 0.5) → transitive-closure
+    duplicate clusters via distributed connected components
+    (min-label propagation + pointer jumping; operators/graph.py)."""
+    from hdk_spark.operators.dedup import ngram_jaccard_pairs
+    from hdk_spark.operators.graph import duplicate_clusters
+
+    _tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        spark.table("documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return duplicate_clusters(pairs)
+
+
+# the oracle computes the same clusters by recursive transitive closure
+# (fine at oracle scale; the Spark side is the log-round distributed one)
+_DEDUP_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1, 1)),
+             i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+2]
+           )
+         ) AS s_list
+  FROM documents
+), ex AS (
+  SELECT id, len(s_list) AS n_sh, unnest(s_list) AS s FROM sh WHERE len(s_list) > 0
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+  UNION
+  SELECT id_b, id_a FROM pairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10 docs per language by
+    arithmetic-hash order (operators/sampling.py)."""
+    from hdk_spark.operators.sampling import stratified_sample
+
+    _tables(spark, sf_dir)
+    return stratified_sample(
+        spark.table("documents"), "lang", 10, "doc_id", seed=7
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_hb_sql('doc_id', 1000000007, 7)}, doc_id
+         ) AS rn
+  FROM documents
+) t WHERE rn <= 10
+"""
+
+
+def q_sample_mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture down-sampling by language weight + deterministic 80/20
+    train/val split; per-(lang, split) counts and id checksum."""
+    from hdk_spark.operators.sampling import mixture_sample, train_val_split
+
+    _tables(spark, sf_dir)
+    mixed = mixture_sample(
+        spark.table("documents"),
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1},
+        "doc_id",
+        seed=3,
+        default_weight=0.75,
+    )
+    return (
+        train_val_split(mixed, "doc_id", train_pct=80, seed=11)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+_SAMPLE_MIXTURE_ORACLE = f"""
+SELECT lang, split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT lang, doc_id,
+         CASE WHEN {_hb_sql('doc_id', 100, 11)} < 80
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+  WHERE {_hb_sql('doc_id', 10000, 3)} <
+        CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                  WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 7500 END
+) t
+GROUP BY lang, split
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: whitespace token counts →
+    deterministic hash-sharded greedy chunks (operators/packing.py)."""
+    from hdk_spark.operators.packing import pack_sequences
+    from hdk_spark.operators.text import token_count
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", budget=512, n_shards=8, seed=0
+    ).select("doc_id", "shard", "chunk_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+_PACK_SEQUENCES_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         {_hb_sql('doc_id', 1000000007, 0)} AS h,
+         {_hb_sql('doc_id', 8, 1)} AS shard
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM toks
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM packed
+"""
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-40 vocabulary terms by corpus frequency (partial-agg
+    + TakeOrdered — never a full vocabulary sort)."""
+    from hdk_spark.operators.text import top_terms
+
+    _tables(spark, sf_dir)
+    return top_terms(spark.table("documents"), "text", k=40)
+
+
+_TOP_TERMS_ORACLE = r"""
+SELECT token, n FROM (
+  SELECT token, COUNT(*) AS n
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) t
+  WHERE len(token) >= 1
+  GROUP BY token
+) c ORDER BY n DESC, token LIMIT 40
+"""
+
+
+# TPC-H Q20 shape adapted to the trimmed schema (no partsupp): the
+# IN-over-grouped-HAVING skeleton — suppliers whose shipped quantity of
+# 'small%' parts exceeds a threshold (reference exercises this class in
+# omniscidb/Tests/CorrelatedSubqueryTest.cpp).
+_Q20_SQL = """
+SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 2200
+)
+ORDER BY s_name
+"""
+
+SPARK_IMPLS.update(
+    {
+        "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "sample_mixture_split": q_sample_mixture_split,
+        "pack_sequences": q_pack_sequences,
+        "text_top_terms": q_text_top_terms,
+    }
+)
+
+ORACLES.update(
+    {
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
+        "sample_mixture_split": _SAMPLE_MIXTURE_ORACLE,
+        "pack_sequences": _PACK_SEQUENCES_ORACLE,
+        "text_top_terms": _TOP_TERMS_ORACLE,
+    }
+)
+
+COMMON_SQL_EXTRA["tpch_q20_excess_suppliers"] = _Q20_SQL

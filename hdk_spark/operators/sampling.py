@@ -1,0 +1,124 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (beyond the reference's OLAP surface).
+
+Every operator here derives its randomness from an *arithmetic* hash of
+a caller-chosen key column — never from ``rand()``:
+
+- re-running the pipeline (or recomputing a lost partition after a
+  shuffle-fetch failure) yields the IDENTICAL sample — ``rand()`` in a
+  filter is the classic nondeterministic-recompute correctness bug at
+  scale (rows duplicated or dropped across retries);
+- the sample is stable under repartitioning, so train/val membership
+  can be recomputed years later from the raw table;
+- the hash is plain int64 arithmetic (Knuth multiplicative scheme), so
+  it stays inside whole-stage codegen AND is expressible in ANSI SQL —
+  the driver's DuckDB oracle runs the very same formula.
+
+Scale notes:
+
+- hash_sample / mixture_sample / train_val_split are map-only: no
+  shuffle, fully pushdown-friendly (the filter sits directly on the
+  scan), work unchanged at any scale.
+- stratified_sample shuffles once on the stratum key (window
+  row_number). Per-stratum counts are exact; a hot stratum serializes
+  into one task's sort — for approximate-rate stratification at
+  extreme scale prefer hash_sample with a per-stratum threshold join
+  (no global ordering needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "mixture_sample",
+    "train_val_split",
+]
+
+# Knuth's multiplicative constant (2^32 / phi). Products stay well
+# inside int64 for any 32-bit-ish key domain; the prime modulus keeps
+# bucket occupancy uniform for sequential ids.
+_MULT = 2654435761
+_MOD = 1_000_000_007
+
+
+def hash_bucket(key: Column, n_buckets: int, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer key —
+    ((key * 2654435761 + seed) % 1000000007) % n_buckets, identical in
+    any ANSI-SQL engine."""
+    return ((key.cast("bigint") * F.lit(_MULT) + F.lit(seed)) % F.lit(_MOD)) % F.lit(
+        n_buckets
+    )
+
+
+def hash_bucket_sql(key_sql: str, n_buckets: int, seed: int = 0) -> str:
+    """The oracle-side rendering of :func:`hash_bucket` (shared text so
+    Spark and the SQL oracle can never drift)."""
+    return (
+        f"(((CAST({key_sql} AS BIGINT) * {_MULT} + {seed}) % {_MOD}) % {n_buckets})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, pct: int, seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ~``pct``% of rows (by hash bucket of
+    ``key_col``). Map-only; membership is a pure function of the key."""
+    return df.filter(hash_bucket(F.col(key_col), 100, seed) < F.lit(pct))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
+    (deterministic). One shuffle on the stratum key."""
+    h = hash_bucket(F.col(key_col), _MOD, seed)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Down-sample each group to its mixture weight (0..1 keep rate) —
+    the dataset-mixing step of a training pipeline (e.g. keep 30% of
+    crawl, 100% of books). Map-only: per-row CASE on the group value
+    against a hash threshold in [0, 10000)."""
+    thresh = F.lit(int(default_weight * 10000))
+    expr = None
+    for g, wt in weights.items():
+        cond = F.col(group_col) == F.lit(g)
+        t = F.lit(int(wt * 10000))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return df.filter(hash_bucket(F.col(key_col), 10000, seed) < thresh)
+
+
+def train_val_split(
+    df: DataFrame, key_col: str, train_pct: int = 90, seed: int = 0
+) -> DataFrame:
+    """Add a deterministic 'train'/'val' ``split`` column (hash of the
+    key — stable under reruns, repartitioning, and incremental loads)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col(key_col), 100, seed) < F.lit(train_pct), F.lit("train")
+        ).otherwise(F.lit("val")),
+    )

@@ -209,3 +209,24 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang.alias("lang_pred"),
         F.col("__fp").alias("fingerprint"),
     )
+
+
+def top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 50, min_len: int = 1
+) -> DataFrame:
+    """Global top-``k`` vocabulary: lowercase whitespace tokens ranked
+    by document-corpus frequency (ties broken by token, so the result
+    is total-ordered and deterministic).
+
+    Scale shape: explode → partial-agg count (map-side combine absorbs
+    the Zipf head before the shuffle) → TakeOrdered(k) — never a full
+    sort of the vocabulary.
+    """
+    return (
+        df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.length("token") >= min_len)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -1,0 +1,83 @@
+"""Connected components: planted graphs + random graph vs a Python
+union-find oracle."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from hdk_spark.operators.graph import connected_components, duplicate_clusters
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = connected_components(df).collect()
+    return {r["id"]: r["comp"] for r in out}
+
+
+def test_chain_collapses_to_min(spark):
+    # a long chain exercises the pointer-jumping path (plain neighbor
+    # propagation would need ~n rounds; we cap max_rounds well below)
+    n = 40
+    labels = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(labels) == set(range(n + 1))
+    assert set(labels.values()) == {0}
+
+
+def test_star_and_two_components(spark):
+    edges = [(100, i) for i in range(101, 106)] + [(7, 8), (8, 9)]
+    labels = _cc(spark, edges)
+    assert {labels[i] for i in range(100, 106)} == {100}
+    assert labels[7] == labels[8] == labels[9] == 7
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(500))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for n in (a, b):
+            expected[n] = find(n)
+    # union-find roots are component minima only after path compression
+    # toward min — recompute the min per root instead
+    comp_min = {}
+    for n in expected:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in expected}
+
+    labels = _cc(spark, edges)
+    assert labels == expected
+
+
+def test_duplicate_clusters_canonical_survivors(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_no_cartesian_in_cc_plan(spark):
+    df = spark.createDataFrame([(1, 2), (3, 4)], "id_a: long, id_b: long")
+    plan = connected_components(df, max_rounds=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

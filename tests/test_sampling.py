@@ -1,0 +1,108 @@
+"""Deterministic sampling / packing operators: exact counts, stability
+under repartitioning, and the packing budget invariant."""
+
+from pyspark.sql import functions as F
+
+from hdk_spark.operators.packing import pack_sequences
+from hdk_spark.operators.sampling import (
+    hash_sample,
+    mixture_sample,
+    stratified_sample,
+    train_val_split,
+)
+
+
+def _docs(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") % 97 + 3).alias("n_tokens"),
+    )
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    df = _docs(spark)
+    a = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 20, seed=5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), "doc_id", 20, seed=5).collect()
+    )
+    assert a == b and len(a) > 0
+    # roughly the requested rate (hash uniformity, not exactness)
+    assert 0.1 < len(a) / 1000 < 0.3
+
+
+def test_hash_sample_nested_rates(spark):
+    # bucket < 10 is a subset of bucket < 30: sample growth is monotone
+    df = _docs(spark)
+    s10 = {r["doc_id"] for r in hash_sample(df, "doc_id", 10).collect()}
+    s30 = {r["doc_id"] for r in hash_sample(df, "doc_id", 30).collect()}
+    assert s10 <= s30
+
+
+def test_stratified_exact_counts(spark):
+    df = _docs(spark)
+    out = (
+        stratified_sample(df, "grp", 7, "doc_id", seed=1)
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    assert {r["count"] for r in out} == {7} and len(out) == 5
+
+
+def test_stratified_caps_at_stratum_size(spark):
+    df = _docs(spark, n=10)  # strata of size 2
+    out = stratified_sample(df, "grp", 7, "doc_id").groupBy("grp").count().collect()
+    assert all(r["count"] == 2 for r in out)
+
+
+def test_mixture_weights_zero_and_one(spark):
+    df = _docs(spark)
+    out = mixture_sample(
+        df, "grp", {"0": 1.0, "1": 0.0}, "doc_id", default_weight=0.5
+    )
+    by_grp = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert by_grp["0"] == 200  # weight 1.0 keeps everything
+    assert "1" not in by_grp  # weight 0.0 drops everything
+    for g in ("2", "3", "4"):  # default 0.5 keeps roughly half
+        assert 60 < by_grp[g] < 140
+
+
+def test_train_val_split_partitions_all_rows(spark):
+    df = _docs(spark)
+    out = train_val_split(df, "doc_id", train_pct=80, seed=2)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts["train"] + counts["val"] == 1000
+    assert 700 < counts["train"] < 900
+    # same seed → same membership on recompute
+    again = {
+        r["split"]: r["count"]
+        for r in train_val_split(df.repartition(7), "doc_id", 80, seed=2)
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert again == counts
+
+
+def test_pack_sequences_budget_invariant(spark):
+    df = _docs(spark)
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=256, n_shards=4).collect()
+    assert len(out) == 1000  # every doc assigned exactly once
+    chunks: dict[tuple, list[int]] = {}
+    for r in out:
+        chunks.setdefault((r["shard"], r["chunk_id"]), []).append(r["n_tokens"])
+    for toks in chunks.values():
+        # greedy rule: a chunk overflows by at most its last document
+        assert sum(toks) - max(toks) < 256
+    assert {s for s, _ in chunks} == {0, 1, 2, 3}
+
+
+def test_pack_sequences_deterministic(spark):
+    df = _docs(spark)
+    a = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tokens").collect()))
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(17), "doc_id", "n_tokens").collect())
+    )
+    assert a == b
