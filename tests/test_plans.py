@@ -156,3 +156,46 @@ def test_scalar_functions_stay_jvm_side(spark):
     )
     p = plan(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def _raw_docs(spark):
+    # raw scan (no load_tables repartition hint) — measure the operator,
+    # not the test-fixture view
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+def test_hash_sample_is_map_only_codegen(spark):
+    from hdk_spark.operators.sampling import hash_sample
+
+    p = plan(hash_sample(_raw_docs(spark), "doc_id", 10))
+    assert "Exchange" not in p  # no shuffle: pure scan+filter
+    assert "* Filter" in p  # '*' = inside a whole-stage-codegen stage
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_stratified_and_packing_single_exchange(spark):
+    from hdk_spark.operators.packing import pack_sequences
+    from hdk_spark.operators.sampling import stratified_sample
+    from hdk_spark.operators.text import token_count
+
+    # the tree section (before the node details) lists each physical
+    # node once — count exchanges there
+    tree = plan(stratified_sample(_raw_docs(spark), "lang", 5, "doc_id")).split("\n\n")[0]
+    assert tree.count("Exchange") == 1  # one shuffle on the stratum key
+    # bonus pin: Spark pushes a partial per-stratum top-k below the
+    # shuffle (WindowGroupLimit) — the sampled shuffle is candidate-sized
+    assert "WindowGroupLimit" in tree
+
+    toks = _raw_docs(spark).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    tree = plan(pack_sequences(toks, "doc_id", "n_tokens")).split("\n\n")[0]
+    assert tree.count("Exchange") == 1  # one shuffle on the shard key
+
+
+def test_top_terms_partial_agg_and_take_ordered(spark):
+    from hdk_spark.operators.text import top_terms
+
+    p = plan(top_terms(_raw_docs(spark), k=10))
+    assert "TakeOrderedAndProject" in p  # never a full vocabulary sort
+    assert "partial_count" in p or "HashAggregate" in p  # map-side combine
