@@ -2227,3 +2227,25 @@ ORACLES.update(
 )
 
 COMMON_SQL_EXTRA["tpch_q20_excess_suppliers"] = _Q20_SQL
+
+
+# FULL OUTER / explicit CROSS join shapes — the reference's Calcite
+# bridge rejects RIGHT/FULL (WorkUnitBuilder.cpp); they come free in a
+# Spark-first engine, so ship them as oracle-checked beyond-ref surface.
+_FULL_OUTER_SQL = """
+SELECT COALESCE(c_custkey, -1) AS custkey,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order,
+       COUNT(o_orderkey) AS n_orders
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+WHERE COALESCE(c_acctbal, 0) < 500
+GROUP BY COALESCE(c_custkey, -1)
+"""
+
+_CROSS_SMALL_SQL = """
+SELECT r.r_name, n.n_name, COUNT(*) AS n
+FROM region r CROSS JOIN nation n
+GROUP BY r.r_name, n.n_name
+"""
+
+COMMON_SQL_EXTRA["join_full_outer"] = _FULL_OUTER_SQL
+COMMON_SQL_EXTRA["join_cross_small"] = _CROSS_SMALL_SQL

@@ -100,6 +100,24 @@ def main() -> None:
     print("q9_ann_topk:", best(lambda: ann_lsh_topk(
         spark.table("embeddings"), [0, 1, 2, 3, 4], k=10)))
 
+    # duplicate clustering: CC over the (quarter-million-edge) near-dup
+    # graph the 90%-clone corpus produces — the iterative operator's
+    # 10× stress
+    from hdk_spark.operators.graph import duplicate_clusters
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_dedup(spark.table("documents"), threshold=0.5)
+    n_clusters = (
+        duplicate_clusters(pairs).select("cluster_id").distinct().count()
+    )
+    print("cc_dedup_clusters:", round(time.perf_counter() - t0, 2),
+          "s, clusters:", n_clusters)
+
+    from hdk_spark.operators.text import top_terms
+
+    print("vocab_top_terms:", best(lambda: top_terms(
+        spark.table("documents"), k=100)))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()
