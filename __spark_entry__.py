@@ -350,6 +350,10 @@ _PRIORITY: list[str] = [
     "pack_sequences",
     "text_top_terms",
     "tpch_q20_excess_suppliers",
+    "text_chunking",
+    "streaming_static_join",
+    "join_full_outer",
+    "join_cross_small",
 ]
 
 

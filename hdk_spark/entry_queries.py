@@ -2249,3 +2249,77 @@ GROUP BY r.r_name, n.n_name
 
 COMMON_SQL_EXTRA["join_full_outer"] = _FULL_OUTER_SQL
 COMMON_SQL_EXTRA["join_cross_small"] = _CROSS_SMALL_SQL
+
+
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined per
+    micro-batch to the static customer dimension (stateless — no
+    watermark state), aggregated by market segment, driven with
+    availableNow to completion and value-checked against the batch
+    join+agg oracle."""
+    from hdk_spark.streaming import stream_static_join
+
+    s = _events_stream(spark, sf_dir)
+    cust = spark.table("customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = stream_static_join(
+        s, cust, on=s["user_id"] == cust["c_custkey"], how="inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    name = _run_stream(agg, "complete")
+    return spark.table(name).select("c_mktsegment", "n", "sum_value")
+
+
+_STREAMING_STATIC_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 16) —
+    map-only explode+slice; every chunk's text round-trips for exact
+    value comparison."""
+    from hdk_spark.operators.text import chunk_documents
+
+    _tables(spark, sf_dir)
+    return chunk_documents(
+        spark.table("documents"), "doc_id", "text", chunk_tokens=32, stride=16
+    )
+
+
+_TEXT_CHUNKING_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks,
+         CAST(ceil(greatest(len(toks) - 32, 0) / 16.0) AS BIGINT) + 1 AS n_chunks
+  FROM t
+), c AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 32)) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+SPARK_IMPLS.update(
+    {
+        "streaming_static_join": q_streaming_static_join,
+        "text_chunking": q_text_chunking,
+    }
+)
+ORACLES.update(
+    {
+        "streaming_static_join": _STREAMING_STATIC_JOIN_ORACLE,
+        "text_chunking": _TEXT_CHUNKING_ORACLE,
+    }
+)

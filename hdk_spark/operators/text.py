@@ -230,3 +230,46 @@ def top_terms(
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the
+    pretraining / retrieval chunking step): chunk ``i`` covers tokens
+    [i*stride, i*stride + chunk_tokens).
+
+    Map-only: tokenize → per-row chunk-count arithmetic → explode →
+    slice. No shuffle at any scale; output amplification is bounded by
+    ~chunk_tokens/stride. A document shorter than ``chunk_tokens``
+    yields exactly one (short) chunk; the final chunk clamps at the
+    document end rather than padding.
+    """
+    toks = tokenize(F.col(text_col))
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(toks) - F.lit(chunk_tokens), F.lit(0))
+            / F.lit(float(stride))
+        ).cast("bigint")
+        + 1
+    )
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    sl = F.slice(
+        F.col("__toks"), F.col("chunk_idx").cast("int") * stride + 1, chunk_tokens
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+    )

@@ -209,3 +209,16 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "app
     )
     q.awaitTermination()
     return q
+
+
+def stream_static_join(
+    stream_df: DataFrame, static_df: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Enrichment join of an unbounded stream against a static (or
+    slowly-refreshed) dimension — the canonical streaming lookup.
+
+    Stateless: each micro-batch joins against the static relation, so
+    there is no streaming state to watermark; at scale the static side
+    is broadcast (dimension-sized) and the stream never shuffles for
+    the join."""
+    return stream_df.join(static_df, on=on, how=how)

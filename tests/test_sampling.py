@@ -106,3 +106,43 @@ def test_pack_sequences_deterministic(spark):
         map(tuple, pack_sequences(df.repartition(17), "doc_id", "n_tokens").collect())
     )
     assert a == b
+
+
+def test_chunk_documents_invariants(spark):
+    from hdk_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # 100 tokens
+            (2, "a b c"),  # shorter than one chunk
+            (3, " ".join(f"x{i}" for i in range(32))),  # exactly one chunk
+        ],
+        "doc_id: long, text: string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, stride=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: ceil((100-32)/16)+1 = 6 chunks; stride-16 overlap between
+    # consecutive chunks; non-overlapped reconstruction = original doc
+    c1 = by_doc[1]
+    assert len(c1) == 6
+    assert all(r["n_tokens"] == 32 for r in c1[:-1]) and c1[-1]["n_tokens"] == 20
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"].split()[16:] == b["chunk_text"].split()[: a["n_tokens"] - 16]
+    rebuilt = c1[0]["chunk_text"].split()
+    for r in c1[1:]:
+        rebuilt += r["chunk_text"].split()[len(rebuilt) - r["chunk_idx"] * 16 :]
+    assert rebuilt == [f"w{i}" for i in range(100)]
+
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 32
+
+
+def test_chunk_documents_map_only_plan(spark):
+    from hdk_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    p = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p  # pure explode+slice, no shuffle
