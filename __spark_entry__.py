@@ -354,6 +354,7 @@ _PRIORITY: list[str] = [
     "streaming_static_join",
     "join_full_outer",
     "join_cross_small",
+    "search_bm25",
 ]
 
 

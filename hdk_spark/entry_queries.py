@@ -2323,3 +2323,56 @@ ORACLES.update(
         "text_chunking": _TEXT_CHUNKING_ORACLE,
     }
 )
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (map-only HOF term frequencies + one
+    bounded stats aggregate + TakeOrdered) — lexical complement of the
+    dense ANN queries."""
+    from hdk_spark.operators.search import bm25_topk
+
+    _tables(spark, sf_dir)
+    return bm25_topk(
+        spark.table("documents"), ["hash", "join", "window"], k=15
+    )
+
+
+# identical formula, corpus statistics recomputed in SQL; round(,6) on
+# both sides absorbs last-ulp libm differences (same guard as
+# expr_math_funcs transcendentals)
+_BM25_ORACLE = r"""
+WITH staged AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n,
+         sum(CASE WHEN list_contains(toks, 'hash')   THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN list_contains(toks, 'join')   THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df2
+  FROM staged
+), scored AS (
+  SELECT s.id,
+         round(
+           ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5)) *
+             (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * s.dl / st.avgdl))) +
+           ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) *
+             (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * s.dl / st.avgdl))) +
+           ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) *
+             (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * s.dl / st.avgdl))),
+           6) AS score
+  FROM (
+    SELECT id, dl,
+           CAST(len(list_filter(toks, x -> x = 'hash'))   AS DOUBLE) AS tf0,
+           CAST(len(list_filter(toks, x -> x = 'join'))   AS DOUBLE) AS tf1,
+           CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2
+    FROM staged
+  ) s CROSS JOIN stats st
+)
+SELECT id, score FROM scored WHERE score > 0.0
+ORDER BY score DESC, id LIMIT 15
+"""
+
+SPARK_IMPLS["search_bm25"] = q_search_bm25
+ORACLES["search_bm25"] = _BM25_ORACLE
