@@ -355,6 +355,7 @@ _PRIORITY: list[str] = [
     "join_full_outer",
     "join_cross_small",
     "search_bm25",
+    "streaming_interval_join",
 ]
 
 

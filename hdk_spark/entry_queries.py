@@ -2376,3 +2376,55 @@ ORDER BY score DESC, id LIMIT 15
 
 SPARK_IMPLS["search_bm25"] = q_search_bm25
 ORACLES["search_bm25"] = _BM25_ORACLE
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time join: purchases within 30 minutes of a
+    click by the same user — both sides unbounded watermarked streams,
+    driven with availableNow, value-checked against the batch
+    interval-join oracle."""
+    from hdk_spark.streaming import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    out = stream_interval_join(
+        clicks,
+        buys,
+        left_key="user_id",
+        right_key="b_user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        within="30 minutes",
+        watermark="2 hours",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    name = _run_stream(out, "append")
+    return spark.table(name)
+
+
+_STREAMING_INTERVAL_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       a.ts AS click_ts, b.ts AS purchase_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+SPARK_IMPLS["streaming_interval_join"] = q_streaming_interval_join
+ORACLES["streaming_interval_join"] = _STREAMING_INTERVAL_JOIN_ORACLE

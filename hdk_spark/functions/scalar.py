@@ -257,6 +257,17 @@ def null_safe_eq(a: Column, b: Column) -> Column:
     return a.eqNullSafe(b)
 
 
+def offset_in_fragment() -> Column:
+    """OFFSET_IN_FRAGMENT() — the row's offset inside its storage
+    fragment (reference Calcite surface, SURVEY §2.8; fragments are the
+    reference's scan granule). Spark's granule is the task partition:
+    ``monotonically_increasing_id`` packs (partition_id << 33) | offset,
+    so masking the low 33 bits yields the within-partition offset —
+    0-based, dense, and unique per partition, matching the reference's
+    semantics on its own fragments."""
+    return F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+
+
 def truncate(value: Column, scale: int = 0) -> Column:
     """TRUNCATE(x, d) — toward zero (reference
     QueryEngine/ExtensionFunctions.hpp:336-377)."""
@@ -375,4 +386,6 @@ def scalar_function(name: str, *args) -> Column:
     if key in ("likely", "unlikely"):
         # branch hints (reference IR/Expr.h:766) — semantically a no-op
         return cols[0]
+    if key == "offset_in_fragment":
+        return offset_in_fragment()
     raise ValueError(f"unsupported scalar function: {name}")

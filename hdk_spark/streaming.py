@@ -222,3 +222,32 @@ def stream_static_join(
     is broadcast (dimension-sized) and the stream never shuffles for
     the join."""
     return stream_df.join(static_df, on=on, how=how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: right-side events within
+    ``[left_ts, left_ts + within]`` for the same key (e.g. purchases
+    within 30 minutes of a click).
+
+    Both sides are watermarked — Spark derives the join-state retention
+    bound from the watermark + the time-range condition, so state stays
+    bounded on unbounded input; the join itself shuffles both streams
+    on the key like any equi-join. Caller must rename clashing columns
+    beforehand (standard streaming self-join hygiene)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")
