@@ -356,6 +356,7 @@ _PRIORITY: list[str] = [
     "join_cross_small",
     "search_bm25",
     "streaming_interval_join",
+    "dedup_contamination",
 ]
 
 

@@ -2428,3 +2428,50 @@ FROM events a JOIN events b
 
 SPARK_IMPLS["streaming_interval_join"] = q_streaming_interval_join
 ORACLES["streaming_interval_join"] = _STREAMING_INTERVAL_JOIN_ORACLE
+
+
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination flags: word-3-gram overlap of every corpus doc
+    against a 3-document 'benchmark' set (docs 0-2 stand in for an eval
+    set). Benchmark shingles fold into one literal broadcast; the
+    corpus pass is map-only."""
+    from hdk_spark.operators.dedup import contamination_flags
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = [
+        r["text"]
+        for r in docs.filter(F.col("doc_id") < 3).select("text").collect()
+    ]
+    return contamination_flags(docs, bench, "doc_id", "text", n=3, min_overlap=1)
+
+
+_CONTAMINATION_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1, 1)),
+             i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+2]
+           )
+         ) AS s_list
+  FROM documents
+), bs AS (
+  SELECT DISTINCT unnest(s_list) AS s FROM sh WHERE doc_id < 3
+), e AS (
+  SELECT doc_id, unnest(s_list) AS s FROM sh
+), o AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM e JOIN bs ON e.s = bs.s
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
+"""
+
+SPARK_IMPLS["dedup_contamination"] = q_dedup_contamination
+ORACLES["dedup_contamination"] = _CONTAMINATION_ORACLE

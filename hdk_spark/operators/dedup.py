@@ -732,3 +732,48 @@ def embedding_neardup_pairs(
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"]) if row else 0
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against a small reference set)
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    """Driver-side twin of _shingles (same lower/trim/whitespace/n-gram
+    rules) for the small benchmark set."""
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark_texts: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing ≥ ``min_overlap`` word ``n``-grams
+    with ANY benchmark text — the decontamination step of a training
+    pipeline (drop eval-set lookalikes before training).
+
+    Scale shape: benchmark sets are small (thousands of eval questions,
+    not corpora), so their shingle union folds into ONE literal array
+    broadcast inside the plan; the corpus pass is map-only
+    (array_intersect per row, no shuffle, no join). For benchmark sets
+    too large for a literal, swap the literal for a broadcast join on
+    exploded shingles — same candidate semantics.
+
+    Returns (id, n_overlap, contaminated) for every corpus document.
+    """
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        bench |= _py_shingles(t, n)
+    lit = F.array(*[F.lit(s) for s in sorted(bench)])
+    overlap = F.size(F.array_intersect(_shingles(F.col(text_col), n), lit))
+    return df.select(
+        F.col(id_col).alias("id"),
+        overlap.cast("bigint").alias("n_overlap"),
+        (overlap >= F.lit(min_overlap)).alias("contaminated"),
+    )

@@ -161,3 +161,33 @@ def test_ngram_cap_no_effect_below_threshold(docs):
     a = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=1000))
     b = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None))
     assert a == b
+
+
+def test_contamination_flags_planted(spark):
+    from hdk_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox appears"),          # shares 'quick brown fox'
+            (3, "completely unrelated content here"),
+            (4, "THE QUICK BROWN fox"),                 # case-folded hit
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = ["benchmark asks about the quick brown fox today"]
+    out = {
+        r["id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_flags(docs, bench, n=3).collect()
+    }
+    assert out[1][1] and out[2][1] and out[4][1]
+    assert out[3] == (0, False)
+    assert out[1][0] >= 2  # 'the quick brown' + 'quick brown fox'
+
+
+def test_contamination_map_only_plan(spark):
+    from hdk_spark.operators.dedup import contamination_flags
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    p = contamination_flags(df, ["a b c"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p  # literal-broadcast, map-only
