@@ -357,6 +357,7 @@ _PRIORITY: list[str] = [
     "search_bm25",
     "streaming_interval_join",
     "dedup_contamination",
+    "embedding_kmeans",
 ]
 
 

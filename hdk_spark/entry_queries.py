@@ -2475,3 +2475,65 @@ FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
 
 SPARK_IMPLS["dedup_contamination"] = q_dedup_contamination
 ORACLES["dedup_contamination"] = _CONTAMINATION_ORACLE
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=4, 2 Lloyd rounds) over the embeddings
+    table — deterministic by construction (hash init, decimal-exact
+    centroid sums, tie-broken argmin), so the oracle unrolls the same
+    two rounds in SQL and the ASSIGNMENTS match exactly."""
+    from hdk_spark.operators.clustering import kmeans_assignments
+
+    _tables(spark, sf_dir)
+    return kmeans_assignments(
+        spark.table("embeddings"), k=4, iters=2, seed=0
+    )
+
+
+def _kmeans_oracle() -> str:
+    from hdk_spark.operators.sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql("vec_id", 1000000007, 0)
+    dist = (
+        "list_reduce(list_transform(list_zip(e.embedding, c.embedding),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+    )
+    assign = """
+{name} AS (
+  SELECT vec_id, embedding, c FROM (
+    SELECT e.vec_id, e.embedding, c.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.c) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
+  ) t WHERE rn = 1
+)"""
+    update = """
+{name} AS (
+  SELECT c, list(d_avg ORDER BY d) AS embedding FROM (
+    SELECT a.c, dd.d,
+           CAST(sum(CAST(CAST(a.embedding[dd.d] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*) AS d_avg
+    FROM {assigned} a CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+    GROUP BY a.c, dd.d
+  ) s GROUP BY c
+)"""
+    return (
+        "WITH init AS (\n"
+        "  SELECT embedding, row_number() OVER (ORDER BY " + hb + ", vec_id) - 1 AS c\n"
+        "  FROM embeddings ORDER BY " + hb + ", vec_id LIMIT 4\n"
+        "),"
+        + assign.format(name="a1", dist=dist, cents="init")
+        + ","
+        + update.format(name="c1", assigned="a1")
+        + ","
+        + assign.format(name="a2", dist=dist, cents="c1")
+        + ","
+        + update.format(name="c2", assigned="a2")
+        + ","
+        + assign.format(name="a3", dist=dist, cents="c2")
+        + "\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a3"
+    )
+
+
+SPARK_IMPLS["embedding_kmeans"] = q_embedding_kmeans
+ORACLES["embedding_kmeans"] = _kmeans_oracle()
