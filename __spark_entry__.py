@@ -358,6 +358,7 @@ _PRIORITY: list[str] = [
     "streaming_interval_join",
     "dedup_contamination",
     "embedding_kmeans",
+    "text_distinctive_terms",
 ]
 
 

@@ -2537,3 +2537,40 @@ def _kmeans_oracle() -> str:
 
 SPARK_IMPLS["embedding_kmeans"] = q_embedding_kmeans
 ORACLES["embedding_kmeans"] = _kmeans_oracle()
+
+
+def q_text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive terms (tf x ln(n_langs/df) top-5)."""
+    from hdk_spark.operators.text import distinctive_terms
+
+    _tables(spark, sf_dir)
+    return distinctive_terms(spark.table("documents"), "lang", "text", k=5)
+
+
+_DISTINCTIVE_TERMS_ORACLE = r"""
+WITH tok AS (
+  SELECT lang AS grp, doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT grp, token, COUNT(*) AS tf FROM tok WHERE len(token) >= 1 GROUP BY 1, 2
+), ddf AS (
+  SELECT token, COUNT(*) AS d_df FROM (
+    SELECT DISTINCT doc_id, token FROM tok WHERE len(token) >= 1
+  ) u GROUP BY token
+), nd AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.grp, tf.token,
+         round(tf.tf * ln(CAST(nd.n AS DOUBLE) / ddf.d_df), 6) AS score
+  FROM tf JOIN ddf ON tf.token = ddf.token CROSS JOIN nd
+)
+SELECT grp, token, score FROM (
+  SELECT grp, token, score,
+         row_number() OVER (PARTITION BY grp ORDER BY score DESC, token) AS rn
+  FROM scored WHERE score > 0.0
+) t WHERE rn <= 5
+"""
+
+SPARK_IMPLS["text_distinctive_terms"] = q_text_distinctive_terms
+ORACLES["text_distinctive_terms"] = _DISTINCTIVE_TERMS_ORACLE

@@ -273,3 +273,51 @@ def chunk_documents(
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).cast("bigint").alias("n_tokens"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` distinctive terms per group by tf·idf: group-level
+    term frequency × ln(N_docs / docs_containing_term). Deterministic:
+    scores round to 6 digits before ranking, ties break on the term.
+
+    Scale shape: explode → partial-agg counts (one pass serves both the
+    per-group tf and, via a distinct (doc, token) projection, the
+    document frequency) → vocabulary-sized equi-join → broadcast-sized
+    N scalar → per-group WindowGroupLimit top-k. Everything after the
+    first aggregation is vocabulary-sized, not corpus-sized.
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("__id"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.length("token") >= 1)
+    tf = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ddf = (
+        tok.select("__id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("d_df"))
+    )
+    n_docs = df.count()  # bounded driver scalar
+    scored = tf.join(ddf, "token").select(
+        "grp",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("d_df")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.filter(F.col("score") > 0.0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("grp", "token", "score")
+    )

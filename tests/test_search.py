@@ -41,3 +41,21 @@ def test_bm25_plan_has_no_join_or_explode(spark):
     p = bm25_topk(df, ["a"], k=3)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p and "Generate" not in p  # map-only scoring
     assert "TakeOrderedAndProject" in p
+
+
+def test_distinctive_terms_planted(spark):
+    from hdk_spark.operators.text import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "common common schnell schnell schnell"),
+            (2, "a", "common schnell"),
+            (3, "b", "common common rapide rapide"),
+            (4, "b", "common rapide"),
+        ],
+        "doc_id: long, lang: string, text: string",
+    )
+    out = distinctive_terms(docs, "lang", "text", "doc_id", k=1).collect()
+    top = {r["grp"]: r["token"] for r in out}
+    # 'common' is in every doc (idf=0); group-exclusive terms win
+    assert top == {"a": "schnell", "b": "rapide"}
