@@ -777,3 +777,81 @@ def contamination_flags(
         overlap.cast("bigint").alias("n_overlap"),
         (overlap >= F.lit(min_overlap)).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus signatures
+# ---------------------------------------------------------------------------
+
+
+def _banded_sig(sig: DataFrame, prefix: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, signature) → one row per (band, band-hash), columns prefixed
+    to keep two-sided joins unambiguous."""
+    return sig.select(
+        F.col("id").alias(f"{prefix}_id"),
+        F.col("signature").alias(f"{prefix}_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(f"{prefix}_id", f"{prefix}_sig", "bb.band", "bb.bh")
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between a NEW document batch and an EXISTING
+    corpus — the steady-state shape of a crawl pipeline (each incoming
+    batch dedupes against everything already ingested; the corpus is
+    never re-compared against itself).
+
+    ``corpus_sig`` is the stored (id, signature) relation produced by
+    :func:`minhash_signatures` over the corpus — at scale it lives as a
+    table (≈0.5 KB/doc) and is NEVER re-sketched here. Plan: only the
+    new batch runs the Python sketch stage; its bands are explicitly
+    broadcast, so the corpus's banded rows stream through one
+    broadcast-hash join — zero shuffle of corpus data, no corpus
+    self-join anywhere. Returns (new_id, corpus_id, jaccard_est ≥
+    threshold), each pair once.
+
+    Same (n, num_perm, seed) as the stored signatures is the caller's
+    contract — signatures from different parameters never match.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    new_sig = minhash_signatures(new_df, id_col, text_col, n, num_perm, seed)
+    nb = F.broadcast(_banded_sig(new_sig, "new", bands, rows_per_band))
+    cb = _banded_sig(corpus_sig, "corpus", bands, rows_per_band)
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("new_sig"), F.col("corpus_sig"), lambda p, q: p == q),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cb.join(nb, ["band", "bh"])
+        .select(
+            F.col("new_id"),
+            F.col("corpus_id"),
+            F.round(est, 6).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )

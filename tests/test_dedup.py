@@ -191,3 +191,49 @@ def test_contamination_map_only_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
     p = contamination_flags(df, ["a b c"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p  # literal-broadcast, map-only
+
+
+def test_incremental_dedup_matches_full_run_cross_pairs(spark):
+    from hdk_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_lsh_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus = docs.filter("doc_id >= 50")
+    new = docs.filter("doc_id < 50")
+
+    inc = {
+        (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"])): r["jaccard_est"]
+        for r in minhash_dedup_incremental(
+            new, minhash_signatures(corpus), threshold=0.5
+        ).collect()
+    }
+    # the full-corpus run restricted to (new, corpus) cross pairs must
+    # agree exactly: same signatures -> same bands -> same candidates/est
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+        if (r["id_a"] < 50) != (r["id_b"] < 50)
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_dedup_broadcasts_new_side(spark):
+    from hdk_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        minhash_dedup_incremental(
+            docs.filter("doc_id < 10"), minhash_signatures(docs.filter("doc_id >= 10"))
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
