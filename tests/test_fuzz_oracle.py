@@ -79,3 +79,73 @@ def test_random_agg_query_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# window-function + set-operation grammars (round 2: the shapes the agg
+# grammar above cannot reach)
+# ---------------------------------------------------------------------------
+
+WIN_FUNCS = [
+    "ROW_NUMBER()",
+    "RANK()",
+    "DENSE_RANK()",
+    "COUNT(*)",
+    "SUM(l_quantity)",
+    "MIN(l_linenumber)",
+    "MAX(l_orderkey)",
+]
+
+
+@st.composite
+def window_queries(draw):
+    fn = draw(st.sampled_from(WIN_FUNCS))
+    part = draw(st.sampled_from(KEY_COLS))
+    where = draw(st.lists(preds, min_size=1, max_size=2))
+    # full deterministic order inside the window: unique tie-break keys
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{fn} OVER (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber) AS w "
+        f"FROM lineitem WHERE " + " AND ".join(where)
+    )
+    return sql
+
+
+@given(sql=window_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_window_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+@st.composite
+def setop_queries(draw):
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    pa = draw(preds)
+    pb = draw(preds)
+    cols = draw(st.lists(st.sampled_from(KEY_COLS + INT_COLS), min_size=1,
+                         max_size=2, unique=True))
+    c = ", ".join(cols)
+    return (
+        f"SELECT {c} FROM lineitem WHERE {pa} {op} "
+        f"SELECT {c} FROM lineitem WHERE {pb}"
+    )
+
+
+@given(sql=setop_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_setop_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
