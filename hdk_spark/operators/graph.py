@@ -59,9 +59,17 @@ def connected_components(
         .persist()
     )
 
+    # Fused init: comp0 := min(self ∪ neighbors) in ONE groupBy — this is
+    # exactly the first neighbor-propagation round, but without the
+    # separate node-distinct + edge⋈label join it would otherwise cost.
+    # Dedup pair graphs are near-cliques/stars that usually converge
+    # right here, so the loop below then runs a single verify round:
+    # 2 shuffled rounds total instead of 3.
     labels = (
-        e.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint(eager=True)
+        e.groupBy(F.col("a").alias("id"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
     for _ in range(max_rounds):

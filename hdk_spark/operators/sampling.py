@@ -37,6 +37,7 @@ __all__ = [
     "stratified_sample",
     "mixture_sample",
     "train_val_split",
+    "weighted_sample",
 ]
 
 # Knuth's multiplicative constant (2^32 / phi). Products stay well
@@ -109,6 +110,47 @@ def mixture_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return df.filter(hash_bucket(F.col(key_col), 10000, seed) < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_target: int,
+    seed: int = 0,
+    total_weight=None,
+) -> DataFrame:
+    """Deterministic PPS (probability-proportional-to-size) Poisson
+    sample: row i is kept with probability min(1, n_target * w_i / W),
+    so the expected sample size is ~n_target and heavy rows are kept
+    with certainty — the standard weighted down-sampling step of a
+    data-mixing pipeline (importance/quality weights).
+
+    Inclusion is decided by pure decimal-integer arithmetic::
+
+        (2*hash_bucket(key, MOD, seed) + 1) * W  <  2 * MOD * n_target * w_i
+
+    i.e. u_i < n_target*w_i/W with u_i = (2h+1)/(2*MOD) — no float ever
+    enters, so membership is bit-identical in any ANSI engine and under
+    task recomputation. Map-only given ``total_weight``; when omitted it
+    is computed here with one exact decimal aggregate (at scale compute
+    W once per dataset version and pass it in — it is a property of the
+    corpus, not of the query).
+
+    ``weight_col`` must fit DECIMAL(18,2) (money-like weights).
+    """
+    if total_weight is None:
+        total_weight = df.agg(
+            F.sum(F.col(weight_col).cast("decimal(18,2)"))
+        ).collect()[0][0]
+    h = hash_bucket(F.col(key_col), _MOD, seed)
+    lhs = (h * 2 + 1).cast("decimal(12,0)") * F.lit(total_weight).cast(
+        "decimal(18,2)"
+    )
+    rhs = F.lit(2 * _MOD * n_target).cast("decimal(16,0)") * F.col(
+        weight_col
+    ).cast("decimal(18,2)")
+    return df.filter(lhs < rhs)
 
 
 def train_val_split(

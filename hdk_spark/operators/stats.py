@@ -1,0 +1,128 @@
+"""Per-group robust statistics / feature normalization — the
+pre-training feature-conditioning step of a data pipeline (winsorize
+outlier weights, quantile-normalize quality scores per source, z-score
+per group). Beyond the reference's OLAP surface; the reference's only
+related facility is its quantile aggregate family (SURVEY.md §2.5),
+which these operators compose per group.
+
+Scale design:
+
+- ``group_quantile_stats`` is ONE groupBy aggregate. Exact percentiles
+  (``percentile``) sort each group's values — fine when groups are
+  bounded (sources, languages, shards). For billions of rows per group
+  switch ``exact=False`` (t-digest ``approx_percentile``, mergeable
+  partial aggregation, no per-group sort).
+- ``winsorize`` joins the tiny per-group stats relation back —
+  broadcast-sized by construction (one row per group); the data pass
+  stays map-only.
+- ``quantile_normalize`` is one window function (single shuffle on the
+  group key). ``zscore`` uses exact DECIMAL moment sums, so the
+  variance is order-independent — a float sum across partitions would
+  be nondeterministic under re-partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "group_quantile_stats",
+    "winsorize",
+    "quantile_normalize",
+    "zscore",
+]
+
+
+def group_quantile_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group (n, lo, hi) percentile bounds. ``lo``/``hi`` are
+    rounded to cents (DECIMAL(18,2)) so downstream clipping stays in
+    exact decimal arithmetic."""
+    pf = F.percentile if exact else F.approx_percentile
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(pf(F.col(value_col).cast("double"), F.lit(p_lo)), 2)
+        .cast("decimal(18,2)")
+        .alias("lo"),
+        F.round(pf(F.col(value_col).cast("double"), F.lit(p_hi)), 2)
+        .cast("decimal(18,2)")
+        .alias("hi"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str = "winsorized",
+    exact: bool = True,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [p_lo, p_hi] percentile range
+    (cent-rounded bounds → exact decimal clip). Adds ``out_col``."""
+    stats = group_quantile_stats(df, group_col, value_col, p_lo, p_hi, exact)
+    v = F.col(value_col).cast("decimal(18,2)")
+    return (
+        df.join(F.broadcast(stats.drop("n")), on=group_col)
+        .withColumn(out_col, F.least(F.greatest(v, F.col("lo")), F.col("hi")))
+        .drop("lo", "hi")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    out_col: str = "qnorm",
+) -> DataFrame:
+    """Map each value to its within-group percent rank in [0, 1] —
+    rank-based normalization that is immune to outliers and comparable
+    across groups. ``order_col`` breaks ties deterministically. The
+    result is the exact rational (rank-1)/(n-1)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(order_col)
+    )
+    return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score with order-independent moments: mean and
+    variance come from exact DECIMAL sums (sum, sum of squares), so the
+    result is identical under any partitioning — the float-accumulator
+    version would hash differently run-to-run at scale."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s1"),
+        F.sum((v * v).cast("decimal(38,4)")).alias("__s2"),
+    )
+    # exact decimal sums → double once; the float arithmetic below is a
+    # pure function of order-independent inputs, so it is deterministic
+    # under any partitioning (s1*s1 in decimal would overflow p=38)
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    n = F.col("__n").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return (
+        df.join(F.broadcast(stats), on=group_col)
+        .withColumn(
+            out_col,
+            (F.col(value_col).cast("double") - mean) / F.sqrt(var),
+        )
+        .drop("__n", "__s1", "__s2")
+    )

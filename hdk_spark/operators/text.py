@@ -275,6 +275,68 @@ def chunk_documents(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher-style
+    repetition filters of Rae et al. 2021 §A1.1, adapted to word
+    level): duplicate-token fraction and most-frequent-bigram mass.
+    High values flag boilerplate / degenerate documents that a
+    pretraining pipeline drops.
+
+    Returns (id, n_tokens, dup_token_frac, n_bigrams,
+    top_bigram_ratio); ratios are exact int/int divisions rounded to 6
+    digits, so the result is engine- and partitioning-independent.
+
+    Scale shape: token stats are pure map-side HOFs; the bigram mode
+    needs a per-(doc, bigram) count → two partial-agg shuffles keyed by
+    the document id, NO join (per-doc scalars ride along as first()).
+    Long documents therefore never build a per-doc hash map in Python —
+    the Zipf head collapses in map-side combine.
+    """
+    toks = tokenize(F.lower(F.col(text_col)))
+    bigrams = F.expr(
+        "CASE WHEN size(__toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(__toks[i-1], ' ', __toks[i])) END"
+    )
+    staged = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("__nt"),
+            F.size(F.array_distinct("__toks")).alias("__ndt"),
+            F.explode_outer(bigrams).alias("__bg"),
+        )
+    )
+    per_bigram = staged.groupBy(id_col, "__bg").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.first("__nt").alias("__nt"),
+        F.first("__ndt").alias("__ndt"),
+    )
+    per_doc = per_bigram.groupBy(id_col).agg(
+        F.first("__nt").alias("__nt"),
+        F.first("__ndt").alias("__ndt"),
+        F.sum(
+            F.when(F.col("__bg").isNotNull(), F.col("__c")).otherwise(F.lit(0))
+        ).alias("n_bigrams"),
+        F.max(F.when(F.col("__bg").isNotNull(), F.col("__c"))).alias("__top"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("__nt").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("__ndt") / F.col("__nt"), 6
+        ).alias("dup_token_frac"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.coalesce(F.col("__top") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_ratio"),
+    )
+
+
 def distinctive_terms(
     df: DataFrame,
     group_col: str,

@@ -233,6 +233,7 @@ def stream_interval_join(
     right_ts: str = "ts",
     within: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join: right-side events within
     ``[left_ts, left_ts + within]`` for the same key (e.g. purchases
@@ -242,7 +243,15 @@ def stream_interval_join(
     bound from the watermark + the time-range condition, so state stays
     bounded on unbounded input; the join itself shuffles both streams
     on the key like any equi-join. Caller must rename clashing columns
-    beforehand (standard streaming self-join hygiene)."""
+    beforehand (standard streaming self-join hygiene).
+
+    ``how="left_outer"`` additionally emits null-extended rows for
+    unmatched left events — but only once the watermark has passed
+    ``left_ts + within``, i.e. the engine has proof no match can still
+    arrive. Left rows closer than (watermark + within) to the end of a
+    bounded input therefore never get their outer row; a finite
+    verification drive must cut both the stream result and the batch
+    oracle at that horizon."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -250,4 +259,4 @@ def stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
