@@ -82,28 +82,48 @@ FROM p ORDER BY rf
 
 
 def q_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOPK / BOTTOMK array aggregates (reference TopKAggRuntime.h:14)."""
+    """TOPK / BOTTOMK array aggregates (reference TopKAggRuntime.h:14),
+    row-exploded: the driver's value-hash canonicalizer can't sort
+    array cells, so the k-arrays are posexploded to (group, rank,
+    value) rows — same information, scalar columns only."""
     from hdk_spark.functions import topk, bottomk
 
     _tables(spark, sf_dir)
     li = spark.table("lineitem")
+    agged = li.groupBy("l_returnflag").agg(
+        topk(F.col("l_quantity"), 5).alias("top5_qty"),
+        bottomk(F.col("l_quantity"), 5).alias("bottom5_qty"),
+        topk(F.col("l_extendedprice"), 3).alias("top3_price"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            topk(F.col("l_quantity"), 5).alias("top5_qty"),
-            bottomk(F.col("l_quantity"), 5).alias("bottom5_qty"),
-            topk(F.col("l_extendedprice"), 3).alias("top3_price"),
+        agged.select(
+            "l_returnflag",
+            F.posexplode(F.arrays_zip("top5_qty", "bottom5_qty", "top3_price")),
         )
-        .orderBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("col.top5_qty").alias("top_qty"),
+            F.col("col.bottom5_qty").alias("bottom_qty"),
+            F.col("col.top3_price").alias("top_price"),
+        )
+        .orderBy("l_returnflag", "rank")
     )
 
 
 _TOPK_ORACLE = """
-SELECT l_returnflag,
-       (list_sort(list(l_quantity), 'DESC'))[1:5] AS top5_qty,
-       (list_sort(list(l_quantity), 'ASC'))[1:5]  AS bottom5_qty,
-       (list_sort(list(l_extendedprice), 'DESC'))[1:3] AS top3_price
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+WITH g AS (
+  SELECT l_returnflag,
+         (list_sort(list(l_quantity), 'DESC'))[1:5] AS t5,
+         (list_sort(list(l_quantity), 'ASC'))[1:5]  AS b5,
+         (list_sort(list(l_extendedprice), 'DESC'))[1:3] AS t3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(r.k AS BIGINT) AS rank,
+       t5[r.k] AS top_qty, b5[r.k] AS bottom_qty,
+       CASE WHEN r.k <= 3 THEN t3[r.k] END AS top_price
+FROM g CROSS JOIN generate_series(1, 5) AS r(k)
+ORDER BY l_returnflag, rank
 """
 
 
@@ -549,7 +569,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
        COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
@@ -1185,10 +1205,13 @@ def q_array_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.table("nation")
     arr = F.array(F.col("n_nationkey"), F.col("n_regionkey"))
     appended = F.array_append(arr, F.col("n_nationkey") + F.col("n_regionkey"))
+    # arrays surface as comma-joined strings: the driver's value-hash
+    # canonicalizer can't sort array cells (elements are bigints, so
+    # int→string formatting is identical on both engines)
     return n.select(
         "n_nationkey",
-        arr.alias("pair"),
-        appended.alias("triple"),
+        F.array_join(arr, ",").alias("pair"),
+        F.array_join(appended, ",").alias("triple"),
         item(appended, 3).alias("third"),
         F.size(appended).cast("long").alias("n_elems"),
     ).orderBy("n_nationkey")
@@ -1196,8 +1219,8 @@ def q_array_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_CONSTRUCT_ORACLE = """
 SELECT n_nationkey,
-       [n_nationkey, n_regionkey] AS pair,
-       list_append([n_nationkey, n_regionkey], n_nationkey + n_regionkey) AS triple,
+       array_to_string([n_nationkey, n_regionkey], ',') AS pair,
+       array_to_string(list_append([n_nationkey, n_regionkey], n_nationkey + n_regionkey), ',') AS triple,
        list_append([n_nationkey, n_regionkey], n_nationkey + n_regionkey)[3] AS third,
        CAST(3 AS BIGINT) AS n_elems
 FROM nation ORDER BY n_nationkey
@@ -1348,8 +1371,8 @@ _STREAM_RUN_N = 0
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded-stream source: explicit schema from
-    the batch reader (ts arrives as ns-long, converted to µs timestamp
-    exactly like load_tables)."""
+    the batch reader (ts normalized to µs TimestampType exactly like
+    load_tables)."""
     import hashlib
     import tempfile
 
@@ -1366,8 +1389,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     s = stream_parquet(spark, stage, schema)
-    if dict(s.dtypes).get("ts") == "bigint":
+    ts_type = dict(s.dtypes).get("ts")
+    if ts_type == "bigint":
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark/event-time ops require TIMESTAMP; the UTC
+        # session tz (pinned in load_tables) makes the cast value-
+        # preserving vs DuckDB's naive read of the same parquet.
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
 
 

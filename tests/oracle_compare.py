@@ -19,10 +19,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         # tz-aware → naive UTC so Spark (UTC session) and DuckDB align
-        if pd.api.types.is_datetime64tz_dtype(s):
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
             df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
         elif s.dtype == object:
-            # decimals / arrays / bytes → canonical strings
+            # The driver's canonicalizer sorts raw cells: list/ndarray
+            # cells crash it (round-2 agg_topk_bottomk/array_construct).
+            # Contract queries must emit scalar columns only.
+            for v in s:
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    raise AssertionError(
+                        f"column {c!r} contains array cells — the driver "
+                        "cannot hash these; explode or stringify them"
+                    )
+            # decimals / bytes → canonical strings
             df[c] = s.map(_canon)
     sort_cols = list(df.columns)
     df = df.sort_values(by=sort_cols, na_position="first", kind="mergesort")
@@ -57,6 +66,15 @@ def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
     )
     for c in sp.columns:
         a, b = sp[c], du[c]
+        # int-vs-float dtype drift (e.g. DuckDB HUGEINT → float64)
+        # value-compares equal but HASHES differently driver-side —
+        # treat it as a mismatch (round-1/2 join_left_nulls,
+        # events_json_props artifacts)
+        if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+            raise AssertionError(
+                f"{name}: column {c!r} dtype drift spark={a.dtype} "
+                f"duckdb={b.dtype} — driver hash would mismatch"
+            )
         if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
             ok = _float_eq(a, b)
         else:

@@ -42,7 +42,11 @@ preds = st.one_of(
 aggs = st.lists(
     st.one_of(
         st.just("COUNT(*)"),
-        st.sampled_from(INT_COLS + NUM_COLS).map(lambda c: f"SUM({c})"),
+        # SUM over ints: DuckDB types it HUGEINT (→ float64 in pandas)
+        # while Spark keeps BIGINT — apply the contract determinism
+        # rule (CAST AS BIGINT) so value hashes agree cross-engine
+        st.sampled_from(INT_COLS).map(lambda c: f"CAST(SUM({c}) AS BIGINT)"),
+        st.sampled_from(NUM_COLS).map(lambda c: f"SUM({c})"),
         st.sampled_from(INT_COLS + NUM_COLS).map(lambda c: f"MIN({c})"),
         st.sampled_from(INT_COLS + NUM_COLS).map(lambda c: f"MAX({c})"),
         st.sampled_from(INT_COLS).map(lambda c: f"COUNT(DISTINCT {c})"),
