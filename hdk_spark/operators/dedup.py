@@ -184,7 +184,9 @@ def minhash_signatures(
     seed: int = 42,
     impl: str = "pandas",
 ) -> DataFrame:
-    """Per-doc minhash signature (array<long> of length num_perm).
+    """Per-doc minhash signature (array<int> of length num_perm —
+    values live in [0, 2^31-1) so int32 is lossless and halves every
+    downstream shuffle/compare).
 
     Base hash: crc32(shingle) mod (2^31-1) — chosen because it is
     available both JVM-side (F.crc32) and Python-side (zlib.crc32), so
@@ -210,7 +212,7 @@ def minhash_signatures(
         a_vec = np.array([a for a, _ in params], dtype=np.int64)
         b_vec = np.array([b for _, b in params], dtype=np.int64)
 
-        @pandas_udf("array<long>")
+        @pandas_udf("array<int>")
         def _sig(texts: pd.Series) -> pd.Series:
             # Gather every doc's shingle hashes into ONE flat array per
             # Arrow batch, then compute all permutation minima with a
@@ -261,6 +263,7 @@ def minhash_signatures(
                     mins[d0:d1] = np.minimum.reduceat(m, idx, axis=1).T
                     d0 = d1
                 emp = set(empties)
+                mins = mins.astype(np.int32)  # values < 2^31-1: lossless
                 it = iter(mins)
                 for pos in range(len(texts)):
                     if pos not in emp:
@@ -290,7 +293,7 @@ def minhash_signatures(
                 F.col("hs"),
                 lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
             )
-        )
+        ).cast("int")
 
     sig = F.array(*[_perm_min(a, b) for a, b in params])
     return hashed.select("id", sig.alias("signature"))
@@ -385,26 +388,26 @@ def minhash_lsh_dedup(
     if persist_signatures:
         groups = groups.persist()
     # member lists ride along with the signature so cross-group pair
-    # expansion is a projection explode — no join back to the groups
-    banded = groups.select(
-        F.struct(F.col("id"), F.col("gids"), F.col("signature")).alias("ds"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
+    # expansion is a projection explode — no join back to the groups.
+    # Per-doc band hashes are computed ONCE into `bhs` and reused for
+    # both bucketing and the first-match-band check below (vs re-slicing
+    # the num_perm-element signature per candidate compare).
+    bhs = F.array(
+        *[
+            F.xxhash64(
+                F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band)
             )
-        ).alias("bb"),
-    ).select("ds", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    buckets = banded.groupBy("band", "bh").agg(
-        F.array_sort(F.collect_list("ds")).alias("ms")
+            for bi in range(bands)
+        ]
     )
+    banded = groups.withColumn("bhs", bhs).select(
+        F.struct(F.col("id"), F.col("gids"), F.col("signature"), F.col("bhs")).alias("ds"),
+        F.posexplode(F.col("bhs")),
+    ).select("ds", F.col("pos").alias("band"), F.col("col").alias("bh"))
+    # no array_sort on the member structs: pair emission is symmetric
+    # (least/greatest ids, symmetric estimate), so bucket order only
+    # affects row order, not the result set
+    buckets = banded.groupBy("band", "bh").agg(F.collect_list("ds").alias("ms"))
     size_ok = F.size("ms") >= 2
     if max_bucket_size is not None:
         size_ok = size_ok & (F.size("ms") <= max_bucket_size)
@@ -419,24 +422,28 @@ def minhash_lsh_dedup(
             )
         ).cast("double") / F.lit(float(num_perm))
 
-    def _band_slice(sig, b):
-        return F.slice(sig, b * rows_per_band + F.lit(1), rows_per_band)
-
     # Emit each pair only in its FIRST matching band: a pair colliding
     # in k bands would otherwise be scored k times and need a global
     # (id_a, id_b) dedup shuffle. On duplicate-heavy corpora (clones
     # collide in ALL bands) that k× re-scoring dominated runtime —
-    # measured 10× slower at a 90%-clone 50k-doc smoke. The earlier-band
-    # check is rows_per_band compares per band (cheap, short for clones
-    # whose first band is 0); the full-signature estimate then runs
-    # exactly once per unique pair, and no dedup exchange exists at all.
+    # measured 10× slower at a 90%-clone 50k-doc smoke. The check
+    # compares the PRECOMPUTED per-band hashes (one int64 equality per
+    # earlier band — the same criterion that formed the buckets); the
+    # full-signature estimate then runs exactly once per unique pair,
+    # and no dedup exchange exists at all.
     def _first_match_here(x, y, band):
         return F.when(band == 0, F.lit(True)).otherwise(
-            ~F.exists(
-                F.sequence(F.lit(0), band - 1),
-                lambda b: _band_slice(x["signature"], b)
-                == _band_slice(y["signature"], b),
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice(x["bhs"], F.lit(1), band),
+                        F.slice(y["bhs"], F.lit(1), band),
+                        lambda p, q: p == q,
+                    ),
+                    lambda eq: eq,
+                )
             )
+            == 0
         )
 
     band_col = F.col("band")
