@@ -319,6 +319,10 @@ _PRIORITY: list[str] = [
     "dedup_contamination",
     "embedding_kmeans",
     "text_distinctive_terms",
+    # new in round 3
+    "text_repetition",
+    "text_unigram_logprob",
+    "text_source_kl",
     # -- 3. timestamp-affected re-verification (NTZ→LTZ load change)
     "date_current_bounds",
     "date_add_diff",
@@ -343,9 +347,6 @@ _PRIORITY: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q18_large_volume_customer",
-    "grouping_sets_orders",
     # -- 4. slow streaming drives (4 fixed + 2 never-checked)
     "streaming_tumbling_agg",
     "streaming_sessionize",
@@ -354,6 +355,11 @@ _PRIORITY: list[str] = [
     "streaming_static_join",
     "streaming_interval_join",
     # ---- ~50-query driver window boundary ----
+    # date-output greens displaced by the round-3 additions (their
+    # oldest green rows are from this same round family, lowest risk)
+    "tpch_q22_idle_customers",
+    "tpch_q18_large_volume_customer",
+    "grouping_sets_orders",
     # stable greens: LLM-pipeline ops verified in round 2
     "dedup_exact",
     "dedup_ngram_jaccard",

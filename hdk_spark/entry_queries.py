@@ -2603,3 +2603,114 @@ SELECT grp, token, score FROM (
 
 SPARK_IMPLS["text_distinctive_terms"] = q_text_distinctive_terms
 ORACLES["text_distinctive_terms"] = _DISTINCTIVE_TERMS_ORACLE
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token
+    fraction + most-frequent-bigram mass per document."""
+    from hdk_spark.operators.text import repetition_signals
+
+    _tables(spark, sf_dir)
+    return repetition_signals(
+        spark.table("documents").filter(F.col("doc_id") < 200)
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+), b AS (
+  SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS ndt,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(range(2, len(toks) + 1),
+                                  i -> toks[i - 1] || ' ' || toks[i]) END AS bgs
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM b
+), pb AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM e GROUP BY doc_id, bg
+), pd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top
+  FROM pb GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.nt AS BIGINT) AS n_tokens,
+       round(1.0 - b.ndt / CAST(b.nt AS DOUBLE), 6) AS dup_token_frac,
+       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       round(COALESCE(pd.top / CAST(pd.n_bigrams AS DOUBLE), 0.0), 6) AS top_bigram_ratio
+FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id
+ORDER BY b.doc_id
+"""
+
+SPARK_IMPLS["text_repetition"] = q_text_repetition
+ORACLES["text_repetition"] = _REPETITION_ORACLE
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy scoring: per-doc average token log-probability
+    under the corpus's own unigram LM (CCNet-style LM filter stage)."""
+    from hdk_spark.operators.text import unigram_logprob
+
+    _tables(spark, sf_dir)
+    return unigram_logprob(spark.table("documents")).orderBy("doc_id")
+
+
+_UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), f AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT SUM(c) AS s FROM f
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(ln(f.c / CAST(tot.s AS DOUBLE))), 6) AS avg_logprob
+FROM tok JOIN f USING (token) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_unigram_logprob"] = q_text_unigram_logprob
+ORACLES["text_unigram_logprob"] = _UNIGRAM_LOGPROB_ORACLE
+
+
+def q_text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture diagnostic: KL(P_source || P_corpus) over unigram
+    distributions, one row per source."""
+    from hdk_spark.operators.text import source_kl_divergence
+
+    _tables(spark, sf_dir)
+    return source_kl_divergence(spark.table("documents")).orderBy("grp")
+
+
+_SOURCE_KL_ORACLE = r"""
+WITH gt AS (
+  SELECT source AS grp, token, COUNT(*) AS c FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) t GROUP BY grp, token
+), corpus AS (
+  SELECT token, SUM(c) AS cc FROM gt GROUP BY token
+), ct AS (
+  SELECT SUM(cc) AS total FROM corpus
+), gtot AS (
+  SELECT grp, SUM(c) AS gt_total FROM gt GROUP BY grp
+)
+SELECT gt.grp,
+       CAST(MIN(gtot.gt_total) AS BIGINT) AS n_tokens,
+       round(SUM((gt.c / CAST(gtot.gt_total AS DOUBLE))
+                 * ln((gt.c / CAST(gtot.gt_total AS DOUBLE))
+                      / (corpus.cc / CAST(ct.total AS DOUBLE)))), 6) AS kl
+FROM gt
+JOIN corpus ON gt.token = corpus.token
+JOIN gtot ON gt.grp = gtot.grp
+CROSS JOIN ct
+GROUP BY gt.grp ORDER BY gt.grp
+"""
+
+SPARK_IMPLS["text_source_kl"] = q_text_source_kl
+ORACLES["text_source_kl"] = _SOURCE_KL_ORACLE

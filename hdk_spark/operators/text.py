@@ -337,6 +337,97 @@ def repetition_signals(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average token log-probability under the corpus's
+    own unigram language model — the classic perplexity-proxy quality
+    score (documents far from the corpus distribution rank low; used
+    as a pretraining-data filter, e.g. CCNet's LM filtering stage).
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob rounded to 6
+    digits (transcendental-math determinism rule).
+
+    Scale shape: two corpus passes — one to count the vocabulary
+    (partial-agg shuffle: the Zipf head collapses map-side), one to
+    score — deliberately NOT caching the exploded token relation
+    (corpus-sized; the raw scan is cheaper to repeat than to
+    materialize). The vocabulary is PERSISTED (vocab-sized) so its
+    total doesn't trigger a third pass, and broadcast for scoring, so
+    the only corpus-wide exchange after the counts is the per-document
+    re-aggregation keyed by id. No driver-side action anywhere.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__c")).persist()
+    total = vocab.agg(F.sum("__c").alias("__total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.col("__c") / F.col("__total").cast("double")).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """KL divergence of each group's unigram distribution from the
+    whole-corpus distribution: KL(P_grp ‖ P_corpus) = Σ_t p_grp(t) ·
+    ln(p_grp(t)/p_corpus(t)). The data-mixture diagnostic for
+    pretraining corpora — a high-KL source is distributionally far
+    from the blend and gets re-weighted.
+
+    Returns (group, n_tokens, kl) with kl rounded to 6 digits. KL ≥ 0,
+    and every group term is well-defined because p_corpus(t) > 0 for
+    any token the group contains (the corpus includes the group).
+
+    Scale shape: ONE corpus-sized explode → partial-agg count keyed by
+    (group, token); that (groups × vocab)-sized relation is PERSISTED
+    and every derived distribution (corpus counts, group totals, corpus
+    total) re-aggregates the cached copy — without the persist, Catalyst
+    plans four independent corpus scans (the filter-pushed subtrees
+    aren't identical, so exchange reuse can't kick in; pinned by
+    tests/test_plans.py::test_source_kl_single_corpus_pass). Everything
+    after the first aggregation is vocabulary-sized.
+    """
+    gt = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    corpus = gt.groupBy("token").agg(F.sum("__c").alias("__cc"))
+    corpus_total = corpus.agg(F.sum("__cc").alias("__ct"))
+    grp_total = gt.groupBy("grp").agg(F.sum("__c").alias("__gt"))
+    p_grp = F.col("__c") / F.col("__gt").cast("double")
+    p_corpus = F.col("__cc") / F.col("__ct").cast("double")
+    return (
+        gt.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(grp_total), "grp")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("grp")
+        .agg(
+            F.first("__gt").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_grp * F.log(p_grp / p_corpus)), 6).alias("kl"),
+        )
+    )
+
+
 def distinctive_terms(
     df: DataFrame,
     group_col: str,

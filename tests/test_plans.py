@@ -199,3 +199,33 @@ def test_top_terms_partial_agg_and_take_ordered(spark):
     p = plan(top_terms(_raw_docs(spark), k=10))
     assert "TakeOrderedAndProject" in p  # never a full vocabulary sort
     assert "partial_count" in p or "HashAggregate" in p  # map-side combine
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    from hdk_spark.operators.text import unigram_logprob
+
+    p = plan(unigram_logprob(_raw_docs(spark)))
+    tree = p.split("\n\n")[0]
+    # the vocabulary and its total join back via broadcast — the only
+    # shuffles are the vocab partial-agg and the per-doc re-aggregation
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_source_kl_single_corpus_pass(spark):
+    from hdk_spark.operators.text import source_kl_divergence
+
+    import re
+
+    p = plan(source_kl_divergence(_raw_docs(spark)))
+    tree = p.split("\n\n")[0]
+    # one corpus-sized explode: every derived distribution re-aggregates
+    # the persisted (group, token) counts, never re-scanning documents.
+    # The cached subtree (with its single parquet scan node) is printed
+    # once per InMemoryRelation reference — count DISTINCT scan node ids.
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1, f"corpus scanned via {len(scan_ids)} distinct nodes"
+    assert tree.count("InMemoryTableScan") >= 3  # corpus/group/total reuse
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
