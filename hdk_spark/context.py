@@ -79,6 +79,37 @@ class HDK:
         name = name or _table_name_from_path(path)
         return self._register(name, reader.csv(path))
 
+    def import_json(
+        self,
+        path: str,
+        name: str | None = None,
+        schema: list[tuple[str, str]] | None = None,
+        multiline: bool = False,
+    ) -> "Table":
+        """JSON-lines import (beyond-reference: pyhdk reads CSV/Parquet/
+        Arrow only — SURVEY.md §2.2). ``multiline=True`` parses one JSON
+        document spanning lines; default is one object per line (the
+        splittable, scale-friendly layout). With an explicit schema the
+        reader skips the inference pass (one full scan saved at 100 TB)."""
+        reader = self.spark.read.option("multiLine", multiline)
+        if schema is not None:
+            reader = reader.schema(to_schema(schema))
+        name = name or _table_name_from_path(path)
+        return self._register(name, reader.json(path))
+
+    def import_orc(self, path: str, name: str | None = None) -> "Table":
+        """ORC import (beyond-reference; same columnar pushdown/pruning
+        path as parquet — Catalyst emits PushedFilters for both)."""
+        name = name or _table_name_from_path(path)
+        return self._register(name, self.spark.read.orc(path))
+
+    def append_json(self, path: str, name: str, **json_opts: Any) -> "Table":
+        existing = self._tables[name]
+        reader = self.spark.read.option(
+            "multiLine", json_opts.get("multiline", False)
+        ).schema(existing.schema)
+        return self._register(name, existing.unionByName(reader.json(path)))
+
     def import_arrow(self, table: Any, name: str | None = None) -> "Table":
         """Import a pyarrow Table or pandas DataFrame
         (reference ArrowStorage.h:85; hdk.py:2361)."""
@@ -391,6 +422,17 @@ class Result:
             .option("sep", delimiter)
             .csv(path)
         )
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        """JSON-lines export (one object per line — splittable on read)."""
+        self.df.write.mode(mode).json(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite",
+               partition_by: "list[str] | None" = None) -> None:
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
 
     @property
     def scan(self):

@@ -2714,3 +2714,32 @@ GROUP BY gt.grp ORDER BY gt.grp
 
 SPARK_IMPLS["text_source_kl"] = q_text_source_kl
 ORACLES["text_source_kl"] = _SOURCE_KL_ORACLE
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix (first 16 dims) of the embeddings table
+    — the distributed second-moment pass feeding PCA/whitening."""
+    from hdk_spark.operators.stats import embedding_covariance
+
+    _tables(spark, sf_dir)
+    return embedding_covariance(
+        spark.table("embeddings"), "embedding", n_dims=16
+    ).orderBy("i", "j")
+
+
+_EMBEDDING_COV_ORACLE = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+       round(covar_samp(CAST(a.v AS DOUBLE), CAST(b.v AS DOUBLE)), 6) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+WHERE a.pos < 16 AND b.pos < 16
+GROUP BY a.pos, b.pos ORDER BY i, j
+"""
+
+SPARK_IMPLS["embedding_covariance"] = q_embedding_covariance
+ORACLES["embedding_covariance"] = _EMBEDDING_COV_ORACLE

@@ -31,6 +31,7 @@ __all__ = [
     "winsorize",
     "quantile_normalize",
     "zscore",
+    "embedding_covariance",
 ]
 
 
@@ -125,4 +126,54 @@ def zscore(
             (F.col(value_col).cast("double") - mean) / F.sqrt(var),
         )
         .drop("__n", "__s1", "__s2")
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: "list[int] | None" = None,
+    n_dims: int | None = None,
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column, as (i, j, cov)
+    upper-triangle rows — the second-moment input to PCA / whitening /
+    decorrelation of an embedding table.
+
+    ``dims`` selects vector positions (0-based); ``n_dims`` is
+    shorthand for the first k. Default: all positions (requires a
+    first-row peek for the width).
+
+    Scale shape: ONE map-only projection (element extraction) feeding a
+    single partial-aggregable pass of covar_samp cells — d(d+1)/2
+    mergeable aggregates, no shuffle of the data itself, result is
+    d²-sized. The unpivot to rows is driver-free (stack over the
+    aggregated single row). Beats the explode-to-long formulation
+    (which shuffles n·d rows and joins) by keeping everything in
+    whole-stage codegen until the final one-row aggregate.
+    """
+    if dims is None:
+        if n_dims is not None:
+            dims = list(range(n_dims))
+        else:
+            first = df.select(F.size(vec_col).alias("d")).first()
+            dims = list(range(first["d"] if first else 0))
+    elems = df.select(
+        *[F.col(vec_col)[i].cast("double").alias(f"__e{i}") for i in dims]
+    )
+    cells = [
+        F.covar_samp(f"__e{i}", f"__e{j}").alias(f"c_{i}_{j}")
+        for ai, i in enumerate(dims)
+        for j in dims[ai:]
+    ]
+    agged = elems.agg(*cells)
+    stack_args = ", ".join(
+        f"{i}, {j}, c_{i}_{j}" for ai, i in enumerate(dims) for j in dims[ai:]
+    )
+    n_cells = sum(range(1, len(dims) + 1))
+    return agged.select(
+        F.expr(f"stack({n_cells}, {stack_args}) AS (i, j, cov)")
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round("cov", 6).alias("cov"),
     )

@@ -175,3 +175,35 @@ def test_result_export_roundtrip(hdk, tmp_path):
     assert "HashAggregate" in plan or "Aggregate" in plan
     for n in ("exp_t", "exp_back", "exp_back_csv"):
         hdk.drop_table(n)
+
+
+def test_import_json_roundtrip(hdk, tmp_path):
+    p = tmp_path / "rows.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{"a": 3, "b": "z"}\n')
+    t = hdk.import_json(str(p), name="json_rows", schema=[("a", "int64"), ("b", "text")])
+    assert t.row_count == 3
+    got = hdk.sql("SELECT SUM(a) AS sa, COUNT(b) AS nb FROM json_rows").to_pandas()
+    assert got["sa"][0] == 6 and got["nb"][0] == 3
+    # append with schema inherited from the registered table
+    p2 = tmp_path / "more.json"
+    p2.write_text('{"a": 10, "b": "w"}\n')
+    t = hdk.append_json(str(p2), "json_rows")
+    assert t.row_count == 4
+
+
+def test_json_export_and_reimport(hdk, tmp_path):
+    res = hdk.sql("SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'")
+    out = str(tmp_path / "json_out")
+    res.to_json(out)
+    back = hdk.import_json(out, name="json_back", schema=[("a", "int32"), ("b", "text")])
+    assert back.row_count == 2
+
+
+def test_orc_export_and_reimport(hdk, tmp_path):
+    res = hdk.sql("SELECT 1 AS a, 2.5 AS b UNION ALL SELECT 2, 3.5")
+    out = str(tmp_path / "orc_out")
+    res.to_orc(out)
+    back = hdk.import_orc(out, name="orc_back")
+    assert back.row_count == 2
+    got = hdk.sql("SELECT SUM(a) AS sa, SUM(b) AS sb FROM orc_back").to_pandas()
+    assert got["sa"][0] == 3 and float(got["sb"][0]) == 6.0

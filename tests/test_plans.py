@@ -229,3 +229,20 @@ def test_source_kl_single_corpus_pass(spark):
     assert tree.count("InMemoryTableScan") >= 3  # corpus/group/total reuse
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_embedding_covariance_single_agg_pass(spark):
+    from hdk_spark.operators.stats import embedding_covariance
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    p = plan(embedding_covariance(emb, "embedding", n_dims=8))
+    tree = p.split("\n\n")[0]
+    # map-only element extraction + ONE mergeable aggregate pass: no
+    # join (the explode-to-long formulation would self-join n·d rows),
+    # a single exchange for the final one-row combine. The stack()
+    # unpivot IS a Generate node, but it runs above the aggregate on a
+    # single row — assert it never touches the scan side.
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 1
+    scan_side = tree.split("HashAggregate")[-1]  # below the partial agg
+    assert "Generate" not in scan_side
