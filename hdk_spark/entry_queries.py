@@ -2743,3 +2743,106 @@ GROUP BY a.pos, b.pos ORDER BY i, j
 
 SPARK_IMPLS["embedding_covariance"] = q_embedding_covariance
 ORACLES["embedding_covariance"] = _EMBEDDING_COV_ORACLE
+
+
+def q_temporal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resample of the events series with linear
+    interpolation at unobserved grid points."""
+    from hdk_spark.operators.temporal import resample_fill
+
+    _tables(spark, sf_dir)
+    e = spark.table("events").filter(F.col("user_id") < 20)
+    return resample_fill(e, "user_id", "ts", "value", step="6 hours", method="linear").orderBy(
+        "key", "grid_ts"
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, value FROM events WHERE user_id < 20
+), obs AS (
+  SELECT key, grid_ts, value AS obs_value FROM (
+    SELECT user_id AS key,
+           make_timestamp(CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) * 1000000) AS grid_ts,
+           value,
+           row_number() OVER (
+             PARTITION BY user_id,
+                          CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT)
+             ORDER BY ts DESC, value DESC) AS rn
+    FROM src
+  ) q WHERE rn = 1
+), span AS (
+  SELECT key, min(grid_ts) AS t0, max(grid_ts) AS t1 FROM obs GROUP BY key
+), grid AS (
+  SELECT key, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts FROM span
+), g AS (
+  SELECT grid.key, grid.grid_ts, obs.obs_value
+  FROM grid LEFT JOIN obs ON grid.key = obs.key AND grid.grid_ts = obs.grid_ts
+), filled AS (
+  SELECT key, grid_ts, obs_value,
+         last_value(obs_value IGNORE NULLS) OVER (
+           PARTITION BY key ORDER BY grid_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_val,
+         first_value(obs_value IGNORE NULLS) OVER (
+           PARTITION BY key ORDER BY grid_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         last_value(CASE WHEN obs_value IS NOT NULL THEN grid_ts END IGNORE NULLS) OVER (
+           PARTITION BY key ORDER BY grid_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ts,
+         first_value(CASE WHEN obs_value IS NOT NULL THEN grid_ts END IGNORE NULLS) OVER (
+           PARTITION BY key ORDER BY grid_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM g
+)
+SELECT key, grid_ts,
+       round(CASE WHEN obs_value IS NOT NULL THEN obs_value
+                  ELSE last_val + (next_val - last_val) * COALESCE(
+                    (floor(epoch(grid_ts)) - floor(epoch(last_ts)))
+                    / NULLIF(CAST(floor(epoch(next_ts)) - floor(epoch(last_ts)) AS DOUBLE), 0),
+                    0.0) END, 6) AS value,
+       obs_value IS NOT NULL AS observed
+FROM filled ORDER BY key, grid_ts
+"""
+
+SPARK_IMPLS["temporal_resample_fill"] = q_temporal_resample
+ORACLES["temporal_resample_fill"] = _RESAMPLE_ORACLE
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → signup → purchase: users counted
+    at step k only with an occurrence strictly after their earliest
+    valid chain through steps 1..k-1."""
+    from hdk_spark.operators.temporal import funnel_counts
+
+    _tables(spark, sf_dir)
+    return funnel_counts(
+        spark.table("events"), "user_id", "ts", "event_type",
+        ["view", "click", "signup", "purchase"],
+    ).orderBy("step_idx")
+
+
+_FUNNEL_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+), t0 AS (
+  SELECT user_id, min(ts) AS t FROM u WHERE event_type = 'view' GROUP BY user_id
+), t1 AS (
+  SELECT u.user_id, min(u.ts) AS t FROM u JOIN t0 ON u.user_id = t0.user_id
+  WHERE u.event_type = 'click' AND u.ts > t0.t GROUP BY u.user_id
+), t2 AS (
+  SELECT u.user_id, min(u.ts) AS t FROM u JOIN t1 ON u.user_id = t1.user_id
+  WHERE u.event_type = 'signup' AND u.ts > t1.t GROUP BY u.user_id
+), t3 AS (
+  SELECT u.user_id, min(u.ts) AS t FROM u JOIN t2 ON u.user_id = t2.user_id
+  WHERE u.event_type = 'purchase' AND u.ts > t2.t GROUP BY u.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, (SELECT count(*) FROM t0) AS n_keys
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t1)
+UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM t2)
+UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t3)
+ORDER BY step_idx
+"""
+
+SPARK_IMPLS["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = _FUNNEL_ORACLE

@@ -133,3 +133,171 @@ def range_join(
         how,
     )
     return joined.drop("__bucket")
+
+
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(step: str) -> int:
+    """'6 hours' → 21600. Fixed-length units only: month/year grids are
+    not equi-spaced, so they can't define a uniform resample step."""
+    n, unit = step.strip().split()
+    try:
+        return int(n) * _INTERVAL_UNIT_SECONDS[unit.lower()]
+    except KeyError:
+        raise ValueError(f"unsupported resample step unit {unit!r}") from None
+
+
+def resample_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    method: str = "ffill",
+) -> DataFrame:
+    """Regularize an irregular time series: per key, generate the full
+    time grid at ``step`` granularity between the key's first and last
+    observation, and fill grid points with no observation from their
+    neighbors (``ffill`` carries the last value forward; ``linear``
+    interpolates between the surrounding observations). The standard
+    time-series resample/gap-fill the reference lacks entirely.
+
+    Emitted rows: (key, grid_ts, value, observed) where observed marks
+    real data points (grid points that had at least one observation
+    use the LAST observation in that step, by (ts, value) order —
+    deterministic under ties).
+
+    Scale shape: the grid generates per key with sequence+explode
+    (bounded by span/step — no cross join against a global calendar);
+    observations aggregate to the grid granularity in the same keyed
+    shuffle; the fill is two window passes over the SAME (key, ts)
+    partitioning, so Spark plans exactly one exchange. Span-skewed keys
+    cost rows proportional to their own span only.
+    """
+    if method not in ("ffill", "linear"):
+        raise ValueError(f"unknown fill method {method!r}")
+    step_expr = f"INTERVAL {step}"
+    step_sec = _interval_seconds(step)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / F.lit(step_sec)).cast("long")
+        * F.lit(step_sec)
+    )
+    # last observation per (key, bucket): max by (ts, value) — ties on
+    # ts resolve by value so the result is input-order-independent
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket.alias("grid_ts"),
+            F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")).alias("tv"),
+        )
+        .groupBy("key", "grid_ts")
+        .agg(F.max("tv").alias("tv"))
+        .select("key", "grid_ts", F.col("tv.v").alias("obs_value"))
+    )
+    span = obs.groupBy("key").agg(
+        F.min("grid_ts").alias("t0"), F.max("grid_ts").alias("t1")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr(step_expr))
+        ).alias("grid_ts"),
+    )
+    g = grid.join(obs, ["key", "grid_ts"], "left")
+    w = Window.partitionBy("key").orderBy("grid_ts")
+    prev_w = w.rowsBetween(Window.unboundedPreceding, 0)
+    next_w = w.rowsBetween(0, Window.unboundedFollowing)
+    last_val = F.last("obs_value", ignorenulls=True).over(prev_w)
+    if method == "ffill":
+        filled = last_val
+    else:
+        next_val = F.first("obs_value", ignorenulls=True).over(next_w)
+        last_ts = F.last(
+            F.when(F.col("obs_value").isNotNull(), F.col("grid_ts")), ignorenulls=True
+        ).over(prev_w)
+        next_ts = F.first(
+            F.when(F.col("obs_value").isNotNull(), F.col("grid_ts")), ignorenulls=True
+        ).over(next_w)
+        frac = (
+            (F.unix_timestamp("grid_ts") - F.unix_timestamp(last_ts)).cast("double")
+            / F.when(
+                F.unix_timestamp(next_ts) != F.unix_timestamp(last_ts),
+                (F.unix_timestamp(next_ts) - F.unix_timestamp(last_ts)).cast("double"),
+            )
+        )
+        filled = F.when(F.col("obs_value").isNotNull(), F.col("obs_value")).otherwise(
+            last_val + (next_val - last_val) * F.coalesce(frac, F.lit(0.0))
+        )
+    return g.select(
+        "key",
+        "grid_ts",
+        F.round(filled, 6).alias("value"),
+        F.col("obs_value").isNotNull().alias("observed"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each step prefix of ``steps``,
+    count the keys (users) that completed the steps IN ORDER — step k
+    counts a user only if an occurrence of step k exists strictly after
+    the earliest valid occurrence chain of steps 1..k-1.
+
+    Returns (step_idx, step, n_keys) with step_idx 1-based, monotone
+    non-increasing n_keys.
+
+    Scale shape: one filter to the funnel's event set, one groupBy key
+    collecting each step's occurrence times as per-step MIN-after-prev
+    via a small sort_array pass — state per key is bounded by
+    len(steps) (the conditional-min chain), never the user's full
+    event history: the per-key aggregate collects only each step's
+    sorted occurrence list projected to the first-match chain.
+    """
+    # per (key, step): sorted occurrence times, bounded by the funnel's
+    # event set filter
+    occ = (
+        df.filter(F.col(event_col).isin(steps))
+        .groupBy(F.col(key_col).alias("key"), F.col(event_col).alias("ev"))
+        .agg(F.sort_array(F.collect_list(F.col(ts_col))).alias("ts_list"))
+    )
+    pivoted = occ.groupBy("key").pivot("ev", steps).agg(F.first("ts_list"))
+    # chain of earliest-valid timestamps: t_k = min {t in ts_k : t > t_{k-1}}
+    prev = None
+    chain_cols = []
+    for i, s in enumerate(steps):
+        lst = F.col(f"`{s}`")
+        if prev is None:
+            t = F.try_element_at(lst, F.lit(1))
+        else:
+            after = F.filter(lst, lambda x: x > prev)  # noqa: B023
+            t = F.try_element_at(after, F.lit(1))
+        cname = f"__t{i}"
+        chain_cols.append(F.when(prev.isNotNull() if i else F.lit(True), t).alias(cname) if i else t.alias(cname))
+        prev = F.col(cname)
+        pivoted = pivoted.withColumn(cname, chain_cols[-1])
+    counts = pivoted.agg(
+        *[
+            F.count(F.col(f"__t{i}")).cast("long").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_keys)")
+    ).select(
+        F.col("step_idx").cast("long").alias("step_idx"), "step", "n_keys"
+    )

@@ -118,6 +118,27 @@ def main() -> None:
     print("vocab_top_terms:", best(lambda: top_terms(
         spark.table("documents"), k=100)))
 
+    # round-3 operators at 10×
+    from hdk_spark.operators.text import source_kl_divergence, unigram_logprob
+
+    print("unigram_logprob:", best(lambda: unigram_logprob(
+        spark.table("documents"))))
+    print("source_kl:", best(lambda: source_kl_divergence(
+        spark.table("documents"))))
+
+    from hdk_spark.operators.stats import embedding_covariance
+
+    print("embedding_covariance_d16:", best(lambda: embedding_covariance(
+        spark.table("embeddings"), "embedding", n_dims=16)))
+
+    from hdk_spark.operators.temporal import funnel_counts, resample_fill
+
+    print("resample_fill_6h:", best(lambda: resample_fill(
+        spark.table("events"), "user_id", "ts", "value", "6 hours", "linear")))
+    print("funnel_counts:", best(lambda: funnel_counts(
+        spark.table("events"), "user_id", "ts", "event_type",
+        ["view", "click", "signup", "purchase"])))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()

@@ -115,3 +115,71 @@ def test_joins_avoid_cartesian(spark):
     p2 = rj._sc._jvm.PythonSQLUtils.explainString(rj._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_resample_fill_ffill_and_linear(spark):
+    from hdk_spark.operators.temporal import resample_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 10.0),
+            (1, "2024-01-01 03:20:00", 40.0),   # 3-hour gap at 1h step
+            (2, "2024-01-01 05:00:00", 7.0),
+        ],
+        "key int, ts string, value double",
+    ).selectExpr("key", "CAST(ts AS TIMESTAMP) AS ts", "value")
+
+    lin = {
+        (r["key"], str(r["grid_ts"])): (r["value"], r["observed"])
+        for r in resample_fill(df, "key", "ts", "value", "1 hour", "linear").collect()
+    }
+    # key 1 grid: 00:00..03:00 — interior points interpolate 10 → 40
+    assert lin[(1, "2024-01-01 00:00:00")] == (10.0, True)
+    assert lin[(1, "2024-01-01 01:00:00")] == (20.0, False)
+    assert lin[(1, "2024-01-01 02:00:00")] == (30.0, False)
+    assert lin[(1, "2024-01-01 03:00:00")] == (40.0, True)
+    assert lin[(2, "2024-01-01 05:00:00")] == (7.0, True)
+    assert len(lin) == 5
+
+    ff = {
+        (r["key"], str(r["grid_ts"])): r["value"]
+        for r in resample_fill(df, "key", "ts", "value", "1 hour", "ffill").collect()
+    }
+    assert ff[(1, "2024-01-01 01:00:00")] == 10.0
+    assert ff[(1, "2024-01-01 02:00:00")] == 10.0
+
+
+def test_resample_fill_single_exchange_for_fill(spark):
+    from hdk_spark.operators.temporal import resample_fill
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    df = resample_fill(e, "user_id", "ts", "value", "6 hours", "linear")
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    tree = p.split("\n\n")[0]
+    # both window passes share the (key, grid_ts) ordering: one Window
+    # sort, no extra exchange between the fill windows
+    assert "CartesianProduct" not in tree
+    assert tree.count("Window") <= 2
+
+
+def test_funnel_counts_orders_strictly(spark):
+    from hdk_spark.operators.temporal import funnel_counts
+
+    df = spark.createDataFrame(
+        [
+            # u1 completes A→B in order
+            (1, "2024-01-01 00:00:00", "A"),
+            (1, "2024-01-01 01:00:00", "B"),
+            # u2 has B BEFORE A only → must not count at step 2
+            (2, "2024-01-01 00:00:00", "B"),
+            (2, "2024-01-01 01:00:00", "A"),
+            # u3 only A
+            (3, "2024-01-01 00:00:00", "A"),
+        ],
+        "user int, ts string, ev string",
+    ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "ev")
+    rows = {
+        r["step"]: r["n_keys"]
+        for r in funnel_counts(df, "user", "ts", "ev", ["A", "B"]).collect()
+    }
+    assert rows == {"A": 3, "B": 1}
