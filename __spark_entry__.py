@@ -326,6 +326,7 @@ _PRIORITY: list[str] = [
     "embedding_covariance",
     "temporal_resample_fill",
     "events_funnel",
+    "dedup_keep_best",
     # -- 3. timestamp-affected re-verification (NTZ→LTZ load change)
     "date_current_bounds",
     "date_add_diff",
@@ -346,7 +347,6 @@ _PRIORITY: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
     # -- 4. slow streaming drives (4 fixed + 2 never-checked)
     "streaming_tumbling_agg",
     "streaming_sessionize",
@@ -357,6 +357,7 @@ _PRIORITY: list[str] = [
     # ---- ~50-query driver window boundary ----
     # date-output greens displaced by the round-3 additions (their
     # oldest green rows are from this same round family, lowest risk)
+    "tpch_q9_profit_by_nation",
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",

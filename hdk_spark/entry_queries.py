@@ -2846,3 +2846,62 @@ ORDER BY step_idx
 
 SPARK_IMPLS["events_funnel"] = q_events_funnel
 ORACLES["events_funnel"] = _FUNNEL_ORACLE
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup collapse: n-gram Jaccard pairs → connected
+    components → keep the longest document per cluster (ties: lowest
+    id); singletons survive unchanged."""
+    from hdk_spark.operators.dedup import dedup_keep_best, ngram_jaccard_pairs
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_keep_best(docs, pairs, "doc_id", "n_chars").orderBy("cluster_id")
+
+
+_KEEP_BEST_ORACLE = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1, 1)),
+             i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+2]
+           )
+         ) AS s_list
+  FROM documents
+), ex AS (
+  SELECT id, len(s_list) AS n_sh, unnest(s_list) AS s FROM sh WHERE len(s_list) > 0
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+  UNION
+  SELECT id_b, id_a FROM pairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), cl AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), full_map AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT cluster_id, doc_id AS keep_id, n_chars AS best_score, n_members
+FROM (
+  SELECT cluster_id, doc_id, n_chars,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+  FROM full_map
+) t WHERE rn = 1 ORDER BY cluster_id
+"""
+
+SPARK_IMPLS["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = _KEEP_BEST_ORACLE

@@ -862,3 +862,53 @@ def minhash_dedup_incremental(
         .filter(F.col("jaccard_est") >= threshold)
         .dropDuplicates(["new_id", "corpus_id"])
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Collapse near-duplicate clusters to their best member — the
+    final step of a dedup pass: ``pairs`` (from any pair generator
+    above) → connected components → per cluster keep the highest-
+    ``score_col`` document (ties break on the lowest id, so the result
+    is deterministic). Documents in no pair survive as singletons.
+
+    Returns (cluster_id, keep_id, best_score, n_members).
+
+    Scale shape: clustering cost is the CC iteration over the PAIR
+    graph (near-dup-sized, not corpus-sized); the corpus joins the
+    (doc → cluster) map once on the id key, and the winner is one
+    WindowGroupLimit-style row_number pass per cluster — two keyed
+    shuffles beyond the clustering itself.
+    """
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.graph import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    full = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(score_col).alias("score")
+    ).join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "score",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        full.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("score").alias("best_score"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -237,3 +237,22 @@ def test_incremental_dedup_broadcasts_new_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_dedup_keep_best_semantics(spark):
+    from hdk_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (4, 50), (5, 300)],
+        "doc_id long, n_chars long",
+    )
+    # clusters: {1,2,3} (chain), {4} singleton, {5} singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    rows = {
+        r["cluster_id"]: (r["keep_id"], r["best_score"], r["n_members"])
+        for r in dedup_keep_best(docs, pairs, "doc_id", "n_chars").collect()
+    }
+    # cluster 1: doc 2 wins on n_chars=300; singletons keep themselves
+    assert rows == {1: (2, 300, 3), 4: (4, 50, 1), 5: (5, 300, 1)}
