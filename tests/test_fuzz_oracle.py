@@ -153,3 +153,57 @@ def test_random_setop_query_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# date/time grammar (round 3: the NTZ-timestamp regression class — random
+# EXTRACT fields, date_trunc units, and interval arithmetic over events.ts,
+# identical SQL text on both engines)
+# ---------------------------------------------------------------------------
+
+# fields/units verified semantics-identical Spark vs DuckDB in shared
+# SQL text (ISO weeks). Day-of-week fields are EXCLUDED — both caught
+# by this fuzzer on first run: Spark's EXTRACT(DOW) is Sunday=1
+# (DAYOFWEEK) vs DuckDB's Sunday=0, and the ISO form has different
+# names (Spark DOW_ISO vs DuckDB ISODOW), so no shared text exists; the
+# contract surface maps both explicitly (functions/scalar.py extract
+# 'dayofweek'/'isodayofweek', value-checked by date_extract_fields).
+EXTRACT_FIELDS = ["YEAR", "QUARTER", "MONTH", "DAY", "HOUR", "MINUTE",
+                  "DOY", "WEEK"]
+TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour", "minute"]
+IVL_UNITS = ["DAY", "HOUR", "MINUTE", "MONTH"]
+
+date_exprs = st.one_of(
+    st.sampled_from(EXTRACT_FIELDS).map(
+        lambda f: f"CAST(EXTRACT({f} FROM ts) AS BIGINT)"
+    ),
+    st.sampled_from(TRUNC_UNITS).map(lambda u: f"date_trunc('{u}', ts)"),
+    st.tuples(st.integers(min_value=1, max_value=30),
+              st.sampled_from(IVL_UNITS)).map(
+        lambda t: f"ts + INTERVAL {t[0]} {t[1]}"
+    ),
+)
+
+
+@st.composite
+def date_queries(draw):
+    exprs = draw(st.lists(date_exprs, min_size=1, max_size=3, unique=True))
+    hi = draw(st.integers(min_value=50, max_value=400))
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    return (
+        f"SELECT event_id, {sel} FROM events "
+        f"WHERE event_id < {hi} ORDER BY event_id"
+    )
+
+
+@given(sql=date_queries())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_date_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
