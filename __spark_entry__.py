@@ -346,7 +346,6 @@ _PRIORITY: list[str] = [
     "sort_nulls_offset",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
     # -- 4. slow streaming drives (4 fixed + 2 never-checked)
     "streaming_tumbling_agg",
     "streaming_sessionize",
@@ -354,9 +353,11 @@ _PRIORITY: list[str] = [
     "streaming_stateful_counts",
     "streaming_static_join",
     "streaming_interval_join",
+    "streaming_distinct_users",
     # ---- ~50-query driver window boundary ----
     # date-output greens displaced by the round-3 additions (their
     # oldest green rows are from this same round family, lowest risk)
+    "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",

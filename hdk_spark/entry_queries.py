@@ -2905,3 +2905,50 @@ FROM (
 
 SPARK_IMPLS["dedup_keep_best"] = q_dedup_keep_best
 ORACLES["dedup_keep_best"] = _KEEP_BEST_ORACLE
+
+
+def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per (hour window, event_type) on an
+    unbounded stream via CHAINED stateful operators — streaming dedup
+    on (user, type, hour) feeding a windowed count in the same query
+    (Spark's multi-stateful-operator support, 3.4+). Streaming has no
+    COUNT(DISTINCT); dedup-then-count is the exact-distinct pattern.
+
+    Append mode emits a window only once the watermark passes its end,
+    so the final (unclosed) window never surfaces — the oracle cuts at
+    the same horizon (max event time - 10 min watermark delay). The
+    verification drive uses plain dropDuplicates (exact, state unbounded
+    but input-bounded); an always-on deployment swaps in
+    dropDuplicatesWithinWatermark with delay >= window + lateness so
+    dedup state stays bounded.
+    """
+    from hdk_spark.streaming import with_watermark
+
+    s = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    d = (
+        with_watermark(s, "ts", "10 minutes")
+        .withColumn("hour_b", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicates(["user_id", "event_type", "hour_b"])
+    )
+    agg = d.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_users"
+    )
+    name = _run_stream(out, "append")
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+_STREAMING_DISTINCT_USERS_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+         <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+ORDER BY window_start, event_type
+"""
+
+SPARK_IMPLS["streaming_distinct_users"] = q_streaming_distinct_users
+ORACLES["streaming_distinct_users"] = _STREAMING_DISTINCT_USERS_ORACLE
