@@ -814,13 +814,73 @@ FROM g
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs — the sketch is engine-specific
-    (crc32 basis), so this gets the rows-only check; recall against the
-    exact-jaccard oracle is asserted in tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs, fully value-checked: the md5-based
+    sketch basis is computable in DuckDB too (md5 + hex cast), so the
+    oracle below reproduces signatures, banding, and the agreement
+    estimate exactly — candidate generation differs (oracle brute-forces
+    all pairs; Spark buckets), but the emitted pair SET is identical.
+    Recall vs exact jaccard additionally asserted in tests/test_dedup.py."""
     from hdk_spark.operators.dedup import minhash_lsh_dedup
 
     _tables(spark, sf_dir)
-    return minhash_lsh_dedup(spark.table("documents"), threshold=0.5)
+    return minhash_lsh_dedup(spark.table("documents"), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _minhash_oracle(
+    n: int = 3, num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing minhash_lsh_dedup bit-for-bit: same
+    shingles, same md5-derived base hash, same (a·h+b) mod p
+    permutation minima (params from the shared _perm_params), band
+    equality by true slice comparison (Spark's xxhash64 bucket keys
+    collide only at ~2^-64), agreement estimate = matches/num_perm."""
+    from hdk_spark.operators.dedup import _MERSENNE, _perm_params
+
+    rpb = num_perm // bands
+    params = _perm_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE}))"
+        for a, b in params
+    )
+    band_eq = " AND ".join(
+        f"sa[b*{rpb}+{r}] = sb[b*{rpb}+{r}]" for r in range(1, rpb + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT id,
+         list_distinct(
+           list_transform(range(1, greatest(len(tk) - {n - 2}, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         ) AS s_list
+  FROM toks WHERE len(tk) >= {n}
+), h AS (
+  SELECT id,
+         list_transform(s_list,
+           s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {_MERSENNE}
+         ) AS hs
+  FROM sh WHERE len(s_list) > 0
+), sig AS (
+  SELECT id, [{mins}] AS sg FROM h
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb
+  FROM sig a JOIN sig b ON a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, {num_perm + 1}), i -> sa[i] = sb[i]))
+           / {float(num_perm)} AS est,
+         len(list_filter(range(0, {bands}), b -> {band_eq})) > 0 AS banded
+  FROM pairs
+)
+SELECT id_a, id_b, round(est, 6) AS jaccard_est
+FROM scored WHERE banded AND est >= {threshold}
+ORDER BY id_a, id_b
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2952,3 +3012,8 @@ ORDER BY window_start, event_type
 
 SPARK_IMPLS["streaming_distinct_users"] = q_streaming_distinct_users
 ORACLES["streaming_distinct_users"] = _STREAMING_DISTINCT_USERS_ORACLE
+
+
+# round 3: the md5 sketch basis made the minhash pipeline fully
+# DuckDB-expressible — upgrade it from rows-only to value-checked
+ORACLES["dedup_minhash_lsh"] = _minhash_oracle()

@@ -183,18 +183,28 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
     impl: str = "pandas",
+    hash_basis: str = "md5",
 ) -> DataFrame:
     """Per-doc minhash signature (array<int> of length num_perm —
     values live in [0, 2^31-1) so int32 is lossless and halves every
     downstream shuffle/compare).
 
-    Base hash: crc32(shingle) mod (2^31-1) — chosen because it is
-    available both JVM-side (F.crc32) and Python-side (zlib.crc32), so
-    the two implementations below produce bit-identical signatures:
+    Base hash (``hash_basis``):
+
+    - 'md5' (default): int(first 4 md5 bytes) mod (2^31-1) — available
+      in Spark SQL (md5 + conv), Python (hashlib), AND DuckDB
+      (md5 + hex cast), so the whole sketch — and therefore the full
+      LSH pipeline — is expressible as a DuckDB oracle and value-checked
+      by the driver, not just rows-counted.
+    - 'crc32': zlib.crc32 / F.crc32 — ~4× cheaper per shingle (matters
+      only marginally: the kernel is partition-parallel), but DuckDB has
+      no crc32, so results are only Spark-side-checkable.
+
+    Implementations (bit-identical for either basis):
 
     - impl='pandas' (default): one Arrow-batched pandas UDF doing
-      tokenize → n-gram shingles → crc32 → (a·h+b) mod p minima as a
-      numpy matrix op. Spark's higher-order functions are interpreted
+      tokenize → n-gram shingles → base hash → (a·h+b) mod p minima as
+      a numpy matrix op. Spark's higher-order functions are interpreted
       (not codegen'd), so vectorizing the whole sketch is ~5× faster
       than the built-in composition even counting Arrow transfer.
     - impl='sql': pure built-in composition — no Python workers needed;
@@ -202,15 +212,19 @@ def minhash_signatures(
 
     Shuffle-free either way (a pure projection); empty docs dropped.
     """
+    if hash_basis not in ("md5", "crc32"):
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
     params = _perm_params(num_perm, seed)
 
     if impl == "pandas":
+        import hashlib
         import zlib
 
         from pyspark.sql.pandas.functions import pandas_udf
 
         a_vec = np.array([a for a, _ in params], dtype=np.int64)
         b_vec = np.array([b for _, b in params], dtype=np.int64)
+        use_md5 = hash_basis == "md5"
 
         @pandas_udf("array<int>")
         def _sig(texts: pd.Series) -> pd.Series:
@@ -219,6 +233,12 @@ def minhash_signatures(
             # handful of chunked matrix ops — per-doc numpy dispatch
             # overhead (~30 µs × |docs|) was the measured bottleneck.
             crc = zlib.crc32
+            md5 = hashlib.md5
+            if use_md5:
+                def base(b: bytes) -> int:
+                    return int.from_bytes(md5(b).digest()[:4], "big")
+            else:
+                base = crc
             all_hashes: list[int] = []
             counts: list[int] = []  # per non-empty doc
             empties: list[int] = []  # positions with no shingles
@@ -232,7 +252,7 @@ def minhash_signatures(
                     empties.append(pos)
                     continue
                 counts.append(len(shingles))
-                all_hashes.extend(crc(s.encode("utf-8")) for s in shingles)
+                all_hashes.extend(base(s.encode("utf-8")) for s in shingles)
 
             out: list = [None] * len(texts)
             if counts:
@@ -276,11 +296,23 @@ def minhash_signatures(
         )
 
     # pure-SQL path
+    if hash_basis == "md5":
+        def base_hash(s):
+            # first 4 md5 bytes as an int — conv() parses the leading 8
+            # hex chars; identical to hashlib.md5(b).digest()[:4] and to
+            # DuckDB's CAST('0x' || substr(md5(x),1,8) AS BIGINT)
+            return F.conv(
+                F.substring(F.md5(F.encode(s, "utf-8")), 1, 8), 16, 10
+            ).cast("long")
+    else:
+        def base_hash(s):
+            return F.crc32(F.encode(s, "utf-8")).cast("long")
+
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             _shingles(F.col(text_col), n),
-            lambda s: F.pmod(F.crc32(F.encode(s, "utf-8")).cast("long"), F.lit(_MERSENNE)),
+            lambda s: F.pmod(base_hash(s), F.lit(_MERSENNE)),
         ).alias("hs"),
     ).filter(F.size("hs") > 0)
     # Barrier: stops CollapseProject from inlining the shingle+hash
