@@ -884,11 +884,73 @@ ORDER BY id_a, id_b
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs, fully value-checked: the md5-derived
+    token-hash basis (two 32-bit words from the first 8 md5 bytes) is
+    computable in DuckDB, so the oracle reproduces fingerprints and the
+    hamming filter exactly; the block-split candidate generation differs
+    (oracle brute-forces pairs) but the emitted pair set is identical."""
     from hdk_spark.operators.dedup import simhash_pairs
 
     _tables(spark, sf_dir)
-    return simhash_pairs(spark.table("documents"), max_hamming=3)
+    return (
+        simhash_pairs(spark.table("documents"), max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB SQL reproducing simhash_pairs bit-for-bit: same md5 word
+    split (hi = md5 bytes 1-4 → bits 32-63, lo = bytes 5-8 → bits
+    0-31), same +1/-1 bit sums and sign rule, hamming = differing
+    fingerprint bits, candidates = pairs agreeing exactly on ≥1 of the
+    (max_hamming+1) 16-bit blocks."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sums = ",\n           ".join(
+        "SUM(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END)".format(
+            src="lo" if i < 32 else "hi", sh=i % 32
+        )
+        for i in range(64)
+    )
+    block_ors = " OR ".join(
+        "("
+        + " AND ".join(
+            f"ba[{bi * width + r}] = bb[{bi * width + r}]"
+            for r in range(1, width + 1)
+        )
+        + ")"
+        for bi in range(nblocks)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+), hashed AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS lo
+  FROM tok
+), sums AS (
+  SELECT id, [{sums}] AS s
+  FROM hashed GROUP BY id
+), fp AS (
+  SELECT id, list_transform(s, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+  FROM sums
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.b AS ba, b.b AS bb
+  FROM fp a JOIN fp b ON a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, 65), i -> ba[i] <> bb[i])) AS hamming,
+         ({block_ors}) AS banded
+  FROM pairs
+)
+SELECT id_a, id_b, hamming FROM scored
+WHERE banded AND hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3017,3 +3079,4 @@ ORACLES["streaming_distinct_users"] = _STREAMING_DISTINCT_USERS_ORACLE
 # round 3: the md5 sketch basis made the minhash pipeline fully
 # DuckDB-expressible — upgrade it from rows-only to value-checked
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
+ORACLES["dedup_simhash"] = _simhash_oracle()

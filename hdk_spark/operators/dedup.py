@@ -540,24 +540,50 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_basis: str = "md5",
+) -> DataFrame:
     """64-bit SimHash per document: for each bit, +1/-1 per token hash
     bit, fingerprint bit = sign of the sum. Expressed as 64 JVM-side
-    aggregates over exploded tokens."""
+    aggregates over exploded tokens.
+
+    hash_basis='md5' (default) derives the 64 token-hash bits from the
+    first 8 md5 bytes as two 32-bit words (hi = bytes 1-4 → bits 32-63,
+    lo = bytes 5-8 → bits 0-31) — computable identically in DuckDB
+    (md5 + hex cast), so the whole pipeline is oracle-expressible.
+    'xxhash64' keeps the cheaper JVM-only hash. Either way the hash is
+    PROJECTED once per token before the 64 bit-aggregates (inlining it
+    would re-evaluate the hash per aggregate)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
     )
-    h = F.xxhash64(F.col("t"))
+    if hash_basis == "md5":
+        md5 = F.md5(F.encode(F.col("t"), "utf-8"))
+        hashed = toks.select(
+            "id",
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("__hi"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("__lo"),
+        )
+
+        def bit(i: int):
+            src = F.col("__lo") if i < 32 else F.col("__hi")
+            return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+    elif hash_basis == "xxhash64":
+        hashed = toks.select("id", F.xxhash64(F.col("t")).alias("__h"))
+
+        def bit(i: int):
+            return F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
     sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"b{i}")
+        F.sum(F.when(bit(i) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
         for i in range(64)
     ]
-    agg = toks.groupBy("id").agg(*sums)
+    agg = hashed.groupBy("id").agg(*sums)
     fp = None
     for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
