@@ -1076,12 +1076,82 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check; recall asserted
-    in tests/test_similarity.py)."""
+    """Multi-table LSH approximate top-k, fully value-checked: the
+    hyperplanes are deterministic literals and every dot product is a
+    fixed left-to-right fold, so DuckDB reproduces buckets, candidates,
+    exact-cosine rescoring, and ranking bit-for-bit (the oracle
+    brute-forces the candidate test where production equi-joins on
+    bucket ids). Recall vs exact additionally asserted in
+    tests/test_similarity.py."""
     from hdk_spark.operators.similarity import ann_lsh_topk
 
     _tables(spark, sf_dir)
-    return ann_lsh_topk(spark.table("embeddings"), [0, 1, 2], k=5)
+    return ann_lsh_topk(spark.table("embeddings"), [0, 1, 2], k=5).orderBy(
+        "qid", "rank"
+    )
+
+
+def _ann_lsh_oracle(
+    query_ids: list[int], k: int = 5, n_planes: int = 4, n_tables: int = 8,
+    seed: int = 42, dim: int = 64,
+) -> str:
+    """DuckDB SQL reproducing ann_lsh_topk on the driver fixture
+    (embeddings are 64-d): same deterministic hyperplanes
+    (_hyperplanes), same sign-bucket ids, candidates = pairs sharing
+    ANY table's bucket, exact cosine via the same left-fold dot, same
+    (cosine desc, id) ranking. The Spark kernel computes bucket dots
+    with a numpy matmul whose pairwise summation can differ from the
+    fold in the last bits — sign flips require |dot| ~ 1e-15, which the
+    O(1)-magnitude synthetic dots never approach."""
+    from hdk_spark.operators.similarity import _hyperplanes
+
+    def dot_sql(vec_expr: str, coeffs: list[float]) -> str:
+        lits = ", ".join(repr(float(c)) for c in coeffs)
+        return (
+            f"list_reduce(list_transform(list_zip({vec_expr}, [{lits}]), "
+            "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        )
+
+    tables = [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
+    bucket_cols = []
+    for t, planes in enumerate(tables):
+        terms = " + ".join(
+            f"(CASE WHEN {dot_sql('v', plane)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        bucket_cols.append(f"({terms}) AS b{t}")
+    any_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    qids = ", ".join(str(q) for q in query_ids)
+    self_dot = (
+        "list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " (a, b) -> a + b)"
+    )
+    cross_dot = (
+        "list_reduce(list_transform(list_zip(q.v, c.v), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS v,
+         sqrt({self_dot}) AS norm,
+         {", ".join(bucket_cols)}
+  FROM embeddings
+), q AS (
+  SELECT * FROM base WHERE id IN ({qids})
+), scored AS (
+  SELECT q.id AS qid, c.id AS neighbor_id,
+         {cross_dot} / (q.norm * c.norm) AS cosine
+  FROM q JOIN base c ON c.id <> q.id AND ({any_match})
+), ranked AS (
+  SELECT qid, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k} ORDER BY qid, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3080,3 +3150,4 @@ ORACLES["streaming_distinct_users"] = _STREAMING_DISTINCT_USERS_ORACLE
 # DuckDB-expressible — upgrade it from rows-only to value-checked
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES["dedup_simhash"] = _simhash_oracle()
+ORACLES["similarity_ann_lsh"] = _ann_lsh_oracle([0, 1, 2], k=5)
