@@ -954,13 +954,116 @@ ORDER BY id_a, id_b
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-k (k-means coarse quantizer + nprobe
-    equi-join + exact rescoring; rows-only check — recall asserted in
-    tests/test_similarity.py)."""
+    """IVF-Flat approximate top-k, fully value-checked: the coarse
+    quantizer trains with the deterministic distributed k-means
+    (clustering.kmeans_centroids — hash init, decimal-exact sums), and
+    assignment/probing/rescoring run as fold-based JVM expressions, so
+    the DuckDB oracle reproduces the inverted lists, the nprobe probe
+    set, and the exact-cosine top-k bit-for-bit. Recall vs exact
+    additionally asserted in tests/test_similarity.py."""
+    from hdk_spark.operators.clustering import kmeans_centroids
     from hdk_spark.operators.similarity import ann_ivf_topk
 
     _tables(spark, sf_dir)
-    return ann_ivf_topk(spark.table("embeddings"), [0, 1, 2], k=5)
+    emb = spark.table("embeddings")
+    cents = kmeans_centroids(emb, k=16, iters=2, seed=0)
+    return ann_ivf_topk(
+        emb, [0, 1, 2], k=5, n_lists=16, nprobe=4, centroids=cents
+    ).orderBy("qid", "rank")
+
+
+def _ann_ivf_oracle(
+    query_ids: list[int], k: int = 5, n_lists: int = 16, nprobe: int = 4,
+    iters: int = 2, dim: int = 64,
+) -> str:
+    """DuckDB SQL reproducing the oracle-checkable IVF path end-to-end:
+    the deterministic k-means rounds (same machinery as the
+    embedding_kmeans oracle), corpus assignment to inverted lists,
+    per-query nprobe nearest lists by (distance, id), and exact-cosine
+    top-k over the probed candidates — every float passes through the
+    same left-to-right folds as the Spark expressions."""
+    from hdk_spark.operators.sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql("vec_id", 1000000007, 0)
+    dist = (
+        "list_reduce(list_transform(list_zip(e.embedding, c.embedding),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+    )
+    assign = """
+{name} AS (
+  SELECT vec_id, embedding, c FROM (
+    SELECT e.vec_id, e.embedding, c.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.c) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
+  ) t WHERE rn = 1
+)"""
+    update = """
+{name} AS (
+  SELECT c, list(d_avg ORDER BY d) AS embedding FROM (
+    SELECT a.c, dd.d,
+           CAST(sum(CAST(CAST(a.embedding[dd.d] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*) AS d_avg
+    FROM {assigned} a CROSS JOIN (SELECT unnest(range(1, {dimp1})) AS d) dd
+    GROUP BY a.c, dd.d
+  ) s GROUP BY c
+)"""
+    ctes = [
+        "init AS (\n"
+        f"  SELECT embedding, row_number() OVER (ORDER BY {hb}, vec_id) - 1 AS c\n"
+        f"  FROM embeddings ORDER BY {hb}, vec_id LIMIT {n_lists}\n)"
+    ]
+    cents_name = "init"
+    for r in range(1, iters + 1):
+        ctes.append(assign.format(name=f"a{r}", dist=dist, cents=cents_name))
+        ctes.append(update.format(name=f"c{r}", assigned=f"a{r}", dimp1=dim + 1))
+        cents_name = f"c{r}"
+    self_dot = (
+        "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
+    cross_dot = (
+        "list_reduce(list_transform(list_zip(q.v, b.v), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    qids = ", ".join(str(q) for q in query_ids)
+    ctes.append(assign.format(name="asg", dist=dist, cents=cents_name))
+    ctes.append(f"""
+base AS (
+  SELECT vec_id AS id, embedding AS v, sqrt({self_dot}) AS norm,
+         c AS list_id
+  FROM asg
+)""")
+    ctes.append(f"""
+probes AS (
+  SELECT qid, qlist FROM (
+    SELECT e.vec_id AS qid, c.c AS qlist,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.c) AS rn
+    FROM embeddings e CROSS JOIN {cents_name} c
+    WHERE e.vec_id IN ({qids})
+  ) t WHERE rn <= {nprobe}
+)""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+scored AS (
+  SELECT q.id AS qid, b.id AS neighbor_id,
+         {cross_dot} / (q.norm * b.norm) AS cosine
+  FROM base b
+  JOIN probes p ON b.list_id = p.qlist
+  JOIN base q ON q.id = p.qid AND b.id <> q.id
+), ranked AS (
+  SELECT qid, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k} ORDER BY qid, rank
+"""
+    )
 
 
 def q_temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3151,3 +3254,4 @@ ORACLES["streaming_distinct_users"] = _STREAMING_DISTINCT_USERS_ORACLE
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES["dedup_simhash"] = _simhash_oracle()
 ORACLES["similarity_ann_lsh"] = _ann_lsh_oracle([0, 1, 2], k=5)
+ORACLES["similarity_ann_ivf"] = _ann_ivf_oracle([0, 1, 2], k=5)

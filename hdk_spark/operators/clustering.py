@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from hdk_spark.operators.sampling import hash_bucket
 
-__all__ = ["kmeans_assignments"]
+__all__ = ["kmeans_assignments", "kmeans_centroids"]
 
 
 def _dist_sq(vec, centroid: list[float]):
@@ -42,31 +42,40 @@ def _dist_sq(vec, centroid: list[float]):
 
 
 def _assign(df: DataFrame, id_col: str, vec_col: str, cents: dict[int, list[float]]):
+    # argmin via ONE sorted (distance, id) struct array — struct
+    # ordering is (d asc, c asc), i.e. ties keep the lower cluster id.
+    # A when-chain argmin re-nests every prior distance expression per
+    # centroid (tree size doubles each step: fine at k=4, analysis
+    # explosion at k=16 — measured as a hang on the IVF quantizer).
     vec = F.col(vec_col)
-    ids = sorted(cents)
-    best_d = _dist_sq(vec, cents[ids[0]])
-    best_c = F.lit(ids[0])
-    for cid in ids[1:]:
-        d = _dist_sq(vec, cents[cid])
-        better = d < best_d  # strict: ties keep the lower cluster id
-        best_c = F.when(better, F.lit(cid)).otherwise(best_c)
-        best_d = F.when(better, d).otherwise(best_d)
+    entries = F.array(
+        *[
+            F.struct(
+                _dist_sq(vec, cents[cid]).alias("d"),
+                F.lit(cid).cast("bigint").alias("c"),
+            )
+            for cid in sorted(cents)
+        ]
+    )
+    best = F.array_sort(entries)[0]
     return df.select(
-        F.col(id_col), vec.alias(vec_col), best_c.cast("bigint").alias("cluster")
+        F.col(id_col), vec.alias(vec_col), best["c"].alias("cluster")
     )
 
 
-def kmeans_assignments(
+def kmeans_centroids(
     df: DataFrame,
     k: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0,
-) -> DataFrame:
-    """Lloyd's k-means, ``iters`` driver-coordinated rounds; returns
-    (id, cluster) for every row. See module docstring for why every
-    step is exactly reproducible across engines."""
+) -> dict[int, list[float]]:
+    """Lloyd's k-means, ``iters`` driver-coordinated rounds; returns the
+    final centroids {cluster_id: vector}. Every step is exactly
+    reproducible across engines (module docstring) — this is also the
+    deterministic coarse-quantizer trainer for similarity.ann_ivf_topk's
+    oracle-checkable path."""
     dim = len(df.select(vec_col).first()[0])
 
     init = (
@@ -96,5 +105,19 @@ def kmeans_assignments(
         cents = {
             int(r["cluster"]): [float(r[f"d{d}"]) for d in range(dim)] for r in rows
         }
+    return cents
 
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Lloyd's k-means, ``iters`` driver-coordinated rounds; returns
+    (id, cluster) for every row. See module docstring for why every
+    step is exactly reproducible across engines."""
+    cents = kmeans_centroids(df, k, iters, id_col, vec_col, seed)
     return _assign(df, id_col, vec_col, cents).select(id_col, "cluster")

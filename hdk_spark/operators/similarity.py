@@ -128,51 +128,89 @@ def ann_ivf_topk(
     nprobe: int = 4,
     train_sample: int = 4096,
     seed: int = 42,
+    centroids: "dict[int, list[float]] | None" = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted file): corpus vectors are
     assigned to their nearest of ``n_lists`` k-means centroids; each
     query probes its ``nprobe`` nearest lists and scores ONLY those
     candidates with exact cosine.
 
-    Scale shape: training reads a bounded sample to the driver (cap
-    ``train_sample``); assignment is one vectorized pandas-UDF pass;
-    the probe is an equi-join on list id — candidates shrink by
-    ~n_lists/nprobe vs a full scan, and precision stays 1 because
-    scoring is exact. This is the standard IVF-Flat layout (FAISS-style)
-    expressed as DataFrame ops."""
-    from pyspark.sql.pandas.functions import pandas_udf
+    Quantizer: by default, trained on a bounded driver-side sample
+    (numpy k-means, cap ``train_sample``) with vectorized pandas-UDF
+    assignment — fast but not cross-engine-reproducible. Passing
+    explicit ``centroids`` (e.g. from clustering.kmeans_centroids, the
+    deterministic trainer) switches assignment and probing to JVM
+    fold-based distance expressions: every step is then bit-for-bit
+    expressible as a SQL oracle, which is how the driver value-checks
+    the contract query.
 
-    sample_rows = (
-        df.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
-    )
-    centroids = _kmeans_fit(
-        np.array(sample_rows, dtype=np.float64), n_lists, seed=seed
-    )
-
-    @pandas_udf("long")
-    def _assign(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1))
-
-    @pandas_udf("array<long>")
-    def _probe(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(list(d.argsort(axis=1)[:, :nprobe].astype(np.int64)))
-
+    Scale shape either way: assignment is one map-only pass; the probe
+    is an equi-join on list id — candidates shrink by ~n_lists/nprobe
+    vs a full scan, and precision stays 1 because scoring is exact.
+    This is the standard IVF-Flat layout (FAISS-style) expressed as
+    DataFrame ops."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-    ).withColumn("list_id", _assign(F.col("v"))).persist()
+    )
+    if centroids is not None:
+        from hdk_spark.operators.clustering import _dist_sq
+
+        cents = {int(c): [float(x) for x in v] for c, v in centroids.items()}
+        vec = F.col("v")
+        # ONE sorted (distance, id) struct array serves both assignment
+        # (first element) and the nprobe probe set (first nprobe) —
+        # struct ordering = (d asc, c asc), ties to the lower list id.
+        # Never a when-chain argmin: that re-nests every prior distance
+        # expression per centroid and blows up analysis at k=16.
+        entries = F.array(
+            *[
+                F.struct(
+                    _dist_sq(vec, cents[cid]).alias("d"),
+                    F.lit(cid).cast("long").alias("c"),
+                )
+                for cid in sorted(cents)
+            ]
+        )
+        sorted_entries = F.array_sort(entries)
+        assign_col = sorted_entries[0]["c"]
+        probe_col = F.transform(
+            F.slice(sorted_entries, 1, nprobe), lambda s: s["c"]
+        )
+    else:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        sample_rows = (
+            df.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+        )
+        trained = _kmeans_fit(
+            np.array(sample_rows, dtype=np.float64), n_lists, seed=seed
+        )
+
+        @pandas_udf("long")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - trained[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1))
+
+        @pandas_udf("array<long>")
+        def _probe(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - trained[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(list(d.argsort(axis=1)[:, :nprobe].astype(np.int64)))
+
+        assign_col = _assign(F.col("v"))
+        probe_col = _probe(F.col("v"))
+
+    base = base.withColumn("list_id", assign_col).persist()
     queries = (
         base.filter(F.col("id").isin(query_ids))
         .select(
             F.col("id").alias("qid"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qnorm"),
-            F.explode(_probe(F.col("v"))).alias("qlist"),
+            F.explode(probe_col).alias("qlist"),
         )
     )
     cand = base.join(
