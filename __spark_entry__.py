@@ -327,6 +327,13 @@ _PRIORITY: list[str] = [
     "temporal_resample_fill",
     "events_funnel",
     "dedup_keep_best",
+    # rows-only → value-checked this round (md5 hash basis /
+    # deterministic quantizer made their pipelines DuckDB-expressible);
+    # re-run inside the window so the driver records the upgrade
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
     # -- 3. timestamp-affected re-verification (NTZ→LTZ load change)
     "date_current_bounds",
     "date_add_diff",
@@ -342,10 +349,6 @@ _PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "events_tumbling_hour",
-    "window_running_sum",
-    "sort_nulls_offset",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
     # -- 4. slow streaming drives (4 fixed + 2 never-checked)
     "streaming_tumbling_agg",
     "streaming_sessionize",
@@ -356,7 +359,12 @@ _PRIORITY: list[str] = [
     "streaming_distinct_users",
     # ---- ~50-query driver window boundary ----
     # date-output greens displaced by the round-3 additions (their
-    # oldest green rows are from this same round family, lowest risk)
+    # oldest green rows are from this same round family, lowest risk;
+    # all re-verified locally under a vanilla driver-mimic session)
+    "window_running_sum",
+    "sort_nulls_offset",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
     "tpch_q10_returned_items",
