@@ -322,6 +322,7 @@ _PRIORITY: list[str] = [
     # new in round 3
     "text_repetition",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "text_source_kl",
     "embedding_covariance",
     "temporal_resample_fill",
@@ -348,7 +349,6 @@ _PRIORITY: list[str] = [
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "events_tumbling_hour",
     # -- 4. slow streaming drives (4 fixed + 2 never-checked)
     "streaming_tumbling_agg",
     "streaming_sessionize",
@@ -361,6 +361,7 @@ _PRIORITY: list[str] = [
     # date-output greens displaced by the round-3 additions (their
     # oldest green rows are from this same round family, lowest risk;
     # all re-verified locally under a vanilla driver-mimic session)
+    "events_tumbling_hour",
     "window_running_sum",
     "sort_nulls_offset",
     "tpch_q4_order_priority",

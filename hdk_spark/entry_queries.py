@@ -3255,3 +3255,41 @@ ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES["dedup_simhash"] = _simhash_oracle()
 ORACLES["similarity_ann_lsh"] = _ann_lsh_oracle([0, 1, 2], k=5)
 ORACLES["similarity_ann_ivf"] = _ann_ivf_oracle([0, 1, 2], k=5)
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability scoring under the corpus's own
+    bigram LM — the next-order perplexity proxy above
+    text_unigram_logprob."""
+    from hdk_spark.operators.text import bigram_logprob
+
+    _tables(spark, sf_dir)
+    return bigram_logprob(spark.table("documents")).orderBy("doc_id")
+
+
+_BIGRAM_LOGPROB_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+                        i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+  FROM t WHERE len(tk) >= 2
+), pairs AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c) AS cx FROM counts GROUP BY w1
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln(counts.c / CAST(ctx.cx AS DOUBLE))), 6) AS avg_logprob
+FROM pairs p
+JOIN counts ON p.w1 = counts.w1 AND p.w2 = counts.w2
+JOIN ctx ON p.w1 = ctx.w1
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+SPARK_IMPLS["text_bigram_logprob"] = q_text_bigram_logprob
+ORACLES["text_bigram_logprob"] = _BIGRAM_LOGPROB_ORACLE

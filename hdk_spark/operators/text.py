@@ -474,3 +474,52 @@ def distinctive_terms(
         .filter(F.col("__rn") <= k)
         .select("grp", "token", "score")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average bigram conditional log-probability under
+    the corpus's own bigram LM: mean over positions i ≥ 2 of
+    ln(count(w_{i-1} w_i) / count(w_{i-1} ·)) — the next-order
+    perplexity proxy above [[unigram_logprob]]. Every bigram a document
+    contains is by construction in the corpus model, so probabilities
+    are always positive (no smoothing needed for self-scoring).
+
+    Returns (id, n_bigrams, avg_logprob) rounded to 6 digits; documents
+    with fewer than 2 tokens are dropped.
+
+    Scale shape: one corpus-sized bigram explode feeds the PERSISTED
+    (w1, w2) count relation; the context totals derive from the cached
+    counts (no second corpus scan); the scoring pass re-explodes the
+    corpus and joins the broadcast (vocab²-bounded, Zipf-collapsed)
+    model — the only corpus-wide exchange after the counts is the
+    per-document re-aggregation.
+    """
+    toks = tokenize(F.lower(F.col(text_col)))
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c")).persist()
+    ctx = counts.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
+    scored = (
+        bigrams.join(F.broadcast(counts), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .select(
+            F.col(id_col),
+            F.log(F.col("__c") / F.col("__ctx").cast("double")).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )
