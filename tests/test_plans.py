@@ -246,3 +246,29 @@ def test_embedding_covariance_single_agg_pass(spark):
     assert tree.count("Exchange") == 1
     scan_side = tree.split("HashAggregate")[-1]  # below the partial agg
     assert "Generate" not in scan_side
+
+
+def test_bigram_logprob_broadcasts_model(spark):
+    from hdk_spark.operators.text import bigram_logprob
+
+    p = plan(bigram_logprob(_raw_docs(spark)))
+    tree = p.split("\n\n")[0]
+    # the bigram model and context totals join back via broadcast; the
+    # corpus-wide exchanges are the model partial-agg and the per-doc
+    # re-aggregation — never a sort-merge join of the corpus
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_keep_best_no_cartesian_single_corpus_join(spark):
+    from hdk_spark.operators.dedup import dedup_keep_best
+
+    docs = _raw_docs(spark)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    p = plan(dedup_keep_best(docs, pairs, "doc_id", "n_chars"))
+    tree = p.split("\n\n")[0]
+    # clustering runs over the pair graph only; the corpus joins the
+    # doc->cluster map once and the winner pass is window-based
+    assert "CartesianProduct" not in tree
+    assert "Window" in tree
