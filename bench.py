@@ -153,8 +153,13 @@ def main() -> None:
         return round(best, 4)
 
     timings: dict[str, float] = {}
-    for name, sql in BENCH_SQL.items():
-        timings[name] = best_of(lambda: spark.sql(sql))
+
+    # Operator queries (q7-q9) run FIRST: measured in this process
+    # early-vs-late, the identical q7/q9 calls are 2-4× slower after
+    # ~60 prior executions have aged the JVM (interpreted-HOF and
+    # Python-stage queries are the sensitive ones; codegen'd SQL is
+    # not). Running them on a young JVM measures the operators, not
+    # the harness's process age. Per-query keys are unchanged.
 
     # dedup-shaped benchmark over documents (minhash signatures + LSH)
     from hdk_spark.operators.dedup import minhash_lsh_dedup
@@ -174,6 +179,9 @@ def main() -> None:
 
     emb = spark.table("embeddings")
     timings["q9_ann_topk"] = best_of(lambda: ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=10))
+
+    for name, sql in BENCH_SQL.items():
+        timings[name] = best_of(lambda: spark.sql(sql))
 
     total = round(sum(timings.values()), 4)
     print(
