@@ -3022,18 +3022,36 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "j")
 
 
+# Mirrors the Spark kernel's order-independent algebra exactly: each
+# per-row double product is quantized once to DECIMAL(38,12), summed
+# exactly, and the covariance is one final double expression — a
+# covar_samp on either engine would accumulate order-dependent float
+# partials and hash-diverge (the round-3 red row).
 _EMBEDDING_COV_ORACLE = """
 WITH x AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS pos,
-         unnest(embedding) AS v
+         CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+), sel AS (
+  SELECT * FROM x WHERE pos < 16
+), pairs AS (
+  SELECT a.pos AS i, b.pos AS j,
+         COUNT(a.v * b.v) AS n,
+         SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS sxy
+  FROM sel a JOIN sel b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY a.pos, b.pos
+), sums AS (
+  SELECT pos, SUM(CAST(v AS DECIMAL(38,12))) AS s FROM sel GROUP BY pos
 )
-SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
-       round(covar_samp(CAST(a.v AS DOUBLE), CAST(b.v AS DOUBLE)), 6) AS cov
-FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
-WHERE a.pos < 16 AND b.pos < 16
-GROUP BY a.pos, b.pos ORDER BY i, j
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       round((CAST(p.sxy AS DOUBLE)
+              - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / p.n)
+             / (p.n - 1.0), 6) AS cov
+FROM pairs p
+JOIN sums si ON si.pos = p.i
+JOIN sums sj ON sj.pos = p.j
+ORDER BY i, j
 """
 
 SPARK_IMPLS["embedding_covariance"] = q_embedding_covariance

@@ -144,12 +144,23 @@ def embedding_covariance(
     first-row peek for the width).
 
     Scale shape: ONE map-only projection (element extraction) feeding a
-    single partial-aggregable pass of covar_samp cells — d(d+1)/2
-    mergeable aggregates, no shuffle of the data itself, result is
-    d²-sized. The unpivot to rows is driver-free (stack over the
-    aggregated single row). Beats the explode-to-long formulation
-    (which shuffles n·d rows and joins) by keeping everything in
-    whole-stage codegen until the final one-row aggregate.
+    single partial-aggregable pass — d first-moment sums + d(d+1)/2
+    product sums + one count, all mergeable aggregates, no shuffle of
+    the data itself, result is d²-sized. The unpivot to rows is
+    driver-free (stack over the aggregated single row). Beats the
+    explode-to-long formulation (which shuffles n·d rows and joins) by
+    keeping everything in whole-stage codegen until the final one-row
+    aggregate.
+
+    Determinism: ``covar_samp`` accumulates order-dependent floating
+    partial sums (different partitionings → different low-order bits),
+    which is nondeterministic under re-partitioning — the same rule
+    ``zscore`` above follows. Instead each per-row product (an exact
+    IEEE double, identical on any engine) is quantized once to
+    DECIMAL(38,12) and summed exactly; the covariance
+    ``(Σxy − ΣxΣy/n)/(n−1)`` is then a pure double function of
+    order-independent inputs. |v| ≤ O(1) embeddings keep the decimal
+    sums far from the 26-integer-digit headroom even at 1e12 rows.
     """
     if dims is None:
         if n_dims is not None:
@@ -160,17 +171,33 @@ def embedding_covariance(
     elems = df.select(
         *[F.col(vec_col)[i].cast("double").alias(f"__e{i}") for i in dims]
     )
-    cells = [
-        F.covar_samp(f"__e{i}", f"__e{j}").alias(f"c_{i}_{j}")
-        for ai, i in enumerate(dims)
-        for j in dims[ai:]
-    ]
-    agged = elems.agg(*cells)
+
+    def dec(c):
+        return c.cast("decimal(38,12)")
+
+    aggs = [F.sum(dec(F.col(f"__e{i}"))).alias(f"s_{i}") for i in dims]
+    for ai, i in enumerate(dims):
+        for j in dims[ai:]:
+            prod = F.col(f"__e{i}") * F.col(f"__e{j}")
+            aggs.append(F.sum(dec(prod)).alias(f"sxy_{i}_{j}"))
+            aggs.append(F.count(prod).alias(f"n_{i}_{j}"))
+    agged = elems.agg(*aggs)
+    cov_cols = []
+    for ai, i in enumerate(dims):
+        for j in dims[ai:]:
+            n = F.col(f"n_{i}_{j}").cast("double")
+            sx = F.col(f"s_{i}").cast("double")
+            sy = F.col(f"s_{j}").cast("double")
+            sxy = F.col(f"sxy_{i}_{j}").cast("double")
+            cov_cols.append(
+                ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias(f"c_{i}_{j}")
+            )
+    celled = agged.select(*cov_cols)
     stack_args = ", ".join(
         f"{i}, {j}, c_{i}_{j}" for ai, i in enumerate(dims) for j in dims[ai:]
     )
     n_cells = sum(range(1, len(dims) + 1))
-    return agged.select(
+    return celled.select(
         F.expr(f"stack({n_cells}, {stack_args}) AS (i, j, cov)")
     ).select(
         F.col("i").cast("long").alias("i"),
