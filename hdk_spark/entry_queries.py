@@ -3311,3 +3311,128 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 
 SPARK_IMPLS["text_bigram_logprob"] = q_text_bigram_logprob
 ORACLES["text_bigram_logprob"] = _BIGRAM_LOGPROB_ORACLE
+
+
+def q_text_unigram_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring with the min_count=2 <unk> fold — the
+    bounded-model path whose forced broadcast stays legal at 100 TB
+    (the Zipf tail is lumped into one bucket)."""
+    from hdk_spark.operators.text import unigram_logprob
+
+    _tables(spark, sf_dir)
+    return unigram_logprob(spark.table("documents"), min_count=2).orderBy("doc_id")
+
+
+_UNIGRAM_UNK_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), f AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT SUM(c) AS s FROM f
+), kept AS (
+  SELECT token, c FROM f WHERE c >= 2
+), unk AS (
+  SELECT greatest(COALESCE(SUM(c), 0), 1) AS uc FROM f WHERE c < 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(ln(COALESCE(kept.c, unk.uc) / CAST(tot.s AS DOUBLE))), 6)
+         AS avg_logprob
+FROM tok LEFT JOIN kept USING (token) CROSS JOIN tot CROSS JOIN unk
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_unigram_unk"] = q_text_unigram_unk
+ORACLES["text_unigram_unk"] = _UNIGRAM_UNK_ORACLE
+
+
+def q_text_bigram_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with the min_count=2 per-context <unk> fold —
+    the bounded-model path (kept bigrams + one tail row per context)."""
+    from hdk_spark.operators.text import bigram_logprob
+
+    _tables(spark, sf_dir)
+    return bigram_logprob(spark.table("documents"), min_count=2).orderBy("doc_id")
+
+
+_BIGRAM_UNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+                        i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+  FROM t WHERE len(tk) >= 2
+), pairs AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c) AS cx FROM counts GROUP BY w1
+), kept AS (
+  SELECT w1, w2, c FROM counts WHERE c >= 2
+), unk AS (
+  SELECT w1, SUM(c) AS uc FROM counts WHERE c < 2 GROUP BY w1
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln(COALESCE(kept.c, unk.uc, 1) / CAST(ctx.cx AS DOUBLE))), 6)
+         AS avg_logprob
+FROM pairs p
+LEFT JOIN kept ON p.w1 = kept.w1 AND p.w2 = kept.w2
+LEFT JOIN unk ON p.w1 = unk.w1
+JOIN ctx ON p.w1 = ctx.w1
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+SPARK_IMPLS["text_bigram_unk"] = q_text_bigram_unk
+ORACLES["text_bigram_unk"] = _BIGRAM_UNK_ORACLE
+
+
+def q_text_lm_cross_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet cross-corpus shape: score src0's documents under a unigram
+    model trained on every OTHER source (min_count=2; unseen tokens
+    fall back to the <unk> mass)."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.text import unigram_logprob
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return unigram_logprob(
+        docs.filter(F.col("source") == "src0"),
+        min_count=2,
+        model_df=docs.filter(F.col("source") != "src0"),
+    ).orderBy("doc_id")
+
+
+_LM_CROSS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE source = 'src0'
+), mtok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE source <> 'src0'
+), f AS (
+  SELECT token, COUNT(*) AS c FROM mtok GROUP BY token
+), tot AS (
+  SELECT SUM(c) AS s FROM f
+), kept AS (
+  SELECT token, c FROM f WHERE c >= 2
+), unk AS (
+  SELECT greatest(COALESCE(SUM(c), 0), 1) AS uc FROM f WHERE c < 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(ln(COALESCE(kept.c, unk.uc) / CAST(tot.s AS DOUBLE))), 6)
+         AS avg_logprob
+FROM tok LEFT JOIN kept USING (token) CROSS JOIN tot CROSS JOIN unk
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_lm_cross_score"] = q_text_lm_cross_score
+ORACLES["text_lm_cross_score"] = _LM_CROSS_ORACLE

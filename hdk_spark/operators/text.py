@@ -341,11 +341,25 @@ def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: int = 1,
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
-    """Per-document average token log-probability under the corpus's
-    own unigram language model — the classic perplexity-proxy quality
-    score (documents far from the corpus distribution rank low; used
-    as a pretraining-data filter, e.g. CCNet's LM filtering stage).
+    """Per-document average token log-probability under a unigram
+    language model — the classic perplexity-proxy quality score
+    (documents far from the model distribution rank low; used as a
+    pretraining-data filter, e.g. CCNet's LM filtering stage).
+
+    The model corpus is ``model_df`` (the real CCNet shape: score
+    corpus A under reference-corpus B's model) or, by default, ``df``
+    itself (self-scoring). ``min_count`` folds tokens seen fewer than
+    ``min_count`` times into a single ``<unk>`` bucket that carries the
+    summed tail mass — the standard LM-filter trick that makes the
+    model relation BOUNDED regardless of corpus size (the Zipf tail is
+    where the vocabulary explodes). Tokens absent from the model score
+    with the ``<unk>`` mass (floored at count 1 for cross-corpus
+    unseen tokens).
 
     Returns (id, n_tokens, avg_logprob) with avg_logprob rounded to 6
     digits (transcendental-math determinism rule).
@@ -355,22 +369,46 @@ def unigram_logprob(
     score — deliberately NOT caching the exploded token relation
     (corpus-sized; the raw scan is cheaper to repeat than to
     materialize). The vocabulary is PERSISTED (vocab-sized) so its
-    total doesn't trigger a third pass, and broadcast for scoring, so
-    the only corpus-wide exchange after the counts is the per-document
-    re-aggregation keyed by id. No driver-side action anywhere.
+    total doesn't trigger a third pass. Broadcast policy: an unbounded
+    corpus-derived vocabulary must NOT be force-broadcast (at 100 TB
+    of web text the raw vocab is O(10^8-9) rows — a forced broadcast
+    overrides AQE's size check and OOMs every executor). So the model
+    join is forced-broadcast only when ``min_count`` > 1 makes the
+    model bounded (override with ``broadcast_model``); otherwise the
+    join is left to AQE, which broadcasts a measured-small model and
+    falls back to a shuffled join on ``token`` for a large one — never
+    a cartesian (pinned in tests/test_plans.py).
     """
     tok = df.select(
         F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("token")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__c")).persist()
+    src = model_df if model_df is not None else df
+    mtok = src.select(
+        F.explode(tokenize(F.lower(F.col(model_text_col or text_col)))).alias("token")
+    )
+    vocab = mtok.groupBy("token").agg(F.count(F.lit(1)).alias("__c")).persist()
     total = vocab.agg(F.sum("__c").alias("__total"))
-    scored = (
-        tok.join(F.broadcast(vocab), "token")
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col(id_col),
-            F.log(F.col("__c") / F.col("__total").cast("double")).alias("__lp"),
+    if broadcast_model is None:
+        broadcast_model = min_count > 1
+    if min_count > 1:
+        kept = vocab.filter(F.col("__c") >= min_count)
+        unk = vocab.filter(F.col("__c") < min_count).agg(
+            F.greatest(F.coalesce(F.sum("__c"), F.lit(0)), F.lit(1)).alias("__unk")
         )
+        fallback = F.col("__unk")
+    else:
+        kept = vocab
+        unk = None
+        fallback = F.lit(1)  # cross-corpus unseen token floor
+    model = F.broadcast(kept) if broadcast_model else kept
+    scored = tok.join(model, "token", "left").crossJoin(F.broadcast(total))
+    if unk is not None:
+        scored = scored.crossJoin(F.broadcast(unk))  # 1-row scalar
+    scored = scored.select(
+        F.col(id_col),
+        F.log(
+            F.coalesce(F.col("__c"), fallback) / F.col("__total").cast("double")
+        ).alias("__lp"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -400,7 +438,11 @@ def source_kl_divergence(
     plans four independent corpus scans (the filter-pushed subtrees
     aren't identical, so exchange reuse can't kick in; pinned by
     tests/test_plans.py::test_source_kl_single_corpus_pass). Everything
-    after the first aggregation is vocabulary-sized.
+    after the first aggregation is vocabulary-sized — which is exactly
+    why the corpus-distribution join is NOT force-broadcast: the vocab
+    is unbounded in corpus size, so AQE decides broadcast vs a shuffled
+    equi-join on ``token`` from the measured size (the group-total join
+    stays forced — bounded by the number of groups).
     """
     gt = (
         df.select(
@@ -417,7 +459,7 @@ def source_kl_divergence(
     p_grp = F.col("__c") / F.col("__gt").cast("double")
     p_corpus = F.col("__cc") / F.col("__ct").cast("double")
     return (
-        gt.join(F.broadcast(corpus), "token")
+        gt.join(corpus, "token")
         .join(F.broadcast(grp_total), "grp")
         .crossJoin(F.broadcast(corpus_total))
         .groupBy("grp")
@@ -480,6 +522,10 @@ def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: int = 1,
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Per-document average bigram conditional log-probability under
     the corpus's own bigram LM: mean over positions i ≥ 2 of
@@ -491,33 +537,75 @@ def bigram_logprob(
     Returns (id, n_bigrams, avg_logprob) rounded to 6 digits; documents
     with fewer than 2 tokens are dropped.
 
+    ``min_count`` folds bigrams seen fewer than ``min_count`` times
+    into a per-context ``(w1, <unk>)`` bucket carrying the summed tail
+    mass — this bounds the model relation by the kept-bigram count plus
+    one row per context, instead of the raw (unbounded) bigram
+    vocabulary. A scored bigram absent from the kept model falls back
+    to its context's ``<unk>`` mass, then to count 1 (cross-corpus
+    pair never seen in that context). With ``model_df`` set, the model
+    comes from that corpus (CCNet cross-scoring); positions whose
+    context word never occurs in the model corpus are dropped (no
+    conditional distribution to score under).
+
     Scale shape: one corpus-sized bigram explode feeds the PERSISTED
     (w1, w2) count relation; the context totals derive from the cached
     counts (no second corpus scan); the scoring pass re-explodes the
-    corpus and joins the broadcast (vocab²-bounded, Zipf-collapsed)
-    model — the only corpus-wide exchange after the counts is the
-    per-document re-aggregation.
+    corpus and joins the model — forced-broadcast ONLY when
+    ``min_count`` > 1 bounds it (an unconditional broadcast of the raw
+    bigram model, strictly larger than the unigram vocab, OOMs at
+    100 TB; see [[unigram_logprob]]); otherwise AQE picks broadcast vs
+    shuffled join from the measured size. The only corpus-wide exchange
+    after the counts is the per-document re-aggregation.
     """
-    toks = tokenize(F.lower(F.col(text_col)))
-    bigrams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg"),
-    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c")).persist()
+
+    def explode_bigrams(frame: DataFrame, tcol: str, keep_id: bool) -> DataFrame:
+        toks = tokenize(F.lower(F.col(tcol)))
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(
+            *cols,
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        ).select(*cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bigrams = explode_bigrams(df, text_col, keep_id=True)
+    if model_df is not None:
+        mbigrams = explode_bigrams(model_df, model_text_col or text_col, keep_id=False)
+    else:
+        mbigrams = bigrams.select("w1", "w2")
+    counts = mbigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c")).persist()
     ctx = counts.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
-    scored = (
-        bigrams.join(F.broadcast(counts), ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
-        .select(
-            F.col(id_col),
-            F.log(F.col("__c") / F.col("__ctx").cast("double")).alias("__lp"),
+    if broadcast_model is None:
+        broadcast_model = min_count > 1
+    if min_count > 1:
+        kept = counts.filter(F.col("__c") >= min_count)
+        unk = (
+            counts.filter(F.col("__c") < min_count)
+            .groupBy("w1")
+            .agg(F.sum("__c").alias("__uc"))
         )
+        cnt = F.coalesce(F.col("__c"), F.col("__uc"), F.lit(1))
+    else:
+        kept = counts
+        unk = None
+        cnt = F.coalesce(F.col("__c"), F.lit(1))  # cross-corpus unseen pair
+
+    def maybe_bc(rel: DataFrame) -> DataFrame:
+        return F.broadcast(rel) if broadcast_model else rel
+
+    scored = bigrams.join(maybe_bc(kept), ["w1", "w2"], "left")
+    if unk is not None:
+        # one row per context with a folded tail — bounded by the
+        # context vocabulary, same size class as ctx below
+        scored = scored.join(maybe_bc(unk), "w1", "left")
+    scored = scored.join(maybe_bc(ctx), "w1").select(
+        F.col(id_col),
+        F.log(cnt / F.col("__ctx").cast("double")).alias("__lp"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),

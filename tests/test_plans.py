@@ -201,16 +201,77 @@ def test_top_terms_partial_agg_and_take_ordered(spark):
     assert "partial_count" in p or "HashAggregate" in p  # map-side combine
 
 
-def test_unigram_logprob_broadcasts_vocab(spark):
+def final_plan(df) -> str:
+    """AQE's executed plan — collect first so isFinalPlan=true."""
+    df.collect()
+    return plan(df)
+
+
+def test_unigram_logprob_model_join_policy(spark):
     from hdk_spark.operators.text import unigram_logprob
 
-    p = plan(unigram_logprob(_raw_docs(spark)))
-    tree = p.split("\n\n")[0]
-    # the vocabulary and its total join back via broadcast — the only
-    # shuffles are the vocab partial-agg and the per-doc re-aggregation
-    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
-    assert "SortMergeJoin" not in tree
+    # Default (unbounded raw vocab): the model join must NOT be a
+    # forced broadcast — at 100 TB the raw vocabulary is O(10^8-9)
+    # rows and a forced broadcast OOMs every executor. AQE picks BHJ
+    # here because the model measures small; never a cartesian.
+    df = unigram_logprob(_raw_docs(spark))
+    tree = plan(df).split("\n\n")[0]
     assert "CartesianProduct" not in tree
+    ftree = final_plan(df).split("\n\n")[0]
+    assert "BroadcastHashJoin" in ftree  # AQE's choice at bench scale
+    assert "CartesianProduct" not in ftree
+
+    # Bounded model (min_count>1 folds the Zipf tail into <unk>): the
+    # forced broadcast is legal again and pinned.
+    tree = plan(unigram_logprob(_raw_docs(spark), min_count=2)).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_lm_scoring_survives_large_model(spark):
+    """Simulate AQE measuring the LM model as too big to broadcast
+    (the 100 TB case): with broadcast disabled, unigram/bigram scoring
+    must degrade to a shuffled equi-join — never a cartesian — and
+    produce identical results."""
+    from hdk_spark.operators.text import bigram_logprob, unigram_logprob
+
+    docs = _raw_docs(spark)
+    base_uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob(docs).collect()
+    }
+    thresholds = [
+        ("spark.sql.autoBroadcastJoinThreshold", None),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", None),
+    ]
+    for i, (k, _) in enumerate(thresholds):
+        try:
+            thresholds[i] = (k, spark.conf.get(k))
+        except Exception:
+            pass
+        spark.conf.set(k, "-1")
+    try:
+        for op in (unigram_logprob, bigram_logprob):
+            df = op(docs)
+            ftree = final_plan(df).split("\n\n")[0]
+            # the 1-row scalar totals still cross-join via forced
+            # broadcast (legal at any scale); the MODEL join must
+            # degrade to a shuffled equi-join, never a cartesian
+            assert "CartesianProduct" not in ftree
+            assert (
+                "SortMergeJoin" in ftree or "ShuffledHashJoin" in ftree
+            ), "large-model path should shuffle-join, not broadcast"
+        got = {
+            r["doc_id"]: r["avg_logprob"]
+            for r in unigram_logprob(docs).collect()
+        }
+        assert got == base_uni  # join strategy must not change values
+    finally:
+        for k, v in thresholds:
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_source_kl_single_corpus_pass(spark):
@@ -227,7 +288,9 @@ def test_source_kl_single_corpus_pass(spark):
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
     assert len(scan_ids) == 1, f"corpus scanned via {len(scan_ids)} distinct nodes"
     assert tree.count("InMemoryTableScan") >= 3  # corpus/group/total reuse
-    assert "SortMergeJoin" not in tree
+    # the corpus-distribution join is vocab-sized on both sides and NOT
+    # force-broadcast (unbounded at 100 TB) — a shuffled join there is
+    # legal; only a cartesian is a defect
     assert "CartesianProduct" not in tree
 
 
@@ -248,16 +311,22 @@ def test_embedding_covariance_single_agg_pass(spark):
     assert "Generate" not in scan_side
 
 
-def test_bigram_logprob_broadcasts_model(spark):
+def test_bigram_logprob_model_join_policy(spark):
     from hdk_spark.operators.text import bigram_logprob
 
-    p = plan(bigram_logprob(_raw_docs(spark)))
-    tree = p.split("\n\n")[0]
-    # the bigram model and context totals join back via broadcast; the
-    # corpus-wide exchanges are the model partial-agg and the per-doc
-    # re-aggregation — never a sort-merge join of the corpus
+    # Default (unbounded raw bigram model — strictly larger than the
+    # unigram vocab): no forced broadcast; AQE broadcasts the
+    # measured-small model at bench scale. Never a cartesian.
+    df = bigram_logprob(_raw_docs(spark))
+    assert "CartesianProduct" not in plan(df).split("\n\n")[0]
+    ftree = final_plan(df).split("\n\n")[0]
+    assert "BroadcastHashJoin" in ftree
+    assert "CartesianProduct" not in ftree
+
+    # min_count>1 bounds the model (kept bigrams + one <unk> row per
+    # context) → forced broadcast pinned
+    tree = plan(bigram_logprob(_raw_docs(spark), min_count=2)).split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
-    assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
 
 
