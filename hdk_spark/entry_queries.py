@@ -823,9 +823,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdk_spark.operators.dedup import minhash_lsh_dedup
 
     _tables(spark, sf_dir)
-    return minhash_lsh_dedup(spark.table("documents"), threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    # hash_basis='md5' pinned here (production default is crc32 — ~4×
+    # cheaper per shingle but not DuckDB-expressible)
+    return minhash_lsh_dedup(
+        spark.table("documents"), threshold=0.5, hash_basis="md5"
+    ).orderBy("id_a", "id_b")
 
 
 def _minhash_oracle(
@@ -892,8 +894,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdk_spark.operators.dedup import simhash_pairs
 
     _tables(spark, sf_dir)
+    # hash_basis='md5' pinned here (production default is xxhash64)
     return (
-        simhash_pairs(spark.table("documents"), max_hamming=3)
+        simhash_pairs(spark.table("documents"), max_hamming=3, hash_basis="md5")
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
@@ -1189,9 +1192,12 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdk_spark.operators.similarity import ann_lsh_topk
 
     _tables(spark, sf_dir)
-    return ann_lsh_topk(spark.table("embeddings"), [0, 1, 2], k=5).orderBy(
-        "qid", "rank"
-    )
+    # deterministic=True pinned: fold-based JVM bucket bits + norms so
+    # the oracle's strict left-fold dots agree bit-for-bit (production
+    # default uses one vectorized numpy pass per Arrow batch)
+    return ann_lsh_topk(
+        spark.table("embeddings"), [0, 1, 2], k=5, deterministic=True
+    ).orderBy("qid", "rank")
 
 
 def _ann_lsh_oracle(

@@ -183,7 +183,7 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
     impl: str = "pandas",
-    hash_basis: str = "md5",
+    hash_basis: str = "crc32",
 ) -> DataFrame:
     """Per-doc minhash signature (array<int> of length num_perm —
     values live in [0, 2^31-1) so int32 is lossless and halves every
@@ -191,14 +191,17 @@ def minhash_signatures(
 
     Base hash (``hash_basis``):
 
-    - 'md5' (default): int(first 4 md5 bytes) mod (2^31-1) — available
-      in Spark SQL (md5 + conv), Python (hashlib), AND DuckDB
-      (md5 + hex cast), so the whole sketch — and therefore the full
-      LSH pipeline — is expressible as a DuckDB oracle and value-checked
-      by the driver, not just rows-counted.
-    - 'crc32': zlib.crc32 / F.crc32 — ~4× cheaper per shingle (matters
-      only marginally: the kernel is partition-parallel), but DuckDB has
-      no crc32, so results are only Spark-side-checkable.
+    - 'crc32' (default — the production basis): zlib.crc32 / F.crc32 —
+      ~4× cheaper per shingle than md5, which is the dominant kernel
+      cost on real corpora. DuckDB has no crc32, so results are only
+      Spark-side-checkable.
+    - 'md5': int(first 4 md5 bytes) mod (2^31-1) — available in Spark
+      SQL (md5 + conv), Python (hashlib), AND DuckDB (md5 + hex cast),
+      so the whole sketch — and therefore the full LSH pipeline — is
+      expressible as a DuckDB oracle and value-checked by the driver,
+      not just rows-counted. The CONTRACT queries pin this basis
+      explicitly; defaulting to it cost the round-3 bench 40-50% on the
+      sketch operators (VERDICT r3 §What's wrong 3).
 
     Implementations (bit-identical for either basis):
 
@@ -354,6 +357,7 @@ def minhash_lsh_dedup(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     persist_signatures: bool = True,
+    hash_basis: str = "crc32",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard on the minhash signatures.
@@ -401,7 +405,8 @@ def minhash_lsh_dedup(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = minhash_signatures(
-        repartition_for_width(df), id_col, text_col, n, num_perm, seed
+        repartition_for_width(df), id_col, text_col, n, num_perm, seed,
+        hash_basis=hash_basis,
     )
     # stage 1: one representative per distinct signature + member list
     groups = sig.groupBy("signature").agg(
@@ -544,19 +549,21 @@ def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_basis: str = "md5",
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: for each bit, +1/-1 per token hash
     bit, fingerprint bit = sign of the sum. Expressed as 64 JVM-side
     aggregates over exploded tokens.
 
-    hash_basis='md5' (default) derives the 64 token-hash bits from the
-    first 8 md5 bytes as two 32-bit words (hi = bytes 1-4 → bits 32-63,
-    lo = bytes 5-8 → bits 0-31) — computable identically in DuckDB
-    (md5 + hex cast), so the whole pipeline is oracle-expressible.
-    'xxhash64' keeps the cheaper JVM-only hash. Either way the hash is
-    PROJECTED once per token before the 64 bit-aggregates (inlining it
-    would re-evaluate the hash per aggregate)."""
+    hash_basis='xxhash64' (default — the production basis) uses the
+    cheap JVM-native hash. 'md5' derives the 64 token-hash bits from
+    the first 8 md5 bytes as two 32-bit words (hi = bytes 1-4 → bits
+    32-63, lo = bytes 5-8 → bits 0-31) — computable identically in
+    DuckDB (md5 + hex cast), so the whole pipeline is
+    oracle-expressible; the contract queries pin it explicitly. Either
+    way the hash is PROJECTED once per token before the 64
+    bit-aggregates (inlining it would re-evaluate the hash per
+    aggregate)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
@@ -598,6 +605,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via the block-split
     trick: split 64 bits into (max_hamming+1) blocks; any qualifying
@@ -613,7 +621,7 @@ def simhash_pairs(
     value → quadratic in-bucket pairing)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    fps = simhash(df, id_col, text_col)
+    fps = simhash(df, id_col, text_col, hash_basis=hash_basis)
     blocks = fps.select(
         F.struct("id", "simhash").alias("dh"),
         F.explode(

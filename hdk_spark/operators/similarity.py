@@ -237,8 +237,19 @@ def ann_lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH.
+
+    ``deterministic=False`` (default — the production path) computes
+    all sign buckets AND the vector norm in one vectorized numpy pass
+    per Arrow batch. ``deterministic=True`` computes bucket bits and
+    norms with fold-based JVM dot-product expressions instead: numpy's
+    pairwise-summation matmul can flip the sign of a near-zero dot and
+    land a vector in a different bucket than a strict left-fold would,
+    so the oracle-checked contract query pins this mode (the same
+    split ann_ivf_topk makes via explicit ``centroids``). ~10× slower
+    per corpus row (interpreted HOFs), identical plan shape.
 
     Single-probe LSH has poor recall when true neighbors sit at
     moderate angles (P(same bucket) = (1-θ/π)^planes — measured 0.04
@@ -258,39 +269,61 @@ def ann_lsh_topk(
     10× local scale); for corpora where that amplification doesn't fit
     cache, ann_ivf_topk is the scale path (×1 vector storage, bounded
     driver-side training)."""
-    from pyspark.sql.pandas.functions import pandas_udf
-
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-    )
     tables = [
         _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
     ]
-    # one (dim × n_tables*n_planes) matrix: all sign bits in a single
-    # vectorized matmul per Arrow batch — the interpreted HOF version
-    # (n_tables*n_planes aggregate() calls per row) measured ~10× slower
-    planes_mat = np.array(
-        [p for tbl in tables for p in tbl], dtype=np.float64
-    ).T  # dim × (n_tables*n_planes)
-    pow2 = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+    if deterministic:
+        # fold-based JVM expressions: bit-reproducible in a SQL oracle
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        )
+        buckets_col = F.array(
+            *[_bucket_expr(F.col("v"), tbl) for tbl in tables]
+        )
+        # persist: referenced by both sides of the candidate join (same
+        # reasoning as dedup sketches)
+        hashed = base.select(
+            "id", "v", "norm", F.posexplode(buckets_col).alias("tbl", "b")
+        ).persist()
+    else:
+        from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("array<long>")
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
-        signs = (m @ planes_mat) >= 0  # batch × tables*planes
-        signs = signs.reshape(len(m), n_tables, n_planes)
-        ids = (signs * pow2[None, None, :]).sum(axis=2)  # batch × tables
-        return pd.Series(list(ids))
+        # one (dim × n_tables*n_planes) matrix: all sign bits in a
+        # single vectorized matmul per Arrow batch — the interpreted
+        # HOF version (n_tables*n_planes aggregate() calls per row)
+        # measured ~10× slower. The norm rides the same pass.
+        planes_mat = np.array(
+            [p for tbl in tables for p in tbl], dtype=np.float64
+        ).T  # dim × (n_tables*n_planes)
+        pow2 = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
-    # persist: referenced by both sides of the candidate join (same
-    # reasoning as dedup sketches)
-    hashed = base.select(
-        "id", "v", "norm", F.posexplode(_buckets(F.col("v"))).alias("tbl", "b")
-    ).persist()
+        @pandas_udf("struct<bs:array<long>,norm:double>")
+        def _sketch(vecs: pd.Series) -> pd.DataFrame:
+            m = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+            signs = (m @ planes_mat) >= 0  # batch × tables*planes
+            signs = signs.reshape(len(m), n_tables, n_planes)
+            ids = (signs * pow2[None, None, :]).sum(axis=2)  # batch × tables
+            norms = np.sqrt((m * m).sum(axis=1))
+            return pd.DataFrame({"bs": list(ids), "norm": norms})
+
+        hashed = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                _sketch(F.col(vec_col)).alias("sk"),
+            )
+            .select(
+                "id",
+                "v",
+                F.col("sk.norm").alias("norm"),
+                F.posexplode("sk.bs").alias("tbl", "b"),
+            )
+            .persist()
+        )
     queries = hashed.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
