@@ -179,16 +179,48 @@ FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
 
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_COUNT_DISTINCT (HLL, reference HyperLogLog.h) and
-    APPROX_QUANTILE (reference approx_quantile.h t-digest). Estimates
-    are engine-specific → rows-only check (no oracle)."""
+    APPROX_QUANTILE (reference approx_quantile.h t-digest).
+
+    The sketch estimates themselves are engine-specific, so the
+    value-checked contract is the deterministic inequality instead:
+    the HLL estimate must land within 3·rsd (rsd=0.05 → ±15%) of the
+    exact distinct count computed in the same query, and the t-digest
+    median must land inside the exact [p40, p60] percentile band. Both
+    engines emit the exact counts plus the boolean verdicts — DuckDB
+    asserts TRUE literals, so a drifting sketch flips the hash."""
     from hdk_spark.functions import approx_quantile
 
     _tables(spark, sf_dir)
     li = spark.table("lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        approx_quantile(F.col("l_extendedprice"), 0.5).alias("approx_median_price"),
+    price = F.col("l_extendedprice").cast("double")
+    agged = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("__hll"),
+        approx_quantile(F.col("l_extendedprice"), 0.5).alias("__amed"),
+        F.percentile(price, F.lit(0.4)).alias("__p40"),
+        F.percentile(price, F.lit(0.6)).alias("__p60"),
     )
+    exact = F.col("n_exact_parts").cast("double")
+    return agged.select(
+        "l_returnflag",
+        "n_exact_parts",
+        (F.abs(F.col("__hll") - exact) / exact <= 0.15).alias("hll_ok"),
+        (
+            (F.col("__amed") >= F.col("__p40"))
+            & (F.col("__amed") <= F.col("__p60"))
+        ).alias("median_ok"),
+    ).orderBy("l_returnflag")
+
+
+_AGG_APPROX_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_exact_parts,
+       TRUE AS hll_ok,
+       TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1167,18 +1199,53 @@ FROM documents
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling through the stubbed demux kernel
-    (rows-only check; exact counts asserted in tests)."""
+    """Video frame sampling through the demux kernel (mapInPandas).
+    Value-checked: the synthetic payload spec is deterministic
+    (n_frames = len(text) % 300 + 1; frame fi = payload bytes
+    [(fi·16) mod len, +16)), so the oracle recomputes every sampled
+    frame's index, byte length, and hex digest from the documents
+    table — the per-frame bytes crossing the Arrow boundary are what
+    gets checked, not just row counts."""
     from hdk_spark.operators.multimodal import sample_frames, synth_media_from_documents
 
     _tables(spark, sf_dir)
     videos = synth_media_from_documents(spark.table("documents"), "video")
     frames = sample_frames(videos, every_n=30)
-    return frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames_sampled"),
-        F.min("frame_idx").alias("first_idx"),
-        F.max("frame_idx").alias("last_idx"),
-    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_len"),
+        F.hex("frame").alias("frame_hex"),
+    ).orderBy("media_id", "frame_idx")
+
+
+# Recomputes the stub demux arithmetic byte-for-byte: payload = UTF-8
+# text bytes, sliced at (frame_idx*16) mod max(1,len) for 16 bytes —
+# expressed over the hex encoding since DuckDB's substring is
+# VARCHAR-only (hex(blob) is uppercase on both engines).
+_MULTIMODAL_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS datahex,
+         octet_length(encode(text)) AS dlen,
+         length(text) % 300 + 1 AS n_frames
+  FROM documents
+), f AS (
+  SELECT media_id, datahex, dlen,
+         unnest(range(0, n_frames, 30)) AS frame_idx
+  FROM m
+)
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(substring(datahex,
+                             ((frame_idx * 16) % greatest(dlen, 1)) * 2 + 1,
+                             32)) / 2 AS BIGINT) AS frame_len,
+       substring(datahex,
+                 ((frame_idx * 16) % greatest(dlen, 1)) * 2 + 1,
+                 32) AS frame_hex
+FROM f
+ORDER BY media_id, frame_idx
+"""
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1924,6 +1991,9 @@ ORACLES: dict[str, str] = {
     "pivot_event_types": _PIVOT_ORACLE,
     "unpivot_measures": _UNPIVOT_ORACLE,
     "geo_distance": _GEO_DISTANCE_ORACLE,
+    # round 4: the last two rows-only queries, upgraded to checked
+    "agg_approx": _AGG_APPROX_ORACLE,
+    "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
