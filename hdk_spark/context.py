@@ -103,11 +103,21 @@ class HDK:
         name = name or _table_name_from_path(path)
         return self._register(name, self.spark.read.orc(path))
 
-    def append_json(self, path: str, name: str, **json_opts: Any) -> "Table":
+    def append_json(
+        self, path: str, name: str, multiline: bool = False
+    ) -> "Table":
+        """Incremental JSON append — mirrors import_json's signature
+        (explicit ``multiline``; the appended rows reuse the existing
+        table's schema, so no inference pass). Unknown table names
+        raise a clear error."""
+        if name not in self._tables:
+            raise KeyError(
+                f"append_json: unknown table {name!r} — import it first"
+            )
         existing = self._tables[name]
-        reader = self.spark.read.option(
-            "multiLine", json_opts.get("multiline", False)
-        ).schema(existing.schema)
+        reader = self.spark.read.option("multiLine", multiline).schema(
+            existing.schema
+        )
         return self._register(name, existing.unionByName(reader.json(path)))
 
     def import_arrow(self, table: Any, name: str | None = None) -> "Table":

@@ -95,17 +95,24 @@ def q_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bottomk(F.col("l_quantity"), 5).alias("bottom5_qty"),
         topk(F.col("l_extendedprice"), 3).alias("top3_price"),
     )
+    # explode a literal 1..5 rank sequence and index with
+    # try_element_at (NULL past the end) — arrays_zip would emit fewer
+    # rows than the oracle's fixed generate_series(1,5) on any group
+    # with < 5 lineitems
     return (
         agged.select(
             "l_returnflag",
-            F.posexplode(F.arrays_zip("top5_qty", "bottom5_qty", "top3_price")),
+            "top5_qty",
+            "bottom5_qty",
+            "top3_price",
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("rank"),
         )
         .select(
             "l_returnflag",
-            (F.col("pos") + 1).cast("long").alias("rank"),
-            F.col("col.top5_qty").alias("top_qty"),
-            F.col("col.bottom5_qty").alias("bottom_qty"),
-            F.col("col.top3_price").alias("top_price"),
+            F.col("rank").cast("long").alias("rank"),
+            F.try_element_at("top5_qty", F.col("rank")).alias("top_qty"),
+            F.try_element_at("bottom5_qty", F.col("rank")).alias("bottom_qty"),
+            F.try_element_at("top3_price", F.col("rank")).alias("top_price"),
         )
         .orderBy("l_returnflag", "rank")
     )

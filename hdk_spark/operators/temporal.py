@@ -185,8 +185,11 @@ def resample_fill(
         raise ValueError(f"unknown fill method {method!r}")
     step_expr = f"INTERVAL {step}"
     step_sec = _interval_seconds(step)
+    # floor, not cast-truncation: cast('long') truncates toward zero,
+    # which would bucket pre-1970 timestamps one step late and diverge
+    # from both the DuckDB oracle and range_join's floor convention
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / F.lit(step_sec)).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step_sec)).cast("long")
         * F.lit(step_sec)
     )
     # last observation per (key, bucket): max by (ts, value) — ties on
@@ -258,46 +261,48 @@ def funnel_counts(
     Returns (step_idx, step, n_keys) with step_idx 1-based, monotone
     non-increasing n_keys.
 
-    Scale shape: one filter to the funnel's event set, one groupBy key
-    collecting each step's occurrence times as per-step MIN-after-prev
-    via a small sort_array pass — state per key is bounded by
-    len(steps) (the conditional-min chain), never the user's full
-    event history: the per-key aggregate collects only each step's
-    sorted occurrence list projected to the first-match chain.
+    Scale shape: one filter to the funnel's event set (persisted — each
+    step re-reads it), then per step ONE conditional-min aggregate
+    ``t_k = MIN(t : ev = step_k AND t > t_{k-1})`` joined against the
+    (keys-sized, shrinking) chain relation from the previous step.
+    Aggregation state per key is a single timestamp — a skewed key with
+    millions of funnel events costs mergeable MIN partials, never a
+    collected occurrence list (the collect_list formulation this
+    replaces held a key's full per-step event history in one task).
+    len(steps) keyed exchanges of the filtered event set, each with
+    map-side partial MINs.
     """
-    # per (key, step): sorted occurrence times, bounded by the funnel's
-    # event set filter
-    occ = (
+    base = (
         df.filter(F.col(event_col).isin(steps))
-        .groupBy(F.col(key_col).alias("key"), F.col(event_col).alias("ev"))
-        .agg(F.sort_array(F.collect_list(F.col(ts_col))).alias("ts_list"))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(event_col).alias("ev"),
+            F.col(ts_col).alias("t"),
+        )
+        .persist()
     )
-    pivoted = occ.groupBy("key").pivot("ev", steps).agg(F.first("ts_list"))
-    # chain of earliest-valid timestamps: t_k = min {t in ts_k : t > t_{k-1}}
-    prev = None
-    chain_cols = []
+    chain = None  # (key, __prev): earliest valid completion of steps 1..k
+    counts_rows = []
     for i, s in enumerate(steps):
-        lst = F.col(f"`{s}`")
-        if prev is None:
-            t = F.try_element_at(lst, F.lit(1))
+        si = base.filter(F.col("ev") == s)
+        if chain is None:
+            cur = si.groupBy("key").agg(F.min("t").alias("__prev"))
         else:
-            after = F.filter(lst, lambda x: x > prev)  # noqa: B023
-            t = F.try_element_at(after, F.lit(1))
-        cname = f"__t{i}"
-        chain_cols.append(F.when(prev.isNotNull() if i else F.lit(True), t).alias(cname) if i else t.alias(cname))
-        prev = F.col(cname)
-        pivoted = pivoted.withColumn(cname, chain_cols[-1])
-    counts = pivoted.agg(
-        *[
-            F.count(F.col(f"__t{i}")).cast("long").alias(f"__n{i}")
-            for i in range(len(steps))
-        ]
-    )
-    stack_args = ", ".join(
-        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
-    )
-    return counts.select(
-        F.expr(f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_keys)")
-    ).select(
-        F.col("step_idx").cast("long").alias("step_idx"), "step", "n_keys"
-    )
+            cur = (
+                si.join(chain, "key")
+                .filter(F.col("t") > F.col("__prev"))
+                .groupBy("key")
+                .agg(F.min("t").alias("__prev"))
+            )
+        chain = cur
+        counts_rows.append(
+            chain.agg(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+            )
+        )
+    out = counts_rows[0]
+    for extra in counts_rows[1:]:
+        out = out.unionByName(extra)
+    return out
