@@ -44,12 +44,17 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id reachable from it.
 
     Returns (id, comp): one row per distinct node; ``comp`` is the
     component representative (its minimum member id). Deterministic.
+
+    Pass a dict as ``stats`` to receive {'rounds': n} — the number of
+    shuffled label rounds run after the fused init (scale_smoke uses
+    this to pin the O(log diameter) round-count claim with data).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirect + dedup once; every round reuses this cached relation
@@ -72,7 +77,9 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         # neighbor propagation: each edge sends its endpoint's label
         msgs = e.join(labels, e["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("comp")
@@ -102,6 +109,8 @@ def connected_components(
         prev_sum = new_sum
 
     e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

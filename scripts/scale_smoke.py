@@ -57,12 +57,69 @@ def regen(spark) -> None:
     print("regenerated", DST)
 
 
+def cc_stress_100x(spark) -> None:
+    """×100-edge connected-components stress: ~25M edges of planted
+    clique chains (the dedup-graph topology at scale — clone cliques
+    bridged into chains). Verifies component count exactly, reports
+    round count (the O(log diameter) claim) and wall time.
+
+    Topology: 550k cliques of 10 nodes (45 edges each), bridged into
+    chains of 16 cliques → diameter ≈ 32, 34 375 expected components,
+    25.3M directed edges before the undirect+distinct."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.graph import connected_components
+
+    G = 10          # clique size
+    CHAIN = 16      # cliques per chain
+    n_groups = 550_000
+    n_chains = n_groups // CHAIN
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(G)
+            for j in range(i + 1, G)
+        ]
+    )
+    groups = spark.range(n_groups).withColumnRenamed("id", "g")
+    clique_edges = groups.select(
+        "g", F.explode(pairs).alias("p")
+    ).select(
+        (F.col("g") * G + F.col("p.i")).alias("id_a"),
+        (F.col("g") * G + F.col("p.j")).alias("id_b"),
+    )
+    bridge_edges = groups.filter(
+        (F.col("g") % CHAIN) != (CHAIN - 1)
+    ).select(
+        (F.col("g") * G).alias("id_a"),
+        ((F.col("g") + 1) * G).alias("id_b"),
+    )
+    edges = clique_edges.unionByName(bridge_edges)
+    n_edges = edges.count()
+    t0 = time.perf_counter()
+    stats: dict = {}
+    labels = connected_components(edges, stats=stats).persist()
+    n_comp = labels.select("comp").distinct().count()
+    n_nodes = labels.count()
+    wall = round(time.perf_counter() - t0, 2)
+    ok = n_comp == n_chains and n_nodes == n_groups * G
+    print(
+        f"cc_100x: edges={n_edges} nodes={n_nodes} components={n_comp} "
+        f"(expected {n_chains}, correct={ok}) rounds={stats['rounds']} "
+        f"wall={wall}s"
+    )
+    labels.unpersist()
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
     from hdk_spark.session import get_spark
 
     spark = get_spark("scale_smoke")
+    if "--cc100" in sys.argv:
+        cc_stress_100x(spark)
+        return
     if "--regen" in sys.argv or not os.path.exists(DST):
         regen(spark)
 
