@@ -11,8 +11,10 @@ materializing whole partitions.
 Codec status (no PIL/libjpeg/ffmpeg in this environment):
   - image: REAL PNG decode/encode/resize via the stdlib-zlib + numpy
     codec in ``png.py`` (8-bit gray/RGB/palette/alpha, all row filters)
-    behind ``use_real_codec=True``; JPEG/WebP would need libjpeg and
-    raise with a clear message.
+    and REAL baseline JPEG decode/encode via the pure-numpy codec in
+    ``jpeg.py`` (sequential DCT, grayscale/4:4:4/4:2:0/4:2:2, restart
+    markers), both behind ``use_real_codec=True`` with magic-byte
+    dispatch; WebP/progressive-JPEG raise with a clear message.
   - audio: REAL 16-bit WAV decode via stdlib ``wave`` (png.decode_wav)
     in ``decode_audio(use_real_codec=True)``.
   - video: STUBBED — demuxing genuinely needs ffmpeg; the fake path
@@ -130,12 +132,15 @@ def decode_image(df: DataFrame, data_col: str = "data", use_real_codec: bool = F
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_codec:
+                from hdk_spark.operators.jpeg import decode_jpeg, is_jpeg
                 from hdk_spark.operators.png import decode_png
 
                 stats = []
                 for b in pdf[data_col]:
-                    px = decode_png(b or b"")  # raises on non-PNG: the
-                    # real path refuses to fabricate pixel statistics
+                    b = b or b""
+                    # magic-byte dispatch; raises on unknown formats —
+                    # the real path refuses to fabricate pixel stats
+                    px = decode_jpeg(b) if is_jpeg(b) else decode_png(b)
                     stats.append((float(px.mean()), float(px.std())))
             else:
                 stats = [_fake_pixels_stats(b or b"") for b in pdf[data_col]]
@@ -187,7 +192,17 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_real_codec:
+            from hdk_spark.operators.jpeg import decode_jpeg, encode_jpeg, is_jpeg
             from hdk_spark.operators.png import decode_png, encode_png, resize_nearest
+
+            def recode(b: bytes) -> bytes:
+                # decode → nearest resample → re-encode in the SOURCE
+                # format (magic-byte dispatch)
+                if is_jpeg(b):
+                    return encode_jpeg(
+                        resize_nearest(decode_jpeg(b), width, height)
+                    )
+                return encode_png(resize_nearest(decode_png(b), width, height))
 
         for pdf in batches:
             pdf = pdf.copy()
@@ -198,10 +213,7 @@ def resize_images(
                 metas.append(m)
             pdf[meta_col] = metas
             if use_real_codec:
-                pdf[data_col] = [
-                    encode_png(resize_nearest(decode_png(b or b""), width, height))
-                    for b in pdf[data_col]
-                ]
+                pdf[data_col] = [recode(b or b"") for b in pdf[data_col]]
             yield pdf
 
     return df.mapInPandas(resize, out_schema)

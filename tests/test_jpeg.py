@@ -1,0 +1,116 @@
+"""Baseline JPEG codec tests (pure numpy + stdlib; no libjpeg in the
+environment). Shared-bug risk between encoder and decoder is bounded
+by construction: the decoder reads quantization/Huffman tables from
+the stream's own DQT/DHT segments (not the module constants), the
+transform pair is checked as a mathematical identity, and solid-color
+images must round-trip EXACTLY (DC-only path has no quantization
+loss for flat blocks)."""
+
+import numpy as np
+import pytest
+
+from hdk_spark.operators import jpeg
+from hdk_spark.operators import multimodal as mm
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+def _smooth_rgb(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.clip(np.stack([x * 3 + 10, y * 3 + 5, x + y], axis=-1), 0, 255).astype(
+        np.uint8
+    )
+
+
+def test_dct_matrix_is_orthonormal():
+    # the transform identity the whole codec rests on
+    assert np.allclose(jpeg._D @ jpeg._D.T, np.eye(8), atol=1e-12)
+    rng = np.random.RandomState(0)
+    block = rng.rand(8, 8) * 255
+    back = jpeg._D.T @ (jpeg._D @ block @ jpeg._D.T) @ jpeg._D
+    assert np.allclose(back, block, atol=1e-9)
+
+
+def test_solid_color_roundtrip_exact():
+    for color in ([0, 0, 0], [255, 255, 255], [120, 64, 200]):
+        img = np.full((24, 40, 3), color, dtype=np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() == 0
+
+
+def test_smooth_roundtrip_psnr_444_and_420():
+    img = _smooth_rgb(50, 70)
+    for subsample, floor in ((False, 45.0), (True, 40.0)):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsample=subsample))
+        assert dec.shape == img.shape
+        assert _psnr(dec, img) > floor
+
+
+def test_grayscale_roundtrip():
+    y, x = np.mgrid[0:33, 0:41]
+    g = np.clip(x * 2 + y, 0, 255).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))
+    assert dec.shape == g.shape and dec.ndim == 2
+    assert _psnr(dec, g) > 45.0
+
+
+def test_noise_roundtrip_high_quality():
+    img = np.random.RandomState(3).randint(0, 256, (29, 37, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape  # odd dims exercise padding/crop
+    assert _psnr(dec, img) > 20.0  # noise is the worst case for DCT
+
+
+def test_decode_determinism():
+    data = jpeg.encode_jpeg(_smooth_rgb(16, 24), quality=85)
+    a, b = jpeg.decode_jpeg(data), jpeg.decode_jpeg(data)
+    assert (a == b).all()
+
+
+def test_rejects_progressive_and_garbage():
+    img = _smooth_rgb(16, 16)
+    data = bytearray(jpeg.encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="JPEG"):
+        jpeg.decode_jpeg(b"plain text bytes")
+
+
+def test_decode_image_real_codec_mixed_png_jpeg(spark):
+    """Magic-byte dispatch: one media table mixing PNG and JPEG rows
+    decodes both through the same mapInPandas kernel."""
+    from hdk_spark.operators import png
+
+    rng = np.random.RandomState(1)
+    png_img = rng.randint(0, 256, (8, 11, 3), dtype=np.uint8)
+    jpg_img = _smooth_rgb(16, 24)
+    rows = [
+        (0, bytearray(png.encode_png(png_img)),
+         {"width": 11, "height": 8, "channels": 3, "format": "image/png"}),
+        (1, bytearray(jpeg.encode_jpeg(jpg_img, quality=90)),
+         {"width": 24, "height": 16, "channels": 3, "format": "image/jpeg"}),
+    ]
+    df = spark.createDataFrame(rows, mm.media_table_schema("image"))
+    got = {r["media_id"]: r for r in mm.decode_image(df, use_real_codec=True).collect()}
+    assert got[0]["pixel_mean"] == pytest.approx(float(png_img.mean()))
+    dec = jpeg.decode_jpeg(bytes(rows[1][1]))
+    assert got[1]["pixel_mean"] == pytest.approx(float(dec.mean()))
+
+
+def test_resize_real_codec_keeps_jpeg_format(spark):
+    rows = [
+        (0, bytearray(jpeg.encode_jpeg(_smooth_rgb(32, 48), quality=90)),
+         {"width": 48, "height": 32, "channels": 3, "format": "image/jpeg"})
+    ]
+    df = spark.createDataFrame(rows, mm.media_table_schema("image"))
+    out = mm.resize_images(df, 16, 8, use_real_codec=True).collect()[0]
+    assert jpeg.is_jpeg(bytes(out["data"]))  # re-encoded in source format
+    dec = jpeg.decode_jpeg(bytes(out["data"]))
+    assert dec.shape == (8, 16, 3)
+    assert out["meta"]["width"] == 16 and out["meta"]["height"] == 8
