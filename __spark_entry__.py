@@ -303,6 +303,8 @@ _PRIORITY: list[str] = [
     "text_unigram_unk",
     "text_bigram_unk",
     "text_lm_cross_score",
+    "text_redact_pii",
+    "text_hashed_score",
     "agg_topk_bottomk",
     "events_funnel",
     "temporal_resample_fill",

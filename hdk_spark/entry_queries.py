@@ -3519,3 +3519,97 @@ GROUP BY doc_id ORDER BY doc_id
 
 SPARK_IMPLS["text_lm_cross_score"] = q_text_lm_cross_score
 ORACLES["text_lm_cross_score"] = _LM_CROSS_ORACLE
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministically planted
+    emails/IPs/phones (both engines build the identical input text, so
+    the redacted strings and per-kind counts value-check exactly)."""
+    from hdk_spark.operators.text import redact_pii
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-010-2334 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).orderBy("doc_id")
+
+
+_REDACT_PII_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-010-2334 from 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t1
+  FROM d
+), s2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s
+)
+SELECT doc_id,
+       regexp_replace(t2,
+         '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}',
+         '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_split_to_array(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+            AS BIGINT) AS n_email,
+       CAST(len(regexp_split_to_array(t1,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1
+            AS BIGINT) AS n_ip,
+       CAST(len(regexp_split_to_array(t2,
+            '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}')) - 1
+            AS BIGINT) AS n_phone
+FROM s2 ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_redact_pii"] = q_text_redact_pii
+ORACLES["text_redact_pii"] = _REDACT_PII_ORACLE
+
+
+def q_text_hashed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality scorer (md5 bucket hash +
+    strict left-fold weight sum + sigmoid) — every step reproduced
+    bit-for-bit by the DuckDB oracle below."""
+    from hdk_spark.operators.text import hashed_linear_score
+
+    _tables(spark, sf_dir)
+    return hashed_linear_score(spark.table("documents")).orderBy("doc_id")
+
+
+def _hashed_score_oracle(n_buckets: int = 64, seed: int = 13) -> str:
+    from hdk_spark.operators.text import _hashed_weights
+
+    w = _hashed_weights(n_buckets, seed)
+    wlit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in w) + "]"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       round(1/(1+exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(tk, x -> {wlit}[
+             (CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
+              % {n_buckets}) + 1])), (a, b) -> a + b))
+         / greatest(len(tk), 1))), 6) AS score
+FROM t ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["text_hashed_score"] = q_text_hashed_score
+ORACLES["text_hashed_score"] = _hashed_score_oracle()

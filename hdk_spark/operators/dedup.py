@@ -852,6 +852,92 @@ def contamination_flags(
     )
 
 
+def contamination_flags_bloom(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`contamination_flags` for eval
+    sets too large to inline as a literal shingle array: executor
+    memory is bounded by ``m_bits/8`` bytes REGARDLESS of eval-set
+    size (the literal version grows with the shingle union).
+
+    Build: eval shingles → ``k_hashes`` xxhash64 bit positions →
+    bit-OR per 64-bit word (one bounded groupBy) → collected into an
+    ``m_bits/64``-long literal array (a filter-sized driver action,
+    independent of eval-set row count). Probe: map-only corpus pass —
+    a shingle hits when ALL k bits are set; a document is contaminated
+    when ≥ ``min_overlap`` shingles hit. NO FALSE NEGATIVES (every
+    truly-contaminated doc is flagged — the property that matters for
+    decontamination); false-positive rate ≈ (1−e^{−k·S/m})^k for S
+    distinct eval shingles, so flagged docs can be rescored exactly
+    with :func:`contamination_flags` if precision matters.
+
+    ``m_bits`` is capped at 2^22 (a 64k-element literal array keeps
+    the plan small); beyond that, swap the literal for a broadcast
+    join on word index — same semantics, still no corpus shuffle.
+    """
+    if m_bits > (1 << 22):
+        raise ValueError(
+            "m_bits > 2^22 would inline an oversized literal bitset; "
+            "use a broadcast join on the word index instead"
+        )
+    ev = eval_df.select(
+        F.explode(_shingles(F.col(eval_text_col), n)).alias("s")
+    ).distinct()
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col("s")), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+    )
+    words = (
+        ev.select(F.explode(positions).alias("p"))
+        .select(
+            F.floor(F.col("p") / 64).cast("long").alias("w"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            # call_function: F.shiftleft only takes a Python-int shift,
+            # but the SQL expression accepts a column
+            F.bit_or(
+                F.call_function("shiftleft", F.lit(1).cast("long"), F.col("b"))
+            ).alias("mask")
+        )
+    )
+    n_words = (m_bits + 63) // 64
+    arr = [0] * n_words
+    for r in words.collect():  # bounded by m_bits/64, not eval size
+        arr[int(r["w"])] = int(r["mask"])
+    bits_lit = F.array(*[F.lit(x).cast("long") for x in arr])
+
+    def all_bits_set(s):
+        cond = None
+        for i in range(k_hashes):
+            p = F.pmod(F.xxhash64(F.lit(i), s), F.lit(m_bits))
+            word = F.element_at(bits_lit, F.floor(p / 64).cast("int") + 1)
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+            )
+            c = word.bitwiseAND(mask) != 0
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    n_hit = F.size(F.filter(_shingles(F.col(text_col), n), all_bits_set))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_hit.cast("bigint").alias("n_hit_shingles"),
+        (n_hit >= F.lit(min_overlap)).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup: new batch vs existing corpus signatures
 # ---------------------------------------------------------------------------

@@ -611,3 +611,116 @@ def bigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pretraining-data scrubbing stage)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset where Java (Spark) and RE2
+# (DuckDB) agree exactly: character classes + greedy quantifiers + \b,
+# no alternation with overlapping prefixes (leftmost-first vs
+# leftmost-longest would diverge there).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone-like digit runs from a
+    text column — the standard PII pass a pretraining pipeline runs
+    before anything else sees the text (cf. the C4/RefinedWeb cleanup
+    stages; the reference has no text surface at all, SURVEY.md §2.8).
+
+    Replacements apply in a FIXED order (email → ip → phone) so later
+    patterns see earlier placeholders — the phone pattern would
+    otherwise eat dotted IPs — and the per-kind counts are computed on
+    the same intermediate the replacement saw, making every output
+    deterministic and oracle-reproducible. Map-only: one projection,
+    no shuffle, whole-stage codegen (regexp_replace/regexp_count are
+    JVM built-ins)."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_PATTERNS["email"], "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_PATTERNS["ip"], "<IP>")
+    t3 = F.regexp_replace(t2, PII_PATTERNS["phone"], "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias(out_col),
+        F.regexp_count(t0, F.lit(PII_PATTERNS["email"])).cast("long").alias("n_email"),
+        F.regexp_count(t1, F.lit(PII_PATTERNS["ip"])).cast("long").alias("n_ip"),
+        F.regexp_count(t2, F.lit(PII_PATTERNS["phone"])).cast("long").alias("n_phone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality scorer (fastText-style filtering stage)
+# ---------------------------------------------------------------------------
+
+
+def _hashed_weights(n_buckets: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random weights in [-1, 1) (LCG — same
+    generator family as dedup._perm_params). A real deployment passes
+    trained ``weights`` instead; the stand-in keeps the whole scoring
+    path value-checkable with no model artifact in the repo."""
+    state = seed
+    out = []
+    for _ in range(n_buckets):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        # 6 decimal digits so the literal round-trips exactly through
+        # SQL text on both engines
+        out.append(round(state / float(1 << 62) - 1.0, 6))
+    return out
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    seed: int = 13,
+    weights: "list[float] | None" = None,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style document scorer: feature-hash each token into
+    ``n_buckets`` via the md5 basis (cross-engine reproducible, same
+    as the minhash oracle basis), sum the bucket weights with a strict
+    left fold in document order (bit-identical on any engine — a
+    groupBy SUM would be partial-aggregation-order-dependent), average
+    over tokens, and squash with a sigmoid. This is the shape of the
+    CCNet/RefinedWeb quality-filter stage: a linear model over hashed
+    bag-of-words, scored corpus-wide in one map-only pass.
+
+    Returns (id, n_tokens, score ∈ (0,1)) with score rounded to 6
+    digits (transcendental determinism rule). Map-only: the weight
+    table rides along as a literal array (it is model-sized, not
+    data-sized), so there is NO join and NO shuffle at any corpus
+    size — the scale contrast to [[unigram_logprob]]'s corpus-derived
+    model."""
+    w = weights if weights is not None else _hashed_weights(n_buckets, seed)
+    if len(w) != n_buckets:
+        raise ValueError(f"need {n_buckets} weights, got {len(w)}")
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    toks = tokenize(F.lower(F.col(text_col)))
+    bucket = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    raw = F.aggregate(
+        toks,
+        F.lit(float(bias)),
+        lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
+    )
+    n = F.size(toks)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw / F.greatest(n, F.lit(1)).cast("double")))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+    )

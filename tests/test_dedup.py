@@ -193,6 +193,59 @@ def test_contamination_map_only_plan(spark):
     assert "Exchange" not in p and "Join" not in p  # literal-broadcast, map-only
 
 
+def test_contamination_bloom_superset_of_exact(spark, docs):
+    """The Bloom variant must flag EVERY doc the exact variant flags
+    (no false negatives — the decontamination safety property), with
+    few extra false positives at the default filter size."""
+    from hdk_spark.operators.dedup import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    # eval set = 5 real corpus docs → those docs are contaminated by
+    # construction
+    eval_rows = docs.limit(5).collect()
+    eval_df = spark.createDataFrame(
+        [(r["text"],) for r in eval_rows], "text: string"
+    )
+    exact = {
+        r["id"]
+        for r in contamination_flags(
+            docs, [r["text"] for r in eval_rows], n=8
+        ).collect()
+        if r["contaminated"]
+    }
+    bloom_rows = contamination_flags_bloom(docs, eval_df, n=8).collect()
+    bloom = {r["id"] for r in bloom_rows if r["contaminated"]}
+    assert exact <= bloom  # no false negatives
+    assert {r["doc_id"] for r in eval_rows} <= bloom  # planted docs hit
+    n_docs = docs.count()
+    fp = len(bloom - exact)
+    assert fp <= max(2, n_docs // 50), f"{fp} false positives of {n_docs}"
+    # per-shingle hit counts dominate the exact overlap counts
+    exact_counts = {
+        r["id"]: r["n_overlap"]
+        for r in contamination_flags(
+            docs, [r["text"] for r in eval_rows], n=8
+        ).collect()
+    }
+    for r in bloom_rows:
+        assert r["n_hit_shingles"] >= exact_counts[r["id"]]
+
+
+def test_contamination_bloom_probe_map_only(spark):
+    from hdk_spark.operators.dedup import contamination_flags_bloom
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id: long, text: string")
+    ev = spark.createDataFrame([("a b c d e f g h i",)], "text: string")
+    out = contamination_flags_bloom(df, ev, n=8)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus probe is one projection over a literal bitset — the
+    # build-side groupBy happened before collect(), outside this plan
+    assert "Exchange" not in p and "Join" not in p
+    assert out.collect()[0]["contaminated"]
+
+
 def test_incremental_dedup_matches_full_run_cross_pairs(spark):
     from hdk_spark.operators.dedup import (
         minhash_dedup_incremental,
