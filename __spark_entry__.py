@@ -305,6 +305,8 @@ _PRIORITY: list[str] = [
     "text_lm_cross_score",
     "text_redact_pii",
     "text_hashed_score",
+    "web_url_features",
+    "web_domain_stats",
     "agg_topk_bottomk",
     "events_funnel",
     "temporal_resample_fill",

@@ -3613,3 +3613,127 @@ FROM t ORDER BY doc_id
 
 SPARK_IMPLS["text_hashed_score"] = q_text_hashed_score
 ORACLES["text_hashed_score"] = _hashed_score_oracle()
+
+
+def _planted_urls(spark: SparkSession):
+    """Deterministic URL column derived from doc_id — both engines
+    build the identical strings (junk rows included: a crawl corpus
+    always has unparseable URLs)."""
+    d = F.col("doc_id")
+    url = F.when(d % 13 == 0, F.lit("not a url at all")).otherwise(
+        F.concat(
+            F.when(d % 3 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+            F.lit("sub"), (d % 5).cast("string"),
+            F.lit(".site"), (d % 17).cast("string"),
+            F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.when(d % 2 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/a/b"),
+            F.when(d % 5 == 0, F.lit("/c?q=1")).otherwise(F.lit("")),
+        )
+    )
+    return spark.table("documents").select("doc_id", "n_chars", url.alias("url"))
+
+
+_PLANTED_URLS_SQL = """
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 13 = 0 THEN 'not a url at all'
+              ELSE (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+                   || 'sub' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.site' || CAST(doc_id % 17 AS VARCHAR)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+                   || (CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE '' END)
+                   || '/a/b'
+                   || (CASE WHEN doc_id % 5 = 0 THEN '/c?q=1' ELSE '' END)
+         END AS url
+  FROM documents
+"""
+
+
+def q_web_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level URL parsing (scheme/host/registered-domain/tld/path
+    depth) over planted crawl-style URLs, junk rows included."""
+    from hdk_spark.operators.web import url_features
+
+    _tables(spark, sf_dir)
+    return (
+        url_features(_planted_urls(spark), "url")
+        .select(
+            "doc_id", "scheme", "host", "reg_domain", "tld",
+            "path", "path_depth", "is_https",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_URL_FEATURES_ORACLE = rf"""
+WITH u AS ({_PLANTED_URLS_SQL}),
+f AS (
+  SELECT doc_id,
+         regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/:?#]+(:\d+)?([^?#]*)', 2) AS path
+  FROM u
+), g AS (
+  SELECT doc_id, scheme, host, path,
+         regexp_split_to_array(host, '\.') AS labels
+  FROM f
+)
+SELECT doc_id, scheme, host,
+       CASE WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+            ELSE host END AS reg_domain,
+       CASE WHEN len(labels) >= 2 THEN labels[-1] ELSE '' END AS tld,
+       path,
+       CAST(len(list_filter(regexp_split_to_array(path, '/'), x -> x <> ''))
+            AS BIGINT) AS path_depth,
+       scheme = 'https' AS is_https
+FROM g ORDER BY doc_id
+"""
+
+SPARK_IMPLS["web_url_features"] = q_web_url_features
+ORACLES["web_url_features"] = _URL_FEATURES_ORACLE
+
+
+def q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain curation stats (page/host counts, https
+    share, mean path depth, char-weighted total) — the domain-level
+    rollup a crawl pipeline budgets its mixture with."""
+    from hdk_spark.operators.web import domain_stats
+
+    _tables(spark, sf_dir)
+    return domain_stats(_planted_urls(spark), "url", weight_col="n_chars").orderBy(
+        "reg_domain"
+    )
+
+
+_DOMAIN_STATS_ORACLE = rf"""
+WITH u AS ({_PLANTED_URLS_SQL}),
+f AS (
+  SELECT doc_id, n_chars,
+         regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/:?#]+(:\d+)?([^?#]*)', 2) AS path
+  FROM u
+), g AS (
+  SELECT doc_id, n_chars, scheme, host, path,
+         regexp_split_to_array(host, '\.') AS labels
+  FROM f
+), feats AS (
+  SELECT doc_id, n_chars, host,
+         CASE WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+              ELSE host END AS reg_domain,
+         scheme = 'https' AS is_https,
+         len(list_filter(regexp_split_to_array(path, '/'), x -> x <> ''))
+           AS path_depth
+  FROM g
+)
+SELECT reg_domain,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts,
+       CAST(SUM(CASE WHEN is_https THEN 1 ELSE 0 END) AS BIGINT) AS n_https,
+       round(SUM(path_depth) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_path_depth,
+       CAST(SUM(n_chars) AS BIGINT) AS total_weight
+FROM feats GROUP BY reg_domain ORDER BY reg_domain
+"""
+
+SPARK_IMPLS["web_domain_stats"] = q_web_domain_stats
+ORACLES["web_domain_stats"] = _DOMAIN_STATS_ORACLE

@@ -1,0 +1,91 @@
+"""Web-curation operators: URL parsing / domain features for
+crawl-derived corpora (beyond-reference; intel/hdk has no string
+surface past LIKE/REGEXP — SURVEY.md §2.8).
+
+Per-domain statistics are the standard curation dimension of a web
+corpus (domain-level quality priors, per-domain caps, registered-
+domain dedup — cf. the C4/RefinedWeb curation stages). Everything
+here is regexp_extract/split composition in the Java∩RE2-agreeing
+regex subset, so the whole pipeline is DuckDB-oracle-expressible and
+runs as one map-only codegen projection — no UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["url_features", "domain_stats"]
+
+_SCHEME = r"^([a-z][a-z0-9+.-]*)://"
+_HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+_PATH = r"^[a-z][a-z0-9+.-]*://[^/:?#]+(:\d+)?([^?#]*)"
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Add parsed URL columns: ``scheme``, ``host``, ``reg_domain``
+    (last two host labels — the registrable-domain heuristic without a
+    public-suffix list), ``tld``, ``path``, ``path_depth``,
+    ``is_https``. Unparseable URLs yield empty strings / zero depth
+    (regexp_extract's no-match value on both engines), never nulls or
+    errors — a crawl corpus always contains junk URLs.
+
+    Map-only: pure regexp/split/HOF composition, whole-stage codegen.
+    """
+    url = F.col(url_col)
+    host = F.regexp_extract(url, _HOST, 1)
+    labels = F.split(host, r"\.")
+    nlab = F.size(labels)
+    reg_domain = F.when(
+        nlab >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    path = F.regexp_extract(url, _PATH, 2)
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    scheme = F.regexp_extract(url, _SCHEME, 1)
+    return df.select(
+        "*",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        reg_domain.alias("reg_domain"),
+        F.when(nlab >= 2, F.element_at(labels, -1)).otherwise(F.lit("")).alias("tld"),
+        path.alias("path"),
+        depth.cast("long").alias("path_depth"),
+        (scheme == "https").alias("is_https"),
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain curation statistics: page count, distinct
+    hosts, https share, mean path depth (exact rational — sums of
+    integers divided once, order-independent). ``weight_col`` (e.g.
+    token counts) adds a weighted total for mixture budgeting.
+
+    Scale shape: one partial-aggregable groupBy on ``reg_domain`` —
+    the map-side combine absorbs the per-domain skew of crawl data
+    (big domains collapse within each task before the exchange).
+    """
+    feats = url_features(df, url_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum(F.when(F.col("is_https"), 1).otherwise(0)).cast("long").alias("n_https"),
+        F.sum("path_depth").alias("__depth_sum"),
+    ]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("long").alias("total_weight"))
+    out = feats.groupBy("reg_domain").agg(*aggs)
+    return out.select(
+        "reg_domain",
+        "n_pages",
+        "n_hosts",
+        "n_https",
+        F.round(F.col("__depth_sum") / F.col("n_pages"), 6).alias("avg_path_depth"),
+        *([F.col("total_weight")] if weight_col is not None else []),
+    )

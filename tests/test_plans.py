@@ -330,6 +330,20 @@ def test_bigram_logprob_model_join_policy(spark):
     assert "CartesianProduct" not in tree
 
 
+def test_url_features_map_only(spark):
+    from hdk_spark.operators.web import domain_stats, url_features
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.com/x/y")], "doc_id long, url string"
+    )
+    tree = plan(url_features(df, "url")).split("\n\n")[0]
+    assert "Exchange" not in tree and "Join" not in tree  # pure projection
+    # domain_stats: exactly one exchange (the reg_domain partial-agg)
+    tree = plan(domain_stats(df, "url")).split("\n\n")[0]
+    assert tree.count("Exchange") <= 2  # groupBy + countDistinct expand
+    assert "Join" not in tree
+
+
 def test_keep_best_no_cartesian_single_corpus_join(spark):
     from hdk_spark.operators.dedup import dedup_keep_best
 
