@@ -307,6 +307,9 @@ _PRIORITY: list[str] = [
     "text_hashed_score",
     "web_url_features",
     "web_domain_stats",
+    "stats_winsorize",
+    "stats_zscore",
+    "stats_quantile_normalize",
     "agg_topk_bottomk",
     "events_funnel",
     "temporal_resample_fill",

@@ -3737,3 +3737,121 @@ FROM feats GROUP BY reg_domain ORDER BY reg_domain
 
 SPARK_IMPLS["web_domain_stats"] = q_web_domain_stats
 ORACLES["web_domain_stats"] = _DOMAIN_STATS_ORACLE
+
+
+def q_stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document lengths (cent-rounded
+    percentile bounds → exact decimal clip) — the outlier-conditioning
+    stage of a feature pipeline."""
+    from hdk_spark.operators.stats import winsorize
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    # the clip is exact decimal; the OUTPUT casts to double because the
+    # two engines' decimal→pandas conversions differ (Decimal objects
+    # vs float64) and would hash-mismatch driver-side
+    return (
+        winsorize(docs, "lang", "n_chars", 0.05, 0.95)
+        .withColumn("winsorized", F.col("winsorized").cast("double"))
+        .orderBy("doc_id")
+    )
+
+
+# Mirrors group_quantile_stats' interpolation exactly (Spark
+# percentile: lower + (higher - lower) * (pos - floor(pos)), the same
+# formula the agg_quantile_modes oracle already value-checks).
+_WINSORIZE_ORACLE = """
+WITH p AS (
+  SELECT lang, list_sort(list(CAST(n_chars AS DOUBLE))) AS v
+  FROM documents GROUP BY lang
+), b AS (
+  SELECT lang,
+         0.05 * (len(v) - 1) AS plo,
+         0.95 * (len(v) - 1) AS phi,
+         v
+  FROM p
+), bounds AS (
+  SELECT lang,
+         CAST(round(v[CAST(floor(plo) AS INT) + 1]
+              + (v[CAST(ceil(plo) AS INT) + 1] - v[CAST(floor(plo) AS INT) + 1])
+                * (plo - floor(plo)), 2) AS DECIMAL(18,2)) AS lo,
+         CAST(round(v[CAST(floor(phi) AS INT) + 1]
+              + (v[CAST(ceil(phi) AS INT) + 1] - v[CAST(floor(phi) AS INT) + 1])
+                * (phi - floor(phi)), 2) AS DECIMAL(18,2)) AS hi
+  FROM b
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(least(greatest(CAST(d.n_chars AS DECIMAL(18,2)), bounds.lo),
+                  bounds.hi) AS DOUBLE) AS winsorized
+FROM documents d JOIN bounds USING (lang)
+ORDER BY d.doc_id
+"""
+
+SPARK_IMPLS["stats_winsorize"] = q_stats_winsorize
+ORACLES["stats_winsorize"] = _WINSORIZE_ORACLE
+
+
+def q_stats_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-scores of document lengths via the exact-DECIMAL
+    moment sums (order-independent under any partitioning — the same
+    determinism pattern embedding_covariance uses)."""
+    from hdk_spark.operators.stats import zscore
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    return (
+        zscore(docs, "lang", "n_chars")
+        .select("doc_id", "lang", "n_chars", F.round("zscore", 6).alias("zscore"))
+        .orderBy("doc_id")
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH m AS (
+  SELECT lang,
+         COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(CAST(n_chars AS DECIMAL(18,2))
+                  * CAST(n_chars AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       round((CAST(d.n_chars AS DOUBLE)
+              - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / sqrt((CAST(m.s2 AS DOUBLE)
+                     - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+                       / CAST(m.n AS DOUBLE))
+                    / (CAST(m.n AS DOUBLE) - 1.0)), 6) AS zscore
+FROM documents d JOIN m USING (lang)
+ORDER BY d.doc_id
+"""
+
+SPARK_IMPLS["stats_zscore"] = q_stats_zscore
+ORACLES["stats_zscore"] = _ZSCORE_ORACLE
+
+
+def q_stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based within-group normalization to [0, 1] (percent_rank
+    with a deterministic tie-break) — outlier-immune score
+    comparability across groups."""
+    from hdk_spark.operators.stats import quantile_normalize
+
+    _tables(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("user_id") < 10)
+    return (
+        quantile_normalize(ev, "user_id", "value", "event_id")
+        .select("user_id", "event_id", F.round("qnorm", 6).alias("qnorm"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+_QNORM_ORACLE = """
+SELECT user_id, event_id,
+       round(percent_rank() OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id), 6) AS qnorm
+FROM events WHERE user_id < 10
+ORDER BY user_id, event_id
+"""
+
+SPARK_IMPLS["stats_quantile_normalize"] = q_stats_quantile_normalize
+ORACLES["stats_quantile_normalize"] = _QNORM_ORACLE
