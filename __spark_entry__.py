@@ -310,6 +310,7 @@ _PRIORITY: list[str] = [
     "stats_winsorize",
     "stats_zscore",
     "stats_quantile_normalize",
+    "sample_weighted",
     "agg_topk_bottomk",
     "events_funnel",
     "temporal_resample_fill",

@@ -3855,3 +3855,46 @@ ORDER BY user_id, event_id
 
 SPARK_IMPLS["stats_quantile_normalize"] = q_stats_quantile_normalize
 ORACLES["stats_quantile_normalize"] = _QNORM_ORACLE
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS weighted down-sample of orders by price
+    (expected ~500 rows; membership decided in pure decimal-integer
+    arithmetic — no float, bit-identical on any ANSI engine)."""
+    from hdk_spark.operators.sampling import weighted_sample
+
+    _tables(spark, sf_dir)
+    return (
+        weighted_sample(
+            spark.table("orders"), "o_orderkey", "o_totalprice", n_target=500
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def _weighted_sample_oracle(n_target: int = 500) -> str:
+    # Same integer inequality as weighted_sample, in HUGEINT cents
+    # (DuckDB's decimal multiply overflows at these widths; scaling
+    # both sides by 100 keeps the arithmetic exact and the predicate
+    # mathematically identical).
+    from hdk_spark.operators.sampling import _MOD, hash_bucket_sql
+
+    hb = hash_bucket_sql("o_orderkey", _MOD, 0)
+    return f"""
+WITH w AS (
+  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS HUGEINT) AS tw_cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders CROSS JOIN w
+WHERE CAST({hb} * 2 + 1 AS HUGEINT) * tw_cents
+    < CAST({2 * _MOD * n_target} AS HUGEINT)
+      * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+ORDER BY o_orderkey
+"""
+
+
+SPARK_IMPLS["sample_weighted"] = q_sample_weighted
+ORACLES["sample_weighted"] = _weighted_sample_oracle()
