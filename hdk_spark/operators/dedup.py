@@ -862,15 +862,21 @@ def contamination_flags_bloom(
     m_bits: int = 1 << 20,
     k_hashes: int = 4,
     min_overlap: int = 1,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Bloom-filter variant of :func:`contamination_flags` for eval
     sets too large to inline as a literal shingle array: executor
     memory is bounded by ``m_bits/8`` bytes REGARDLESS of eval-set
     size (the literal version grows with the shingle union).
 
-    Build: eval shingles → ``k_hashes`` xxhash64 bit positions →
-    bit-OR per 64-bit word (one bounded groupBy) → collected into an
-    ``m_bits/64``-long literal array (a filter-sized driver action,
+    Bit positions use Kirsch-Mitzenmacher double hashing — two crc32
+    bases per shingle, ``p_i = (h1 + i·h2) mod m`` — chosen because
+    zlib.crc32 and Spark's F.crc32 produce identical values, so the
+    JVM build side and the vectorized Python probe side agree exactly.
+
+    Build (always JVM): eval shingles → k positions → bit-OR per
+    64-bit word (one bounded groupBy) → collected into an
+    ``m_bits/64``-long array (a filter-sized driver action,
     independent of eval-set row count). Probe: map-only corpus pass —
     a shingle hits when ALL k bits are set; a document is contaminated
     when ≥ ``min_overlap`` shingles hit. NO FALSE NEGATIVES (every
@@ -879,24 +885,49 @@ def contamination_flags_bloom(
     distinct eval shingles, so flagged docs can be rescored exactly
     with :func:`contamination_flags` if precision matters.
 
-    ``m_bits`` is capped at 2^22 (a 64k-element literal array keeps
-    the plan small); beyond that, swap the literal for a broadcast
-    join on word index — same semantics, still no corpus shuffle.
+    Probe implementations (identical flags):
+
+    - impl='pandas' (default): Arrow-batched kernel — shingle + crc32 +
+      numpy-bitset test per batch, the bitset a 128 KB closure
+      constant. Spark's interpreted HOFs made the pure-SQL probe
+      ~10× slower at 50k docs (same trade as minhash_signatures).
+    - impl='sql': built-in HOF composition, no Python workers; the
+      bitset rides as a broadcast single-row array column (a literal
+      CreateArray re-materializes per lambda evaluation — measured
+      ~50× slower).
+
+    ``m_bits`` is capped at 2^22 (the collected bitset stays a
+    bounded 512 KB); beyond that, swap the array for a broadcast join
+    on word index — same semantics, still no corpus shuffle.
     """
+    if impl not in ("pandas", "sql"):
+        raise ValueError(f"unknown impl {impl!r}")
+    return _contamination_bloom_impl(
+        df, eval_df, id_col, text_col, eval_text_col, n, m_bits,
+        k_hashes, min_overlap, impl,
+    )
+
+
+def _bloom_positions_jvm(s, m_bits: int, k_hashes: int):
+    """k bit positions from two crc32 bases (JVM side)."""
+    h1 = F.crc32(F.encode(s, "utf-8"))
+    h2 = F.crc32(F.encode(F.concat(F.lit("\x01"), s), "utf-8"))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)]
+
+
+def _contamination_bloom_impl(
+    df, eval_df, id_col, text_col, eval_text_col, n, m_bits,
+    k_hashes, min_overlap, impl,
+):
     if m_bits > (1 << 22):
         raise ValueError(
-            "m_bits > 2^22 would inline an oversized literal bitset; "
+            "m_bits > 2^22 would collect an oversized bitset; "
             "use a broadcast join on the word index instead"
         )
     ev = eval_df.select(
         F.explode(_shingles(F.col(eval_text_col), n)).alias("s")
     ).distinct()
-    positions = F.array(
-        *[
-            F.pmod(F.xxhash64(F.lit(i), F.col("s")), F.lit(m_bits))
-            for i in range(k_hashes)
-        ]
-    )
+    positions = F.array(*_bloom_positions_jvm(F.col("s"), m_bits, k_hashes))
     words = (
         ev.select(F.explode(positions).alias("p"))
         .select(
@@ -916,13 +947,57 @@ def contamination_flags_bloom(
     arr = [0] * n_words
     for r in words.collect():  # bounded by m_bits/64, not eval size
         arr[int(r["w"])] = int(r["mask"])
-    bits_lit = F.array(*[F.lit(x).cast("long") for x in arr])
+
+    if impl == "pandas":
+        import zlib
+
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        bits = np.array(arr, dtype=np.uint64)
+        crc = zlib.crc32
+
+        @pandas_udf("long")
+        def _n_hits(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                toks = t.strip().lower().split() if t else []
+                sh = {
+                    " ".join(toks[i : i + n])
+                    for i in range(max(len(toks) - n + 1, 0))
+                }
+                hits = 0
+                for s in sh:
+                    b = s.encode("utf-8")
+                    h1 = crc(b)
+                    h2 = crc(b"\x01" + b)
+                    for i in range(k_hashes):
+                        p = (h1 + i * h2) % m_bits
+                        if not (int(bits[p >> 6]) >> (p & 63)) & 1:
+                            break
+                    else:
+                        hits += 1
+                out.append(hits)
+            return pd.Series(out)
+
+        n_hit = _n_hits(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias("id"),
+            n_hit.cast("bigint").alias("n_hit_shingles"),
+            (n_hit >= F.lit(min_overlap)).alias("contaminated"),
+        )
+
+    # pure-SQL probe: the bitset rides as a broadcast single-row ARRAY
+    # COLUMN, not a literal expression (a CreateArray literal inside an
+    # interpreted HOF lambda re-materializes per evaluation)
+    spark = df.sparkSession
+    bits_df = spark.createDataFrame([(arr,)], "__bloom_bits array<bigint>")
 
     def all_bits_set(s):
         cond = None
-        for i in range(k_hashes):
-            p = F.pmod(F.xxhash64(F.lit(i), s), F.lit(m_bits))
-            word = F.element_at(bits_lit, F.floor(p / 64).cast("int") + 1)
+        for p in _bloom_positions_jvm(s, m_bits, k_hashes):
+            word = F.element_at(
+                F.col("__bloom_bits"), F.floor(p / 64).cast("int") + 1
+            )
             mask = F.call_function(
                 "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
             )
@@ -931,7 +1006,7 @@ def contamination_flags_bloom(
         return cond
 
     n_hit = F.size(F.filter(_shingles(F.col(text_col), n), all_bits_set))
-    return df.select(
+    return df.crossJoin(F.broadcast(bits_df)).select(
         F.col(id_col).alias("id"),
         n_hit.cast("bigint").alias("n_hit_shingles"),
         (n_hit >= F.lit(min_overlap)).alias("contaminated"),

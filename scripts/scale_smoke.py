@@ -196,6 +196,28 @@ def main() -> None:
         spark.table("events"), "user_id", "ts", "event_type",
         ["view", "click", "signup", "purchase"])))
 
+    # round-4 operators at 10×
+    from hdk_spark.operators.text import hashed_linear_score, redact_pii
+
+    print("hashed_linear_score:", best(lambda: hashed_linear_score(
+        spark.table("documents"))))
+    print("redact_pii:", best(lambda: redact_pii(spark.table("documents"))))
+
+    from hdk_spark.operators.dedup import contamination_flags_bloom
+
+    eval_df = spark.table("documents").filter(F.col("doc_id") % 1000 == 0)
+    print("contamination_bloom:", best(lambda: contamination_flags_bloom(
+        spark.table("documents"), eval_df), n=1))
+
+    from hdk_spark.operators.bpe import bpe_encode, bpe_train
+
+    t0 = time.perf_counter()
+    merges = bpe_train(spark.table("documents"), n_merges=100)
+    t_train = round(time.perf_counter() - t0, 2)
+    print("bpe_train_100:", t_train)
+    print("bpe_encode:", best(lambda: bpe_encode(
+        spark.table("documents"), merges), n=1))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()

@@ -238,12 +238,36 @@ def test_contamination_bloom_probe_map_only(spark):
 
     df = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id: long, text: string")
     ev = spark.createDataFrame([("a b c d e f g h i",)], "text: string")
+    # pandas probe (default): pure projection — no join, no shuffle
     out = contamination_flags_bloom(df, ev, n=8)
     p = out._jdf.queryExecution().executedPlan().toString()
-    # the corpus probe is one projection over a literal bitset — the
-    # build-side groupBy happened before collect(), outside this plan
-    assert "Exchange" not in p and "Join" not in p
+    assert "hashpartitioning" not in p and "Join" not in p
     assert out.collect()[0]["contaminated"]
+    # sql probe: projection plus ONE broadcast of the 1-row bitset
+    # relation — never a shuffle of the corpus
+    out = contamination_flags_bloom(df, ev, n=8, impl="sql")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bitset rides broadcast
+    assert out.collect()[0]["contaminated"]
+
+
+def test_contamination_bloom_impls_identical(spark, docs):
+    from hdk_spark.operators.dedup import contamination_flags_bloom
+
+    ev = spark.createDataFrame(
+        [(r["text"],) for r in docs.limit(3).collect()], "text: string"
+    )
+    a = {
+        r["id"]: (r["n_hit_shingles"], r["contaminated"])
+        for r in contamination_flags_bloom(docs, ev, impl="pandas").collect()
+    }
+    b = {
+        r["id"]: (r["n_hit_shingles"], r["contaminated"])
+        for r in contamination_flags_bloom(docs, ev, impl="sql").collect()
+    }
+    assert a == b  # crc32 double hashing agrees across JVM and Python
 
 
 def test_incremental_dedup_matches_full_run_cross_pairs(spark):
