@@ -311,6 +311,7 @@ _PRIORITY: list[str] = [
     "stats_zscore",
     "stats_quantile_normalize",
     "sample_weighted",
+    "profile_summarize",
     "agg_topk_bottomk",
     "events_funnel",
     "temporal_resample_fill",

@@ -3898,3 +3898,58 @@ ORDER BY o_orderkey
 
 SPARK_IMPLS["sample_weighted"] = q_sample_weighted
 ORACLES["sample_weighted"] = _weighted_sample_oracle()
+
+
+def q_profile_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric dataset profile of lineitem (SUMMARIZE/describe
+    surface) — count/nulls/min/max + exact-decimal mean/stddev + exact
+    interpolated quartiles, long-form one row per column."""
+    from hdk_spark.operators.profile import summarize
+
+    _tables(spark, sf_dir)
+    return summarize(
+        spark.table("lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _summarize_oracle(cols: "list[str]") -> str:
+    def block(c: str) -> str:
+        interp = {}
+        for q, qn in ((0.25, "q_25"), (0.5, "q_5"), (0.75, "q_75")):
+            interp[qn] = (
+                f"round(v[CAST(floor({q} * (len(v) - 1)) AS INT) + 1]"
+                f" + (v[CAST(ceil({q} * (len(v) - 1)) AS INT) + 1]"
+                f"    - v[CAST(floor({q} * (len(v) - 1)) AS INT) + 1])"
+                f"   * ({q} * (len(v) - 1) - floor({q} * (len(v) - 1))), 6)"
+            )
+        return f"""
+SELECT '{c}' AS "column", n,
+       CAST(nn AS BIGINT) AS n_null,
+       round(mn, 6) AS min, round(mx, 6) AS max,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       round(sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev,
+       {interp["q_25"]} AS q_25, {interp["q_5"]} AS q_5,
+       {interp["q_75"]} AS q_75
+FROM (
+  SELECT COUNT({c}) AS n,
+         SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn,
+         MIN(CAST({c} AS DOUBLE)) AS mn,
+         MAX(CAST({c} AS DOUBLE)) AS mx,
+         SUM(CAST({c} AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS s2,
+         list_sort(list(CAST({c} AS DOUBLE))) AS v
+  FROM lineitem
+)"""
+
+    return " UNION ALL ".join(block(c) for c in cols) + ' ORDER BY "column"'
+
+
+SPARK_IMPLS["profile_summarize"] = q_profile_summarize
+ORACLES["profile_summarize"] = _summarize_oracle(
+    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)

@@ -1,0 +1,84 @@
+"""Dataset profiling: one-pass numeric column summary (the
+`SUMMARIZE` / `df.describe` utility surface, made deterministic).
+
+Scale shape: ONE aggregate pass computes every column's statistics as
+mergeable aggregates (count/min/max + exact DECIMAL moment sums +
+exact percentiles), then a driver-free stack() unpivots the single
+aggregated row to long form. Mean/stddev go through exact decimal
+sums (the ``stats.zscore`` pattern) so the result is bit-identical
+under any partitioning; percentiles use Spark's exact interpolation
+(sort-based — swap ``exact=False`` for the mergeable t-digest at
+extreme scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["summarize"]
+
+
+def summarize(
+    df: DataFrame,
+    cols: "list[str] | None" = None,
+    quantiles: tuple = (0.25, 0.5, 0.75),
+    exact: bool = True,
+) -> DataFrame:
+    """Long-form numeric profile: one row per column with
+    (column, n, n_null, min, max, mean, stddev, q_25, q_50, q_75 ...).
+    All statistics double-typed and rounded to 6 digits; mean/stddev
+    from exact decimal sums (order-independent)."""
+    if cols is None:
+        from pyspark.sql import types as T
+
+        num = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+        cols = [f.name for f in df.schema.fields if isinstance(f.dataType, num)]
+    if not cols:
+        raise ValueError("no numeric columns to summarize")
+    pf = F.percentile if exact else F.approx_percentile
+    aggs = []
+    qnames = [str(q).replace("0.", "q_") for q in quantiles]
+    for c in cols:
+        v = F.col(c).cast("double")
+        dec = F.col(c).cast("decimal(18,2)")
+        aggs += [
+            F.count(v).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.min(v).alias(f"__min_{c}"),
+            F.max(v).alias(f"__max_{c}"),
+            F.sum(dec).alias(f"__s1_{c}"),
+            F.sum((dec * dec).cast("decimal(38,4)")).alias(f"__s2_{c}"),
+            *[
+                pf(v, F.lit(q)).alias(f"__{qn}_{c}")
+                for q, qn in zip(quantiles, qnames)
+            ],
+        ]
+    agged = df.agg(*aggs)
+    out_cols = []
+    for c in cols:
+        n = F.col(f"__n_{c}").cast("double")
+        s1 = F.col(f"__s1_{c}").cast("double")
+        s2 = F.col(f"__s2_{c}").cast("double")
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+        out_cols.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").cast("long").alias("n"),
+                F.col(f"__nn_{c}").cast("long").alias("n_null"),
+                F.round(f"__min_{c}", 6).alias("min"),
+                F.round(f"__max_{c}", 6).alias("max"),
+                F.round(mean, 6).alias("mean"),
+                F.round(F.sqrt(var), 6).alias("stddev"),
+                *[
+                    F.round(f"__{qn}_{c}", 6).alias(qn)
+                    for qn in qnames
+                ],
+            )
+        )
+    return (
+        agged.select(F.explode(F.array(*out_cols)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )
