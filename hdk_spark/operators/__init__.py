@@ -6,6 +6,36 @@ operations a 100 TB LLM-data pipeline needs; all are DataFrame-native
 compositions or Arrow-batched pandas UDFs.
 """
 
-from hdk_spark.operators import dedup, multimodal, similarity, text
+from hdk_spark.operators import (
+    bpe,
+    clustering,
+    dedup,
+    graph,
+    multimodal,
+    packing,
+    profile,
+    sampling,
+    search,
+    similarity,
+    stats,
+    temporal,
+    text,
+    web,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "bpe",
+    "clustering",
+    "dedup",
+    "graph",
+    "multimodal",
+    "packing",
+    "profile",
+    "sampling",
+    "search",
+    "similarity",
+    "stats",
+    "temporal",
+    "text",
+    "web",
+]
