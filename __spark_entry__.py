@@ -423,6 +423,7 @@ _PRIORITY: list[str] = [
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "streaming_incremental_dedup",
     "streaming_tumbling_agg",
     "streaming_sessionize",
     "streaming_sliding_agg",

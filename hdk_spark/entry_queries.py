@@ -3953,3 +3953,106 @@ SPARK_IMPLS["profile_summarize"] = q_profile_summarize
 ORACLES["profile_summarize"] = _summarize_oracle(
     ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as an unbounded-stream source (same staging
+    scheme as _events_stream)."""
+    import hashlib
+    import tempfile
+
+    from hdk_spark.streaming import stream_parquet
+
+    _tables(spark, sf_dir)
+    path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        ("docs:" + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"hdk_stream_src_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    return stream_parquet(spark, stage, schema)
+
+
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-ingest dedup: documents with doc_id % 10 == 0
+    arrive as a stream and are checked against the stored signatures of
+    the rest of the corpus (stateless stream-static band join,
+    first-match-band emission — empty streaming state). md5 basis
+    pinned so the oracle reproduces both sides' signatures exactly."""
+    from hdk_spark.operators.dedup import minhash_signatures
+    from hdk_spark.streaming import stream_minhash_dedup
+
+    _tables(spark, sf_dir)
+    new_stream = _documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    corpus_sig = minhash_signatures(
+        spark.table("documents").filter(F.col("doc_id") % 10 != 0),
+        hash_basis="md5",
+    )
+    out = stream_minhash_dedup(
+        new_stream, corpus_sig, threshold=0.5, hash_basis="md5"
+    )
+    name = _run_stream(out, "append")
+    return spark.table(name).orderBy("new_id", "corpus_id")
+
+
+def _incremental_minhash_oracle(
+    n: int = 3, num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Incremental variant of _minhash_oracle: signatures for the whole
+    corpus, pairs restricted to new (doc_id % 10 = 0) × corpus rows,
+    banding + agreement-estimate criteria identical."""
+    from hdk_spark.operators.dedup import _MERSENNE, _perm_params
+
+    rpb = num_perm // bands
+    params = _perm_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE}))"
+        for a, b in params
+    )
+    band_eq = " AND ".join(
+        f"sa[b*{rpb}+{r}] = sb[b*{rpb}+{r}]" for r in range(1, rpb + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT id,
+         list_distinct(
+           list_transform(range(1, greatest(len(tk) - {n - 2}, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         ) AS s_list
+  FROM toks WHERE len(tk) >= {n}
+), h AS (
+  SELECT id,
+         list_transform(s_list,
+           s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {_MERSENNE}
+         ) AS hs
+  FROM sh WHERE len(s_list) > 0
+), sig AS (
+  SELECT id, [{mins}] AS sg FROM h
+), pairs AS (
+  SELECT a.id AS new_id, b.id AS corpus_id, a.sg AS sa, b.sg AS sb
+  FROM sig a JOIN sig b ON a.id % 10 = 0 AND b.id % 10 <> 0
+), scored AS (
+  SELECT new_id, corpus_id,
+         len(list_filter(range(1, {num_perm + 1}), i -> sa[i] = sb[i]))
+           / {float(num_perm)} AS est,
+         len(list_filter(range(0, {bands}), b -> {band_eq})) > 0 AS banded
+  FROM pairs
+)
+SELECT new_id, corpus_id, round(est, 6) AS jaccard_est
+FROM scored WHERE banded AND est >= {threshold}
+ORDER BY new_id, corpus_id
+"""
+
+
+SPARK_IMPLS["streaming_incremental_dedup"] = q_streaming_incremental_dedup
+ORACLES["streaming_incremental_dedup"] = _incremental_minhash_oracle()

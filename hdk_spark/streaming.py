@@ -260,3 +260,90 @@ def stream_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how)
+
+
+def stream_minhash_dedup(
+    new_stream: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+    hash_basis: str = "crc32",
+) -> DataFrame:
+    """Streaming incremental near-dup detection — the production shape
+    of a crawl-ingest pipeline: every arriving micro-batch of documents
+    is sketched and checked against the EXISTING corpus's stored
+    signatures, which are never re-computed (the streaming analog of
+    :func:`hdk_spark.operators.dedup.minhash_dedup_incremental`).
+
+    Plan per micro-batch: the Arrow-batched signature projection runs
+    on the new documents only; their band rows equi-join the static
+    corpus band relation (stream-static joins are stateless — no
+    watermark, no state store). A pair colliding in k bands is emitted
+    exactly once via the first-match-band rule (cheap earlier-band
+    hash compares carried on BOTH sides), so no dropDuplicates state
+    exists and the query runs indefinitely with EMPTY streaming state.
+
+    Returns a streaming DataFrame of (new_id, corpus_id, jaccard_est ≥
+    threshold). Same (n, num_perm, seed, hash_basis) as the stored
+    signatures is the caller's contract.
+    """
+    from hdk_spark.operators.dedup import minhash_signatures
+
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+
+    def banded(sig: DataFrame, prefix: str) -> DataFrame:
+        bhs = F.array(
+            *[
+                F.xxhash64(F.slice(F.col("signature"), bi * rpb + 1, rpb))
+                for bi in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col("id").alias(f"{prefix}_id"),
+            F.col("signature").alias(f"{prefix}_sig"),
+            bhs.alias(f"{prefix}_bhs"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_sig",
+            f"{prefix}_bhs",
+            F.posexplode(f"{prefix}_bhs").alias("band", "bh"),
+        )
+
+    new_sig = minhash_signatures(
+        new_stream, id_col, text_col, n, num_perm, seed, hash_basis=hash_basis
+    )
+    nb = banded(new_sig, "new")
+    cb = banded(corpus_sig, "corpus")
+    joined = nb.join(cb, ["band", "bh"])
+    first_match = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(F.col("new_bhs"), F.lit(1), F.col("band")),
+                    F.slice(F.col("corpus_bhs"), F.lit(1), F.col("band")),
+                    lambda p, q: p == q,
+                ),
+                lambda eq: eq,
+            )
+        )
+        == 0
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("new_sig"), F.col("corpus_sig"), lambda p, q: p == q),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        joined.filter(first_match)
+        .select(
+            "new_id", "corpus_id", F.round(est, 6).alias("jaccard_est")
+        )
+        .filter(F.col("jaccard_est") >= F.lit(threshold))
+    )
