@@ -312,6 +312,7 @@ _PRIORITY: list[str] = [
     "stats_quantile_normalize",
     "sample_weighted",
     "profile_summarize",
+    "streaming_incremental_dedup",
     "agg_topk_bottomk",
     "events_funnel",
     "temporal_resample_fill",
@@ -423,7 +424,6 @@ _PRIORITY: list[str] = [
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "streaming_incremental_dedup",
     "streaming_tumbling_agg",
     "streaming_sessionize",
     "streaming_sliding_agg",
