@@ -312,6 +312,8 @@ _PRIORITY: list[str] = [
     "stats_quantile_normalize",
     "sample_weighted",
     "profile_summarize",
+    "temporal_gaps",
+    "temporal_rolling_zscore",
     "streaming_incremental_dedup",
     "agg_topk_bottomk",
     "events_funnel",

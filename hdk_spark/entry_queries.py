@@ -4056,3 +4056,81 @@ ORDER BY new_id, corpus_id
 
 SPARK_IMPLS["streaming_incremental_dedup"] = q_streaming_incremental_dedup
 ORACLES["streaming_incremental_dedup"] = _incremental_minhash_oracle()
+
+
+def q_temporal_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ingestion-gap detection over the events series
+    (consecutive observations ≥ 6 hours apart)."""
+    from hdk_spark.operators.temporal import detect_gaps
+
+    _tables(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("user_id") < 50)
+    return detect_gaps(ev, "user_id", "ts", "event_id", "6 hours").orderBy(
+        "key", "gap_end"
+    )
+
+
+_TEMPORAL_GAPS_ORACLE = """
+WITH o AS (
+  SELECT user_id AS key,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_start,
+         ts AS gap_end
+  FROM events WHERE user_id < 50
+)
+SELECT key, gap_start, gap_end,
+       CAST(floor((epoch_us(gap_end) - epoch_us(gap_start)) / 1000000.0)
+            AS BIGINT) AS gap_sec
+FROM o
+WHERE floor((epoch_us(gap_end) - epoch_us(gap_start)) / 1000000.0) >= 21600
+ORDER BY key, gap_end
+"""
+
+SPARK_IMPLS["temporal_gaps"] = q_temporal_gaps
+ORACLES["temporal_gaps"] = _TEMPORAL_GAPS_ORACLE
+
+
+def q_temporal_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20-observation anomaly z-scores per user (frame
+    excludes the current row; exact-decimal frame moments)."""
+    from hdk_spark.operators.temporal import rolling_zscore
+
+    _tables(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("user_id") < 20)
+    return rolling_zscore(
+        ev, "user_id", "ts", "value", "event_id", window_rows=20, min_obs=5
+    ).orderBy("key", "ts", "obs_id")
+
+
+_ROLLING_ZSCORE_ORACLE = """
+WITH f AS (
+  SELECT user_id AS key, ts, event_id AS obs_id,
+         CAST(value AS DOUBLE) AS value,
+         COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s1,
+         SUM(CAST(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w AS s2
+  FROM events WHERE user_id < 20
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, ts, obs_id, value,
+       CASE WHEN n >= 5 THEN
+         round((value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0)), 6)
+       END AS zscore,
+       CASE WHEN n >= 5 THEN
+         abs((value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0))) > 3.0
+       ELSE FALSE END AS is_anomaly
+FROM f
+ORDER BY key, ts, obs_id
+"""
+
+SPARK_IMPLS["temporal_rolling_zscore"] = q_temporal_rolling_zscore
+ORACLES["temporal_rolling_zscore"] = _ROLLING_ZSCORE_ORACLE

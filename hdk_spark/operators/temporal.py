@@ -306,3 +306,92 @@ def funnel_counts(
     for extra in counts_rows[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    min_gap: str = "1 hour",
+) -> DataFrame:
+    """Missing-data intervals per key: consecutive observations (in
+    (ts, order_col) order — the tie-break makes the result
+    deterministic under duplicate timestamps) further apart than
+    ``min_gap``. The monitoring primitive of a time-series pipeline
+    (sensor dropouts, ingestion holes).
+
+    Returns (key, gap_start, gap_end, gap_sec) — gap_sec is the whole
+    seconds of the µs-exact difference (per-endpoint unix_timestamp
+    truncation would drift ±1 s on sub-second timestamps vs any oracle
+    computing the true difference). ONE keyed exchange (the lag
+    window); everything else is a map-side filter.
+    """
+    gap_sec = _interval_seconds(min_gap)
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    micros = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    out = (
+        df.select(
+            F.col(key_col).alias("key"),
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            F.floor(micros / F.lit(1_000_000)).cast("long").alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec") >= gap_sec)
+    )
+    return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    window_rows: int = 20,
+    min_obs: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly score: each observation's z-score
+    against the PRECEDING ``window_rows`` observations of its key
+    (the frame excludes the current row, so an outlier can't mask
+    itself). Rows with fewer than ``min_obs`` trailing observations
+    emit NULL. The standard streaming-friendly anomaly flag for
+    metrics/telemetry series.
+
+    Determinism: the frame's mean/variance come from exact DECIMAL
+    sums over a (ts, order_col)-ordered ROWS frame — order and
+    membership are total, so the result is identical under any
+    partitioning (the stats.zscore rule applied to window frames).
+    ONE keyed exchange: both frame aggregates share the same window
+    spec.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_col))
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col).cast("decimal(18,2)")
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum((v * v).cast("decimal(38,4)")).over(w)
+    nd = n.cast("double")
+    mean = s1.cast("double") / nd
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / nd) / (
+        nd - F.lit(1.0)
+    )
+    z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    z_out = F.when(n >= min_obs, F.round(z, 6))
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("obs_id"),
+        F.col(value_col).cast("double").alias("value"),
+        z_out.alias("zscore"),
+        # never NULL: insufficient-history rows are simply not anomalies
+        # (NULL booleans also convert to pandas differently per engine)
+        F.when(n >= min_obs, F.abs(z) > z_threshold)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
