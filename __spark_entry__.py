@@ -312,6 +312,8 @@ _PRIORITY: list[str] = [
     "stats_quantile_normalize",
     "sample_weighted",
     "profile_summarize",
+    "profile_histogram",
+    "profile_skew",
     "temporal_gaps",
     "temporal_rolling_zscore",
     "streaming_incremental_dedup",

@@ -4134,3 +4134,66 @@ ORDER BY key, ts, obs_id
 
 SPARK_IMPLS["temporal_rolling_zscore"] = q_temporal_rolling_zscore
 ORACLES["temporal_rolling_zscore"] = _ROLLING_ZSCORE_ORACLE
+
+
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals with literal bounds
+    (single partial-agg pass; floor-arithmetic binning identical on
+    both engines)."""
+    from hdk_spark.operators.profile import histogram
+
+    _tables(spark, sf_dir)
+    return histogram(spark.table("orders"), "o_totalprice", 20, 800.0, 480000.0)
+
+
+def _histogram_oracle(n_bins: int, lo: float, hi: float) -> str:
+    width = (hi - lo) / n_bins
+    return f"""
+WITH b AS (
+  SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) = {hi!r} THEN {n_bins}
+              ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - {lo!r})
+                              / {hi - lo!r} * {n_bins}) + 1 AS BIGINT)
+         END AS bin
+  FROM orders
+  WHERE CAST(o_totalprice AS DOUBLE) >= {lo!r}
+    AND CAST(o_totalprice AS DOUBLE) <= {hi!r}
+)
+SELECT bin,
+       round({lo!r} + (bin - 1) * {width!r}, 6) AS lo_edge,
+       round({lo!r} + bin * {width!r}, 6) AS hi_edge,
+       COUNT(*) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+SPARK_IMPLS["profile_histogram"] = q_profile_histogram
+ORACLES["profile_histogram"] = _histogram_oracle(20, 800.0, 480000.0)
+
+
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the 15 heaviest l_orderkey values by row
+    count with their share of the table — what a salting / AQE
+    skew-join decision is based on."""
+    from hdk_spark.operators.profile import skew_report
+
+    _tables(spark, sf_dir)
+    return skew_report(spark.table("lineitem"), "l_orderkey", top_k=15)
+
+
+_SKEW_ORACLE = """
+WITH c AS (
+  SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+), t AS (
+  SELECT SUM(n) AS total FROM c
+), r AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank FROM c
+)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.key, r.n,
+       round(r.n / CAST(t.total AS DOUBLE), 6) AS share
+FROM r CROSS JOIN t
+WHERE r.rank <= 15
+ORDER BY rank
+"""
+
+SPARK_IMPLS["profile_skew"] = q_profile_skew
+ORACLES["profile_skew"] = _SKEW_ORACLE

@@ -14,8 +14,9 @@ extreme scale).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["summarize"]
+__all__ = ["summarize", "histogram", "skew_report"]
 
 
 def summarize(
@@ -81,4 +82,80 @@ def summarize(
         agged.select(F.explode(F.array(*out_cols)).alias("s"))
         .select("s.*")
         .orderBy("column")
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo_edge,
+    hi_edge, n) with bin ∈ [1, n_bins], values at the upper bound
+    folded into the last bin (the standard closed-last-bin rule).
+
+    Pass explicit ``lo``/``hi`` to keep this a SINGLE partial-agg pass
+    (bounds are usually known corpus properties); omitted bounds cost
+    one extra min/max aggregate first. Bin assignment is plain
+    floor arithmetic — identical in any ANSI engine — rather than an
+    engine-specific width_bucket. Out-of-range rows are dropped.
+    """
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+        ).first()
+        lo = lo if lo is not None else float(row[0])
+        hi = hi if hi is not None else float(row[1])
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    v = F.col(col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)) + 1
+    bin_ = F.when(v == F.lit(hi), F.lit(n_bins)).otherwise(raw).cast("long")
+    width = (hi - lo) / n_bins
+    return (
+        df.filter((v >= F.lit(lo)) & (v <= F.lit(hi)))
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + (F.col("bin") - 1) * F.lit(width), 6).alias(
+                "lo_edge"
+            ),
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("hi_edge"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostic: the ``top_k`` heaviest keys
+    with their row share — the first thing to measure before choosing
+    salting or AQE skew-join handling for a key. One partial-agg
+    groupBy + a TakeOrdered top-k; the total is a 1-row scalar
+    cross-joined back (broadcast). Ties break on the key value."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("rank")
     )
