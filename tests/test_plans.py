@@ -344,6 +344,44 @@ def test_url_features_map_only(spark):
     assert "Join" not in tree
 
 
+def test_round4_operator_plan_shapes(spark):
+    """Exchange-count pins for the round-4 operators: map-only stages
+    must stay shuffle-free; single-aggregation stages get exactly one
+    exchange."""
+    from hdk_spark.operators.profile import histogram, skew_report, summarize
+    from hdk_spark.operators.temporal import detect_gaps, rolling_zscore
+    from hdk_spark.operators.text import hashed_linear_score, redact_pii
+
+    docs = _raw_docs(spark)
+    ev = spark.table("events")  # load_tables view: ts normalized to µs TIMESTAMP
+
+    # map-only: zero exchanges, no joins
+    for df in (redact_pii(docs), hashed_linear_score(docs)):
+        tree = plan(df).split("\n\n")[0]
+        assert "Exchange" not in tree and "Join" not in tree
+
+    # one-pass profile: a global aggregate is one exchange, no join
+    tree = plan(summarize(docs, ["n_chars"])).split("\n\n")[0]
+    assert tree.count("Exchange") == 1 and "Join" not in tree
+
+    # histogram: one groupBy exchange + the bins-sized presentation sort
+    tree = plan(histogram(docs, "n_chars", 10, 0.0, 10000.0)).split("\n\n")[0]
+    assert tree.count("Exchange") <= 2 and "Join" not in tree
+
+    # skew report: counts exchange + top-k single-partition window +
+    # broadcast total — never a shuffled join
+    tree = plan(skew_report(docs, "lang")).split("\n\n")[0]
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+
+    # keyed window operators: exactly one keyed exchange
+    for df in (
+        detect_gaps(ev, "user_id", "ts", "event_id", "6 hours"),
+        rolling_zscore(ev, "user_id", "ts", "value", "event_id"),
+    ):
+        tree = plan(df).split("\n\n")[0]
+        assert tree.count("Exchange") == 1 and "Join" not in tree
+
+
 def test_keep_best_no_cartesian_single_corpus_join(spark):
     from hdk_spark.operators.dedup import dedup_keep_best
 
