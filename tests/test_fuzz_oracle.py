@@ -207,3 +207,78 @@ def test_random_date_query_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# string grammar (round 4: the §2.8 string surface — random compositions
+# of LOWER/UPPER/TRIM/SUBSTRING/REPLACE/REVERSE/LPAD/||/LENGTH over part
+# columns, identical SQL text on both engines; binary collation on both
+# sides makes string comparisons portable)
+# ---------------------------------------------------------------------------
+
+STR_COLS = ["p_name", "p_brand", "p_type"]
+
+str_exprs = st.one_of(
+    st.sampled_from(STR_COLS).map(lambda c: f"LOWER({c})"),
+    st.sampled_from(STR_COLS).map(lambda c: f"UPPER({c})"),
+    st.sampled_from(STR_COLS).map(lambda c: f"TRIM({c})"),
+    st.sampled_from(STR_COLS).map(lambda c: f"REVERSE({c})"),
+    st.sampled_from(STR_COLS).map(lambda c: f"CAST(LENGTH({c}) AS BIGINT)"),
+    st.tuples(st.sampled_from(STR_COLS),
+              st.integers(min_value=1, max_value=6),
+              st.integers(min_value=0, max_value=8)).map(
+        lambda t: f"SUBSTRING({t[0]}, {t[1]}, {t[2]})"
+    ),
+    st.tuples(st.sampled_from(STR_COLS),
+              st.sampled_from(["a", "e", "o", "an", "ol"]),
+              st.sampled_from(["_", "X", ""])).map(
+        lambda t: f"REPLACE({t[0]}, '{t[1]}', '{t[2]}')"
+    ),
+    st.tuples(st.sampled_from(STR_COLS),
+              st.integers(min_value=3, max_value=12),
+              st.sampled_from(["x", "-"])).map(
+        lambda t: f"LPAD({t[0]}, {t[1]}, '{t[2]}')"
+    ),
+    st.tuples(st.sampled_from(STR_COLS), st.sampled_from(STR_COLS)).map(
+        lambda t: f"{t[0]} || '_' || {t[1]}"
+    ),
+)
+
+str_preds = st.one_of(
+    st.tuples(st.sampled_from(STR_COLS),
+              st.sampled_from(["%a%", "%ol%", "s%", "%d", "%an%"])).map(
+        lambda t: f"{t[0]} LIKE '{t[1]}'"
+    ),
+    st.tuples(st.sampled_from(STR_COLS),
+              st.integers(min_value=5, max_value=30)).map(
+        lambda t: f"LENGTH({t[0]}) > {t[1]}"
+    ),
+    st.tuples(st.sampled_from(STR_COLS),
+              st.sampled_from(["'m'", "'c'", "'t'"])).map(
+        lambda t: f"LOWER({t[0]}) < {t[1]}"
+    ),
+)
+
+
+@st.composite
+def str_queries(draw):
+    exprs = draw(st.lists(str_exprs, min_size=1, max_size=4, unique=True))
+    where = draw(st.lists(str_preds, min_size=0, max_size=2))
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = f"SELECT p_partkey, {sel} FROM part"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    return sql + " ORDER BY p_partkey LIMIT 500"
+
+
+@given(sql=str_queries())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_string_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
