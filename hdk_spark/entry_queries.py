@@ -3541,7 +3541,13 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs).orderBy("doc_id")
 
 
-_REDACT_PII_ORACLE = r"""
+def _redact_pii_oracle() -> str:
+    """The patterns interpolate from text.PII_PATTERNS — ONE source of
+    truth, so a pattern tweak can never desynchronize operator and
+    oracle (the _hashed_score_oracle convention)."""
+    from hdk_spark.operators.text import PII_PATTERNS
+
+    tpl = r"""
 WITH d AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -3550,34 +3556,32 @@ WITH d AS (
   FROM documents
 ), s AS (
   SELECT doc_id, text,
-         regexp_replace(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-           '<EMAIL>', 'g') AS t1
+         regexp_replace(text, '__EMAIL_RE__', '<EMAIL>', 'g') AS t1
   FROM d
 ), s2 AS (
   SELECT doc_id, text, t1,
-         regexp_replace(t1,
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+         regexp_replace(t1, '__IP_RE__', '<IP>', 'g') AS t2
   FROM s
 )
 SELECT doc_id,
-       regexp_replace(t2,
-         '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}',
-         '<PHONE>', 'g') AS redacted,
-       CAST(len(regexp_split_to_array(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+       regexp_replace(t2, '__PHONE_RE__', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_split_to_array(text, '__EMAIL_RE__')) - 1
             AS BIGINT) AS n_email,
-       CAST(len(regexp_split_to_array(t1,
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1
+       CAST(len(regexp_split_to_array(t1, '__IP_RE__')) - 1
             AS BIGINT) AS n_ip,
-       CAST(len(regexp_split_to_array(t2,
-            '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}')) - 1
+       CAST(len(regexp_split_to_array(t2, '__PHONE_RE__')) - 1
             AS BIGINT) AS n_phone
 FROM s2 ORDER BY doc_id
 """
+    return (
+        tpl.replace("__EMAIL_RE__", PII_PATTERNS["email"])
+        .replace("__IP_RE__", PII_PATTERNS["ip"])
+        .replace("__PHONE_RE__", PII_PATTERNS["phone"])
+    )
+
 
 SPARK_IMPLS["text_redact_pii"] = q_text_redact_pii
-ORACLES["text_redact_pii"] = _REDACT_PII_ORACLE
+ORACLES["text_redact_pii"] = _redact_pii_oracle()
 
 
 def q_text_hashed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4122,11 +4126,11 @@ SELECT key, ts, obs_id, value,
                       / (CAST(n AS DOUBLE) - 1.0)), 6)
        END AS zscore,
        CASE WHEN n >= 5 THEN
-         abs((value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         COALESCE(abs((value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
              / sqrt((CAST(s2 AS DOUBLE)
                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                        / CAST(n AS DOUBLE))
-                    / (CAST(n AS DOUBLE) - 1.0))) > 3.0
+                    / (CAST(n AS DOUBLE) - 1.0))) > 3.0, FALSE)
        ELSE FALSE END AS is_anomaly
 FROM f
 ORDER BY key, ts, obs_id
@@ -4150,10 +4154,9 @@ def _histogram_oracle(n_bins: int, lo: float, hi: float) -> str:
     width = (hi - lo) / n_bins
     return f"""
 WITH b AS (
-  SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) = {hi!r} THEN {n_bins}
-              ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - {lo!r})
-                              / {hi - lo!r} * {n_bins}) + 1 AS BIGINT)
-         END AS bin
+  SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - {lo!r})
+                          / {hi - lo!r} * {n_bins}) + 1 AS BIGINT),
+               {n_bins}) AS bin
   FROM orders
   WHERE CAST(o_totalprice AS DOUBLE) >= {lo!r}
     AND CAST(o_totalprice AS DOUBLE) <= {hi!r}

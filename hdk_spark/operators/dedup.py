@@ -1005,7 +1005,13 @@ def _contamination_bloom_impl(
             cond = c if cond is None else (cond & c)
         return cond
 
-    n_hit = F.size(F.filter(_shingles(F.col(text_col), n), all_bits_set))
+    # coalesce: NULL text → NULL shingle array → size() NULL; the
+    # pandas impl yields 0/False there, and the two impls promise
+    # identical flags
+    n_hit = F.coalesce(
+        F.size(F.filter(_shingles(F.col(text_col), n), all_bits_set)),
+        F.lit(0),
+    )
     return df.crossJoin(F.broadcast(bits_df)).select(
         F.col(id_col).alias("id"),
         n_hit.cast("bigint").alias("n_hit_shingles"),
@@ -1018,26 +1024,37 @@ def _contamination_bloom_impl(
 # ---------------------------------------------------------------------------
 
 
-def _banded_sig(sig: DataFrame, prefix: str, bands: int, rows_per_band: int) -> DataFrame:
+def _banded_sig(
+    sig: DataFrame,
+    prefix: str,
+    bands: int,
+    rows_per_band: int,
+    keep_bhs: bool = False,
+) -> DataFrame:
     """(id, signature) → one row per (band, band-hash), columns prefixed
-    to keep two-sided joins unambiguous."""
-    return sig.select(
+    to keep two-sided joins unambiguous. ``keep_bhs`` additionally
+    carries the full band-hash array (for first-match-band dedup, e.g.
+    streaming.stream_minhash_dedup) — ONE construction of the band-hash
+    arithmetic so batch and streaming variants can never drift."""
+    bhs = F.array(
+        *[
+            F.xxhash64(
+                F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band)
+            )
+            for bi in range(bands)
+        ]
+    )
+    staged = sig.select(
         F.col("id").alias(f"{prefix}_id"),
         F.col("signature").alias(f"{prefix}_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(f"{prefix}_id", f"{prefix}_sig", "bb.band", "bb.bh")
+        bhs.alias(f"{prefix}_bhs"),
+    )
+    keep = [f"{prefix}_id", f"{prefix}_sig"] + (
+        [f"{prefix}_bhs"] if keep_bhs else []
+    )
+    return staged.select(
+        *keep, F.posexplode(f"{prefix}_bhs").alias("band", "bh")
+    )
 
 
 def minhash_dedup_incremental(
@@ -1050,6 +1067,7 @@ def minhash_dedup_incremental(
     bands: int = 16,
     seed: int = 42,
     threshold: float = 0.5,
+    hash_basis: str = "crc32",
 ) -> DataFrame:
     """Near-dup pairs between a NEW document batch and an EXISTING
     corpus — the steady-state shape of a crawl pipeline (each incoming
@@ -1065,12 +1083,16 @@ def minhash_dedup_incremental(
     self-join anywhere. Returns (new_id, corpus_id, jaccard_est ≥
     threshold), each pair once.
 
-    Same (n, num_perm, seed) as the stored signatures is the caller's
-    contract — signatures from different parameters never match.
+    Same (n, num_perm, seed, hash_basis) as the stored signatures is
+    the caller's contract — signatures from different parameters (or a
+    different base hash) never match, so a basis mismatch would
+    silently admit every duplicate.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    new_sig = minhash_signatures(new_df, id_col, text_col, n, num_perm, seed)
+    new_sig = minhash_signatures(
+        new_df, id_col, text_col, n, num_perm, seed, hash_basis=hash_basis
+    )
     nb = F.broadcast(_banded_sig(new_sig, "new", bands, rows_per_band))
     cb = _banded_sig(corpus_sig, "corpus", bands, rows_per_band)
     est = F.size(

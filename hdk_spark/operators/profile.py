@@ -112,7 +112,10 @@ def histogram(
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     v = F.col(col).cast("double")
     raw = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)) + 1
-    bin_ = F.when(v == F.lit(hi), F.lit(n_bins)).otherwise(raw).cast("long")
+    # least() clamp, not just a v == hi guard: float rounding can push
+    # the quotient of a v just below hi up to exactly n_bins, which
+    # would otherwise emit an out-of-contract bin n_bins + 1
+    bin_ = F.least(raw, F.lit(n_bins)).cast("long")
     width = (hi - lo) / n_bins
     return (
         df.filter((v >= F.lit(lo)) & (v <= F.lit(hi)))

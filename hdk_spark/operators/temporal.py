@@ -294,7 +294,12 @@ def funnel_counts(
                 .groupBy("key")
                 .agg(F.min("t").alias("__prev"))
             )
-        chain = cur
+        # eager checkpoint: materializes the (keys-sized, shrinking)
+        # chain NOW, so the loop reads base exactly k times, the final
+        # counts reference only the materialized chains, and base can
+        # be unpersisted before returning (no leaked corpus-sized
+        # cache entry per call)
+        chain = cur.localCheckpoint(eager=True)
         counts_rows.append(
             chain.agg(
                 F.lit(i + 1).cast("long").alias("step_idx"),
@@ -302,6 +307,7 @@ def funnel_counts(
                 F.count(F.lit(1)).cast("long").alias("n_keys"),
             )
         )
+    base.unpersist()
     out = counts_rows[0]
     for extra in counts_rows[1:]:
         out = out.unionByName(extra)
@@ -389,9 +395,14 @@ def rolling_zscore(
         F.col(order_col).alias("obs_id"),
         F.col(value_col).cast("double").alias("value"),
         z_out.alias("zscore"),
-        # never NULL: insufficient-history rows are simply not anomalies
-        # (NULL booleans also convert to pandas differently per engine)
-        F.when(n >= min_obs, F.abs(z) > z_threshold)
+        # never NULL: insufficient-history rows AND null-valued rows
+        # (whose z is NULL even with enough history) are simply not
+        # anomalies (NULL booleans also convert to pandas differently
+        # per engine)
+        F.when(
+            n >= min_obs,
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)),
+        )
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )

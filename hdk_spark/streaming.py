@@ -292,34 +292,19 @@ def stream_minhash_dedup(
     threshold). Same (n, num_perm, seed, hash_basis) as the stored
     signatures is the caller's contract.
     """
-    from hdk_spark.operators.dedup import minhash_signatures
+    from hdk_spark.operators.dedup import _banded_sig, minhash_signatures
 
     assert num_perm % bands == 0
     rpb = num_perm // bands
-
-    def banded(sig: DataFrame, prefix: str) -> DataFrame:
-        bhs = F.array(
-            *[
-                F.xxhash64(F.slice(F.col("signature"), bi * rpb + 1, rpb))
-                for bi in range(bands)
-            ]
-        )
-        return sig.select(
-            F.col("id").alias(f"{prefix}_id"),
-            F.col("signature").alias(f"{prefix}_sig"),
-            bhs.alias(f"{prefix}_bhs"),
-        ).select(
-            f"{prefix}_id",
-            f"{prefix}_sig",
-            f"{prefix}_bhs",
-            F.posexplode(f"{prefix}_bhs").alias("band", "bh"),
-        )
-
     new_sig = minhash_signatures(
         new_stream, id_col, text_col, n, num_perm, seed, hash_basis=hash_basis
     )
-    nb = banded(new_sig, "new")
-    cb = banded(corpus_sig, "corpus")
+    # shared banding construction (keep_bhs carries the per-band hash
+    # arrays both sides for the first-match-band rule) — the batch
+    # incremental operator and the stored-signature format use the
+    # same arithmetic, so they cannot drift
+    nb = _banded_sig(new_sig, "new", bands, rpb, keep_bhs=True)
+    cb = _banded_sig(corpus_sig, "corpus", bands, rpb, keep_bhs=True)
     joined = nb.join(cb, ["band", "bh"])
     first_match = F.when(F.col("band") == 0, F.lit(True)).otherwise(
         F.size(
