@@ -1,0 +1,77 @@
+"""Profiling-operator invariants beyond the contract queries:
+histogram completeness/bounds, summarize vs a pandas reference,
+skew_report ordering properties."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdk_spark.operators.profile import histogram, skew_report, summarize
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    return spark.table("lineitem")
+
+
+def test_histogram_counts_partition_the_range(spark, lineitem):
+    lo, hi, n_bins = 800.0, 105000.0, 16
+    rows = histogram(lineitem, "l_extendedprice", n_bins, lo, hi).collect()
+    in_range = lineitem.filter(
+        (F.col("l_extendedprice").cast("double") >= lo)
+        & (F.col("l_extendedprice").cast("double") <= hi)
+    ).count()
+    assert sum(r["n"] for r in rows) == in_range  # nothing lost or doubled
+    assert all(1 <= r["bin"] <= n_bins for r in rows)
+    for r in rows:
+        assert r["lo_edge"] < r["hi_edge"]
+    # edges tile the range
+    by_bin = {r["bin"]: r for r in rows}
+    assert by_bin[1]["lo_edge"] == pytest.approx(lo)
+    assert by_bin[max(by_bin)]["hi_edge"] == pytest.approx(hi, rel=1e-9)
+
+
+def test_histogram_upper_bound_clamped(spark):
+    df = spark.createDataFrame(
+        [(float(x),) for x in [0.0, 5.0, 9.999999, 10.0]], "v double"
+    )
+    rows = histogram(df, "v", 4, 0.0, 10.0).collect()
+    assert sum(r["n"] for r in rows) == 4
+    assert max(r["bin"] for r in rows) == 4  # hi folds into the last bin
+
+
+def test_summarize_matches_pandas_reference(spark, lineitem):
+    got = {
+        r["column"]: r
+        for r in summarize(lineitem, ["l_quantity", "l_extendedprice"]).collect()
+    }
+    pdf = lineitem.select("l_quantity", "l_extendedprice").toPandas()
+    for c in ("l_quantity", "l_extendedprice"):
+        s = pdf[c].astype(float)
+        r = got[c]
+        assert r["n"] == len(s) and r["n_null"] == 0
+        assert r["min"] == pytest.approx(s.min())
+        assert r["max"] == pytest.approx(s.max())
+        assert r["mean"] == pytest.approx(s.mean(), rel=1e-9)
+        assert r["stddev"] == pytest.approx(s.std(ddof=1), rel=1e-6)
+        assert r["q_5"] == pytest.approx(s.quantile(0.5), rel=1e-9)
+        assert r["q_25"] <= r["q_5"] <= r["q_75"]
+
+
+def test_skew_report_properties(spark, lineitem):
+    rows = skew_report(lineitem, "l_orderkey", top_k=20).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert 0 < sum(r["share"] for r in rows) <= 1.0 + 1e-6
+    # rank-1 key really is the (tie-broken) heaviest
+    top = (
+        lineitem.groupBy("l_orderkey").count()
+        .orderBy(F.desc("count"), F.asc("l_orderkey")).first()
+    )
+    assert rows[0]["key"] == top["l_orderkey"] and rows[0]["n"] == top["count"]
