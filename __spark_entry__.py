@@ -314,6 +314,8 @@ _PRIORITY: list[str] = [
     "profile_summarize",
     "profile_histogram",
     "profile_skew",
+    "embedding_correlation",
+    "stats_mad",
     "temporal_gaps",
     "temporal_rolling_zscore",
     "streaming_incremental_dedup",

@@ -4200,3 +4200,98 @@ ORDER BY rank
 
 SPARK_IMPLS["profile_skew"] = q_profile_skew
 ORACLES["profile_skew"] = _SKEW_ORACLE
+
+
+def q_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (first 16 dims) of the embeddings
+    table — the covariance pass with the (n−1)-cancelling
+    normalization, same single mergeable aggregate."""
+    from hdk_spark.operators.stats import embedding_covariance
+
+    _tables(spark, sf_dir)
+    return embedding_covariance(
+        spark.table("embeddings"), "embedding", n_dims=16, correlation=True
+    ).orderBy("i", "j")
+
+
+# Same exact-decimal moment algebra as _EMBEDDING_COV_ORACLE; the
+# diagonal num(i,i) cells normalize each pair.
+_EMBEDDING_CORR_ORACLE = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), sel AS (
+  SELECT * FROM x WHERE pos < 16
+), pairs AS (
+  SELECT a.pos AS i, b.pos AS j,
+         COUNT(a.v * b.v) AS n,
+         SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS sxy
+  FROM sel a JOIN sel b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY a.pos, b.pos
+), sums AS (
+  SELECT pos, SUM(CAST(v AS DECIMAL(38,12))) AS s FROM sel GROUP BY pos
+), nums AS (
+  SELECT p.i, p.j,
+         CAST(p.sxy AS DOUBLE)
+           - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / p.n AS num
+  FROM pairs p
+  JOIN sums si ON si.pos = p.i
+  JOIN sums sj ON sj.pos = p.j
+)
+SELECT CAST(nm.i AS BIGINT) AS i, CAST(nm.j AS BIGINT) AS j,
+       round(nm.num / sqrt(dii.num * djj.num), 6) AS corr
+FROM nums nm
+JOIN nums dii ON dii.i = nm.i AND dii.j = nm.i
+JOIN nums djj ON djj.i = nm.j AND djj.j = nm.j
+ORDER BY i, j
+"""
+
+SPARK_IMPLS["embedding_correlation"] = q_embedding_correlation
+ORACLES["embedding_correlation"] = _EMBEDDING_CORR_ORACLE
+
+
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median + median absolute deviation of document
+    lengths — the robust location/scale pair."""
+    from hdk_spark.operators.stats import group_mad
+
+    _tables(spark, sf_dir)
+    return group_mad(
+        spark.table("documents").select("lang", "n_chars"), "lang", "n_chars"
+    ).orderBy("lang")
+
+
+def _interp_sql(vlist: str, p: float) -> str:
+    pos = f"{p} * (len({vlist}) - 1)"
+    return (
+        f"({vlist}[CAST(floor({pos}) AS INT) + 1]"
+        f" + ({vlist}[CAST(ceil({pos}) AS INT) + 1]"
+        f"    - {vlist}[CAST(floor({pos}) AS INT) + 1])"
+        f"   * ({pos} - floor({pos})))"
+    )
+
+
+_STATS_MAD_ORACLE = f"""
+WITH m AS (
+  SELECT lang, list_sort(list(CAST(n_chars AS DOUBLE))) AS v
+  FROM documents GROUP BY lang
+), med AS (
+  SELECT lang, {_interp_sql('v', 0.5)} AS med FROM m
+), d AS (
+  SELECT doc.lang, abs(CAST(doc.n_chars AS DOUBLE) - med.med) AS dev
+  FROM documents doc JOIN med USING (lang)
+), md AS (
+  SELECT lang, COUNT(*) AS n, list_sort(list(dev)) AS dv
+  FROM d GROUP BY lang
+)
+SELECT md.lang, md.n,
+       round(med.med, 6) AS median,
+       round({_interp_sql('md.dv', 0.5)}, 6) AS mad
+FROM md JOIN med USING (lang)
+ORDER BY lang
+"""
+
+SPARK_IMPLS["stats_mad"] = q_stats_mad
+ORACLES["stats_mad"] = _STATS_MAD_ORACLE

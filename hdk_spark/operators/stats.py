@@ -32,6 +32,7 @@ __all__ = [
     "quantile_normalize",
     "zscore",
     "embedding_covariance",
+    "group_mad",
 ]
 
 
@@ -134,10 +135,15 @@ def embedding_covariance(
     vec_col: str = "embedding",
     dims: "list[int] | None" = None,
     n_dims: int | None = None,
+    correlation: bool = False,
 ) -> DataFrame:
     """Sample covariance matrix of an embedding column, as (i, j, cov)
     upper-triangle rows — the second-moment input to PCA / whitening /
-    decorrelation of an embedding table.
+    decorrelation of an embedding table. ``correlation=True`` emits
+    Pearson correlations instead (same single pass: corr(i,j) =
+    num(i,j) / √(num(i,i)·num(j,j)) where num = Σxy − ΣxΣy/n — the
+    (n−1) divisors cancel, so no extra aggregates are needed), with
+    the output column named ``corr``.
 
     ``dims`` selects vector positions (0-based); ``n_dims`` is
     shorthand for the first k. Default: all positions (requires a
@@ -182,25 +188,68 @@ def embedding_covariance(
             aggs.append(F.sum(dec(prod)).alias(f"sxy_{i}_{j}"))
             aggs.append(F.count(prod).alias(f"n_{i}_{j}"))
     agged = elems.agg(*aggs)
+
+    def num(i, j):
+        # Σxy − ΣxΣy/n as a pure double function of the exact sums
+        n = F.col(f"n_{i}_{j}").cast("double")
+        sx = F.col(f"s_{i}").cast("double")
+        sy = F.col(f"s_{j}").cast("double")
+        sxy = F.col(f"sxy_{i}_{j}").cast("double")
+        return sxy - sx * sy / n, n
+
     cov_cols = []
     for ai, i in enumerate(dims):
         for j in dims[ai:]:
-            n = F.col(f"n_{i}_{j}").cast("double")
-            sx = F.col(f"s_{i}").cast("double")
-            sy = F.col(f"s_{j}").cast("double")
-            sxy = F.col(f"sxy_{i}_{j}").cast("double")
-            cov_cols.append(
-                ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias(f"c_{i}_{j}")
-            )
+            nm, n = num(i, j)
+            if correlation:
+                dii, _ = num(i, i)
+                djj, _ = num(j, j)
+                cell = nm / F.sqrt(dii * djj)
+            else:
+                cell = nm / (n - F.lit(1.0))
+            cov_cols.append(cell.alias(f"c_{i}_{j}"))
     celled = agged.select(*cov_cols)
     stack_args = ", ".join(
         f"{i}, {j}, c_{i}_{j}" for ai, i in enumerate(dims) for j in dims[ai:]
     )
     n_cells = sum(range(1, len(dims) + 1))
+    out_name = "corr" if correlation else "cov"
     return celled.select(
-        F.expr(f"stack({n_cells}, {stack_args}) AS (i, j, cov)")
+        F.expr(f"stack({n_cells}, {stack_args}) AS (i, j, {out_name})")
     ).select(
         F.col("i").cast("long").alias("i"),
         F.col("j").cast("long").alias("j"),
-        F.round("cov", 6).alias("cov"),
+        F.round(out_name, 6).alias(out_name),
+    )
+
+
+def group_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group median and median absolute deviation — the robust
+    location/scale pair (outlier-immune where mean/stddev are not;
+    MAD·1.4826 estimates σ for normal data).
+
+    Scale shape: one exact-percentile aggregate for the medians, ONE
+    broadcast join of the group-sized medians back (map-only data
+    pass), one more percentile aggregate over the absolute deviations.
+    Exact percentiles sort per group — switch the workload to
+    approx_percentile for billion-row groups; for bounded groups
+    (sources, languages) the two-pass exact form is the right default.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), on=group_col).withColumn(
+        "__dev", F.abs(F.col(value_col).cast("double") - F.col("__med"))
+    )
+    return (
+        dev.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("__med"), 6).alias("median"),
+            F.round(F.percentile(F.col("__dev"), F.lit(0.5)), 6).alias("mad"),
+        )
     )
