@@ -3100,8 +3100,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdk_spark.operators.stats import embedding_covariance
 
     _tables(spark, sf_dir)
+    # deterministic=True pinned (production default: covar_samp double
+    # accumulators — same trade as the sketch hash bases)
     return embedding_covariance(
-        spark.table("embeddings"), "embedding", n_dims=16
+        spark.table("embeddings"), "embedding", n_dims=16, deterministic=True
     ).orderBy("i", "j")
 
 
@@ -3911,9 +3913,13 @@ def q_profile_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdk_spark.operators.profile import summarize
 
     _tables(spark, sf_dir)
+    # exact+deterministic pinned (production default: t-digest
+    # percentiles + double-accumulator moments, the mergeable path)
     return summarize(
         spark.table("lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact=True,
+        deterministic=True,
     )
 
 
@@ -4209,8 +4215,10 @@ def q_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdk_spark.operators.stats import embedding_covariance
 
     _tables(spark, sf_dir)
+    # deterministic=True pinned (production default: F.corr)
     return embedding_covariance(
-        spark.table("embeddings"), "embedding", n_dims=16, correlation=True
+        spark.table("embeddings"), "embedding", n_dims=16, correlation=True,
+        deterministic=True,
     ).orderBy("i", "j")
 
 

