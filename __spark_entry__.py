@@ -303,6 +303,7 @@ _PRIORITY: list[str] = [
     "text_unigram_unk",
     "text_bigram_unk",
     "text_lm_cross_score",
+    "text_bigram_cross",
     "text_redact_pii",
     "text_hashed_score",
     "web_url_features",

@@ -4303,3 +4303,60 @@ ORDER BY lang
 
 SPARK_IMPLS["stats_mad"] = q_stats_mad
 ORACLES["stats_mad"] = _STATS_MAD_ORACLE
+
+
+def q_text_bigram_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus bigram scoring: src0's documents scored under the
+    bigram LM of every other source (min_count=2 per-context <unk>
+    fold; positions whose context word never occurs in the model
+    corpus are dropped — no conditional distribution to score under)."""
+    from hdk_spark.operators.text import bigram_logprob
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return bigram_logprob(
+        docs.filter(F.col("source") == "src0"),
+        min_count=2,
+        model_df=docs.filter(F.col("source") != "src0"),
+    ).orderBy("doc_id")
+
+
+_BIGRAM_CROSS_ORACLE = r"""
+WITH tgt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE source = 'src0'
+), tbg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+                        i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+  FROM tgt WHERE len(tk) >= 2
+), pairs AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM tbg
+), mt AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE source <> 'src0'
+), mbg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+                i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+  FROM mt WHERE len(tk) >= 2
+), counts AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c FROM mbg GROUP BY b.w1, b.w2
+), ctx AS (
+  SELECT w1, SUM(c) AS cx FROM counts GROUP BY w1
+), kept AS (
+  SELECT w1, w2, c FROM counts WHERE c >= 2
+), unk AS (
+  SELECT w1, SUM(c) AS uc FROM counts WHERE c < 2 GROUP BY w1
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln(COALESCE(kept.c, unk.uc, 1) / CAST(ctx.cx AS DOUBLE))), 6)
+         AS avg_logprob
+FROM pairs p
+JOIN ctx ON p.w1 = ctx.w1
+LEFT JOIN kept ON p.w1 = kept.w1 AND p.w2 = kept.w2
+LEFT JOIN unk ON p.w1 = unk.w1
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+SPARK_IMPLS["text_bigram_cross"] = q_text_bigram_cross
+ORACLES["text_bigram_cross"] = _BIGRAM_CROSS_ORACLE
