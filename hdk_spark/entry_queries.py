@@ -4282,14 +4282,17 @@ def _interp_sql(vlist: str, p: float) -> str:
 
 
 _STATS_MAD_ORACLE = f"""
-WITH m AS (
+WITH base AS (
+  SELECT lang, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+), m AS (
   SELECT lang, list_sort(list(CAST(n_chars AS DOUBLE))) AS v
-  FROM documents GROUP BY lang
+  FROM base GROUP BY lang
 ), med AS (
   SELECT lang, {_interp_sql('v', 0.5)} AS med FROM m
 ), d AS (
   SELECT doc.lang, abs(CAST(doc.n_chars AS DOUBLE) - med.med) AS dev
-  FROM documents doc JOIN med USING (lang)
+  FROM base doc JOIN med USING (lang)
 ), md AS (
   SELECT lang, COUNT(*) AS n, list_sort(list(dev)) AS dv
   FROM d GROUP BY lang

@@ -2,13 +2,13 @@
 `SUMMARIZE` / `df.describe` utility surface, made deterministic).
 
 Scale shape: ONE aggregate pass computes every column's statistics as
-mergeable aggregates (count/min/max + exact DECIMAL moment sums +
-exact percentiles), then a driver-free stack() unpivots the single
-aggregated row to long form. Mean/stddev go through exact decimal
-sums (the ``stats.zscore`` pattern) so the result is bit-identical
-under any partitioning; percentiles use Spark's exact interpolation
-(sort-based — swap ``exact=False`` for the mergeable t-digest at
-extreme scale).
+mergeable aggregates, then a driver-free stack() unpivots the single
+aggregated row to long form. Defaults are the scale path — t-digest
+percentiles and native double-accumulator moments; pass
+``deterministic=True`` (exact DECIMAL moment sums, the
+``stats.zscore`` pattern) and ``exact=True`` (sort-based interpolated
+percentiles) when bit-reproducibility matters — the oracle-checked
+contract query pins both.
 """
 
 from __future__ import annotations

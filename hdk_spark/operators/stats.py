@@ -169,15 +169,14 @@ def embedding_covariance(
     keeping everything in whole-stage codegen until the final one-row
     aggregate.
 
-    Determinism: ``covar_samp`` accumulates order-dependent floating
-    partial sums (different partitionings → different low-order bits),
-    which is nondeterministic under re-partitioning — the same rule
-    ``zscore`` above follows. Instead each per-row product (an exact
+    How ``deterministic=True`` works: each per-row product (an exact
     IEEE double, identical on any engine) is quantized once to
     DECIMAL(38,12) and summed exactly; the covariance
     ``(Σxy − ΣxΣy/n)/(n−1)`` is then a pure double function of
-    order-independent inputs. |v| ≤ O(1) embeddings keep the decimal
-    sums far from the 26-integer-digit headroom even at 1e12 rows.
+    order-independent inputs — where ``covar_samp`` would accumulate
+    order-dependent floating partial sums (the round-3 oracle red
+    row). |v| ≤ O(1) embeddings keep the decimal sums far from the
+    26-integer-digit headroom even at 1e12 rows.
     """
     if dims is None:
         if n_dims is not None:
@@ -254,6 +253,10 @@ def group_mad(
     location/scale pair (outlier-immune where mean/stddev are not;
     MAD·1.4826 estimates σ for normal data).
 
+    NULL-valued rows are excluded up front (``n`` counts exactly the
+    values the statistics describe); rows with a NULL group key have
+    no group and are likewise excluded.
+
     Scale shape: one exact-percentile aggregate for the medians, ONE
     broadcast join of the group-sized medians back (map-only data
     pass), one more percentile aggregate over the absolute deviations.
@@ -261,10 +264,13 @@ def group_mad(
     approx_percentile for billion-row groups; for bounded groups
     (sources, languages) the two-pass exact form is the right default.
     """
-    med = df.groupBy(group_col).agg(
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    med = base.groupBy(group_col).agg(
         F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("__med")
     )
-    dev = df.join(F.broadcast(med), on=group_col).withColumn(
+    dev = base.join(F.broadcast(med), on=group_col).withColumn(
         "__dev", F.abs(F.col(value_col).cast("double") - F.col("__med"))
     )
     return (

@@ -218,6 +218,36 @@ def main() -> None:
     print("bpe_encode:", best(lambda: bpe_encode(
         spark.table("documents"), merges), n=1))
 
+    # profiling / temporal / robust-stats operators (SCALE.md rows)
+    from hdk_spark.operators.profile import histogram, skew_report, summarize
+
+    li = spark.table("lineitem")
+    cols4 = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    print("summarize_default:", best(lambda: summarize(li, cols4)))
+    print("summarize_exact_deterministic:", best(lambda: summarize(
+        li, cols4, exact=True, deterministic=True), n=1))
+    print("histogram:", best(lambda: histogram(
+        li, "l_extendedprice", 20, 800.0, 480000.0)))
+    print("skew_report:", best(lambda: skew_report(li, "l_orderkey", 20)))
+
+    from hdk_spark.operators.temporal import detect_gaps, rolling_zscore
+
+    ev = spark.table("events")
+    print("detect_gaps_6h:", best(lambda: detect_gaps(
+        ev, "user_id", "ts", "event_id", "6 hours")))
+    print("rolling_zscore_w20:", best(lambda: rolling_zscore(
+        ev, "user_id", "ts", "value", "event_id")))
+
+    from hdk_spark.operators.stats import group_mad
+
+    print("group_mad:", best(lambda: group_mad(
+        spark.table("documents").select("lang", "n_chars"), "lang", "n_chars")))
+    print("embedding_corr_default_d16:", best(lambda: embedding_covariance(
+        spark.table("embeddings"), "embedding", n_dims=16, correlation=True)))
+    print("embedding_cov_deterministic_d16:", best(lambda: embedding_covariance(
+        spark.table("embeddings"), "embedding", n_dims=16, deterministic=True),
+        n=1))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()

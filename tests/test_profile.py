@@ -2,8 +2,6 @@
 histogram completeness/bounds, summarize vs a pandas reference,
 skew_report ordering properties."""
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 
