@@ -317,6 +317,7 @@ _PRIORITY: list[str] = [
     "profile_skew",
     "embedding_correlation",
     "stats_mad",
+    "groupby_all_year",
     "temporal_gaps",
     "temporal_rolling_zscore",
     "streaming_incremental_dedup",

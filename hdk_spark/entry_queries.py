@@ -4363,3 +4363,18 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 
 SPARK_IMPLS["text_bigram_cross"] = q_text_bigram_cross
 ORACLES["text_bigram_cross"] = _BIGRAM_CROSS_ORACLE
+
+
+# GROUP BY ALL — the modern-SQL ergonomic both engines accept verbatim
+# (Spark 3.4+/DuckDB): every non-aggregate select item becomes a key.
+_GROUPBY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus, yr
+"""
+
+COMMON_SQL_EXTRA["groupby_all_year"] = _GROUPBY_ALL_SQL
