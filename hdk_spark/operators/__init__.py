@@ -8,6 +8,8 @@ compositions or Arrow-batched pandas UDFs.
 
 from hdk_spark.operators import (
     bpe,
+    jpeg,
+    png,
     clustering,
     dedup,
     graph,
@@ -25,6 +27,8 @@ from hdk_spark.operators import (
 
 __all__ = [
     "bpe",
+    "jpeg",
+    "png",
     "clustering",
     "dedup",
     "graph",

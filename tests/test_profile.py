@@ -90,3 +90,12 @@ def test_skew_report_properties(spark, lineitem):
         .orderBy(F.desc("count"), F.asc("l_orderkey")).first()
     )
     assert rows[0]["key"] == top["l_orderkey"] and rows[0]["n"] == top["count"]
+
+
+def test_summarize_infers_numeric_columns(spark, lineitem):
+    rows = summarize(lineitem).collect()
+    got = {r["column"] for r in rows}
+    # every numeric lineitem column, no string/timestamp columns
+    assert "l_quantity" in got and "l_extendedprice" in got
+    assert "l_returnflag" not in got and "l_shipdate" not in got
+    assert all(r["n"] > 0 for r in rows)
