@@ -317,6 +317,7 @@ _PRIORITY: list[str] = [
     "profile_skew",
     "embedding_correlation",
     "stats_mad",
+    "stats_mode",
     "groupby_all_year",
     "temporal_gaps",
     "temporal_rolling_zscore",

@@ -4378,3 +4378,34 @@ ORDER BY l_returnflag, l_linestatus, yr
 """
 
 COMMON_SQL_EXTRA["groupby_all_year"] = _GROUPBY_ALL_SQL
+
+
+def q_stats_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag modal quantity with the deterministic tie-break
+    (engine mode() aggregates return arbitrary tie members — unusable
+    under a value-hash contract)."""
+    from hdk_spark.operators.stats import group_mode
+
+    _tables(spark, sf_dir)
+    return group_mode(
+        spark.table("lineitem"), "l_returnflag", "l_quantity"
+    ).orderBy("l_returnflag")
+
+
+_STATS_MODE_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity AS mode_value, COUNT(*) AS n_mode
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY l_returnflag, l_quantity
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY n_mode DESC, mode_value ASC) AS rn
+  FROM c
+)
+SELECT l_returnflag, mode_value, n_mode FROM r WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+SPARK_IMPLS["stats_mode"] = q_stats_mode
+ORACLES["stats_mode"] = _STATS_MODE_ORACLE

@@ -33,6 +33,7 @@ __all__ = [
     "zscore",
     "embedding_covariance",
     "group_mad",
+    "group_mode",
 ]
 
 
@@ -280,4 +281,38 @@ def group_mad(
             F.round(F.first("__med"), 6).alias("median"),
             F.round(F.percentile(F.col("__dev"), F.lit(0.5)), 6).alias("mad"),
         )
+    )
+
+
+def group_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group modal value with a DETERMINISTIC tie-break (highest
+    count, then smallest value) — engine mode() aggregates return an
+    arbitrary tie member, which the repo's reproducibility rule (and
+    any oracle hash) cannot accept.
+
+    Returns (group, mode_value, n_mode). NULL values are excluded
+    (they have no mode claim); NULL group keys are excluded with them.
+
+    Scale shape: one (group, value) partial-agg count — the modal
+    head collapses map-side — then a per-group WindowGroupLimit
+    row_number pass over the (group-cardinality × distinct-values)
+    counts relation, which is bounded well below the data size.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    counts = base.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("mode_value")
+    ).agg(F.count(F.lit(1)).alias("n_mode"))
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("n_mode"), F.asc("mode_value")
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("grp").alias(group_col), "mode_value", "n_mode")
     )
