@@ -4409,3 +4409,104 @@ ORDER BY l_returnflag
 
 SPARK_IMPLS["stats_mode"] = q_stats_mode
 ORACLES["stats_mode"] = _STATS_MODE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: Q2 / Q11 / Q12 / Q16 shapes. With these, all 22 TPC-H
+# query shapes are covered (the driver schema lacks partsupp, l_shipmode and
+# the commit/receipt dates, so — exactly like the Q21 adaptation above —
+# lineitem stands in as the part-supplier relation and categorical columns
+# replace the missing ones; the distinctive plan shape of each query is
+# preserved). Reference exercises the correlated-subquery class in
+# omniscidb/Tests/CorrelatedSubqueryTest.cpp and the agg/join class
+# throughout omniscidb/Tests/ExecuteTest.cpp.
+# ---------------------------------------------------------------------------
+
+# Q2 shape: correlated MIN subquery over a repeated 4-way join chain
+# (min-cost supplier per part within a region), top-k by supplier
+# balance. DISTINCT collapses multiple qualifying lineitems of the same
+# (part, supplier); ORDER BY covers every output column so the LIMIT
+# boundary is a total order (hash-stable on both engines). MIN over
+# DOUBLE is order-independent — no decimal shim needed.
+_Q2_SQL = """
+SELECT DISTINCT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+       p_partkey, p_type
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_type
+LIMIT 100
+"""
+
+# Q11 shape: grouped decimal-exact value sum with HAVING against an
+# uncorrelated scalar subquery that repeats the join chain (important-
+# stock fraction filter). l_extendedprice*l_quantity stands in for
+# ps_supplycost*ps_availqty; DECIMAL products keep both engines exact.
+_Q11_SQL = """
+SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+       > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2))) * 0.001
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7')
+ORDER BY value DESC, l_partkey
+"""
+
+# Q12 shape: fact-fact join + conditional CASE counts split by order
+# priority class over a one-year date window. l_linestatus stands in
+# for l_shipmode; the returnflag predicate replaces the commit/receipt
+# date ordering chain the driver schema doesn't carry.
+_Q12_SQL = """
+SELECT l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+# Q16 shape: supplier-count-per-part-attribute with a NOT IN anti-
+# membership subquery and COUNT(DISTINCT) over a multi-predicate
+# filter (negative account balance stands in for the comment-LIKE
+# complaints filter).
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+COMMON_SQL_EXTRA["tpch_q2_min_cost_supplier"] = _Q2_SQL
+COMMON_SQL_EXTRA["tpch_q11_important_stock"] = _Q11_SQL
+COMMON_SQL_EXTRA["tpch_q12_priority_classes"] = _Q12_SQL
+COMMON_SQL_EXTRA["tpch_q16_supplier_counts"] = _Q16_SQL
