@@ -4510,3 +4510,58 @@ COMMON_SQL_EXTRA["tpch_q2_min_cost_supplier"] = _Q2_SQL
 COMMON_SQL_EXTRA["tpch_q11_important_stock"] = _Q11_SQL
 COMMON_SQL_EXTRA["tpch_q12_priority_classes"] = _Q12_SQL
 COMMON_SQL_EXTRA["tpch_q16_supplier_counts"] = _Q16_SQL
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (segment-level) exact dedup with reassembly: drop
+    every 3-word segment appearing more than twice across the corpus,
+    rebuild each document from its survivors in original order
+    (operators/dedup.py::segment_dedup — the RefinedWeb line-dedup
+    step, words mode because the synthetic corpus has no newlines)."""
+    from hdk_spark.operators.dedup import segment_dedup
+
+    _tables(spark, sf_dir)
+    return segment_dedup(
+        spark.table("documents"),
+        mode="words",
+        words_per_segment=3,
+        max_freq=2,
+    ).orderBy("doc_id")
+
+
+_DEDUP_SEGMENTS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS seg
+  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS u(i)
+), freq AS (
+  SELECT lower(seg) AS seg_key, COUNT(*) AS seg_freq FROM seg GROUP BY 1
+), j AS (
+  SELECT s.doc_id, s.pos, s.seg, f.seg_freq
+  FROM seg s JOIN freq f ON lower(s.seg) = f.seg_key
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_segments,
+         SUM(CASE WHEN seg_freq > 2 THEN 1 ELSE 0 END) AS n_removed,
+         array_to_string(
+           list_transform(
+             list_sort(list({'pos': pos, 'seg': seg})
+                       FILTER (WHERE seg_freq <= 2)),
+             x -> x.seg), ' ') AS clean_text
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+SPARK_IMPLS["dedup_segments"] = q_dedup_segments
+ORACLES["dedup_segments"] = _DEDUP_SEGMENTS_ORACLE

@@ -1161,3 +1161,101 @@ def dedup_keep_best(
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sub-document (line / segment) dedup
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "lines",
+    words_per_segment: int = 3,
+    max_freq: int = 1,
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Sub-document exact dedup: drop every copy of a line/segment that
+    appears more than ``max_freq`` times across the WHOLE corpus, then
+    reassemble each document from its surviving segments in original
+    order (the RefinedWeb/FineWeb line-dedup step that strips shared
+    boilerplate — nav bars, cookie banners, license headers — which
+    document-level dedup can't see).
+
+    ``mode='lines'`` splits on newline runs; ``mode='words'`` splits
+    into consecutive ``words_per_segment``-token segments for corpora
+    without line structure. Returns (id, clean_text, n_segments,
+    n_removed) — one row per input document, empty-text documents
+    included (clean_text = '').
+
+    Scale shape: explode is map-only with output = corpus segment
+    count; the frequency table is one hash-aggregate on the segment
+    key (at 100 TB, group on xxhash64 of the segment to narrow the
+    shuffle); the freq←segments join is an equi-join Catalyst/AQE
+    sizes (NOT force-broadcast — the frequency relation is
+    corpus-derived and unbounded, the unigram-LM lesson); reassembly
+    is one groupBy on the doc id with a deterministic
+    array_sort(struct(pos, seg)) collapse. Three keyed exchanges
+    total, no correlated or quadratic step. A skewed hot segment
+    (a boilerplate line repeated millions of times) lands on AQE's
+    skew-join splitting; its frequency row is a single aggregate cell.
+    """
+    if mode not in ("lines", "words"):
+        raise ValueError(f"mode must be 'lines' or 'words', got {mode!r}")
+    if join_sep is None:
+        join_sep = "\n" if mode == "lines" else " "
+    if mode == "lines":
+        segs = F.filter(
+            F.transform(
+                F.split(F.col(text_col), r"\r?\n+"), lambda s: F.trim(s)
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    else:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        wps = int(words_per_segment)
+        n_seg = F.ceil(F.size(toks) / F.lit(float(wps))).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i * wps + 1, wps), " "),
+        )
+        segs = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast(
+            "array<string>")).otherwise(segs)
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(segs).alias("pos", "seg"),
+    ).withColumn("seg_key", F.lower(F.col("seg")))
+
+    freq = staged.filter(F.col("seg").isNotNull()).groupBy("seg_key").agg(
+        F.count(F.lit(1)).alias("seg_freq")
+    )
+    joined = staged.join(freq, "seg_key", "left")
+    kept_struct = F.when(
+        F.col("seg").isNotNull() & (F.col("seg_freq") <= max_freq),
+        F.struct(F.col("pos"), F.col("seg")),
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.col("seg")).alias("n_segments"),
+            F.sum(
+                F.when(F.col("seg_freq") > max_freq, 1).otherwise(0)
+            ).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+                join_sep,
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "clean_text",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            "n_removed",
+        )
+    )

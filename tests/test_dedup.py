@@ -333,3 +333,57 @@ def test_dedup_keep_best_semantics(spark):
     }
     # cluster 1: doc 2 wins on n_chars=300; singletons keep themselves
     assert rows == {1: (2, 300, 3), 4: (4, 50, 1), 5: (5, 300, 1)}
+
+
+def test_segment_dedup_lines_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "intro line\nCOMMON BOILERPLATE\nunique a"),
+            (2, "common boilerplate\nunique b\n\nunique c"),
+            (3, "Common Boilerplate"),
+            (4, ""),
+            (5, "unique d"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(df, max_freq=1).collect()
+    }
+    # the 3x boilerplate line is removed everywhere, case-insensitively
+    assert rows[1]["clean_text"] == "intro line\nunique a"
+    assert rows[2]["clean_text"] == "unique b\nunique c"
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 1
+    # empty document survives with zero segments
+    assert rows[4]["n_segments"] == 0 and rows[4]["n_removed"] == 0
+    assert rows[5]["clean_text"] == "unique d" and rows[5]["n_removed"] == 0
+    # counts are consistent: removed <= total per doc
+    assert all(r["n_removed"] <= r["n_segments"] for r in rows.values())
+
+
+def test_segment_dedup_words_reassembles_unique_corpus(spark):
+    # every segment unique => reassembly is the identity (modulo
+    # whitespace normalization)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(
+            df, mode="words", words_per_segment=3, max_freq=1
+        ).collect()
+    }
+    assert rows[1]["clean_text"] == "a b c d e f g"
+    assert rows[1]["n_segments"] == 3  # abc|def|g
+    assert rows[2]["clean_text"] == "h i j k"
+    assert rows[2]["n_segments"] == 2
+
+
+def test_segment_dedup_no_forced_broadcast(spark, docs):
+    # the frequency relation is corpus-derived and unbounded: the plan
+    # must not pin a broadcast on it (AQE decides; the unigram-LM
+    # lesson from round 3)
+    plan = dedup.segment_dedup(
+        docs, mode="words", words_per_segment=3, max_freq=2
+    )._jdf.queryExecution().toString()
+    assert "ResolvedHint" not in plan
