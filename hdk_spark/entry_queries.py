@@ -4565,3 +4565,85 @@ ORDER BY d.doc_id
 
 SPARK_IMPLS["dedup_segments"] = q_dedup_segments
 ORACLES["dedup_segments"] = _DEDUP_SEGMENTS_ORACLE
+
+
+def q_sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: hash-uniform shard
+    assignment + reproducible within-shard order decorrelated from the
+    source order (operators/sampling.py::shuffle_shards)."""
+    from hdk_spark.operators.sampling import shuffle_shards
+
+    _tables(spark, sf_dir)
+    return (
+        shuffle_shards(spark.table("documents"), "doc_id", 8, seed=7)
+        .select("doc_id", "shard", "shard_pos", "source")
+        .orderBy("shard", "shard_pos")
+    )
+
+
+def _shuffle_shards_oracle() -> str:
+    from hdk_spark.operators.sampling import _MOD, hash_bucket_sql
+
+    shard = hash_bucket_sql("doc_id", 8, 7)
+    oh = hash_bucket_sql("doc_id", _MOD, 8)
+    return f"""
+SELECT doc_id,
+       CAST({shard} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY {shard}
+                               ORDER BY {oh}, doc_id) - 1 AS BIGINT) AS shard_pos,
+       source
+FROM documents
+ORDER BY shard, shard_pos
+"""
+
+
+def q_sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan: per-source availability vs target
+    token shares with integer keep-rates / up-sampling epochs
+    (operators/sampling.py::mixture_plan). src0 is down-sampled, src1
+    over-asked (epochs 2), sources outside the target map get rate 0."""
+    from hdk_spark.operators.sampling import mixture_plan
+
+    _tables(spark, sf_dir)
+    return mixture_plan(
+        spark.table("documents"),
+        "source",
+        "n_chars",
+        {"src0": 0.05, "src1": 0.2, "src2": 0.1, "src3": 0.65},
+        budget_tokens=100_000,
+    ).orderBy("group")
+
+
+_MIXTURE_PLAN_ORACLE = """
+WITH avail AS (
+  SELECT source AS "group",
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+)
+SELECT "group", available_tokens,
+       CAST(CASE "group"
+            WHEN 'src0' THEN 5000
+            WHEN 'src1' THEN 20000
+            WHEN 'src2' THEN 10000
+            WHEN 'src3' THEN 65000
+            ELSE 0 END AS BIGINT) AS target_tokens,
+       CAST(least(floor((CASE "group"
+            WHEN 'src0' THEN 5000
+            WHEN 'src1' THEN 20000
+            WHEN 'src2' THEN 10000
+            WHEN 'src3' THEN 65000
+            ELSE 0 END * 10000) / available_tokens), 10000) AS BIGINT) AS rate_bp,
+       CAST(ceil(CAST(CASE "group"
+            WHEN 'src0' THEN 5000
+            WHEN 'src1' THEN 20000
+            WHEN 'src2' THEN 10000
+            WHEN 'src3' THEN 65000
+            ELSE 0 END AS DOUBLE) / available_tokens) AS BIGINT) AS epochs
+FROM avail
+ORDER BY "group"
+"""
+
+SPARK_IMPLS["sample_shuffle_shards"] = q_sample_shuffle_shards
+ORACLES["sample_shuffle_shards"] = _shuffle_shards_oracle()
+SPARK_IMPLS["sample_mixture_plan"] = q_sample_mixture_plan
+ORACLES["sample_mixture_plan"] = _MIXTURE_PLAN_ORACLE

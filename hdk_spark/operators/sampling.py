@@ -38,6 +38,8 @@ __all__ = [
     "mixture_sample",
     "train_val_split",
     "weighted_sample",
+    "shuffle_shards",
+    "mixture_plan",
 ]
 
 # Knuth's multiplicative constant (2^32 / phi). Products stay well
@@ -163,4 +165,92 @@ def train_val_split(
         F.when(
             hash_bucket(F.col(key_col), 100, seed) < F.lit(train_pct), F.lit("train")
         ).otherwise(F.lit("val")),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    every row gets a ``shard`` in [0, n_shards) and a dense 0-based
+    ``shard_pos`` giving its read order inside the shard — the
+    write-shuffled-training-data step (epoch order must be decorrelated
+    from the source order, yet reproducible run-to-run).
+
+    Shard membership is :func:`hash_bucket`(key, n_shards, seed); the
+    within-shard order is a SECOND independent hash (seed+1 stream) of
+    the same key with the key itself as tie-break, so the order total,
+    deterministic, and uncorrelated with both the source order and the
+    shard assignment. Everything is int64 arithmetic — bit-identical in
+    the SQL oracle and under task retry.
+
+    Scale shape: exactly one exchange (hash partition on ``shard``)
+    followed by a per-shard sort — the minimum any global shuffle
+    needs. Shards are hash-uniform so no skew; n_shards should be
+    chosen as the target output-file count (≫ executor count). Writing
+    ``.write.partitionBy('shard')`` after this yields one sorted file
+    per shard with zero further movement."""
+    shard = hash_bucket(F.col(key_col), n_shards, seed)
+    order_h = hash_bucket(F.col(key_col), _MOD, seed + 1)
+    w = Window.partitionBy("shard").orderBy(F.col("__oh"), F.col(key_col))
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("__oh", order_h)
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__oh")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    targets: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Token-budget mixture planning: given per-source target weights
+    and a total token budget, compute for every source its available
+    tokens, its target token count, and the deterministic keep-rate —
+    the sizing step that precedes :func:`mixture_sample` when mixtures
+    are specified in TOKENS (the usual pretraining contract) rather
+    than row rates.
+
+    Returns (group, available_tokens, target_tokens, rate_bp, epochs):
+    ``rate_bp`` = floor(target*10000/available) basis points, capped at
+    10000 — feed it to :func:`mixture_sample` as weight=rate_bp/10000;
+    ``epochs`` = ceil(target/available) — how many passes over the
+    source an up-sampled mixture needs (rate_bp == 10000 and epochs > 1
+    flags up-sampling). All integer arithmetic: no float division, so
+    both engines agree exactly.
+
+    Scale shape: one partial-aggregated groupBy over the corpus (the
+    only corpus-scale work); the plan output is sources-sized (tiny).
+    """
+    rows = [(g, float(wt)) for g, wt in targets.items()]
+    avail = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("available_tokens")
+    )
+    tgt = None
+    for g, wt in rows:
+        t = F.lit(int(round(wt * budget_tokens)))
+        cond = F.col("group") == F.lit(g)
+        tgt = F.when(cond, t) if tgt is None else tgt.when(cond, t)
+    tgt = tgt.otherwise(F.lit(0)) if tgt is not None else F.lit(0)
+    return (
+        avail.withColumn("target_tokens", tgt.cast("bigint"))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.floor(
+                    F.col("target_tokens") * 10000 / F.col("available_tokens")
+                ),
+                F.lit(10000),
+            ).cast("long"),
+        )
+        .withColumn(
+            "epochs",
+            F.ceil(
+                F.col("target_tokens") / F.col("available_tokens")
+            ).cast("long"),
+        )
     )

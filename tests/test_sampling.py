@@ -146,3 +146,70 @@ def test_chunk_documents_map_only_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
     p = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p  # pure explode+slice, no shuffle
+
+
+def test_shuffle_shards_deterministic_and_partition_stable(spark):
+    from hdk_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = shuffle_shards(df, "k", 16, seed=3).collect()
+    b = shuffle_shards(df.repartition(13), "k", 16, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rows = {r["k"]: (r["shard"], r["shard_pos"]) for r in a}
+    # every row assigned; positions dense 0..n-1 per shard
+    assert len(rows) == 2000
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for s, p in rows.values():
+        per[s].append(p)
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # hash-uniform shards: no shard more than 2x the mean
+    sizes = [len(ps) for ps in per.values()]
+    assert max(sizes) < 2 * (2000 / 16)
+    # order decorrelated from key order: first shard isn't sorted by key
+    s0 = sorted(
+        (p for k, (s, p) in rows.items() if s == 0),
+    )
+    keys_in_order = [
+        k for k, (s, p) in sorted(rows.items(), key=lambda kv: kv[1]) if s == 0
+    ]
+    assert keys_in_order != sorted(keys_in_order)
+
+
+def test_shuffle_shards_single_exchange(spark):
+    from hdk_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    p = shuffle_shards(df, "k", 8)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+
+
+def test_mixture_plan_semantics(spark):
+    from hdk_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 10)],
+        ["src", "toks"],
+    )
+    rows = {
+        r["group"]: r
+        for r in mixture_plan(
+            df, "src", "toks", {"a": 0.5, "b": 0.5}, budget_tokens=100
+        ).collect()
+    }
+    # a: target 50 of 200 available -> 2500 bp, 1 epoch
+    assert rows["a"]["rate_bp"] == 2500 and rows["a"]["epochs"] == 1
+    # b: target 50 of 50 -> capped 10000 bp, exactly 1 epoch
+    assert rows["b"]["rate_bp"] == 10000 and rows["b"]["epochs"] == 1
+    # c: not in targets -> zero everywhere
+    assert rows["c"]["target_tokens"] == 0 and rows["c"]["rate_bp"] == 0
+
+
+def test_mixture_plan_upsampling_epochs(spark):
+    from hdk_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame([("a", 10)], ["src", "toks"])
+    r = mixture_plan(df, "src", "toks", {"a": 1.0}, budget_tokens=25).collect()[0]
+    assert r["rate_bp"] == 10000 and r["epochs"] == 3  # ceil(25/10)
