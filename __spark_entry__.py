@@ -284,22 +284,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(_COMMON_SQL["q1_pricing_summary"])
 
 
-# Round-4 window (driver checks roughly the first 50 entries, in order):
+# Round-4 window (driver checks roughly the first 50 entries, in order;
+# regenerated by scripts/rotate_priority.py):
 #   1. the round-3 red row (embedding_covariance, determinism fixed) and
 #      the two rows-only queries upgraded to value-checked this round;
-#   2. the three new LM contract queries (never checked);
-#   3. every query whose implementation path changed this round
-#      (oracle-basis pins, bounded funnel state, floor bucketing,
-#      AQE-decided LM joins, CC stats param) — re-verified under the
-#      new code;
-#   4. stale greens oldest-first (r1-checked, then r2, then r3) so
-#      every query's latest driver row stays fresh; slow streaming
-#      drives sort last within their group. Everything past the ~50
-#      boundary is a recent green whose inputs this round didn't touch.
+#   2. every never-checked query — the round-4 additions: the LM unk/
+#      cross-scoring paths, PII redaction, hashed scorer, web curation,
+#      profiling, per-group stats, temporal anomaly queries, streaming
+#      incremental dedup, the TPC-H completions (Q2/Q11/Q12/Q16),
+#      segment dedup, shuffle shards, mixture plan;
+#   3. stale greens oldest-first so every query's latest driver row
+#      stays fresh. Everything past the ~50 boundary is a recent green
+#      whose inputs this round didn't touch.
 _PRIORITY: list[str] = [
+    # failed
     "embedding_covariance",
     "agg_approx",
     "multimodal_frames",
+    # never checked
     "text_unigram_unk",
     "text_bigram_unk",
     "text_lm_cross_score",
@@ -322,6 +324,14 @@ _PRIORITY: list[str] = [
     "temporal_gaps",
     "temporal_rolling_zscore",
     "streaming_incremental_dedup",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_classes",
+    "tpch_q16_supplier_counts",
+    "dedup_segments",
+    "sample_shuffle_shards",
+    "sample_mixture_plan",
+    # stable greens
     "agg_topk_bottomk",
     "events_funnel",
     "temporal_resample_fill",
