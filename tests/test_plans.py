@@ -393,3 +393,34 @@ def test_keep_best_no_cartesian_single_corpus_join(spark):
     # doc->cluster map once and the winner pass is window-based
     assert "CartesianProduct" not in tree
     assert "Window" in tree
+
+
+def test_tpch_completions_no_cartesian(spark):
+    """The four round-4 TPC-H completions decorrelate into pure
+    equi-join plans — never a cartesian/broadcast-nested-loop step."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_CORRECT
+
+    qs = entry.queries()
+    for name in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q12_priority_classes",
+        "tpch_q16_supplier_counts",
+    ):
+        tree = plan(qs[name](spark, SF_CORRECT))
+        assert "CartesianProduct" not in tree, name
+        assert "BroadcastNestedLoopJoin" not in tree, name
+
+
+def test_segment_dedup_exchange_bound(spark):
+    """segment_dedup: bounded keyed exchanges (freq agg + freq join +
+    reassembly), no cartesian, no forced broadcast of the
+    corpus-derived frequency relation."""
+    from hdk_spark.operators.dedup import segment_dedup
+
+    docs = _raw_docs(spark)
+    df = segment_dedup(docs, mode="words", words_per_segment=3, max_freq=2)
+    tree = plan(df).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count("Exchange") <= 4
