@@ -331,6 +331,7 @@ _PRIORITY: list[str] = [
     "dedup_segments",
     "sample_shuffle_shards",
     "sample_mixture_plan",
+    "layout_zorder",
     # stable greens
     "agg_topk_bottomk",
     "events_funnel",

@@ -4647,3 +4647,43 @@ SPARK_IMPLS["sample_shuffle_shards"] = q_sample_shuffle_shards
 ORACLES["sample_shuffle_shards"] = _shuffle_shards_oracle()
 SPARK_IMPLS["sample_mixture_plan"] = q_sample_mixture_plan
 ORACLES["sample_mixture_plan"] = _MIXTURE_PLAN_ORACLE
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order layout keys over (l_quantity, l_extendedprice)
+    with catalog-style literal bounds (operators/layout.py::zorder_key
+    — the OPTIMIZE ZORDER data-skipping layout; pure fixed-point
+    int64 arithmetic, bit-identical in the SQL oracle)."""
+    from hdk_spark.operators.layout import zorder_key
+
+    _tables(spark, sf_dir)
+    return (
+        zorder_key(
+            spark.table("lineitem"),
+            ["l_quantity", "l_extendedprice"],
+            bits=8,
+            bounds={"l_quantity": (0.0, 50.0),
+                    "l_extendedprice": (0.0, 600000.0)},
+        )
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "z")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def _layout_zorder_oracle() -> str:
+    from hdk_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(
+        ["l_quantity", "l_extendedprice"],
+        [(0.0, 50.0), (0.0, 600000.0)],
+        bits=8,
+    )
+    return f"""
+SELECT l_orderkey, l_linenumber, {z} AS z
+FROM lineitem WHERE l_orderkey < 2000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+SPARK_IMPLS["layout_zorder"] = q_layout_zorder
+ORACLES["layout_zorder"] = _layout_zorder_oracle()

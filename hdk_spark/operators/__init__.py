@@ -13,6 +13,7 @@ from hdk_spark.operators import (
     clustering,
     dedup,
     graph,
+    layout,
     multimodal,
     packing,
     profile,
@@ -32,6 +33,7 @@ __all__ = [
     "clustering",
     "dedup",
     "graph",
+    "layout",
     "multimodal",
     "packing",
     "profile",

@@ -248,6 +248,20 @@ def main() -> None:
         spark.table("embeddings"), "embedding", n_dims=16, deterministic=True),
         n=1))
 
+    from hdk_spark.operators.dedup import segment_dedup
+
+    print("segment_dedup_w3:", best(lambda: segment_dedup(
+        spark.table("documents"), mode="words", words_per_segment=3,
+        max_freq=2), n=1))
+
+    from hdk_spark.operators.sampling import mixture_plan, shuffle_shards
+
+    print("shuffle_shards_64:", best(lambda: shuffle_shards(
+        spark.table("documents"), "doc_id", 64)))
+    print("mixture_plan:", best(lambda: mixture_plan(
+        spark.table("documents"), "source", "n_chars",
+        {"src0": 0.3, "src1": 0.7}, budget_tokens=10_000_000)))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()

@@ -387,3 +387,54 @@ def test_segment_dedup_no_forced_broadcast(spark, docs):
         docs, mode="words", words_per_segment=3, max_freq=2
     )._jdf.queryExecution().toString()
     assert "ResolvedHint" not in plan
+
+
+def test_segment_dedup_words_matches_python_reference(spark):
+    """Property check vs a pure-Python reference over randomized small
+    corpora (slicing, whitespace runs, case folding, max_freq edges)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    word = st.sampled_from(["a", "b", "Cc", "dd", "e"])
+    doc = st.lists(word, min_size=0, max_size=13).map(" ".join)
+
+    @given(
+        texts=st.lists(doc, min_size=1, max_size=8),
+        wps=st.sampled_from([1, 2, 3]),
+        max_freq=st.sampled_from([1, 2]),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow,
+                               HealthCheck.function_scoped_fixture],
+    )
+    def check(texts, wps, max_freq):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id: long, text: string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_removed"])
+            for r in dedup.segment_dedup(
+                df, mode="words", words_per_segment=wps, max_freq=max_freq
+            ).collect()
+        }
+        # reference
+        seg_lists = []
+        for t in texts:
+            toks = t.split()
+            seg_lists.append(
+                [" ".join(toks[i: i + wps]) for i in range(0, len(toks), wps)]
+            )
+        freq = Counter(s.lower() for segs in seg_lists for s in segs)
+        for i, segs in enumerate(seg_lists):
+            kept = [s for s in segs if freq[s.lower()] <= max_freq]
+            expect = (
+                " ".join(kept),
+                len(segs),
+                sum(1 for s in segs if freq[s.lower()] > max_freq),
+            )
+            assert got[i] == expect, (i, texts, wps, max_freq)
+
+    check()
