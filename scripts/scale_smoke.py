@@ -262,6 +262,13 @@ def main() -> None:
         spark.table("documents"), "source", "n_chars",
         {"src0": 0.3, "src1": 0.7}, budget_tokens=10_000_000)))
 
+    from hdk_spark.operators.layout import zorder_by
+
+    print("zorder_by_2col_64p:", best(lambda: zorder_by(
+        spark.table("lineitem"), ["l_quantity", "l_extendedprice"], 64,
+        bits=8, bounds={"l_quantity": (0.0, 50.0),
+                        "l_extendedprice": (0.0, 600000.0)})))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()
