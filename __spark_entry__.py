@@ -332,6 +332,7 @@ _PRIORITY: list[str] = [
     "sample_shuffle_shards",
     "sample_mixture_plan",
     "layout_zorder",
+    "temporal_rollup_grains",
     # stable greens
     "agg_topk_bottomk",
     "events_funnel",

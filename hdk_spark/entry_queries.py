@@ -4687,3 +4687,41 @@ ORDER BY l_orderkey, l_linenumber
 
 SPARK_IMPLS["layout_zorder"] = q_layout_zorder
 ORACLES["layout_zorder"] = _layout_zorder_oracle()
+
+
+def q_temporal_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: per-event-type aggregates
+    at hour/day/month grains in ONE grouping-sets pass
+    (operators/temporal.py::multi_grain_rollup)."""
+    from hdk_spark.operators.temporal import multi_grain_rollup
+
+    _tables(spark, sf_dir)
+    return multi_grain_rollup(
+        spark.table("events"), "ts", "event_type", "value"
+    ).orderBy("grain", "bucket_ts", "event_type")
+
+
+_ROLLUP_GRAINS_ORACLE = """
+WITH base AS (
+  SELECT date_trunc('hour', ts)  AS g_hour,
+         date_trunc('day', ts)   AS g_day,
+         date_trunc('month', ts) AS g_month,
+         event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT CASE WHEN GROUPING(g_hour) = 0 THEN 'hour'
+            WHEN GROUPING(g_day)  = 0 THEN 'day'
+            ELSE 'month' END AS grain,
+       COALESCE(g_hour, g_day, g_month) AS bucket_ts,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM base
+GROUP BY GROUPING SETS ((g_hour, event_type), (g_day, event_type),
+                        (g_month, event_type))
+ORDER BY grain, bucket_ts, event_type
+"""
+
+SPARK_IMPLS["temporal_rollup_grains"] = q_temporal_rollup_grains
+ORACLES["temporal_rollup_grains"] = _ROLLUP_GRAINS_ORACLE

@@ -406,3 +406,65 @@ def rolling_zscore(
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def multi_grain_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per-key metric
+    aggregates at SEVERAL time grains in ONE pass (the
+    hour/day/month materialization a time-series store keeps per
+    hypertable; here expressed as GROUPING SETS over the date_trunc
+    ladder so Spark shares one scan + one partial-agg exchange across
+    every grain instead of re-reading the fact table per grain).
+
+    Returns (grain, bucket_ts, key, n_events, sum_value) with one row
+    per (grain, bucket, key). Sums go through DECIMAL so the result is
+    partition-order independent (repo determinism rule).
+
+    Scale shape: Expand multiplies rows by len(grains) BEFORE the
+    exchange, but partial aggregation collapses each grain to its
+    bucket cardinality map-side, so the shuffle carries ~|buckets|
+    rows per grain, not |facts|·|grains|. One exchange total; no join.
+    Buckets inherit the event-time distribution — a hot (bucket, key)
+    is already collapsed map-side.
+    """
+    truncs = [
+        F.date_trunc(g, F.col(ts_col)).alias(f"__g_{g}") for g in grains
+    ]
+    base = df.select(
+        *truncs, F.col(key_col).alias("key"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    )
+    sets = [[f"__g_{g}", "key"] for g in grains]
+    grouped = base.groupingSets(sets, *[F.col(f"__g_{g}") for g in grains],
+                                F.col("key"))
+    # GROUPING() indicators (not IS NOT NULL) so a data-NULL timestamp
+    # can never mislabel its grain
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__v").alias("__sum"),
+        *[F.grouping(f"__g_{g}").alias(f"__in_{g}") for g in grains],
+    )
+    grain_expr = None
+    for g in grains:
+        cond = F.col(f"__in_{g}") == 0
+        grain_expr = (
+            F.when(cond, F.lit(g)) if grain_expr is None
+            else grain_expr.when(cond, F.lit(g))
+        )
+    bucket = F.coalesce(*[F.col(f"__g_{g}") for g in grains])
+    return (
+        agg.filter(F.col("key").isNotNull())
+        .select(
+            grain_expr.alias("grain"),
+            bucket.alias("bucket_ts"),
+            F.col("key").alias(key_col),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("__sum").cast("double").alias("sum_value"),
+        )
+    )

@@ -183,3 +183,44 @@ def test_funnel_counts_orders_strictly(spark):
         for r in funnel_counts(df, "user", "ts", "ev", ["A", "B"]).collect()
     }
     assert rows == {"A": 3, "B": 1}
+
+
+def test_multi_grain_rollup_grains_consistent(spark):
+    """Re-aggregating the hour grain by day must reproduce the day
+    grain exactly (decimal sums — no float drift), and each grain's
+    event total equals the corpus size."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.temporal import multi_grain_rollup
+
+    ev = spark.table("events")
+    out = multi_grain_rollup(ev, "ts", "event_type", "value").cache()
+    n = ev.count()
+    for g in ("hour", "day", "month"):
+        tot = out.filter(F.col("grain") == g).agg(
+            F.sum("n_events")).collect()[0][0]
+        assert tot == n, g
+    day_from_hour = (
+        out.filter(F.col("grain") == "hour")
+        .groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts"),
+                 "event_type")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.round(F.sum("sum_value"), 2).alias("sum_value"))
+    )
+    day = out.filter(F.col("grain") == "day").select(
+        "bucket_ts", "event_type", "n_events",
+        F.round("sum_value", 2).alias("sum_value"))
+    assert sorted(map(tuple, day_from_hour.collect())) == sorted(
+        map(tuple, day.collect()))
+    out.unpersist()
+
+
+def test_multi_grain_rollup_single_exchange(spark):
+    from hdk_spark.operators.temporal import multi_grain_rollup
+
+    ev = spark.table("events")
+    p = (
+        multi_grain_rollup(ev, "ts", "event_type", "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange") == 1 and "Expand" in p and "Join" not in p
