@@ -282,3 +282,110 @@ def test_random_string_query_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# join + subquery grammar (round 4: the decorrelation surface — random
+# two-table equi-joins with INNER/LEFT shapes, IN / NOT IN / EXISTS /
+# NOT EXISTS membership subqueries, identical SQL text on both engines;
+# every aggregate follows the cross-engine typing rules above)
+# ---------------------------------------------------------------------------
+
+# (left, right, join condition, left preds, right preds, left group key)
+JOIN_SHAPES = [
+    ("orders", "lineitem", "o_orderkey = l_orderkey",
+     ["o_totalprice > 100000", "o_orderstatus = 'F'",
+      "o_custkey % 7 = 3"],
+     ["l_quantity < 25", "l_returnflag = 'R'", "l_linenumber <= 3"],
+     "o_orderpriority"),
+    ("customer", "orders", "c_custkey = o_custkey",
+     ["c_acctbal > 0", "c_nationkey < 12"],
+     ["o_totalprice < 150000", "o_orderpriority = '1-URGENT'"],
+     "c_mktsegment"),
+    ("part", "lineitem", "p_partkey = l_partkey",
+     ["p_size IN (1, 5, 9)", "p_retailprice > 1200"],
+     ["l_discount >= 0.05", "l_suppkey % 5 = 0"],
+     "p_brand"),
+]
+
+
+@st.composite
+def join_queries(draw):
+    left, right, cond, lpreds, rpreds, key = draw(
+        st.sampled_from(JOIN_SHAPES)
+    )
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    wl = draw(st.lists(st.sampled_from(lpreds), min_size=0, max_size=2,
+                       unique=True))
+    # right-side predicates go in ON for LEFT joins (WHERE would turn
+    # the join back into INNER — grammar keeps the shapes distinct)
+    wr = draw(st.lists(st.sampled_from(rpreds), min_size=0, max_size=1,
+                       unique=True))
+    on = " AND ".join([cond] + wr)
+    right_probe = {"lineitem": "l_orderkey", "orders": "o_orderkey"}.get(
+        right, "l_partkey"
+    )
+    sel = (
+        f"SELECT {key}, COUNT(*) AS n, "
+        f"COUNT({right_probe}) AS n_matched, "
+        f"CAST(SUM(CASE WHEN {right_probe} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched "
+        f"FROM {left} {how} {right} ON {on}"
+    )
+    if wl:
+        sel += " WHERE " + " AND ".join(wl)
+    sel += f" GROUP BY {key} ORDER BY {key}"
+    return sel
+
+
+@given(sql=join_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_join_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+@st.composite
+def subquery_queries(draw):
+    form = draw(st.sampled_from(["IN", "NOT IN", "EXISTS", "NOT EXISTS"]))
+    outer_pred = draw(st.sampled_from(
+        ["o_totalprice > 50000", "o_orderstatus = 'O'", "o_custkey % 3 = 1"]
+    ))
+    inner_pred = draw(st.sampled_from(
+        ["l_quantity > 30", "l_returnflag = 'A'", "l_discount < 0.03",
+         "l_linenumber = 1"]
+    ))
+    if form in ("IN", "NOT IN"):
+        member = (
+            f"o_orderkey {form} "
+            f"(SELECT l_orderkey FROM lineitem WHERE {inner_pred})"
+        )
+    else:
+        member = (
+            f"{form} (SELECT 1 FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey AND {inner_pred})"
+        )
+    return (
+        f"SELECT o_orderpriority, COUNT(*) AS n, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        f"FROM orders WHERE {outer_pred} AND {member} "
+        f"GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+@given(sql=subquery_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_subquery_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
