@@ -333,6 +333,8 @@ _PRIORITY: list[str] = [
     "sample_mixture_plan",
     "layout_zorder",
     "temporal_rollup_grains",
+    "profile_expectations",
+    "profile_drift",
     # stable greens
     "agg_topk_bottomk",
     "events_funnel",

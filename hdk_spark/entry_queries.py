@@ -4725,3 +4725,91 @@ ORDER BY grain, bucket_ts, event_type
 
 SPARK_IMPLS["temporal_rollup_grains"] = q_temporal_rollup_grains
 ORACLES["temporal_rollup_grains"] = _ROLLUP_GRAINS_ORACLE
+
+
+def q_profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-validation suite over lineitem
+    (operators/profile.py::expect): null checks, range checks, and a
+    deliberately failing business rule — per-rule violation counts."""
+    from hdk_spark.operators.profile import expect
+
+    _tables(spark, sf_dir)
+    return expect(
+        spark.table("lineitem"),
+        {
+            "qty_in_range": "l_quantity BETWEEN 1 AND 50",
+            "discount_bounded": "l_discount BETWEEN 0 AND 0.1",
+            "price_positive": "l_extendedprice > 0",
+            "ship_after_epoch": "l_shipdate >= TIMESTAMP '1990-01-01 00:00:00'",
+            "small_discounts_only": "l_discount <= 0.05",
+        },
+    )
+
+
+_PROFILE_EXPECT_ORACLE = """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 0 ELSE 1 END) AS v_qty,
+         SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 0 ELSE 1 END) AS v_disc,
+         SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS v_price,
+         SUM(CASE WHEN COALESCE(l_shipdate >= TIMESTAMP '1990-01-01 00:00:00', FALSE) THEN 0 ELSE 1 END) AS v_ship,
+         SUM(CASE WHEN COALESCE(l_discount <= 0.05, FALSE) THEN 0 ELSE 1 END) AS v_small
+  FROM lineitem
+)
+SELECT rule, CAST(n AS BIGINT) AS n_rows,
+       CAST(nv AS BIGINT) AS n_violations, nv = 0 AS passed
+FROM (
+  SELECT 'discount_bounded' AS rule, n, v_disc AS nv FROM agg
+  UNION ALL SELECT 'price_positive', n, v_price FROM agg
+  UNION ALL SELECT 'qty_in_range', n, v_qty FROM agg
+  UNION ALL SELECT 'ship_after_epoch', n, v_ship FROM agg
+  UNION ALL SELECT 'small_discounts_only', n, v_small FROM agg
+) t ORDER BY rule
+"""
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution-drift report between two corpus snapshots
+    (even vs odd doc_ids on n_chars — operators/profile.py::
+    drift_report; per-bin log-ratio terms, shared literal bounds)."""
+    from hdk_spark.operators.profile import drift_report
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        n_bins=10,
+        lo=0.0,
+        hi=600.0,
+    )
+
+
+_PROFILE_DRIFT_ORACLE = """
+WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE doc_id % 2 = 0 AND n_chars BETWEEN 0 AND 600),
+     b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE doc_id % 2 = 1 AND n_chars BETWEEN 0 AND 600),
+     ha AS (SELECT CAST(least(floor(v / 600.0 * 10) + 1, 10) AS BIGINT) AS bin,
+                   COUNT(*) AS n_a FROM a GROUP BY 1),
+     hb AS (SELECT CAST(least(floor(v / 600.0 * 10) + 1, 10) AS BIGINT) AS bin,
+                   COUNT(*) AS n_b FROM b GROUP BY 1),
+     tots AS (SELECT (SELECT COUNT(*) FROM a) AS ta,
+                     (SELECT COUNT(*) FROM b) AS tb)
+SELECT bin,
+       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       round((COALESCE(n_a, 0) / CAST(ta AS DOUBLE) + 0.000001
+              - (COALESCE(n_b, 0) / CAST(tb AS DOUBLE) + 0.000001))
+             * ln((COALESCE(n_a, 0) / CAST(ta AS DOUBLE) + 0.000001)
+                  / (COALESCE(n_b, 0) / CAST(tb AS DOUBLE) + 0.000001)), 6)
+         AS psi_term
+FROM ha FULL JOIN hb USING (bin), tots
+ORDER BY bin
+"""
+
+SPARK_IMPLS["profile_expectations"] = q_profile_expectations
+ORACLES["profile_expectations"] = _PROFILE_EXPECT_ORACLE
+SPARK_IMPLS["profile_drift"] = q_profile_drift
+ORACLES["profile_drift"] = _PROFILE_DRIFT_ORACLE

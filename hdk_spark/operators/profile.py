@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["summarize", "histogram", "skew_report"]
+__all__ = ["summarize", "histogram", "skew_report", "expect", "drift_report"]
 
 
 def summarize(
@@ -183,3 +183,101 @@ def skew_report(
         )
         .orderBy("rank")
     )
+
+
+def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Data-validation suite: evaluate every expectation rule (a SQL
+    boolean over the row) in ONE aggregate pass and report per-rule
+    violation counts — the ingest quality gate of a pipeline (dbt
+    tests / Great-Expectations shape, but distributed and single-scan).
+
+    ``rules`` maps rule name → SQL condition that should hold for
+    every row (NULL condition counts as a violation — an expectation
+    that cannot be evaluated is not satisfied). Returns
+    (rule, n_rows, n_violations, passed) ordered by rule name.
+
+    Scale shape: one global aggregate (all rules are conditional sums
+    in the same partial-agg pass), then a literal-sized stack to long
+    form. No shuffle beyond the single-row combine; adding a rule adds
+    one codegen'd counter, not a pass.
+    """
+    if not rules:
+        raise ValueError("expect() needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, cond) in enumerate(sorted(rules.items())):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(F.expr(cond), F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v{i}")
+        )
+    row = df.agg(*aggs)
+    names = sorted(rules)
+    stacked = ", ".join(
+        f"'{n}', __v{i}" for i, n in enumerate(names)
+    )
+    return (
+        row.selectExpr(
+            "__n", f"stack({len(names)}, {stacked}) AS (rule, n_violations)"
+        )
+        .select(
+            "rule",
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift between two dataset snapshots (PSI —
+    population stability index — per equi-width bin): the monitoring
+    step that catches a corpus refresh silently shifting a feature
+    (doc lengths, quality scores) before it poisons a training run.
+
+    Bins use :func:`histogram`'s floor arithmetic with SHARED literal
+    bounds; each side's bin mass is smoothed by ``eps`` before the
+    log-ratio so empty bins stay finite. Returns one row per bin
+    (bin, n_a, n_b, psi_term rounded to 6) — total PSI is the sum;
+    > 0.2 is the usual retrain/alert threshold.
+
+    Scale shape: one partial-agg histogram pass per side, a bins-sized
+    outer join, map-only arithmetic after that. Passing bounds keeps
+    it two scans total; no corpus-sized join anywhere.
+    """
+    ha = histogram(df_a, col, n_bins, lo, hi).select(
+        "bin", F.col("n").alias("n_a")
+    )
+    hb = histogram(df_b, col, n_bins, lo, hi).select(
+        "bin", F.col("n").alias("n_b")
+    )
+    ta = df_a.filter(
+        (F.col(col).cast("double") >= lo) & (F.col(col).cast("double") <= hi)
+    ).count()
+    tb = df_b.filter(
+        (F.col(col).cast("double") >= lo) & (F.col(col).cast("double") <= hi)
+    ).count()
+    joined = (
+        ha.join(hb, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    pa = F.col("n_a") / F.lit(float(max(ta, 1))) + F.lit(eps)
+    pb = F.col("n_b") / F.lit(float(max(tb, 1))) + F.lit(eps)
+    return joined.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    ).orderBy("bin")

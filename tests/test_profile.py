@@ -99,3 +99,57 @@ def test_summarize_infers_numeric_columns(spark, lineitem):
     assert "l_quantity" in got and "l_extendedprice" in got
     assert "l_returnflag" not in got and "l_shipdate" not in got
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_expect_null_condition_is_violation(spark):
+    from hdk_spark.operators.profile import expect
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id: long, v: double"
+    )
+    rows = {r["rule"]: r for r in expect(
+        df, {"v_nonneg": "v >= 0", "id_pos": "id > 0"}).collect()}
+    assert rows["id_pos"]["passed"] and rows["id_pos"]["n_violations"] == 0
+    # NULL v fails the expectation too: 2 violations (NULL and -5)
+    assert rows["v_nonneg"]["n_violations"] == 2
+    assert not rows["v_nonneg"]["passed"]
+    assert all(r["n_rows"] == 3 for r in rows.values())
+
+
+def test_expect_single_pass_plan(spark):
+    from hdk_spark.operators.profile import expect
+
+    df = spark.createDataFrame([(1,)], "id: long")
+    p = (
+        expect(df, {"a": "id > 0", "b": "id < 5", "c": "id <> 3"})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # all rules share one aggregate: a single exchange, no join
+    assert p.count("Exchange") == 1 and "Join" not in p
+
+
+def test_drift_report_identical_distributions_near_zero(spark):
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.profile import drift_report
+
+    a = spark.range(0, 1000).select((F.col("id") % 97 / 97.0).alias("x"))
+    psi = drift_report(a, a, "x", n_bins=8, lo=0.0, hi=1.0).agg(
+        F.sum("psi_term")).collect()[0][0]
+    assert abs(psi) < 1e-9  # same snapshot -> zero drift
+
+
+def test_drift_report_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.profile import drift_report
+
+    a = spark.range(0, 1000).select((F.col("id") % 100 / 200.0).alias("x"))
+    b = spark.range(0, 1000).select(
+        (F.col("id") % 100 / 200.0 + 0.5).alias("x"))
+    rep = drift_report(a, b, "x", n_bins=4, lo=0.0, hi=1.0)
+    rows = {r["bin"]: r for r in rep.collect()}
+    # disjoint supports: every bin is one-sided
+    assert rows[1]["n_b"] == 0 and rows[3]["n_a"] == 0
+    psi = sum(r["psi_term"] for r in rows.values())
+    assert psi > 0.2  # far above the usual alert threshold
