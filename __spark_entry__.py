@@ -335,6 +335,7 @@ _PRIORITY: list[str] = [
     "temporal_rollup_grains",
     "profile_expectations",
     "profile_drift",
+    "profile_snapshot_diff",
     # stable greens
     "agg_topk_bottomk",
     "events_funnel",

@@ -4813,3 +4813,44 @@ SPARK_IMPLS["profile_expectations"] = q_profile_expectations
 ORACLES["profile_expectations"] = _PROFILE_EXPECT_ORACLE
 SPARK_IMPLS["profile_drift"] = q_profile_drift
 ORACLES["profile_drift"] = _PROFILE_DRIFT_ORACLE
+
+
+def q_profile_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/profile.py::snapshot_diff):
+    corpus A = documents, corpus B = a refresh that drops every 10th
+    doc and edits every 7th — each key classified added / removed /
+    changed / unchanged with null-safe comparison."""
+    from hdk_spark.operators.profile import snapshot_diff
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    b = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(docs, b, "doc_id", ["text", "source"]).orderBy(
+        "doc_id"
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.text IS NOT DISTINCT FROM b.text
+             AND a.source IS NOT DISTINCT FROM b.source THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM documents a FULL JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+SPARK_IMPLS["profile_snapshot_diff"] = q_profile_snapshot_diff
+ORACLES["profile_snapshot_diff"] = _SNAPSHOT_DIFF_ORACLE

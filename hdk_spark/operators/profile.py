@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["summarize", "histogram", "skew_report", "expect", "drift_report"]
+__all__ = ["summarize", "histogram", "skew_report", "expect", "drift_report", "snapshot_diff"]
 
 
 def summarize(
@@ -281,3 +281,48 @@ def drift_report(
         "n_b",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+def snapshot_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two dataset snapshots keyed by
+    ``key_col``: every key is classified ``added`` (only in B),
+    ``removed`` (only in A), ``changed`` (present in both, any compare
+    column differs, NULL-safely) or ``unchanged`` — the
+    dataset-versioning audit step (what did this corpus refresh
+    actually do?).
+
+    Returns (key, status). Aggregate downstream for the summary;
+    filter for the change sample. Comparison uses null-safe equality
+    (<=> / IS NOT DISTINCT FROM) so NULL→value and value→NULL edits
+    count as changes, NULL==NULL does not.
+
+    Scale shape: ONE full outer equi-join on the key (AQE-sized — at
+    100 TB this is the same sort-merge any snapshot reconciliation
+    pays), map-only classification after. No second pass, no window.
+    """
+    a = df_a.select(
+        F.col(key_col).alias("key"),
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_a"),
+    )
+    b = df_b.select(
+        F.col(key_col).alias("key"),
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    joined = a.join(b, "key", "full")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+    status = (
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("key").alias(key_col), status.alias("status"))

@@ -153,3 +153,31 @@ def test_drift_report_detects_shift(spark):
     assert rows[1]["n_b"] == 0 and rows[3]["n_a"] == 0
     psi = sum(r["psi_term"] for r in rows.values())
     assert psi > 0.2  # far above the usual alert threshold
+
+
+def test_snapshot_diff_classification(spark):
+    from hdk_spark.operators.profile import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", None), (3, "z", 3.0)],
+        "k: long, s: string, v: double",
+    )
+    b = spark.createDataFrame(
+        [(2, "y", None), (3, "z", 9.0), (4, "w", 4.0)],
+        "k: long, s: string, v: double",
+    )
+    rows = {r["k"]: r["status"]
+            for r in snapshot_diff(a, b, "k", ["s", "v"]).collect()}
+    # NULL == NULL is unchanged; value flip is changed; one-sided keys
+    assert rows == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_single_join_plan(spark):
+    from hdk_spark.operators.profile import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "k: long, s: string")
+    p = (
+        snapshot_diff(a, a, "k", ["s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Join") == 1 and "CartesianProduct" not in p
