@@ -259,12 +259,6 @@ def drift_report(
     hb = histogram(df_b, col, n_bins, lo, hi).select(
         "bin", F.col("n").alias("n_b")
     )
-    ta = df_a.filter(
-        (F.col(col).cast("double") >= lo) & (F.col(col).cast("double") <= hi)
-    ).count()
-    tb = df_b.filter(
-        (F.col(col).cast("double") >= lo) & (F.col(col).cast("double") <= hi)
-    ).count()
     joined = (
         ha.join(hb, "bin", "full")
         .select(
@@ -273,8 +267,13 @@ def drift_report(
             F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
         )
     )
-    pa = F.col("n_a") / F.lit(float(max(ta, 1))) + F.lit(eps)
-    pb = F.col("n_b") / F.lit(float(max(tb, 1))) + F.lit(eps)
+    # totals derived from the bins themselves (one window over the
+    # bins-sized relation) — no extra corpus pass per side
+    w = Window.partitionBy()
+    ta = F.greatest(F.sum("n_a").over(w), F.lit(1)).cast("double")
+    tb = F.greatest(F.sum("n_b").over(w), F.lit(1)).cast("double")
+    pa = F.col("n_a") / ta + F.lit(eps)
+    pb = F.col("n_b") / tb + F.lit(eps)
     return joined.select(
         "bin",
         "n_a",

@@ -459,7 +459,7 @@ def multi_grain_rollup(
         )
     bucket = F.coalesce(*[F.col(f"__g_{g}") for g in grains])
     return (
-        agg.filter(F.col("key").isNotNull())
+        agg
         .select(
             grain_expr.alias("grain"),
             bucket.alias("bucket_ts"),
