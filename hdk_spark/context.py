@@ -409,12 +409,27 @@ class Result:
         partition_by: "list[str] | None" = None,
         bucket_by: "tuple[int, list[str]] | None" = None,
         table_name: str | None = None,
+        zorder: "list[str] | None" = None,
+        zorder_files: int = 64,
     ) -> None:
         """Distributed parquet export (beyond-reference: pyhdk only
         reads files). ``partition_by`` → hive-style directory pruning;
         ``bucket_by=(n, cols)`` → bucketed saveAsTable so later joins/
-        aggs on those keys skip the shuffle (see partitioning.py)."""
-        w = self.df.write.mode(mode)
+        aggs on those keys skip the shuffle (see partitioning.py);
+        ``zorder`` → OPTIMIZE-ZORDER layout (operators/layout.py):
+        rows are Morton-clustered into ``zorder_files`` ranges before
+        writing so every listed column gets tight per-file min/max
+        footer stats (multi-column data skipping). zorder composes
+        with partition_by, is mutually exclusive with bucket_by."""
+        df = self.df
+        if zorder:
+            if bucket_by:
+                raise ValueError("zorder and bucket_by are exclusive "
+                                 "(bucketing fixes its own layout)")
+            from hdk_spark.operators.layout import zorder_by
+
+            df = zorder_by(df, zorder, zorder_files)
+        w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         if bucket_by:

@@ -116,3 +116,40 @@ def test_zorder_deterministic_under_repartition(spark, grid):
         )
     )
     assert a == b
+
+
+def test_facade_zorder_write_tightens_file_stats(spark, tmp_path):
+    """Result.to_parquet(zorder=...) must produce parquet files whose
+    per-file min/max ranges on the clustered columns are tight (the
+    data-skipping payoff), and round-trip the exact rows."""
+    import glob
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    import hdk_spark as hdk
+
+    eng = hdk.init(spark=spark)
+    rows = [(x, y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    res = eng.sql("SELECT * FROM grid", grid=df)
+    out = str(tmp_path / "zo")
+    res.to_parquet(out, zorder=["x", "y"], zorder_files=8)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    import statistics
+
+    # both columns tight per file (global span 31)
+    assert statistics.mean(s[0] for s in spans) <= 16
+    assert statistics.mean(s[1] for s in spans) <= 16
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    with pytest.raises(ValueError):
+        res.to_parquet(out, zorder=["x"], bucket_by=(4, ["x"]))
