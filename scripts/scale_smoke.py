@@ -269,6 +269,28 @@ def main() -> None:
         bits=8, bounds={"l_quantity": (0.0, 50.0),
                         "l_extendedprice": (0.0, 600000.0)})))
 
+    from hdk_spark.operators.temporal import multi_grain_rollup
+
+    print("multi_grain_rollup:", best(lambda: multi_grain_rollup(
+        spark.table("events"), "ts", "event_type", "value")))
+
+    from hdk_spark.operators.profile import drift_report, expect, snapshot_diff
+
+    print("expect_5rules:", best(lambda: expect(spark.table("lineitem"), {
+        "qty": "l_quantity BETWEEN 1 AND 50",
+        "disc": "l_discount BETWEEN 0 AND 0.1",
+        "price": "l_extendedprice > 0",
+        "ship": "l_shipdate >= TIMESTAMP '1990-01-01 00:00:00'",
+        "small": "l_discount <= 0.05"})))
+    docs = spark.table("documents")
+    print("drift_report:", best(lambda: drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars", 10, 0.0, 600.0)))
+    print("snapshot_diff:", best(lambda: snapshot_diff(
+        docs, docs.filter(F.col("doc_id") % 10 != 0), "doc_id",
+        ["text", "source"])))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()
