@@ -411,6 +411,8 @@ class Result:
         table_name: str | None = None,
         zorder: "list[str] | None" = None,
         zorder_files: int = 64,
+        compact: bool = False,
+        max_records_per_file: int | None = None,
     ) -> None:
         """Distributed parquet export (beyond-reference: pyhdk only
         reads files). ``partition_by`` → hive-style directory pruning;
@@ -420,7 +422,15 @@ class Result:
         rows are Morton-clustered into ``zorder_files`` ranges before
         writing so every listed column gets tight per-file min/max
         footer stats (multi-column data skipping). zorder composes
-        with partition_by, is mutually exclusive with bucket_by."""
+        with partition_by, is mutually exclusive with bucket_by.
+
+        Small-files control (THE classic 100 TB write problem — a
+        filtered fact table keeps its thousand input partitions and
+        writes a thousand shards): ``compact=True`` adds an AQE
+        REBALANCE hint so output partitions are re-sized at runtime to
+        the shuffle-target size, and ``max_records_per_file`` caps the
+        opposite failure (one giant file) via the writer option. Both
+        are no-ops for well-sized plans."""
         df = self.df
         if zorder:
             if bucket_by:
@@ -429,7 +439,11 @@ class Result:
             from hdk_spark.operators.layout import zorder_by
 
             df = zorder_by(df, zorder, zorder_files)
+        elif compact:
+            df = df.hint("rebalance")
         w = df.write.mode(mode)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
         if partition_by:
             w = w.partitionBy(*partition_by)
         if bucket_by:

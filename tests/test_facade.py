@@ -207,3 +207,31 @@ def test_orc_export_and_reimport(hdk, tmp_path):
     assert back.row_count == 2
     got = hdk.sql("SELECT SUM(a) AS sa, SUM(b) AS sb FROM orc_back").to_pandas()
     assert got["sa"][0] == 3 and float(got["sb"][0]) == 6.0
+
+
+def test_to_parquet_compact_fixes_small_files(spark, tmp_path):
+    """compact=True collapses a pathologically over-partitioned plan
+    into right-sized output files; max_records_per_file caps the
+    opposite direction."""
+    import glob
+
+    import hdk_spark as hdk
+
+    eng = hdk.init(spark=spark)
+    df = spark.range(0, 100_000).repartition(50)
+    res = eng.sql("SELECT * FROM t", t=df)
+
+    frag = str(tmp_path / "fragmented")
+    res.to_parquet(frag)
+    compacted = str(tmp_path / "compacted")
+    res.to_parquet(compacted, compact=True, max_records_per_file=40_000)
+
+    n_frag = len(glob.glob(frag + "/part-*"))
+    n_comp = len(glob.glob(compacted + "/part-*"))
+    assert n_frag >= 50
+    assert n_comp <= 5
+    assert (
+        spark.read.parquet(compacted).count()
+        == spark.read.parquet(frag).count()
+        == 100_000
+    )
