@@ -115,3 +115,35 @@ def test_repartition_by_keys_reused_across_aggs(spark):
     # adds no further exchange beyond the explicit one
     p = a1._sc._jvm.PythonSQLUtils.explainString(a1._jdf.queryExecution(), "formatted")
     assert p.count("hashpartitioning(") == 1
+
+
+def test_dynamic_partition_pruning_on_partitioned_export(spark, tmp_path):
+    """Hive-partitioned exports (Result.to_parquet(partition_by=...))
+    must get DYNAMIC partition pruning when joined through a filtered
+    dimension — at 100 TB this is the mechanism that turns a
+    dim-filtered fact join into a scan of only the matching
+    partitions. Pin: the fact scan's PartitionFilters carry a
+    dynamicpruning expression."""
+    from pyspark.sql import functions as F
+
+    import hdk_spark as hdk
+
+    eng = hdk.init(spark=spark)
+    fact = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 10).alias("rk"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "fact")
+    eng.sql("SELECT * FROM f", f=fact).to_parquet(out, partition_by=["rk"])
+
+    dim = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "rk: long, name: string"
+    )
+    q = (
+        spark.read.parquet(out)
+        .join(dim.filter(F.col("name").isin("r3", "r7")), "rk")
+        .groupBy("rk")
+        .count()
+    )
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower()
+    assert sorted(r["rk"] for r in q.collect()) == [3, 7]
