@@ -249,3 +249,73 @@ def test_decode_audio_real_wav(spark):
     assert out["n_samples"] == n and out["sample_rate"] == sr
     expect_rms = float((samples.astype("f8") ** 2).mean() ** 0.5)
     assert out["rms"] == pytest.approx(expect_rms)
+
+
+def _wav_bytes(samples, sr):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(samples.tobytes())
+    return bytearray(buf.getvalue())
+
+
+def test_audio_features_pure_tone(spark):
+    """A 1 kHz sine must put its energy in the right rfft band, a
+    spectral centroid near 1 kHz, and ZCR = 2f/sr."""
+    import numpy as np
+
+    sr, n, f = 8000, 8000, 1250
+    t = np.arange(n)
+    samples = (10000 * np.sin(2 * np.pi * f * t / sr)).astype("<i2")
+    rows = [(0, _wav_bytes(samples, sr),
+             {"sample_rate": sr, "n_samples": n, "channels": 1,
+              "codec": "wav"})]
+    df = spark.createDataFrame(rows, mm.media_table_schema("audio"))
+    out = mm.audio_features(
+        df, n_fft=512, hop=256, n_bands=8, use_real_codec=True
+    ).collect()[0]
+    # bands split the 256 non-DC bins into 8 x 500 Hz ranges;
+    # 1250 Hz sits mid-band 2 ((1000, 1500])
+    be = out["band_energy"]
+    assert len(be) == 8
+    assert be.index(max(be)) == 2
+    assert out["spectral_centroid_hz"] == pytest.approx(f, rel=0.1)
+    assert out["zcr"] == pytest.approx(2 * f / sr, rel=0.05)
+
+
+def test_audio_features_white_vs_tone_centroid(spark):
+    """Deterministic 'white'-ish wideband signal must have a much
+    higher centroid than a low tone — the feature separates classes."""
+    import numpy as np
+
+    sr, n = 8000, 8000
+    t = np.arange(n)
+    low = (10000 * np.sin(2 * np.pi * 200 * t / sr)).astype("<i2")
+    rng = np.random.RandomState(7)
+    wide = (8000 * rng.uniform(-1, 1, n)).astype("<i2")
+    rows = [
+        (0, _wav_bytes(low, sr),
+         {"sample_rate": sr, "n_samples": n, "channels": 1, "codec": "wav"}),
+        (1, _wav_bytes(wide, sr),
+         {"sample_rate": sr, "n_samples": n, "channels": 1, "codec": "wav"}),
+    ]
+    df = spark.createDataFrame(rows, mm.media_table_schema("audio"))
+    out = {r["media_id"]: r for r in mm.audio_features(
+        df, use_real_codec=True).collect()}
+    assert out[0]["spectral_centroid_hz"] < 400
+    assert out[1]["spectral_centroid_hz"] > 1200
+
+
+def test_audio_features_fake_path_stable(spark):
+    rows = [(0, bytearray(b"abc"), {"sample_rate": 16000, "n_samples": 3,
+                                    "channels": 1, "codec": "fake"})]
+    df = spark.createDataFrame(rows, mm.media_table_schema("audio"))
+    a = mm.audio_features(df).collect()[0]
+    b = mm.audio_features(df).collect()[0]
+    assert a["band_energy"] == b["band_energy"]
+    assert len(a["band_energy"]) == 8
