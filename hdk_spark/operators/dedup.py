@@ -619,9 +619,28 @@ def simhash_pairs(
     the self-join + re-attach design at any scale. ``max_bucket_size``
     guards degenerate corpora (thousands of docs sharing a block
     value → quadratic in-bucket pairing)."""
+    fps = simhash(df, id_col, text_col, hash_basis=hash_basis)
+    return hamming_pairs(fps, "id", "simhash", max_hamming, max_bucket_size)
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Block-split hamming join over ANY 64-bit fingerprint relation
+    (text simhash, image pHash, audio chromaprint-style hashes):
+    returns (id_a, id_b, hamming) for every pair within
+    ``max_hamming``. One groupBy shuffle on (block, value); the same
+    sub-quadratic shape as :func:`simhash_pairs`, factored out so
+    every 64-bit-fingerprint modality shares it."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    fps = simhash(df, id_col, text_col, hash_basis=hash_basis)
+    fps = fps.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("simhash")
+    )
     blocks = fps.select(
         F.struct("id", "simhash").alias("dh"),
         F.explode(

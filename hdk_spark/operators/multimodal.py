@@ -419,3 +419,99 @@ def audio_features(
             yield pdf
 
     return df.mapInPandas(feats, out_schema)
+
+
+def image_phash(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Perceptual image hash (pHash, 64-bit) — the image analog of
+    text simhash and THE standard near-duplicate-image primitive for
+    training-data curation: two images that differ only by noise,
+    mild recompression, or resize map to fingerprints a few hamming
+    bits apart.
+
+    Real path (pure numpy): decode (PNG/JPEG magic dispatch) →
+    grayscale mean → nearest-resize to 32×32 → 2-D DCT-II (two 32×32
+    matrix multiplies) → keep the low-frequency 8×8 block → bit k set
+    iff coeff_k > median(block). Fake path hashes the bytes (stable
+    plumbing stand-in).
+
+    Returns (id, phash). Feed to
+    :func:`hdk_spark.operators.dedup.hamming_pairs` for the
+    sub-quadratic block-split near-dup join — the fingerprint is ONE
+    long, so the pairing stage shuffles 8 bytes per image regardless
+    of resolution.
+
+    Scale shape: map-only Arrow batches (decode cost dominates, which
+    is the right bound); no shuffle in this stage.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        N = 32
+        # DCT-II orthonormal matrix (row k = sqrt(2/N) cos(pi(2n+1)k/2N))
+        n = np.arange(N)
+        C = np.sqrt(2.0 / N) * np.cos(
+            np.pi * (2 * n[None, :] + 1) * n[:, None] / (2 * N)
+        )
+        C[0, :] = np.sqrt(1.0 / N)
+
+        def one(b: bytes) -> int:
+            if use_real_codec:
+                from hdk_spark.operators.jpeg import decode_jpeg, is_jpeg
+                from hdk_spark.operators.png import decode_png, resize_nearest
+
+                px = decode_jpeg(b) if is_jpeg(b) else decode_png(b)
+                if px.ndim == 3:
+                    px = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+                small = resize_nearest(
+                    px.astype(np.uint8)[:, :, None], N, N
+                )[:, :, 0].astype(np.float64)
+                d = C @ small @ C.T
+                block = d[:8, :8].flatten()
+                bits = block > np.median(block)
+            else:
+                h = hashlib.md5(b or b"").digest()
+                bits = np.unpackbits(np.frombuffer(h[:8], dtype=np.uint8))
+            v = 0
+            for bit in bits[:64]:
+                v = (v << 1) | int(bit)
+            # wrap to signed 64 for Spark LongType
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "phash": [one(b or b"") for b in pdf[data_col]],
+                }
+            )
+
+    return df.mapInPandas(hash_batch, out_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs: :func:`image_phash` →
+    block-split hamming join (dedup.hamming_pairs). End-to-end:
+    map-only hashing + ONE bucket shuffle of 8-byte fingerprints —
+    sub-quadratic at any corpus size."""
+    from hdk_spark.operators.dedup import hamming_pairs
+
+    fps = image_phash(df, data_col, id_col, use_real_codec)
+    return hamming_pairs(fps, "id", "phash", max_hamming)

@@ -319,3 +319,74 @@ def test_audio_features_fake_path_stable(spark):
     b = mm.audio_features(df).collect()[0]
     assert a["band_energy"] == b["band_energy"]
     assert len(a["band_energy"]) == 8
+
+
+def test_image_phash_neardup_separation(spark):
+    """pHash must place noisy/edited copies a few bits from the
+    original and unrelated images far away; the block-split hamming
+    join must then find exactly the near-dup pairs."""
+    import numpy as np
+
+    from hdk_spark.operators.png import encode_png
+
+    rng = np.random.RandomState(3)
+    base = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    pert = base.copy()
+    pert[:4, :4] = 255  # small local edit
+    noise = np.clip(
+        base.astype(int) + rng.randint(-8, 9, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    rows = [
+        (i, bytearray(encode_png(img)),
+         {"width": 64, "height": 64, "channels": 3, "format": "png"})
+        for i, img in enumerate([base, pert, noise, other])
+    ]
+    df = spark.createDataFrame(rows, mm.media_table_schema("image"))
+    fps = {r["id"]: r["phash"]
+           for r in mm.image_phash(df, use_real_codec=True).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(fps[0], fps[1]) <= 10
+    assert ham(fps[0], fps[2]) <= 10
+    assert ham(fps[0], fps[3]) > 15
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.image_neardup_pairs(
+            df, max_hamming=12, use_real_codec=True
+        ).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_image_phash_deterministic_and_resize_invariant(spark):
+    """Same image at a different resolution hashes within a few bits
+    (the 32x32 DCT normalizes scale); reruns are bit-identical."""
+    import numpy as np
+
+    from hdk_spark.operators.png import encode_png, resize_nearest
+
+    rng = np.random.RandomState(11)
+    # smooth image (random low-res upsampled) so resize is benign
+    small = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+    img = resize_nearest(small, 64, 64)
+    img2 = resize_nearest(small, 96, 96)
+    rows = [
+        (0, bytearray(encode_png(img)),
+         {"width": 64, "height": 64, "channels": 3, "format": "png"}),
+        (1, bytearray(encode_png(img2)),
+         {"width": 96, "height": 96, "channels": 3, "format": "png"}),
+    ]
+    df = spark.createDataFrame(rows, mm.media_table_schema("image"))
+    a = {r["id"]: r["phash"]
+         for r in mm.image_phash(df, use_real_codec=True).collect()}
+    b = {r["id"]: r["phash"]
+         for r in mm.image_phash(df, use_real_codec=True).collect()}
+    assert a == b
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(a[0], a[1]) <= 6
