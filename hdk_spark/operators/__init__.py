@@ -7,6 +7,7 @@ compositions or Arrow-batched pandas UDFs.
 """
 
 from hdk_spark.operators import (
+    avi,
     bpe,
     jpeg,
     png,
@@ -27,6 +28,7 @@ from hdk_spark.operators import (
 )
 
 __all__ = [
+    "avi",
     "bpe",
     "jpeg",
     "png",

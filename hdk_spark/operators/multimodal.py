@@ -17,8 +17,11 @@ Codec status (no PIL/libjpeg/ffmpeg in this environment):
     dispatch; WebP/progressive-JPEG raise with a clear message.
   - audio: REAL 16-bit WAV decode via stdlib ``wave`` (png.decode_wav)
     in ``decode_audio(use_real_codec=True)``.
-  - video: STUBBED — demuxing genuinely needs ffmpeg; the fake path
-    derives stable pseudo-frames from the bytes.
+  - video: REAL uncompressed-AVI demux via the pure RIFF parser in
+    ``avi.py`` (seek-sampling: only kept frames are materialized) in
+    ``sample_frames(use_real_codec=True)``; compressed codecs
+    genuinely need ffmpeg and raise — the remaining honest boundary.
+    The fake path derives stable pseudo-frames from the bytes.
 The default (``use_real_codec=False``) keeps the deterministic fake
 kernels so tests and contract queries run on synthetic payloads;
 everything around the kernels — schemas, UDF signatures, Arrow batch
@@ -265,10 +268,21 @@ def sample_frames(
     every_n: int = 30,
     data_col: str = "data",
     meta_col: str = "meta",
+    use_real_codec: bool = False,
 ) -> DataFrame:
     """Video frame-sampling stage: one output row per sampled frame
-    (media_id, frame_idx, frame bytes). Fake path slices the source
-    bytes deterministically; real path would demux with ffmpeg."""
+    (media_id, frame_idx, frame bytes).
+
+    Real path (``use_real_codec=True``): uncompressed-AVI demux
+    (operators/avi.py — pure RIFF parsing, no ffmpeg). The sampler
+    walks the chunk index and slices ONLY the kept frames, so
+    sampling every Nth frame touches ~1/N of the payload; each kept
+    frame is re-emitted as PNG bytes (real, decodable downstream by
+    decode_image/image_phash). Compressed codecs raise — the honest
+    boundary (no ffmpeg in this environment).
+
+    Fake path slices the source bytes deterministically (plumbing
+    stand-in for synthetic payloads)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -281,8 +295,21 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, data, meta in zip(pdf["media_id"], pdf[data_col], pdf[meta_col]):
+                data = bytes(data or b"")
+                if use_real_codec:
+                    from hdk_spark.operators.avi import (
+                        decode_frame,
+                        iter_frame_chunks,
+                    )
+                    from hdk_spark.operators.png import encode_png
+
+                    w, h, chunks = iter_frame_chunks(data)
+                    for fi, off, size in chunks[::every_n]:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(encode_png(decode_frame(data, off, size, w, h)))
+                    continue
                 n_frames = int(meta["n_frames"]) if meta is not None else 0
-                data = data or b""
                 for fi in range(0, n_frames, every_n):
                     ids.append(mid)
                     idxs.append(fi)
