@@ -336,6 +336,7 @@ _PRIORITY: list[str] = [
     "profile_expectations",
     "profile_drift",
     "profile_snapshot_diff",
+    "multimodal_phash",
     # stable greens
     "agg_topk_bottomk",
     "events_funnel",

@@ -4854,3 +4854,44 @@ ORDER BY doc_id
 
 SPARK_IMPLS["profile_snapshot_diff"] = q_profile_snapshot_diff
 ORACLES["profile_snapshot_diff"] = _SNAPSHOT_DIFF_ORACLE
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash plumbing through the Arrow kernel
+    (operators/multimodal.py::image_phash, fake codec path): the
+    synthetic payload is the UTF-8 text, and the fake hash is the
+    first 64 bits of md5(payload) — which DuckDB reproduces exactly,
+    so the mapInPandas bit-packing and signed-wrap cross the oracle
+    value-checked. (The real-DCT path is pinned by planted-duplicate
+    tests in test_multimodal; DCT itself is not SQL-expressible.)"""
+    from hdk_spark.operators.multimodal import (
+        image_phash,
+        synth_media_from_documents,
+    )
+
+    _tables(spark, sf_dir)
+    media = synth_media_from_documents(spark.table("documents"), "image")
+    return image_phash(media).orderBy("id")
+
+
+_MULTIMODAL_PHASH_ORACLE = """
+WITH h AS (
+  SELECT doc_id, substr(md5(text), 1, 16) AS hx FROM documents
+), v AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(range(1, 17),
+             i -> CAST(strpos('0123456789abcdef',
+                              substr(hx, CAST(i AS INT), 1)) - 1 AS HUGEINT)),
+           (a, b) -> a * 16 + b) AS uv
+  FROM h
+)
+SELECT doc_id AS id,
+       CAST(CASE WHEN uv >= 9223372036854775808
+                 THEN uv - 18446744073709551616::HUGEINT
+                 ELSE uv END AS BIGINT) AS phash
+FROM v ORDER BY id
+"""
+
+SPARK_IMPLS["multimodal_phash"] = q_multimodal_phash
+ORACLES["multimodal_phash"] = _MULTIMODAL_PHASH_ORACLE
