@@ -16,7 +16,7 @@ Naming conventions match pyhdk: ``"sum(x)"`` aggregates auto-name to
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -22,7 +22,7 @@ hint where it matters.
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
