@@ -337,6 +337,7 @@ _PRIORITY: list[str] = [
     "profile_drift",
     "profile_snapshot_diff",
     "multimodal_phash",
+    "linkage_fuzzy_names",
     # stable greens
     "agg_topk_bottomk",
     "events_funnel",

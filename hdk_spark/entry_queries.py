@@ -4895,3 +4895,40 @@ FROM v ORDER BY id
 
 SPARK_IMPLS["multimodal_phash"] = q_multimodal_phash
 ORACLES["multimodal_phash"] = _MULTIMODAL_PHASH_ORACLE
+
+
+def q_linkage_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching over the distinct part names
+    (operators/linkage.py::fuzzy_self_pairs): block on the last token
+    ('bolt'/'gear'/...), verify with JVM levenshtein <= 2 — the
+    entity-resolution shape, sub-quadratic by blocking."""
+    from hdk_spark.operators.linkage import fuzzy_self_pairs
+
+    _tables(spark, sf_dir)
+    names = (
+        spark.table("part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    return fuzzy_self_pairs(
+        names, "name_id", "p_name", max_dist=2, block="last_token"
+    ).orderBy("id_a", "id_b")
+
+
+_LINKAGE_FUZZY_ORACLE = r"""
+WITH names AS (
+  SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name
+), keyed AS (
+  SELECT name_id AS id, p_name AS txt,
+         regexp_split_to_array(lower(trim(p_name)), '\s+')[-1] AS blk
+  FROM names
+)
+SELECT a.id AS id_a, b.id AS id_b, a.txt AS text_a, b.txt AS text_b,
+       CAST(levenshtein(a.txt, b.txt) AS INT) AS dist
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.txt, b.txt) <= 2
+ORDER BY id_a, id_b
+"""
+
+SPARK_IMPLS["linkage_fuzzy_names"] = q_linkage_fuzzy_names
+ORACLES["linkage_fuzzy_names"] = _LINKAGE_FUZZY_ORACLE

@@ -15,6 +15,7 @@ from hdk_spark.operators import (
     dedup,
     graph,
     layout,
+    linkage,
     multimodal,
     packing,
     profile,
@@ -36,6 +37,7 @@ __all__ = [
     "dedup",
     "graph",
     "layout",
+    "linkage",
     "multimodal",
     "packing",
     "profile",
