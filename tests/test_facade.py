@@ -235,3 +235,26 @@ def test_to_parquet_compact_fixes_small_files(spark, tmp_path):
         == spark.read.parquet(frag).count()
         == 100_000
     )
+
+
+def test_pipeline_demo_end_to_end(spark, tmp_path):
+    """The full curation pipeline script composes and every stage is
+    monotonically non-increasing in rows (each stage only filters)."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/pipeline_demo.py",
+         "/root/testdata/sf0.001", str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    order = ["ingested", "after_quality", "after_segment_dedup",
+             "after_neardup", "after_decontam", "after_mixture"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert stats["written"] == stats["after_mixture"] > 0
+    assert stats["packed_chunks"] > 0
