@@ -413,6 +413,8 @@ class Result:
         zorder_files: int = 64,
         compact: bool = False,
         max_records_per_file: int | None = None,
+        bloom_filter_cols: "list[str] | None" = None,
+        bloom_ndv: int = 1_000_000,
     ) -> None:
         """Distributed parquet export (beyond-reference: pyhdk only
         reads files). ``partition_by`` → hive-style directory pruning;
@@ -430,7 +432,13 @@ class Result:
         REBALANCE hint so output partitions are re-sized at runtime to
         the shuffle-target size, and ``max_records_per_file`` caps the
         opposite failure (one giant file) via the writer option. Both
-        are no-ops for well-sized plans."""
+        are no-ops for well-sized plans.
+
+        ``bloom_filter_cols`` writes parquet bloom filters for the
+        listed columns (``bloom_ndv`` expected distinct values each) —
+        point-lookup data skipping on high-cardinality keys where
+        min/max footer stats can't prune (ids, digests). Complements
+        zorder, which serves RANGE predicates."""
         df = self.df
         if zorder:
             if bucket_by:
@@ -444,6 +452,10 @@ class Result:
         w = df.write.mode(mode)
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        for c in bloom_filter_cols or []:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(int(bloom_ndv))
+            )
         if partition_by:
             w = w.partitionBy(*partition_by)
         if bucket_by:
