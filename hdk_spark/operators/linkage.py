@@ -23,7 +23,10 @@ __all__ = ["block_key", "fuzzy_self_pairs", "fuzzy_join"]
 def block_key(col: Column, mode: str = "last_token") -> Column:
     """Deterministic blocking key: ``last_token`` (the discriminative
     tail word of names like 'red bolt'/'old bolt'), ``first_token``,
-    ``prefix3`` (first 3 chars), or ``length`` (length//4 band)."""
+    ``prefix3`` (first 3 chars), ``length`` (length//4 band), or
+    ``soundex`` (phonetic code of the first token — catches
+    misspellings that change the prefix; JVM built-in, no SQL-oracle
+    twin in DuckDB so contract queries use the other modes)."""
     c = F.lower(F.trim(col))
     if mode == "last_token":
         return F.element_at(F.split(c, r"\s+"), -1)
@@ -33,6 +36,8 @@ def block_key(col: Column, mode: str = "last_token") -> Column:
         return F.substring(c, 1, 3)
     if mode == "length":
         return (F.length(c) / 4).cast("int").cast("string")
+    if mode == "soundex":
+        return F.soundex(F.element_at(F.split(c, r"\s+"), 1))
     raise ValueError(f"unknown blocking mode {mode!r}")
 
 

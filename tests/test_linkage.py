@@ -70,3 +70,24 @@ def test_fuzzy_join_plan_is_equi_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_soundex_blocking_catches_phonetic_typos(spark):
+    """'karl smith' vs 'carl smith': prefix3 blocking separates them
+    (kar vs car) but soundex blocking pairs them (C640 == K640? no —
+    soundex keeps the first letter; karl->K640, carl->C640. Use a
+    same-letter phonetic variant instead: 'robert j' vs 'rupert j')."""
+    df = spark.createDataFrame(
+        [(1, "robert jones"), (2, "rupert jones"), (3, "susan jones")],
+        "id: long, name: string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_pairs(
+            df, "id", "name", max_dist=3, block="soundex"
+        ).collect()
+    }
+    # robert/rupert share soundex R163 -> verified pair; susan (S250)
+    # never even becomes a candidate
+    assert (1, 2) in pairs
+    assert all(3 not in k for k in pairs)
