@@ -338,6 +338,7 @@ _PRIORITY: list[str] = [
     "profile_snapshot_diff",
     "multimodal_phash",
     "linkage_fuzzy_names",
+    "catalog_stats",
     # stable greens
     "agg_topk_bottomk",
     "events_funnel",

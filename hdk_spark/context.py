@@ -182,6 +182,92 @@ class HDK:
             df.createOrReplaceTempView(alias)
         return Result(self.spark.sql(query))
 
+    def analyze(
+        self,
+        name: str,
+        cols: "list[str] | None" = None,
+        exact_ndv: bool = False,
+    ) -> "Result":
+        """ANALYZE TABLE: per-column statistics in ONE aggregate pass
+        (n, n_null, min, max, ndv) over the listed columns (default:
+        all numeric/date columns), long form, ordered by column name.
+        ``exact_ndv=False`` (the scale default) uses HLL
+        approx_count_distinct; ``exact_ndv=True`` is the
+        oracle-checkable path. Results are also cached on the engine
+        (``self.stats[name]``) so layout/profiling consumers
+        (zorder bounds, histogram bounds) can reuse catalog-known
+        numbers instead of re-scanning — the 'bounds are a property of
+        the table, not the query' pattern."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = self._tables[name]
+        if cols is None:
+            numeric = (
+                T.NumericType, T.DateType, T.TimestampType,
+                T.TimestampNTZType,
+            )
+            cols = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, numeric)
+            ]
+        if not cols:
+            raise ValueError(f"analyze: no numeric columns in {name!r}")
+        ndv = (
+            (lambda c: F.count_distinct(F.col(c)))
+            if exact_ndv
+            else (lambda c: F.approx_count_distinct(F.col(c)))
+        )
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(sorted(cols)):
+            aggs += [
+                F.count(F.col(c)).alias(f"__nn{i}"),
+                F.min(F.col(c).cast("double")).alias(f"__mn{i}"),
+                F.max(F.col(c).cast("double")).alias(f"__mx{i}"),
+                ndv(c).alias(f"__nd{i}"),
+            ]
+        row = df.agg(*aggs)
+        names = sorted(cols)
+        stacked = ", ".join(
+            f"'{c}', __nn{i}, __mn{i}, __mx{i}, __nd{i}"
+            for i, c in enumerate(names)
+        )
+        out = row.selectExpr(
+            "__n",
+            f"stack({len(names)}, {stacked}) AS "
+            "(column, n_non_null, min_d, max_d, ndv)",
+        ).select(
+            "column",
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col("n_non_null")).cast("long").alias("n_null"),
+            "min_d",
+            "max_d",
+            F.col("ndv").cast("long").alias("ndv"),
+        ).orderBy("column")
+        if not hasattr(self, "stats"):
+            self.stats: dict[str, dict[str, dict]] = {}
+        self.stats[name] = {
+            r["column"]: {
+                "n_rows": r["n_rows"], "n_null": r["n_null"],
+                "min": r["min_d"], "max": r["max_d"], "ndv": r["ndv"],
+            }
+            for r in out.collect()
+        }
+        return Result(out)
+
+    def bounds_for(self, name: str, cols: "list[str]") -> dict:
+        """Catalog bounds for zorder_key/histogram: (min, max) per
+        column from the cached analyze() stats (runs analyze if the
+        table hasn't been analyzed yet)."""
+        if not hasattr(self, "stats") or name not in getattr(self, "stats", {}):
+            self.analyze(name, cols)
+        st = self.stats[name]
+        missing = [c for c in cols if c not in st]
+        if missing:
+            self.analyze(name, sorted(set(cols) | set(st)))
+            st = self.stats[name]
+        return {c: (st[c]["min"], st[c]["max"]) for c in cols}
+
     def execute_ra(self, plan: "dict | str", **table_aliases: Any) -> "Result":
         """Raw relational-algebra entry point: execute a Calcite-style
         RA JSON plan (the reference's third query path — pre-built plan

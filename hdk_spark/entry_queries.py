@@ -4932,3 +4932,50 @@ ORDER BY id_a, id_b
 
 SPARK_IMPLS["linkage_fuzzy_names"] = q_linkage_fuzzy_names
 ORACLES["linkage_fuzzy_names"] = _LINKAGE_FUZZY_ORACLE
+
+
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE parity (context.py::HDK.analyze, exact-NDV path):
+    one-pass per-column n/nulls/min/max/ndv over lineitem's numeric
+    columns — the catalog stats that feed zorder/histogram bounds."""
+    import hdk_spark as hdk
+
+    _tables(spark, sf_dir)
+    eng = hdk.init(spark=spark)
+    eng._tables["lineitem"] = spark.table("lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber",
+            "l_partkey"]
+    return eng.analyze("lineitem", cols, exact_ndv=True).df
+
+
+_CATALOG_STATS_ORACLE = """
+WITH base AS (SELECT COUNT(*) AS n FROM lineitem)
+SELECT t.column, CAST(base.n AS BIGINT) AS n_rows, t.n_null, t.min_d, t.max_d, t.ndv
+FROM base, (
+  SELECT 'l_discount' AS column,
+         CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS n_null,
+         CAST(MIN(l_discount) AS DOUBLE) AS min_d,
+         CAST(MAX(l_discount) AS DOUBLE) AS max_d,
+         CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS ndv FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+         CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+         CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+         CAST(MIN(l_linenumber) AS DOUBLE), CAST(MAX(l_linenumber) AS DOUBLE),
+         CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+         CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE),
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+         CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+         CAST(COUNT(DISTINCT l_quantity) AS BIGINT) FROM lineitem
+) t
+ORDER BY t.column
+"""
+
+SPARK_IMPLS["catalog_stats"] = q_catalog_stats
+ORACLES["catalog_stats"] = _CATALOG_STATS_ORACLE

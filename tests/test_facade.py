@@ -283,3 +283,35 @@ def test_to_parquet_bloom_filters_written(spark, tmp_path):
         == spark.read.parquet(plain).count()
         == 100_000
     )
+
+
+def test_analyze_caches_and_feeds_bounds(spark):
+    """analyze() caches per-column stats on the engine; bounds_for
+    reuses them without re-scanning, and the bounds drive a map-only
+    zorder key (the catalog-bounds pattern)."""
+    import hdk_spark as hdk
+    from hdk_spark.operators.layout import zorder_key
+
+    eng = hdk.init(spark=spark)
+    df = spark.range(0, 1000).selectExpr("id", "id % 50 AS b")
+    eng._tables["t"] = df
+    eng.analyze("t", exact_ndv=True)
+    st = eng.stats["t"]
+    assert st["id"]["ndv"] == 1000 and st["b"]["ndv"] == 50
+    assert st["b"]["min"] == 0.0 and st["b"]["max"] == 49.0
+    bounds = eng.bounds_for("t", ["id", "b"])
+    keyed = zorder_key(df, ["id", "b"], bits=6, bounds=bounds)
+    p = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p  # bounds known -> map-only key
+
+
+def test_analyze_single_pass_plan(spark):
+    import hdk_spark as hdk
+
+    eng = hdk.init(spark=spark)
+    eng._tables["t"] = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    res = eng.analyze("t")
+    p = res.df._jdf.queryExecution().executedPlan().toString()
+    # every column's stats in one shared aggregate: ≤2 exchanges
+    # (partial/final + the count-distinct expand when exact)
+    assert p.count("Exchange") <= 2 and "Join" not in p
