@@ -203,6 +203,14 @@ def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     """
     if not rules:
         raise ValueError("expect() needs at least one rule")
+    import re
+
+    for rname in rules:
+        if not re.fullmatch(r"[A-Za-z0-9_.\- ]+", rname):
+            raise ValueError(
+                f"rule name {rname!r} must be alphanumeric/_/-/./space "
+                "(it is embedded in a SQL literal)"
+            )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, cond) in enumerate(sorted(rules.items())):
         aggs.append(
