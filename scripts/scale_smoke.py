@@ -291,6 +291,14 @@ def main() -> None:
         docs, docs.filter(F.col("doc_id") % 10 != 0), "doc_id",
         ["text", "source"])))
 
+    import hdk_spark as hdk
+
+    eng = hdk.init(spark=spark)
+    eng._tables["lineitem"] = spark.table("lineitem")
+    print("analyze_hll:", best(lambda: eng.analyze("lineitem").df))
+    print("analyze_exact_ndv:", best(lambda: eng.analyze(
+        "lineitem", exact_ndv=True).df, n=1))
+
     # plan sanity at 10×: lineitem side must NOT broadcast
     df = spark.sql(Q5)
     df.write.format("noop").mode("overwrite").save()
