@@ -724,3 +724,84 @@ def hashed_linear_score(
         n.cast("long").alias("n_tokens"),
         F.round(score, 6).alias("score"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_ellipsis_line_ratio: float = 0.3,
+    max_bullet_line_ratio: float = 0.9,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    the published heuristic filter suite most pretraining pipelines
+    start from), evaluated in ONE map-only projection:
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - hash/ellipsis symbol ratio ≤ max_symbol_ratio
+    - ≤ max_ellipsis_line_ratio of lines ending in '...'
+    - ≤ max_bullet_line_ratio of lines starting with a bullet
+    - ≥ min_stopword_hits distinct English stopwords present
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, ellipsis_ratio,
+    bullet_ratio, stopword_hits, keep) — per-rule observability plus
+    the combined keep decision (every training-data filter needs the
+    WHY, not just the verdict, for corpus audits).
+
+    Scale shape: pure JVM column expressions over one projection — no
+    shuffle, no UDF, whole-stage codegen; identical cost at any corpus
+    size per row."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"),
+    )
+    mean_wl = F.when(n_words > 0, total_chars / n_words).otherwise(F.lit(0.0))
+    n_sym = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[#]|\.\.\.", ""))
+    )
+    sym_ratio = F.when(
+        F.length(t) > 0, n_sym / F.length(t)
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(t, r"\r?\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n_lines = F.size(lines)
+    ell = F.size(F.filter(lines, lambda s: s.endswith("...")))
+    bul = F.size(
+        F.filter(lines, lambda s: s.rlike(r"^[-*•]"))
+    )
+    ell_ratio = F.when(n_lines > 0, ell / n_lines).otherwise(F.lit(0.0))
+    bul_ratio = F.when(n_lines > 0, bul / n_lines).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    ltoks = tokenize(F.lower(t))
+    sw_hits = F.size(F.array_intersect(F.array_distinct(ltoks), sw))
+    keep = (
+        n_words.between(min_words, max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (ell_ratio <= max_ellipsis_line_ratio)
+        & (bul_ratio <= max_bullet_line_ratio)
+        & (sw_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(ell_ratio, 6).alias("ellipsis_ratio"),
+        F.round(bul_ratio, 6).alias("bullet_ratio"),
+        sw_hits.cast("long").alias("stopword_hits"),
+        keep.alias("keep"),
+    )

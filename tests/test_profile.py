@@ -181,3 +181,34 @@ def test_snapshot_diff_single_join_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Join") == 1 and "CartesianProduct" not in p
+
+
+def test_gopher_quality_flags_rules(spark):
+    from hdk_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog and " * 10  # 100 words, stopwords present
+    too_short = "tiny doc with the and of"
+    symbol_heavy = ("the word and more #### #### #### #### text " * 20)
+    bullety = "\n".join("- the bullet item here now" for _ in range(20))
+    ellipsisy = "\n".join("the line trails off..." for _ in range(10))
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, symbol_heavy), (4, bullety),
+         (5, ellipsisy)],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1]["keep"]
+    assert not rows[2]["keep"]          # word count below floor
+    assert not rows[3]["keep"] and rows[3]["symbol_ratio"] > 0.1
+    assert not rows[4]["keep"] and rows[4]["bullet_ratio"] > 0.9
+    assert not rows[5]["keep"] and rows[5]["ellipsis_ratio"] > 0.3
+    # per-rule observability: the short doc still reports its stats
+    assert rows[2]["n_words"] == 6 and rows[2]["stopword_hits"] >= 2
+
+
+def test_gopher_flags_map_only_plan(spark):
+    from hdk_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    p = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
