@@ -805,3 +805,55 @@ def gopher_quality_flags(
         sw_hits.cast("long").alias("stopword_hits"),
         keep.alias("keep"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    blocklist: tuple = ("javascript", "lorem ipsum", "cookie", "cookies",
+                        "terms of use", "privacy policy"),
+    require_terminal_punct: bool = True,
+    drop_brace_docs: bool = True,
+) -> DataFrame:
+    """C4-style line cleanup (Raffel et al. 2020, §2.2 — the published
+    Common-Crawl rules): keep only lines that end in terminal
+    punctuation, have ≥ ``min_words_per_line`` words, and mention no
+    blocklisted phrase; drop whole documents containing '{' (code/JSON
+    fragments). Returns (id, clean_text, n_lines, n_removed_lines,
+    dropped) — dropped docs keep their stats with clean_text = ''.
+
+    Scale shape: one map-only projection (split → filter → rejoin with
+    JVM higher-order functions) — no shuffle, no UDF; the corpus-wide
+    three-sentence-span dedup that completes C4 is the separate
+    :func:`hdk_spark.operators.dedup.segment_dedup` pass."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, r"\r?\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    block_re = "|".join(blocklist)
+
+    def line_ok(s):
+        ok = F.size(F.split(s, r"\s+")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & s.rlike(r'[.!?"]$')
+        ok = ok & ~F.lower(s).rlike(block_re)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    dropped = (
+        t.contains("{") if drop_brace_docs else F.lit(False)
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(dropped, F.lit("")).otherwise(
+            F.array_join(kept, "\n")
+        ).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(dropped, F.size(lines)).otherwise(
+            F.size(lines) - F.size(kept)
+        ).cast("long").alias("n_removed_lines"),
+        dropped.alias("dropped"),
+    )

@@ -212,3 +212,36 @@ def test_gopher_flags_map_only_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
     p = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_c4_line_filter_rules(spark):
+    from hdk_spark.operators.text import c4_line_filter
+
+    doc = "\n".join([
+        "This is a good sentence with plenty of words.",   # keep
+        "Short line.",                                      # < 3 words
+        "no terminal punctuation here at all",              # no punct
+        "Please accept our cookie policy now.",             # blocklist
+        "Another perfectly fine sentence stands here!",     # keep
+    ])
+    brace_doc = "A fine sentence here. { var x = 1; }"
+    df = spark.createDataFrame(
+        [(1, doc), (2, brace_doc)], "doc_id: long, text: string"
+    )
+    rows = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert rows[1]["clean_text"].splitlines() == [
+        "This is a good sentence with plenty of words.",
+        "Another perfectly fine sentence stands here!",
+    ]
+    assert rows[1]["n_lines"] == 5 and rows[1]["n_removed_lines"] == 3
+    assert not rows[1]["dropped"]
+    assert rows[2]["dropped"] and rows[2]["clean_text"] == ""
+    assert rows[2]["n_removed_lines"] == rows[2]["n_lines"]
+
+
+def test_c4_line_filter_map_only(spark):
+    from hdk_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    p = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
