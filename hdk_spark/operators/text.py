@@ -857,3 +857,89 @@ def c4_line_filter(
         ).cast("long").alias("n_removed_lines"),
         dropped.alias("dropped"),
     )
+
+
+def ngram_repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher repetition-filter family (Rae et al. 2021
+    §A1.1) at word-n-gram granularity: for every document and every
+    ``n``, the fraction of characters covered by the MOST FREQUENT
+    n-gram (the top-n-gram filter, published thresholds at n=2..4)
+    and by ALL n-grams occurring more than once (the duplicate-n-gram
+    filter, published thresholds at n=5..10). Long form:
+    (id, n, n_grams, top_char_frac, dup_char_frac).
+
+    Character mass = occurrences × n-gram length (the standard
+    open-implementation approximation of 'characters contained in' —
+    overlapping occurrences double-count, so degenerate docs can
+    exceed 1.0; the filters threshold from above, so monotonicity is
+    what matters). Denominators are total document characters. Exact
+    int arithmetic to the final division, rounded to 6 —
+    engine/partition independent. Documents shorter than ``n`` words
+    emit a zero-fraction row for that n (never silently vanish).
+
+    Scale shape: ONE explode producing len(ns) grams per token
+    position (each tagged with its n), then two partial-agg groupBys
+    keyed by the doc id — the same shape as repetition_signals, no
+    join, no Python. Output amplification is len(ns) × tokens, the
+    unavoidable cost of the published definition."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    gram_structs = F.flatten(
+        F.array(*[
+            F.expr(
+                f"CASE WHEN size(__toks) < {n} THEN "
+                f"array(struct({n} AS n, CAST(NULL AS STRING) AS g)) "
+                f"ELSE transform(sequence(0, size(__toks) - {n}), "
+                f"i -> struct({n} AS n, "
+                f"concat_ws(' ', slice(__toks, i + 1, {n})) AS g)) END"
+            )
+            for n in ns
+        ])
+    )
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).cast("long").alias("__chars"),
+            toks.alias("__toks"),
+        )
+        .select(
+            F.col(id_col), "__chars",
+            F.explode_outer(gram_structs).alias("__gs"),
+        )
+        .select(
+            F.col(id_col), "__chars",
+            F.col("__gs.n").alias("n"), F.col("__gs.g").alias("__g"),
+        )
+    )
+    per_gram = staged.groupBy(id_col, "n", "__g").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.first("__chars").alias("__chars"),
+    ).withColumn("__glen", F.length("__g"))
+    per_doc_n = per_gram.groupBy(id_col, "n").agg(
+        F.first("__chars").alias("__chars"),
+        F.sum(F.when(F.col("__g").isNotNull(), F.col("__c"))
+              .otherwise(0)).alias("n_grams"),
+        F.max(F.when(F.col("__g").isNotNull(), F.col("__c") * F.col("__glen")))
+         .alias("__topmass"),
+        F.sum(F.when(F.col("__g").isNotNull() & (F.col("__c") > 1),
+                     F.col("__c") * F.col("__glen")).otherwise(0))
+         .alias("__dupmass"),
+    )
+    return (
+        per_doc_n.filter(F.col("n").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("n").cast("int").alias("n"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(
+                F.coalesce(F.col("__topmass") / F.col("__chars"), F.lit(0.0)),
+                6,
+            ).alias("top_char_frac"),
+            F.round(F.col("__dupmass") / F.col("__chars"), 6)
+            .alias("dup_char_frac"),
+        )
+    )

@@ -245,3 +245,41 @@ def test_c4_line_filter_map_only(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
     p = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_ngram_repetition_signals_reference(spark):
+    """Full Gopher repetition family vs hand-computed values; short
+    docs keep zero-fraction rows for every n."""
+    from hdk_spark.operators.text import ngram_repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "all words here are fully distinct tokens okay"),
+         (3, "ab")],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        (r["doc_id"], r["n"]): r
+        for r in ngram_repetition_signals(df, ns=(2, 3)).collect()
+    }
+    # doc 1: chars=24; 4 bigrams all 'spam spam' (len 9): top=dup=36/24
+    assert rows[(1, 2)]["top_char_frac"] == 1.5
+    assert rows[(1, 2)]["dup_char_frac"] == 1.5
+    # doc 2: all distinct -> dup mass 0, top = one bigram's chars
+    assert rows[(2, 2)]["dup_char_frac"] == 0.0
+    assert 0 < rows[(2, 2)]["top_char_frac"] < 1
+    # doc 3 is shorter than every n: rows exist with zero fractions
+    assert rows[(3, 2)]["n_grams"] == 0
+    assert rows[(3, 2)]["top_char_frac"] == 0.0
+    assert rows[(3, 3)]["dup_char_frac"] == 0.0
+
+
+def test_ngram_repetition_no_join_two_exchanges(spark):
+    from hdk_spark.operators.text import ngram_repetition_signals
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id: long, text: string")
+    p = (
+        ngram_repetition_signals(df, ns=(2, 3, 4))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in p and p.count("Exchange") <= 2
