@@ -468,3 +468,32 @@ def multi_grain_rollup(
             F.col("__sum").cast("double").alias("sum_value"),
         )
     )
+
+
+def merge_rollups(*rollups: DataFrame) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: combine
+    :func:`multi_grain_rollup` outputs from disjoint fact slices
+    (yesterday's materialization + today's delta) into the rollup of
+    the union — WITHOUT touching the underlying facts again. Counts
+    and decimal-exact sums are mergeable, so
+    ``merge_rollups(rollup(A), rollup(B)) == rollup(A ∪ B)`` exactly
+    (the property test pins it).
+
+    Scale shape: a union of bucket-cardinality relations + one
+    partial-agg groupBy on (grain, bucket_ts, key) — delta
+    maintenance costs O(|buckets|), never O(|facts|)."""
+    if not rollups:
+        raise ValueError("merge_rollups needs at least one input")
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    key_cols = [c for c in out.columns
+                if c not in ("n_events", "sum_value")]
+    return (
+        out.groupBy(*key_cols)
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("sum_value").cast("decimal(28,2)"))
+            .cast("double").alias("sum_value"),
+        )
+    )

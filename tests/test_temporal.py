@@ -224,3 +224,26 @@ def test_multi_grain_rollup_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Exchange") == 1 and "Expand" in p and "Join" not in p
+
+
+def test_merge_rollups_equals_full_rollup(spark):
+    """Mergeability: rollup(A) ++ rollup(B) == rollup(A ∪ B) exactly
+    (counts and decimal sums are mergeable aggregates)."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.temporal import merge_rollups, multi_grain_rollup
+
+    ev = spark.table("events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_rollups(
+        multi_grain_rollup(a, "ts", "event_type", "value"),
+        multi_grain_rollup(b, "ts", "event_type", "value"),
+    )
+    full = multi_grain_rollup(ev, "ts", "event_type", "value")
+    key = ["grain", "bucket_ts", "event_type"]
+    m = sorted(map(tuple, merged.select(*key, "n_events",
+                                        F.round("sum_value", 2)).collect()))
+    f = sorted(map(tuple, full.select(*key, "n_events",
+                                      F.round("sum_value", 2)).collect()))
+    assert m == f
