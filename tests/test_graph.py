@@ -81,3 +81,38 @@ def test_no_cartesian_in_cc_plan(spark):
     df = spark.createDataFrame([(1, 2), (3, 4)], "id_a: long, id_b: long")
     plan = connected_components(df, max_rounds=2)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_star_cc_matches_min_label_cc(spark):
+    """Large-star/small-star produces the identical (id, comp) map as
+    the min-label implementation on random graphs (three seeds)."""
+    from hdk_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randint(0, 150), rng.randint(0, 150)) for _ in range(200)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        a = sorted(map(tuple, connected_components(df).collect()))
+        b = sorted(map(tuple, connected_components_star(df).collect()))
+        assert a == b, seed
+
+
+def test_star_cc_deep_chain_log_rounds(spark):
+    """A 256-hop path (diameter 256) must collapse to one component in
+    O(log diameter) rounds — the property that makes the star variant
+    the deep-graph upgrade path."""
+    from hdk_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(256)]
+    df = spark.createDataFrame(chain, "id_a: long, id_b: long")
+    st = {}
+    rows = connected_components_star(df, stats=st).collect()
+    assert len(rows) == 257
+    assert {r["comp"] for r in rows} == {0}
+    assert st["rounds"] <= 12  # ~log2(256) + constant, never O(256)
