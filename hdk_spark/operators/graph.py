@@ -115,15 +115,27 @@ def connected_components(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Near-duplicate pair edges → (doc_id, cluster_id).
 
     ``cluster_id`` is the minimum doc id of the transitive-closure
     cluster — the canonical survivor; rows with doc_id == cluster_id
     are the documents a dedup pass keeps.
+
+    ``algorithm``: ``min_label`` (the near-clique default) or ``star``
+    (:func:`connected_components_star` — the deep-chain variant);
+    identical results, property-tested.
     """
-    return connected_components(pairs, id_a, id_b).select(
+    cc = (
+        connected_components_star
+        if algorithm == "star"
+        else connected_components
+    )
+    return cc(pairs, id_a, id_b).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
 
