@@ -176,9 +176,19 @@ def connected_components_star(
     ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
 
     def _summary(df: DataFrame) -> tuple:
+        # reduce operands mod M BEFORE the multiply: id*K alone
+        # overflows int64 at ~10^10-scale ids; (M-1)*K + M stays
+        # inside int64
+        M = F.lit(2_147_483_647)
         row = df.agg(
             F.count(F.lit(1)),
-            F.sum(F.col("a") * F.lit(2654435761) + F.col("b")),
+            F.sum(
+                F.pmod(
+                    F.pmod(F.col("a"), M) * F.lit(2654435761)
+                    + F.pmod(F.col("b"), M),
+                    M,
+                )
+            ),
         ).collect()[0]
         return (row[0], row[1])
 

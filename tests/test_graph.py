@@ -116,3 +116,19 @@ def test_star_cc_deep_chain_log_rounds(spark):
     assert len(rows) == 257
     assert {r["comp"] for r in rows} == {0}
     assert st["rounds"] <= 12  # ~log2(256) + constant, never O(256)
+
+
+def test_star_cc_large_id_domain_no_overflow(spark):
+    """Ids at the 10M+ scale must not overflow the convergence
+    checksum (regression: the raw a*K+b sum overflowed int64 on the
+    x10 replica's shifted ids)."""
+    from hdk_spark.operators.graph import connected_components_star
+
+    base = 10_000_000_000
+    edges = [(base + i, base + i + 1) for i in range(50)]
+    edges += [(base + 1000 + i, base + 1000 + i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    rows = connected_components_star(df).collect()
+    comps = {r["comp"] for r in rows}
+    assert comps == {base, base + 1000}
+    assert len(rows) == 82
