@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hdk_spark.functions.scalar import round6
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -747,7 +749,7 @@ WITH b AS (
   FROM b
 )
 SELECT a.id AS id_a, c.id AS id_b,
-       round({_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm), 6) AS cosine
+       round({_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm), 6) + 0 AS cosine
 FROM n a JOIN n c ON a.id < c.id AND ({any_match})
 WHERE {_DOT.format(a='a.v', b='c.v')} / (a.norm * c.norm) >= {threshold}
 """
@@ -781,7 +783,7 @@ WITH b AS (
          cos
   FROM scored
 )
-SELECT qid, neighbor_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
+SELECT qid, neighbor_id, rank, round(cos, 6) + 0 AS cosine FROM ranked WHERE rank <= 5
 """
 
 
@@ -1102,7 +1104,7 @@ scored AS (
   FROM scored
 )
 SELECT qid, neighbor_id, CAST(rank AS INTEGER) AS rank,
-       round(cosine, 6) AS cosine
+       round(cosine, 6) + 0 AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY qid, rank
 """
     )
@@ -1332,7 +1334,7 @@ WITH base AS (
   FROM scored
 )
 SELECT qid, neighbor_id, CAST(rank AS INTEGER) AS rank,
-       round(cosine, 6) AS cosine
+       round(cosine, 6) + 0 AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY qid, rank
 """
 
@@ -3082,7 +3084,7 @@ SELECT gt.grp,
        CAST(MIN(gtot.gt_total) AS BIGINT) AS n_tokens,
        round(SUM((gt.c / CAST(gtot.gt_total AS DOUBLE))
                  * ln((gt.c / CAST(gtot.gt_total AS DOUBLE))
-                      / (corpus.cc / CAST(ct.total AS DOUBLE)))), 6) AS kl
+                      / (corpus.cc / CAST(ct.total AS DOUBLE)))), 6) + 0 AS kl
 FROM gt
 JOIN corpus ON gt.token = corpus.token
 JOIN gtot ON gt.grp = gtot.grp
@@ -3132,7 +3134,7 @@ WITH x AS (
 SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
        round((CAST(p.sxy AS DOUBLE)
               - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / p.n)
-             / (p.n - 1.0), 6) AS cov
+             / (p.n - 1.0), 6) + 0 AS cov
 FROM pairs p
 JOIN sums si ON si.pos = p.i
 JOIN sums sj ON sj.pos = p.j
@@ -3807,7 +3809,7 @@ def q_stats_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").select("doc_id", "lang", "n_chars")
     return (
         zscore(docs, "lang", "n_chars")
-        .select("doc_id", "lang", "n_chars", F.round("zscore", 6).alias("zscore"))
+        .select("doc_id", "lang", "n_chars", round6("zscore").alias("zscore"))
         .orderBy("doc_id")
     )
 
@@ -3827,7 +3829,7 @@ SELECT d.doc_id, d.lang, d.n_chars,
              / sqrt((CAST(m.s2 AS DOUBLE)
                      - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
                        / CAST(m.n AS DOUBLE))
-                    / (CAST(m.n AS DOUBLE) - 1.0)), 6) AS zscore
+                    / (CAST(m.n AS DOUBLE) - 1.0)), 6) + 0 AS zscore
 FROM documents d JOIN m USING (lang)
 ORDER BY d.doc_id
 """
@@ -3932,16 +3934,17 @@ def _summarize_oracle(cols: "list[str]") -> str:
                 f" + (v[CAST(ceil({q} * (len(v) - 1)) AS INT) + 1]"
                 f"    - v[CAST(floor({q} * (len(v) - 1)) AS INT) + 1])"
                 f"   * ({q} * (len(v) - 1) - floor({q} * (len(v) - 1))), 6)"
+                " + 0"
             )
         return f"""
 SELECT '{c}' AS "column", n,
        CAST(nn AS BIGINT) AS n_null,
-       round(mn, 6) AS min, round(mx, 6) AS max,
-       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       round(mn, 6) + 0 AS min, round(mx, 6) + 0 AS max,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS mean,
        round(sqrt((CAST(s2 AS DOUBLE)
                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                      / CAST(n AS DOUBLE))
-                  / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev,
+                  / (CAST(n AS DOUBLE) - 1.0)), 6) + 0 AS stddev,
        {interp["q_25"]} AS q_25, {interp["q_5"]} AS q_5,
        {interp["q_75"]} AS q_75
 FROM (
@@ -4129,7 +4132,7 @@ SELECT key, ts, obs_id, value,
                / sqrt((CAST(s2 AS DOUBLE)
                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                          / CAST(n AS DOUBLE))
-                      / (CAST(n AS DOUBLE) - 1.0)), 6)
+                      / (CAST(n AS DOUBLE) - 1.0)), 6) + 0
        END AS zscore,
        CASE WHEN n >= 5 THEN
          COALESCE(abs((value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
@@ -4249,7 +4252,7 @@ WITH x AS (
   JOIN sums sj ON sj.pos = p.j
 )
 SELECT CAST(nm.i AS BIGINT) AS i, CAST(nm.j AS BIGINT) AS j,
-       round(nm.num / sqrt(dii.num * djj.num), 6) AS corr
+       round(nm.num / sqrt(dii.num * djj.num), 6) + 0 AS corr
 FROM nums nm
 JOIN nums dii ON dii.i = nm.i AND dii.j = nm.i
 JOIN nums djj ON djj.i = nm.j AND djj.j = nm.j
@@ -4298,7 +4301,7 @@ WITH base AS (
   FROM d GROUP BY lang
 )
 SELECT md.lang, md.n,
-       round(med.med, 6) AS median,
+       round(med.med, 6) + 0 AS median,
        round({_interp_sql('md.dv', 0.5)}, 6) AS mad
 FROM md JOIN med USING (lang)
 ORDER BY lang
@@ -4627,18 +4630,19 @@ SELECT "group", available_tokens,
             WHEN 'src2' THEN 10000
             WHEN 'src3' THEN 65000
             ELSE 0 END AS BIGINT) AS target_tokens,
-       CAST(least(floor((CASE "group"
+       CAST(least((CASE "group"
             WHEN 'src0' THEN 5000
             WHEN 'src1' THEN 20000
             WHEN 'src2' THEN 10000
             WHEN 'src3' THEN 65000
-            ELSE 0 END * 10000) / available_tokens), 10000) AS BIGINT) AS rate_bp,
-       CAST(ceil(CAST(CASE "group"
+            ELSE 0 END * 10000) // available_tokens, 10000) AS BIGINT) AS rate_bp,
+       CAST((CASE "group"
             WHEN 'src0' THEN 5000
             WHEN 'src1' THEN 20000
             WHEN 'src2' THEN 10000
             WHEN 'src3' THEN 65000
-            ELSE 0 END AS DOUBLE) / available_tokens) AS BIGINT) AS epochs
+            ELSE 0 END + available_tokens - 1) // available_tokens
+            AS BIGINT) AS epochs
 FROM avail
 ORDER BY "group"
 """

@@ -13,6 +13,8 @@ from hdk_spark.functions.scalar import (
     unnest,
     div_int,
     null_safe_eq,
+    round_norm,
+    round6,
     MATH_FUNCS,
     scalar_function,
 )
@@ -38,6 +40,8 @@ __all__ = [
     "unnest",
     "div_int",
     "null_safe_eq",
+    "round_norm",
+    "round6",
     "MATH_FUNCS",
     "scalar_function",
     "quantile",

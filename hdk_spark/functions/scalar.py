@@ -268,6 +268,26 @@ def offset_in_fragment() -> Column:
     return F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
 
 
+def round_norm(value, scale: int = 6) -> Column:
+    """Round a double to ``scale`` places and normalize the sign of
+    zero: ``round(x, s) + 0.0`` maps ``-0.0`` → ``+0.0`` (IEEE 754:
+    ``-0.0 + 0.0 = +0.0``) and leaves every other value — including
+    NULL — bit-identical. Used by every operator that emits a rounded
+    double which can be ±tiny (covariance, z-scores, KL, drift): a
+    value that rounds to zero must hash the same on every engine, and
+    Spark's HALF_UP BigDecimal round yields ``+0.0`` where DuckDB's
+    keeps the sign — value-equal, hash-different (the round-4
+    embedding_covariance red row). Oracle SQL templates apply the same
+    ``round(...) + 0`` on the DuckDB side."""
+    return F.round(value, scale) + F.lit(0.0)
+
+
+def round6(value) -> Column:
+    """``round_norm(value, 6)`` — the repo-standard emitter for rounded
+    double output columns (6 dp, sign-of-zero normalized)."""
+    return round_norm(value, 6)
+
+
 def truncate(value: Column, scale: int = 0) -> Column:
     """TRUNCATE(x, d) — toward zero (reference
     QueryEngine/ExtensionFunctions.hpp:336-377)."""

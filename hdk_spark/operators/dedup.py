@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from hdk_spark.functions.scalar import round6
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -767,7 +769,7 @@ def embedding_neardup_pairs(
                 cos.alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .select("id_a", "id_b", round6("cosine").alias("cosine"))
         )
 
     from hdk_spark.operators.similarity import _bucket_expr
@@ -817,7 +819,7 @@ def embedding_neardup_pairs(
     return (
         paired.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", round6("cosine").alias("cosine"))
     )
 
 

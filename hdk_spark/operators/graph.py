@@ -178,7 +178,9 @@ def connected_components_star(
     def _summary(df: DataFrame) -> tuple:
         # reduce operands mod M BEFORE the multiply: id*K alone
         # overflows int64 at ~10^10-scale ids; (M-1)*K + M stays
-        # inside int64
+        # inside int64. The per-edge terms (< 2^31) are then summed
+        # into DECIMAL(38,0) so the SUM itself cannot overflow int64
+        # (it would past ~3.5B edges — an ANSI-mode failure at scale).
         M = F.lit(2_147_483_647)
         row = df.agg(
             F.count(F.lit(1)),
@@ -187,7 +189,7 @@ def connected_components_star(
                     F.pmod(F.col("a"), M) * F.lit(2654435761)
                     + F.pmod(F.col("b"), M),
                     M,
-                )
+                ).cast("decimal(38,0)")
             ),
         ).collect()[0]
         return (row[0], row[1])
@@ -230,13 +232,28 @@ def connected_components_star(
 
     prev = _summary(e)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         e = small_star(large_star(e)).localCheckpoint(eager=True)
         cur = _summary(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # never return wrong components silently: an unconverged edge
+        # list is not a star decomposition, so (b → a) below would be
+        # garbage. O(log diameter) rounds suffice (Kiveris et al.);
+        # exhausting max_rounds means the caller's bound is too low.
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["converged"] = False
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_rounds} rounds — raise max_rounds (O(log diameter) "
+            f"is expected; 20 covers ~2^20-hop paths)"
+        )
 
     comp = e.select(F.col("b").alias("id"), F.col("a").alias("comp"))
     roots = (
@@ -250,4 +267,5 @@ def connected_components_star(
     )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = True
     return out

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from hdk_spark.functions.scalar import round6
+
 __all__ = ["summarize", "histogram", "skew_report", "expect", "drift_report", "snapshot_diff"]
 
 
@@ -89,12 +91,12 @@ def summarize(
                 F.lit(c).alias("column"),
                 F.col(f"__n_{c}").cast("long").alias("n"),
                 F.col(f"__nn_{c}").cast("long").alias("n_null"),
-                F.round(f"__min_{c}", 6).alias("min"),
-                F.round(f"__max_{c}", 6).alias("max"),
-                F.round(mean, 6).alias("mean"),
-                F.round(std, 6).alias("stddev"),
+                round6(f"__min_{c}").alias("min"),
+                round6(f"__max_{c}").alias("max"),
+                round6(mean).alias("mean"),
+                round6(std).alias("stddev"),
                 *[
-                    F.round(f"__{qn}_{c}", 6).alias(qn)
+                    round6(f"__{qn}_{c}").alias(qn)
                     for qn in qnames
                 ],
             )

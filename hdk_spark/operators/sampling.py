@@ -241,16 +241,23 @@ def mixture_plan(
         .withColumn(
             "rate_bp",
             F.least(
-                F.floor(
-                    F.col("target_tokens") * 10000 / F.col("available_tokens")
+                # DECIMAL(38,0) widening + integral `div`: exact at any
+                # token count (bigint*10000 alone could overflow past
+                # ~9e14 tokens, and double division loses exactness
+                # past 2^53)
+                F.expr(
+                    "(CAST(target_tokens AS DECIMAL(38,0)) * 10000)"
+                    " div available_tokens"
                 ),
                 F.lit(10000),
             ).cast("long"),
         )
         .withColumn(
             "epochs",
-            F.ceil(
-                F.col("target_tokens") / F.col("available_tokens")
+            # ceil(t/a) as (t + a - 1) div a — stays integral
+            F.expr(
+                "(CAST(target_tokens AS DECIMAL(38,0))"
+                " + available_tokens - 1) div available_tokens"
             ).cast("long"),
         )
     )

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from hdk_spark.functions.scalar import round6
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -57,7 +59,7 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
-                F.round("cosine", 6).alias("cosine"))
+                round6("cosine").alias("cosine"))
     )
 
 
@@ -224,7 +226,7 @@ def ann_ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
-                F.round("cosine", 6).alias("cosine"))
+                round6("cosine").alias("cosine"))
     )
 
 
@@ -348,5 +350,5 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
-                F.round("cosine", 6).alias("cosine"))
+                round6("cosine").alias("cosine"))
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from hdk_spark.functions.scalar import round6
+
 __all__ = [
     "group_quantile_stats",
     "winsorize",
@@ -200,7 +202,7 @@ def embedding_covariance(
         ).select(
             F.col("i").cast("long").alias("i"),
             F.col("j").cast("long").alias("j"),
-            F.round(out_name, 6).alias(out_name),
+            round6(out_name).alias(out_name),
         )
 
     if not deterministic:
@@ -278,7 +280,7 @@ def group_mad(
         dev.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.first("__med"), 6).alias("median"),
+            round6(F.first("__med")).alias("median"),
             F.round(F.percentile(F.col("__dev"), F.lit(0.5)), 6).alias("mad"),
         )
     )

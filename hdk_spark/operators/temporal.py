@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hdk_spark.functions.scalar import round6
+
 
 def asof_join(
     left: DataFrame,
@@ -388,7 +390,7 @@ def rolling_zscore(
         nd - F.lit(1.0)
     )
     z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
-    z_out = F.when(n >= min_obs, F.round(z, 6))
+    z_out = F.when(n >= min_obs, round6(z))
     return df.select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("ts"),

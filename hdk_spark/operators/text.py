@@ -16,8 +16,12 @@ LIKE/REGEXP (SURVEY.md §2.8 — "no UPPER/TRIM/REPLACE/SPLIT").
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hdk_spark.functions.scalar import round6
 
 # Tiny built-in stopword lists: enough signal for the heuristic, small
 # enough to inline as literals in both Spark and oracle SQL.
@@ -465,7 +469,7 @@ def source_kl_divergence(
         .groupBy("grp")
         .agg(
             F.first("__gt").cast("long").alias("n_tokens"),
-            F.round(F.sum(p_grp * F.log(p_grp / p_corpus)), 6).alias("kl"),
+            round6(F.sum(p_grp * F.log(p_grp / p_corpus))).alias("kl"),
         )
     )
 
@@ -745,7 +749,9 @@ def gopher_quality_flags(
 
     - word count within [min_words, max_words]
     - mean word length within [min_mean_word_len, max_mean_word_len]
-    - hash/ellipsis symbol ratio ≤ max_symbol_ratio
+    - per-symbol symbol-to-word ratio ≤ max_symbol_ratio for both '#'
+      and '...' (the reported ``symbol_ratio`` is the max of the two,
+      so the single threshold is exactly the published per-symbol rule)
     - ≤ max_ellipsis_line_ratio of lines ending in '...'
     - ≤ max_bullet_line_ratio of lines starting with a bullet
     - ≥ min_stopword_hits distinct English stopwords present
@@ -766,11 +772,18 @@ def gopher_quality_flags(
         lambda acc, w: acc + F.length(w).cast("long"),
     )
     mean_wl = F.when(n_words > 0, total_chars / n_words).otherwise(F.lit(0.0))
-    n_sym = (
-        F.length(t) - F.length(F.regexp_replace(t, r"[#]|\.\.\.", ""))
-    )
+    # Rae et al. §A1.1 is a per-symbol symbol-to-WORD ratio (hash count
+    # / words and ellipsis count / words, each ≤ threshold). Emitting
+    # the max of the two keeps one observable column while the single
+    # threshold stays exactly equivalent to the published per-symbol
+    # rule: max(a,b) ≤ t  ⟺  a ≤ t ∧ b ≤ t.
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ell_sym = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3.0)
     sym_ratio = F.when(
-        F.length(t) > 0, n_sym / F.length(t)
+        n_words > 0,
+        F.greatest(n_hash.cast("double"), n_ell_sym) / n_words,
     ).otherwise(F.lit(0.0))
     lines = F.filter(
         F.transform(F.split(t, r"\r?\n"), lambda s: F.trim(s)),
@@ -833,13 +846,17 @@ def c4_line_filter(
         F.transform(F.split(t, r"\r?\n"), lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
-    block_re = "|".join(blocklist)
+    # regex-quote each phrase ('c++', 'terms (of use)' must match
+    # literally) and skip the clause entirely when the blocklist is
+    # empty — ''.rlike matches EVERY line and would drop all text
+    block_re = "|".join(re.escape(p) for p in blocklist) if blocklist else None
 
     def line_ok(s):
         ok = F.size(F.split(s, r"\s+")) >= min_words_per_line
         if require_terminal_punct:
             ok = ok & s.rlike(r'[.!?"]$')
-        ok = ok & ~F.lower(s).rlike(block_re)
+        if block_re is not None:
+            ok = ok & ~F.lower(s).rlike(block_re)
         return ok
 
     kept = F.filter(lines, line_ok)
@@ -939,7 +956,12 @@ def ngram_repetition_signals(
                 F.coalesce(F.col("__topmass") / F.col("__chars"), F.lit(0.0)),
                 6,
             ).alias("top_char_frac"),
-            F.round(F.col("__dupmass") / F.col("__chars"), 6)
-            .alias("dup_char_frac"),
+            # same coalesce as top_char_frac: a zero-character document
+            # divides by 0 → NULL, but the contract is an explicit
+            # zero-fraction row (rows never silently vanish or go NULL)
+            F.round(
+                F.coalesce(F.col("__dupmass") / F.col("__chars"), F.lit(0.0)),
+                6,
+            ).alias("dup_char_frac"),
         )
     )

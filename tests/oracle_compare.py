@@ -10,6 +10,7 @@ columns to make the comparison order-insensitive.
 from __future__ import annotations
 
 import math
+import struct
 
 import pandas as pd
 
@@ -96,7 +97,11 @@ def _float_eq(a: pd.Series, b: pd.Series) -> bool:
             if xn != yn:
                 return False
             continue
-        if float(x) != float(y):  # exact — bit-identical is the contract
+        # bit-exact — the driver hashes value *bytes*, so -0.0 vs 0.0
+        # (value-equal, bit-different) must fail here too (round-4
+        # embedding_covariance lesson: float(x) != float(y) passed
+        # locally while the driver hash stayed red)
+        if struct.pack(">d", float(x)) != struct.pack(">d", float(y)):
             return False
     return True
 
