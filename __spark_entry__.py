@@ -296,168 +296,184 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. stale greens oldest-first so every query's latest driver row
 #      stays fresh. Everything past the ~50 boundary is a recent green
 #      whose inputs this round didn't touch.
+# Round-5 window (driver checks roughly the first 50 entries, in order;
+# regenerated by scripts/rotate_priority.py):
+#   1. the round-4 red row (embedding_covariance — sign-of-zero
+#      normalized on both sides this round);
+#   2. the 6 never-checked round-5 queries (Gopher/C4/n-gram-repetition
+#      curation trio, star-CC clusters, rollup merge, Bloom decontam);
+#   3. stale greens OLDEST-ROUND-FIRST — the round-1-era TPC-H /
+#      window / set-op / string batch rotates through the window so no
+#      query's latest driver row goes stale. Everything past the ~50
+#      boundary was re-verified in round 3 or 4.
 _PRIORITY: list[str] = [
     # failed
     "embedding_covariance",
-    "agg_approx",
-    "multimodal_frames",
     # never checked
-    "text_unigram_unk",
-    "text_bigram_unk",
-    "text_lm_cross_score",
-    "text_bigram_cross",
-    "text_redact_pii",
-    "text_hashed_score",
-    "web_url_features",
-    "web_domain_stats",
-    "stats_winsorize",
-    "stats_zscore",
-    "stats_quantile_normalize",
-    "sample_weighted",
-    "profile_summarize",
-    "profile_histogram",
-    "profile_skew",
-    "embedding_correlation",
-    "stats_mad",
-    "stats_mode",
-    "groupby_all_year",
-    "temporal_gaps",
-    "temporal_rolling_zscore",
-    "streaming_incremental_dedup",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_classes",
-    "tpch_q16_supplier_counts",
-    "dedup_segments",
-    "sample_shuffle_shards",
-    "sample_mixture_plan",
-    "layout_zorder",
-    "temporal_rollup_grains",
-    "profile_expectations",
-    "profile_drift",
-    "profile_snapshot_diff",
-    "multimodal_phash",
-    "linkage_fuzzy_names",
-    "catalog_stats",
+    "text_gopher_flags",
+    "text_c4_lines",
+    "text_ngram_repetition",
+    "dedup_clusters_star",
+    "temporal_rollup_merge",
+    "dedup_bloom_decontam",
     # stable greens
-    "agg_topk_bottomk",
-    "events_funnel",
-    "temporal_resample_fill",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_source_kl",
-    "dedup_clusters",
-    "dedup_keep_best",
+    "agg_basic_stats",
+    "agg_conditional_promo",
+    "agg_decimal",
+    "agg_empty_input",
+    "agg_expr_group_keys",
+    "agg_having",
+    "cube_lineitem_status",
+    "distinct_projection",
     "events_tumbling_hour",
-    "window_running_sum",
+    "groupby_bool_empty_string",
+    "groupby_null_keys",
+    "grouping_sets_orders",
+    "join_anti_customers",
+    "join_exists",
+    "join_semi_in_subquery",
+    "join_theta_loop",
+    "rollup_lineitem_status",
+    "scalar_subquery_above_avg",
     "sort_nulls_offset",
+    "string_funcs",
+    "string_funcs_extended",
+    "subquery_correlated_min",
+    "subquery_correlated_scalar",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q22_idle_customers",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q18_large_volume_customer",
-    "grouping_sets_orders",
-    "agg_basic_stats",
-    "join_semi_in_subquery",
-    "join_anti_customers",
-    "scalar_subquery_above_avg",
-    "union_all_parties",
-    "window_rank_orders",
-    "string_funcs",
-    "window_analytics",
-    "subquery_correlated_scalar",
     "union_all_nary",
-    "agg_having",
-    "distinct_projection",
-    "agg_decimal",
-    "join_theta_loop",
-    "join_exists",
-    "subquery_correlated_min",
-    "agg_conditional_promo",
-    "agg_expr_group_keys",
-    "agg_empty_input",
-    "groupby_null_keys",
-    "groupby_bool_empty_string",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "rollup_lineitem_status",
-    "cube_lineitem_status",
-    "string_funcs_extended",
+    "union_all_parties",
+    "window_analytics",
     "window_explicit_frames",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "similarity_cosine_topk",
-    "text_profile",
+    "window_rank_orders",
+    "window_running_sum",
+    "agg_moments",
     "agg_quantile_modes",
     "agg_sample_single_value",
-    "agg_moments",
-    "expr_bitwise_div",
-    "expr_null_safe_in",
-    "expr_width_bucket_sample",
     "array_item_cardinality",
     "array_unnest",
-    "cast_matrix",
-    "string_like_regex",
-    "values_literal",
-    "geo_distance",
-    "lateral_topn_per_group",
-    "set_union_distinct",
-    "set_intersect_customers",
-    "set_except_customers",
-    "pivot_event_types",
-    "unpivot_measures",
-    "multimodal_decode",
-    "join_left_nulls",
     "case_in_bucketize",
+    "cast_matrix",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "expr_bitwise_div",
     "expr_math_funcs",
+    "expr_null_safe_in",
+    "expr_width_bucket_sample",
+    "geo_distance",
+    "join_left_nulls",
+    "lateral_topn_per_group",
+    "multimodal_decode",
+    "pivot_event_types",
+    "set_except_customers",
+    "set_intersect_customers",
+    "set_union_distinct",
+    "similarity_cosine_topk",
     "streaming_dedup_counts",
+    "string_like_regex",
+    "text_profile",
+    "unpivot_measures",
+    "values_literal",
     "array_construct",
-    "events_json_props",
-    "date_extract_fields",
-    "events_sessionize",
-    "sample_stratified",
-    "sample_mixture_split",
-    "pack_sequences",
-    "text_top_terms",
-    "tpch_q20_excess_suppliers",
-    "text_chunking",
-    "join_full_outer",
-    "join_cross_small",
-    "search_bm25",
-    "dedup_contamination",
-    "embedding_kmeans",
-    "text_distinctive_terms",
-    "text_repetition",
-    "date_current_bounds",
     "date_add_diff",
-    "date_trunc_exotic",
-    "date_trunc_epochs",
+    "date_current_bounds",
+    "date_extract_fields",
     "date_extract_trunc",
     "date_interval_arith",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "tpch_q21_waiting_suppliers",
+    "date_trunc_epochs",
+    "date_trunc_exotic",
+    "dedup_clusters",
+    "dedup_contamination",
+    "dedup_keep_best",
+    "embedding_kmeans",
+    "events_json_props",
+    "events_sessionize",
+    "join_cross_small",
+    "join_full_outer",
+    "pack_sequences",
     "q1_pricing_summary",
-    "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "streaming_tumbling_agg",
+    "q6_revenue_forecast",
+    "sample_mixture_split",
+    "sample_stratified",
+    "search_bm25",
+    "streaming_distinct_users",
+    "streaming_interval_join",
     "streaming_sessionize",
     "streaming_sliding_agg",
     "streaming_stateful_counts",
     "streaming_static_join",
-    "streaming_interval_join",
-    "streaming_distinct_users",
+    "streaming_tumbling_agg",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "text_chunking",
+    "text_distinctive_terms",
+    "text_repetition",
+    "text_top_terms",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "agg_approx",
+    "agg_topk_bottomk",
+    "catalog_stats",
+    "dedup_minhash_lsh",
+    "dedup_segments",
+    "dedup_simhash",
+    "embedding_correlation",
+    "events_funnel",
+    "groupby_all_year",
+    "layout_zorder",
+    "linkage_fuzzy_names",
+    "multimodal_frames",
+    "multimodal_phash",
+    "profile_drift",
+    "profile_expectations",
+    "profile_histogram",
+    "profile_skew",
+    "profile_snapshot_diff",
+    "profile_summarize",
+    "sample_mixture_plan",
+    "sample_shuffle_shards",
+    "sample_weighted",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "stats_mad",
+    "stats_mode",
+    "stats_quantile_normalize",
+    "stats_winsorize",
+    "stats_zscore",
+    "streaming_incremental_dedup",
+    "temporal_gaps",
+    "temporal_resample_fill",
+    "temporal_rolling_zscore",
+    "temporal_rollup_grains",
+    "text_bigram_cross",
+    "text_bigram_logprob",
+    "text_bigram_unk",
+    "text_hashed_score",
+    "text_lm_cross_score",
+    "text_redact_pii",
+    "text_source_kl",
+    "text_unigram_logprob",
+    "text_unigram_unk",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_classes",
+    "tpch_q16_supplier_counts",
+    "tpch_q2_min_cost_supplier",
+    "web_domain_stats",
+    "web_url_features",
 ]
 
 

@@ -4983,3 +4983,334 @@ ORDER BY t.column
 
 SPARK_IMPLS["catalog_stats"] = q_catalog_stats
 ORACLES["catalog_stats"] = _CATALOG_STATS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# text-curation trio (round 5): Gopher quality rules, C4 line filter,
+# n-gram repetition family — the highest-traffic curation operators
+# (operators/text.py), oracle-checked against the published rule
+# arithmetic re-expressed in DuckDB SQL. The flat word-soup documents
+# table has no lines/symbols, so the gopher/C4 contract queries first
+# synthesize them DETERMINISTICALLY (plain substring replace — left-to-
+# right, non-overlapping on both engines): ' table '→'.\n' makes lines
+# ending in periods, ' sort '→'\n- ' bullets, ' slow '→'...\n' ellipsis
+# lines / 'javascript' blocklist hits, ' hash '→' # ' symbols, and the
+# rare ' dup ' (5% of docs) → ' { ' exercises the C4 brace-drop path
+# without trivializing the line rules.
+# ---------------------------------------------------------------------------
+
+
+def _prep_gopher(t):
+    p = F.replace(t, F.lit(" table "), F.lit(".\n"))
+    p = F.replace(p, F.lit(" sort "), F.lit("\n- "))
+    p = F.replace(p, F.lit(" slow "), F.lit("...\n"))
+    return F.replace(p, F.lit(" hash "), F.lit(" # "))
+
+
+_PREP_GOPHER_SQL = (
+    "replace(replace(replace(replace(text, ' table ', '.' || chr(10)),"
+    " ' sort ', chr(10) || '- '),"
+    " ' slow ', '...' || chr(10)),"
+    " ' hash ', ' # ')"
+)
+
+
+def q_text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) with per-rule
+    observability (operators/text.py::gopher_quality_flags) over
+    documents with synthesized lines/symbols; min_words lowered to 30
+    so the word-count floor splits this corpus (~179/500 keep)."""
+    from hdk_spark.operators.text import gopher_quality_flags
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", _prep_gopher(F.col("text")).alias("text")
+    )
+    return gopher_quality_flags(docs, min_words=30).orderBy("doc_id")
+
+
+_GOPHER_ORACLE = rf"""
+WITH p AS (
+  SELECT doc_id, {_PREP_GOPHER_SQL} AS t FROM documents
+), f AS (
+  SELECT doc_id, t,
+         regexp_split_to_array(trim(t), '\s+') AS toks,
+         regexp_split_to_array(trim(lower(t)), '\s+') AS ltoks,
+         list_filter(list_transform(regexp_split_to_array(t, '\r?\n'),
+                                    s -> trim(s)),
+                     s -> length(s) > 0) AS lines
+  FROM p
+), m AS (
+  SELECT doc_id, t, toks, lines,
+         len(toks) AS n_words,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+           (a, b) -> a + b) AS total_chars,
+         length(t) - length(replace(t, '#', '')) AS n_hash,
+         (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3.0
+           AS n_ell,
+         len(lines) AS n_lines,
+         len(list_filter(lines, s -> s LIKE '%...')) AS ell_lines,
+         len(list_filter(lines, s -> regexp_matches(s, '^[-*•]')))
+           AS bul_lines,
+         len(list_filter(['the','a','and','of','to','in','is','it','that','for'],
+                         x -> list_contains(ltoks, x))) AS sw_hits
+  FROM f
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(total_chars AS DOUBLE) / n_words ELSE 0.0 END AS mwl,
+         CASE WHEN n_words > 0
+              THEN greatest(CAST(n_hash AS DOUBLE), n_ell) / n_words
+              ELSE 0.0 END AS sr,
+         CASE WHEN n_lines > 0
+              THEN CAST(ell_lines AS DOUBLE) / n_lines ELSE 0.0 END AS er,
+         CASE WHEN n_lines > 0
+              THEN CAST(bul_lines AS DOUBLE) / n_lines ELSE 0.0 END AS br,
+         sw_hits
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sr, 6) AS symbol_ratio,
+       round(er, 6) AS ellipsis_ratio,
+       round(br, 6) AS bullet_ratio,
+       CAST(sw_hits AS BIGINT) AS stopword_hits,
+       (n_words BETWEEN 30 AND 100000) AND mwl >= 3.0 AND mwl <= 10.0
+         AND sr <= 0.1 AND er <= 0.3 AND br <= 0.9 AND sw_hits >= 2 AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+
+def q_text_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleanup (Raffel et al. 2020 §2.2)
+    (operators/text.py::c4_line_filter): terminal-punctuation +
+    min-words + blocklist line rules, whole-doc brace drop."""
+    from hdk_spark.operators.text import c4_line_filter
+
+    _tables(spark, sf_dir)
+    t = F.col("text")
+    p = F.replace(t, F.lit(" table "), F.lit(".\n"))
+    p = F.replace(p, F.lit(" slow "), F.lit(" javascript "))
+    p = F.replace(p, F.lit(" dup "), F.lit(" { "))
+    docs = spark.table("documents").select("doc_id", p.alias("text"))
+    return c4_line_filter(docs).orderBy("doc_id")
+
+
+_C4_BLOCK_RE = (
+    "javascript|lorem\\ ipsum|cookie|cookies|terms\\ of\\ use|privacy\\ policy"
+)
+
+_C4_ORACLE = rf"""
+WITH p AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' table ', '.' || chr(10)),
+                 ' slow ', ' javascript '),
+                 ' dup ', ' {{ ') AS t
+  FROM documents
+), f AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(regexp_split_to_array(t, '\r?\n'),
+                                    s -> trim(s)),
+                     s -> length(s) > 0) AS lines
+  FROM p
+), k AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines,
+           s -> len(regexp_split_to_array(s, '\s+')) >= 3
+                AND regexp_matches(s, '[.!?"]$')
+                AND NOT regexp_matches(lower(s), '{_C4_BLOCK_RE}')) AS kept,
+         contains(t, '{{') AS dropped
+  FROM f
+)
+SELECT doc_id,
+       CASE WHEN dropped THEN ''
+            ELSE COALESCE(array_to_string(kept, chr(10)), '') END
+         AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(CASE WHEN dropped THEN len(lines)
+                 ELSE len(lines) - len(kept) END AS BIGINT)
+         AS n_removed_lines,
+       dropped
+FROM k
+ORDER BY doc_id
+"""
+
+
+def q_text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition family: per (doc, n∈2..10) the character
+    mass of the top n-gram and of all duplicated n-grams
+    (operators/text.py::ngram_repetition_signals)."""
+    from hdk_spark.operators.text import ngram_repetition_signals
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return ngram_repetition_signals(docs).orderBy("doc_id", "n")
+
+
+_NGRAM_REP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, length(text) AS chars,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), ns AS (
+  SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n
+), g AS (
+  SELECT doc_id, chars, ns.n,
+         unnest(CASE WHEN len(toks) < ns.n THEN [CAST(NULL AS VARCHAR)]
+                ELSE list_transform(range(0, len(toks) - ns.n + 1),
+                       i -> array_to_string(toks[i+1:i+ns.n], ' ')) END) AS gr
+  FROM t CROSS JOIN ns
+), per_gram AS (
+  SELECT doc_id, n, gr, COUNT(*) AS c, MIN(chars) AS chars,
+         length(gr) AS glen
+  FROM g GROUP BY doc_id, n, gr
+), per_doc AS (
+  SELECT doc_id, n, MIN(chars) AS chars,
+         SUM(CASE WHEN gr IS NOT NULL THEN c ELSE 0 END) AS n_grams,
+         MAX(CASE WHEN gr IS NOT NULL THEN c * glen END) AS topmass,
+         SUM(CASE WHEN gr IS NOT NULL AND c > 1 THEN c * glen ELSE 0 END)
+           AS dupmass
+  FROM per_gram GROUP BY doc_id, n
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       round(COALESCE(CAST(topmass AS DOUBLE) / chars, 0.0), 6)
+         AS top_char_frac,
+       round(COALESCE(CAST(dupmass AS DOUBLE) / chars, 0.0), 6)
+         AS dup_char_frac
+FROM per_doc
+ORDER BY doc_id, n
+"""
+
+SPARK_IMPLS["text_gopher_flags"] = q_text_gopher_flags
+ORACLES["text_gopher_flags"] = _GOPHER_ORACLE
+SPARK_IMPLS["text_c4_lines"] = q_text_c4_lines
+ORACLES["text_c4_lines"] = _C4_ORACLE
+SPARK_IMPLS["text_ngram_repetition"] = q_text_ngram_repetition
+ORACLES["text_ngram_repetition"] = _NGRAM_REP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 5: driver rows for the remaining checkable library-only ops —
+# star-variant connected components, incremental rollup merge, Bloom
+# decontamination superset proof.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_clusters but through the large-star/
+    small-star variant (operators/graph.py::connected_components_star —
+    the deep-chain scale path exercised by the ×100-edge stress);
+    identical clusters, so the same recursive-closure oracle."""
+    from hdk_spark.operators.dedup import ngram_jaccard_pairs
+    from hdk_spark.operators.graph import duplicate_clusters
+
+    _tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        spark.table("documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return duplicate_clusters(pairs, algorithm="star")
+
+
+def q_temporal_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: rollup of two
+    DISJOINT event slices (event_id parity stands in for yesterday's
+    materialization + today's delta) merged WITHOUT touching the facts
+    again (operators/temporal.py::merge_rollups). The oracle is the
+    single-pass rollup over ALL events — the exact-mergeability
+    property as a driver-checked row."""
+    from hdk_spark.operators.temporal import merge_rollups, multi_grain_rollup
+
+    _tables(spark, sf_dir)
+    ev = spark.table("events")
+    a = multi_grain_rollup(
+        ev.filter(F.col("event_id") % 2 == 0), "ts", "event_type", "value"
+    )
+    b = multi_grain_rollup(
+        ev.filter(F.col("event_id") % 2 == 1), "ts", "event_type", "value"
+    )
+    return merge_rollups(a, b).orderBy("grain", "bucket_ts", "event_type")
+
+
+def q_dedup_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom decontamination vs the exact literal-array pass on the
+    same 3-doc benchmark: emits the EXACT overlap plus two Bloom
+    soundness invariants that are deterministic despite the filter's
+    false positives — no false negatives means every exact-contaminated
+    doc is Bloom-flagged (``bloom_superset_ok``) and every
+    exact-overlapping shingle Bloom-hits (``hits_superset_ok``), so
+    both columns are provably TRUE for every row and any violation
+    hash-fails against the oracle's literals
+    (operators/dedup.py::contamination_flags_bloom)."""
+    from hdk_spark.operators.dedup import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_df = docs.filter(F.col("doc_id") < 3)
+    bench = [r["text"] for r in eval_df.select("text").collect()]
+    exact = contamination_flags(docs, bench, "doc_id", "text", n=3,
+                                min_overlap=1)
+    bloom = contamination_flags_bloom(
+        docs, eval_df, "doc_id", "text", "text", n=3, min_overlap=1
+    ).select(
+        F.col("id"),
+        F.col("n_hit_shingles"),
+        F.col("contaminated").alias("bloom_contaminated"),
+    )
+    return (
+        exact.join(bloom, "id")
+        .select(
+            "id",
+            "n_overlap",
+            F.col("contaminated").alias("exact_contaminated"),
+            (F.col("bloom_contaminated") | ~F.col("contaminated"))
+            .alias("bloom_superset_ok"),
+            (F.col("n_hit_shingles") >= F.col("n_overlap"))
+            .alias("hits_superset_ok"),
+        )
+        .orderBy("id")
+    )
+
+
+_BLOOM_DECONTAM_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1, 1)),
+             i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+2]
+           )
+         ) AS s_list
+  FROM documents
+), bs AS (
+  SELECT DISTINCT unnest(s_list) AS s FROM sh WHERE doc_id < 3
+), e AS (
+  SELECT doc_id, unnest(s_list) AS s FROM sh
+), o AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM e JOIN bs ON e.s = bs.s
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 1 AS exact_contaminated,
+       TRUE AS bloom_superset_ok,
+       TRUE AS hits_superset_ok
+FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
+ORDER BY id
+"""
+
+SPARK_IMPLS["dedup_clusters_star"] = q_dedup_clusters_star
+ORACLES["dedup_clusters_star"] = _DEDUP_CLUSTERS_ORACLE
+SPARK_IMPLS["temporal_rollup_merge"] = q_temporal_rollup_merge
+ORACLES["temporal_rollup_merge"] = _ROLLUP_GRAINS_ORACLE
+SPARK_IMPLS["dedup_bloom_decontam"] = q_dedup_bloom_decontam
+ORACLES["dedup_bloom_decontam"] = _BLOOM_DECONTAM_ORACLE

@@ -26,7 +26,9 @@ def main() -> None:
 
     names = list(entry.queries())
     checked: dict[str, bool] = {}  # name -> all three checks green
+    last_round: dict[str, int] = {}  # name -> round of latest check
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
         rows = json.load(open(path))
         for name, r in rows.items():
             ok = bool(
@@ -36,10 +38,16 @@ def main() -> None:
             )
             # later rounds override earlier verdicts
             checked[name] = ok
+            last_round[name] = rnd
 
     failed = [n for n in names if checked.get(n) is False]
     never = [n for n in names if n not in checked]
-    green = [n for n in names if checked.get(n)]
+    # stalest greens first, so every query's latest driver row stays
+    # fresh as the ~50-query window slides over rounds
+    green = sorted(
+        (n for n in names if checked.get(n)),
+        key=lambda n: (last_round[n], n),
+    )
 
     print(f"# failed last check: {len(failed)}, never checked: {len(never)}, "
           f"green: {len(green)}  (window ~50)")
