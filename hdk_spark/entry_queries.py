@@ -5314,3 +5314,51 @@ SPARK_IMPLS["temporal_rollup_merge"] = q_temporal_rollup_merge
 ORACLES["temporal_rollup_merge"] = _ROLLUP_GRAINS_ORACLE
 SPARK_IMPLS["dedup_bloom_decontam"] = q_dedup_bloom_decontam
 ORACLES["dedup_bloom_decontam"] = _BLOOM_DECONTAM_ORACLE
+
+
+def q_linkage_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-relation blocked fuzzy join (operators/linkage.py::
+    fuzzy_join — the linkage variant fuzzy_self_pairs doesn't cover):
+    even-keyed part names matched against odd-keyed ones on the
+    last-token block with levenshtein <= 2, all columns of both sides
+    preserved plus dist."""
+    from hdk_spark.operators.linkage import fuzzy_join
+
+    _tables(spark, sf_dir)
+    names = (
+        spark.table("part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    left = names.filter(F.col("name_id") % 2 == 0).select(
+        F.col("name_id").alias("a_id"), F.col("p_name").alias("a_name")
+    )
+    right = names.filter(F.col("name_id") % 2 == 1).select(
+        F.col("name_id").alias("b_id"), F.col("p_name").alias("b_name")
+    )
+    return fuzzy_join(left, right, "a_name", "b_name", max_dist=2).orderBy(
+        "a_id", "b_id"
+    )
+
+
+_LINKAGE_FUZZY_JOIN_ORACLE = r"""
+WITH names AS (
+  SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name
+), l AS (
+  SELECT name_id AS a_id, p_name AS a_name,
+         regexp_split_to_array(lower(trim(p_name)), '\s+')[-1] AS blk
+  FROM names WHERE name_id % 2 = 0
+), r AS (
+  SELECT name_id AS b_id, p_name AS b_name,
+         regexp_split_to_array(lower(trim(p_name)), '\s+')[-1] AS blk
+  FROM names WHERE name_id % 2 = 1
+)
+SELECT l.a_id, l.a_name, r.b_id, r.b_name,
+       CAST(levenshtein(l.a_name, r.b_name) AS INT) AS dist
+FROM l JOIN r ON l.blk = r.blk
+WHERE levenshtein(l.a_name, r.b_name) <= 2
+ORDER BY a_id, b_id
+"""
+
+SPARK_IMPLS["linkage_fuzzy_join"] = q_linkage_fuzzy_join
+ORACLES["linkage_fuzzy_join"] = _LINKAGE_FUZZY_JOIN_ORACLE

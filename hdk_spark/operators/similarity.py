@@ -270,7 +270,15 @@ def ann_lsh_topk(
     bytes — measured faster than narrow-rows + re-attach joins up to
     10× local scale); for corpora where that amplification doesn't fit
     cache, ann_ivf_topk is the scale path (×1 vector storage, bounded
-    driver-side training)."""
+    driver-side training).
+
+    Measured boundary (SCALE.md, d=64, 16 queries, n_tables=8): the
+    cached relation is exactly n_tables × the vector storage — 459 MB
+    at 200k vectors, 2.30 GB at 1M — and IVF already wins wall-clock
+    there (200k: 5.2 s vs 13.9 s; 1M: 8.3 s vs 19.3 s). **Prefer
+    ann_ivf_topk above ~100k corpus vectors**; LSH remains the
+    no-training choice for small/mid corpora and for workloads that
+    tune recall per table instead of per probe."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     tables = [
