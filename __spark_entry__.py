@@ -316,6 +316,9 @@ _PRIORITY: list[str] = [
     "dedup_clusters_star",
     "temporal_rollup_merge",
     "dedup_bloom_decontam",
+    "linkage_fuzzy_join",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
     # stable greens
     "agg_basic_stats",
     "agg_conditional_promo",

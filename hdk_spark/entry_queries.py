@@ -5362,3 +5362,110 @@ ORDER BY a_id, b_id
 
 SPARK_IMPLS["linkage_fuzzy_join"] = q_linkage_fuzzy_join
 ORACLES["linkage_fuzzy_join"] = _LINKAGE_FUZZY_JOIN_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 5: exact repeated-substring spans (Lee et al. 2021 exact-
+# substring dedup, window-granular) + the remove-and-rejoin rewrite.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal 4-token-window repeated-substring spans across the
+    corpus (operators/dedup.py::duplicate_spans, basis='text' — the
+    exact oracle-expressible grouping; production defaults to
+    xxhash64 keys)."""
+    from hdk_spark.operators.dedup import duplicate_spans
+
+    _tables(spark, sf_dir)
+    return duplicate_spans(
+        spark.table("documents"), n=4, min_count=2, basis="text"
+    ).orderBy("doc_id", "span_start")
+
+
+_DUP_SPANS_CTE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), wl AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - 4 + 1),
+                i -> {'pos': i, 'win': array_to_string(toks[i+1:i+4], ' ')}))
+           AS w
+  FROM t WHERE len(toks) >= 4
+), wins AS (
+  SELECT doc_id, w.pos AS pos, w.win AS win FROM wl
+), freq AS (
+  SELECT win, COUNT(*) AS wc FROM wins GROUP BY win
+), dup AS (
+  SELECT wins.doc_id, wins.pos
+  FROM wins JOIN freq ON wins.win = freq.win
+  WHERE freq.wc >= 2
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), spans AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+         CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, g
+)
+"""
+
+_DUP_SPANS_ORACLE = (
+    _DUP_SPANS_CTE
+    + "SELECT * FROM spans ORDER BY doc_id, span_start"
+)
+
+
+def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove-and-rejoin rewrite of the corpus from its duplicate
+    spans (operators/dedup.py::remove_duplicate_spans): every doc
+    with its repeated-substring token ranges cut out, span-free docs
+    passing through whole."""
+    from hdk_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    spans = duplicate_spans(docs, n=4, min_count=2, basis="text")
+    return remove_duplicate_spans(docs, spans).orderBy("doc_id")
+
+
+_REMOVE_SPANS_ORACLE = (
+    _DUP_SPANS_CTE
+    + r""", persp AS (
+  SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sps
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(0, len(t.toks)),
+             i -> len(list_filter(COALESCE(persp.sps, []),
+                      p -> i >= p.s AND i <= p.e)) = 0),
+           i -> t.toks[i + 1]),
+         ' '), '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(0, len(t.toks)),
+             i -> len(list_filter(COALESCE(persp.sps, []),
+                      p -> i >= p.s AND i <= p.e)) > 0)) AS BIGINT)
+         AS n_removed_tokens
+FROM t LEFT JOIN persp ON t.doc_id = persp.doc_id
+ORDER BY t.doc_id
+"""
+)
+
+SPARK_IMPLS["dedup_duplicate_spans"] = q_dedup_duplicate_spans
+ORACLES["dedup_duplicate_spans"] = _DUP_SPANS_ORACLE
+SPARK_IMPLS["dedup_remove_spans"] = q_dedup_remove_spans
+ORACLES["dedup_remove_spans"] = _REMOVE_SPANS_ORACLE

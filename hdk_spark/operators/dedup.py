@@ -1280,3 +1280,146 @@ def segment_dedup(
             "n_removed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the exact-substring
+# method, window-granular: the suffix-array construction is replaced by
+# the shuffle-native equivalent, a corpus-wide n-token window frequency
+# relation + per-document island merge)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_count: int = 2,
+    basis: str = "xxhash64",
+) -> DataFrame:
+    """Maximal token-index spans covered by ``n``-token windows whose
+    exact (lowercased, whitespace-tokenized) token sequence occurs
+    ``min_count``+ times corpus-wide — the sub-document twin of
+    document-level dedup: a quote, license header, or template
+    paragraph repeated across documents is flagged as a span inside
+    EVERY document containing it, which neither doc-level minhash nor
+    line-level :func:`segment_dedup` can localize. Feed the result to
+    :func:`remove_duplicate_spans` to rewrite the corpus.
+
+    Returns (id, span_start, span_end, n_windows): 0-based inclusive
+    token indices of each maximal merged span and the number of
+    duplicated windows it merges. Documents shorter than ``n`` tokens
+    or without duplicated windows emit no rows.
+
+    ``basis='xxhash64'`` (default — the production path) groups window
+    frequencies on an 8-byte hash (collision odds ~q²/2^64 for q
+    distinct windows: negligible below ~10^9, and a collision can only
+    OVER-mark a span — conservative for dedup). ``basis='text'``
+    groups on the window string itself — exact, oracle-expressible,
+    and what the contract query pins (the crc32-vs-md5 trade again).
+
+    Scale shape: ONE map-only window explode (≈tokens rows), one
+    partial-agg frequency groupBy on the window key, one key equi-join
+    (NOT force-broadcast — the frequency relation is corpus-derived
+    and unbounded, the unigram-LM lesson), then a per-document sort
+    window + groupBy for island merging — the per-document state is
+    its duplicated-window positions only. No quadratic step anywhere;
+    a boilerplate window repeated millions of times is one frequency
+    cell, and its per-doc occurrences land on AQE skew splitting.
+    """
+    if basis not in ("xxhash64", "text"):
+        raise ValueError(f"basis must be 'xxhash64' or 'text', got {basis!r}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice("__toks", i + 1, n), " ").alias("win"),
+        ),
+    )
+    staged = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select("id", F.explode(wins).alias("__w"))
+        .select(
+            "id",
+            F.col("__w.pos").alias("pos"),
+            (
+                F.xxhash64("__w.win") if basis == "xxhash64"
+                else F.col("__w.win")
+            ).alias("wkey"),
+        )
+    )
+    freq = staged.groupBy("wkey").agg(F.count(F.lit(1)).alias("wc"))
+    dup = (
+        staged.join(freq.filter(F.col("wc") >= min_count), "wkey")
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0),
+    ).withColumn("__isl", F.sum("__brk").over(w))
+    return (
+        islands.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document with its :func:`duplicate_spans` token
+    ranges removed (the remove-and-rejoin step of Lee et al.'s
+    exact-substring dedup). Returns (id, clean_text, n_tokens,
+    n_removed_tokens); documents without spans pass through whole.
+
+    Scale shape: spans collapse to one array per doc (bounded: spans
+    are disjoint maximal islands, ≤ tokens/n of them), ONE equi-join
+    back to the corpus, then a map-only indexed-token filter with JVM
+    higher-order functions — no Python, no second corpus pass."""
+    sp = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    joined = base.join(sp, "id", "left").withColumn(
+        "__spans",
+        F.coalesce(
+            "__spans", F.array().cast("array<struct<s:long,e:long>>")
+        ),
+    )
+    idxed = F.transform(
+        "__toks", lambda t, i: F.struct(i.cast("long").alias("i"),
+                                        t.alias("t"))
+    )
+    kept = F.filter(
+        idxed,
+        lambda s: ~F.exists(
+            "__spans",
+            lambda p: (s["i"] >= p["s"]) & (s["i"] <= p["e"]),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        .alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long")
+        .alias("n_removed_tokens"),
+    )

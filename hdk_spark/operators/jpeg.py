@@ -6,15 +6,20 @@ omniscidb/IR/Type.h:23-40).
 
 Scope (the honest contract):
 
-- decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr with
-  ARBITRARY sampling factors (4:4:4, 4:2:0, 4:2:2 — the MCU walk is
-  generic), restart markers, tables read from the stream's own
-  DQT/DHT segments. Progressive (SOF2), arithmetic coding, and 12-bit
+- decode: baseline sequential (SOF0/1) AND progressive (SOF2,
+  spectral selection + successive approximation, T.81 Annex G),
+  8-bit, grayscale or YCbCr with ARBITRARY sampling factors (4:4:4,
+  4:2:0, 4:2:2 — the MCU walk is generic), restart markers, tables
+  read from the stream's own DQT/DHT segments. Arithmetic coding,
+  hierarchical (SOF5-7/13-15), lossless (SOF3/11) and 12-bit
   precision raise a clear error.
 - encode: 4:4:4 (or single-component grayscale) with the Annex K
   quantization tables scaled by libjpeg's quality formula and the
   Annex K Huffman tables. No subsampling on encode keeps the round
-  trip exactly block-aligned.
+  trip exactly block-aligned. ``progressive=True`` emits a SOF2
+  scan script (DC first + refine, two AC bands first + refine per
+  component, EOB-run coding) — primarily the round-trip witness for
+  the progressive decoder, since no external codec exists here.
 
 The per-block transform is vectorized (one matmul pair per block);
 the entropy loop is plain Python — this is a correctness/boundary
@@ -229,14 +234,18 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 pixels: (h, w) for grayscale,
-    (h, w, 3) RGB otherwise."""
+    """Decode a baseline or progressive JPEG to uint8 pixels: (h, w)
+    for grayscale, (h, w, 3) RGB otherwise. Baseline decodes its
+    single scan directly to pixels; progressive accumulates every
+    scan's contribution into per-component coefficient arrays and
+    runs ONE vectorized dequantize+IDCT at EOI."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI marker)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coefs = None  # progressive: per-component zigzag coefficient arrays
     restart_interval = 0
     pos = 2
     while pos < len(data):
@@ -270,7 +279,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 table = _build_decode_map(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -280,12 +289,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) is supported "
-                f"(got SOF marker 0xFF{marker:02X})"
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG "
+                f"are supported (got SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -293,17 +303,265 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             scan_start = pos + seglen
-            return _decode_scan(
-                data, scan_start, frame, scan_tables, qt,
-                huff_dc, huff_ac, restart_interval,
+            if not frame["progressive"]:
+                scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+                return _decode_scan(
+                    data, scan_start, frame, scan_tables, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_progressive_scan(
+                data, scan_start, frame, coefs, scan_comps,
+                ss, se, ah, al, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += seglen
+    if coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("no scan data found")
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G: spectral selection + successive
+# approximation; per-scan algorithms follow G.1.2/G.2, matching the
+# libjpeg decode_mcu_DC/AC_first/refine structure)
+# ---------------------------------------------------------------------------
+
+
+def _mcu_dims(frame) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _block_dims(frame, c) -> tuple[int, int]:
+    """Non-interleaved data-unit dims of one component (T.81 A.2.2)."""
+    hmax, vmax, _, _ = _mcu_dims(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """MCU-padded per-component zigzag coefficient arrays (covers both
+    interleaved DC scans and non-interleaved AC scans)."""
+    _, _, mcus_x, mcus_y = _mcu_dims(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _skip_restart(reader, data) -> None:
+    """Byte-align at a restart boundary and consume the RSTn marker."""
+    reader.nbits = 0
+    p = reader.pos
+    while data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+        p += 1
+    reader.pos = p
+    reader.resync()
+
+
+def _next_marker(data, pos: int) -> int:
+    """First real marker at/after pos (skips stuffed FF00 and RSTn)."""
+    while pos < len(data) - 1:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_progressive_scan(
+    data, pos, frame, coefs, scan_comps, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval,
+) -> int:
+    comps = frame["comps"]
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if len(scan_comps) > 1:
+            # interleaved DC scan: MCU walk like baseline
+            _, _, mcus_x, mcus_y = _mcu_dims(frame)
+            pred = [0] * len(comps)
+            mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (restart_interval and mcu
+                            and mcu % restart_interval == 0):
+                        _skip_restart(reader, data)
+                        pred = [0] * len(comps)
+                    for cs, td, _ta in scan_comps:
+                        ci = idx[cs]
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coefs[ci][
+                                    my * c["v"] + by, mx * c["h"] + bx
+                                ]
+                                if ah == 0:
+                                    t = reader.read_huff(huff_dc[td])
+                                    diff = _extend(reader.read_bits(t), t)
+                                    pred[ci] += diff
+                                    blk[0] = pred[ci] << al
+                                else:
+                                    if reader.read_bit():
+                                        blk[0] |= 1 << al
+                    mcu += 1
+        else:
+            cs, td, _ta = scan_comps[0]
+            ci = idx[cs]
+            by_n, bx_n = _block_dims(frame, comps[ci])
+            pred = 0
+            mcu = 0
+            for byi in range(by_n):
+                for bxi in range(bx_n):
+                    if (restart_interval and mcu
+                            and mcu % restart_interval == 0):
+                        _skip_restart(reader, data)
+                        pred = 0
+                    blk = coefs[ci][byi, bxi]
+                    if ah == 0:
+                        t = reader.read_huff(huff_dc[td])
+                        pred += _extend(reader.read_bits(t), t)
+                        blk[0] = pred << al
+                    else:
+                        if reader.read_bit():
+                            blk[0] |= 1 << al
+                    mcu += 1
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        cs, _td, ta = scan_comps[0]
+        ci = idx[cs]
+        by_n, bx_n = _block_dims(frame, comps[ci])
+        table = huff_ac[ta]
+        eobrun = 0
+        mcu = 0
+        for byi in range(by_n):
+            for bxi in range(bx_n):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    _skip_restart(reader, data)
+                    eobrun = 0
+                blk = coefs[ci][byi, bxi]
+                if ah == 0:
+                    eobrun = _ac_first(reader, blk, ss, se, al, eobrun, table)
+                else:
+                    eobrun = _ac_refine(reader, blk, ss, se, al, eobrun, table)
+                mcu += 1
+    return _next_marker(data, reader.pos)
+
+
+def _ac_first(reader, blk, ss, se, al, eobrun, table) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+ext blocks ending here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of spectral band")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine(reader, blk, ss, se, al, eobrun, table) -> int:
+    """Successive-approximation AC refinement (G.1.2.3): one
+    correction bit per already-nonzero coefficient, new ±1<<Al
+    coefficients inserted at their zero-history positions."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan symbol with s != 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _mcu_dims(frame)
+    full = []
+    for c, zz in zip(comps, coefs):
+        by, bx, _ = zz.shape
+        nat = np.zeros((by, bx, 64))
+        nat[:, :, ZIGZAG] = zz * qt[c["tq"]][None, None, :]
+        m = nat.reshape(by, bx, 8, 8)
+        pix = np.einsum("ij,abjk,kl->abil", _D.T, m, _D) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0),
+                hmax // c["h"], axis=1,
+            )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
@@ -455,11 +713,21 @@ def _encode_block(bw, block_zz, pred, dc_codes, ac_codes) -> int:
     return int(block_zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    progressive: bool = False,
+) -> bytes:
     """Encode uint8 pixels ((h, w) grayscale or (h, w, 3) RGB) as a
     baseline JPEG — 4:4:4 by default, 4:2:0 (2×2 box-averaged chroma)
     with ``subsample=True``; the latter exercises the decoder's
-    generic sampling-factor MCU walk and is the common web layout."""
+    generic sampling-factor MCU walk and is the common web layout.
+    ``progressive=True`` emits the same quantized coefficients as a
+    SOF2 scan script (interleaved DC first/refine at Al=1→0, per-
+    component AC bands 1-5 and 6-63 first/refine with EOB-run coding)
+    — the round-trip witness for the progressive decoder; pixels
+    decode bit-identically to the baseline encoding of the image."""
     img = np.asarray(img)
     if img.ndim == 2:
         planes = [img.astype(np.float64) - 128.0]
@@ -501,11 +769,39 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
     for i, q in enumerate([ql] if nc == 1 else [ql, qc]):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([i])
         out += q[ZIGZAG].astype(np.uint8).tobytes()
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    # SOF0 (baseline) / SOF2 (progressive)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
     for i in range(nc):
         hv = (samplings[i][0] << 4) | samplings[i][1]
         out += bytes([i + 1, hv, 0 if i == 0 else 1])
+
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # quantized zigzag coefficient arrays, one vectorized DCT pass per
+    # component (shared by the baseline and progressive writers)
+    zz_arrays = []
+    for p, (hi, vi), q in zip(planes, samplings, qtabs):
+        ph, pw = p.shape
+        pp = np.empty((mcus_y * vi * 8, mcus_x * hi * 8))
+        pp[:ph, :pw] = p
+        pp[ph:, :pw] = p[ph - 1 : ph, :]  # edge-replicate padding
+        pp[:, pw:] = pp[:, pw - 1 : pw]
+        by, bx = mcus_y * vi, mcus_x * hi
+        blocks = pp.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", _D, blocks, _D.T)
+        zz = np.round(
+            coef.reshape(by, bx, 64)[:, :, ZIGZAG] / q[ZIGZAG][None, None, :]
+        ).astype(np.int64)
+        zz_arrays.append(zz)
+
+    if progressive:
+        _write_progressive_scans(out, zz_arrays, samplings, h, w,
+                                 mcus_x, mcus_y, hmax, vmax)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     # DHT (standard tables)
     tables = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
     if nc == 3:
@@ -523,30 +819,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
     ac_codes = [_build_codes(*AC_LUMA)] + [_build_codes(*AC_CHROMA)] * (nc - 1)
     bw = _BitWriter()
     pred = [0] * nc
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    padded = []
-    for p, (hi, vi) in zip(planes, samplings):
-        ph, pw = p.shape
-        pp = np.empty((mcus_y * vi * 8, mcus_x * hi * 8))
-        pp[:ph, :pw] = p
-        pp[ph:, :pw] = p[ph - 1 : ph, :]  # edge-replicate padding
-        pp[:, pw:] = pp[:, pw - 1 : pw]
-        padded.append(pp)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci in range(nc):
                 hi, vi = samplings[ci]
-                q = qtabs[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        coef = _D @ block @ _D.T
-                        zz = np.round(
-                            coef.reshape(-1)[ZIGZAG] / q[ZIGZAG]
-                        ).astype(np.int64)
+                        zz = zz_arrays[ci][my * vi + by, mx * hi + bx]
                         pred[ci] = _encode_block(
                             bw, zz, pred[ci], dc_codes[ci], ac_codes[ci]
                         )
@@ -554,3 +833,213 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (the decoder's round-trip witness)
+# ---------------------------------------------------------------------------
+
+# correctness-only Huffman tables valid for EVERY progressive symbol:
+# 12 DC categories at 4 bits; all 256 AC symbols (incl. EOBn r=0..14)
+# as 255 nine-bit + 1 ten-bit codes (a DHT length count is one byte,
+# so 256-at-one-length is unrepresentable) — canonical, all-ones code
+# unused, Kraft-satisfying.
+_PROG_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _write_progressive_scans(out, zz_arrays, samplings, h, w,
+                             mcus_x, mcus_y, hmax, vmax) -> None:
+    nc = len(zz_arrays)
+    for tid, (bits, values) in ((0x00, _PROG_DC), (0x10, _PROG_AC)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([tid])
+        out += bytes(bits) + bytes(values)
+    dc_codes = _build_codes(*_PROG_DC)
+    ac_codes = _build_codes(*_PROG_AC)
+
+    def sos(comp_ids, ss, se, ah, al):
+        ns = len(comp_ids)
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for cid in comp_ids:
+            out.extend(bytes([cid, 0x00]))  # dc table 0 / ac table 0
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    def block_dims(ci):
+        hi, vi = samplings[ci]
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    all_ids = list(range(1, nc + 1))
+    # 1. DC first, interleaved, Al=1
+    sos(all_ids, 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                hi, vi = samplings[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        v = int(zz_arrays[ci][my * vi + by, mx * hi + bx, 0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        n = abs(diff).bit_length()
+                        code, ln = dc_codes[n]
+                        bw.write(code, ln)
+                        if n:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << n) - 1, n
+                            )
+    bw.flush()
+    out += bw.buf
+    # 2. AC firsts per component, two spectral bands, Al=1
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci + 1], ss, se, 0, 1)
+            bw = _BitWriter()
+            _encode_ac_first(bw, zz_arrays[ci], block_dims(ci), ss, se, 1,
+                             ac_codes)
+            bw.flush()
+            out += bw.buf
+    # 3. DC refinement, interleaved, Ah=1 Al=0
+    sos(all_ids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                hi, vi = samplings[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bw.write(
+                            int(zz_arrays[ci][my * vi + by, mx * hi + bx, 0])
+                            & 1,
+                            1,
+                        )
+    bw.flush()
+    out += bw.buf
+    # 4. AC refinements per component, Ah=1 Al=0
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci + 1], ss, se, 1, 0)
+            bw = _BitWriter()
+            _encode_ac_refine(bw, zz_arrays[ci], block_dims(ci), ss, se, 0,
+                              ac_codes)
+            bw.flush()
+            out += bw.buf
+
+
+def _encode_ac_first(bw, zz, dims, ss, se, al, ac_codes) -> None:
+    by_n, bx_n = dims
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+
+    for byi in range(by_n):
+        for bxi in range(bx_n):
+            blk = zz[byi, bxi]
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                a = abs(v) >> al
+                vals.append(a if v >= 0 else -a)
+            last = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last = i
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                n = abs(v).bit_length()
+                code, ln = ac_codes[(r << 4) | n]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << n) - 1, n)
+                r = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _encode_ac_refine(bw, zz, dims, ss, se, al, ac_codes) -> None:
+    """Successive-approximation AC refinement writer (mirrors libjpeg
+    encode_mcu_AC_refine: correction bits buffered across EOB runs)."""
+    by_n, bx_n = dims
+    eobrun = 0
+    be: list[int] = []  # correction bits deferred with the EOB run
+
+    def flush():
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+        for b in be:
+            bw.write(b, 1)
+        be = []
+
+    for byi in range(by_n):
+        for bxi in range(bx_n):
+            blk = zz[byi, bxi]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            pos = [int(blk[k]) >= 0 for k in range(ss, se + 1)]
+            eob = -1
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush()
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if a > 1:
+                    br.append(a & 1)
+                    continue
+                flush()
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if pos[i] else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()

@@ -11,10 +11,11 @@ materializing whole partitions.
 Codec status (no PIL/libjpeg/ffmpeg in this environment):
   - image: REAL PNG decode/encode/resize via the stdlib-zlib + numpy
     codec in ``png.py`` (8-bit gray/RGB/palette/alpha, all row filters)
-    and REAL baseline JPEG decode/encode via the pure-numpy codec in
-    ``jpeg.py`` (sequential DCT, grayscale/4:4:4/4:2:0/4:2:2, restart
-    markers), both behind ``use_real_codec=True`` with magic-byte
-    dispatch; WebP/progressive-JPEG raise with a clear message.
+    and REAL JPEG decode/encode via the pure-numpy codec in
+    ``jpeg.py`` (baseline SOF0/1 AND progressive SOF2 decode,
+    grayscale/4:4:4/4:2:0/4:2:2, restart markers; baseline or
+    progressive encode), both behind ``use_real_codec=True`` with
+    magic-byte dispatch; WebP raises with a clear message.
   - audio: REAL 16-bit WAV decode via stdlib ``wave`` (png.decode_wav)
     in ``decode_audio(use_real_codec=True)``.
   - video: REAL uncompressed-AVI demux via the pure RIFF parser in

@@ -438,3 +438,86 @@ def test_segment_dedup_words_matches_python_reference(spark):
             assert got[i] == expect, (i, texts, wps, max_freq)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring spans (Lee et al. exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def _span_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta THE QUOTE IS exactly here my "
+                "friend and more words follow after that"),
+            (2, "totally different opening text the quote is exactly "
+                "here my friend closing words differ now"),
+            (3, "no shared content in this document at all whatsoever "
+                "truly unique tokens only here"),
+            (4, "x y the quote is exactly here my friend x y the quote "
+                "is exactly here my friend"),
+        ],
+        "doc_id: long, text: string",
+    )
+
+
+def test_duplicate_spans_cross_doc_and_internal(spark):
+    from hdk_spark.operators.dedup import duplicate_spans
+
+    rows = {
+        (r["doc_id"], r["span_start"]): r
+        for r in duplicate_spans(
+            _span_docs(spark), n=5, min_count=2, basis="text"
+        ).collect()
+    }
+    # the shared 7-token quote sits at tokens 4..10 in docs 1 and 2:
+    # 3 five-token windows (4, 5, 6) merge into one maximal span
+    assert rows[(1, 4)]["span_end"] == 10 and rows[(1, 4)]["n_windows"] == 3
+    assert rows[(2, 4)]["span_end"] == 10
+    # doc 4 repeats its whole first half: every window duplicated
+    assert rows[(4, 0)]["span_end"] == 17 and rows[(4, 0)]["n_windows"] == 10
+    # doc 3 shares nothing — no rows
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_duplicate_spans_hash_basis_matches_text(spark):
+    from hdk_spark.operators.dedup import duplicate_spans
+
+    df = _span_docs(spark)
+    a = sorted(map(tuple, duplicate_spans(
+        df, n=5, min_count=2, basis="text").collect()))
+    b = sorted(map(tuple, duplicate_spans(
+        df, n=5, min_count=2, basis="xxhash64").collect()))
+    assert a == b
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    from hdk_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    df = _span_docs(spark)
+    spans = duplicate_spans(df, n=5, min_count=2, basis="text")
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(df, spans).collect()}
+    assert got[1]["clean_text"] == (
+        "alpha beta gamma delta and more words follow after that"
+    )
+    assert got[1]["n_removed_tokens"] == 7
+    # span-free doc passes through whole (lowercased tokenization)
+    assert got[3]["n_removed_tokens"] == 0 and got[3]["n_tokens"] == 14
+    # fully-duplicated doc empties out
+    assert got[4]["clean_text"] == "" and got[4]["n_removed_tokens"] == 18
+
+
+def test_duplicate_spans_freq_join_not_forced_broadcast(spark):
+    """The window-frequency relation is corpus-derived and unbounded —
+    it must never be force-broadcast (the unigram-LM lesson)."""
+    from hdk_spark.operators.dedup import duplicate_spans
+
+    p = (
+        duplicate_spans(_span_docs(spark), n=5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "ResolvedHint" not in p  # no forced broadcast hint anywhere

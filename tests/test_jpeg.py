@@ -71,15 +71,55 @@ def test_decode_determinism():
     assert (a == b).all()
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_unsupported_sof_and_garbage():
     img = _smooth_rgb(16, 16)
     data = bytearray(jpeg.encode_jpeg(img))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[sof + 1] = 0xC3  # flip SOF0 → SOF3 (lossless — unsupported)
+    with pytest.raises(ValueError, match="SOF"):
         jpeg.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="JPEG"):
         jpeg.decode_jpeg(b"plain text bytes")
+
+
+def test_mislabeled_progressive_rejected():
+    # a baseline stream whose SOF marker is flipped to SOF2 carries a
+    # full-band Ss=0..Se=63 scan header — illegal for progressive
+    # (DC scans must have Se = 0) and must not decode silently
+    img = _smooth_rgb(16, 16)
+    data = bytearray(jpeg.encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se = 0"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """The progressive scan script (DC first/refine, two AC bands
+    first/refine, EOB-run coding) must reconstruct the EXACT quantized
+    coefficients — pixels bit-identical to the baseline encoding."""
+    for img, kw in [
+        (_smooth_rgb(16, 24), {}),
+        (_smooth_rgb(29, 37), {}),                      # odd dims
+        (_smooth_rgb(33, 41), {"subsample": True}),     # 4:2:0 MCU walk
+        ((np.mgrid[0:16, 0:24][0] * 7 % 256).astype(np.uint8), {}),
+        (np.random.RandomState(5).randint(
+            0, 256, (24, 24, 3), dtype=np.uint8), {}),  # dense AC runs
+        (np.full((8, 8, 3), 77, np.uint8), {}),         # pure-EOB blocks
+    ]:
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, **kw))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=85, progressive=True, **kw)
+        )
+        assert (base == prog).all()
+
+
+def test_progressive_header_is_sof2():
+    data = jpeg.encode_jpeg(_smooth_rgb(16, 16), progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # multiple scans: one interleaved DC + 2 AC bands x 3 comps, then
+    # refinements — 8 SOS markers minimum
+    assert data.count(b"\xff\xda") >= 8
 
 
 def test_decode_image_real_codec_mixed_png_jpeg(spark):
