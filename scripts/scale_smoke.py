@@ -254,6 +254,17 @@ def main() -> None:
         spark.table("documents"), mode="words", words_per_segment=3,
         max_freq=2), n=1))
 
+    from hdk_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    print("duplicate_spans_n4:", best(lambda: duplicate_spans(
+        spark.table("documents"), n=4, min_count=2), n=1))
+    _sp = duplicate_spans(spark.table("documents"), n=4, min_count=2)
+    print("remove_duplicate_spans:", best(lambda: remove_duplicate_spans(
+        spark.table("documents"), _sp), n=1))
+
     from hdk_spark.operators.sampling import mixture_plan, shuffle_shards
 
     print("shuffle_shards_64:", best(lambda: shuffle_shards(
