@@ -201,9 +201,11 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "q7/q9 regression attributed: md5 basis +40%, "
-                "fold dots 7x; defaults reverted to crc32/vectorized, "
-                "oracle paths pinned in contract queries only",
+                "notes": "r5: no headline-path changes (round spent on "
+                "sign-of-zero normalization, progressive JPEG, "
+                "repeated-substring span dedup, oracle rows for the "
+                "curation trio); defaults remain crc32/xxhash64/"
+                "vectorized with oracle bases pinned contract-side only",
             }
         )
     )

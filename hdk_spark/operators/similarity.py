@@ -360,3 +360,32 @@ def ann_lsh_topk(
         .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
                 round6("cosine").alias("cosine"))
     )
+
+
+# measured LSH→IVF crossover (SCALE.md, d=64/8 tables): the LSH bucket
+# cache is n_tables × vector storage and IVF wins wall-clock from
+# ~100k corpus vectors up (200k: 5.2 s vs 13.9 s; 1M: 8.3 s vs 19.3 s)
+ANN_LSH_MAX_VECTORS = 100_000
+
+
+def ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vectors: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Size-dispatched approximate top-k: :func:`ann_lsh_topk` below
+    ``ANN_LSH_MAX_VECTORS`` corpus vectors (no training, no centroid
+    broadcast), :func:`ann_ivf_topk` above it (×1 vector storage vs
+    LSH's ×n_tables cached bucket relation — the measured boundary in
+    SCALE.md). Pass ``n_vectors`` when the caller already knows the
+    corpus size (catalog stats, a prior count) to skip the one
+    counting pass; extra ``kwargs`` flow to the chosen variant."""
+    if n_vectors is None:
+        n_vectors = df.count()
+    if n_vectors <= ANN_LSH_MAX_VECTORS:
+        return ann_lsh_topk(df, query_ids, k, id_col, vec_col, **kwargs)
+    return ann_ivf_topk(df, query_ids, k, id_col, vec_col, **kwargs)

@@ -521,3 +521,76 @@ def test_duplicate_spans_freq_join_not_forced_broadcast(spark):
     )
     assert "CartesianProduct" not in p
     assert "ResolvedHint" not in p  # no forced broadcast hint anywhere
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    """Randomized corpora vs a brute-force reference: window counting,
+    min_count thresholding, island merging, and the rewrite must agree
+    exactly (the segment_dedup reference-test pattern)."""
+    import random
+
+    from hdk_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(4):
+        n = rng.choice([2, 3])
+        min_count = rng.choice([2, 3])
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for _ in range(12)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id: long, text: string"
+        )
+        got_spans = sorted(
+            map(tuple, duplicate_spans(
+                df, n=n, min_count=min_count, basis="text").collect())
+        )
+        got_clean = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"],
+                          r["n_removed_tokens"])
+            for r in remove_duplicate_spans(
+                df, duplicate_spans(df, n=n, min_count=min_count,
+                                    basis="text")
+            ).collect()
+        }
+        # brute-force reference
+        from collections import Counter
+
+        tok_lists = [t.lower().split() for t in texts]
+        freq = Counter(
+            " ".join(toks[i : i + n])
+            for toks in tok_lists
+            for i in range(len(toks) - n + 1)
+        )
+        exp_spans = []
+        exp_clean = {}
+        for d, toks in enumerate(tok_lists):
+            dup_pos = [
+                i for i in range(len(toks) - n + 1)
+                if freq[" ".join(toks[i : i + n])] >= min_count
+            ]
+            spans = []
+            for p in dup_pos:
+                if spans and p - spans[-1][1] <= n:  # merge: gap <= n starts
+                    spans[-1][1] = p
+                    spans[-1][2] += 1
+                else:
+                    spans.append([p, p, 1])
+            for s, e_start, cnt in spans:
+                exp_spans.append((d, s, e_start + n - 1, cnt))
+            covered = set()
+            for s, e_start, _cnt in spans:
+                covered.update(range(s, e_start + n))
+            kept = [t for i, t in enumerate(toks) if i not in covered]
+            # docs tokenizing to [''] (empty text) count 1 token like
+            # Spark's split-of-empty behavior
+            ntok = len(toks) if toks else 1
+            exp_clean[d] = (" ".join(kept) if toks else "",
+                            ntok, len(covered))
+        assert got_spans == sorted(exp_spans), (trial, n, min_count)
+        assert got_clean == exp_clean, (trial, n, min_count)

@@ -154,3 +154,29 @@ def test_resize_real_codec_keeps_jpeg_format(spark):
     dec = jpeg.decode_jpeg(bytes(out["data"]))
     assert dec.shape == (8, 16, 3)
     assert out["meta"]["width"] == 16 and out["meta"]["height"] == 8
+
+
+def test_progressive_roundtrip_randomized():
+    """Seeded random sizes/contents/quality: the progressive scan
+    pipeline (EOB-run lengths, ZRL-in-refinement, correction-bit
+    buffering) must reproduce baseline pixels on every draw."""
+    rng = np.random.RandomState(17)
+    for _ in range(6):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        q = int(rng.choice([35, 60, 85, 95]))
+        gray = bool(rng.randint(0, 2))
+        shape = (h, w) if gray else (h, w, 3)
+        # mix smooth gradients with noise so AC bands hit both
+        # long EOB runs and dense coefficient runs
+        base = np.fromfunction(
+            lambda y, x, *c: (x * 5 + y * 3) % 256, shape
+        )
+        img = np.clip(
+            base + rng.randint(-30, 31, shape), 0, 255
+        ).astype(np.uint8)
+        b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        p = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=q, progressive=True)
+        )
+        assert (b == p).all(), (h, w, q, gray)

@@ -87,3 +87,17 @@ def test_ann_candidates_scored_exactly(emb):
         key = (r["qid"], r["neighbor_id"])
         if key in exact:
             assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_ann_topk_size_dispatch(spark):
+    """ann_topk routes below/above the measured LSH→IVF boundary and
+    both routes return the (qid, neighbor_id, rank, cosine) contract."""
+    from hdk_spark.operators import similarity as sim
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = sim.ann_topk(df, [0, 1], k=3, n_vectors=10)        # LSH route
+    big = sim.ann_topk(df, [0, 1], k=3,
+                       n_vectors=sim.ANN_LSH_MAX_VECTORS + 1)  # IVF route
+    assert small.columns == ["qid", "neighbor_id", "rank", "cosine"]
+    assert big.columns == ["qid", "neighbor_id", "rank", "cosine"]
+    assert small.count() > 0 and big.count() > 0
