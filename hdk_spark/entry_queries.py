@@ -3048,7 +3048,7 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(AVG(ln(f.c / CAST(tot.s AS DOUBLE))), 6) AS avg_logprob
+       round(AVG(ln(f.c / CAST(tot.s AS DOUBLE))), 6) + 0 AS avg_logprob
 FROM tok JOIN f USING (token) CROSS JOIN tot
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -3199,7 +3199,7 @@ SELECT key, grid_ts,
                   ELSE last_val + (next_val - last_val) * COALESCE(
                     (floor(epoch(grid_ts)) - floor(epoch(last_ts)))
                     / NULLIF(CAST(floor(epoch(next_ts)) - floor(epoch(last_ts)) AS DOUBLE), 0),
-                    0.0) END, 6) AS value,
+                    0.0) END, 6) + 0 AS value,
        obs_value IS NOT NULL AS observed
 FROM filled ORDER BY key, grid_ts
 """
@@ -3389,7 +3389,7 @@ WITH t AS (
 )
 SELECT p.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       round(AVG(ln(counts.c / CAST(ctx.cx AS DOUBLE))), 6) AS avg_logprob
+       round(AVG(ln(counts.c / CAST(ctx.cx AS DOUBLE))), 6) + 0 AS avg_logprob
 FROM pairs p
 JOIN counts ON p.w1 = counts.w1 AND p.w2 = counts.w2
 JOIN ctx ON p.w1 = ctx.w1
@@ -3427,7 +3427,7 @@ WITH tok AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        round(AVG(ln(COALESCE(kept.c, unk.uc) / CAST(tot.s AS DOUBLE))), 6)
-         AS avg_logprob
+         + 0 AS avg_logprob
 FROM tok LEFT JOIN kept USING (token) CROSS JOIN tot CROSS JOIN unk
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -3467,7 +3467,7 @@ WITH t AS (
 SELECT p.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        round(AVG(ln(COALESCE(kept.c, unk.uc, 1) / CAST(ctx.cx AS DOUBLE))), 6)
-         AS avg_logprob
+         + 0 AS avg_logprob
 FROM pairs p
 LEFT JOIN kept ON p.w1 = kept.w1 AND p.w2 = kept.w2
 LEFT JOIN unk ON p.w1 = unk.w1
@@ -3516,7 +3516,7 @@ WITH tok AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        round(AVG(ln(COALESCE(kept.c, unk.uc) / CAST(tot.s AS DOUBLE))), 6)
-         AS avg_logprob
+         + 0 AS avg_logprob
 FROM tok LEFT JOIN kept USING (token) CROSS JOIN tot CROSS JOIN unk
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -4356,7 +4356,7 @@ WITH tgt AS (
 SELECT p.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        round(AVG(ln(COALESCE(kept.c, unk.uc, 1) / CAST(ctx.cx AS DOUBLE))), 6)
-         AS avg_logprob
+         + 0 AS avg_logprob
 FROM pairs p
 JOIN ctx ON p.w1 = ctx.w1
 LEFT JOIN kept ON p.w1 = kept.w1 AND p.w2 = kept.w2

@@ -243,7 +243,7 @@ def resample_fill(
     return g.select(
         "key",
         "grid_ts",
-        F.round(filled, 6).alias("value"),
+        round6(filled).alias("value"),
         F.col("obs_value").isNotNull().alias("observed"),
     )
 

@@ -416,7 +416,7 @@ def unigram_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        round6(F.avg("__lp")).alias("avg_logprob"),
     )
 
 
@@ -613,7 +613,7 @@ def bigram_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        round6(F.avg("__lp")).alias("avg_logprob"),
     )
 
 

@@ -132,3 +132,23 @@ def test_star_cc_large_id_domain_no_overflow(spark):
     comps = {r["comp"] for r in rows}
     assert comps == {base, base + 1000}
     assert len(rows) == 82
+
+
+def test_star_cc_raises_on_max_rounds_exhaustion(spark):
+    """An unconverged edge list is not a star decomposition — the
+    operator must raise rather than return wrong components, and
+    record the non-convergence in stats."""
+    import pytest
+
+    from hdk_spark.operators.graph import connected_components_star
+
+    # an 8-hop path needs ~3 alternating rounds; 1 round cannot finish
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a: long, id_b: long"
+    )
+    stats = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(
+            edges, "id_a", "id_b", max_rounds=1, stats=stats
+        )
+    assert stats.get("converged") is False and stats.get("rounds") == 1
