@@ -4171,8 +4171,8 @@ WITH b AS (
     AND CAST(o_totalprice AS DOUBLE) <= {hi!r}
 )
 SELECT bin,
-       round({lo!r} + (bin - 1) * {width!r}, 6) AS lo_edge,
-       round({lo!r} + bin * {width!r}, 6) AS hi_edge,
+       round({lo!r} + (bin - 1) * {width!r}, 6) + 0 AS lo_edge,
+       round({lo!r} + bin * {width!r}, 6) + 0 AS hi_edge,
        COUNT(*) AS n
 FROM b GROUP BY bin ORDER BY bin
 """

@@ -146,10 +146,10 @@ def histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "bin",
-            F.round(F.lit(lo) + (F.col("bin") - 1) * F.lit(width), 6).alias(
+            round6(F.lit(lo) + (F.col("bin") - 1) * F.lit(width)).alias(
                 "lo_edge"
             ),
-            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("hi_edge"),
+            round6(F.lit(lo) + F.col("bin") * F.lit(width)).alias("hi_edge"),
             "n",
         )
         .orderBy("bin")
