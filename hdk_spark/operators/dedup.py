@@ -1389,7 +1389,14 @@ def remove_duplicate_spans(
     Scale shape: spans collapse to one array per doc (bounded: spans
     are disjoint maximal islands, ≤ tokens/n of them), ONE equi-join
     back to the corpus, then a map-only indexed-token filter with JVM
-    higher-order functions — no Python, no second corpus pass."""
+    higher-order functions — no Python, no second corpus pass.
+
+    Composition note: ``clean_text`` is a higher-order-function
+    expression; Spark cannot evaluate a pandas UDF whose argument
+    inlines it (INTERNAL_ERROR "Cannot evaluate expression: _udf(...)"
+    under subexpression elimination). Put a cache/checkpoint boundary
+    between this operator and any Arrow-UDF consumer (e.g. minhash
+    sketching) — ``.persist()`` suffices, as the pipeline demo does."""
     sp = spans.groupBy(F.col(id_col).alias("id")).agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"),

@@ -1,10 +1,11 @@
 """End-to-end training-data curation pipeline on hdk_spark — the
 operators composed the way a real corpus job chains them:
 
-  ingest → text profile + quality gate → PII redaction →
-  segment-level (line) dedup → minhash near-dup pairs → keep-best
-  collapse → decontamination vs an eval set → token-budget mixture
-  plan → per-source down-sampling → deterministic shuffle shards →
+  ingest → text profile + quality gate → Gopher rule gate →
+  PII redaction → segment-level (line) dedup → repeated-substring
+  span removal → minhash near-dup pairs → keep-best collapse →
+  decontamination vs an eval set → token-budget mixture plan →
+  per-source down-sampling → deterministic shuffle shards →
   sequence packing → z-ordered parquet export
 
 Run: python scripts/pipeline_demo.py [sf_dir] [out_dir]
@@ -61,6 +62,17 @@ def main() -> None:
     )
     stats["after_quality"] = kept.count()
 
+    # 1b. Gopher heuristic rules (word count / word length / symbol /
+    # bullet / stopword floors) — the published gate most pipelines
+    # apply before anything expensive
+    from hdk_spark.operators.text import gopher_quality_flags
+
+    gflags = gopher_quality_flags(kept, min_words=30)
+    kept = kept.join(
+        gflags.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    stats["after_gopher"] = kept.count()
+
     # 2. PII scrub (map-only) — redacted text becomes THE text
     red = redact_pii(kept).select(
         "doc_id", F.col("redacted").alias("text")
@@ -76,6 +88,30 @@ def main() -> None:
         .withColumn("n_tokens", F.col("n_segs") * 3)
     )
     stats["after_segment_dedup"] = seg.count()
+
+    # 3b. exact repeated-substring span removal (Lee et al.): cut
+    # cross-document boilerplate runs the line pass can't localize
+    from hdk_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    spans = duplicate_spans(seg, id_col="doc_id", text_col="text", n=6)
+    seg = (
+        remove_duplicate_spans(seg, spans, id_col="doc_id",
+                               text_col="text")
+        .filter(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"),
+                (F.col("n_tokens") - F.col("n_removed_tokens"))
+                .alias("n_tokens"))
+        .join(seg.select("doc_id", "source"), "doc_id")
+    )
+    # persist: seg feeds three consumers (minhash sketching — whose
+    # Arrow UDF cannot take the span-rewrite HOF expression inline —
+    # keep-best scoring, and the final join); the cache boundary also
+    # gives the UDF a plain column input
+    seg = seg.persist()
+    stats["after_span_dedup"] = seg.count()
 
     # 4. document near-dup pairs → keep best per cluster
     pairs = minhash_lsh_dedup(seg, id_col="doc_id", text_col="text",
