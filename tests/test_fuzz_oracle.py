@@ -389,3 +389,58 @@ def test_random_subquery_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# grouping-sets / rollup / cube grammar (round 5: the multi-grain
+# shapes — beyond the reference's rejected GROUP BY extensions — that
+# the flat agg grammar cannot reach; NULL grouping keys exercise the
+# comparator's null normalization)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def grouping_queries(draw):
+    keys = draw(
+        st.lists(st.sampled_from(KEY_COLS), min_size=2, max_size=3,
+                 unique=True)
+    )
+    form = draw(st.sampled_from(["ROLLUP", "CUBE", "SETS"]))
+    agg = draw(st.sampled_from(
+        ["COUNT(*)", "CAST(SUM(l_orderkey) AS BIGINT)", "SUM(l_quantity)",
+         "MIN(l_linenumber)"]
+    ))
+    where = draw(st.lists(preds, min_size=0, max_size=2))
+    having = draw(st.sampled_from([None, "COUNT(*) > 5"]))
+    kl = ", ".join(keys)
+    if form == "SETS":
+        # the full ladder plus the grand total
+        sets = ", ".join(f"({k})" for k in keys)
+        group = f"GROUPING SETS ({sets}, ({kl}), ())"
+    else:
+        group = f"{form}({kl})"
+    sql = f"SELECT {kl}, {agg} AS a0 FROM lineitem"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    sql += f" GROUP BY {group}"
+    # documented engine divergence (not an hdk_spark bug): over EMPTY
+    # input Spark's grouping sets emit zero rows while DuckDB emits the
+    # SQL-standard grand-total row (NULL..., 0) — fence it out so the
+    # fuzz compares the shared semantics
+    sql += " HAVING COUNT(*) > 0"
+    if having:
+        sql += f" AND {having}"
+    return sql
+
+
+@given(sql=grouping_queries())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_grouping_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
