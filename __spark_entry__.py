@@ -58,6 +58,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> None:
     # 200-partition default just adds per-task overhead at ≤600k rows;
     # AQE coalescing handles the rest either way)
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # ship the package to Python workers: pandas-UDF closures that
+    # reference hdk_spark module helpers must unpickle under ANY
+    # driver session/cwd, not just ones launched from the repo root
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

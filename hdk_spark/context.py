@@ -36,6 +36,11 @@ class HDK:
     def __init__(self, spark: SparkSession | None = None, **config: Any):
         self.spark = spark or get_spark(**{str(k): str(v) for k, v in config.items()})
         self._tables: dict[str, DataFrame] = {}
+        # pandas-UDF kernels must unpickle on workers regardless of the
+        # caller's session/cwd — ship the package once per context
+        from hdk_spark.session import ensure_shipped
+
+        ensure_shipped(self.spark)
 
     # ------------------------------------------------------------------
     # storage verbs (reference ArrowStorage / pyhdk HDK methods)

@@ -68,3 +68,42 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the hdk_spark package to Python workers via ``addPyFile``.
+
+    Closures passed to ``mapInPandas``/``pandas_udf`` that reference
+    module-level helpers are cloudpickled BY REFERENCE (the module is
+    importable in the driver), so the worker must be able to
+    ``import hdk_spark`` too. Under the repo's own sessions or a
+    driver whose cwd is the repo root that works incidentally (the
+    worker's ``-m``-style launch puts the cwd on sys.path); under an
+    arbitrary vanilla session it does not — the worker dies with
+    ``ModuleNotFoundError: No module named 'hdk_spark'`` before any
+    UDF code runs. Shipping a zip of the package through Spark's own
+    file distribution makes every kernel cwd/PYTHONPATH-independent.
+    Idempotent per SparkContext; ~100 KB once per session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_hdk_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="hdk_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "hdk_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._hdk_spark_shipped = True

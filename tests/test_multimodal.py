@@ -390,3 +390,30 @@ def test_image_phash_deterministic_and_resize_invariant(spark):
         return bin((x ^ y) & ((1 << 64) - 1)).count("1")
 
     assert ham(a[0], a[1]) <= 6
+
+
+def test_kernels_unpickle_with_foreign_cwd():
+    """Pandas-UDF closures referencing hdk_spark module helpers must
+    run under a session whose driver cwd is NOT the repo root (the
+    external driver's situation): load_tables ships the package via
+    addPyFile, so the worker can import hdk_spark without relying on
+    the cwd landing on sys.path."""
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as mod
+out = mod.queries()["multimodal_decode"](spark, "/root/testdata/sf0.001")
+assert out.count() > 0
+print("FOREIGN_CWD_OK")
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", script], cwd="/tmp",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "FOREIGN_CWD_OK" in r.stdout, r.stderr[-2000:]
