@@ -325,6 +325,7 @@ _PRIORITY: list[str] = [
     "linkage_fuzzy_join",
     "dedup_duplicate_spans",
     "dedup_remove_spans",
+    "dedup_sketch_pr",
     # stable greens
     "agg_basic_stats",
     "agg_conditional_promo",

@@ -5469,3 +5469,65 @@ SPARK_IMPLS["dedup_duplicate_spans"] = q_dedup_duplicate_spans
 ORACLES["dedup_duplicate_spans"] = _DUP_SPANS_ORACLE
 SPARK_IMPLS["dedup_remove_spans"] = q_dedup_remove_spans
 ORACLES["dedup_remove_spans"] = _REMOVE_SPANS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 5: sketch precision/recall tuning report — the measured answer
+# to "are (num_perm, bands) right for this corpus?" before a full run.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_sketch_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH quality report vs exact n-gram Jaccard
+    (operators/dedup.py::sketch_pr_report) with a deliberately noisy
+    sketch (16 perms / 8 bands) at threshold 0.1 so the FP arithmetic
+    is exercised (md5 basis pinned — the oracle reproduces both passes
+    and must land on identical precision/recall/F1)."""
+    from hdk_spark.operators.dedup import sketch_pr_report
+
+    _tables(spark, sf_dir)
+    return sketch_pr_report(
+        spark.table("documents"), threshold=0.1, num_perm=16, bands=8,
+        hash_basis="md5",
+    )
+
+
+def _sketch_pr_oracle() -> str:
+    exact_sql = _NGRAM_JACCARD_ORACLE.replace(">= 0.5", ">= 0.1")
+    approx_sql = _minhash_oracle(
+        n=3, num_perm=16, bands=8, threshold=0.1
+    )
+    return f"""
+WITH exact AS (
+  SELECT id_a, id_b FROM ( {exact_sql} )
+), approx AS (
+  SELECT id_a, id_b FROM ( {approx_sql} )
+), j AS (
+  SELECT COALESCE(e.id_a, a.id_a) AS ia,
+         e.id_a IS NOT NULL AS in_e, a.id_a IS NOT NULL AS in_a
+  FROM exact e FULL OUTER JOIN approx a
+       ON e.id_a = a.id_a AND e.id_b = a.id_b
+), c AS (
+  SELECT CAST(SUM(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT in_e AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN in_e AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT nd.n_docs,
+       c.tp + c.fn AS exact_pairs,
+       c.tp + c.fp AS approx_pairs,
+       c.tp AS true_pos, c.fp AS false_pos, c.fn AS false_neg,
+       round(COALESCE(CAST(c.tp AS DOUBLE) / NULLIF(c.tp + c.fp, 0), 0.0), 6)
+         + 0 AS precision,
+       round(COALESCE(CAST(c.tp AS DOUBLE) / NULLIF(c.tp + c.fn, 0), 0.0), 6)
+         + 0 AS recall,
+       round(COALESCE(2.0 * c.tp / NULLIF(2.0 * c.tp + c.fp + c.fn, 0), 0.0), 6)
+         + 0 AS f1
+FROM c, nd
+"""
+
+
+SPARK_IMPLS["dedup_sketch_pr"] = q_dedup_sketch_pr
+ORACLES["dedup_sketch_pr"] = _sketch_pr_oracle()

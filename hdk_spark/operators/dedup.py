@@ -1430,3 +1430,77 @@ def remove_duplicate_spans(
         (F.size("__toks") - F.size(kept)).cast("long")
         .alias("n_removed_tokens"),
     )
+
+
+def sketch_pr_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    hash_basis: str = "crc32",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Measured precision/recall/F1 of the MinHash-LSH pass against
+    exact n-gram Jaccard ≥ threshold on the SAME relation — the
+    'measure, don't guess' step before committing (num_perm, bands)
+    to a full corpus run: run it on a hash-sampled slice
+    (:func:`hdk_spark.operators.sampling.hash_sample`), read the
+    report, then sketch the corpus with tuned parameters.
+
+    One row: n_docs, exact_pairs, approx_pairs, true_pos, false_pos,
+    false_neg, precision, recall, f1 (rates 0.0 when undefined).
+    A false positive is an emitted pair whose signature agreement
+    cleared the threshold but whose exact Jaccard does not; a false
+    negative is a true pair LSH banding never surfaced.
+
+    Scale shape: both passes are the existing sub-quadratic operators;
+    the comparison is ONE full-outer equi-join on (id_a, id_b) — the
+    pair relations, not the corpus — and a single-row aggregate. Run
+    on a sample by construction: exact n-gram Jaccard on the full
+    corpus is exactly the cost the sketch exists to avoid."""
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold
+    ).select("id_a", "id_b", F.lit(1).alias("__e"))
+    approx = minhash_lsh_dedup(
+        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
+        bands=bands, threshold=threshold, seed=seed,
+        max_bucket_size=max_bucket_size, hash_basis=hash_basis,
+    ).select("id_a", "id_b", F.lit(1).alias("__a"))
+    j = exact.join(approx, ["id_a", "id_b"], "full_outer")
+    counts = j.agg(
+        F.sum(
+            F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("true_pos"),
+        F.sum(
+            F.when(F.col("__e").isNull() & F.col("__a").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("false_pos"),
+        F.sum(
+            F.when(F.col("__e").isNotNull() & F.col("__a").isNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("false_neg"),
+    )
+    ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tp = F.col("true_pos").cast("double")
+    fp = F.col("false_pos").cast("double")
+    fn = F.col("false_neg").cast("double")
+    prec = F.coalesce(tp / F.nullif(tp + fp, F.lit(0.0)), F.lit(0.0))
+    rec = F.coalesce(tp / F.nullif(tp + fn, F.lit(0.0)), F.lit(0.0))
+    f1 = F.coalesce(
+        F.lit(2.0) * tp / F.nullif(F.lit(2.0) * tp + fp + fn, F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return counts.crossJoin(F.broadcast(ndocs)).select(
+        "n_docs",
+        (F.col("true_pos") + F.col("false_neg")).alias("exact_pairs"),
+        (F.col("true_pos") + F.col("false_pos")).alias("approx_pairs"),
+        "true_pos", "false_pos", "false_neg",
+        round6(prec).alias("precision"),
+        round6(rec).alias("recall"),
+        round6(f1).alias("f1"),
+    )

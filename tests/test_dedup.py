@@ -594,3 +594,39 @@ def test_duplicate_spans_matches_python_reference(spark):
                             ntok, len(covered))
         assert got_spans == sorted(exp_spans), (trial, n, min_count)
         assert got_clean == exp_clean, (trial, n, min_count)
+
+
+def test_sketch_pr_report_planted_counts(spark):
+    """Planted corpus: two exact clones (always found) and one
+    moderate-overlap pair the coarse 4-perm sketch can miss — the
+    report's counts must reconcile with the two underlying passes."""
+    from hdk_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+        sketch_pr_report,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # clone of 1
+        (3, "alpha beta gamma delta other words here now"),    # partial
+        (4, "totally unrelated content nothing shared at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    kw = dict(n=3, threshold=0.3, num_perm=4, bands=2)
+    rep = sketch_pr_report(df, **kw).collect()[0]
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(
+        df, n=3, threshold=0.3).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in minhash_lsh_dedup(
+        df, **kw).collect()}
+    assert rep["n_docs"] == 4
+    assert rep["exact_pairs"] == len(exact)
+    assert rep["approx_pairs"] == len(approx)
+    assert rep["true_pos"] == len(exact & approx)
+    assert rep["false_pos"] == len(approx - exact)
+    assert rep["false_neg"] == len(exact - approx)
+    tp, fp, fn = rep["true_pos"], rep["false_pos"], rep["false_neg"]
+    if tp + fp:
+        assert rep["precision"] == round(tp / (tp + fp), 6)
+    if tp + fn:
+        assert rep["recall"] == round(tp / (tp + fn), 6)
