@@ -180,3 +180,23 @@ def test_progressive_roundtrip_randomized():
             jpeg.encode_jpeg(img, quality=q, progressive=True)
         )
         assert (b == p).all(), (h, w, q, gray)
+
+
+def test_decode_image_real_codec_progressive(spark):
+    """Progressive payloads flow through the same mapInPandas kernel as
+    baseline ones — the magic-byte dispatch doesn't distinguish SOF
+    types, the codec does."""
+    img = _smooth_rgb(16, 24)
+    rows = [
+        (0, bytearray(jpeg.encode_jpeg(img, quality=90)),
+         {"width": 24, "height": 16, "channels": 3, "format": "image/jpeg"}),
+        (1, bytearray(jpeg.encode_jpeg(img, quality=90, progressive=True)),
+         {"width": 24, "height": 16, "channels": 3, "format": "image/jpeg"}),
+    ]
+    df = spark.createDataFrame(rows, mm.media_table_schema("image"))
+    got = {r["media_id"]: r
+           for r in mm.decode_image(df, use_real_codec=True).collect()}
+    # identical pixels → identical stats, different byte streams
+    assert got[0]["pixel_mean"] == got[1]["pixel_mean"]
+    assert got[0]["pixel_std"] == got[1]["pixel_std"]
+    assert got[0]["byte_len"] != got[1]["byte_len"]
