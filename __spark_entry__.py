@@ -326,6 +326,8 @@ _PRIORITY: list[str] = [
     "dedup_duplicate_spans",
     "dedup_remove_spans",
     "dedup_sketch_pr",
+    "text_code_flags",
+    "streaming_span_flags",
     # stable greens
     "agg_basic_stats",
     "agg_conditional_promo",

@@ -5531,3 +5531,143 @@ FROM c, nd
 
 SPARK_IMPLS["dedup_sketch_pr"] = q_dedup_sketch_pr
 ORACLES["dedup_sketch_pr"] = _sketch_pr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 5: StarCoder-style code-corpus quality rules
+# ---------------------------------------------------------------------------
+
+
+def q_text_code_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus quality rules (operators/text.py::code_quality_flags)
+    over documents with synthesized line structure (' table '→newline)
+    and autogen markers (' slow '→' auto-generated ', which lands in
+    the 5-line head for some docs); tightened line-length thresholds so
+    the length rules split this corpus."""
+    from hdk_spark.operators.text import code_quality_flags
+
+    _tables(spark, sf_dir)
+    t = F.col("text")
+    p = F.replace(t, F.lit(" table "), F.lit("\n"))
+    p = F.replace(p, F.lit(" slow "), F.lit(" auto-generated "))
+    docs = spark.table("documents").select("doc_id", p.alias("text"))
+    return code_quality_flags(
+        docs, max_line_len=220, max_mean_line_len=80
+    ).orderBy("doc_id")
+
+
+_CODE_FLAGS_ORACLE = r"""
+WITH p AS (
+  SELECT doc_id,
+         replace(replace(text, ' table ', chr(10)),
+                 ' slow ', ' auto-generated ') AS t
+  FROM documents
+), f AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(t, '\r?\n'),
+                     s -> length(s) > 0) AS ne,
+         regexp_split_to_array(t, '\r?\n') AS lines
+  FROM p
+), m AS (
+  SELECT doc_id, t, ne,
+         len(ne) AS n_lines,
+         COALESCE(list_max(list_transform(ne, s -> CAST(length(s) AS BIGINT))),
+                  0) AS max_ll,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(ne, s -> CAST(length(s) AS BIGINT))),
+           (a, b) -> a + b) AS total_ll,
+         length(t) AS n_chars,
+         length(t) - length(regexp_replace(t, '[A-Za-z0-9]', '', 'g'))
+           AS n_alnum,
+         length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+           AS n_alpha,
+         contains(lower(array_to_string(lines[1:5], chr(10))),
+                  'auto-generated')
+         OR contains(lower(array_to_string(lines[1:5], chr(10))),
+                  'autogenerated')
+         OR contains(lower(array_to_string(lines[1:5], chr(10))),
+                  'generated by')
+         OR contains(lower(array_to_string(lines[1:5], chr(10))),
+                  'do not edit') AS autogen
+  FROM f
+), r AS (
+  SELECT doc_id, n_lines, max_ll,
+         CASE WHEN n_lines > 0
+              THEN CAST(total_ll AS DOUBLE) / n_lines ELSE 0.0 END AS mll,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_alnum AS DOUBLE) / n_chars ELSE 0.0 END AS anf,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS apf,
+         autogen
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(max_ll AS BIGINT) AS max_line_len,
+       round(mll, 6) AS mean_line_len,
+       round(anf, 6) AS alnum_frac,
+       round(apf, 6) AS alpha_frac,
+       autogen,
+       (max_ll <= 220) AND (mll <= 80) AND anf >= 0.25 AND apf >= 0.25
+         AND NOT autogen AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_code_flags"] = q_text_code_flags
+ORACLES["text_code_flags"] = _CODE_FLAGS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 5: streaming repeated-substring flagging (the stream_span_flags
+# crawl-ingest analog of duplicate_spans)
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest span flagging: documents with doc_id % 10 == 0
+    arrive as a stream; each of their 4-token windows is checked
+    against the stored window-frequency relation of the REST of the
+    corpus (operators/dedup.py::window_freq_relation) in a stateless
+    stream-static join that emits one row per duplicated window
+    (streaming.py::stream_span_flags). basis='text' pinned so the
+    oracle reproduces the keys."""
+    from hdk_spark.operators.dedup import window_freq_relation
+    from hdk_spark.streaming import stream_span_flags
+
+    _tables(spark, sf_dir)
+    new_stream = _documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    freq = window_freq_relation(
+        spark.table("documents").filter(F.col("doc_id") % 10 != 0),
+        n=4, basis="text",
+    )
+    out = stream_span_flags(new_stream, freq, n=4, basis="text")
+    name = _run_stream(out, "append")
+    return spark.table(name).orderBy("doc_id", "pos")
+
+
+_STREAM_SPAN_FLAGS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - 4 + 1),
+                i -> {'pos': i, 'win': array_to_string(toks[i+1:i+4], ' ')}))
+           AS u
+  FROM t WHERE len(toks) >= 4
+), wins AS (
+  SELECT doc_id, u.pos AS pos, u.win AS win FROM w
+), corp AS (
+  SELECT win FROM wins WHERE doc_id % 10 <> 0 GROUP BY win
+)
+SELECT n.doc_id, CAST(n.pos AS BIGINT) AS pos, n.win AS wkey
+FROM wins n JOIN corp c ON n.win = c.win
+WHERE n.doc_id % 10 = 0
+ORDER BY doc_id, pos
+"""
+
+SPARK_IMPLS["streaming_span_flags"] = q_streaming_span_flags
+ORACLES["streaming_span_flags"] = _STREAM_SPAN_FLAGS_ORACLE

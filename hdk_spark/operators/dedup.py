@@ -1291,6 +1291,61 @@ def segment_dedup(
 # ---------------------------------------------------------------------------
 
 
+def window_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    basis: str = "xxhash64",
+) -> DataFrame:
+    """(id, pos, wkey) — every n-token window of every document, the
+    shared construction of :func:`duplicate_spans`,
+    :func:`window_freq_relation`, and the streaming span flagger
+    (ONE definition so batch and streaming keys can never drift).
+    ``basis='xxhash64'`` keys windows by an 8-byte hash (the
+    production shuffle width); ``'text'`` keeps the exact string."""
+    if basis not in ("xxhash64", "text"):
+        raise ValueError(f"basis must be 'xxhash64' or 'text', got {basis!r}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice("__toks", i + 1, n), " ").alias("win"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select("id", F.explode(wins).alias("__w"))
+        .select(
+            "id",
+            F.col("__w.pos").cast("long").alias("pos"),
+            (
+                F.xxhash64("__w.win") if basis == "xxhash64"
+                else F.col("__w.win")
+            ).alias("wkey"),
+        )
+    )
+
+
+def window_freq_relation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    basis: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide (wkey, wc) window frequencies — the stored relation
+    an incremental/streaming ingest joins new documents against
+    (:func:`hdk_spark.streaming.stream_span_flags`); ~16 bytes/window
+    with the hash basis, one partial-agg groupBy to build."""
+    return window_rows(df, id_col, text_col, n, basis).groupBy("wkey").agg(
+        F.count(F.lit(1)).alias("wc")
+    )
+
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1329,29 +1384,7 @@ def duplicate_spans(
     a boilerplate window repeated millions of times is one frequency
     cell, and its per-doc occurrences land on AQE skew splitting.
     """
-    if basis not in ("xxhash64", "text"):
-        raise ValueError(f"basis must be 'xxhash64' or 'text', got {basis!r}")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size("__toks") - n),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.array_join(F.slice("__toks", i + 1, n), " ").alias("win"),
-        ),
-    )
-    staged = (
-        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
-        .filter(F.size("__toks") >= n)
-        .select("id", F.explode(wins).alias("__w"))
-        .select(
-            "id",
-            F.col("__w.pos").alias("pos"),
-            (
-                F.xxhash64("__w.win") if basis == "xxhash64"
-                else F.col("__w.win")
-            ).alias("wkey"),
-        )
-    )
+    staged = window_rows(df, id_col, text_col, n, basis)
     freq = staged.groupBy("wkey").agg(F.count(F.lit(1)).alias("wc"))
     dup = (
         staged.join(freq.filter(F.col("wc") >= min_count), "wkey")

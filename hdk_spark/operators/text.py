@@ -965,3 +965,76 @@ def ngram_repetition_signals(
             ).alias("dup_char_frac"),
         )
     )
+
+
+def code_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_len: int = 1000,
+    max_mean_line_len: int = 100,
+    min_alnum_frac: float = 0.25,
+    min_alpha_frac: float = 0.25,
+    autogen_markers: tuple = ("auto-generated", "autogenerated",
+                              "generated by", "do not edit"),
+) -> DataFrame:
+    """StarCoder-style source-file quality rules (Li et al. 2023,
+    "StarCoder: may the source be with you!", §3.1 preprocessing — the
+    published filter set for code corpora), ONE map-only projection:
+
+    - longest line ≤ ``max_line_len`` (minified / data blobs)
+    - mean line length ≤ ``max_mean_line_len``
+    - alphanumeric character fraction ≥ ``min_alnum_frac`` (binary /
+      encoded payloads masquerading as text)
+    - alphabetic character fraction ≥ ``min_alpha_frac`` (hex dumps,
+      number tables)
+    - no auto-generation marker in the first 5 lines (lockfiles,
+      protoc/swagger output — the marker convention the paper keys on)
+
+    Returns (id, n_lines, max_line_len, mean_line_len, alnum_frac,
+    alpha_frac, autogen, keep) — per-rule observability + verdict, the
+    code-corpus sibling of :func:`gopher_quality_flags`.
+
+    Scale shape: pure JVM column expressions (split / filter /
+    aggregate HOFs + regexp counts), no shuffle, no UDF — identical
+    per-row cost at any corpus size."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\r?\n")
+    nonempty = F.filter(lines, lambda s: F.length(s) > 0)
+    n_lines = F.size(nonempty)
+    line_lens = F.transform(nonempty, lambda s: F.length(s).cast("long"))
+    max_ll = F.coalesce(F.array_max(line_lens), F.lit(0).cast("long"))
+    total_ll = F.aggregate(
+        line_lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    mean_ll = F.when(n_lines > 0, total_ll / n_lines).otherwise(F.lit(0.0))
+    n_chars = F.length(t)
+    n_alnum = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z0-9]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    alnum_frac = F.when(
+        n_chars > 0, n_alnum.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_chars > 0, n_alpha.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    head = F.lower(F.array_join(F.slice(lines, 1, 5), "\n"))
+    autogen = F.lit(False)
+    for m in autogen_markers:
+        autogen = autogen | head.contains(m.lower())
+    keep = (
+        (max_ll <= max_line_len)
+        & (mean_ll <= max_mean_line_len)
+        & (alnum_frac >= min_alnum_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & ~autogen
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        max_ll.alias("max_line_len"),
+        F.round(mean_ll, 6).alias("mean_line_len"),
+        F.round(alnum_frac, 6).alias("alnum_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        autogen.alias("autogen"),
+        keep.alias("keep"),
+    )

@@ -332,3 +332,42 @@ def stream_minhash_dedup(
         )
         .filter(F.col("jaccard_est") >= F.lit(threshold))
     )
+
+
+def stream_span_flags(
+    new_stream: DataFrame,
+    window_freq: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_count: int = 1,
+    basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming repeated-substring flagging — the crawl-ingest analog
+    of :func:`hdk_spark.operators.dedup.duplicate_spans`: every
+    arriving document is checked for n-token windows already seen in
+    the STATIC corpus window-frequency relation (``window_freq``:
+    (wkey, wc) from a duplicate_spans-style counting pass over the
+    ingested corpus — stored once and joined, never rebuilt).
+
+    Emits one row per DUPLICATED window: (id, pos, wkey) — the same
+    per-event contract as :func:`stream_minhash_dedup`'s pair stream,
+    so the query is a stateless stream-static join (no watermark, no
+    aggregation state, append mode, runs indefinitely). Doc-level
+    rollups (dup-window fraction, quarantine routing) belong in the
+    sink or a foreachBatch, where per-batch aggregation is free;
+    exact span islands come from running the batch operator on the
+    routed documents.
+
+    Plan per micro-batch: map-only window explode on the NEW docs only
+    + ONE equi-join on the window key against the static relation.
+    ``basis`` must match how ``window_freq`` was keyed
+    ('xxhash64' production / 'text' exact)."""
+    from hdk_spark.operators.dedup import window_rows
+
+    staged = window_rows(new_stream, id_col, text_col, n, basis)
+    seen = window_freq.filter(F.col("wc") >= min_count).select("wkey")
+    return (
+        staged.join(seen, "wkey", "left_semi")
+        .select(F.col("id").alias(id_col), "pos", "wkey")
+    )

@@ -283,3 +283,34 @@ def test_ngram_repetition_no_join_two_exchanges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in p and p.count("Exchange") <= 2
+
+
+def test_code_quality_flags_rules(spark):
+    from hdk_spark.operators.text import code_quality_flags
+
+    good = "\n".join(f"def fn_{i}(x):\n    return x + {i}" for i in range(10))
+    minified = "x=1;" * 500                              # one huge line
+    hexdump = " ".join("0123456789" for _ in range(100))  # digit table
+    binaryish = "\x01\x02{}[]!!! ###" * 50               # low alnum
+    autogen = "# AUTO-GENERATED by protoc. DO NOT EDIT\n" + good
+    df = spark.createDataFrame(
+        [(1, good), (2, minified), (3, hexdump), (4, binaryish),
+         (5, autogen)],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in code_quality_flags(df).collect()}
+    assert rows[1]["keep"]
+    assert not rows[2]["keep"] and rows[2]["max_line_len"] > 1000
+    assert not rows[3]["keep"] and rows[3]["alpha_frac"] < 0.25
+    assert not rows[4]["keep"] and rows[4]["alnum_frac"] < 0.25
+    assert not rows[5]["keep"] and rows[5]["autogen"]
+    # per-rule observability survives the reject
+    assert rows[2]["n_lines"] == 1
+
+
+def test_code_quality_flags_map_only(spark):
+    from hdk_spark.operators.text import code_quality_flags
+
+    df = spark.createDataFrame([(1, "x = 1")], "doc_id: long, text: string")
+    p = code_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p

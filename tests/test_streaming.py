@@ -137,3 +137,43 @@ def test_stream_csv_ingest(spark, tmp_path, events_dir):
     st = streaming.stream_csv(spark, csv_dir, df.schema)
     got = _collect(spark, st.groupBy().count(), "t_csv", "complete")
     assert got.collect()[0][0] == df.count()
+
+
+def test_stream_span_flags_planted(spark, tmp_path):
+    """Planted corpus/stream: windows shared with the static relation
+    are emitted per position; fresh docs emit nothing; the streaming
+    query needs no watermark and runs in append mode (stateless)."""
+    from hdk_spark.operators.dedup import window_freq_relation
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "completely different static corpus content here")],
+        "doc_id: long, text: string",
+    )
+    freq = window_freq_relation(corpus, n=4, basis="text")
+
+    src = str(tmp_path / "span_stream")
+    spark.createDataFrame(
+        [(1, "prefix words the quick brown fox jumps and more"),
+         (2, "nothing in common with anything stored at all")],
+        "doc_id: long, text: string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    st = streaming.stream_parquet(spark, src, schema)
+
+    out = streaming.stream_span_flags(st, freq, n=4, basis="text")
+    assert out.isStreaming
+    got = _collect(spark, out, "t_span_flags", "append").collect()
+    rows = {(r["doc_id"], r["pos"]): r["wkey"] for r in got}
+    # doc 1 tokens: prefix words the quick brown fox jumps and more
+    # shared 4-windows with corpus doc 100: "the quick brown fox" at
+    # pos 2 and "quick brown fox jumps" at pos 3 ("brown fox jumps
+    # and" diverges from the corpus's "... jumps over")
+    assert set(rows) == {(1, 2), (1, 3)}
+    assert rows[(1, 2)] == "the quick brown fox"
+    # hash basis agrees with the text basis on the emitted positions
+    freq_h = window_freq_relation(corpus, n=4, basis="xxhash64")
+    st2 = streaming.stream_parquet(spark, src, schema)
+    out_h = streaming.stream_span_flags(st2, freq_h, n=4, basis="xxhash64")
+    got_h = _collect(spark, out_h, "t_span_flags_h", "append").collect()
+    assert {(r["doc_id"], r["pos"]) for r in got_h} == set(rows)
