@@ -261,6 +261,22 @@ def main() -> None:
 
     print("duplicate_spans_n4:", best(lambda: duplicate_spans(
         spark.table("documents"), n=4, min_count=2), n=1))
+
+    from hdk_spark.operators.text import (
+        c4_line_filter,
+        code_quality_flags,
+        gopher_quality_flags,
+        ngram_repetition_signals,
+    )
+
+    print("gopher_quality_flags:", best(lambda: gopher_quality_flags(
+        spark.table("documents"))))
+    print("c4_line_filter:", best(lambda: c4_line_filter(
+        spark.table("documents"))))
+    print("code_quality_flags:", best(lambda: code_quality_flags(
+        spark.table("documents"))))
+    print("ngram_repetition_signals:", best(lambda: ngram_repetition_signals(
+        spark.table("documents")), n=1))
     _sp = duplicate_spans(spark.table("documents"), n=4, min_count=2)
     print("remove_duplicate_spans:", best(lambda: remove_duplicate_spans(
         spark.table("documents"), _sp), n=1))
