@@ -328,6 +328,7 @@ _PRIORITY: list[str] = [
     "dedup_sketch_pr",
     "text_code_flags",
     "streaming_span_flags",
+    "text_vocab_coverage",
     # stable greens
     "agg_basic_stats",
     "agg_conditional_promo",

@@ -5671,3 +5671,52 @@ ORDER BY doc_id, pos
 
 SPARK_IMPLS["streaming_span_flags"] = q_streaming_span_flags
 ORACLES["streaming_span_flags"] = _STREAM_SPAN_FLAGS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 5: tokenizer-vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV report against the corpus's own top-20 terms
+    (operators/text.py::vocab_coverage, DataFrame-vocabulary join
+    path; top-k tie-break count desc / token asc is deterministic on
+    both engines)."""
+    from hdk_spark.operators.text import top_terms, vocab_coverage
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    vocab = top_terms(docs, "text", k=20).select("token")
+    return vocab_coverage(docs, vocab).orderBy("doc_id")
+
+
+_VOCAB_COVERAGE_ORACLE = r"""
+WITH vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ) t
+    WHERE len(token) >= 1
+    GROUP BY token
+  ) c ORDER BY n DESC, token LIMIT 20
+), e AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), j AS (
+  SELECT e.doc_id, e.tok, vocab.token IS NOT NULL AS hit
+  FROM e LEFT JOIN vocab ON e.tok = vocab.token
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       round(SUM(CASE WHEN hit THEN 0 ELSE 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_frac
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_vocab_coverage"] = q_text_vocab_coverage
+ORACLES["text_vocab_coverage"] = _VOCAB_COVERAGE_ORACLE

@@ -1038,3 +1038,64 @@ def code_quality_flags(
         autogen.alias("autogen"),
         keep.alias("keep"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage: how much of each
+    document a given word vocabulary explains — the corpus-fit signal
+    for sizing a vocabulary (or comparing tokenizers) BEFORE paying
+    for a full tokenization run; high OOV fraction also flags
+    wrong-language / encoding-damaged documents a lang-id pass misses.
+
+    ``vocab`` is either a Python list (small vocabularies inline as a
+    literal array → the whole pass is map-only, no shuffle) or a
+    single-column DataFrame of tokens (large vocabularies — e.g.
+    :func:`hdk_spark.operators.bpe.bpe_train`'s word inventory or a
+    corpus top-k from :func:`top_terms`): explode + one equi-join on
+    the token (NOT force-broadcast — a vocabulary relation is
+    unbounded, the unigram-LM lesson) + one per-doc re-aggregation.
+
+    Returns (id, n_tokens, n_oov, oov_frac); every occurrence counts
+    (token frequency weighting — the cost a tokenizer actually pays),
+    matching on lowercased whitespace tokens."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    if isinstance(vocab, (list, tuple, set)):
+        vlit = F.array(*[F.lit(str(v)) for v in sorted(set(vocab))])
+        n_tokens = F.size(toks)
+        n_in = F.size(F.filter(toks, lambda t: F.array_contains(vlit, t)))
+        n_oov = n_tokens - n_in
+        return df.select(
+            F.col(id_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.round(
+                F.when(n_tokens > 0, n_oov / n_tokens).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_frac"),
+        )
+    vdf = vocab.select(
+        F.col(vocab.columns[0]).alias("__vtok"), F.lit(1).alias("__v")
+    ).dropDuplicates(["__vtok"])
+    staged = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("__t"))
+    joined = staged.join(vdf, staged["__t"] == vdf["__vtok"], "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_frac"),
+        )
+    )

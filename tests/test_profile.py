@@ -314,3 +314,36 @@ def test_code_quality_flags_map_only(spark):
     df = spark.createDataFrame([(1, "x = 1")], "doc_id: long, text: string")
     p = code_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_vocab_coverage_list_and_df_paths_agree(spark):
+    """The map-only literal path and the join path must compute the
+    same report; known OOV counts on a planted corpus."""
+    from hdk_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "entirely novel words only"),
+         (3, "the the the")],
+        "doc_id: long, text: string",
+    )
+    vocab = ["the", "cat", "mat", "on"]
+    lst = {r["doc_id"]: r for r in vocab_coverage(df, vocab).collect()}
+    vdf = spark.createDataFrame([(v,) for v in vocab], "token: string")
+    jn = {r["doc_id"]: r for r in vocab_coverage(df, vdf).collect()}
+    assert lst == jn
+    # doc 1: 6 tokens, 'sat' is the only OOV occurrence
+    assert (lst[1]["n_tokens"], lst[1]["n_oov"]) == (6, 1)
+    assert lst[2]["oov_frac"] == 1.0
+    assert lst[3]["n_oov"] == 0 and lst[3]["oov_frac"] == 0.0
+
+
+def test_vocab_coverage_list_path_map_only(spark):
+    from hdk_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    p = (
+        vocab_coverage(df, ["a", "b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p and "Join" not in p
