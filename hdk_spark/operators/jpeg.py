@@ -677,6 +677,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
+    def emit_restart(self, idx: int) -> None:
+        """Byte-align and write RSTn (markers are never stuffed)."""
+        self.flush()
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _encode_block(bw, block_zz, pred, dc_codes, ac_codes) -> int:
     """Huffman-encode one zigzagged quantized block; returns new DC."""
@@ -718,6 +723,7 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode uint8 pixels ((h, w) grayscale or (h, w, 3) RGB) as a
     baseline JPEG — 4:4:4 by default, 4:2:0 (2×2 box-averaged chroma)
@@ -727,7 +733,12 @@ def encode_jpeg(
     SOF2 scan script (interleaved DC first/refine at Al=1→0, per-
     component AC bands 1-5 and 6-63 first/refine with EOB-run coding)
     — the round-trip witness for the progressive decoder; pixels
-    decode bit-identically to the baseline encoding of the image."""
+    decode bit-identically to the baseline encoding of the image.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (baseline) / MCUs-or-blocks (each
+    progressive scan) — the round-trip witness for the decoders'
+    restart-resync paths (DC predictors and EOB runs reset at every
+    marker per T.81 E.2.4/G.1.2.2)."""
     img = np.asarray(img)
     if img.ndim == 2:
         planes = [img.astype(np.float64) - 128.0]
@@ -796,9 +807,12 @@ def encode_jpeg(
         ).astype(np.int64)
         zz_arrays.append(zz)
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     if progressive:
         _write_progressive_scans(out, zz_arrays, samplings, h, w,
-                                 mcus_x, mcus_y, hmax, vmax)
+                                 mcus_x, mcus_y, hmax, vmax,
+                                 restart_interval)
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
@@ -819,8 +833,14 @@ def encode_jpeg(
     ac_codes = [_build_codes(*AC_LUMA)] + [_build_codes(*AC_CHROMA)] * (nc - 1)
     bw = _BitWriter()
     pred = [0] * nc
+    mcu = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.emit_restart(rst)
+                rst += 1
+                pred = [0] * nc
             for ci in range(nc):
                 hi, vi = samplings[ci]
                 for by in range(vi):
@@ -829,6 +849,7 @@ def encode_jpeg(
                         pred[ci] = _encode_block(
                             bw, zz, pred[ci], dc_codes[ci], ac_codes[ci]
                         )
+            mcu += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -849,7 +870,8 @@ _PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
 
 
 def _write_progressive_scans(out, zz_arrays, samplings, h, w,
-                             mcus_x, mcus_y, hmax, vmax) -> None:
+                             mcus_x, mcus_y, hmax, vmax,
+                             restart_interval: int = 0) -> None:
     nc = len(zz_arrays)
     for tid, (bits, values) in ((0x00, _PROG_DC), (0x10, _PROG_AC)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([tid])
@@ -875,8 +897,14 @@ def _write_progressive_scans(out, zz_arrays, samplings, h, w,
     sos(all_ids, 0, 0, 0, 1)
     bw = _BitWriter()
     pred = [0] * nc
+    mcu = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.emit_restart(rst)
+                rst += 1
+                pred = [0] * nc
             for ci in range(nc):
                 hi, vi = samplings[ci]
                 for by in range(vi):
@@ -891,6 +919,7 @@ def _write_progressive_scans(out, zz_arrays, samplings, h, w,
                             bw.write(
                                 diff if diff >= 0 else diff + (1 << n) - 1, n
                             )
+            mcu += 1
     bw.flush()
     out += bw.buf
     # 2. AC firsts per component, two spectral bands, Al=1
@@ -899,14 +928,19 @@ def _write_progressive_scans(out, zz_arrays, samplings, h, w,
             sos([ci + 1], ss, se, 0, 1)
             bw = _BitWriter()
             _encode_ac_first(bw, zz_arrays[ci], block_dims(ci), ss, se, 1,
-                             ac_codes)
+                             ac_codes, restart_interval)
             bw.flush()
             out += bw.buf
     # 3. DC refinement, interleaved, Ah=1 Al=0
     sos(all_ids, 0, 0, 1, 0)
     bw = _BitWriter()
+    mcu = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.emit_restart(rst)
+                rst += 1
             for ci in range(nc):
                 hi, vi = samplings[ci]
                 for by in range(vi):
@@ -916,6 +950,7 @@ def _write_progressive_scans(out, zz_arrays, samplings, h, w,
                             & 1,
                             1,
                         )
+            mcu += 1
     bw.flush()
     out += bw.buf
     # 4. AC refinements per component, Ah=1 Al=0
@@ -924,14 +959,17 @@ def _write_progressive_scans(out, zz_arrays, samplings, h, w,
             sos([ci + 1], ss, se, 1, 0)
             bw = _BitWriter()
             _encode_ac_refine(bw, zz_arrays[ci], block_dims(ci), ss, se, 0,
-                              ac_codes)
+                              ac_codes, restart_interval)
             bw.flush()
             out += bw.buf
 
 
-def _encode_ac_first(bw, zz, dims, ss, se, al, ac_codes) -> None:
+def _encode_ac_first(bw, zz, dims, ss, se, al, ac_codes,
+                     restart_interval: int = 0) -> None:
     by_n, bx_n = dims
     eobrun = 0
+    mcu = 0
+    rst = 0
 
     def flush():
         nonlocal eobrun
@@ -945,6 +983,11 @@ def _encode_ac_first(bw, zz, dims, ss, se, al, ac_codes) -> None:
 
     for byi in range(by_n):
         for bxi in range(bx_n):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush()  # an EOB run may not span a restart interval
+                bw.emit_restart(rst)
+                rst += 1
+            mcu += 1
             blk = zz[byi, bxi]
             vals = []
             for k in range(ss, se + 1):
@@ -983,11 +1026,14 @@ def _encode_ac_first(bw, zz, dims, ss, se, al, ac_codes) -> None:
     flush()
 
 
-def _encode_ac_refine(bw, zz, dims, ss, se, al, ac_codes) -> None:
+def _encode_ac_refine(bw, zz, dims, ss, se, al, ac_codes,
+                      restart_interval: int = 0) -> None:
     """Successive-approximation AC refinement writer (mirrors libjpeg
     encode_mcu_AC_refine: correction bits buffered across EOB runs)."""
     by_n, bx_n = dims
     eobrun = 0
+    mcu = 0
+    rst = 0
     be: list[int] = []  # correction bits deferred with the EOB run
 
     def flush():
@@ -1005,6 +1051,11 @@ def _encode_ac_refine(bw, zz, dims, ss, se, al, ac_codes) -> None:
 
     for byi in range(by_n):
         for bxi in range(bx_n):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush()  # drain the EOB run + buffered correction bits
+                bw.emit_restart(rst)
+                rst += 1
+            mcu += 1
             blk = zz[byi, bxi]
             absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
             pos = [int(blk[k]) >= 0 for k in range(ss, se + 1)]

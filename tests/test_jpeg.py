@@ -200,3 +200,36 @@ def test_decode_image_real_codec_progressive(spark):
     assert got[0]["pixel_mean"] == got[1]["pixel_mean"]
     assert got[0]["pixel_std"] == got[1]["pixel_std"]
     assert got[0]["byte_len"] != got[1]["byte_len"]
+
+
+def test_restart_markers_roundtrip_both_paths():
+    """DRI + RSTn emission exercises the decoders' restart-resync
+    paths: baseline MCU resync, progressive interleaved-DC predictor
+    reset, and the per-scan EOB-run reset in AC first/refine scans
+    (an EOB run may not span a restart interval). Pixels must match
+    the marker-free encoding exactly."""
+    img = _smooth_rgb(48, 64)
+    ref = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+    for kw in (
+        {"restart_interval": 3},
+        {"restart_interval": 1},
+        {"restart_interval": 3, "progressive": True},
+        {"restart_interval": 1, "progressive": True},
+    ):
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, **kw))
+        assert (ref == got).all(), kw
+    # markers are actually present
+    data = jpeg.encode_jpeg(img, quality=85, restart_interval=3,
+                            progressive=True)
+    assert b"\xff\xdd" in data
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+
+
+def test_restart_markers_roundtrip_subsampled():
+    img = _smooth_rgb(33, 41)
+    ref = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, subsample=True))
+    for prog in (False, True):
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg(
+            img, quality=85, subsample=True, progressive=prog,
+            restart_interval=2))
+        assert (ref == got).all(), prog
