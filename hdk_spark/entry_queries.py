@@ -5147,7 +5147,8 @@ def q_text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _tables(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    return ngram_repetition_signals(docs).orderBy("doc_id", "n")
+    # basis='text' pinned (production default is xxhash64 gram keys)
+    return ngram_repetition_signals(docs, basis="text").orderBy("doc_id", "n")
 
 
 _NGRAM_REP_ORACLE = r"""

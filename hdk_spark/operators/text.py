@@ -881,6 +881,7 @@ def ngram_repetition_signals(
     id_col: str = "doc_id",
     text_col: str = "text",
     ns: tuple = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+    basis: str = "xxhash64",
 ) -> DataFrame:
     """The full Gopher repetition-filter family (Rae et al. 2021
     §A1.1) at word-n-gram granularity: for every document and every
@@ -903,7 +904,15 @@ def ngram_repetition_signals(
     position (each tagged with its n), then two partial-agg groupBys
     keyed by the doc id — the same shape as repetition_signals, no
     join, no Python. Output amplification is len(ns) × tokens, the
-    unavoidable cost of the published definition."""
+    unavoidable cost of the published definition.
+
+    ``basis='xxhash64'`` (default — the production path) shuffles an
+    8-byte gram hash with the gram length carried alongside, instead
+    of the gram string itself (up to ~70 bytes at n=10): same counts
+    and masses unless two distinct grams of one document collide in
+    64 bits (~q²/2^64 — negligible, and contained to that document).
+    ``basis='text'`` groups on the exact string — what the
+    oracle-checked contract query pins (the crc32-vs-md5 trade)."""
     toks = tokenize(F.lower(F.col(text_col)))
     gram_structs = F.flatten(
         F.array(*[
@@ -932,17 +941,30 @@ def ngram_repetition_signals(
             F.col("__gs.n").alias("n"), F.col("__gs.g").alias("__g"),
         )
     )
-    per_gram = staged.groupBy(id_col, "n", "__g").agg(
+    if basis not in ("xxhash64", "text"):
+        raise ValueError(f"basis must be 'xxhash64' or 'text', got {basis!r}")
+    # gram key + length computed MAP-SIDE so the shuffle carries 8-byte
+    # hashes (production) or the string (contract pin), never both
+    key = F.when(
+        F.col("__g").isNotNull(),
+        F.xxhash64("__g") if basis == "xxhash64" else F.col("__g"),
+    )
+    keyed = staged.select(
+        F.col(id_col), "__chars", "n",
+        key.alias("__k"), F.length("__g").alias("__glen"),
+    )
+    per_gram = keyed.groupBy(id_col, "n", "__k").agg(
         F.count(F.lit(1)).alias("__c"),
         F.first("__chars").alias("__chars"),
-    ).withColumn("__glen", F.length("__g"))
+        F.first("__glen").alias("__glen"),
+    )
     per_doc_n = per_gram.groupBy(id_col, "n").agg(
         F.first("__chars").alias("__chars"),
-        F.sum(F.when(F.col("__g").isNotNull(), F.col("__c"))
+        F.sum(F.when(F.col("__k").isNotNull(), F.col("__c"))
               .otherwise(0)).alias("n_grams"),
-        F.max(F.when(F.col("__g").isNotNull(), F.col("__c") * F.col("__glen")))
+        F.max(F.when(F.col("__k").isNotNull(), F.col("__c") * F.col("__glen")))
          .alias("__topmass"),
-        F.sum(F.when(F.col("__g").isNotNull() & (F.col("__c") > 1),
+        F.sum(F.when(F.col("__k").isNotNull() & (F.col("__c") > 1),
                      F.col("__c") * F.col("__glen")).otherwise(0))
          .alias("__dupmass"),
     )
