@@ -4529,6 +4529,7 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="words",
         words_per_segment=3,
         max_freq=2,
+        basis="text",  # exact keys pinned (production: xxhash64)
     ).orderBy("doc_id")
 
 

@@ -1197,6 +1197,7 @@ def segment_dedup(
     words_per_segment: int = 3,
     max_freq: int = 1,
     join_sep: str | None = None,
+    basis: str = "xxhash64",
 ) -> DataFrame:
     """Sub-document exact dedup: drop every copy of a line/segment that
     appears more than ``max_freq`` times across the WHOLE corpus, then
@@ -1245,10 +1246,25 @@ def segment_dedup(
         segs = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast(
             "array<string>")).otherwise(segs)
 
+    if basis not in ("xxhash64", "text"):
+        raise ValueError(f"basis must be 'xxhash64' or 'text', got {basis!r}")
+    # basis='xxhash64' (default): the frequency groupBy and the freq
+    # join shuffle an 8-byte key instead of the segment text (a
+    # boilerplate line is often 50-200 bytes); a 64-bit collision can
+    # only merge two segments' counts (marginal over-removal), the
+    # conservative direction for dedup. basis='text' is exact — the
+    # oracle-checked contract pin.
+    raw_key = F.lower(F.col("seg"))
     staged = df.select(
         F.col(id_col).alias("id"),
         F.posexplode_outer(segs).alias("pos", "seg"),
-    ).withColumn("seg_key", F.lower(F.col("seg")))
+    ).withColumn(
+        "seg_key",
+        F.when(
+            F.col("seg").isNotNull(),
+            F.xxhash64(raw_key) if basis == "xxhash64" else raw_key,
+        ),
+    )
 
     freq = staged.filter(F.col("seg").isNotNull()).groupBy("seg_key").agg(
         F.count(F.lit(1)).alias("seg_freq")
