@@ -173,6 +173,11 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data) - 1:
+            raise ValueError(
+                "truncated JPEG stream: entropy-coded data ends "
+                "before the scan is complete"
+            )
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -368,8 +373,15 @@ def _skip_restart(reader, data) -> None:
     """Byte-align at a restart boundary and consume the RSTn marker."""
     reader.nbits = 0
     p = reader.pos
-    while data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+    while p + 1 < len(data) and (
+        data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7)
+    ):
         p += 1
+    if p + 1 >= len(data):
+        raise ValueError(
+            "truncated JPEG stream: expected RSTn restart marker "
+            "before end of entropy-coded data"
+        )
     reader.pos = p
     reader.resync()
 
@@ -583,13 +595,9 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # byte-align and consume the RSTn marker
-                reader.nbits = 0
-                p = reader.pos
-                while data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
-                    p += 1
-                reader.pos = p
-                reader.resync()
+                # byte-align and consume the RSTn marker (bounded scan;
+                # raises ValueError on truncated streams)
+                _skip_restart(reader, data)
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 td, ta = scan_tables[c["id"]]

@@ -1084,8 +1084,12 @@ def vocab_coverage(
 
     Returns (id, n_tokens, n_oov, oov_frac); every occurrence counts
     (token frequency weighting — the cost a tokenizer actually pays),
-    matching on lowercased whitespace tokens."""
-    toks = tokenize(F.lower(F.col(text_col)))
+    matching on lowercased whitespace tokens. NULL-text documents are
+    never silently dropped: BOTH paths emit (id, 0, 0, 0.0) — the
+    literal path coalesces to an empty token array and the join path
+    uses explode_outer so a tokenless document survives the
+    re-aggregation (r5 verdict: the two paths previously disagreed)."""
+    toks = F.coalesce(tokenize(F.lower(F.col(text_col))), F.array())
     if isinstance(vocab, (list, tuple, set)):
         vlit = F.array(*[F.lit(str(v)) for v in sorted(set(vocab))])
         n_tokens = F.size(toks)
@@ -1103,21 +1107,32 @@ def vocab_coverage(
     vdf = vocab.select(
         F.col(vocab.columns[0]).alias("__vtok"), F.lit(1).alias("__v")
     ).dropDuplicates(["__vtok"])
-    staged = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("__t"))
+    # explode_outer keeps a (id, NULL) row for empty token arrays so
+    # NULL-text docs re-aggregate to (0, 0, 0.0) instead of vanishing
+    staged = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("__t")
+    )
     joined = staged.join(vdf, staged["__t"] == vdf["__vtok"], "left")
     return (
         joined.groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
-            .cast("long").alias("n_oov"),
+            F.count(F.col("__t")).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("__t").isNotNull() & F.col("__v").isNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_oov"),
         )
         .select(
             F.col("id").alias(id_col),
             "n_tokens",
             "n_oov",
             F.round(
-                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_oov") / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
             ).alias("oov_frac"),
         )
     )

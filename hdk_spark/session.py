@@ -107,3 +107,10 @@ def ensure_shipped(spark: SparkSession) -> None:
                 zf.write(full, rel)
     sc.addPyFile(zpath)
     sc._hdk_spark_shipped = True
+    # addPyFile COPIES the zip into the SparkContext's files dir, so
+    # the mkstemp original is dead weight from here on — delete it now
+    # rather than leaking one ~100 KB file in $TMPDIR per session.
+    try:
+        os.unlink(zpath)
+    except OSError:
+        pass

@@ -5,6 +5,15 @@ Stricter than it needs to be on purpose — values must compare EXACTLY
 equal (after pandas normalization) so that any driver-side hashing
 scheme also matches. Columns are sorted by name; rows are sorted by all
 columns to make the comparison order-insensitive.
+
+ORACLE AUTHORING FOOTGUN (DuckDB 1.0.0, judge-found round 5): interval
+comparison normalizes 1 MONTH = 30 DAY, 1 DAY = 24 HOUR, 1 HOUR =
+60 MINUTE, and DuckDB's common-subexpression elimination collapses two
+DIFFERENT interval additions whose intervals compare equal into one —
+``SELECT ts + INTERVAL 1 MONTH, ts + INTERVAL 30 DAY`` returns the
+month-add for BOTH columns. Never put two interval-adds with colliding
+normalized durations in one SELECT of an oracle query or fuzz grammar
+(tests/test_fuzz_oracle.py filters these draws and pins the example).
 """
 
 from __future__ import annotations

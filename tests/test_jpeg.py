@@ -233,3 +233,135 @@ def test_restart_markers_roundtrip_subsampled():
             img, quality=85, subsample=True, progressive=prog,
             restart_interval=2))
         assert (ref == got).all(), prog
+
+
+# ---------------------------------------------------------------------------
+# foreign scan shapes: the repo's encoder always emits Al 1->0 with the
+# (1,5)/(6,63) band split; real libjpeg/mozjpeg scan scripts use deeper
+# successive-approximation chains and other splits. This hand-built
+# writer emits a THREE-level chain (Al 2 -> 2->1 -> 1->0) over a
+# three-way band split to witness _ac_first/_ac_refine at al > 0 and
+# multi-step DC refinement — paths no round-trip of our own encoder
+# reaches.
+# ---------------------------------------------------------------------------
+
+
+def _encode_progressive_deep(img: np.ndarray, quality: int = 85) -> bytes:
+    """Grayscale SOF2 stream with a libjpeg-style deep scan script:
+    DC first Al=2 then two DC refines; AC bands (1,2)/(3,20)/(21,63)
+    each first at Al=2 then refined 2->1 and 1->0."""
+    import struct
+
+    assert img.ndim == 2
+    h, w = img.shape
+    ql, _ = jpeg._quality_tables(quality)
+    by_n, bx_n = -(-h // 8), -(-w // 8)
+    pp = np.empty((by_n * 8, bx_n * 8))
+    pp[:h, :w] = img.astype(np.float64) - 128.0
+    pp[h:, :w] = pp[h - 1 : h, :w]
+    pp[:, w:] = pp[:, w - 1 : w]
+    blocks = pp.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", jpeg._D, blocks, jpeg._D.T)
+    zz = np.round(
+        coef.reshape(by_n, bx_n, 64)[:, :, jpeg.ZIGZAG]
+        / ql[jpeg.ZIGZAG][None, None, :]
+    ).astype(np.int64)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+    out += ql[jpeg.ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])  # comp 1, 1x1 sampling, qtable 0
+    for tid, (bits, values) in ((0x00, jpeg._PROG_DC), (0x10, jpeg._PROG_AC)):
+        out += (b"\xff\xc4" + struct.pack(">H", 19 + len(values))
+                + bytes([tid]) + bytes(bits) + bytes(values))
+    dc_codes = jpeg._build_codes(*jpeg._PROG_DC)
+    ac_codes = jpeg._build_codes(*jpeg._PROG_AC)
+
+    def sos(ss, se, ah, al):
+        out.extend(b"\xff\xda" + struct.pack(">HB", 8, 1))
+        out.extend(bytes([1, 0x00, ss, se, (ah << 4) | al]))
+
+    # DC first at Al=2 (diffs of v >> 2, python arithmetic shift =
+    # T.81 G.1.2.1 point transform)
+    sos(0, 0, 0, 2)
+    bw = jpeg._BitWriter()
+    pred = 0
+    for byi in range(by_n):
+        for bxi in range(bx_n):
+            v = int(zz[byi, bxi, 0]) >> 2
+            diff = v - pred
+            pred = v
+            n = abs(diff).bit_length()
+            code, ln = dc_codes[n]
+            bw.write(code, ln)
+            if n:
+                bw.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+    bw.flush()
+    out += bw.buf
+    # two DC refinement scans: bit 1 then bit 0 of each DC value
+    for al in (1, 0):
+        sos(0, 0, al + 1, al)
+        bw = jpeg._BitWriter()
+        for byi in range(by_n):
+            for bxi in range(bx_n):
+                bw.write((int(zz[byi, bxi, 0]) >> al) & 1, 1)
+        bw.flush()
+        out += bw.buf
+    # AC: three-way band split, first at Al=2, refine 2->1 and 1->0
+    bands = ((1, 2), (3, 20), (21, 63))
+    for ss, se in bands:
+        sos(ss, se, 0, 2)
+        bw = jpeg._BitWriter()
+        jpeg._encode_ac_first(bw, zz, (by_n, bx_n), ss, se, 2, ac_codes)
+        bw.flush()
+        out += bw.buf
+    for al in (1, 0):
+        for ss, se in bands:
+            sos(ss, se, al + 1, al)
+            bw = jpeg._BitWriter()
+            jpeg._encode_ac_refine(bw, zz, (by_n, bx_n), ss, se, al,
+                                   ac_codes)
+            bw.flush()
+            out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_foreign_deep_scan_script():
+    """A three-level successive-approximation chain (Al 2->1->0) over a
+    three-way spectral split must reconstruct the exact quantized
+    coefficients — pixels bit-identical to the repo's own single-level
+    progressive encoding (which itself matches baseline)."""
+    for img in [
+        _smooth_rgb(24, 17)[..., 0],                    # odd dims
+        (np.mgrid[0:16, 0:24][0] * 7 % 256).astype(np.uint8),
+        np.random.RandomState(11).randint(
+            0, 256, (24, 24), dtype=np.uint8),           # dense AC runs
+        np.full((8, 8), 77, np.uint8),                   # pure-EOB blocks
+    ]:
+        ref = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=85, progressive=True))
+        deep = jpeg.decode_jpeg(_encode_progressive_deep(img, quality=85))
+        assert (ref == deep).all()
+    # the deep stream really is multi-scan: 3 DC + 9 AC = 12 SOS
+    data = _encode_progressive_deep(
+        np.random.RandomState(11).randint(0, 256, (24, 24), dtype=np.uint8))
+    assert data.count(b"\xff\xda") == 12
+
+
+def test_skip_restart_truncated_stream_raises_valueerror():
+    """A progressive/baseline stream cut off before an expected RSTn
+    must raise a clear ValueError, not IndexError (ADVICE r5)."""
+    img = _smooth_rgb(48, 64)
+    for prog in (False, True):
+        data = jpeg.encode_jpeg(img, quality=85, restart_interval=3,
+                                progressive=prog)
+        # cut right after the first restart marker position so the
+        # decoder's next restart scan runs off the end of the data
+        first_rst = min(
+            (data.find(bytes([0xFF, 0xD0 + i])) for i in range(8)
+             if data.find(bytes([0xFF, 0xD0 + i])) != -1),
+        )
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(data[: first_rst + 2])

@@ -338,6 +338,29 @@ def test_vocab_coverage_list_and_df_paths_agree(spark):
     assert lst[3]["n_oov"] == 0 and lst[3]["oov_frac"] == 0.0
 
 
+def test_vocab_coverage_null_text_paths_agree(spark):
+    """NULL-text docs must not silently vanish from either path: both
+    emit (id, 0, 0, 0.0) — the r5 verdict's two-paths-two-contracts
+    inconsistency (literal path emitted NULL counts, join path dropped
+    the row)."""
+    from hdk_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, None), (3, "dog")],
+        "doc_id: long, text: string",
+    )
+    vocab = ["the", "cat"]
+    lst = {r["doc_id"]: r for r in vocab_coverage(df, vocab).collect()}
+    vdf = spark.createDataFrame([(v,) for v in vocab], "token: string")
+    jn = {r["doc_id"]: r for r in vocab_coverage(df, vdf).collect()}
+    assert lst == jn
+    assert set(lst) == {1, 2, 3}
+    assert (lst[2]["n_tokens"], lst[2]["n_oov"], lst[2]["oov_frac"]) == (
+        0, 0, 0.0)
+    assert (lst[1]["n_tokens"], lst[1]["n_oov"]) == (2, 0)
+    assert (lst[3]["n_tokens"], lst[3]["n_oov"]) == (1, 1)
+
+
 def test_vocab_coverage_list_path_map_only(spark):
     from hdk_spark.operators.text import vocab_coverage
 
