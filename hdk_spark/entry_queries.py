@@ -5722,3 +5722,236 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 
 SPARK_IMPLS["text_vocab_coverage"] = q_text_vocab_coverage
 ORACLES["text_vocab_coverage"] = _VOCAB_COVERAGE_ORACLE
+
+
+def q_dedup_window_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-granular eval-set decontamination (operators/dedup.py::
+    eval_contaminated_spans — the GPT-3/Llama 13-gram-style check at
+    n=4 on the test corpus): documents 0-19 play the eval suite, the
+    rest are the training corpus; every maximal training-token span
+    covered by a verbatim eval window is emitted. basis='text' is the
+    exact oracle-expressible keying; production defaults to
+    xxhash64."""
+    from hdk_spark.operators.dedup import eval_contaminated_spans
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return eval_contaminated_spans(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=4,
+        basis="text",
+    ).orderBy("doc_id", "span_start")
+
+
+_WINDOW_DECONTAM_CTE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), wl AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - 4 + 1),
+                i -> {'pos': i, 'win': array_to_string(toks[i+1:i+4], ' ')}))
+           AS w
+  FROM t WHERE len(toks) >= 4
+), wins AS (
+  SELECT doc_id, w.pos AS pos, w.win AS win FROM wl
+), ev AS (
+  SELECT DISTINCT win FROM wins WHERE doc_id < 20
+), hit AS (
+  SELECT wins.doc_id, wins.pos
+  FROM wins JOIN ev ON wins.win = ev.win
+  WHERE wins.doc_id >= 20
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+              THEN 1 ELSE 0 END AS brk
+  FROM hit
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), spans AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+         CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, g
+)
+"""
+
+_WINDOW_DECONTAM_ORACLE = (
+    _WINDOW_DECONTAM_CTE
+    + "SELECT * FROM spans ORDER BY doc_id, span_start"
+)
+
+
+def q_dedup_window_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter window decontamination vs the exact pass on the
+    same eval/train split (operators/dedup.py::
+    eval_contaminated_spans_bloom): per training document, the EXACT
+    span/window counts plus two Bloom soundness invariants that are
+    deterministic despite false positives — no false negatives means
+    every exact span is covered by a Bloom span (``bloom_covers_ok``)
+    and the Bloom pass flags at least as many windows
+    (``bloom_hits_ge_ok``) — both provably TRUE for every row, so any
+    violation hash-fails against the oracle's literals (the
+    dedup_bloom_decontam pattern at window granularity)."""
+    from hdk_spark.operators.dedup import (
+        eval_contaminated_spans,
+        eval_contaminated_spans_bloom,
+    )
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") >= 20)
+    ev = docs.filter(F.col("doc_id") < 20)
+    exact = eval_contaminated_spans(train, ev, n=4, basis="text")
+    bloom = eval_contaminated_spans_bloom(train, ev, n=4)
+    e = exact.select(
+        F.col("doc_id").alias("id"),
+        F.col("span_start").alias("es"),
+        F.col("span_end").alias("ee"),
+        F.col("n_windows").alias("ew"),
+    )
+    b = bloom.select(
+        F.col("doc_id").alias("id"),
+        F.col("span_start").alias("bs"),
+        F.col("span_end").alias("be"),
+        F.col("n_windows").alias("bw"),
+    )
+    cov = e.join(
+        b,
+        (e["id"] == b["id"]) & (b["bs"] <= e["es"]) & (e["ee"] <= b["be"]),
+        "left",
+    ).select(e["id"].alias("id"), "es", "ew", "bs")
+    per_doc = cov.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_spans"),
+        F.sum("ew").cast("long").alias("n_exact_windows"),
+        F.sum(F.when(F.col("bs").isNull(), 1).otherwise(0)).alias("__unc"),
+    )
+    bloom_doc = b.groupBy("id").agg(F.sum("bw").alias("__bw"))
+    return (
+        train.select(F.col("doc_id").alias("id"))
+        .join(per_doc, "id", "left")
+        .join(bloom_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_exact_spans", F.lit(0)).cast("long")
+            .alias("n_exact_spans"),
+            F.coalesce("n_exact_windows", F.lit(0)).cast("long")
+            .alias("n_exact_windows"),
+            (F.coalesce("__unc", F.lit(0)) == 0).alias("bloom_covers_ok"),
+            (
+                F.coalesce("__bw", F.lit(0))
+                >= F.coalesce("n_exact_windows", F.lit(0))
+            ).alias("bloom_hits_ge_ok"),
+        )
+        .orderBy("id")
+    )
+
+
+_WINDOW_DECONTAM_BLOOM_ORACLE = (
+    _WINDOW_DECONTAM_CTE
+    + r""", per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_exact_spans,
+         CAST(SUM(n_windows) AS BIGINT) AS n_exact_windows
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(per_doc.n_exact_spans, 0) AS BIGINT) AS n_exact_spans,
+       CAST(coalesce(per_doc.n_exact_windows, 0) AS BIGINT)
+         AS n_exact_windows,
+       TRUE AS bloom_covers_ok,
+       TRUE AS bloom_hits_ge_ok
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY id
+"""
+)
+
+SPARK_IMPLS["dedup_window_decontam"] = q_dedup_window_decontam
+ORACLES["dedup_window_decontam"] = _WINDOW_DECONTAM_ORACLE
+SPARK_IMPLS["dedup_window_decontam_bloom"] = q_dedup_window_decontam_bloom
+ORACLES["dedup_window_decontam_bloom"] = _WINDOW_DECONTAM_BLOOM_ORACLE
+
+
+def q_text_scorer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed quality scorer (operators/text.py::
+    train_quality_scorer — deterministic full-batch logistic
+    regression over md5-hashed bag-of-words, quantized-DECIMAL
+    gradients): 2 iterations, 8 buckets, labels = (lang = 'en'),
+    emitting the weight vector after EACH iteration. The oracle
+    replays the entire training unrolled in SQL (the embedding_kmeans
+    2-round-unroll pattern): iteration 1's sigmoid is exactly 0.5
+    (zero weights), iteration 2 recomputes the per-doc sigmoid from
+    iteration-1 weights; gradients are exact DECIMAL(38,0) sums of
+    1e-6-quantized residual terms, weight updates plain IEEE doubles
+    — bit-identical on both engines."""
+    from hdk_spark.operators.text import train_quality_scorer
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    hist = train_quality_scorer(
+        docs, "y", n_buckets=8, iterations=2, lr=1.0, return_history=True
+    )
+    rows = [(b, hist[0][b], hist[1][b]) for b in range(8)]
+    return spark.createDataFrame(
+        rows, "bucket: long, w_iter1: double, weight: double"
+    )
+
+
+_SCORER_TRAIN_ORACLE = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+), f AS (
+  SELECT y, CAST(len(tk) AS BIGINT) AS n,
+         list_transform(range(0, 8), b ->
+           len(list_filter(tk, x ->
+             (CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) % 8) = b)))
+           AS c
+  FROM t WHERE len(tk) >= 1
+), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM f),
+u AS (SELECT unnest(range(0, 8)) AS b),
+g1 AS (
+  SELECT u.b AS b,
+         SUM(CAST(round((0.5 - f.y) / f.n * 1000000.0) AS DECIMAL(38,0))
+             * f.c[u.b + 1]) AS g
+  FROM f, u GROUP BY u.b
+),
+w1 AS (
+  SELECT g1.b AS b,
+         (0.0 - 1.0 * (CAST(g1.g AS DOUBLE) / (1000000.0 * m.m))) + 0.0 AS w
+  FROM g1, m
+),
+w1a AS (SELECT list(w ORDER BY b) AS wa FROM w1),
+s2 AS (
+  SELECT f.y, f.n, f.c,
+         1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(0, 8), b -> w1a.wa[b + 1] * f.c[b + 1])),
+             (a, x) -> a + x) / f.n))) AS p
+  FROM f, w1a
+),
+g2 AS (
+  SELECT u.b AS b,
+         SUM(CAST(round((s2.p - s2.y) / s2.n * 1000000.0) AS DECIMAL(38,0))
+             * s2.c[u.b + 1]) AS g
+  FROM s2, u GROUP BY u.b
+),
+w2 AS (
+  SELECT g2.b AS b,
+         (w1.w - 1.0 * (CAST(g2.g AS DOUBLE) / (1000000.0 * m.m))) + 0.0 AS w
+  FROM g2 JOIN w1 ON g2.b = w1.b, m
+)
+SELECT CAST(w1.b AS BIGINT) AS bucket, w1.w AS w_iter1, w2.w AS weight
+FROM w1 JOIN w2 ON w1.b = w2.b
+ORDER BY bucket
+"""
+
+SPARK_IMPLS["text_scorer_train"] = q_text_scorer_train
+ORACLES["text_scorer_train"] = _SCORER_TRAIN_ORACLE

@@ -936,21 +936,18 @@ def _bloom_positions_jvm(s, m_bits: int, k_hashes: int):
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)]
 
 
-def _contamination_bloom_impl(
-    df, eval_df, id_col, text_col, eval_text_col, n, m_bits,
-    k_hashes, min_overlap, impl,
-):
-    if m_bits > (1 << 22):
-        raise ValueError(
-            "m_bits > 2^22 would collect an oversized bitset; "
-            "use a broadcast join on the word index instead"
-        )
-    ev = eval_df.select(
-        F.explode(_shingles(F.col(eval_text_col), n)).alias("s")
-    ).distinct()
+def _collect_bloom_bitset(
+    keys: DataFrame, m_bits: int, k_hashes: int
+) -> list[int]:
+    """Fold a single-column DataFrame of key strings (column ``s``)
+    into an ``m_bits``-bit Bloom bitset as ``m_bits/64`` longs — built
+    entirely JVM-side (explode positions → bit-OR per word, one bounded
+    groupBy); the collect is filter-sized (≤ m_bits/64 rows), NOT
+    key-count-sized. Shared by :func:`contamination_flags_bloom` and
+    :func:`eval_contaminated_spans_bloom`."""
     positions = F.array(*_bloom_positions_jvm(F.col("s"), m_bits, k_hashes))
     words = (
-        ev.select(F.explode(positions).alias("p"))
+        keys.select(F.explode(positions).alias("p"))
         .select(
             F.floor(F.col("p") / 64).cast("long").alias("w"),
             F.pmod(F.col("p"), F.lit(64)).cast("int").alias("b"),
@@ -966,8 +963,24 @@ def _contamination_bloom_impl(
     )
     n_words = (m_bits + 63) // 64
     arr = [0] * n_words
-    for r in words.collect():  # bounded by m_bits/64, not eval size
+    for r in words.collect():  # bounded by m_bits/64, not key count
         arr[int(r["w"])] = int(r["mask"])
+    return arr
+
+
+def _contamination_bloom_impl(
+    df, eval_df, id_col, text_col, eval_text_col, n, m_bits,
+    k_hashes, min_overlap, impl,
+):
+    if m_bits > (1 << 22):
+        raise ValueError(
+            "m_bits > 2^22 would collect an oversized bitset; "
+            "use a broadcast join on the word index instead"
+        )
+    ev = eval_df.select(
+        F.explode(_shingles(F.col(eval_text_col), n)).alias("s")
+    ).distinct()
+    arr = _collect_bloom_bitset(ev, m_bits, k_hashes)
 
     if impl == "pandas":
         import zlib
@@ -1410,6 +1423,15 @@ def duplicate_spans(
         staged.join(freq.filter(F.col("wc") >= min_count), "wkey")
         .select("id", "pos")
     )
+    return _merge_spans(dup, n, id_col)
+
+
+def _merge_spans(dup: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Island-merge (id, pos) window hits into maximal token spans —
+    the shared final stage of :func:`duplicate_spans` and
+    :func:`eval_contaminated_spans`: per-document sort window over hit
+    positions, gap > n breaks an island, one groupBy emits
+    (id, span_start, span_end, n_windows)."""
     w = Window.partitionBy("id").orderBy("pos")
     islands = dup.withColumn(
         "__brk",
@@ -1483,6 +1505,128 @@ def remove_duplicate_spans(
         (F.size("__toks") - F.size(kept)).cast("long")
         .alias("n_removed_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination at WINDOW granularity (the GPT-3 appendix C /
+# Llama-2 style contamination check: a training document is contaminated
+# where any of its n-token windows — 13 tokens in those reports — occurs
+# verbatim in an evaluation set; the span, not just the document, is
+# what gets surgically removed)
+# ---------------------------------------------------------------------------
+
+
+def eval_contaminated_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 13,
+    basis: str = "xxhash64",
+) -> DataFrame:
+    """Maximal token spans of training documents covered by ``n``-token
+    windows that occur verbatim (lowercased, whitespace-tokenized) in
+    ANY evaluation-set document — window-granular decontamination
+    composing :func:`window_rows` over both relations. Unlike
+    :func:`contamination_flags` (document-level verdicts) this
+    localizes WHERE the leak is, so :func:`remove_duplicate_spans` can
+    cut the eval text out while keeping the rest of the document.
+
+    Returns (id, span_start, span_end, n_windows) — the
+    :func:`duplicate_spans` schema, so the removal path is the same
+    operator: ``remove_duplicate_spans(df, eval_contaminated_spans(
+    df, eval_df))``.
+
+    ``basis='xxhash64'`` (production) keys windows by an 8-byte hash —
+    a collision can only OVER-flag (conservative: extra training text
+    removed, never eval leakage kept); ``'text'`` is exact and what the
+    contract oracle pins.
+
+    Scale shape: one map-only window explode per relation, then ONE
+    equi-join on the window key — the eval side is deduplicated to
+    distinct windows first, and the join is AQE-decided, NOT
+    force-broadcast (eval suites are usually small, but "usually" is
+    not a memory contract — the unigram-LM lesson); island merge is the
+    shared per-document sort window. Cost ∝ corpus tokens + eval
+    tokens; nothing quadratic, no driver-side eval materialization."""
+    train = window_rows(df, id_col, text_col, n, basis)
+    ev = (
+        window_rows(eval_df, eval_id_col, eval_text_col, n, basis)
+        .select("wkey")
+        .distinct()
+    )
+    hit = train.join(ev, "wkey").select("id", "pos")
+    return _merge_spans(hit, n, id_col)
+
+
+def eval_contaminated_spans_bloom(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`eval_contaminated_spans` for the
+    join-free corpus pass: the eval set's distinct windows fold into a
+    bounded ``m_bits/8``-byte bitset (built JVM-side, collected once —
+    :func:`_collect_bloom_bitset`), and the corpus pass is MAP-ONLY —
+    an Arrow-batched kernel emits each document's hit positions, the
+    shared island merge turns them into spans. No shuffle touches the
+    corpus until the per-document window sort of span merging.
+
+    NO FALSE NEGATIVES: every span :func:`eval_contaminated_spans`
+    (text basis) finds is covered by a Bloom span — false positives
+    (rate ≈ (1−e^{−k·S/m})^k for S distinct eval windows) can only
+    OVER-mark, the conservative direction for decontamination; rescore
+    flagged docs with the exact operator if precision matters.
+
+    Probe hashes are the same Kirsch-Mitzenmacher crc32 double-hashing
+    as :func:`contamination_flags_bloom` — zlib.crc32 ≡ F.crc32, so
+    the JVM build side and the vectorized probe side agree exactly."""
+    ev = (
+        window_rows(eval_df, eval_id_col, eval_text_col, n, basis="text")
+        .select(F.col("wkey").alias("s"))
+        .distinct()
+    )
+    arr = _collect_bloom_bitset(ev, m_bits, k_hashes)
+
+    import zlib
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    bits = np.array(arr, dtype=np.uint64)
+    crc = zlib.crc32
+
+    @pandas_udf("array<long>")
+    def _hit_positions(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.strip().lower().split() if t else []
+            hits = []
+            for i in range(len(toks) - n + 1):
+                b = " ".join(toks[i : i + n]).encode("utf-8")
+                h1 = crc(b)
+                h2 = crc(b"\x01" + b)
+                for j in range(k_hashes):
+                    p = (h1 + j * h2) % m_bits
+                    if not (int(bits[p >> 6]) >> (p & 63)) & 1:
+                        break
+                else:
+                    hits.append(i)
+            out.append(hits)
+        return pd.Series(out)
+
+    hit = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_hit_positions(F.col(text_col))).alias("pos"),
+    ).select("id", F.col("pos").cast("long").alias("pos"))
+    return _merge_spans(hit, n, id_col)
 
 
 def sketch_pr_report(

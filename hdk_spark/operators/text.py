@@ -683,6 +683,19 @@ def _hashed_weights(n_buckets: int, seed: int) -> list[float]:
     return out
 
 
+def _md5_bucket(t, n_buckets: int):
+    """Feature-hash a token into [0, n_buckets) via the md5 basis —
+    the cross-engine-reproducible bucket function shared by
+    :func:`hashed_linear_score` and :func:`train_quality_scorer`
+    (same basis as the minhash oracle)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -712,10 +725,7 @@ def hashed_linear_score(
         raise ValueError(f"need {n_buckets} weights, got {len(w)}")
     warr = F.array(*[F.lit(float(x)) for x in w])
     toks = tokenize(F.lower(F.col(text_col)))
-    bucket = lambda t: F.pmod(  # noqa: E731
-        F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
+    bucket = lambda t: _md5_bucket(t, n_buckets)  # noqa: E731
     raw = F.aggregate(
         toks,
         F.lit(float(bias)),
@@ -728,6 +738,112 @@ def hashed_linear_score(
         n.cast("long").alias("n_tokens"),
         F.round(score, 6).alias("score"),
     )
+
+
+def train_quality_scorer(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    iterations: int = 10,
+    lr: float = 1.0,
+    return_history: bool = False,
+) -> "list[float] | list[list[float]]":
+    """FIT the weights :func:`hashed_linear_score` applies —
+    deterministic full-batch logistic regression over the SAME hashed
+    bag-of-words features (md5 bucket basis), closing the
+    train-then-filter loop of a CCNet/RefinedWeb-style quality gate:
+    label a few thousand documents (good/bad), train here, score the
+    corpus with ``hashed_linear_score(df, weights=trained)``.
+
+    Model: p = sigmoid((Σ_b w_b·c_b)/n) for per-doc bucket counts c
+    and token count n — exactly what ``hashed_linear_score`` computes
+    with ``bias=0`` (its per-token fold sums the same terms). Training
+    is fixed-iteration gradient descent: w_b ← w_b − lr·g_b/m with the
+    full-batch gradient g_b = Σ_i (p_i − y_i)·c_ib/n_i.
+
+    DETERMINISM (the property that makes scored output
+    oracle-expressible): per-doc residual terms are quantized to
+    integers — q_i = round((p_i − y_i)/n_i · 1e6) — and summed as
+    DECIMAL(38,0), so the gradient is an exact integer-valued sum,
+    order-independent under ANY partitioning; the driver-side weight
+    update is plain IEEE double arithmetic. Identical inputs give
+    bit-identical weights on every run, cluster size, and engine (a
+    1-ulp cross-engine exp() difference moves q_i only if the residual
+    lands within 1e-11 of a rounding boundary). −0.0 is normalized.
+
+    Scale shape: the feature relation (y, n, bucket-count vector) is
+    computed ONCE (map-only JVM fold, O(n_buckets·tokens) per doc) and
+    persisted; each iteration is ONE map-only projection + ONE 1-row
+    aggregate of n_buckets decimal sums (partial-agg, no shuffle of
+    corpus rows, no join — the model stays driver-side as literals,
+    exactly like scoring). Rows with NULL label or zero tokens are
+    excluded.
+
+    Returns the weight list (or per-iteration history with
+    ``return_history=True``)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    toks = tokenize(F.lower(F.col(text_col)))
+    bl = F.transform(toks, lambda t: _md5_bucket(t, n_buckets))
+    cvec = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.size(F.filter("__bl", lambda x: x == b.cast("long")))
+        .cast("long"),
+    )
+    feats = (
+        df.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("double").alias("y"),
+            F.size(toks).cast("long").alias("n"),
+            bl.alias("__bl"),
+        )
+        .filter(F.col("n") >= 1)
+        .select("y", "n", cvec.alias("c"))
+        .persist()
+    )
+    m = feats.count()
+    if m == 0:
+        feats.unpersist()
+        raise ValueError("no labeled examples with >= 1 token")
+    w = [0.0] * n_buckets
+    history: list[list[float]] = []
+    for _ in range(iterations):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        z = (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                F.lit(0.0),
+                lambda acc, b: acc
+                + F.element_at(warr, (b + 1).cast("int"))
+                * F.element_at("c", (b + 1).cast("int")).cast("double"),
+            )
+            / F.col("n").cast("double")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        q = (
+            F.round((p - F.col("y")) / F.col("n").cast("double")
+                    * F.lit(1000000.0), 0)
+            .cast("decimal(38,0)")
+        )
+        grads = feats.select(q.alias("q"), "c").agg(
+            *[
+                F.sum(
+                    F.col("q")
+                    * F.element_at("c", b + 1).cast("decimal(38,0)")
+                ).alias(f"g{b}")
+                for b in range(n_buckets)
+            ]
+        ).collect()[0]
+        w = [
+            (w[b] - lr * (float(grads[f"g{b}"] or 0) / (1000000.0 * m)))
+            + 0.0
+            for b in range(n_buckets)
+        ]
+        history.append(list(w))
+    feats.unpersist()
+    return history if return_history else w
 
 
 def gopher_quality_flags(

@@ -87,30 +87,45 @@ def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_hdk_spark_shipped", False):
         return
+    import hashlib
+    import io
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    fd, zpath = tempfile.mkstemp(prefix="hdk_spark_pkg_", suffix=".zip")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
-                continue
-            for fn in files:
-                if not fn.endswith(".py"):
-                    continue
-                full = os.path.join(root, fn)
-                rel = os.path.join(
-                    "hdk_spark", os.path.relpath(full, pkg_dir)
-                )
-                zf.write(full, rel)
+    # Build the zip DETERMINISTICALLY in memory (sorted entries, fixed
+    # timestamps) and write it to a content-addressed path reused by
+    # every session shipping the same package bytes. Executors fetch
+    # addPyFile sources LAZILY at task time and verify them against the
+    # original path, so the file must outlive the session — a single
+    # stable cache file replaces the former one-mkstemp-leak-per-session
+    # (and deleting eagerly breaks the lazy fetch: a recycled temp name
+    # with fresh zip timestamps fails Spark's contents-match check).
+    srcs = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                srcs.append(os.path.join(root, fn))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for full in sorted(srcs):
+            rel = os.path.join("hdk_spark", os.path.relpath(full, pkg_dir))
+            with open(full, "rb") as fh:
+                payload = fh.read()
+            info = zipfile.ZipInfo(rel, date_time=(2000, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, payload)
+    blob = buf.getvalue()
+    digest = hashlib.sha256(blob).hexdigest()[:16]
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"hdk_spark_pkg_{digest}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, zpath)  # atomic; concurrent writers converge
     sc.addPyFile(zpath)
     sc._hdk_spark_shipped = True
-    # addPyFile COPIES the zip into the SparkContext's files dir, so
-    # the mkstemp original is dead weight from here on — delete it now
-    # rather than leaking one ~100 KB file in $TMPDIR per session.
-    try:
-        os.unlink(zpath)
-    except OSError:
-        pass

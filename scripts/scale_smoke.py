@@ -135,6 +135,24 @@ def main() -> None:
             b = min(b, time.perf_counter() - t0)
         return round(b, 2)
 
+    if "--r6" in sys.argv:
+        # round-6 operators at 10× only
+        from hdk_spark.operators.dedup import (
+            eval_contaminated_spans,
+            eval_contaminated_spans_bloom,
+        )
+
+        docs = spark.table("documents")
+        eval_df = docs.filter(F.col("doc_id") % 1000 == 0)
+        n_eval = eval_df.count()
+        print("eval docs:", n_eval, "train docs:", docs.count())
+        print("eval_decontam_exact_n13:", best(
+            lambda: eval_contaminated_spans(docs, eval_df, n=13), n=1))
+        print("eval_decontam_bloom_n13:", best(
+            lambda: eval_contaminated_spans_bloom(docs, eval_df, n=13),
+            n=1))
+        return
+
     Q5 = """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey

@@ -630,3 +630,185 @@ def test_sketch_pr_report_planted_counts(spark):
         assert rep["precision"] == round(tp / (tp + fp), 6)
     if tp + fn:
         assert rep["recall"] == round(tp / (tp + fn), 6)
+
+
+# ---------------------------------------------------------------------------
+# window-granular eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def _decontam_fixture(spark):
+    train = spark.createDataFrame(
+        [
+            # eval phrase "the quick brown fox jumps over" at tokens 3..8
+            (1, "aaa bbb ccc the quick brown fox jumps over ddd eee fff"),
+            # leads with the eval phrase (tokens 0..5)
+            (2, "the quick brown fox jumps over and then some more text"),
+            # clean document
+            (3, "completely unrelated training material with no leakage"),
+            # two separate leaks far apart -> two spans
+            (4, "the quick brown fox jumps over x1 x2 x3 x4 x5 x6 x7 x8 "
+                "x9 x10 the quick brown fox jumps over"),
+        ],
+        "doc_id: long, text: string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "what does the quick brown fox jumps over mean"),
+         (101, "an unrelated eval question about something else")],
+        "doc_id: long, text: string",
+    )
+    return train, eval_df
+
+
+def test_eval_contaminated_spans_planted(spark):
+    from hdk_spark.operators.dedup import eval_contaminated_spans
+
+    train, eval_df = _decontam_fixture(spark)
+    rows = {
+        (r["doc_id"], r["span_start"]): r
+        for r in eval_contaminated_spans(
+            train, eval_df, n=4, basis="text"
+        ).collect()
+    }
+    # eval windows of n=4 inside the shared 6-token phrase: 3 windows.
+    # doc 1: phrase at tokens 3..8 -> windows at 3,4,5 merge to [3,8]
+    assert rows[(1, 3)]["span_end"] == 8 and rows[(1, 3)]["n_windows"] == 3
+    # doc 2: phrase at 0..5
+    assert rows[(2, 0)]["span_end"] == 5
+    # doc 3 clean
+    assert not any(d == 3 for d, _ in rows)
+    # doc 4: two distant leaks -> two maximal spans (0..5 and 16..21)
+    assert rows[(4, 0)]["span_end"] == 5
+    assert rows[(4, 16)]["span_end"] == 21
+    assert len([k for k in rows if k[0] == 4]) == 2
+
+
+def test_eval_contaminated_spans_hash_matches_text(spark):
+    from hdk_spark.operators.dedup import eval_contaminated_spans
+
+    train, eval_df = _decontam_fixture(spark)
+    a = sorted(map(tuple, eval_contaminated_spans(
+        train, eval_df, n=4, basis="text").collect()))
+    b = sorted(map(tuple, eval_contaminated_spans(
+        train, eval_df, n=4, basis="xxhash64").collect()))
+    assert a == b
+
+
+def test_eval_contaminated_spans_removal_composes(spark):
+    from hdk_spark.operators.dedup import (
+        eval_contaminated_spans,
+        remove_duplicate_spans,
+    )
+
+    train, eval_df = _decontam_fixture(spark)
+    spans = eval_contaminated_spans(train, eval_df, n=4, basis="text")
+    got = {r["doc_id"]: r
+           for r in remove_duplicate_spans(train, spans).collect()}
+    assert got[1]["clean_text"] == "aaa bbb ccc ddd eee fff"
+    assert got[1]["n_removed_tokens"] == 6
+    assert got[3]["n_removed_tokens"] == 0
+    # no eval window remains in any cleaned text
+    for r in got.values():
+        assert "the quick brown fox" not in r["clean_text"]
+
+
+def test_eval_contaminated_spans_bloom_superset_of_exact(spark):
+    """Bloom spans must COVER every exact span (no false negatives);
+    with a roomy filter they are identical."""
+    from hdk_spark.operators.dedup import (
+        eval_contaminated_spans,
+        eval_contaminated_spans_bloom,
+    )
+
+    train, eval_df = _decontam_fixture(spark)
+    exact = sorted(map(tuple, eval_contaminated_spans(
+        train, eval_df, n=4, basis="text").collect()))
+    bloom = sorted(map(tuple, eval_contaminated_spans_bloom(
+        train, eval_df, n=4, m_bits=1 << 20, k_hashes=4).collect()))
+    assert bloom == exact  # FP rate negligible at this size
+    # superset even with a deliberately tiny, collision-prone filter
+    tiny = eval_contaminated_spans_bloom(
+        train, eval_df, n=4, m_bits=1 << 8, k_hashes=2).collect()
+    cover = {}
+    for r in tiny:
+        cover.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    for (doc, s, e, _nw) in exact:
+        assert any(bs <= s and e <= be for bs, be in cover.get(doc, [])), (
+            doc, s, e, cover)
+
+
+def test_eval_contaminated_spans_matches_python_reference(spark):
+    """Randomized corpora vs a brute-force reference (the
+    duplicate_spans reference-test pattern) for the exact operator."""
+    import random
+
+    from hdk_spark.operators.dedup import eval_contaminated_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(10)]
+    for trial in range(4):
+        n = rng.choice([2, 3])
+        train_texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+            for _ in range(10)
+        ]
+        eval_texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+            for _ in range(4)
+        ]
+        tdf = spark.createDataFrame(
+            list(enumerate(train_texts)), "doc_id: long, text: string")
+        edf = spark.createDataFrame(
+            list(enumerate(eval_texts)), "doc_id: long, text: string")
+        got = sorted(map(tuple, eval_contaminated_spans(
+            tdf, edf, n=n, basis="text").collect()))
+
+        ewins = set()
+        for t in eval_texts:
+            toks = t.strip().lower().split()
+            for i in range(len(toks) - n + 1):
+                ewins.add(" ".join(toks[i : i + n]))
+        want = []
+        for d, t in enumerate(train_texts):
+            toks = t.strip().lower().split()
+            hits = [i for i in range(len(toks) - n + 1)
+                    if " ".join(toks[i : i + n]) in ewins]
+            if not hits:
+                continue
+            start, prev, cnt = hits[0], hits[0], 1
+            for h in hits[1:]:
+                if h - prev > n:
+                    want.append((d, start, prev + n - 1, cnt))
+                    start, cnt = h, 0
+                prev = h
+                cnt += 1
+            want.append((d, start, prev + n - 1, cnt))
+        assert got == sorted(want), (trial, n)
+
+
+def test_eval_contaminated_spans_join_not_forced_broadcast(spark):
+    """The eval-window relation is input-derived — AQE decides the join
+    strategy, nothing is force-broadcast (the unigram-LM lesson)."""
+    from hdk_spark.operators.dedup import eval_contaminated_spans
+
+    train, eval_df = _decontam_fixture(spark)
+    p = (
+        eval_contaminated_spans(train, eval_df, n=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "ResolvedHint" not in p
+
+
+def test_eval_contaminated_spans_bloom_corpus_pass_join_free(spark):
+    """The Bloom probe never joins the corpus against anything — the
+    only shuffle before island merging is the per-document window."""
+    from hdk_spark.operators.dedup import eval_contaminated_spans_bloom
+
+    train, eval_df = _decontam_fixture(spark)
+    p = (
+        eval_contaminated_spans_bloom(train, eval_df, n=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in p

@@ -370,3 +370,122 @@ def test_vocab_coverage_list_path_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in p and "Join" not in p
+
+
+# ---------------------------------------------------------------------------
+# quality-scorer training (deterministic distributed logistic regression)
+# ---------------------------------------------------------------------------
+
+
+def _ref_train(texts, labels, n_buckets, iterations, lr):
+    """Pure-Python reference of train_quality_scorer: identical
+    quantized-gradient arithmetic, single-threaded."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def round_half_up(x):
+        # Spark's round(col, 0): BigDecimal(double) + HALF_UP
+        return int(Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    feats = []
+    for t, y in zip(texts, labels):
+        toks = t.strip().lower().split()
+        if not toks:
+            continue
+        c = [0] * n_buckets
+        for tok in toks:
+            c[bucket(tok)] += 1
+        feats.append((float(y), len(toks), c))
+    m = len(feats)
+    w = [0.0] * n_buckets
+    hist = []
+    for _ in range(iterations):
+        g = [0] * n_buckets
+        for y, n, c in feats:
+            z = 0.0
+            for b in range(n_buckets):
+                z = z + w[b] * float(c[b])
+            z = z / float(n)
+            p = 1.0 / (1.0 + math.exp(-z))
+            q = round_half_up((p - y) / float(n) * 1000000.0)
+            for b in range(n_buckets):
+                g[b] += q * c[b]
+        w = [(w[b] - lr * (float(g[b]) / (1000000.0 * m))) + 0.0
+             for b in range(n_buckets)]
+        hist.append(list(w))
+    return hist
+
+
+_SCORER_CORPUS = [
+    (0, "good clean prose with varied vocabulary and structure", 1),
+    (1, "another well formed document about interesting topics", 1),
+    (2, "the quick brown fox jumps over the lazy dog nicely", 1),
+    (3, "spam spam spam buy now click here spam spam", 0),
+    (4, "zzz qqq xxx garbage tokens zzz qqq xxx garbage", 0),
+    (5, "click here buy now free free free click here", 0),
+    (6, "a thoughtful essay on language and its many uses", 1),
+    (7, "buy buy buy now now now spam click free", 0),
+]
+
+
+def test_train_quality_scorer_matches_python_reference(spark):
+    """Bit-identical weights vs the single-threaded reference — the
+    quantized-decimal gradient makes the distributed sum exact."""
+    from hdk_spark.operators.text import train_quality_scorer
+
+    df = spark.createDataFrame(
+        _SCORER_CORPUS, "doc_id: long, text: string, label: int")
+    got = train_quality_scorer(
+        df, "label", n_buckets=8, iterations=3, lr=1.0,
+        return_history=True)
+    want = _ref_train(
+        [t for _, t, _ in _SCORER_CORPUS],
+        [y for _, _, y in _SCORER_CORPUS], 8, 3, 1.0)
+    assert got == want  # exact float equality, all iterations
+
+
+def test_train_quality_scorer_deterministic_under_repartition(spark):
+    from hdk_spark.operators.text import train_quality_scorer
+
+    df = spark.createDataFrame(
+        _SCORER_CORPUS, "doc_id: long, text: string, label: int")
+    a = train_quality_scorer(df, "label", n_buckets=8, iterations=2)
+    b = train_quality_scorer(
+        df.repartition(7), "label", n_buckets=8, iterations=2)
+    assert a == b
+
+
+def test_train_quality_scorer_separates_and_composes(spark):
+    """Trained weights must actually separate the classes when applied
+    through hashed_linear_score (the closed loop)."""
+    from hdk_spark.operators.text import (
+        hashed_linear_score,
+        train_quality_scorer,
+    )
+
+    df = spark.createDataFrame(
+        _SCORER_CORPUS, "doc_id: long, text: string, label: int")
+    w = train_quality_scorer(df, "label", n_buckets=32, iterations=40,
+                             lr=8.0)
+    scores = {r["doc_id"]: r["score"] for r in hashed_linear_score(
+        df, n_buckets=32, weights=w).collect()}
+    good = [scores[i] for i, _, y in _SCORER_CORPUS if y == 1]
+    bad = [scores[i] for i, _, y in _SCORER_CORPUS if y == 0]
+    assert min(good) > max(bad), (good, bad)
+
+
+def test_train_quality_scorer_guards(spark):
+    import pytest as _pytest
+
+    from hdk_spark.operators.text import train_quality_scorer
+
+    df = spark.createDataFrame(
+        [(0, "", None)], "doc_id: long, text: string, label: int")
+    with _pytest.raises(ValueError, match="iterations"):
+        train_quality_scorer(df, "label", iterations=0)
+    with _pytest.raises(ValueError, match="labeled"):
+        train_quality_scorer(df, "label")  # only a NULL-label row
