@@ -151,6 +151,18 @@ def main() -> None:
         print("eval_decontam_bloom_n13:", best(
             lambda: eval_contaminated_spans_bloom(docs, eval_df, n=13),
             n=1))
+
+        from hdk_spark.operators.text import train_quality_scorer
+
+        labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+        t0 = time.perf_counter()
+        train_quality_scorer(labeled, "y", n_buckets=64, iterations=1)
+        t1 = time.perf_counter()
+        train_quality_scorer(labeled, "y", n_buckets=64, iterations=4)
+        t4 = time.perf_counter() - t1
+        print("scorer_train_iter1:", round(t1 - t0, 2),
+              " iter4:", round(t4, 2),
+              " per_extra_iter:", round((t4 - (t1 - t0)) / 3, 2))
         return
 
     Q5 = """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
