@@ -5955,3 +5955,89 @@ ORDER BY bucket
 
 SPARK_IMPLS["text_scorer_train"] = q_text_scorer_train
 ORACLES["text_scorer_train"] = _SCORER_TRAIN_ORACLE
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed character-trigram language classifier over 26 languages
+    (operators/text.py::lang_id_ngram — the fastText-shaped upgrade of
+    the stopword-hit heuristic): per doc, argmax of 26 literal-weight
+    scores over md5-bucketed trigrams. Every step is exact rational /
+    fixed-order double arithmetic; the oracle rebuilds the same
+    seed-derived model in Python and replays scoring + argmax with
+    DuckDB list folds."""
+    from hdk_spark.operators.text import lang_id_ngram
+
+    _tables(spark, sf_dir)
+    return lang_id_ngram(
+        spark.table("documents"), basis="md5"
+    ).orderBy("doc_id")
+
+
+def _lang_id_oracle(n_buckets: int = 256) -> str:
+    from hdk_spark.operators.text import (
+        LANG_SEEDS,
+        _lang_ngram_model,
+        _micro,
+    )
+
+    sel = tuple(sorted(LANG_SEEDS))
+    model = _lang_ngram_model(n_buckets, sel, "md5")
+    # weight relation: one row per bucket, one integer micro-weight
+    # column per language — the order-independent join+SUM replay the
+    # integer-sum scoring contract allows (a gram-by-gram fold replay
+    # measured ~100x slower in DuckDB: literal arrays re-materialize
+    # per lambda)
+    cols = ", ".join(f"w{i}" for i in range(len(sel)))
+    rows = ", ".join(
+        "(" + str(b) + ", "
+        + ", ".join(str(_micro(model[lang][b])) for lang in sel) + ")"
+        for b in range(n_buckets)
+    )
+    sums = ", ".join(
+        f"SUM(w.w{i}) AS s{i}" for i in range(len(sel))
+    )
+    score_list = ", ".join(
+        f"CAST(coalesce(s.s{i}, 0) AS DOUBLE) / 1000000.0 "
+        "/ CAST(greatest(len(g.bidx), 1) AS DOUBLE)"
+        for i in range(len(sel))
+    )
+    langs_lit = ", ".join(f"'{x}'" for x in sel)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' '
+           AS s
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN s IS NOT NULL AND len(s) >= 3
+              THEN list_transform(range(1, len(s) - 1),
+                     i -> CAST(
+                       CAST('0x' || substring(md5(substr(s, i, 3)), 1, 8)
+                            AS BIGINT) % {n_buckets} AS INT))
+              ELSE [] END AS bidx
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(bidx) AS b FROM g
+), w(b, {cols}) AS (VALUES {rows}),
+s AS (
+  SELECT e.doc_id, {sums}
+  FROM e JOIN w ON e.b = w.b GROUP BY e.doc_id
+), sc AS (
+  SELECT g.doc_id, len(g.bidx) AS n,
+         [{score_list}] AS scores
+  FROM g LEFT JOIN s ON g.doc_id = s.doc_id
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 'und'
+            ELSE [{langs_lit}][list_position(scores,
+                   list_aggregate(scores, 'max'))] END AS lang,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE round(list_aggregate(scores, 'max'), 6) + 0 END AS score,
+       CAST(n AS BIGINT) AS n_grams
+FROM sc ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["text_lang_id"] = q_text_lang_id
+ORACLES["text_lang_id"] = _lang_id_oracle()

