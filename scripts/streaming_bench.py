@@ -1,0 +1,145 @@
+"""Streaming throughput evidence (round 6): drive the two stateless
+stream-static operators from a rate-limited source and report
+processedRowsPerSecond + state-store row counts from the engine's own
+StreamingQueryProgress. Results -> SCALE.md.
+
+Usage: python scripts/streaming_bench.py [--rate N] [--secs S]
+
+Documents are synthesized JVM-side from the rate source's `value`
+(50 deterministic pseudo-tokens per row) so the source is rate-bound,
+not Python-bound; the static sides (corpus band signatures / window
+frequency relation) are built once from the x10 synthetic corpus the
+scale smoke uses (/tmp/sf1_synth) and persisted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DST = "/tmp/sf1_synth"
+
+
+def synth_docs(stream):
+    from pyspark.sql import functions as F
+
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(49)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.col("value") * 31 + i * 7, F.lit(997)).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return stream.select(F.col("value").alias("doc_id"), text.alias("text"))
+
+
+def drive(q, secs: float):
+    time.sleep(secs)
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    # skip the warm-up batch (plan compile); report steady state
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in prog
+        if p.get("numInputRows", 0) > 0 and "processedRowsPerSecond" in p
+    ]
+    state_rows = max(
+        (
+            s.get("numRowsTotal", 0)
+            for p in prog
+            for s in p.get("stateOperators", [])
+        ),
+        default=0,
+    )
+    n_state_ops = max((len(p.get("stateOperators", [])) for p in prog),
+                     default=0)
+    steady = sorted(rates)[len(rates) // 2] if rates else 0.0
+    return {
+        "batches": len([p for p in prog if p.get("numInputRows", 0) > 0]),
+        "median_rows_per_sec": round(steady, 1),
+        "max_rows_per_sec": round(max(rates), 1) if rates else 0.0,
+        "state_operators": n_state_ops,
+        "state_rows_total": state_rows,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hdk_spark import streaming
+    from hdk_spark.operators.dedup import (
+        minhash_signatures,
+        window_freq_relation,
+    )
+    from hdk_spark.session import get_spark
+
+    rate = 5000
+    secs = 40.0
+    if "--rate" in sys.argv:
+        rate = int(sys.argv[sys.argv.index("--rate") + 1])
+    if "--secs" in sys.argv:
+        secs = float(sys.argv[sys.argv.index("--secs") + 1])
+
+    spark = get_spark("streaming_bench")
+    if not os.path.exists(DST):
+        raise SystemExit("run scripts/scale_smoke.py --regen first")
+
+    docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
+    print("corpus docs:", docs.count())
+
+    sig_path = "/tmp/stream_bench_sigs.parquet"
+    if not os.path.exists(sig_path):
+        minhash_signatures(docs).write.mode("overwrite").parquet(sig_path)
+    corpus_sig = spark.read.parquet(sig_path)
+    print("corpus signatures:", corpus_sig.count())
+
+    freq_path = "/tmp/stream_bench_wfreq.parquet"
+    if not os.path.exists(freq_path):
+        window_freq_relation(docs, n=4).filter(F.col("wc") >= 2).write.mode(
+            "overwrite"
+        ).parquet(freq_path)
+    wfreq = spark.read.parquet(freq_path)
+    print("window-freq rows (wc>=2):", wfreq.count())
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", 4)
+        .load()
+    )
+    stream_docs = synth_docs(src)
+
+    out = streaming.stream_minhash_dedup(stream_docs, corpus_sig)
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", f"/tmp/stream_bench_ckpt_mh_{time.time_ns()}")
+        .start()
+    )
+    r = drive(q, secs)
+    print("stream_minhash_dedup:", json.dumps(r))
+
+    src2 = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate * 4)
+        .option("numPartitions", 4)
+        .load()
+    )
+    out2 = streaming.stream_span_flags(synth_docs(src2), wfreq, n=4)
+    q2 = (
+        out2.writeStream.format("noop")
+        .option("checkpointLocation", f"/tmp/stream_bench_ckpt_sp_{time.time_ns()}")
+        .start()
+    )
+    r2 = drive(q2, secs)
+    print("stream_span_flags:", json.dumps(r2))
+
+
+if __name__ == "__main__":
+    main()

@@ -177,3 +177,46 @@ def test_stream_span_flags_planted(spark, tmp_path):
     out_h = streaming.stream_span_flags(st2, freq_h, n=4, basis="xxhash64")
     got_h = _collect(spark, out_h, "t_span_flags_h", "append").collect()
     assert {(r["doc_id"], r["pos"]) for r in got_h} == set(rows)
+
+
+def test_stream_static_ops_have_empty_streaming_state(spark, tmp_path):
+    """The two stream-static ingest operators must run with ZERO state
+    operators (no watermark, no dedup store, no aggregation state) —
+    the property that lets them run indefinitely; pinned from the
+    engine's own StreamingQueryProgress (SCALE.md round-6 rows)."""
+    import json
+
+    from hdk_spark.operators.dedup import (
+        minhash_signatures,
+        window_freq_relation,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "some other static corpus document text here")],
+        "doc_id: long, text: string",
+    )
+    src = str(tmp_path / "state_pin_stream")
+    spark.createDataFrame(
+        [(1, "prefix words the quick brown fox jumps and more")],
+        "doc_id: long, text: string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    sigs = minhash_signatures(corpus)
+    q1 = streaming.run_to_memory(
+        streaming.stream_minhash_dedup(
+            streaming.stream_parquet(spark, src, schema), sigs,
+            threshold=0.1),
+        "t_state_pin_mh",
+    )
+    freq = window_freq_relation(corpus, n=4)
+    q2 = streaming.run_to_memory(
+        streaming.stream_span_flags(
+            streaming.stream_parquet(spark, src, schema), freq, n=4),
+        "t_state_pin_sp",
+    )
+    for q in (q1, q2):
+        progs = [json.loads(p.json) for p in q.recentProgress]
+        assert progs, "query produced no progress"
+        assert all(p.get("stateOperators", []) == [] for p in progs), progs
