@@ -6041,3 +6041,40 @@ FROM sc ORDER BY doc_id
 
 SPARK_IMPLS["text_lang_id"] = q_text_lang_id
 ORACLES["text_lang_id"] = _lang_id_oracle()
+
+
+def q_multimodal_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG codec driven driver-side
+    (operators/multimodal.py::progressive_probe): per document a
+    solid-gray image is encoded as a SOF2 progressive stream (restart
+    markers on) and decoded back through the Annex-G scan machinery;
+    solid payloads make the lossy codec exact, so the oracle
+    recomputes the decoded plane's md5 as repeat(chr(gray), w*h) —
+    any pixel-level regression in the progressive path fails the
+    digest (closes the last driver-checkable library-only row)."""
+    from hdk_spark.operators.multimodal import progressive_probe
+
+    _tables(spark, sf_dir)
+    return progressive_probe(spark.table("documents")).orderBy("id")
+
+
+_MULTIMODAL_PROGRESSIVE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS id,
+         length(text) % 24 + 8 AS width,
+         length(text) % 16 + 8 AS height,
+         length(text) % 96 + 32 AS gray
+  FROM documents
+)
+SELECT id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(gray AS INT) AS gray,
+       6 AS n_sos,
+       1 AS n_dri,
+       md5(repeat(chr(CAST(gray AS INT)), width * height)) AS pix_md5
+FROM m ORDER BY id
+"""
+
+SPARK_IMPLS["multimodal_progressive"] = q_multimodal_progressive
+ORACLES["multimodal_progressive"] = _MULTIMODAL_PROGRESSIVE_ORACLE

@@ -543,3 +543,92 @@ def image_neardup_pairs(
 
     fps = image_phash(df, data_col, id_col, use_real_codec)
     return hamming_pairs(fps, "id", "phash", max_hamming)
+
+
+def progressive_probe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality: int = 85,
+    restart_interval: int = 2,
+) -> DataFrame:
+    """Drive the REAL progressive-JPEG codec end to end per row with an
+    ORACLE-PREDICTABLE payload: a solid-gray image (dims and gray level
+    derived from the text) is encoded as a SOF2 progressive stream
+    (spectral selection + successive approximation + restart markers,
+    T.81 Annex G — operators/jpeg.py) and decoded back through the
+    progressive scan machinery.
+
+    Solid images make the lossy codec EXACT: every AC coefficient is
+    zero and the DC reconstruction error is < 1/2 whenever the DC
+    quantizer ≤ 8 (quality ≥ 80 ⇒ q0 ≤ 6 under the libjpeg scaling),
+    so the decoded plane is bit-for-bit the input gray — which a SQL
+    oracle reproduces as ``md5(repeat(chr(gray), w*h))``. Any
+    regression anywhere in the progressive path (scan script, EOB
+    runs, refinement bits, restart resync, IDCT) perturbs a pixel and
+    fails the digest. Gray is kept in [32, 127] so the oracle's
+    one-byte-per-char string arithmetic holds in UTF-8.
+
+    Returns (id, width, height, gray, n_sos, n_dri, pix_md5):
+    width = len(text) % 24 + 8, height = len(text) % 16 + 8,
+    gray = len(text) % 96 + 32; n_sos counts the stream's SOS markers
+    (6 for a 1-component progressive scan script), n_dri its DRI
+    markers. Map-only Arrow batches; the codec cost dominates —
+    the right bound for bulk image validation."""
+    if quality < 80:
+        raise ValueError(
+            "quality < 80 breaks the exact solid-gray round-trip "
+            "(DC quantizer must stay <= 8)"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("gray", T.IntegerType()),
+            T.StructField("n_sos", T.IntegerType()),
+            T.StructField("n_dri", T.IntegerType()),
+            T.StructField("pix_md5", T.StringType()),
+        ]
+    )
+
+    def probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from hdk_spark.operators import jpeg
+
+        def one(text: str):
+            n = len(text or "")
+            w, h, g = n % 24 + 8, n % 16 + 8, n % 96 + 32
+            img = np.full((h, w), g, dtype=np.uint8)
+            data = jpeg.encode_jpeg(
+                img, quality=quality, progressive=True,
+                restart_interval=restart_interval,
+            )
+            assert b"\xff\xc2" in data  # SOF2: really progressive
+            dec = jpeg.decode_jpeg(data)
+            assert dec.shape == (h, w)
+            return (
+                w, h, g,
+                data.count(b"\xff\xda"),
+                data.count(b"\xff\xdd"),
+                hashlib.md5(dec.tobytes()).hexdigest(),
+            )
+
+        for pdf in batches:
+            rows = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "gray": [r[2] for r in rows],
+                    "n_sos": [r[3] for r in rows],
+                    "n_dri": [r[4] for r in rows],
+                    "pix_md5": [r[5] for r in rows],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        probe_batch, out_schema
+    )

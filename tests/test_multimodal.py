@@ -417,3 +417,29 @@ print("FOREIGN_CWD_OK")
         capture_output=True, text=True, timeout=300,
     )
     assert "FOREIGN_CWD_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_progressive_probe_known_payload(spark):
+    """Solid-gray probe: dims/gray derived from text length, decoded
+    digest equals md5 of the constant plane (the exactness the
+    contract oracle relies on), marker counts prove the stream is a
+    multi-scan progressive one."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from hdk_spark.operators.multimodal import progressive_probe
+
+    texts = ["x" * 5, "y" * 40, "z" * 123]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string")
+    got = {r["id"]: r for r in progressive_probe(df).collect()}
+    for i, t in enumerate(texts):
+        n = len(t)
+        w, h, g = n % 24 + 8, n % 16 + 8, n % 96 + 32
+        r = got[i]
+        assert (r["width"], r["height"], r["gray"]) == (w, h, g)
+        assert r["n_sos"] == 6 and r["n_dri"] == 1
+        assert r["pix_md5"] == hashlib.md5(bytes([g]) * (w * h)).hexdigest()
+    with _pytest.raises(ValueError, match="quality"):
+        progressive_probe(df, quality=50)
