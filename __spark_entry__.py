@@ -313,59 +313,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      query's latest driver row goes stale. Everything past the ~50
 #      boundary was re-verified in round 3 or 4.
 _PRIORITY: list[str] = [
-    # failed
-    "embedding_covariance",
     # never checked
-    "text_gopher_flags",
-    "text_c4_lines",
-    "text_ngram_repetition",
-    "dedup_clusters_star",
-    "temporal_rollup_merge",
-    "dedup_bloom_decontam",
-    "linkage_fuzzy_join",
-    "dedup_duplicate_spans",
-    "dedup_remove_spans",
-    "dedup_sketch_pr",
-    "text_code_flags",
-    "streaming_span_flags",
-    "text_vocab_coverage",
+    "dedup_window_decontam",
+    "dedup_window_decontam_bloom",
+    "text_scorer_train",
+    "text_lang_id",
+    "multimodal_progressive",
     # stable greens
-    "agg_basic_stats",
-    "agg_conditional_promo",
-    "agg_decimal",
-    "agg_empty_input",
-    "agg_expr_group_keys",
-    "agg_having",
-    "cube_lineitem_status",
-    "distinct_projection",
-    "events_tumbling_hour",
-    "groupby_bool_empty_string",
-    "groupby_null_keys",
-    "grouping_sets_orders",
-    "join_anti_customers",
-    "join_exists",
-    "join_semi_in_subquery",
-    "join_theta_loop",
-    "rollup_lineitem_status",
-    "scalar_subquery_above_avg",
-    "sort_nulls_offset",
-    "string_funcs",
-    "string_funcs_extended",
-    "subquery_correlated_min",
-    "subquery_correlated_scalar",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q22_idle_customers",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "union_all_nary",
     "union_all_parties",
     "window_analytics",
     "window_explicit_frames",
@@ -487,6 +441,56 @@ _PRIORITY: list[str] = [
     "tpch_q2_min_cost_supplier",
     "web_domain_stats",
     "web_url_features",
+    "agg_basic_stats",
+    "agg_conditional_promo",
+    "agg_decimal",
+    "agg_empty_input",
+    "agg_expr_group_keys",
+    "agg_having",
+    "cube_lineitem_status",
+    "dedup_bloom_decontam",
+    "dedup_clusters_star",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "dedup_sketch_pr",
+    "distinct_projection",
+    "embedding_covariance",
+    "events_tumbling_hour",
+    "groupby_bool_empty_string",
+    "groupby_null_keys",
+    "grouping_sets_orders",
+    "join_anti_customers",
+    "join_exists",
+    "join_semi_in_subquery",
+    "join_theta_loop",
+    "linkage_fuzzy_join",
+    "rollup_lineitem_status",
+    "scalar_subquery_above_avg",
+    "sort_nulls_offset",
+    "streaming_span_flags",
+    "string_funcs",
+    "string_funcs_extended",
+    "subquery_correlated_min",
+    "subquery_correlated_scalar",
+    "temporal_rollup_merge",
+    "text_c4_lines",
+    "text_code_flags",
+    "text_gopher_flags",
+    "text_ngram_repetition",
+    "text_vocab_coverage",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q22_idle_customers",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "union_all_nary",
 ]
 
 

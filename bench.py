@@ -201,10 +201,12 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r5: no headline-path changes (round spent on "
-                "sign-of-zero normalization, progressive JPEG, "
-                "repeated-substring span dedup, oracle rows for the "
-                "curation trio); defaults remain crc32/xxhash64/"
+                "notes": "r6: no headline-path changes (round spent on "
+                "window-granular eval decontamination, scorer training, "
+                "26-language hashed lang-ID, streaming throughput "
+                "evidence, progressive-JPEG driver pin); q5_join_heavy "
+                "back at 0.35 s on the unchanged plan — r5's +73 ms was "
+                "run noise as predicted; defaults remain crc32/xxhash64/"
                 "vectorized with oracle bases pinned contract-side only",
             }
         )
