@@ -319,6 +319,7 @@ _PRIORITY: list[str] = [
     "text_scorer_train",
     "text_lang_id",
     "multimodal_progressive",
+    "text_scorer_score",
     # stable greens
     "union_all_parties",
     "window_analytics",

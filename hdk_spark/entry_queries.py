@@ -5904,9 +5904,9 @@ def q_text_scorer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCORER_TRAIN_ORACLE = r"""
+_SCORER_TRAIN_CTE = r"""
 WITH t AS (
-  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk,
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
   FROM documents
 ), f AS (
@@ -5948,13 +5948,62 @@ w2 AS (
          (w1.w - 1.0 * (CAST(g2.g AS DOUBLE) / (1000000.0 * m.m))) + 0.0 AS w
   FROM g2 JOIN w1 ON g2.b = w1.b, m
 )
-SELECT CAST(w1.b AS BIGINT) AS bucket, w1.w AS w_iter1, w2.w AS weight
+"""
+
+_SCORER_TRAIN_ORACLE = (
+    _SCORER_TRAIN_CTE
+    + """SELECT CAST(w1.b AS BIGINT) AS bucket, w1.w AS w_iter1, w2.w AS weight
 FROM w1 JOIN w2 ON w1.b = w2.b
 ORDER BY bucket
 """
+)
 
 SPARK_IMPLS["text_scorer_train"] = q_text_scorer_train
 ORACLES["text_scorer_train"] = _SCORER_TRAIN_ORACLE
+
+
+def q_text_scorer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED training loop: fit the scorer
+    (train_quality_scorer, 2 iterations, 8 buckets, lang='en' labels)
+    and immediately APPLY the trained weights to the corpus through
+    hashed_linear_score's per-token left fold — train and apply are
+    different float summation orders over the same model, so this
+    query proves the handoff, not just the fit. The oracle re-runs
+    the unrolled training SQL and replays the token-fold scoring with
+    the CTE's weight list."""
+    from hdk_spark.operators.text import (
+        hashed_linear_score,
+        train_quality_scorer,
+    )
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    w = train_quality_scorer(
+        docs, "y", n_buckets=8, iterations=2, lr=1.0
+    )
+    return hashed_linear_score(
+        spark.table("documents"), n_buckets=8, weights=w
+    ).orderBy("doc_id")
+
+
+_SCORER_SCORE_ORACLE = (
+    _SCORER_TRAIN_CTE
+    + """, w2a AS (SELECT list(w ORDER BY b) AS wa FROM w2)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       round(1/(1+exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(t.tk, x -> w2a.wa[
+             (CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) % 8) + 1])),
+           (a, b) -> a + b))
+         / greatest(len(t.tk), 1))), 6) AS score
+FROM t, w2a ORDER BY t.doc_id
+"""
+)
+
+SPARK_IMPLS["text_scorer_score"] = q_text_scorer_score
+ORACLES["text_scorer_score"] = _SCORER_SCORE_ORACLE
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
