@@ -320,6 +320,7 @@ _PRIORITY: list[str] = [
     "text_lang_id",
     "multimodal_progressive",
     "text_scorer_score",
+    "dedup_window_decontam_remove",
     # stable greens
     "union_all_parties",
     "window_analytics",

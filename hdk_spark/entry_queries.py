@@ -6127,3 +6127,53 @@ FROM m ORDER BY id
 
 SPARK_IMPLS["multimodal_progressive"] = q_multimodal_progressive
 ORACLES["multimodal_progressive"] = _MULTIMODAL_PROGRESSIVE_ORACLE
+
+
+def q_dedup_window_decontam_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination REMOVAL path end to end: the training
+    corpus rewritten with its eval-window spans cut out
+    (eval_contaminated_spans ∘ remove_duplicate_spans — the same
+    remove-and-rejoin operator the duplicate-span family uses, proving
+    the span schema contract holds across producers)."""
+    from hdk_spark.operators.dedup import (
+        eval_contaminated_spans,
+        remove_duplicate_spans,
+    )
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") >= 20)
+    spans = eval_contaminated_spans(
+        train, docs.filter(F.col("doc_id") < 20), n=4, basis="text"
+    )
+    return remove_duplicate_spans(train, spans).orderBy("doc_id")
+
+
+_WINDOW_DECONTAM_REMOVE_ORACLE = (
+    _WINDOW_DECONTAM_CTE
+    + r""", persp AS (
+  SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sps
+  FROM spans GROUP BY doc_id
+), tr AS (
+  SELECT doc_id, toks FROM t WHERE doc_id >= 20
+)
+SELECT tr.doc_id,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(0, len(tr.toks)),
+             i -> len(list_filter(COALESCE(persp.sps, []),
+                      p -> i >= p.s AND i <= p.e)) = 0),
+           i -> tr.toks[i + 1]),
+         ' '), '') AS clean_text,
+       CAST(len(tr.toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(0, len(tr.toks)),
+             i -> len(list_filter(COALESCE(persp.sps, []),
+                      p -> i >= p.s AND i <= p.e)) > 0)) AS BIGINT)
+         AS n_removed_tokens
+FROM tr LEFT JOIN persp ON tr.doc_id = persp.doc_id
+ORDER BY tr.doc_id
+"""
+)
+
+SPARK_IMPLS["dedup_window_decontam_remove"] = q_dedup_window_decontam_remove
+ORACLES["dedup_window_decontam_remove"] = _WINDOW_DECONTAM_REMOVE_ORACLE
