@@ -523,3 +523,73 @@ def test_random_grouping_query_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# window-function grammar (round 6: §2.6's ranking/analytic/running
+# surface — the rows with the oldest driver evidence — under random
+# composition; identical SQL text on both engines)
+# ---------------------------------------------------------------------------
+#
+# Determinism rules baked into the grammar:
+# - the window ORDER BY always ends in the unique event_id, so frame
+#   contents (and thus every running/navigation result) are total-order
+#   deterministic on both engines;
+# - running SUM aggregates only BIGINT expressions (DuckDB evaluates
+#   window sums with a segment tree, so float accumulation ASSOCIATION
+#   differs from Spark's sequential fold — integer sums are exact under
+#   any association); MIN/MAX over doubles are selection, not
+#   accumulation, and stay portable.
+
+WIN_PARTS = ["event_type", "user_id % 7", "user_id % 3"]
+
+win_funcs = st.one_of(
+    st.just("CAST(ROW_NUMBER() OVER w AS BIGINT)"),
+    st.just("CAST(RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT)"),
+    st.just("CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT)"),
+    st.integers(min_value=2, max_value=7).map(
+        lambda k: f"CAST(NTILE({k}) OVER w AS BIGINT)"
+    ),
+    st.integers(min_value=1, max_value=3).map(
+        lambda n: f"LAG(event_id, {n}) OVER w"
+    ),
+    st.integers(min_value=1, max_value=3).map(
+        lambda n: f"LEAD(event_id, {n}, -1) OVER w"
+    ),
+    st.just("CAST(SUM(user_id) OVER w AS BIGINT)"),
+    st.just("CAST(COUNT(*) OVER w AS BIGINT)"),
+    st.just("MIN(value) OVER w"),
+    st.just("MAX(value) OVER w"),
+    st.just("FIRST_VALUE(event_id) OVER w"),
+    st.just(
+        "CAST(SUM(user_id) OVER (PARTITION BY event_type ORDER BY ts, "
+        "event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
+    ),
+)
+
+
+@st.composite
+def window_events_queries(draw):
+    exprs = draw(st.lists(win_funcs, min_size=1, max_size=3, unique=True))
+    part = draw(st.sampled_from(WIN_PARTS))
+    hi = draw(st.integers(min_value=100, max_value=600))
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    return (
+        f"SELECT event_id, {sel} FROM events "
+        f"WHERE event_id < {hi} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY ts, event_id) "
+        f"ORDER BY event_id"
+    )
+
+
+@given(sql=window_events_queries())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_window_events_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
