@@ -315,3 +315,31 @@ def test_analyze_single_pass_plan(spark):
     # every column's stats in one shared aggregate: ≤2 exchanges
     # (partial/final + the count-distinct expand when exact)
     assert p.count("Exchange") <= 2 and "Join" not in p
+
+
+def test_ensure_shipped_content_addressed_zip(spark):
+    """ensure_shipped writes ONE deterministic content-addressed zip
+    (fixed timestamps, sorted entries) and reuses it across sessions —
+    the replacement for the former one-mkstemp-leak-per-session
+    (ADVICE r5); eager deletion is NOT allowed because executors fetch
+    addPyFile sources lazily and verify them against the original
+    path."""
+    import glob
+    import tempfile
+
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    before = sorted(glob.glob(
+        os.path.join(tempfile.gettempdir(), "hdk_spark_pkg_*.zip")))
+    assert before, "no shipped package zip found"
+    # idempotent per context AND content-stable: calling again (even
+    # with the guard flag cleared) must not mint a second file
+    spark.sparkContext._hdk_spark_shipped = False
+    ensure_shipped(spark)
+    after = sorted(glob.glob(
+        os.path.join(tempfile.gettempdir(), "hdk_spark_pkg_*.zip")))
+    assert after == before
+    # no stray .tmp files left behind by the atomic write
+    assert not glob.glob(
+        os.path.join(tempfile.gettempdir(), "hdk_spark_pkg_*.tmp"))
