@@ -596,3 +596,20 @@ def test_lang_id_ngram_map_only_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_train_quality_scorer_feature_impls_agree(spark):
+    """The map-only HOF feature path (B<=16) and the explode+groupBy
+    path (B>16) must train identical weights — proven by training at
+    B=32 (explode path) and comparing against the single-threaded
+    reference, which is path-free."""
+    from hdk_spark.operators.text import train_quality_scorer
+
+    df = spark.createDataFrame(
+        _SCORER_CORPUS, "doc_id: long, text: string, label: int")
+    got = train_quality_scorer(df, "label", n_buckets=32, iterations=2,
+                               return_history=True)
+    want = _ref_train(
+        [t for _, t, _ in _SCORER_CORPUS],
+        [y for _, _, y in _SCORER_CORPUS], 32, 2, 1.0)
+    assert got == want
