@@ -321,6 +321,7 @@ _PRIORITY: list[str] = [
     "multimodal_progressive",
     "text_scorer_score",
     "dedup_window_decontam_remove",
+    "web_url_canonical_dedup",
     # stable greens
     "union_all_parties",
     "window_analytics",

@@ -6177,3 +6177,66 @@ ORDER BY tr.doc_id
 
 SPARK_IMPLS["dedup_window_decontam_remove"] = q_dedup_window_decontam_remove
 ORACLES["dedup_window_decontam_remove"] = _WINDOW_DECONTAM_REMOVE_ORACLE
+
+
+def q_web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators/web.py::canonical_url +
+    url_dedup — the pre-exact-dedup normalization of crawl
+    pipelines): planted variants of the same page (trailing slash,
+    www + case, default port + tracking params, fragment) must
+    collapse to ONE canonical group with keep-first verdicts. The
+    oracle derives each row's expected canonical INDEPENDENTLY from
+    the planted structure (not by re-running the algorithm), so any
+    canonicalization bug hash-fails."""
+    from hdk_spark.operators.web import url_dedup
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    g = d % 40
+    host = F.concat(
+        F.lit("sub"), (g % 5).cast("string"),
+        F.lit(".site"), (g % 7).cast("string"), F.lit(".com"),
+    )
+    path = F.concat(F.lit("/p"), g.cast("string"))
+    v = d % 4
+    url = F.when(d % 13 == 0, F.lit("Not a URL at all")).otherwise(
+        F.when(v == 0, F.concat(F.lit("https://"), host, path, F.lit("/")))
+        .when(v == 1, F.concat(F.lit("https://www."), host, path))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path,
+                               F.lit("?utm_source=x&gclid=1")))
+        .otherwise(F.concat(F.lit("HTTPS://"), host, path, F.lit("#frag")))
+    )
+    planted = spark.table("documents").select("doc_id", url.alias("url"))
+    return url_dedup(planted).orderBy("doc_id")
+
+
+_URL_CANONICAL_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         'sub' || CAST(doc_id % 40 % 5 AS VARCHAR)
+           || '.site' || CAST(doc_id % 40 % 7 AS VARCHAR) || '.com'
+           AS host,
+         '/p' || CAST(doc_id % 40 AS VARCHAR) AS path
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'Not a URL at all'
+              WHEN doc_id % 4 = 0 THEN 'https://' || host || path || '/'
+              WHEN doc_id % 4 = 1 THEN 'https://www.' || host || path
+              WHEN doc_id % 4 = 2 THEN 'https://' || host || ':443' || path
+                                       || '?utm_source=x&gclid=1'
+              ELSE 'HTTPS://' || host || path || '#frag' END AS url,
+         CASE WHEN doc_id % 13 = 0 THEN 'not a url at all'
+              ELSE 'https://' || host || path END AS canonical_url
+  FROM p
+)
+SELECT doc_id, url, canonical_url,
+       CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+         AS group_size,
+       ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id) > 1
+         AS is_dup
+FROM u ORDER BY doc_id
+"""
+
+SPARK_IMPLS["web_url_canonical_dedup"] = q_web_url_canonical_dedup
+ORACLES["web_url_canonical_dedup"] = _URL_CANONICAL_ORACLE

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -88,4 +88,91 @@ def domain_stats(
         "n_https",
         F.round(F.col("__depth_sum") / F.col("n_pages"), 6).alias("avg_path_depth"),
         *([F.col("total_weight")] if weight_col is not None else []),
+    )
+
+
+_TRACKING_PARAM = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url(url) -> "F.Column":
+    """Canonicalize a URL column the way crawl dedup does (the
+    pre-exact-dedup normalization of C4/CommonCrawl-style pipelines):
+
+    - scheme and host lowercased; leading ``www.`` dropped
+    - fragment (``#…``) stripped
+    - default ports removed (``:80`` for http, ``:443`` for https);
+      other ports kept
+    - trailing slashes stripped from the path (root collapses to none)
+    - tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``, ``ref``); survivors SORTED so param order can't
+      split a group; the ``?`` disappears when nothing survives
+
+    Strings without a ``scheme://`` pass through trimmed+lowercased —
+    junk rows must stay stable, not error. Pure regexp/HOF
+    composition (Java∩RE2∩DuckDB regex subset): map-only, codegen,
+    and oracle-expressible."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"#.*$", "",
+    )
+    hostport = F.regexp_extract(rest, r"^([^/?#]+)", 1)
+    tail = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        r"^www\.", "",
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.regexp_extract(tail, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+        )
+    )
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", F.lower(u)).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL dedup verdicts: every row keeps its
+    :func:`canonical_url`, its canonical group's size, and
+    ``is_dup`` — TRUE for every row after the group's smallest id
+    (the deterministic keep-first rule). Filter ``~is_dup`` to dedup,
+    keep the full relation for observability.
+
+    Scale shape: ONE window over the canonical key (a single hash
+    exchange — same cost class as the exact_dedup groupBy, but
+    keeping every row's verdict instead of collapsing)."""
+    from pyspark.sql.window import Window
+
+    cu = canonical_url(F.col(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), F.col(url_col), cu.alias("canonical_url"))
+        .withColumn(
+            "group_size",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("canonical_url")
+            ).cast("long"),
+        )
+        .withColumn("is_dup", F.row_number().over(w) > 1)
     )

@@ -430,3 +430,60 @@ def test_segment_dedup_exchange_bound(spark):
     tree = plan(df).split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert tree.count("Exchange") <= 4
+
+
+def test_canonical_url_rules(spark):
+    """Canonicalization rules on planted URLs: case, www, fragments,
+    default ports, trailing slashes, tracking params, param sorting,
+    junk passthrough."""
+    from hdk_spark.operators.web import canonical_url
+
+    cases = [
+        ("https://WWW.Example.COM:443/a/b/#frag", "https://example.com/a/b"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/x/", "http://example.com:8080/x"),
+        ("https://example.com/a?utm_source=x&b=2&a=1",
+         "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?b=2&a=1",
+         "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?utm_source=x&gclid=1&fbclid=2",
+         "https://example.com/a"),
+        ("HTTPS://example.com", "https://example.com"),
+        ("not a url at all", "not a url at all"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i: long, url: string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_keep_first(spark):
+    from hdk_spark.operators.web import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "https://www.a.com/x/"),
+         (2, "https://a.com/x?utm_source=y"),
+         (3, "HTTPS://A.COM:443/x"),
+         (4, "https://a.com/other")],
+        "doc_id: long, url: string",
+    )
+    rows = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert all(rows[i]["canonical_url"] == "https://a.com/x"
+               for i in (1, 2, 3))
+    assert not rows[1]["is_dup"] and rows[2]["is_dup"] and rows[3]["is_dup"]
+    assert rows[1]["group_size"] == 3
+    assert not rows[4]["is_dup"] and rows[4]["group_size"] == 1
+
+
+def test_canonical_url_map_only_plan(spark):
+    from hdk_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame([(1, "https://a.com/x")], "i: long, url: string")
+    p = (
+        df.select(canonical_url(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p and "Join" not in p
