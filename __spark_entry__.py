@@ -322,6 +322,7 @@ _PRIORITY: list[str] = [
     "text_scorer_score",
     "dedup_window_decontam_remove",
     "web_url_canonical_dedup",
+    "web_domain_cap",
     # stable greens
     "union_all_parties",
     "window_analytics",

@@ -6240,3 +6240,44 @@ FROM u ORDER BY doc_id
 
 SPARK_IMPLS["web_url_canonical_dedup"] = q_web_url_canonical_dedup
 ORACLES["web_url_canonical_dedup"] = _URL_CANONICAL_ORACLE
+
+
+def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/web.py::domain_cap, cap=10)
+    over the planted URL corpus: deterministic hash-order rank within
+    each registered domain, keep verdicts for every row. The oracle
+    derives reg_domain INDEPENDENTLY from the planted structure and
+    replays the shared Knuth-hash order."""
+    from hdk_spark.operators.web import domain_cap
+
+    _tables(spark, sf_dir)
+    return domain_cap(
+        _planted_urls(spark), max_per_domain=10
+    ).orderBy("doc_id")
+
+
+_DOMAIN_CAP_ORACLE = (
+    "WITH planted AS (" + _PLANTED_URLS_SQL + """),
+u AS (
+  SELECT doc_id, url,
+         CASE WHEN doc_id % 13 = 0 THEN ''
+              WHEN doc_id % 4 = 0 THEN 'co.uk'
+              ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.com'
+         END AS reg_domain
+  FROM planted
+)
+SELECT doc_id, url, reg_domain,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY reg_domain
+         ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007,
+                  doc_id) AS BIGINT) AS domain_rank,
+       ROW_NUMBER() OVER (
+         PARTITION BY reg_domain
+         ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007,
+                  doc_id) <= 10 AS kept
+FROM u ORDER BY doc_id
+"""
+)
+
+SPARK_IMPLS["web_domain_cap"] = q_web_domain_cap
+ORACLES["web_domain_cap"] = _DOMAIN_CAP_ORACLE

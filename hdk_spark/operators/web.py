@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -176,3 +176,44 @@ def url_dedup(
         )
         .withColumn("is_dup", F.row_number().over(w) > 1)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_per_domain: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-registered-domain document cap — the crawl-mixture step
+    that stops a handful of giant domains from dominating the corpus
+    (C4 keeps ≤ N pages/domain; RefinedWeb caps before mixing):
+    every row gets its ``reg_domain``, its deterministic
+    ``domain_rank`` (hash order, so the KEPT SET is a pure function
+    of (id, seed) — stable under repartition, retries, and reruns;
+    NOT first-crawled order, which would bias toward crawl frontier
+    artifacts), and ``kept`` = rank ≤ cap. Filter ``kept`` to apply;
+    keep the relation for observability.
+
+    Scale shape: :func:`url_features` is map-only; the rank is ONE
+    window over ``reg_domain`` (hash order via the sampling module's
+    Knuth hash — the cross-engine-identical basis). A pathological
+    single domain with billions of pages makes that window's
+    partition hot; at that scale pre-thin with
+    :func:`hdk_spark.operators.sampling.hash_sample` on the domain's
+    rows first (cap semantics only need SOME deterministic
+    ``max_per_domain`` survivors, and hash order composes: the
+    pre-thinned survivors keep the same relative hash order)."""
+    from hdk_spark.operators.sampling import hash_bucket
+    from pyspark.sql.window import Window
+
+    feats = url_features(df, url_col).select(
+        F.col(id_col), F.col(url_col), "reg_domain"
+    )
+    order_key = hash_bucket(F.col(id_col), 1_000_000_007, seed)
+    w = Window.partitionBy("reg_domain").orderBy(
+        order_key.asc(), F.col(id_col).asc()
+    )
+    return feats.withColumn(
+        "domain_rank", F.row_number().over(w).cast("long")
+    ).withColumn("kept", F.col("domain_rank") <= F.lit(max_per_domain))

@@ -487,3 +487,27 @@ def test_canonical_url_map_only_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    from hdk_spark.operators.web import domain_cap
+
+    rows = [(i, f"https://big.com/p{i}") for i in range(40)] + [
+        (100, "https://small.com/x"), (101, "https://small.com/y")]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string")
+    got = domain_cap(df, max_per_domain=5).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["reg_domain"], []).append(r)
+    assert sum(r["kept"] for r in by_dom["big.com"]) == 5
+    assert all(r["kept"] for r in by_dom["small.com"])
+    # rank is a permutation per domain
+    ranks = sorted(r["domain_rank"] for r in by_dom["big.com"])
+    assert ranks == list(range(1, 41))
+    # deterministic under repartition: identical kept set
+    again = {r["doc_id"]: r["kept"]
+             for r in domain_cap(df.repartition(7), max_per_domain=5).collect()}
+    assert again == {r["doc_id"]: r["kept"] for r in got}
+    # hash order, not id order: the kept big.com ids are NOT simply 0..4
+    kept_big = sorted(r["doc_id"] for r in by_dom["big.com"] if r["kept"])
+    assert kept_big != list(range(5))
