@@ -323,6 +323,7 @@ _PRIORITY: list[str] = [
     "dedup_window_decontam_remove",
     "web_url_canonical_dedup",
     "web_domain_cap",
+    "html_extract",
     # stable greens
     "union_all_parties",
     "window_analytics",

@@ -6281,3 +6281,92 @@ FROM u ORDER BY doc_id
 
 SPARK_IMPLS["web_domain_cap"] = q_web_domain_cap
 ORACLES["web_domain_cap"] = _DOMAIN_CAP_ORACLE
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/html.py::html_extract): a
+    deterministic HTML page is planted around each document's text
+    (head with title/style/script, h1, paragraph, links/images varying
+    by doc_id) and the full tag/entity/whitespace chain runs on it.
+    The oracle is GENERATED from the same pattern constants the
+    operator uses (module import, zero drift) and replays the chain
+    with DuckDB's regexp engine — the RE2∩Java subset claim, value-
+    checked per character."""
+    from hdk_spark.operators.html import html_extract
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit("</title><style>p{color:red}</style>"
+              "<script>var x = 1 < 2;</script></head><body><h1>"),
+        F.col("source"),
+        F.lit('</h1><p>'), F.col("text"),
+        F.lit(' &amp; more</p><a href="/a">l</a>'),
+        F.when(d % 3 == 0,
+               F.lit('<a href="/b">m</a><img src="i.png">'))
+        .otherwise(F.lit("")),
+        F.lit("<!-- hidden <p>comment</p> --></body></html>"),
+    )
+    planted = spark.table("documents").select(
+        "doc_id", html.alias("html")
+    )
+    return html_extract(planted).orderBy("doc_id")
+
+
+def _html_extract_oracle() -> str:
+    from hdk_spark.operators.html import (
+        _ANY_TAG,
+        _BREAK_TAGS,
+        _DROP_BLOCKS,
+        _ENTITIES,
+    )
+
+    def lit(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    s = "h"
+    for pat in _DROP_BLOCKS:
+        s = f"regexp_replace({s}, {lit(pat)}, '', 'g')"
+    s = f"regexp_replace({s}, {lit(_BREAK_TAGS)}, chr(10), 'g')"
+    s = f"regexp_replace({s}, {lit(_ANY_TAG)}, ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        s = f"replace({s}, {lit(ent)}, {lit(rep)})"
+    s = f"regexp_replace({s}, '[ \\t\\r]+', ' ', 'g')"
+    s = f"regexp_replace({s}, ' ?\\n ?', chr(10), 'g')"
+    s = f"regexp_replace({s}, '\\n{{2,}}', chr(10), 'g')"
+    s = f"trim(regexp_replace({s}, '^\\n+|\\n+$', '', 'g'))"
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{{color:red}}</style>'
+         || '<script>var x = 1 < 2;</script></head><body><h1>'
+         || source || '</h1><p>' || text
+         || ' &amp; more</p><a href="/a">l</a>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<a href="/b">m</a><img src="i.png">'
+                 ELSE '' END
+         || '<!-- hidden <p>comment</p> --></body></html>' AS h
+  FROM documents
+), e AS (
+  SELECT doc_id, h, {s} AS text
+  FROM p
+)
+SELECT doc_id, text,
+       trim(regexp_replace(
+         regexp_extract(h, '(?is)<title\b[^>]*>(.*?)</title\s*>', 1),
+         '\s+', ' ', 'g')) AS title,
+       CAST(len(regexp_split_to_array(h, '(?i)<a[\s>]')) - 1 AS BIGINT)
+         AS n_links,
+       CAST(len(regexp_split_to_array(h, '(?i)<img[\s>]')) - 1 AS BIGINT)
+         AS n_images,
+       CASE WHEN len(h) > 0
+            THEN round(len(text) / CAST(len(h) AS DOUBLE), 6)
+            ELSE 0.0 END AS text_ratio
+FROM e ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["html_extract"] = q_html_extract
+ORACLES["html_extract"] = _html_extract_oracle()

@@ -1,0 +1,93 @@
+"""HTML → text extraction invariants: tag/entity handling, break
+structure, curation counters, junk totality, map-only plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_html_to_text_structure_and_entities(spark):
+    from hdk_spark.operators.html import html_to_text
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Header</h1><p>First &amp; second &lt;para&gt;.</p>"
+        "<div>Block one</div><ul><li>item one</li><li>item two</li></ul>"
+        "<!-- a comment with <p>markup</p> -->"
+        "<p>Tail&nbsp;text &amp;lt; stays escaped</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "i: long, h: string")
+    got = df.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    lines = got.split("\n")
+    assert lines[0] == "T Header"  # title text + h1 (h1 close breaks)
+    assert "First & second <para>." in lines
+    assert "item one" in lines and "item two" in lines
+    assert "not text" not in got and "color:red" not in got
+    assert "comment" not in got
+    # &amp;lt; must decode to the LITERAL '&lt;' (amp decoded last)
+    assert "Tail text &lt; stays escaped" in got
+
+
+def test_html_to_text_total_on_tag_soup(spark):
+    from hdk_spark.operators.html import html_to_text
+
+    soup = [
+        (1, "<p>unclosed <b>bold"),
+        (2, "no markup at all"),
+        (3, "<"),
+        (4, ""),
+        (5, "<script>never closed"),
+    ]
+    df = spark.createDataFrame(soup, "i: long, h: string")
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", html_to_text(F.col("h")).alias("t")).collect()}
+    assert got[1] == "unclosed bold"
+    assert got[2] == "no markup at all"
+    assert got[4] == ""
+    # an unclosed script block has no </script>: the drop regex cannot
+    # fire, the tag strip removes <script> and the text remains —
+    # totality beats perfection on tag soup
+    assert "never closed" in got[5]
+
+
+def test_html_extract_counters(spark):
+    from hdk_spark.operators.html import html_extract
+
+    html = (
+        "<html><title> My  Page </title><body>"
+        '<a href="/x">one</a> <a href="/y">two</a>'
+        '<img src="a.png"><img src="b.png"><img src="c.png">'
+        "<p>Some text here</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None)], "doc_id: long, html: string")
+    got = {r["doc_id"]: r for r in html_extract(df).collect()}
+    assert got[1]["title"] == "My Page"
+    assert got[1]["n_links"] == 2 and got[1]["n_images"] == 3
+    assert "Some text here" in got[1]["text"]
+    assert 0.0 < got[1]["text_ratio"] < 1.0
+    assert got[2]["text"] == "" and got[2]["title"] == ""
+    assert got[2]["n_links"] == 0 and got[2]["text_ratio"] == 0.0
+
+
+def test_html_extract_map_only_plan(spark):
+    from hdk_spark.operators.html import html_extract
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id: long, html: string")
+    p = (
+        html_extract(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_html_to_text_composes_with_quality_gates(spark):
+    """The extracted text column feeds the existing curation operators
+    directly (the pipeline contract)."""
+    from hdk_spark.operators.html import html_extract
+    from hdk_spark.operators.text import c4_line_filter
+
+    html = "<p>" + "the quick brown fox jumps over the lazy dog. " * 5 + "</p>"
+    df = spark.createDataFrame([(1, html)], "doc_id: long, html: string")
+    out = c4_line_filter(html_extract(df).select("doc_id", "text"))
+    assert out.count() >= 1
