@@ -172,6 +172,25 @@ def main() -> None:
             lambda: lang_id_ngram(docs, basis="crc32"), n=1))
         print("lang_id_ngram_5_md5:", best(lambda: lang_id_ngram(
             docs, langs=["en", "de", "es", "fr", "zh"]), n=1))
+
+        from hdk_spark.operators.html import html_extract
+        from hdk_spark.operators.web import domain_cap
+
+        html = F.concat(
+            F.lit("<html><head><title>Doc </title><style>p{}</style>"
+                  "<script>var x=1;</script></head><body><h1>s</h1><p>"),
+            F.col("text"),
+            F.lit('</p><a href="/a">l</a><img src="i.png"></body></html>'),
+        )
+        pages = docs.select("doc_id", html.alias("html"))
+        print("html_extract:", best(lambda: html_extract(pages)))
+        d = F.col("doc_id")
+        urls = docs.select("doc_id", F.concat(
+            F.lit("https://sub"), (d % 50).cast("string"),
+            F.lit(".site"), (d % 700).cast("string"),
+            F.lit(".com/p"), d.cast("string")).alias("url"))
+        print("domain_cap_100:", best(lambda: domain_cap(
+            urls, max_per_domain=100)))
         return
 
     Q5 = """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
