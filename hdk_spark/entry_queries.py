@@ -6298,8 +6298,11 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     html = F.concat(
         F.lit("<html><head><title>Doc "), d.cast("string"),
-        F.lit("</title><style>p{color:red}</style>"
-              "<script>var x = 1 < 2;</script></head><body><h1>"),
+        F.lit("</title><style>p{color:red}</style>"),
+        F.when(d % 11 == 0,
+               F.lit('<meta name="robots" content="noindex,nofollow">'))
+        .otherwise(F.lit("")),
+        F.lit("<script>var x = 1 < 2;</script></head><body><h1>"),
         F.col("source"),
         F.lit('</h1><p>'), F.col("text"),
         F.lit(' &amp; more</p><a href="/a">l</a>'),
@@ -6341,6 +6344,9 @@ WITH p AS (
   SELECT doc_id,
          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
          || '</title><style>p{{color:red}}</style>'
+         || CASE WHEN doc_id % 11 = 0
+                 THEN '<meta name="robots" content="noindex,nofollow">'
+                 ELSE '' END
          || '<script>var x = 1 < 2;</script></head><body><h1>'
          || source || '</h1><p>' || text
          || ' &amp; more</p><a href="/a">l</a>'
@@ -6363,7 +6369,8 @@ SELECT doc_id, text,
          AS n_images,
        CASE WHEN len(h) > 0
             THEN round(len(text) / CAST(len(h) AS DOUBLE), 6)
-            ELSE 0.0 END AS text_ratio
+            ELSE 0.0 END AS text_ratio,
+       doc_id % 11 = 0 AS noindex
 FROM e ORDER BY doc_id
 """
 

@@ -96,6 +96,12 @@ def html_extract(
         F.length(h) > 0,
         F.round(F.length(text) / F.length(h).cast("double"), 6),
     ).otherwise(F.lit(0.0))
+    # robots meta directive: pages marked noindex must be excluded
+    # from a training corpus (the crawl-etiquette gate)
+    noindex = h.rlike(
+        r'(?is)<meta\b[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+        r'content\s*=\s*["\x27]?[^"\x27>]*noindex'
+    )
     return df.select(
         F.col(id_col),
         text.alias("text"),
@@ -103,4 +109,5 @@ def html_extract(
         n_links.cast("long").alias("n_links"),
         n_images.cast("long").alias("n_images"),
         ratio.alias("text_ratio"),
+        noindex.alias("noindex"),
     )

@@ -68,6 +68,19 @@ def test_html_extract_counters(spark):
     assert 0.0 < got[1]["text_ratio"] < 1.0
     assert got[2]["text"] == "" and got[2]["title"] == ""
     assert got[2]["n_links"] == 0 and got[2]["text_ratio"] == 0.0
+    assert not got[1]["noindex"] and not got[2]["noindex"]
+
+
+def test_html_extract_noindex_flag(spark):
+    from hdk_spark.operators.html import html_extract
+
+    df = spark.createDataFrame(
+        [(1, '<head><META NAME=robots CONTENT="NOINDEX, follow"></head>'),
+         (2, '<head><meta name="robots" content="index,follow"></head>'),
+         (3, '<head><meta name="viewport" content="noindex-ish"></head>')],
+        "doc_id: long, html: string")
+    got = {r["doc_id"]: r["noindex"] for r in html_extract(df).collect()}
+    assert got == {1: True, 2: False, 3: False}
 
 
 def test_html_extract_map_only_plan(spark):
