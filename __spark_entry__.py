@@ -324,6 +324,7 @@ _PRIORITY: list[str] = [
     "web_url_canonical_dedup",
     "web_domain_cap",
     "html_extract",
+    "text_ccnet_buckets",
     # stable greens
     "union_all_parties",
     "window_analytics",

@@ -6377,3 +6377,48 @@ FROM e ORDER BY doc_id
 
 SPARK_IMPLS["html_extract"] = q_html_extract
 ORACLES["html_extract"] = _html_extract_oracle()
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (operators/text.py::ccnet_buckets):
+    per-language head/middle/tail thirds by unigram LM score. Ordering
+    is by the rounded emitted score + doc_id tie-break, so NTILE
+    assignment is bit-stable cross-engine; the oracle replays the LM
+    pass and the window."""
+    from hdk_spark.operators.text import ccnet_buckets
+
+    _tables(spark, sf_dir)
+    return ccnet_buckets(
+        spark.table("documents"), lang_col="lang"
+    ).orderBy("doc_id")
+
+
+_CCNET_BUCKETS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), f AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT SUM(c) AS s FROM f
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(AVG(ln(f.c / CAST(tot.s AS DOUBLE))), 6) + 0 AS avg_logprob
+  FROM tok JOIN f USING (token) CROSS JOIN tot
+  GROUP BY doc_id
+), ranked AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_ccnet_buckets"] = q_text_ccnet_buckets
+ORACLES["text_ccnet_buckets"] = _CCNET_BUCKETS_ORACLE

@@ -1487,3 +1487,58 @@ def vocab_coverage(
             ).alias("oov_frac"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: "str | None" = None,
+    min_count: int = 1,
+    model_df: "DataFrame | None" = None,
+    model_text_col: "str | None" = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    every document by its LM score (:func:`unigram_logprob` — the
+    perplexity proxy; pass ``model_df`` to score under a reference
+    corpus like CCNet's Wikipedia LM) and split each language into
+    equal thirds — ``head`` (closest to the model), ``middle``,
+    ``tail``. Pretraining recipes keep head+middle or reweight by
+    bucket; the tail is where boilerplate and gibberish concentrate.
+
+    Ordering is by the ROUNDED emitted score (desc) with the id as
+    tie-break — the rounded value is the cross-engine-stable quantity
+    (transcendental determinism rule), so bucket assignment is
+    reproducible anywhere. Returns (id, lang, n_tokens, avg_logprob,
+    bucket); ``lang_col=None`` buckets the whole corpus as one group.
+
+    Scale shape: the LM pass is :func:`unigram_logprob`'s two corpus
+    passes; bucketing adds ONE equi-join back to the language column
+    and ONE window exchange per language partition (NTILE needs the
+    partition's total order — the same cost class as any global
+    ranking; per-language partitions keep it sharded)."""
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob(
+        df, id_col, text_col, min_count=min_count,
+        model_df=model_df, model_text_col=model_text_col,
+    )
+    if lang_col is not None:
+        langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+        j = scored.join(langs, id_col)
+    else:
+        j = scored.withColumn("lang", F.lit("all"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    nt = F.ntile(3).over(w)
+    return j.select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -511,3 +511,49 @@ def test_domain_cap_deterministic_and_capped(spark):
     # hash order, not id order: the kept big.com ids are NOT simply 0..4
     kept_big = sorted(r["doc_id"] for r in by_dom["big.com"] if r["kept"])
     assert kept_big != list(range(5))
+
+
+def test_ccnet_buckets_semantics(spark):
+    """Planted corpus: model-like docs land in head, gibberish in
+    tail; per-language thirds are near-equal; the bucket column
+    partitions the corpus."""
+    from hdk_spark.operators.text import ccnet_buckets
+
+    common = "the cat sat on the mat and the dog ran over the hill"
+    rows = []
+    for i in range(9):
+        rows.append((i, common, "en"))                  # model-like
+    for i in range(9, 12):
+        rows.append((i, f"zzq{i} qqz{i} xjv{i} vvk{i}", "en"))  # gibberish
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    got = {r["doc_id"]: r for r in ccnet_buckets(df, lang_col="lang").collect()}
+    assert len(got) == 12
+    from collections import Counter
+    sizes = Counter(r["bucket"] for r in got.values())
+    assert sizes == {"head": 4, "middle": 4, "tail": 4}
+    # every gibberish doc is in the tail (rare tokens -> low logprob)
+    for i in range(9, 12):
+        assert got[i]["bucket"] == "tail", got[i]
+    # scores monotone: head min >= tail max
+    head_min = min(r["avg_logprob"] for r in got.values() if r["bucket"] == "head")
+    tail_max = max(r["avg_logprob"] for r in got.values() if r["bucket"] == "tail")
+    assert head_min >= tail_max
+
+
+def test_ccnet_buckets_cross_model_and_global(spark):
+    from hdk_spark.operators.text import ccnet_buckets
+
+    model = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta")], "doc_id: long, text: string")
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+         (3, "alpha alpha beta")],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in ccnet_buckets(
+        df, model_df=model).collect()}
+    assert all(r["lang"] == "all" for r in got.values())
+    # doc 2 shares nothing with the model -> worst score -> tail;
+    # doc 3 repeats the model's highest-mass token -> best -> head
+    assert got[2]["bucket"] == "tail"
+    assert got[3]["bucket"] == "head"
+    assert got[1]["bucket"] == "middle"
