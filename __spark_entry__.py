@@ -325,6 +325,7 @@ _PRIORITY: list[str] = [
     "web_domain_cap",
     "html_extract",
     "text_ccnet_buckets",
+    "web_domain_boilerplate",
     # stable greens
     "union_all_parties",
     "window_analytics",

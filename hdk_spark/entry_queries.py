@@ -6422,3 +6422,98 @@ FROM ranked ORDER BY doc_id
 
 SPARK_IMPLS["text_ccnet_buckets"] = q_text_ccnet_buckets
 ORACLES["text_ccnet_buckets"] = _CCNET_BUCKETS_ORACLE
+
+
+def q_web_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate line removal (operators/web.py::
+    domain_boilerplate_removal, text basis pinned): planted nav/footer
+    lines shared by every page of a domain vanish, each document's own
+    text line survives. The oracle recomputes the WHOLE algorithm
+    (page counts, line-page fractions, threshold, ordered reassembly)
+    in SQL — no planted-structure shortcuts, so threshold arithmetic
+    and reassembly order are value-checked too."""
+    from hdk_spark.operators.web import domain_boilerplate_removal
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    tag = F.when(d % 13 == 0, F.lit("junk")).otherwise(
+        F.when(d % 4 == 0, F.lit("couk")).otherwise(
+            F.concat(F.lit("site"), (d % 17).cast("string"))
+        )
+    )
+    ptext = F.concat(
+        F.lit("nav "), tag, F.lit("\n"),
+        F.col("text"), F.lit("\n"),
+        F.lit("footer "), tag,
+    )
+    planted = _planted_urls(spark).join(
+        spark.table("documents").select("doc_id", ptext.alias("text")),
+        "doc_id",
+    )
+    return domain_boilerplate_removal(
+        planted, basis="text"
+    ).orderBy("doc_id")
+
+
+_DOMAIN_BOILERPLATE_ORACLE = """
+WITH tagd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN ''
+              WHEN doc_id % 4 = 0 THEN 'co.uk'
+              ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.com'
+         END AS reg_domain,
+         CASE WHEN doc_id % 13 = 0 THEN 'junk'
+              WHEN doc_id % 4 = 0 THEN 'couk'
+              ELSE 'site' || CAST(doc_id % 17 AS VARCHAR)
+         END AS tag
+  FROM documents
+), base AS (
+  SELECT t.doc_id, t.reg_domain,
+         list_filter(
+           list_transform(string_split(
+             'nav ' || t.tag || chr(10) || d.text || chr(10)
+               || 'footer ' || t.tag, chr(10)), x -> trim(x)),
+           x -> x <> '') AS flines
+  FROM tagd t JOIN documents d ON t.doc_id = d.doc_id
+), l AS (
+  SELECT doc_id, reg_domain, u.p AS pos, u.line
+  FROM base,
+       unnest(list_transform(range(0, len(flines)),
+              i -> {'p': i, 'line': flines[i + 1]})) AS t(u)
+), pages AS (
+  SELECT reg_domain, COUNT(DISTINCT doc_id) AS npages
+  FROM base GROUP BY reg_domain
+), line_pages AS (
+  SELECT reg_domain, line, COUNT(DISTINCT doc_id) AS np
+  FROM l GROUP BY reg_domain, line
+), boiler AS (
+  SELECT lp.reg_domain, lp.line
+  FROM line_pages lp JOIN pages p ON lp.reg_domain = p.reg_domain
+  WHERE lp.np >= 2 AND lp.np >= ceil(0.5 * p.npages)
+), kept AS (
+  SELECT l.doc_id, l.reg_domain, l.pos, l.line
+  FROM l ANTI JOIN boiler b
+    ON l.reg_domain = b.reg_domain AND l.line = b.line
+), rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_sort(list({'p': pos, 'line': line})),
+           s -> s.line), chr(10)) AS clean_text,
+         COUNT(*) AS nkept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id
+)
+SELECT b.doc_id, b.reg_domain,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(t.n_lines, 0) - COALESCE(r.nkept, 0) AS BIGINT)
+         AS n_removed_lines
+FROM base b
+LEFT JOIN totals t ON b.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+ORDER BY b.doc_id
+"""
+
+SPARK_IMPLS["web_domain_boilerplate"] = q_web_domain_boilerplate
+ORACLES["web_domain_boilerplate"] = _DOMAIN_BOILERPLATE_ORACLE

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -217,3 +217,109 @@ def domain_cap(
     return feats.withColumn(
         "domain_rank", F.row_number().over(w).cast("long")
     ).withColumn("kept", F.col("domain_rank") <= F.lit(max_per_domain))
+
+
+def domain_boilerplate_removal(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_page_frac: float = 0.5,
+    min_pages: int = 2,
+    basis: str = "xxhash64",
+) -> DataFrame:
+    """Remove per-domain boilerplate LINES — the nav menus, cookie
+    banners, and footers that repeat across most pages of one site but
+    are unique corpus-wide, which is exactly why corpus-frequency
+    line dedup (:func:`hdk_spark.operators.dedup.segment_dedup`)
+    cannot see them on small domains: a line is boilerplate for a
+    domain when it appears on ≥ ``min_page_frac`` of the domain's
+    pages (and ≥ ``min_pages`` absolute, so 1-page domains keep
+    everything).
+
+    Returns (id, reg_domain, clean_text, n_lines, n_removed_lines):
+    each document's non-empty trimmed lines with its domain's
+    boilerplate removed, rejoined with newlines in original order.
+
+    ``basis='xxhash64'`` shuffles 8-byte line keys (production; a
+    collision only over-removes — conservative); ``'text'`` is exact
+    and what the contract oracle pins.
+
+    Scale shape: one line explode (≈lines rows), one
+    (domain, line-key) page-count groupBy + one domain page-count
+    groupBy (both partial-agg), an AQE-decided join of the line
+    relation against the boilerplate keys (NOT force-broadcast — the
+    key relation is corpus-derived), and one per-doc sort-merge
+    reassembly groupBy — the segment_dedup cost class with a domain
+    dimension added."""
+    if basis not in ("xxhash64", "text"):
+        raise ValueError(f"basis must be 'xxhash64' or 'text', got {basis!r}")
+    feats = url_features(df, url_col).select(
+        F.col(id_col).alias("id"),
+        "reg_domain",
+        F.col(text_col).alias("__text"),
+    )
+    lines_arr = F.filter(
+        F.transform(F.split("__text", r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    staged = (
+        feats.select(
+            "id",
+            "reg_domain",
+            F.posexplode(lines_arr).alias("pos", "__line"),
+        )
+        .withColumn(
+            "__lkey",
+            F.xxhash64("__line") if basis == "xxhash64"
+            else F.col("__line"),
+        )
+    )
+    pages = feats.groupBy("reg_domain").agg(
+        F.countDistinct("id").alias("__npages")
+    )
+    line_pages = staged.groupBy("reg_domain", "__lkey").agg(
+        F.countDistinct("id").alias("__np")
+    )
+    boiler = (
+        line_pages.join(pages, "reg_domain")
+        .filter(
+            (F.col("__np") >= F.lit(min_pages))
+            & (
+                F.col("__np")
+                >= F.ceil(F.lit(float(min_page_frac)) * F.col("__npages"))
+            )
+        )
+        .select("reg_domain", "__lkey")
+    )
+    kept = staged.join(boiler, ["reg_domain", "__lkey"], "left_anti")
+    rebuilt = kept.groupBy("id", "reg_domain").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("__nkept"),
+    )
+    totals = staged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    base = feats.select("id", "reg_domain")
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt.select("id", "clean_text", "__nkept"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "reg_domain",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            (
+                F.coalesce("n_lines", F.lit(0))
+                - F.coalesce("__nkept", F.lit(0))
+            ).cast("long").alias("n_removed_lines"),
+        )
+    )

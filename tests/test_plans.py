@@ -557,3 +557,47 @@ def test_ccnet_buckets_cross_model_and_global(spark):
     assert got[2]["bucket"] == "tail"
     assert got[3]["bucket"] == "head"
     assert got[1]["bucket"] == "middle"
+
+
+def test_domain_boilerplate_removal_planted(spark):
+    """Shared nav/footer lines vanish per domain; unique content stays;
+    single-page domains keep everything (min_pages floor); both key
+    bases agree."""
+    from hdk_spark.operators.web import domain_boilerplate_removal
+
+    nav, foot = "home about contact", "copyright 2024 acme"
+    rows = [
+        (1, "https://a.com/1", f"{nav}\nunique one\n{foot}"),
+        (2, "https://a.com/2", f"{nav}\nunique two\n{foot}"),
+        (3, "https://a.com/3", f"{nav}\nunique three\n{foot}"),
+        # b.com: nav on 1 of 2 pages (50% -> boiler at frac=0.5)
+        (4, "https://b.com/1", "bee nav\nbee one"),
+        (5, "https://b.com/2", "bee two"),
+        # single-page domain: nothing removed even though 100% frac
+        (6, "https://solo.com/1", "solo nav\nsolo text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, text: string")
+    for basis in ("text", "xxhash64"):
+        got = {r["doc_id"]: r for r in domain_boilerplate_removal(
+            df, basis=basis).collect()}
+        assert got[1]["clean_text"] == "unique one"
+        assert got[2]["clean_text"] == "unique two"
+        assert got[1]["n_lines"] == 3 and got[1]["n_removed_lines"] == 2
+        # b.com: 'bee nav' is on 1/2 pages -> ceil(0.5*2)=1 but
+        # min_pages=2 floors it -> kept
+        assert got[4]["clean_text"] == "bee nav\nbee one"
+        assert got[6]["clean_text"] == "solo nav\nsolo text"
+        assert got[6]["n_removed_lines"] == 0
+
+
+def test_domain_boilerplate_removal_no_forced_broadcast(spark):
+    from hdk_spark.operators.web import domain_boilerplate_removal
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/1", "x\ny")], "doc_id: long, url: string, text: string")
+    p = (
+        domain_boilerplate_removal(df)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "ResolvedHint" not in p
