@@ -191,6 +191,19 @@ def main() -> None:
             F.lit(".com/p"), d.cast("string")).alias("url"))
         print("domain_cap_100:", best(lambda: domain_cap(
             urls, max_per_domain=100)))
+
+        from hdk_spark.operators.web import domain_boilerplate_removal
+
+        tag = (d % 700).cast("string")
+        lined = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://s"), tag, F.lit(".com/p"),
+                     d.cast("string")).alias("url"),
+            F.concat(F.lit("nav "), tag, F.lit("\n"), F.col("text"),
+                     F.lit("\nfooter "), tag).alias("text"),
+        )
+        print("domain_boilerplate:", best(
+            lambda: domain_boilerplate_removal(lined), n=1))
         return
 
     Q5 = """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
