@@ -326,6 +326,7 @@ _PRIORITY: list[str] = [
     "html_extract",
     "text_ccnet_buckets",
     "web_domain_boilerplate",
+    "warc_parse",
     # stable greens
     "union_all_parties",
     "window_analytics",

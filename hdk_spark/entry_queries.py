@@ -6517,3 +6517,38 @@ ORDER BY b.doc_id
 
 SPARK_IMPLS["web_domain_boilerplate"] = q_web_domain_boilerplate
 ORACLES["web_domain_boilerplate"] = _DOMAIN_BOILERPLATE_ORACLE
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest driven driver-side (operators/warc.py::warc_probe):
+    every document becomes a per-record-gzip WARC (warcinfo + 200 HTTP
+    response wrapping the text) built by the repo's writer and parsed
+    back by the repo's parser — CommonCrawl's container framing,
+    value-checked: the oracle recomputes every record's type/uri/
+    status/body length/digest from the documents table directly."""
+    from hdk_spark.operators.warc import warc_probe
+
+    _tables(spark, sf_dir)
+    return warc_probe(spark.table("documents")).orderBy("id", "rec_idx")
+
+
+_WARC_PARSE_ORACLE = """
+SELECT doc_id AS id, 0 AS rec_idx,
+       'warcinfo' AS warc_type, '' AS target_uri,
+       CAST(NULL AS INT) AS http_status,
+       CAST(21 AS BIGINT) AS body_len,
+       md5('software: hdk-spark' || chr(13) || chr(10)) AS body_md5
+FROM documents
+UNION ALL
+SELECT doc_id AS id, 1 AS rec_idx,
+       'response' AS warc_type,
+       'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       200 AS http_status,
+       CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+       md5(text) AS body_md5
+FROM documents
+ORDER BY id, rec_idx
+"""
+
+SPARK_IMPLS["warc_parse"] = q_warc_parse
+ORACLES["warc_parse"] = _WARC_PARSE_ORACLE
