@@ -601,3 +601,62 @@ def test_domain_boilerplate_removal_no_forced_broadcast(spark):
     )
     assert "CartesianProduct" not in p
     assert "ResolvedHint" not in p
+
+
+def test_canonical_url_idempotent_on_random_urls(spark):
+    """canonical(canonical(u)) == canonical(u) over a seeded mess of
+    generated URLs (schemes/case/www/ports/params/fragments/junk) —
+    the fixed-point property a dedup KEY must have, checked in one
+    batch job."""
+    import random
+
+    from hdk_spark.operators.web import canonical_url
+
+    rng = random.Random(13)
+    urls = []
+    for i in range(300):
+        if rng.random() < 0.15:
+            urls.append("".join(rng.choice("<>:/?#&= abc%") for _ in range(
+                rng.randint(0, 12))))
+            continue
+        scheme = rng.choice(["http", "https", "HTTP", "HtTpS", "ftp"])
+        host = rng.choice(["www.", "", "WWW."]) + rng.choice(
+            ["a.com", "B.Org", "x.co.uk", "site7.net"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/a", "/a/b/", "/a//"])
+        params = rng.sample(
+            ["utm_source=x", "b=2", "a=1", "gclid=9", "z=3&y=4"],
+            rng.randint(0, 3))
+        q = ("?" + "&".join(params)) if params else ""
+        frag = rng.choice(["", "#f", "#a/b?c"])
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame(
+        list(enumerate(urls)), "i: long, url: string")
+    once = df.select("i", canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "i", "c1", canonical_url(F.col("c1")).alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad[:5]
+
+
+def test_html_to_text_total_on_random_soup(spark):
+    """Seeded random tag soup (unbalanced tags, stray entities, binary-
+    ish chars): extraction never errors and never leaves a complete
+    dropped-block element behind."""
+    import random
+
+    from hdk_spark.operators.html import html_to_text
+
+    rng = random.Random(29)
+    frags = ["<p>", "</p>", "<script>", "</script>", "<b", ">", "&amp;",
+             "&bogus;", "text ", "<div class='x'>", "<!--", "-->",
+             "\n", "<style>", "</style>", "xx<yy", "&#39;"]
+    docs = [(i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 40))))
+            for i in range(300)]
+    df = spark.createDataFrame(docs, "i: long, h: string")
+    rows = df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    assert len(rows) == 300
+    for r in rows:
+        t = r["t"]
+        assert t is not None
+        assert "<p>" not in t and "</p>" not in t and "<div" not in t
