@@ -327,6 +327,7 @@ _PRIORITY: list[str] = [
     "text_ccnet_buckets",
     "web_domain_boilerplate",
     "warc_parse",
+    "web_robots_filter",
     # stable greens
     "union_all_parties",
     "window_analytics",

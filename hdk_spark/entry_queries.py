@@ -6552,3 +6552,60 @@ ORDER BY id, rec_idx
 
 SPARK_IMPLS["warc_parse"] = q_warc_parse
 ORACLES["warc_parse"] = _WARC_PARSE_ORACLE
+
+
+def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gating (operators/web.py::parse_robots +
+    robots_filter, RFC 9309 longest-match semantics): per-domain
+    robots files are parsed by the window-function block grouper and
+    applied to the planted URL corpus — even-numbered sites disallow
+    /a/b but re-allow the deeper /a/b/c (longest match wins), co.uk
+    blocks everything, odd sites block nothing relevant. The oracle
+    derives every verdict INDEPENDENTLY from the planted structure."""
+    from hdk_spark.operators.web import parse_robots, robots_filter
+
+    _tables(spark, sf_dir)
+    doms = spark.range(17).select(
+        F.concat(
+            F.lit("site"), F.col("id").cast("string"), F.lit(".com")
+        ).alias("reg_domain"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.lit("# curated\nUser-agent: *\nDisallow: /a/b\n"
+                  "Allow: /a/b/c\n"),
+        ).otherwise(
+            F.lit("User-agent: *\nDisallow: /nothing\n")
+        ).alias("robots_txt"),
+    )
+    couk = spark.createDataFrame(
+        [("co.uk", "User-agent: *\nDisallow: /\n")],
+        "reg_domain: string, robots_txt: string",
+    )
+    rules = parse_robots(doms.unionByName(couk))
+    return robots_filter(_planted_urls(spark), rules).orderBy("doc_id")
+
+
+_ROBOTS_FILTER_ORACLE = (
+    "WITH planted AS (" + _PLANTED_URLS_SQL + """)
+SELECT doc_id, url,
+       CASE WHEN doc_id % 13 = 0 THEN ''
+            WHEN doc_id % 4 = 0 THEN 'co.uk'
+            ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.com'
+       END AS reg_domain,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            WHEN doc_id % 4 = 0 THEN '/'
+            WHEN doc_id % 17 % 2 = 0 THEN
+                 CASE WHEN doc_id % 5 = 0 THEN '/a/b/c' ELSE '/a/b' END
+            ELSE NULL
+       END AS matched_prefix,
+       CASE WHEN doc_id % 13 = 0 THEN TRUE
+            WHEN doc_id % 4 = 0 THEN FALSE
+            WHEN doc_id % 17 % 2 = 0 THEN doc_id % 5 = 0
+            ELSE TRUE
+       END AS allowed
+FROM planted ORDER BY doc_id
+"""
+)
+
+SPARK_IMPLS["web_robots_filter"] = q_web_robots_filter
+ORACLES["web_robots_filter"] = _ROBOTS_FILTER_ORACLE

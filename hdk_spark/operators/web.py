@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -322,4 +322,113 @@ def domain_boilerplate_removal(
                 - F.coalesce("__nkept", F.lit(0))
             ).cast("long").alias("n_removed_lines"),
         )
+    )
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "reg_domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-domain robots.txt text into a rules relation
+    (domain, agent, allow, prefix): lines are grouped under the most
+    recent ``User-agent:`` header (the robots.txt block structure)
+    with a running last-non-null window — no Python, the state machine
+    is a window function. Comments (#…) and blank/unknown lines drop;
+    an empty ``Disallow:`` (allow-all marker in the spec) drops too —
+    absence of a matching rule already means allowed.
+
+    Scale shape: robots files are tiny and per-domain; one line
+    explode + one per-domain ordered window."""
+    from pyspark.sql.window import Window
+
+    lines = F.split(F.col(robots_col), r"\r?\n")
+    staged = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(lines).alias("pos", "__raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("__raw", r"#.*$", "")).alias("__line"),
+    )
+    kind = F.lower(F.regexp_extract("__line", r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract("__line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    parsed = staged.select(
+        "domain", "pos", kind.alias("kind"), value.alias("value")
+    ).filter(F.col("kind").isin("user-agent", "allow", "disallow"))
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    agent = F.last(
+        F.when(F.col("kind") == "user-agent", F.lower(F.col("value"))),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        parsed.withColumn("agent", agent)
+        .filter(
+            F.col("kind").isin("allow", "disallow")
+            & F.col("agent").isNotNull()
+            & (F.col("value") != "")
+        )
+        .select(
+            "domain",
+            "agent",
+            (F.col("kind") == "allow").alias("allow"),
+            F.col("value").alias("prefix"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    agent: str = "*",
+) -> DataFrame:
+    """Apply robots rules to a URL relation with the standard
+    longest-match semantics (most specific rule wins; Allow wins a
+    length tie — the Googlebot/RFC 9309 convention): every URL gets
+    ``allowed`` plus the matched rule for observability. URLs with no
+    matching rule (or no rules for their domain) are allowed.
+
+    Scale shape: url_features is map-only; the rule join is an
+    AQE-decided equi-join on the domain (the rules relation is small
+    but corpus-derived — not force-broadcast), prefix matching is a
+    startswith filter, and the winner is one WindowGroupLimit-able
+    row_number over (id) ordered by (prefix length desc, allow
+    desc)."""
+    from pyspark.sql.window import Window
+
+    feats = url_features(urls, url_col).select(
+        F.col(id_col).alias("id"), F.col(url_col).alias("u"),
+        "reg_domain", "path",
+    )
+    r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
+        F.col("domain").alias("reg_domain"), "allow", "prefix"
+    )
+    m = feats.join(r, "reg_domain", "left").withColumn(
+        "__hit",
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("__hit"),
+        F.desc(F.length(F.coalesce("prefix", F.lit("")))),
+        F.desc("allow"),
+    )
+    best = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        F.col("u").alias(url_col),
+        "reg_domain",
+        F.when(F.col("__hit"), F.col("prefix")).alias("matched_prefix"),
+        F.coalesce(
+            F.when(F.col("__hit"), F.col("allow")), F.lit(True)
+        ).alias("allowed"),
     )

@@ -660,3 +660,50 @@ def test_html_to_text_total_on_random_soup(spark):
         t = r["t"]
         assert t is not None
         assert "<p>" not in t and "</p>" not in t and "<div" not in t
+
+
+_ROBOTS = """# site robots
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def test_parse_robots_blocks_and_rules(spark):
+    from hdk_spark.operators.web import parse_robots
+
+    df = spark.createDataFrame(
+        [("a.com", _ROBOTS)], "reg_domain: string, robots_txt: string")
+    rules = {(r["agent"], r["allow"], r["prefix"])
+             for r in parse_robots(df).collect()}
+    assert rules == {
+        ("*", False, "/private"),
+        ("*", True, "/private/ok"),
+        ("evilbot", False, "/"),
+    }  # comment, blank Disallow, and header lines all dropped
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    from hdk_spark.operators.web import parse_robots, robots_filter
+
+    rules = parse_robots(spark.createDataFrame(
+        [("a.com", _ROBOTS)], "reg_domain: string, robots_txt: string"))
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/private/x"),      # blocked by /private
+         (2, "https://a.com/private/ok/y"),   # longest match ALLOWS
+         (3, "https://a.com/public"),         # no rule -> allowed
+         (4, "https://other.com/private")],   # no rules for domain
+        "doc_id: long, url: string")
+    got = {r["doc_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert not got[1]["allowed"] and got[1]["matched_prefix"] == "/private"
+    assert got[2]["allowed"] and got[2]["matched_prefix"] == "/private/ok"
+    assert got[3]["allowed"] and got[3]["matched_prefix"] is None
+    assert got[4]["allowed"]
+    # the evilbot block only applies to that agent
+    evil = {r["doc_id"]: r["allowed"] for r in robots_filter(
+        urls, rules, agent="evilbot").collect()}
+    assert evil == {1: False, 2: False, 3: False, 4: True}
