@@ -4,9 +4,10 @@ scripts/pipeline_demo.py's curation stages:
 
   WARC records (gzip members, HTTP splitting) → 200/text filter →
   HTML → text extraction (+ title/link counters, robots noindex gate)
-  → canonical-URL dedup → per-domain cap → per-domain boilerplate
-  line removal → language ID (26-lang hashed trigram) → CCNet
-  perplexity buckets (keep head+middle)
+  → robots.txt longest-match gate → canonical-URL dedup →
+  per-domain cap → per-domain boilerplate line removal → language ID
+  (26-lang hashed trigram) → CCNet perplexity buckets (keep
+  head+middle)
 
 Run: python scripts/crawl_demo.py [sf_dir]
 Prints one JSON line of per-stage row counts.
@@ -31,6 +32,8 @@ def main() -> None:
     from hdk_spark.operators.web import (
         domain_boilerplate_removal,
         domain_cap,
+        parse_robots,
+        robots_filter,
         url_dedup,
     )
     from hdk_spark.session import ensure_shipped, get_spark
@@ -107,6 +110,20 @@ def main() -> None:
     )
     indexed = extracted.filter(~F.col("noindex")).persist()
     stats["after_noindex_gate"] = indexed.count()
+
+    # 2b. robots.txt gate (every even-numbered site disallows /p)
+    robots = spark.range(17).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".com")).alias("reg_domain"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /p\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /private\n"))
+        .alias("robots_txt"),
+    )
+    allowed_ids = robots_filter(indexed, parse_robots(robots)).filter(
+        F.col("allowed")).select("doc_id")
+    indexed = indexed.join(allowed_ids, "doc_id").persist()
+    stats["after_robots_gate"] = indexed.count()
 
     # 3. canonical-URL dedup (utm/trailing-slash variants collapse)
     verdicts = url_dedup(indexed)
