@@ -328,6 +328,7 @@ _PRIORITY: list[str] = [
     "web_domain_boilerplate",
     "warc_parse",
     "web_robots_filter",
+    "chat_lint",
     # stable greens
     "union_all_parties",
     "window_analytics",

@@ -6609,3 +6609,92 @@ FROM planted ORDER BY doc_id
 
 SPARK_IMPLS["web_robots_filter"] = q_web_robots_filter
 ORACLES["web_robots_filter"] = _ROBOTS_FILTER_ORACLE
+
+
+def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format lint (operators/chat.py::chat_lint): deterministic
+    JSON conversations are planted per document — varying turn counts,
+    optional system prefix, and seeded defects (adjacent-user
+    alternation break at %7, blank content at %11, malformed JSON at
+    %13) — and every verdict flag is derived INDEPENDENTLY by the
+    oracle from the planting arithmetic."""
+    from hdk_spark.operators.chat import chat_lint
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    pairs = (d % 3 + 1).cast("int")
+    base = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), pairs),
+            lambda i: F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.concat(F.lit("u"), i.cast("string")).alias("content"),
+                ),
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.when((i == 1) & (d % 11 == 0), F.lit(""))
+                    .otherwise(F.concat(F.lit("a"), i.cast("string")))
+                    .alias("content"),
+                ),
+            ),
+        )
+    )
+    with_dup = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.slice(base, 1, 1),
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.lit("dup").alias("content"),
+                )
+            ),
+            F.slice(base, 2, F.size(base) - 1),
+        ),
+    ).otherwise(base)
+    with_sys = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("system").alias("role"),
+                    F.lit("sys").alias("content"),
+                )
+            ),
+            with_dup,
+        ),
+    ).otherwise(with_dup)
+    conv = F.when(d % 13 == 0, F.lit('{"broken": ')).otherwise(
+        F.to_json(with_sys)
+    )
+    planted = spark.table("documents").select(
+        "doc_id", conv.alias("conversation")
+    )
+    from hdk_spark.operators.chat import chat_lint as _lint
+
+    return _lint(planted).orderBy("doc_id")
+
+
+_CHAT_LINT_ORACLE = """
+SELECT doc_id,
+       doc_id % 13 <> 0 AS parsed,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+            ELSE 2 * (doc_id % 3 + 1)
+                 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+       END AS BIGINT) AS n_turns,
+       CASE WHEN doc_id % 13 = 0 THEN ''
+            WHEN doc_id % 5 = 0 THEN 'system'
+            ELSE 'user' END AS first_role,
+       doc_id % 13 <> 0 AS starts_ok,
+       doc_id % 13 <> 0 AND doc_id % 7 <> 0 AS alternates,
+       doc_id % 13 <> 0 AND doc_id % 11 <> 0 AS no_empty,
+       doc_id % 13 <> 0 AS roles_known,
+       doc_id % 13 <> 0 AS ends_assistant,
+       doc_id % 13 <> 0 AND doc_id % 7 <> 0 AND doc_id % 11 <> 0 AS valid
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["chat_lint"] = q_chat_lint
+ORACLES["chat_lint"] = _CHAT_LINT_ORACLE

@@ -1,0 +1,98 @@
+"""Chat/SFT-format validation — the post-training data counterpart of
+the pretraining gates: instruction-tuning corpora are JSON
+conversations, and malformed rows (broken JSON, non-alternating roles,
+empty contents, wrong terminal role) silently poison a fine-tune long
+before loss curves show it. Beyond-reference (intel/hdk has no JSON
+surface beyond string ops).
+
+Everything is ``from_json`` + JVM higher-order functions — map-only,
+codegen, no Python; a DuckDB oracle checks verdicts against planted
+corpora (the contract derives every flag independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["chat_lint"]
+
+_CONV_SCHEMA = "array<struct<role:string,content:string>>"
+_KNOWN_ROLES = ("system", "user", "assistant", "tool")
+
+
+def chat_lint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    conv_col: str = "conversation",
+) -> DataFrame:
+    """Per-conversation lint verdicts for chat-format training rows
+    (JSON array of ``{role, content}`` turns):
+
+    - ``parsed``       — the JSON parsed to a non-empty turn array
+    - ``n_turns``      — turn count (0 when unparsed)
+    - ``first_role``   — role of turn 1 ('' when unparsed)
+    - ``starts_ok``    — first turn is ``user``, or ``system`` followed
+      by ``user`` (the standard template shapes)
+    - ``alternates``   — no two adjacent turns share a role
+    - ``no_empty``     — every content is non-blank
+    - ``roles_known``  — every role ∈ {system, user, assistant, tool}
+    - ``ends_assistant`` — last turn is the model's (what a loss mask
+      ultimately trains on)
+    - ``valid``        — all of the above
+
+    Scale shape: ONE map-only projection (from_json + HOFs) — lint at
+    any corpus size is a scan, never a shuffle. Filter ``valid`` to
+    gate; keep the flags for per-failure observability."""
+    arr = F.from_json(F.col(conv_col), _CONV_SCHEMA)
+    n = F.size(arr)
+    parsed = arr.isNotNull() & (n > 0) & ~F.exists(
+        arr, lambda t: t["role"].isNull()
+    )
+    first_role = F.try_element_at(arr, F.lit(1))["role"]
+    second_role = F.when(n >= 2, F.try_element_at(arr, F.lit(2))["role"])
+    starts_ok = (first_role == "user") | (
+        (first_role == "system") & (second_role == "user")
+    )
+    # n == 1 is vacuously alternating; the guard also avoids
+    # sequence(1, 0), which Spark generates DESCENDING ([1, 0]) and
+    # whose index 0 would fault strict element_at
+    alternates = F.when(n < 2, F.lit(True)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.try_element_at(arr, i.cast("int"))["role"]
+                == F.try_element_at(arr, (i + 1).cast("int"))["role"],
+            )
+        )
+        == 0
+    )
+    no_empty = ~F.exists(
+        arr,
+        lambda t: t["content"].isNull()
+        | (F.length(F.trim(t["content"])) == 0),
+    )
+    roles_known = ~F.exists(
+        arr, lambda t: ~t["role"].isin(*_KNOWN_ROLES)
+    )
+    ends_assistant = F.try_element_at(arr, F.lit(-1))["role"] == "assistant"
+    flags = [starts_ok, alternates, no_empty, roles_known, ends_assistant]
+    valid = parsed
+    for fl in flags:
+        valid = valid & F.coalesce(fl, F.lit(False))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(parsed, F.lit(False)).alias("parsed"),
+        F.when(parsed, n).otherwise(F.lit(0)).cast("long").alias("n_turns"),
+        F.when(parsed, first_role).otherwise(F.lit("")).alias("first_role"),
+        *[
+            F.when(parsed, F.coalesce(fl, F.lit(False)))
+            .otherwise(F.lit(False))
+            .alias(name)
+            for fl, name in zip(
+                flags,
+                ["starts_ok", "alternates", "no_empty", "roles_known",
+                 "ends_assistant"],
+            )
+        ],
+        F.coalesce(valid, F.lit(False)).alias("valid"),
+    )

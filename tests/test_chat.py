@@ -1,0 +1,55 @@
+"""Chat-format lint verdicts on planted conversations."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdk_spark.operators.chat import chat_lint
+
+
+def _conv(*turns):
+    return json.dumps([{"role": r, "content": c} for r, c in turns])
+
+
+def test_chat_lint_verdicts(spark):
+    rows = [
+        (1, _conv(("user", "hi"), ("assistant", "hello"))),
+        (2, _conv(("system", "be nice"), ("user", "hi"),
+                  ("assistant", "hello"))),
+        (3, _conv(("user", "a"), ("user", "b"), ("assistant", "c"))),
+        (4, _conv(("user", "a"), ("assistant", "  "))),
+        (5, _conv(("user", "a"), ("frobnicator", "b"))),
+        (6, _conv(("user", "a"), ("assistant", "b"), ("user", "again"))),
+        (7, '{"broken": '),
+        (8, _conv(("assistant", "i speak first"), ("user", "??"))),
+        (9, None),
+        (10, "[]"),
+        (11, _conv(("assistant", "single turn"),)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, conversation: string")
+    got = {r["doc_id"]: r for r in chat_lint(df).collect()}
+    ok = got[1]
+    assert ok["valid"] and ok["n_turns"] == 2 and ok["first_role"] == "user"
+    assert got[2]["valid"] and got[2]["starts_ok"]       # system prefix ok
+    assert not got[3]["alternates"] and not got[3]["valid"]
+    assert not got[4]["no_empty"] and not got[4]["valid"]
+    assert not got[5]["roles_known"] and not got[5]["valid"]
+    assert not got[6]["ends_assistant"] and not got[6]["valid"]
+    assert not got[7]["parsed"] and got[7]["n_turns"] == 0
+    assert got[7]["first_role"] == "" and not got[7]["valid"]
+    assert not got[9]["parsed"] and not got[9]["valid"]
+    assert not got[10]["parsed"]  # empty conversation is not trainable
+    assert not got[8]["starts_ok"] and not got[8]["valid"]
+    # single-turn: vacuously alternating, wrong opener, right closer
+    assert got[11]["alternates"] and got[11]["ends_assistant"]
+    assert not got[11]["starts_ok"] and not got[11]["valid"]
+
+
+def test_chat_lint_map_only_plan(spark):
+    df = spark.createDataFrame(
+        [(1, '[{"role":"user","content":"x"}]')],
+        "doc_id: long, conversation: string")
+    p = chat_lint(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
