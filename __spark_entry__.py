@@ -329,6 +329,7 @@ _PRIORITY: list[str] = [
     "warc_parse",
     "web_robots_filter",
     "chat_lint",
+    "profile_dataset_report",
     # stable greens
     "union_all_parties",
     "window_analytics",

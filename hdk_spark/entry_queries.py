@@ -6698,3 +6698,51 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["chat_lint"] = q_chat_lint
 ORACLES["chat_lint"] = _CHAT_LINT_ORACLE
+
+
+def q_profile_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (operators/profile.py::dataset_report):
+    corpus-level doc/token/empty/dup/language numbers as (metric,
+    value) rows, every value exact rational arithmetic the oracle
+    recomputes."""
+    from hdk_spark.operators.profile import dataset_report
+
+    _tables(spark, sf_dir)
+    return dataset_report(spark.table("documents")).orderBy("metric")
+
+
+_DATASET_REPORT_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+  FROM documents
+), base AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(nt) AS DOUBLE) AS total_tokens,
+         round(SUM(nt) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+         round(SUM(CASE WHEN text IS NULL OR len(trim(text)) = 0
+                        THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS pct_empty,
+         round(1.0 - COUNT(DISTINCT text) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS exact_dup_rate
+  FROM tok
+), lg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS distinct_langs,
+         CAST(MAX(c) AS DOUBLE) AS top
+  FROM (SELECT lang, COUNT(*) AS c FROM tok GROUP BY lang)
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'total_tokens', total_tokens FROM base
+  UNION ALL SELECT 'mean_tokens', mean_tokens FROM base
+  UNION ALL SELECT 'pct_empty', pct_empty FROM base
+  UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM base
+  UNION ALL SELECT 'distinct_langs', distinct_langs FROM lg
+  UNION ALL SELECT 'top_lang_share',
+    round(lg.top / base.n_docs, 6) FROM lg, base
+) ORDER BY metric
+"""
+
+SPARK_IMPLS["profile_dataset_report"] = q_profile_dataset_report
+ORACLES["profile_dataset_report"] = _DATASET_REPORT_ORACLE

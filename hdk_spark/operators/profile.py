@@ -335,3 +335,72 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col("key").alias(key_col), status.alias("status"))
+
+
+def dataset_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: "str | None" = "lang",
+) -> DataFrame:
+    """The dataset-card numbers in one relation — the summary a corpus
+    release ships and a pipeline owner watches between runs (feed two
+    snapshots to :func:`snapshot_diff`-style comparison or alert on
+    deltas): (metric, value) rows for
+
+    - ``n_docs``, ``total_tokens``, ``mean_tokens``
+    - ``pct_empty`` — blank/NULL-text share
+    - ``exact_dup_rate`` — 1 − distinct(text)/n (the cheapest dup
+      signal; the sketch operators refine it)
+    - ``distinct_langs``, ``top_lang_share`` (when ``lang_col`` given)
+
+    Every value is exact rational arithmetic rounded to 6 digits —
+    fully oracle-expressible. Scale shape: ONE corpus aggregate (the
+    two COUNT DISTINCTs share its expand) plus a lang-cardinality
+    groupBy; the two 1-row results cross-combine via a forced 1-row
+    broadcast (the bounded-crossJoin pattern) and unpivot via stack —
+    no corpus-sized join anywhere."""
+    from hdk_spark.operators.text import token_count
+
+    t = F.col(text_col)
+    n = F.count(F.lit(1))
+    base = df.agg(
+        n.cast("double").alias("n_docs"),
+        F.sum(token_count(t)).cast("double").alias("total_tokens"),
+        F.round(
+            F.sum(token_count(t)) / n.cast("double"), 6
+        ).alias("mean_tokens"),
+        F.round(
+            F.sum(
+                F.when(
+                    t.isNull() | (F.length(F.trim(t)) == 0), 1
+                ).otherwise(0)
+            )
+            / n.cast("double"),
+            6,
+        ).alias("pct_empty"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(t) / n.cast("double"), 6
+        ).alias("exact_dup_rate"),
+    )
+    metrics = ["n_docs", "total_tokens", "mean_tokens", "pct_empty",
+               "exact_dup_rate"]
+    if lang_col is not None:
+        langs = (
+            df.groupBy(lang_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("distinct_langs"),
+                F.max("__c").cast("double").alias("__top"),
+            )
+        )
+        base = base.join(F.broadcast(langs))  # 1 row × 1 row
+        base = base.withColumn(
+            "top_lang_share",
+            F.round(F.col("__top") / F.col("n_docs"), 6),
+        ).drop("__top")
+        metrics += ["distinct_langs", "top_lang_share"]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return base.selectExpr(
+        f"stack({len(metrics)}, {stack}) AS (metric, value)"
+    )

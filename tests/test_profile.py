@@ -613,3 +613,27 @@ def test_train_quality_scorer_feature_impls_agree(spark):
         [t for _, t, _ in _SCORER_CORPUS],
         [y for _, _, y in _SCORER_CORPUS], 32, 2, 1.0)
     assert got == want
+
+
+def test_dataset_report_values(spark):
+    from hdk_spark.operators.profile import dataset_report
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c", "en"), (3, "x y", "de"),
+         (4, "", "de"), (5, None, "fr")],
+        "doc_id: long, text: string, lang: string",
+    )
+    got = {r["metric"]: r["value"] for r in dataset_report(df).collect()}
+    assert got["n_docs"] == 5.0
+    assert got["total_tokens"] == 8.0  # 3+3+2+0+0
+    assert got["mean_tokens"] == 1.6
+    assert got["pct_empty"] == 0.4
+    # 5 docs, distinct texts = {'a b c','x y',''} + NULL is not counted
+    # by COUNT DISTINCT -> 3 -> dup rate 1 - 3/5
+    assert got["exact_dup_rate"] == 0.4
+    assert got["distinct_langs"] == 3.0
+    assert got["top_lang_share"] == 0.4
+    # without a lang column
+    nolang = {r["metric"] for r in dataset_report(
+        df, lang_col=None).collect()}
+    assert "top_lang_share" not in nolang and "n_docs" in nolang
