@@ -330,6 +330,7 @@ _PRIORITY: list[str] = [
     "web_robots_filter",
     "chat_lint",
     "profile_dataset_report",
+    "chat_preference_lint",
     # stable greens
     "union_all_parties",
     "window_analytics",

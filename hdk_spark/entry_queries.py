@@ -6746,3 +6746,75 @@ SELECT metric, value FROM (
 
 SPARK_IMPLS["profile_dataset_report"] = q_profile_dataset_report
 ORACLES["profile_dataset_report"] = _DATASET_REPORT_ORACLE
+
+
+def q_chat_preference_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair (RLHF/DPO) validation (operators/chat.py::
+    preference_lint): planted chosen/rejected pairs with seeded
+    defects — malformed rejected at %13, length drift + wrong terminal
+    at %17, prefix drift at %7, identical responses at %11 (priority
+    in that order) — every flag derived independently by the
+    oracle."""
+    from hdk_spark.operators.chat import preference_lint
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def conv(*turns):
+        return F.to_json(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("role"), c.alias("content"))
+                    for r, c in turns
+                ]
+            )
+        )
+
+    q = F.concat(F.lit("q"), ds)
+    chosen = conv(("user", q), ("assistant", F.concat(F.lit("good"), ds)))
+    rejected = (
+        F.when(d % 13 == 0, F.lit('{"broken'))
+        .when(
+            d % 17 == 0,
+            conv(("user", q), ("assistant", F.concat(F.lit("bad"), ds)),
+                 ("user", F.lit("x"))),
+        )
+        .when(
+            d % 7 == 0,
+            conv(("user", F.lit("drift")),
+                 ("assistant", F.concat(F.lit("bad"), ds))),
+        )
+        .when(
+            d % 11 == 0,
+            conv(("user", q), ("assistant", F.concat(F.lit("good"), ds))),
+        )
+        .otherwise(
+            conv(("user", q), ("assistant", F.concat(F.lit("bad"), ds)))
+        )
+    )
+    planted = spark.table("documents").select(
+        "doc_id", chosen.alias("chosen"), rejected.alias("rejected")
+    )
+    return preference_lint(planted).orderBy("doc_id")
+
+
+_PREFERENCE_LINT_ORACLE = """
+SELECT doc_id,
+       doc_id % 13 <> 0 AS both_parsed,
+       doc_id % 13 <> 0 AND doc_id % 17 <> 0 AS same_length,
+       doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 7 <> 0
+         AS same_prefix,
+       doc_id % 13 <> 0 AND doc_id % 17 <> 0 AS both_end_assistant,
+       CASE WHEN doc_id % 13 = 0 THEN FALSE
+            WHEN doc_id % 17 = 0 THEN TRUE
+            WHEN doc_id % 7 = 0 THEN TRUE
+            WHEN doc_id % 11 = 0 THEN FALSE
+            ELSE TRUE END AS responses_differ,
+       doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 7 <> 0
+         AND doc_id % 11 <> 0 AS valid
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["chat_preference_lint"] = q_chat_preference_lint
+ORACLES["chat_preference_lint"] = _PREFERENCE_LINT_ORACLE

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["chat_lint"]
+__all__ = ["chat_lint", "preference_lint"]
 
 _CONV_SCHEMA = "array<struct<role:string,content:string>>"
 _KNOWN_ROLES = ("system", "user", "assistant", "tool")
@@ -92,6 +92,64 @@ def chat_lint(
                 flags,
                 ["starts_ok", "alternates", "no_empty", "roles_known",
                  "ends_assistant"],
+            )
+        ],
+        F.coalesce(valid, F.lit(False)).alias("valid"),
+    )
+
+
+def preference_lint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> DataFrame:
+    """Preference-pair (RLHF/DPO) validation: a training pair is two
+    conversations sharing the SAME context with DIFFERENT final
+    assistant responses — rows violating that silently corrupt a
+    reward model or DPO loss. Per pair:
+
+    - ``both_parsed``    — both sides parse to non-empty turn arrays
+    - ``same_length``    — equal turn counts
+    - ``same_prefix``    — all turns before the last are identical
+    - ``both_end_assistant`` — both finals are assistant turns
+    - ``responses_differ``   — the final contents are NOT equal
+    - ``valid``          — all of the above
+
+    Map-only (from_json + array slicing); one scan at any corpus
+    size."""
+    a = F.from_json(F.col(chosen_col), _CONV_SCHEMA)
+    b = F.from_json(F.col(rejected_col), _CONV_SCHEMA)
+    na, nb = F.size(a), F.size(b)
+    both_parsed = a.isNotNull() & b.isNotNull() & (na > 0) & (nb > 0)
+    same_length = na == nb
+    same_prefix = F.when(na == 1, F.lit(True)).otherwise(
+        F.slice(a, 1, na - 1) == F.slice(b, 1, nb - 1)
+    )
+    la = F.try_element_at(a, F.lit(-1))
+    lb = F.try_element_at(b, F.lit(-1))
+    both_end_assistant = (la["role"] == "assistant") & (
+        lb["role"] == "assistant"
+    )
+    responses_differ = ~(
+        la["content"].eqNullSafe(lb["content"])
+    )
+    flags = [same_length, same_prefix, both_end_assistant,
+             responses_differ]
+    valid = both_parsed
+    for fl in flags:
+        valid = valid & F.coalesce(fl, F.lit(False))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(both_parsed, F.lit(False)).alias("both_parsed"),
+        *[
+            F.when(both_parsed, F.coalesce(fl, F.lit(False)))
+            .otherwise(F.lit(False))
+            .alias(name)
+            for fl, name in zip(
+                flags,
+                ["same_length", "same_prefix", "both_end_assistant",
+                 "responses_differ"],
             )
         ],
         F.coalesce(valid, F.lit(False)).alias("valid"),

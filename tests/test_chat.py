@@ -53,3 +53,38 @@ def test_chat_lint_map_only_plan(spark):
     p = chat_lint(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_preference_lint_verdicts(spark):
+    from hdk_spark.operators.chat import preference_lint
+
+    ok_c = _conv(("user", "q"), ("assistant", "good answer"))
+    ok_r = _conv(("user", "q"), ("assistant", "bad answer"))
+    rows = [
+        (1, ok_c, ok_r),                                     # valid
+        (2, ok_c, _conv(("user", "DIFFERENT"),
+                        ("assistant", "bad"))),              # prefix drift
+        (3, ok_c, ok_c),                                     # same response
+        (4, ok_c, _conv(("user", "q"), ("user", "oops"))),   # rejected ends user
+        (5, ok_c, _conv(("user", "q"), ("assistant", "x"),
+                        ("user", "extra"))),                 # length drift
+        (6, ok_c, '{"broken"'),                              # unparsed
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, chosen: string, rejected: string")
+    got = {r["doc_id"]: r for r in preference_lint(df).collect()}
+    assert got[1]["valid"] and got[1]["responses_differ"]
+    assert not got[2]["same_prefix"] and not got[2]["valid"]
+    assert not got[3]["responses_differ"] and not got[3]["valid"]
+    assert not got[4]["both_end_assistant"] and not got[4]["valid"]
+    assert not got[5]["same_length"] and not got[5]["valid"]
+    assert not got[6]["both_parsed"] and not got[6]["valid"]
+
+
+def test_preference_lint_map_only_plan(spark):
+    from hdk_spark.operators.chat import preference_lint
+
+    df = spark.createDataFrame(
+        [(1, "[]", "[]")], "doc_id: long, chosen: string, rejected: string")
+    p = preference_lint(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
