@@ -593,3 +593,77 @@ def test_random_window_events_query_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# join grammar (round 6: random FK join chains + exact aggregates —
+# the multi-table shapes the single-table agg grammar cannot reach;
+# identical SQL text on both engines, BIGINT-exact aggregates only)
+# ---------------------------------------------------------------------------
+
+_JOIN_CHAINS = [
+    ("lineitem JOIN orders ON l_orderkey = o_orderkey",
+     ["l_returnflag", "o_orderstatus"]),
+    ("lineitem JOIN orders ON l_orderkey = o_orderkey "
+     "JOIN customer ON o_custkey = c_custkey",
+     ["l_returnflag", "o_orderstatus", "c_mktsegment"]),
+    ("lineitem JOIN part ON l_partkey = p_partkey",
+     ["l_linestatus", "p_brand"]),
+    ("lineitem JOIN supplier ON l_suppkey = s_suppkey",
+     ["l_returnflag"]),
+    ("orders JOIN customer ON o_custkey = c_custkey",
+     ["o_orderstatus", "c_mktsegment"]),
+]
+
+_JOIN_AGGS = [
+    "COUNT(*)",
+    "CAST(SUM(l_orderkey) AS BIGINT)",
+    "COUNT(DISTINCT l_orderkey)",
+    "MIN(l_orderkey)",
+    "MAX(l_orderkey)",
+]
+_JOIN_AGGS_NO_L = [
+    "COUNT(*)",
+    "CAST(SUM(o_orderkey) AS BIGINT)",
+    "COUNT(DISTINCT o_custkey)",
+    "MIN(o_orderkey)",
+    "MAX(o_orderkey)",
+]
+
+
+@st.composite
+def join_queries(draw):
+    chain, keys = draw(st.sampled_from(_JOIN_CHAINS))
+    has_l = chain.startswith("lineitem")
+    ags = draw(
+        st.lists(
+            st.sampled_from(_JOIN_AGGS if has_l else _JOIN_AGGS_NO_L),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    gkeys = draw(st.lists(st.sampled_from(keys), min_size=0, max_size=2,
+                          unique=True))
+    where = []
+    if has_l:
+        where = draw(st.lists(preds, min_size=0, max_size=2))
+    sel = list(gkeys) + [f"{a} AS c{i}" for i, a in enumerate(ags)]
+    sql = f"SELECT {', '.join(sel)} FROM {chain}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if gkeys:
+        sql += " GROUP BY " + ", ".join(gkeys)
+        sql += " ORDER BY " + ", ".join(gkeys)
+    return sql
+
+
+@given(sql=join_queries())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_join_query_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
