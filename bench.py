@@ -42,6 +42,35 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _load_prev_bench() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r*.json next to this
+    script (empty when none exists or it is unreadable) — the baseline
+    for the >2×-swing re-run gate."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, p)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as fh:
+            doc = json.load(fh)
+        # the driver wraps bench.py's JSON line under "parsed"
+        doc = doc.get("parsed", doc)
+        if doc.get("sf") != _sf_from_dir(SF_DIR):
+            return {}  # different scale factor — not comparable
+        return dict(doc.get("queries", {}))
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
 BENCH_SQL = {
     # taxi Q1 shape: low-cardinality group-by count
     "q1_groupby_count": """
@@ -163,25 +192,55 @@ def main() -> None:
 
     # dedup-shaped benchmark over documents (minhash signatures + LSH)
     from hdk_spark.operators.dedup import minhash_lsh_dedup
-
-    docs = spark.table("documents")
-    timings["q7_minhash_dedup"] = best_of(
-        lambda: minhash_lsh_dedup(docs, threshold=0.5), python_stage=True
-    )
-
-    # text-pipeline profile (tokens/quality/lang/fingerprint, all JVM-side)
+    from hdk_spark.operators.similarity import ann_lsh_topk
     from hdk_spark.operators.text import analyze
 
-    timings["q8_text_profile"] = best_of(lambda: analyze(docs))
-
-    # ANN over embeddings (multi-table LSH + exact rescoring)
-    from hdk_spark.operators.similarity import ann_lsh_topk
-
+    docs = spark.table("documents")
     emb = spark.table("embeddings")
-    timings["q9_ann_topk"] = best_of(lambda: ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=10))
 
+    makers: dict[str, tuple] = {
+        "q7_minhash_dedup": (
+            lambda: minhash_lsh_dedup(docs, threshold=0.5), True),
+        # text-pipeline profile (tokens/quality/lang/fingerprint, JVM-side)
+        "q8_text_profile": (lambda: analyze(docs), False),
+        # ANN over embeddings (multi-table LSH + exact rescoring)
+        "q9_ann_topk": (
+            lambda: ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=10), False),
+    }
     for name, sql in BENCH_SQL.items():
-        timings[name] = best_of(lambda: spark.sql(sql))
+        makers[name] = (lambda s=sql: spark.sql(s), False)
+
+    for name, (mk, py_stage) in makers.items():
+        timings[name] = best_of(mk, python_stage=py_stage)
+
+    # Cross-round trustworthiness gate (VERDICT r6 #7): BENCH_r06
+    # published a 4.5× q8 swing that was an ambient machine stall, not
+    # a regression. When a query moves >2× in EITHER direction vs the
+    # newest recorded BENCH_r*.json, re-run it once and record both
+    # numbers plus a stall_suspected verdict, so the driver artifact is
+    # self-annotating instead of needing a judge re-run.
+    anomalies: dict[str, dict] = {}
+    prev = _load_prev_bench()
+    if prev:
+        for name, t in list(timings.items()):
+            p = prev.get(name)
+            if not p or p <= 0:
+                continue
+            ratio = t / p
+            if 0.5 <= ratio <= 2.0:
+                continue
+            mk, py_stage = makers[name]
+            rerun = best_of(mk, python_stage=py_stage)
+            confirmed = min(t, rerun)
+            anomalies[name] = {
+                "prev": p,
+                "first": t,
+                "rerun": rerun,
+                # a stall: the immediate re-run is at least 2x faster
+                # than the first best-of-N, i.e. the swing vanished
+                "stall_suspected": rerun <= t / 2,
+            }
+            timings[name] = confirmed
 
     total = round(sum(timings.values()), 4)
     print(
@@ -193,6 +252,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "iters": iters,
+                "anomalies": anomalies,
                 # round-4 attribution experiment (same session, same
                 # order, best-of-3 at sf0.1): the round-3 operator
                 # regressions were the oracle-basis defaults, not the
@@ -201,13 +261,16 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r6: no headline-path changes (round spent on "
-                "window-granular eval decontamination, scorer training, "
-                "26-language hashed lang-ID, streaming throughput "
-                "evidence, progressive-JPEG driver pin); q5_join_heavy "
-                "back at 0.35 s on the unchanged plan — r5's +73 ms was "
-                "run noise as predicted; defaults remain crc32/xxhash64/"
-                "vectorized with oracle bases pinned contract-side only",
+                "notes": "r7: no headline-path changes (round spent on "
+                "crawl-pipeline composition, trigram LM CCNet, trained "
+                "lang-ID, ADVICE/verdict defect fixes); NEW >2x-swing "
+                "gate: any query moving >2x vs the newest BENCH_r*.json "
+                "is re-run once and recorded under 'anomalies' with a "
+                "stall_suspected verdict (r6 published q8=3.44 s from an "
+                "ambient stall un-flagged; judge re-measured 0.79 s, so "
+                "a q8 'anomaly' row vs the r6 file is expected and "
+                "documents the recovery, not a change); defaults remain "
+                "crc32/xxhash64/vectorized, oracle bases contract-side",
             }
         )
     )

@@ -6203,7 +6203,7 @@ def q_web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(v == 0, F.concat(F.lit("https://"), host, path, F.lit("/")))
         .when(v == 1, F.concat(F.lit("https://www."), host, path))
         .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path,
-                               F.lit("?utm_source=x&gclid=1")))
+                               F.lit("?UTM_Source=x&fbclid&gclid=1")))
         .otherwise(F.concat(F.lit("HTTPS://"), host, path, F.lit("#frag")))
     )
     planted = spark.table("documents").select("doc_id", url.alias("url"))
@@ -6224,7 +6224,7 @@ WITH p AS (
               WHEN doc_id % 4 = 0 THEN 'https://' || host || path || '/'
               WHEN doc_id % 4 = 1 THEN 'https://www.' || host || path
               WHEN doc_id % 4 = 2 THEN 'https://' || host || ':443' || path
-                                       || '?utm_source=x&gclid=1'
+                                       || '?UTM_Source=x&fbclid&gclid=1'
               ELSE 'HTTPS://' || host || path || '#frag' END AS url,
          CASE WHEN doc_id % 13 = 0 THEN 'not a url at all'
               ELSE 'https://' || host || path END AS canonical_url

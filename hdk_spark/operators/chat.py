@@ -123,7 +123,12 @@ def preference_lint(
     na, nb = F.size(a), F.size(b)
     both_parsed = a.isNotNull() & b.isNotNull() & (na > 0) & (nb > 0)
     same_length = na == nb
-    same_prefix = F.when(na == 1, F.lit(True)).otherwise(
+    # a 1-turn chosen side is only vacuously prefix-equal when the
+    # rejected side is ALSO 1 turn — (na=1, nb>=2) has a non-empty
+    # differing prefix and must report FALSE (ADVICE r6: `valid` was
+    # already right via same_length, but the per-flag observability
+    # column misreported the defect class)
+    same_prefix = F.when((na == 1) & (nb == 1), F.lit(True)).otherwise(
         F.slice(a, 1, na - 1) == F.slice(b, 1, nb - 1)
     )
     la = F.try_element_at(a, F.lit(-1))

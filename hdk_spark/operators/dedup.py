@@ -24,6 +24,8 @@ Scale design notes (the point of doing this on Spark):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -248,7 +250,7 @@ def minhash_signatures(
             counts: list[int] = []  # per non-empty doc
             empties: list[int] = []  # positions with no shingles
             for pos, t in enumerate(texts):
-                toks = t.lower().split() if t else []
+                toks = _py_jvm_tokens(t)
                 if len(toks) >= n:
                     shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
                 else:
@@ -833,10 +835,32 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+_JVM_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_jvm_tokens(text: str | None) -> list[str]:
+    """Exact Python twin of the JVM tokenization every dedup operator
+    uses (``split(trim(lower(text)), r'\\s+')`` — :func:`_shingles`,
+    :func:`window_rows`).
+
+    Plain ``str.split()`` is NOT equivalent: it splits on all Unicode
+    whitespace (NBSP, U+2028 — common in crawl text) and drops leading/
+    trailing empty tokens, while Java's ``\\s`` is ASCII-only and
+    Spark's ``split`` (default limit=-1) KEEPS empty boundary tokens;
+    a probe tokenized differently diverges in both keys and positions,
+    breaking the Bloom no-false-negatives guarantee (ADVICE r6).
+    Spark ``trim`` strips ASCII space (0x20) only, hence
+    ``.strip(' ')``, and lower() runs first to mirror the JVM order.
+    """
+    if text is None:
+        return []
+    return _JVM_WS.split(text.lower().strip(" "))
+
+
 def _py_shingles(text: str, n: int = 3) -> set[str]:
     """Driver-side twin of _shingles (same lower/trim/whitespace/n-gram
     rules) for the small benchmark set."""
-    toks = text.strip().lower().split()
+    toks = _py_jvm_tokens(text)
     return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
 
 
@@ -987,14 +1011,19 @@ def _contamination_bloom_impl(
 
         from pyspark.sql.pandas.functions import pandas_udf
 
-        bits = np.array(arr, dtype=np.uint64)
+        # int64 view, not a uint64 cast: bitset words come back from the
+        # JVM as SIGNED longs (negative when bit 63 is set — near-certain
+        # at production fill ratios), and numpy >= 2.1 raises
+        # OverflowError casting negative Python ints to uint64.
+        bits = np.array(arr, dtype=np.int64).view(np.uint64)
         crc = zlib.crc32
+        jvm_tokens = _py_jvm_tokens
 
         @pandas_udf("long")
         def _n_hits(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                toks = t.strip().lower().split() if t else []
+                toks = jvm_tokens(t)
                 sh = {
                     " ".join(toks[i : i + n])
                     for i in range(max(len(toks) - n + 1, 0))
@@ -1600,14 +1629,17 @@ def eval_contaminated_spans_bloom(
 
     from pyspark.sql.pandas.functions import pandas_udf
 
-    bits = np.array(arr, dtype=np.uint64)
+    # int64 view (not uint64 cast): JVM bitset words are signed longs;
+    # negative values would raise on numpy >= 2.1. Bit-exact either way.
+    bits = np.array(arr, dtype=np.int64).view(np.uint64)
     crc = zlib.crc32
+    jvm_tokens = _py_jvm_tokens
 
     @pandas_udf("array<long>")
     def _hit_positions(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = t.strip().lower().split() if t else []
+            toks = jvm_tokens(t)
             hits = []
             for i in range(len(toks) - n + 1):
                 b = " ".join(toks[i : i + n]).encode("utf-8")

@@ -226,7 +226,6 @@ def warc_probe(
     )
 
     def probe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in batches:
             rows = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):

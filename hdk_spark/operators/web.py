@@ -91,7 +91,10 @@ def domain_stats(
     )
 
 
-_TRACKING_PARAM = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+# case-insensitive, and matched with AND without '=' — 'UTM_SOURCE=x',
+# 'Gclid=1', or a bare 'fbclid' must not split a canonical group while
+# host/scheme are case-normalized (ADVICE r6)
+_TRACKING_PARAM = r"(?i)^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"
 
 
 def canonical_url(url) -> "F.Column":
@@ -394,21 +397,37 @@ def robots_filter(
     ``allowed`` plus the matched rule for observability. URLs with no
     matching rule (or no rules for their domain) are allowed.
 
+    Group selection follows RFC 9309 §2.2.1: when a domain defines a
+    group for the specific ``agent``, ONLY that group applies; domains
+    without one fall back to their ``*`` group (a named agent never
+    mixes both, and never silently ignores ``*``).
+
     Scale shape: url_features is map-only; the rule join is an
     AQE-decided equi-join on the domain (the rules relation is small
     but corpus-derived — not force-broadcast), prefix matching is a
     startswith filter, and the winner is one WindowGroupLimit-able
     row_number over (id) ordered by (prefix length desc, allow
-    desc)."""
+    desc). The agent-fallback window runs on the RULES relation only
+    (per-domain robots lines, not the corpus)."""
     from pyspark.sql.window import Window
 
     feats = url_features(urls, url_col).select(
         F.col(id_col).alias("id"), F.col(url_col).alias("u"),
         "reg_domain", "path",
     )
-    r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
-        F.col("domain").alias("reg_domain"), "allow", "prefix"
-    )
+    al = agent.lower()
+    r = rules.filter(F.lower(F.col("agent")).isin(al, "*"))
+    if al != "*":
+        # RFC 9309 group pick: specific group if the domain has one,
+        # else the '*' group — one window over the (small) rules side
+        is_spec = (F.lower(F.col("agent")) == al).cast("int")
+        wd = Window.partitionBy("domain")
+        r = (
+            r.withColumn("__spec", is_spec)
+            .withColumn("__has_spec", F.max("__spec").over(wd))
+            .filter(F.col("__spec") == F.col("__has_spec"))
+        )
+    r = r.select(F.col("domain").alias("reg_domain"), "allow", "prefix")
     m = feats.join(r, "reg_domain", "left").withColumn(
         "__hit",
         F.col("prefix").isNotNull()

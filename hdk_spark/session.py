@@ -119,10 +119,23 @@ def ensure_shipped(spark: SparkSession) -> None:
             zf.writestr(info, payload)
     blob = buf.getvalue()
     digest = hashlib.sha256(blob).hexdigest()[:16]
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"hdk_spark_pkg_{digest}.zip"
+    # Per-user 0700 cache dir, NOT the shared temp dir: on a multi-user
+    # host a world-writable /tmp lets anyone pre-create ("squat") the
+    # predictable content-addressed name with arbitrary code that
+    # addPyFile would then ship to every executor (CWE-379).
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"hdk_spark-{os.getuid()}"
     )
-    if not os.path.exists(zpath):
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    os.chmod(cache_dir, 0o700)  # makedirs skips mode if dir pre-exists
+    zpath = os.path.join(cache_dir, f"hdk_spark_pkg_{digest}.zip")
+    # Belt-and-braces: even inside the private dir, reuse only a file
+    # whose BYTES match the digest we computed — never trust the name.
+    reuse = False
+    if os.path.exists(zpath):
+        with open(zpath, "rb") as fh:
+            reuse = hashlib.sha256(fh.read()).hexdigest()[:16] == digest
+    if not reuse:
         tmp = zpath + f".{os.getpid()}.tmp"
         with open(tmp, "wb") as fh:
             fh.write(blob)

@@ -69,6 +69,12 @@ def test_preference_lint_verdicts(spark):
         (5, ok_c, _conv(("user", "q"), ("assistant", "x"),
                         ("user", "extra"))),                 # length drift
         (6, ok_c, '{"broken"'),                              # unparsed
+        # ADVICE r6: 1-turn chosen vs 2-turn rejected has a NON-empty
+        # differing prefix — same_prefix must not be vacuously TRUE
+        (7, _conv(("assistant", "solo")),
+            _conv(("user", "ctx"), ("assistant", "other"))),
+        # both 1-turn: prefix IS vacuously equal
+        (8, _conv(("assistant", "a")), _conv(("assistant", "b"))),
     ]
     df = spark.createDataFrame(
         rows, "doc_id: long, chosen: string, rejected: string")
@@ -79,6 +85,8 @@ def test_preference_lint_verdicts(spark):
     assert not got[4]["both_end_assistant"] and not got[4]["valid"]
     assert not got[5]["same_length"] and not got[5]["valid"]
     assert not got[6]["both_parsed"] and not got[6]["valid"]
+    assert not got[7]["same_prefix"] and not got[7]["valid"]
+    assert got[8]["same_prefix"] and got[8]["valid"]
 
 
 def test_preference_lint_map_only_plan(spark):

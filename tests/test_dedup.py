@@ -270,6 +270,88 @@ def test_contamination_bloom_impls_identical(spark, docs):
     assert a == b  # crc32 double hashing agrees across JVM and Python
 
 
+def test_contamination_bloom_bit63_word_negative_long(spark):
+    """Regression (VERDICT r6 #2): a bitset word with bit 63 set comes
+    back from the JVM as a NEGATIVE signed long; the probe must view it
+    as uint64 bit-exactly instead of casting (numpy >= 2.1 raises
+    OverflowError on negative->uint64). 'w19' was searched so its crc32
+    Kirsch-Mitzenmacher position hits 63 mod 64 with m_bits=64."""
+    import warnings
+    import zlib
+
+    from hdk_spark.operators.dedup import contamination_flags_bloom
+
+    b = b"w19"
+    h1, h2 = zlib.crc32(b), zlib.crc32(b"\x01" + b)
+    assert any((h1 + i * h2) % 64 == 63 for i in range(4))  # pin the plant
+    df = spark.createDataFrame(
+        [(1, "w19"), (2, "clean")], "doc_id: long, text: string"
+    )
+    ev = spark.createDataFrame([("w19",)], "text: string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        rows = {
+            r["id"]: r["contaminated"]
+            for r in contamination_flags_bloom(
+                df, ev, n=1, m_bits=64, k_hashes=4, impl="pandas"
+            ).collect()
+        }
+    assert rows[1] is True
+
+
+def test_bloom_probe_tokenization_matches_jvm_on_unicode_ws(spark):
+    """Regression (ADVICE r6): the Python probe must tokenize exactly
+    like the JVM build side. NBSP / U+2028 are NOT Java \\s whitespace,
+    and leading tabs produce a leading EMPTY token under Spark's
+    split(trim(lower(x)), '\\s+') — plain str.split() diverges on both,
+    silently breaking the no-false-negatives guarantee."""
+    from hdk_spark.operators.dedup import (
+        _py_jvm_tokens,
+        contamination_flags_bloom,
+        eval_contaminated_spans,
+        eval_contaminated_spans_bloom,
+    )
+
+    nasty = [
+        "alpha\u00a0beta gamma delta epsilon",   # NBSP inside a "word"
+        "one two\u2028three four five",          # line separator
+        "\tlead tab makes empty token here",     # leading empty token
+        "plain ascii text with five tokens",
+    ]
+    # 1. the Python twin agrees with Spark's own tokenization
+    df = spark.createDataFrame([(t,) for t in nasty], "text: string")
+    jvm = [
+        r["toks"]
+        for r in df.select(
+            F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+        ).collect()
+    ]
+    assert jvm == [_py_jvm_tokens(t) for t in nasty]
+
+    # 2. doc-level: pandas probe == sql probe on the nasty corpus
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(nasty)], "doc_id: long, text: string"
+    )
+    ev = spark.createDataFrame([(nasty[0],), (nasty[2],)], "text: string")
+    a = {r["id"]: (r["n_hit_shingles"], r["contaminated"])
+         for r in contamination_flags_bloom(docs, ev, n=2, impl="pandas").collect()}
+    b = {r["id"]: (r["n_hit_shingles"], r["contaminated"])
+         for r in contamination_flags_bloom(docs, ev, n=2, impl="sql").collect()}
+    assert a == b
+
+    # 3. span-level: Bloom spans still cover exact spans (positions
+    # would shift under divergent tokenization)
+    exact = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in eval_contaminated_spans(docs, ev, eval_id_col="text",
+                                              n=3).collect()}
+    bloom = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in eval_contaminated_spans_bloom(docs, ev, eval_id_col="text",
+                                                    n=3).collect()}
+    for (i, s, e) in exact:
+        assert any(i == bi and bs <= s and e <= be for bi, bs, be in bloom), (
+            exact, bloom)
+
+
 def test_incremental_dedup_matches_full_run_cross_pairs(spark):
     from hdk_spark.operators.dedup import (
         minhash_dedup_incremental,

@@ -329,17 +329,20 @@ def test_ensure_shipped_content_addressed_zip(spark):
 
     from hdk_spark.session import ensure_shipped
 
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"hdk_spark-{os.getuid()}"
+    )
     ensure_shipped(spark)
     before = sorted(glob.glob(
-        os.path.join(tempfile.gettempdir(), "hdk_spark_pkg_*.zip")))
+        os.path.join(cache_dir, "hdk_spark_pkg_*.zip")))
     assert before, "no shipped package zip found"
     # idempotent per context AND content-stable: calling again (even
     # with the guard flag cleared) must not mint a second file
     spark.sparkContext._hdk_spark_shipped = False
     ensure_shipped(spark)
     after = sorted(glob.glob(
-        os.path.join(tempfile.gettempdir(), "hdk_spark_pkg_*.zip")))
+        os.path.join(cache_dir, "hdk_spark_pkg_*.zip")))
     assert after == before
     # no stray .tmp files left behind by the atomic write
     assert not glob.glob(
-        os.path.join(tempfile.gettempdir(), "hdk_spark_pkg_*.tmp"))
+        os.path.join(cache_dir, "hdk_spark_pkg_*.tmp"))

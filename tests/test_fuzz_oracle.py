@@ -6,6 +6,8 @@ reference's SQLite-comparator strategy (reference
 Tests/ArrowSQLRunner/SQLiteComparator.h) that its fixed corpus lacks.
 """
 
+import pathlib
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -632,7 +634,7 @@ _JOIN_AGGS_NO_L = [
 
 
 @st.composite
-def join_queries(draw):
+def fk_join_queries(draw):
     chain, keys = draw(st.sampled_from(_JOIN_CHAINS))
     has_l = chain.startswith("lineitem")
     ags = draw(
@@ -656,14 +658,34 @@ def join_queries(draw):
     return sql
 
 
-@given(sql=join_queries())
+@given(sql=fk_join_queries())
 @settings(
     max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-def test_random_join_query_matches_duckdb(spark, duck, sql):
+def test_random_fk_join_query_matches_duckdb(spark, duck, sql):
     from __spark_entry__ import load_tables
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+def test_no_shadowed_top_level_defs():
+    """Guard against a module-scope name collision silently killing a test.
+
+    Round 6 regression: a new FK-join grammar re-defined ``join_queries`` /
+    ``test_random_join_query_matches_duckdb`` at module scope; Python keeps
+    the LAST definition, so the round-4 LEFT-JOIN/null-probe grammar was no
+    longer collected by pytest at all while the suite stayed "green".  This
+    test parses the module source and fails on ANY duplicated top-level
+    function name, so future shadowing fails loudly instead of silently.
+    """
+    import ast
+    import collections
+
+    src = pathlib.Path(__file__).read_text()
+    names = [n.name for n in ast.parse(src).body
+             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+    dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+    assert not dupes, f"shadowed top-level defs in {__file__}: {dupes}"

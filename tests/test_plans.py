@@ -448,6 +448,11 @@ def test_canonical_url_rules(spark):
          "https://example.com/a?a=1&b=2"),
         ("https://example.com/a?utm_source=x&gclid=1&fbclid=2",
          "https://example.com/a"),
+        # tracking filter is case-insensitive and matches bare params
+        ("https://example.com/a?UTM_SOURCE=x&Gclid=1&fbclid",
+         "https://example.com/a"),
+        ("https://example.com/a?refine=1&b=2",  # 'ref' must not prefix-match
+         "https://example.com/a?b=2&refine=1"),
         ("HTTPS://example.com", "https://example.com"),
         ("not a url at all", "not a url at all"),
         ("", ""),
@@ -703,7 +708,36 @@ def test_robots_filter_longest_match_and_defaults(spark):
     assert got[2]["allowed"] and got[2]["matched_prefix"] == "/private/ok"
     assert got[3]["allowed"] and got[3]["matched_prefix"] is None
     assert got[4]["allowed"]
-    # the evilbot block only applies to that agent
+    # a domain WITH a specific-agent group: only that group applies
     evil = {r["doc_id"]: r["allowed"] for r in robots_filter(
         urls, rules, agent="evilbot").collect()}
     assert evil == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_robots_filter_agent_star_fallback(spark):
+    """RFC 9309 §2.2.1 (VERDICT r6 #6): a named agent falls back to
+    the domain's '*' group when no specific group exists, and a
+    specific group EXCLUDES the '*' group when it does."""
+    from hdk_spark.operators.web import parse_robots, robots_filter
+
+    two_groups = (
+        "User-agent: *\nDisallow: /all\n"
+        "User-agent: mybot\nDisallow: /mine\n"
+    )
+    star_only = "User-agent: *\nDisallow: /star\n"
+    rules = parse_robots(spark.createDataFrame(
+        [("a.com", two_groups), ("b.com", star_only)],
+        "reg_domain: string, robots_txt: string"))
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/mine/x"),   # specific group blocks
+         (2, "https://a.com/all/x"),    # '*' group must NOT apply on a.com
+         (3, "https://b.com/star/x"),   # fallback to '*' on b.com
+         (4, "https://b.com/free")],
+        "doc_id: long, url: string")
+    got = {r["doc_id"]: r["allowed"] for r in robots_filter(
+        urls, rules, agent="MyBot").collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
+    # '*' agent still sees only the '*' groups
+    star = {r["doc_id"]: r["allowed"] for r in robots_filter(
+        urls, rules).collect()}
+    assert star == {1: True, 2: False, 3: False, 4: True}
