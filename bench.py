@@ -210,28 +210,25 @@ def main() -> None:
     for name, sql in BENCH_SQL.items():
         makers[name] = (lambda s=sql: spark.sql(s), False)
 
-    for name, (mk, py_stage) in makers.items():
-        timings[name] = best_of(mk, python_stage=py_stage)
-
     # Cross-round trustworthiness gate (VERDICT r6 #7): BENCH_r06
     # published a 4.5× q8 swing that was an ambient machine stall, not
     # a regression. When a query moves >2× in EITHER direction vs the
     # newest recorded BENCH_r*.json, re-run it once and record both
     # numbers plus a stall_suspected verdict, so the driver artifact is
-    # self-annotating instead of needing a judge re-run.
+    # self-annotating instead of needing a judge re-run. The re-run
+    # happens IMMEDIATELY after the query's first measurement (ADVICE
+    # r7): a deferred end-of-process re-run executes on an aged JVM,
+    # which is 2-4× slower for the operator queries (see the q7-q9
+    # ordering note above), biasing stall_suspected toward False.
     anomalies: dict[str, dict] = {}
     prev = _load_prev_bench()
-    if prev:
-        for name, t in list(timings.items()):
-            p = prev.get(name)
-            if not p or p <= 0:
-                continue
-            ratio = t / p
-            if 0.5 <= ratio <= 2.0:
-                continue
-            mk, py_stage = makers[name]
+
+    for name, (mk, py_stage) in makers.items():
+        t = best_of(mk, python_stage=py_stage)
+        timings[name] = t
+        p = prev.get(name)
+        if p and p > 0 and not (0.5 <= t / p <= 2.0):
             rerun = best_of(mk, python_stage=py_stage)
-            confirmed = min(t, rerun)
             anomalies[name] = {
                 "prev": p,
                 "first": t,
@@ -240,7 +237,7 @@ def main() -> None:
                 # than the first best-of-N, i.e. the swing vanished
                 "stall_suspected": rerun <= t / 2,
             }
-            timings[name] = confirmed
+            timings[name] = min(t, rerun)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -261,16 +258,16 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r7: no headline-path changes (round spent on "
-                "crawl-pipeline composition, trigram LM CCNet, trained "
-                "lang-ID, ADVICE/verdict defect fixes); NEW >2x-swing "
-                "gate: any query moving >2x vs the newest BENCH_r*.json "
-                "is re-run once and recorded under 'anomalies' with a "
-                "stall_suspected verdict (r6 published q8=3.44 s from an "
-                "ambient stall un-flagged; judge re-measured 0.79 s, so "
-                "a q8 'anomaly' row vs the r6 file is expected and "
-                "documents the recovery, not a change); defaults remain "
-                "crc32/xxhash64/vectorized, oracle bases contract-side",
+                "notes": "r8: no headline-path changes (round adds the "
+                "composed crawl_pipeline contract rows, interpolated "
+                "trigram LM + ccnet lm3 bucketing, trained softmax "
+                "lang-ID, ADVICE r7 fixes; r7 itself shipped only the "
+                "r6 defect fixes — its notes string over-claimed, "
+                "corrected here); >2x-swing anomaly re-runs now execute "
+                "IMMEDIATELY after the query's first measurement, not "
+                "on the aged end-of-process JVM (ADVICE r7); defaults "
+                "remain crc32/xxhash64/vectorized, oracle bases "
+                "contract-side",
             }
         )
     )

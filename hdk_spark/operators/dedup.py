@@ -851,6 +851,18 @@ def _py_jvm_tokens(text: str | None) -> list[str]:
     breaking the Bloom no-false-negatives guarantee (ADVICE r6).
     Spark ``trim`` strips ASCII space (0x20) only, hence
     ``.strip(' ')``, and lower() runs first to mirror the JVM order.
+
+    Residual casing caveat (ADVICE r7): ``str.lower()`` follows
+    CPython's bundled Unicode tables, the JVM its own — when the JVM's
+    Unicode version is NEWER, codepoints it can lowercase but CPython
+    still treats as unassigned diverge. Measured on this stack
+    (JVM Unicode 16 vs CPython 3.11/Unicode 14): exactly 27 codepoints
+    over U+0020..U+2FFFF, ALL of category Cn (unassigned) in CPython —
+    i.e. characters newer than CPython's tables, absent from any real
+    corpus CPython can even classify. The parity property test
+    (tests/test_dedup.py::test_py_lower_matches_jvm_lower_for_assigned)
+    sweeps the full range and fails if a divergence ever appears on an
+    ASSIGNED codepoint.
     """
     if text is None:
         return []

@@ -127,6 +127,21 @@ def ensure_shipped(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"hdk_spark-{os.getuid()}"
     )
     os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    # A squatter can pre-create the predictable path (or plant a symlink
+    # to a directory they control) before our makedirs; verify the entry
+    # is a REAL directory OWNED BY US before chmod/use, and fail with a
+    # message naming the squatted path instead of an opaque
+    # PermissionError downstream. os.getuid/lstat.st_uid are POSIX-only,
+    # like the 0700 protection itself.
+    st = os.lstat(cache_dir)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"refusing to use package cache dir {cache_dir!r}: it is "
+            "not a directory owned by the current user (possible tmp "
+            "squatting) — remove it or set TMPDIR elsewhere"
+        )
     os.chmod(cache_dir, 0o700)  # makedirs skips mode if dir pre-exists
     zpath = os.path.join(cache_dir, f"hdk_spark_pkg_{digest}.zip")
     # Belt-and-braces: even inside the private dir, reuse only a file

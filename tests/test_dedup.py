@@ -352,6 +352,31 @@ def test_bloom_probe_tokenization_matches_jvm_on_unicode_ws(spark):
             exact, bloom)
 
 
+def test_py_lower_matches_jvm_lower_for_assigned(spark):
+    """Bound the residual casing risk in _py_jvm_tokens (ADVICE r7):
+    str.lower() vs F.lower() may diverge only on codepoints CPython's
+    bundled Unicode tables don't know yet (category Cn = unassigned) —
+    i.e. characters newer than CPython's Unicode version, which cannot
+    appear in any corpus CPython can classify. Sweeps U+0020..U+2FFFF
+    (all letters live below this: BMP + SMP scripts); any divergence on
+    an ASSIGNED codepoint fails, which is the property the bit-exact
+    probe/build parity relies on."""
+    import unicodedata
+
+    cps = [c for c in range(0x20, 0x30000) if not (0xD800 <= c <= 0xDFFF)]
+    df = spark.createDataFrame(
+        [(c, chr(c)) for c in cps], "cp: long, s: string"
+    )
+    rows = df.select("cp", "s", F.lower("s").alias("jl")).collect()
+    bad = [
+        (r["cp"], unicodedata.category(r["s"]))
+        for r in rows
+        if r["jl"] != r["s"].lower()
+        and unicodedata.category(r["s"]) != "Cn"
+    ]
+    assert bad == [], f"assigned codepoints with divergent lower(): {bad[:10]}"
+
+
 def test_incremental_dedup_matches_full_run_cross_pairs(spark):
     from hdk_spark.operators.dedup import (
         minhash_dedup_incremental,
