@@ -824,6 +824,130 @@ def bigram_logprob(
     )
 
 
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: "tuple[float, float, float]" = (0.5, 0.3, 0.2),
+    model_df: "DataFrame | None" = None,
+    model_text_col: "str | None" = None,
+) -> DataFrame:
+    """Per-document average log-probability under an INTERPOLATED
+    order-3 language model — the KenLM-grade upgrade of
+    [[unigram_logprob]]/[[bigram_logprob]] that CCNet's perplexity
+    filtering actually runs on (Wenzek et al. 2020 use a 5-gram KenLM;
+    Jelinek-Mercer interpolation is the classic smoothed-n-gram recipe
+    whose weights are exact literals, so the whole model stays
+    deterministic and oracle-expressible — unlike Kneser-Ney's
+    corpus-derived discounts):
+
+        p(w_i | w_{i-2} w_{i-1}) = λ3·c(w_{i-2} w_{i-1} w_i)/c(w_{i-2} w_{i-1} ·)
+                                 + λ2·c(w_{i-1} w_i)/c(w_{i-1} ·)
+                                 + λ1·c(w_i)/total
+
+    scored over full-context positions i ≥ 3 (the [[bigram_logprob]]
+    convention one order up); documents with fewer than 3 tokens are
+    dropped. Every division is exact IEEE double of integer counts; the
+    interpolation sum is fixed-order ((λ3·t3 + λ2·t2) + λ1·t1), so both
+    engines compute bit-identical arguments to ln(); the emitted
+    average rounds to 6 digits (transcendental determinism rule).
+
+    With ``model_df`` (CCNet cross-scoring) a position whose trigram /
+    bigram context is absent from the model contributes 0 for that
+    order (the interpolation's graceful backoff); an unseen unigram
+    floors at count 1 like [[unigram_logprob]]. Self-scoring never
+    hits the fallbacks.
+
+    Returns (id, n_trigrams, avg_logprob).
+
+    Scale shape: ONE corpus-sized position explode per side (each
+    position carries its ≤2-token context — no self-joins to recover
+    adjacency); the model side is PERSISTED once and all three count
+    relations (trigram, bigram, unigram) are partial-agg groupBys over
+    that cache, so the Zipf head collapses map-side and the corpus is
+    scanned once for the model. Context totals join onto their count
+    relations vocab-side (vocab×vocab-sized work, not corpus-sized).
+    Scoring is three AQE-decided equi-joins of the position relation
+    against the three model relations — corpus-derived vocabularies
+    must NEVER be force-broadcast (see [[unigram_logprob]]'s 100 TB
+    note); AQE broadcasts a measured-small model and shuffles a large
+    one. The 1-row corpus total is the only forced broadcast."""
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs((l3 + l2 + l1) - 1.0) > 1e-9 or min(l3, l2, l1) <= 0.0:
+        raise ValueError("lambdas must be positive and sum to 1")
+
+    def positions(frame: DataFrame, tcol: str, keep_id: bool) -> DataFrame:
+        toks = tokenize(F.lower(F.col(tcol)))
+        n = F.size(toks)
+        trip = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.struct(
+                    F.when(i >= 3, F.element_at(toks, i - 2)).alias("w1"),
+                    F.when(i >= 2, F.element_at(toks, i - 1)).alias("w2"),
+                    F.element_at(toks, i).alias("w3"),
+                ),
+            ),
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.explode(trip).alias("t")).select(
+            *cols,
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+
+    pos = positions(df, text_col, keep_id=True)
+    if model_df is not None:
+        mpos = positions(
+            model_df, model_text_col or text_col, keep_id=False
+        ).persist()
+    else:
+        mpos = pos.select("w1", "w2", "w3").persist()
+    tri = mpos.filter(F.col("w1").isNotNull()).groupBy(
+        "w1", "w2", "w3"
+    ).agg(F.count(F.lit(1)).alias("__c3"))
+    ctx3 = tri.groupBy("w1", "w2").agg(F.sum("__c3").alias("__x3"))
+    model3 = tri.join(ctx3, ["w1", "w2"])
+    big = mpos.filter(F.col("w2").isNotNull()).groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    ctx2 = big.groupBy("w2").agg(F.sum("__c2").alias("__x2"))
+    model2 = big.join(ctx2, "w2")
+    uni = mpos.groupBy("w3").agg(F.count(F.lit(1)).alias("__c1"))
+    total = uni.agg(F.sum("__c1").alias("__tot"))
+
+    t3 = F.coalesce(
+        F.col("__c3").cast("double") / F.col("__x3").cast("double"),
+        F.lit(0.0),
+    )
+    t2 = F.coalesce(
+        F.col("__c2").cast("double") / F.col("__x2").cast("double"),
+        F.lit(0.0),
+    )
+    t1 = F.coalesce(F.col("__c1"), F.lit(1)).cast("double") / F.col(
+        "__tot"
+    ).cast("double")
+    scored = (
+        pos.filter(F.col("w1").isNotNull())
+        .join(model3, ["w1", "w2", "w3"], "left")
+        .join(model2, ["w2", "w3"], "left")
+        .join(uni, "w3", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.lit(l3) * t3 + F.lit(l2) * t2) + F.lit(l1) * t1
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        round6(F.avg("__lp")).alias("avg_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (pretraining-data scrubbing stage)
 # ---------------------------------------------------------------------------
@@ -1497,14 +1621,22 @@ def ccnet_buckets(
     min_count: int = 1,
     model_df: "DataFrame | None" = None,
     model_text_col: "str | None" = None,
+    model: str = "unigram",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
-    every document by its LM score (:func:`unigram_logprob` — the
-    perplexity proxy; pass ``model_df`` to score under a reference
-    corpus like CCNet's Wikipedia LM) and split each language into
-    equal thirds — ``head`` (closest to the model), ``middle``,
+    every document by its LM score (pass ``model_df`` to score under a
+    reference corpus like CCNet's Wikipedia LM) and split each language
+    into equal thirds — ``head`` (closest to the model), ``middle``,
     ``tail``. Pretraining recipes keep head+middle or reweight by
     bucket; the tail is where boilerplate and gibberish concentrate.
+
+    ``model`` picks the perplexity proxy: ``'unigram'`` (default — the
+    cheap two-pass :func:`unigram_logprob`; ``min_count`` applies) or
+    ``'trigram'`` (:func:`trigram_logprob`'s interpolated order-3 LM —
+    the KenLM-grade signal CCNet's buckets are defined over; documents
+    with fewer than 3 tokens are dropped by that scorer and therefore
+    from the buckets, and ``n_tokens`` counts its scored trigram
+    positions).
 
     Ordering is by the ROUNDED emitted score (desc) with the id as
     tie-break — the rounded value is the cross-engine-stable quantity
@@ -1512,17 +1644,29 @@ def ccnet_buckets(
     reproducible anywhere. Returns (id, lang, n_tokens, avg_logprob,
     bucket); ``lang_col=None`` buckets the whole corpus as one group.
 
-    Scale shape: the LM pass is :func:`unigram_logprob`'s two corpus
-    passes; bucketing adds ONE equi-join back to the language column
-    and ONE window exchange per language partition (NTILE needs the
-    partition's total order — the same cost class as any global
-    ranking; per-language partitions keep it sharded)."""
+    Scale shape: the LM pass is the chosen scorer's corpus passes
+    (unigram: two; trigram: one persisted position explode + three
+    model joins — see :func:`trigram_logprob`); bucketing adds ONE
+    equi-join back to the language column and ONE window exchange per
+    language partition (NTILE needs the partition's total order — the
+    same cost class as any global ranking; per-language partitions
+    keep it sharded)."""
     from pyspark.sql.window import Window
 
-    scored = unigram_logprob(
-        df, id_col, text_col, min_count=min_count,
-        model_df=model_df, model_text_col=model_text_col,
-    )
+    if model == "unigram":
+        scored = unigram_logprob(
+            df, id_col, text_col, min_count=min_count,
+            model_df=model_df, model_text_col=model_text_col,
+        )
+    elif model == "trigram":
+        scored = trigram_logprob(
+            df, id_col, text_col,
+            model_df=model_df, model_text_col=model_text_col,
+        ).withColumnRenamed("n_trigrams", "n_tokens")
+    else:
+        raise ValueError(
+            f"model must be 'unigram' or 'trigram', got {model!r}"
+        )
     if lang_col is not None:
         langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
         j = scored.join(langs, id_col)

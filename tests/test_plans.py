@@ -330,6 +330,53 @@ def test_bigram_logprob_model_join_policy(spark):
     assert "CartesianProduct" not in tree
 
 
+def test_trigram_logprob_plan_and_semantics(spark):
+    import math
+    import re
+
+    from hdk_spark.operators.text import ccnet_buckets, trigram_logprob
+
+    docs = _raw_docs(spark)
+    df = trigram_logprob(docs)
+    tree = plan(df).split("\n\n")[0]
+    # corpus-derived model relations must never force-broadcast or
+    # degenerate to a cartesian (100 TB rule); the model side is ONE
+    # persisted position explode (single scan node) — the scoring side
+    # legitimately re-scans (raw scan beats materializing the corpus-
+    # sized position relation, the unigram_logprob trade)
+    assert "CartesianProduct" not in tree
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) <= 2, f"{len(scan_ids)} distinct corpus scans"
+    assert "InMemoryTableScan" in tree  # tri/big/uni reuse the cache
+
+    # semantics: <3-token docs are dropped; an all-identical corpus
+    # scores ln((0.5+0.3)+0.2) = 0 exactly
+    tiny = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a"), (3, None)],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in trigram_logprob(tiny).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_trigrams"] == 2
+    assert rows[1]["avg_logprob"] == 0.0
+
+    # cross-corpus: unseen trigram/bigram contexts contribute 0, the
+    # unigram term floors at count 1 — position scores stay finite
+    model = spark.createDataFrame([(10, "x y z x y")], "doc_id: long, text: string")
+    target = spark.createDataFrame([(1, "q q q")], "doc_id: long, text: string")
+    out = trigram_logprob(target, model_df=model).collect()
+    assert len(out) == 1 and out[0]["n_trigrams"] == 1
+    # q unseen → (0.5·0 + 0.3·0) + 0.2·(1/5)
+    assert out[0]["avg_logprob"] == round(math.log(0.2 * (1.0 / 5.0)), 6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        trigram_logprob(tiny, lambdas=(0.5, 0.5, 0.5))
+    with pytest.raises(ValueError):
+        ccnet_buckets(tiny, model="bogus")
+
+
 def test_url_features_map_only(spark):
     from hdk_spark.operators.web import domain_stats, url_features
 
