@@ -6045,10 +6045,8 @@ def _lang_id_oracle(n_buckets: int = 256) -> str:
     sums = ", ".join(
         f"SUM(w.w{i}) AS s{i}" for i in range(len(sel))
     )
-    score_list = ", ".join(
-        f"CAST(coalesce(s.s{i}, 0) AS DOUBLE) / 1000000.0 "
-        "/ CAST(greatest(len(g.bidx), 1) AS DOUBLE)"
-        for i in range(len(sel))
+    isum_list = ", ".join(
+        f"CAST(coalesce(s.s{i}, 0) AS BIGINT)" for i in range(len(sel))
     )
     langs_lit = ", ".join(f"'{x}'" for x in sel)
     return rf"""
@@ -6074,17 +6072,24 @@ s AS (
   FROM e JOIN w ON e.b = w.b GROUP BY e.doc_id
 ), sc AS (
   SELECT g.doc_id, len(g.bidx) AS n,
-         [{score_list}] AS scores
+         CAST(greatest(len(g.bidx), 1) AS BIGINT) AS nd,
+         [{isum_list}] AS isums
   FROM g LEFT JOIN s ON g.doc_id = s.doc_id
+), best AS (
+  SELECT doc_id, n, nd, isums,
+         list_aggregate(isums, 'max') AS bi
+  FROM sc
 )
 SELECT doc_id,
        CASE WHEN n = 0 THEN 'und'
-            ELSE [{langs_lit}][list_position(scores,
-                   list_aggregate(scores, 'max'))] END AS lang,
+            ELSE [{langs_lit}][list_position(isums, bi)] END AS lang,
        CASE WHEN n = 0 THEN 0.0
-            ELSE round(list_aggregate(scores, 'max'), 6) + 0 END AS score,
+            ELSE CAST(CASE WHEN bi >= 0
+                           THEN (2 * bi + nd) // (2 * nd)
+                           ELSE -(((-2) * bi + nd) // (2 * nd)) END
+                      AS DOUBLE) / 1000000.0 END AS score,
        CAST(n AS BIGINT) AS n_grams
-FROM sc ORDER BY doc_id
+FROM best ORDER BY doc_id
 """
 
 
@@ -6919,3 +6924,279 @@ FROM ranked3 ORDER BY doc_id
 
 SPARK_IMPLS["text_ccnet_buckets_lm3"] = q_text_ccnet_buckets_lm3
 ORACLES["text_ccnet_buckets_lm3"] = _CCNET_LM3_ORACLE
+
+
+_LANG_TRAIN_CLASSES = ("de", "en", "es", "fr", "zh")
+
+
+def _planted_lang_df(spark: SparkSession) -> DataFrame:
+    """Deterministic LABELED language corpus: label = class by
+    doc_id % 5, text = 6 consecutive seed words of that language
+    (LANG_SEEDS, first 12 words) rotated by doc_id // 5 — text is
+    genuinely correlated with the label (unlike documents.lang, which
+    the synthetic generator draws independently of the text), so the
+    trained classifier demonstrably LEARNS, and the oracle derives the
+    identical corpus in SQL."""
+    from hdk_spark.operators.text import LANG_SEEDS
+
+    d = F.col("doc_id")
+    st = F.floor(d / 5).cast("long") % 12
+
+    def sentence(k: str):
+        arr = F.array(*[F.lit(w) for w in LANG_SEEDS[k].split()[:12]])
+        return F.concat_ws(
+            " ",
+            *[
+                F.element_at(arr, ((st + j) % 12 + 1).cast("int"))
+                for j in range(6)
+            ],
+        )
+
+    lbl = F.lit(None).cast("string")
+    text = F.lit(None).cast("string")
+    for i, k in enumerate(_LANG_TRAIN_CLASSES):
+        lbl = F.when(d % 5 == i, F.lit(k)).otherwise(lbl)
+        text = F.when(d % 5 == i, sentence(k)).otherwise(text)
+    return spark.table("documents").select(
+        "doc_id", lbl.alias("lang_true"), text.alias("text")
+    )
+
+
+def _planted_lang_sql() -> str:
+    """SQL twin of :func:`_planted_lang_df` (CTEs ``planted`` →
+    ``labeled`` with (doc_id, lang_true, text))."""
+    from hdk_spark.operators.text import LANG_SEEDS
+
+    cls = _LANG_TRAIN_CLASSES
+
+    def arr(k: str) -> str:
+        ws = LANG_SEEDS[k].split()[:12]
+        return "[" + ", ".join("'" + w + "'" for w in ws) + "]"
+
+    lbl = (
+        "CASE doc_id % 5 "
+        + " ".join(f"WHEN {i} THEN '{k}'" for i, k in enumerate(cls[:-1]))
+        + f" ELSE '{cls[-1]}' END"
+    )
+    ws = (
+        "CASE doc_id % 5 "
+        + " ".join(f"WHEN {i} THEN {arr(k)}" for i, k in enumerate(cls[:-1]))
+        + f" ELSE {arr(cls[-1])} END"
+    )
+    words = " || ' ' || ".join(
+        f"ws[((st + {j}) % 12) + 1]" for j in range(6)
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {lbl} AS lang_true, {ws} AS ws,
+         (doc_id // 5) % 12 AS st
+  FROM documents
+), labeled AS (
+  SELECT doc_id, lang_true, {words} AS text FROM planted
+)"""
+
+
+def _lang_train_cte(n_buckets: int = 16, lr: float = 1.0) -> str:
+    """Unrolled 2-iteration softmax training in DuckDB SQL over the
+    planted corpus — train_quality_scorer's oracle pattern one rank up
+    (K classes instead of one sigmoid): iteration 1's softmax is
+    exactly 1/K (zero weights), iteration 2 recomputes per-doc
+    softmax from iteration-1 weights with the SAME fixed-order
+    denominator sum the Spark side uses; gradients are exact
+    DECIMAL(38,0) sums of 1e-6-quantized residuals."""
+    cls = _LANG_TRAIN_CLASSES
+    B = n_buckets
+    p1 = repr(1.0 / len(cls))
+
+    def onehot(k: str, rel: str) -> str:
+        return f"CASE WHEN {rel}.y = '{k}' THEN 1.0 ELSE 0.0 END"
+
+    g1_cols = ", ".join(
+        f"SUM(CAST(round(({p1} - {onehot(k, 'f')}) / f.n * 1000000.0) "
+        f"AS DECIMAL(38,0)) * f.c[u.b + 1]) AS g_{k}"
+        for k in cls
+    )
+    w1_cols = ", ".join(
+        f"(0.0 - {lr!r} * (CAST(g1.g_{k} AS DOUBLE) / (1000000.0 * m.m)))"
+        f" + 0.0 AS w_{k}"
+        for k in cls
+    )
+    w1a_cols = ", ".join(f"list(w_{k} ORDER BY b) AS a_{k}" for k in cls)
+    z_cols = ", ".join(
+        f"(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(0, {B}), b -> w1a.a_{k}[b + 1] * f.c[b + 1])), "
+        f"(acc, x) -> acc + x) / f.n) AS z_{k}"
+        for k in cls
+    )
+    e_cols = ", ".join(f"exp(z_{k}) AS e_{k}" for k in cls)
+    den = f"exp(z_{cls[0]})"
+    for k in cls[1:]:
+        den = f"({den} + exp(z_{k}))"
+    g2_cols = ", ".join(
+        f"SUM(CAST(round((p2.e_{k} / p2.den - {onehot(k, 'p2')}) / p2.n "
+        f"* 1000000.0) AS DECIMAL(38,0)) * p2.c[u.b + 1]) AS g_{k}"
+        for k in cls
+    )
+    w2_cols = ", ".join(
+        f"(w1.w_{k} - {lr!r} * (CAST(g2.g_{k} AS DOUBLE) / (1000000.0 * m.m)))"
+        f" + 0.0 AS w_{k}"
+        for k in cls
+    )
+    return rf""", t2 AS (
+  SELECT doc_id, lang_true,
+         ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' '
+           AS s
+  FROM labeled
+), g AS (
+  SELECT doc_id, lang_true,
+         CASE WHEN s IS NOT NULL AND len(s) >= 3
+              THEN list_transform(range(1, len(s) - 1),
+                     i -> CAST(
+                       CAST('0x' || substring(md5(substr(s, i, 3)), 1, 8)
+                            AS BIGINT) % {B} AS INT))
+              ELSE [] END AS bidx
+  FROM t2
+), f AS (
+  SELECT doc_id, lang_true AS y, CAST(len(bidx) AS BIGINT) AS n,
+         list_transform(range(0, {B}),
+                        b -> len(list_filter(bidx, x -> x = b))) AS c
+  FROM g WHERE len(bidx) >= 1
+), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM f),
+u AS (SELECT unnest(range(0, {B})) AS b),
+g1 AS (
+  SELECT u.b AS b, {g1_cols}
+  FROM f, u GROUP BY u.b
+),
+w1 AS (SELECT g1.b AS b, {w1_cols} FROM g1, m),
+w1a AS (SELECT {w1a_cols} FROM w1),
+s2 AS (
+  SELECT f.doc_id, f.y, f.n, f.c, {z_cols}
+  FROM f, w1a
+),
+p2 AS (
+  SELECT doc_id, y, n, c, {e_cols}, {den} AS den
+  FROM s2
+),
+g2 AS (
+  SELECT u.b AS b, {g2_cols}
+  FROM p2, u GROUP BY u.b
+),
+w2 AS (SELECT g2.b AS b, {w2_cols} FROM g2 JOIN w1 ON g2.b = w1.b, m)
+"""
+
+
+def q_text_lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the multi-class language classifier (operators/text.py::
+    train_lang_id — deterministic full-batch softmax regression over
+    md5-hashed char-trigram features, per-class quantized-DECIMAL
+    gradients; closes VERDICT r6 'What's missing #3'): 2 iterations,
+    16 buckets, 5 classes over the planted seed-word corpus, emitting
+    every (lang, bucket) weight after each iteration. The oracle
+    replays the ENTIRE training unrolled in SQL."""
+    from hdk_spark.operators.text import train_lang_id
+
+    _tables(spark, sf_dir)
+    planted = _planted_lang_df(spark)
+    hist = train_lang_id(
+        planted, label_col="lang_true", n_buckets=16, iterations=2,
+        lr=1.0, classes=list(_LANG_TRAIN_CLASSES), return_history=True,
+    )
+    rows = [
+        (k, b, hist[0][k][b], hist[1][k][b])
+        for k in _LANG_TRAIN_CLASSES
+        for b in range(16)
+    ]
+    return spark.createDataFrame(
+        rows, "lang: string, bucket: long, w_iter1: double, weight: double"
+    )
+
+
+def _lang_train_oracle() -> str:
+    cls = _LANG_TRAIN_CLASSES
+    langs_lit = ", ".join(f"'{k}'" for k in cls)
+    w1_case = " ".join(f"WHEN '{k}' THEN w1.w_{k}" for k in cls)
+    w2_case = " ".join(f"WHEN '{k}' THEN w2.w_{k}" for k in cls)
+    return (
+        _planted_lang_sql()
+        + _lang_train_cte()
+        + f"""SELECT l.lang,
+       CAST(w1.b AS BIGINT) AS bucket,
+       CASE l.lang {w1_case} END AS w_iter1,
+       CASE l.lang {w2_case} END AS weight
+FROM w1 JOIN w2 ON w1.b = w2.b,
+     (SELECT unnest([{langs_lit}]) AS lang) l
+ORDER BY lang, bucket
+"""
+    )
+
+
+SPARK_IMPLS["text_lang_id_train"] = q_text_lang_id_train
+ORACLES["text_lang_id_train"] = _lang_train_oracle()
+
+
+def q_text_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED multi-class loop: fit train_lang_id (2 iterations,
+    16 buckets, 5 classes, planted corpus) and immediately APPLY the
+    trained weights through lang_id_ngram's integer micro-weight
+    argmax — proving the train→apply handoff (×1e6 quantization, gram
+    hashing, fold order) end to end. The oracle re-runs the unrolled
+    training SQL and replays scoring with the CTE's weights."""
+    from hdk_spark.operators.text import lang_id_ngram, train_lang_id
+
+    _tables(spark, sf_dir)
+    planted = _planted_lang_df(spark)
+    w = train_lang_id(
+        planted, label_col="lang_true", n_buckets=16, iterations=2,
+        lr=1.0, classes=list(_LANG_TRAIN_CLASSES),
+    )
+    return lang_id_ngram(
+        planted, n_buckets=16, model=w
+    ).orderBy("doc_id")
+
+
+def _lang_trained_apply_oracle() -> str:
+    cls = _LANG_TRAIN_CLASSES
+    langs_lit = ", ".join(f"'{k}'" for k in cls)
+    micro_cols = ", ".join(
+        f"CAST(round(w_{k} * 1000000.0) AS BIGINT) AS mw_{k}" for k in cls
+    )
+    sum_cols = ", ".join(f"SUM(micro.mw_{k}) AS s_{k}" for k in cls)
+    isum_list = ", ".join(
+        f"CAST(coalesce(s.s_{k}, 0) AS BIGINT)" for k in cls
+    )
+    return (
+        _planted_lang_sql()
+        + _lang_train_cte()
+        + f""", micro AS (
+  SELECT b, {micro_cols} FROM w2
+), e AS (
+  SELECT doc_id, unnest(bidx) AS b FROM g
+), sums AS (
+  SELECT e.doc_id, {sum_cols}
+  FROM e JOIN micro ON e.b = micro.b GROUP BY e.doc_id
+), sc AS (
+  SELECT g.doc_id, len(g.bidx) AS n,
+         CAST(greatest(len(g.bidx), 1) AS BIGINT) AS nd,
+         [{isum_list}] AS isums
+  FROM g LEFT JOIN sums s ON g.doc_id = s.doc_id
+), bestx AS (
+  SELECT doc_id, n, nd, isums,
+         list_aggregate(isums, 'max') AS bi
+  FROM sc
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 'und'
+            ELSE [{langs_lit}][list_position(isums, bi)] END AS lang,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE CAST(CASE WHEN bi >= 0
+                           THEN (2 * bi + nd) // (2 * nd)
+                           ELSE -(((-2) * bi + nd) // (2 * nd)) END
+                      AS DOUBLE) / 1000000.0 END AS score,
+       CAST(n AS BIGINT) AS n_grams
+FROM bestx ORDER BY doc_id
+"""
+    )
+
+
+SPARK_IMPLS["text_lang_id_trained"] = q_text_lang_id_trained
+ORACLES["text_lang_id_trained"] = _lang_trained_apply_oracle()

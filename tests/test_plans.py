@@ -377,6 +377,62 @@ def test_trigram_logprob_plan_and_semantics(spark):
         ccnet_buckets(tiny, model="bogus")
 
 
+def test_train_lang_id_contract(spark):
+    import pytest
+
+    from hdk_spark.operators.text import lang_id_ngram, train_lang_id
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "aa", "the and of to in the and of"),
+            (2, "bb", "der die das und ist der die"),
+            (3, "aa", "the of and in to of the"),
+            (4, "bb", "und das die der ist und"),
+            (5, None, "ignored null label"),
+        ],
+        "doc_id: long, y: string, text: string",
+    )
+    with pytest.raises(ValueError):
+        train_lang_id(labeled, label_col="y", iterations=0)
+    with pytest.raises(ValueError):
+        train_lang_id(labeled, label_col="y", basis="sha1")
+    with pytest.raises(ValueError):
+        train_lang_id(labeled.filter("y = 'aa'"), label_col="y")
+
+    # deterministic: two runs, both feature paths, give identical weights
+    for B in (8, 32):  # map-only path and explode path
+        w_a = train_lang_id(labeled, label_col="y", n_buckets=B, iterations=2)
+        w_b = train_lang_id(labeled, label_col="y", n_buckets=B, iterations=2)
+        assert w_a == w_b
+        assert sorted(w_a) == ["aa", "bb"]
+        assert all(len(v) == B for v in w_a.values())
+        # the trained model separates the two planted dialects
+        out = {
+            r["doc_id"]: r["lang"]
+            for r in lang_id_ngram(
+                labeled.filter("y IS NOT NULL"), n_buckets=B, model=w_a
+            ).collect()
+        }
+        assert out == {1: "aa", 2: "bb", 3: "aa", 4: "bb"}
+
+    # model= validation
+    with pytest.raises(ValueError):
+        lang_id_ngram(labeled, n_buckets=8, model={"aa": [0.0] * 4})
+    with pytest.raises(ValueError):
+        lang_id_ngram(labeled, n_buckets=8, model={})
+    with pytest.raises(ValueError):
+        lang_id_ngram(
+            labeled, n_buckets=8, model={"aa": [0.0] * 8}, langs=["aa"]
+        )
+    # all-equal scores tie → alphabetically first model key
+    tie = {
+        "xx": [0.5] * 8,
+        "ay": [0.5] * 8,
+    }
+    rows = lang_id_ngram(labeled, n_buckets=8, model=tie).collect()
+    assert all(r["lang"] == "ay" for r in rows)
+
+
 def test_url_features_map_only(spark):
     from hdk_spark.operators.web import domain_stats, url_features
 
