@@ -11,9 +11,12 @@ from hdk_spark.operators import (
     bpe,
     jpeg,
     png,
+    chat,
     clustering,
+    crawl,
     dedup,
     graph,
+    html,
     layout,
     linkage,
     multimodal,
@@ -25,6 +28,7 @@ from hdk_spark.operators import (
     stats,
     temporal,
     text,
+    warc,
     web,
 )
 
@@ -33,9 +37,12 @@ __all__ = [
     "bpe",
     "jpeg",
     "png",
+    "chat",
     "clustering",
+    "crawl",
     "dedup",
     "graph",
+    "html",
     "layout",
     "linkage",
     "multimodal",
@@ -47,5 +54,6 @@ __all__ = [
     "stats",
     "temporal",
     "text",
+    "warc",
     "web",
 ]

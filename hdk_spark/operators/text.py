@@ -894,6 +894,7 @@ def trigram_logprob(
     lambdas: "tuple[float, float, float]" = (0.5, 0.3, 0.2),
     model_df: "DataFrame | None" = None,
     model_text_col: "str | None" = None,
+    basis: str = "text",
 ) -> DataFrame:
     """Per-document average log-probability under an INTERPOLATED
     order-3 language model — the KenLM-grade upgrade of
@@ -923,6 +924,18 @@ def trigram_logprob(
 
     Returns (id, n_trigrams, avg_logprob).
 
+    ``basis``: ``'text'`` (default — exact, and what the contract
+    oracle pins) keys counts and joins by the token strings;
+    ``'xxhash64'`` keys them by tagged 8-byte n-gram hashes instead (a
+    collision merges two n-grams' counts — nudges a probability, never
+    errors). MEASURED at 50k docs / 6.2M positions (best-of-3, fresh
+    sessions): text 13.9 s, xxhash64 18.6 s — on this short-token
+    corpus (~5-char words) the five per-position hash computations
+    cost more than the narrower shuffle keys save, the OPPOSITE of
+    the segment_dedup trade (whose segments are long strings). The
+    hashed basis only pays when tokens are long (URLs, CJK-free web
+    text with long words); measure before switching.
+
     Scale shape: ONE corpus-sized position explode per side (each
     position carries its ≤2-token context — no self-joins to recover
     adjacency); the model side is PERSISTED once and all three count
@@ -938,6 +951,9 @@ def trigram_logprob(
     l3, l2, l1 = (float(x) for x in lambdas)
     if abs((l3 + l2 + l1) - 1.0) > 1e-9 or min(l3, l2, l1) <= 0.0:
         raise ValueError("lambdas must be positive and sum to 1")
+    if basis not in ("xxhash64", "text"):
+        raise ValueError(f"basis must be 'xxhash64' or 'text', got {basis!r}")
+    hashed = basis == "xxhash64"
 
     def positions(frame: DataFrame, tcol: str, keep_id: bool) -> DataFrame:
         toks = tokenize(F.lower(F.col(tcol)))
@@ -954,12 +970,40 @@ def trigram_logprob(
             ),
         )
         cols = [F.col(id_col)] if keep_id else []
-        return frame.select(*cols, F.explode(trip).alias("t")).select(
+        raw = frame.select(*cols, F.explode(trip).alias("t")).select(
             *cols,
             F.col("t.w1").alias("w1"),
             F.col("t.w2").alias("w2"),
             F.col("t.w3").alias("w3"),
         )
+        if not hashed:
+            return raw
+        # tagged hashes: the order tag keeps a bigram key from ever
+        # colliding with a trigram key whose w1 is NULL (Spark hash
+        # functions fold NULL as a no-op)
+        return raw.select(
+            *cols,
+            F.col("w1").isNotNull().alias("__has1"),
+            F.col("w2").isNotNull().alias("__has2"),
+            F.xxhash64(F.lit(3), "w1", "w2", "w3").alias("k3"),
+            F.xxhash64(F.lit(32), "w1", "w2").alias("k32"),
+            F.xxhash64(F.lit(2), "w2", "w3").alias("k2"),
+            F.xxhash64(F.lit(21), "w2").alias("k21"),
+            F.xxhash64(F.lit(1), "w3").alias("k1"),
+        )
+
+    if hashed:
+        tri_full, ctx3_k, big_full, ctx2_k, uni_k = (
+            ["k3", "k32"], "k32", ["k2", "k21"], "k21", "k1",
+        )
+        has1 = F.col("__has1")
+        has2 = F.col("__has2")
+    else:
+        tri_full, ctx3_k, big_full, ctx2_k, uni_k = (
+            ["w1", "w2", "w3"], None, ["w2", "w3"], "w2", "w3",
+        )
+        has1 = F.col("w1").isNotNull()
+        has2 = F.col("w2").isNotNull()
 
     pos = positions(df, text_col, keep_id=True)
     if model_df is not None:
@@ -967,18 +1011,21 @@ def trigram_logprob(
             model_df, model_text_col or text_col, keep_id=False
         ).persist()
     else:
-        mpos = pos.select("w1", "w2", "w3").persist()
-    tri = mpos.filter(F.col("w1").isNotNull()).groupBy(
-        "w1", "w2", "w3"
-    ).agg(F.count(F.lit(1)).alias("__c3"))
-    ctx3 = tri.groupBy("w1", "w2").agg(F.sum("__c3").alias("__x3"))
-    model3 = tri.join(ctx3, ["w1", "w2"])
-    big = mpos.filter(F.col("w2").isNotNull()).groupBy("w2", "w3").agg(
+        mpos = pos.drop(id_col).persist()
+    # tri carries its context key so the context total attaches
+    # vocab-side (model3), not per-position
+    tri = mpos.filter(has1).groupBy(*tri_full).agg(
+        F.count(F.lit(1)).alias("__c3")
+    )
+    ctx3_key = [ctx3_k] if hashed else ["w1", "w2"]
+    ctx3 = tri.groupBy(*ctx3_key).agg(F.sum("__c3").alias("__x3"))
+    model3 = tri.join(ctx3, ctx3_key)
+    big = mpos.filter(has2).groupBy(*big_full).agg(
         F.count(F.lit(1)).alias("__c2")
     )
-    ctx2 = big.groupBy("w2").agg(F.sum("__c2").alias("__x2"))
-    model2 = big.join(ctx2, "w2")
-    uni = mpos.groupBy("w3").agg(F.count(F.lit(1)).alias("__c1"))
+    ctx2 = big.groupBy(ctx2_k).agg(F.sum("__c2").alias("__x2"))
+    model2 = big.join(ctx2, ctx2_k)
+    uni = mpos.groupBy(uni_k).agg(F.count(F.lit(1)).alias("__c1"))
     total = uni.agg(F.sum("__c1").alias("__tot"))
 
     t3 = F.coalesce(
@@ -992,11 +1039,14 @@ def trigram_logprob(
     t1 = F.coalesce(F.col("__c1"), F.lit(1)).cast("double") / F.col(
         "__tot"
     ).cast("double")
+    join3 = ["k3"] if hashed else ["w1", "w2", "w3"]
+    join2 = ["k2"] if hashed else ["w2", "w3"]
+    join1 = [uni_k]
     scored = (
-        pos.filter(F.col("w1").isNotNull())
-        .join(model3, ["w1", "w2", "w3"], "left")
-        .join(model2, ["w2", "w3"], "left")
-        .join(uni, "w3", "left")
+        pos.filter(has1)
+        .join(model3.drop(*([ctx3_k] if hashed else [])), join3, "left")
+        .join(model2.drop(*([ctx2_k] if hashed else [])), join2, "left")
+        .join(uni, join1, "left")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
@@ -1417,22 +1467,23 @@ def train_lang_id(
                 for b in range(n_buckets)
             ]
 
+        proj = feats.select(
+            "c", *[q_expr(k).alias(f"__q_{k}") for k in classes]
+        )
         if len(classes) * n_buckets <= 512:
-            proj = feats.select(
-                "c", *[q_expr(k).alias(f"__q_{k}") for k in classes]
-            )
             grads = proj.agg(*grad_cols(classes)).collect()[0]
         else:
-            # per-class passes over the CACHED feature relation — K
-            # bounded aggregates, never a corpus re-scan
+            # wide-model path: materialize the per-doc residuals ONCE
+            # (bounded: m rows × (K quantized ints + the count
+            # vector)), then run one B-column decimal aggregate per
+            # class against the cache — without it every class pass
+            # would recompute all K softmax folds (K² fold work)
+            proj = proj.persist()
             merged: dict = {}
             for k in classes:
-                row = (
-                    feats.select("c", q_expr(k).alias(f"__q_{k}"))
-                    .agg(*grad_cols([k]))
-                    .collect()[0]
-                )
+                row = proj.agg(*grad_cols([k])).collect()[0]
                 merged.update(row.asDict())
+            proj.unpersist()
             grads = merged
         w = {
             k: [
@@ -1867,6 +1918,7 @@ def ccnet_buckets(
     model_df: "DataFrame | None" = None,
     model_text_col: "str | None" = None,
     model: str = "unigram",
+    model_basis: str = "text",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
     every document by its LM score (pass ``model_df`` to score under a
@@ -1907,6 +1959,7 @@ def ccnet_buckets(
         scored = trigram_logprob(
             df, id_col, text_col,
             model_df=model_df, model_text_col=model_text_col,
+            basis=model_basis,
         ).withColumnRenamed("n_trigrams", "n_tokens")
     else:
         raise ValueError(

@@ -11,6 +11,13 @@ scripts/pipeline_demo.py's curation stages:
 
 Run: python scripts/crawl_demo.py [sf_dir]
 Prints one JSON line of per-stage row counts.
+
+The core WARC→robots→HTML→lang-ID→dedup→CCNet chain also ships as the
+first-class operator ``hdk_spark.operators.crawl.crawl_curate`` (with
+its own driver contract rows ``crawl_pipeline`` /
+``crawl_pipeline_stages``); this script demonstrates the WIDER funnel
+that adds per-domain caps and boilerplate removal between dedup and
+language ID.
 """
 
 from __future__ import annotations

@@ -1,0 +1,127 @@
+"""Composed crawl pipeline (operators/crawl.py): funnel semantics,
+stage handoffs, and plan hygiene on a small planted WARC corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    from hdk_spark.operators.warc import build_warc
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    rows = []
+    for i in range(40):
+        url = f"https://site{i % 3}.com/p/{i % 10}" + (
+            "?utm_source=x" if i % 2 == 0 else "/"
+        )
+        html = (
+            f"<html><head><title>Doc {i}</title>"
+            + ('<meta name="robots" content="noindex">' if i % 11 == 0 else "")
+            + f"</head><body><p>word{i % 4} the and of common text</p>"
+            "</body></html>"
+        ).encode()
+        status = b"HTTP/1.1 404 Not Found" if i % 13 == 0 else b"HTTP/1.1 200 OK"
+        ctype = b"text/plain" if i % 17 == 0 else b"text/html"
+        blob = build_warc(
+            [
+                {
+                    "warc_type": "response",
+                    "target_uri": url,
+                    "payload": status + b"\r\nContent-Type: " + ctype
+                    + b"\r\n\r\n" + html,
+                    "content_type": "application/http;msgtype=response",
+                }
+            ]
+        )
+        rows.append((i, blob))
+    warcs = spark.createDataFrame(rows, "warc_id: long, data: binary")
+    robots = spark.createDataFrame(
+        [
+            ("site0.com", "User-agent: *\nDisallow: /p\n"),
+            ("site1.com", "User-agent: *\nDisallow: /private\n"),
+            ("site2.com", "User-agent: *\nDisallow: /private\n"),
+        ],
+        "reg_domain: string, robots_txt: string",
+    )
+    return warcs, robots
+
+
+def test_crawl_funnel_and_gates(spark, planted):
+    from hdk_spark.operators.crawl import crawl_curate, stage_counts
+
+    warcs, robots = planted
+    stages = crawl_curate(
+        warcs, robots, langs=["en", "de"], persist_stages=True
+    )
+    assert list(stages) == [
+        "http_gate", "robots_gate", "noindex_gate", "url_dedup", "final"
+    ]
+    counts = {
+        r["stage"]: r["n_docs"] for r in stage_counts(stages).collect()
+    }
+    # the funnel only shrinks, in stage order
+    order = ["http_gate", "robots_gate", "noindex_gate", "url_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], counts
+    assert counts["final"] == counts["url_dedup"]
+
+    # independent gate checks against the planted arithmetic
+    expected_http = {
+        i for i in range(40) if i % 13 != 0 and i % 17 != 0
+    }
+    got_http = {
+        r["doc_id"] for r in stages["http_gate"].select("doc_id").collect()
+    }
+    assert got_http == expected_http
+    expected_robots = {i for i in expected_http if i % 3 != 0}
+    got_robots = {
+        r["doc_id"] for r in stages["robots_gate"].select("doc_id").collect()
+    }
+    assert got_robots == expected_robots
+    expected_ni = {i for i in expected_robots if i % 11 != 0}
+    got_ni = {
+        r["doc_id"] for r in stages["noindex_gate"].select("doc_id").collect()
+    }
+    assert got_ni == expected_ni
+    # canonical dedup: utm / trailing-slash variants of the same
+    # (site, path) collapse; keep-first = smallest doc_id
+    groups = {}
+    for i in sorted(expected_ni):
+        groups.setdefault((i % 3, i % 10), i)
+    assert got_ni and set(
+        r["doc_id"] for r in stages["url_dedup"].select("doc_id").collect()
+    ) == set(groups.values())
+
+    # the extraction handoff: text is title + body prose, tags gone
+    row = stages["noindex_gate"].orderBy("doc_id").first()
+    assert row["text"].startswith(f"Doc {row['doc_id']} word")
+    assert "<" not in row["text"]
+
+    # final schema + buckets well-formed
+    final = stages["final"].collect()
+    assert {r["bucket"] for r in final} <= {"head", "middle", "tail"}
+    assert all(r["n_tokens"] > 0 for r in final)
+    for df in stages.values():
+        df.unpersist()
+
+
+def test_crawl_plan_no_cartesian(spark, planted):
+    from hdk_spark.operators.crawl import crawl_curate
+
+    warcs, robots = planted
+    stages = crawl_curate(warcs, robots, langs=["en", "de"])
+    df = stages["final"]
+    tree = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in tree
+
+
+def test_crawl_rejects_unknown_ccnet_model(spark, planted):
+    from hdk_spark.operators.crawl import crawl_curate
+
+    warcs, robots = planted
+    with pytest.raises(ValueError):
+        crawl_curate(warcs, robots, ccnet_model="bogus")["final"].collect()

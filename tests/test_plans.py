@@ -369,10 +369,24 @@ def test_trigram_logprob_plan_and_semantics(spark):
     # q unseen → (0.5·0 + 0.3·0) + 0.2·(1/5)
     assert out[0]["avg_logprob"] == round(math.log(0.2 * (1.0 / 5.0)), 6)
 
+    # the hashed-key basis is count-identical to text keys when no
+    # 64-bit collision occurs (certain at this corpus size)
+    a = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"])
+        for r in trigram_logprob(docs, basis="text").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"])
+        for r in trigram_logprob(docs, basis="xxhash64").collect()
+    }
+    assert a == b
+
     import pytest
 
     with pytest.raises(ValueError):
         trigram_logprob(tiny, lambdas=(0.5, 0.5, 0.5))
+    with pytest.raises(ValueError):
+        trigram_logprob(tiny, basis="md5")
     with pytest.raises(ValueError):
         ccnet_buckets(tiny, model="bogus")
 
