@@ -7442,3 +7442,99 @@ SELECT stage, n_docs FROM (
 
 SPARK_IMPLS["crawl_pipeline_stages"] = q_crawl_pipeline_stages
 ORACLES["crawl_pipeline_stages"] = _CRAWL_STAGES_ORACLE
+
+
+def _bpe_planted_df(spark: SparkSession) -> DataFrame:
+    """Planted BPE corpus with a HAND-DERIVABLE merge sequence: every
+    document is 'aaaa aaaa aaaa aab [aab] ba' (second 'aab' on odd
+    doc_ids). Aggregate word counts at D docs: aaaa 3D, aab ~1.5D,
+    ba D — the pair-count ranking (and both lexicographic tie-breaks)
+    is invariant in D, so the 7-step merge list in the oracle is
+    derived BY HAND from the Sennrich algorithm, not by re-running the
+    implementation."""
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("aaaa aaaa aaaa aab "),
+        F.when(d % 2 == 1, F.lit("aab ")).otherwise(F.lit("")),
+        F.lit("ba"),
+    )
+    return spark.table("documents").select("doc_id", text.alias("text"))
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training end-to-end (operators/bpe.py::bpe_train — ONE
+    corpus word-count pass + the bounded driver-side merge loop) on
+    the planted corpus. The oracle lists the 7 expected merges as
+    literals derived independently by hand:
+
+      counts/doc: aaaa×3, aab×(1 + doc%2), ba×1 → corpus 3D/1.5D/D
+      1 (a,a)     9D+1.5D dominates
+      2 (aa,aa)   ties (aa,▁) at 3D — lexicographic min wins
+      3 (aaaa,▁)  3D
+      4 (aa,b)    ties (b,▁) at 1.5D — lexicographic min wins
+      5 (aab,▁)   1.5D
+      6 (a,▁)     ties (b,a) at D — lexicographic min wins
+      7 (b,a▁)    D; loop then exhausts (all words single-symbol)
+
+    n_merges=8 proves the exhaustion break (only 7 returned)."""
+    from hdk_spark.operators.bpe import bpe_train
+
+    _tables(spark, sf_dir)
+    merges = bpe_train(_bpe_planted_df(spark), n_merges=8, min_count=2)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank: long, left: string, right: string",
+    )
+
+
+_BPE_TRAIN_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'a', 'a'),
+  (1, 'aa', 'aa'),
+  (2, 'aaaa', '▁'),
+  (3, 'aa', 'b'),
+  (4, 'aab', '▁'),
+  (5, 'a', '▁'),
+  (6, 'b', 'a▁')
+) AS t(rank, "left", "right") ORDER BY rank
+"""
+
+SPARK_IMPLS["bpe_train_merges"] = q_bpe_train_merges
+ORACLES["bpe_train_merges"] = _BPE_TRAIN_ORACLE
+
+
+def q_bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed BPE loop: train on the planted corpus, ENCODE the
+    same corpus with the learned merges (operators/bpe.py::bpe_encode,
+    Arrow-batched greedy lowest-rank loop). Under the hand-derived
+    merge list every word fuses to a single token (aaaa▁ / aab▁ /
+    ba▁), so each document's token string and count follow from
+    doc_id parity alone — the oracle derives them without touching
+    either implementation."""
+    from hdk_spark.operators.bpe import bpe_encode, bpe_train
+
+    _tables(spark, sf_dir)
+    planted = _bpe_planted_df(spark)
+    merges = bpe_train(planted, n_merges=8, min_count=2)
+    return (
+        bpe_encode(planted, merges)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join("tokens", " ").alias("tokens_str"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_ENCODE_ORACLE = """
+SELECT doc_id,
+       'aaaa▁ aaaa▁ aaaa▁ aab▁ '
+         || CASE WHEN doc_id % 2 = 1 THEN 'aab▁ ' ELSE '' END
+         || 'ba▁' AS tokens_str,
+       CAST(5 + doc_id % 2 AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["bpe_encode_roundtrip"] = q_bpe_encode_roundtrip
+ORACLES["bpe_encode_roundtrip"] = _BPE_ENCODE_ORACLE
