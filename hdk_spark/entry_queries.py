@@ -6856,49 +6856,75 @@ def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_TRIGRAM_LP_CTE = r"""
+def _trigram_cte(
+    score_where: str = "", model_where: "str | None" = None
+) -> str:
+    """Trigram-LM oracle CTE chunk ending in ``scored3`` (doc_id,
+    n_trigrams, avg_logprob): scores documents matching
+    ``score_where`` under the model built from documents matching
+    ``model_where`` (defaults to the scored set — self-scoring). LEFT
+    joins + the operator's coalesce fallbacks, so one generator serves
+    self- and cross-corpus rows (self-scoring never produces NULLs, so
+    the inner-join result is identical)."""
+    sw = f"WHERE {score_where}" if score_where else ""
+    mw = f"WHERE {model_where}" if model_where else sw
+    return rf"""
 WITH tok AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-  FROM documents
+  FROM documents {sw}
 ), pos AS (
   SELECT doc_id,
          CASE WHEN i >= 3 THEN tk[i - 2] END AS w1,
          CASE WHEN i >= 2 THEN tk[i - 1] END AS w2,
          tk[i] AS w3
   FROM tok, unnest(generate_series(1, len(tk))) AS s(i)
+), mtok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents {mw}
+), mpos AS (
+  SELECT CASE WHEN i >= 3 THEN tk[i - 2] END AS w1,
+         CASE WHEN i >= 2 THEN tk[i - 1] END AS w2,
+         tk[i] AS w3
+  FROM mtok, unnest(generate_series(1, len(tk))) AS s(i)
 ), tri AS (
-  SELECT w1, w2, w3, COUNT(*) AS c3 FROM pos
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM mpos
   WHERE w1 IS NOT NULL GROUP BY 1, 2, 3
 ), ctx3 AS (
   SELECT w1, w2, SUM(c3) AS x3 FROM tri GROUP BY 1, 2
 ), big AS (
-  SELECT w2, w3, COUNT(*) AS c2 FROM pos
+  SELECT w2, w3, COUNT(*) AS c2 FROM mpos
   WHERE w2 IS NOT NULL GROUP BY 1, 2
 ), ctx2 AS (
   SELECT w2, SUM(c2) AS x2 FROM big GROUP BY 1
 ), uni AS (
-  SELECT w3, COUNT(*) AS c1 FROM pos GROUP BY 1
+  SELECT w3, COUNT(*) AS c1 FROM mpos GROUP BY 1
 ), tot AS (
   SELECT SUM(c1) AS t FROM uni
 ), scored3 AS (
   SELECT p.doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_trigrams,
          round(AVG(ln(
-           (0.5 * (CAST(tri.c3 AS DOUBLE) / CAST(ctx3.x3 AS DOUBLE))
-            + 0.3 * (CAST(big.c2 AS DOUBLE) / CAST(ctx2.x2 AS DOUBLE)))
-           + 0.2 * (CAST(uni.c1 AS DOUBLE) / CAST(tot.t AS DOUBLE))
+           (0.5 * coalesce(CAST(tri.c3 AS DOUBLE)
+                           / CAST(ctx3.x3 AS DOUBLE), 0.0)
+            + 0.3 * coalesce(CAST(big.c2 AS DOUBLE)
+                             / CAST(ctx2.x2 AS DOUBLE), 0.0))
+           + 0.2 * (CAST(coalesce(uni.c1, 1) AS DOUBLE)
+                    / CAST(tot.t AS DOUBLE))
          )), 6) + 0 AS avg_logprob
   FROM pos p
-  JOIN tri ON p.w1 = tri.w1 AND p.w2 = tri.w2 AND p.w3 = tri.w3
-  JOIN ctx3 ON p.w1 = ctx3.w1 AND p.w2 = ctx3.w2
-  JOIN big ON p.w2 = big.w2 AND p.w3 = big.w3
-  JOIN ctx2 ON p.w2 = ctx2.w2
-  JOIN uni ON p.w3 = uni.w3
+  LEFT JOIN tri ON p.w1 = tri.w1 AND p.w2 = tri.w2 AND p.w3 = tri.w3
+  LEFT JOIN ctx3 ON p.w1 = ctx3.w1 AND p.w2 = ctx3.w2
+  LEFT JOIN big ON p.w2 = big.w2 AND p.w3 = big.w3
+  LEFT JOIN ctx2 ON p.w2 = ctx2.w2
+  LEFT JOIN uni ON p.w3 = uni.w3
   CROSS JOIN tot
   WHERE p.w1 IS NOT NULL
   GROUP BY p.doc_id
 )
 """
+
+
+_TRIGRAM_LP_CTE = _trigram_cte()
 
 _TRIGRAM_LP_ORACLE = (
     _TRIGRAM_LP_CTE
@@ -7310,13 +7336,18 @@ def _crawl_robots_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def _crawl_stages(spark: SparkSession, persist: bool = False):
+def _crawl_stages(
+    spark: SparkSession,
+    persist: bool = False,
+    max_per_domain: "int | None" = None,
+):
     from hdk_spark.operators.crawl import crawl_curate
 
     return crawl_curate(
         _crawl_warcs_df(spark),
         _crawl_robots_df(spark),
         langs=list(_CRAWL_LANGS),
+        max_per_domain=max_per_domain,
         persist_stages=persist,
     )
 
@@ -7365,11 +7396,26 @@ WITH surv AS (
 )"""
 
 
-def _crawl_pipeline_oracle() -> str:
+def _crawl_pipeline_oracle(source: str = "kept") -> str:
+    """Composed-pipeline oracle tail over ``source`` — the lang-ID +
+    unigram-LM + NTILE replay runs over exactly the survivor set the
+    cap (or plain dedup) leaves, matching crawl_curate building the
+    CCNet model AFTER the last thinning stage."""
     langs_lit = ", ".join(f"'{x}'" for x in _CRAWL_LANGS)
     return (
         _crawl_kept_cte()
-        + _lang_score_cte("kept", _CRAWL_LANGS, 256, "lp")
+        + (
+            f""", capped AS (
+  SELECT doc_id, url, text FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id % 17
+      ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007,
+               doc_id) AS crn
+    FROM kept
+  ) WHERE crn <= 2
+)""" if source == "capped" else ""
+        )
+        + _lang_score_cte(source, _CRAWL_LANGS, 256, "lp")
         + rf""", langpred AS (
   SELECT doc_id,
          CASE WHEN n = 0 THEN 'und'
@@ -7378,7 +7424,7 @@ def _crawl_pipeline_oracle() -> str:
 ), ctok AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-  FROM kept
+  FROM {source}
 ), cf AS (
   SELECT token, COUNT(*) AS c FROM ctok GROUP BY token
 ), ctot AS (
@@ -7399,7 +7445,7 @@ def _crawl_pipeline_oracle() -> str:
 SELECT k.doc_id, k.url, r.lang, r.n_tokens, r.avg_logprob,
        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                ELSE 'tail' END AS bucket
-FROM cranked r JOIN kept k USING (doc_id)
+FROM cranked r JOIN {source} k USING (doc_id)
 ORDER BY doc_id
 """
     )
@@ -7538,3 +7584,50 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["bpe_encode_roundtrip"] = q_bpe_encode_roundtrip
 ORACLES["bpe_encode_roundtrip"] = _BPE_ENCODE_ORACLE
+
+
+def q_text_trigram_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet cross-corpus trigram scoring: src0's documents scored
+    under the interpolated order-3 model built from every OTHER source
+    (operators/text.py::trigram_logprob with model_df — the real CCNet
+    shape one order up from text_lm_cross_score). Positions whose
+    trigram/bigram context is absent from the model exercise the
+    0-contribution backoff; unseen unigrams the count-1 floor. Oracle:
+    the shared generator with LEFT joins + the same coalesce chain."""
+    from hdk_spark.operators.text import trigram_logprob
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return trigram_logprob(
+        docs.filter(F.col("source") == "src0"),
+        model_df=docs.filter(F.col("source") != "src0"),
+        basis="text",
+    ).orderBy("doc_id")
+
+
+_TRIGRAM_CROSS_ORACLE = (
+    _trigram_cte("source = 'src0'", "source <> 'src0'")
+    + """SELECT doc_id, n_trigrams, avg_logprob
+FROM scored3 ORDER BY doc_id
+"""
+)
+
+SPARK_IMPLS["text_trigram_cross"] = q_text_trigram_cross
+ORACLES["text_trigram_cross"] = _TRIGRAM_CROSS_ORACLE
+
+
+def q_crawl_pipeline_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline with the per-domain cap stage enabled
+    (crawl_curate(max_per_domain=2) — web.domain_cap's deterministic
+    Knuth-hash rank inserted between dedup and the CCNet stage, as in
+    scripts/crawl_demo.py's wider funnel). The LM model is built over
+    the CAPPED corpus, so the oracle replays the rank arithmetic and
+    then lang-ID + LM + NTILE over exactly the ≤2-per-domain survivor
+    set — bucket assignments shift vs crawl_pipeline, pinning that the
+    model follows the last thinning stage."""
+    _tables(spark, sf_dir)
+    return _crawl_stages(spark, max_per_domain=2)["final"].orderBy("doc_id")
+
+
+SPARK_IMPLS["crawl_pipeline_capped"] = q_crawl_pipeline_capped
+ORACLES["crawl_pipeline_capped"] = _crawl_pipeline_oracle("capped")

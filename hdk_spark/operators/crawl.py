@@ -42,6 +42,7 @@ def crawl_curate(
     lang_basis: str = "md5",
     lang_model: "dict[str, list[float]] | None" = None,
     ccnet_model: str = "unigram",
+    max_per_domain: "int | None" = None,
     persist_stages: bool = False,
 ) -> "dict[str, DataFrame]":
     """Run the full crawl-curation composition over a binary WARC
@@ -55,6 +56,9 @@ def crawl_curate(
       ``robots_gate``  (doc_id, url, html)  — robots.txt allowed
       ``noindex_gate`` (doc_id, url, text)  — extracted, not noindex
       ``url_dedup``    (doc_id, url, text, lang_pred) — canonical keep-first
+      ``domain_cap``   (same) — only when ``max_per_domain`` is set:
+                       ≤ N survivors per registered domain
+                       (deterministic hash order — web.domain_cap)
       ``final``        (doc_id, url, lang, n_tokens, avg_logprob, bucket)
 
     ``persist_stages=True`` persists each intermediate relation —
@@ -117,6 +121,15 @@ def crawl_curate(
     keep = url_dedup(annotated).filter(~F.col("is_dup")).select("doc_id")
     kept = _p(annotated.join(keep, "doc_id"))
     stages["url_dedup"] = kept
+
+    if max_per_domain is not None:
+        from hdk_spark.operators.web import domain_cap
+
+        capped_ids = domain_cap(
+            kept, max_per_domain=max_per_domain
+        ).filter(F.col("kept")).select("doc_id")
+        kept = _p(kept.join(capped_ids, "doc_id"))
+        stages["domain_cap"] = kept
 
     final = (
         ccnet_buckets(kept, lang_col="lang_pred", model=ccnet_model)

@@ -107,6 +107,29 @@ def test_crawl_funnel_and_gates(spark, planted):
         df.unpersist()
 
 
+def test_crawl_domain_cap_stage(spark, planted):
+    from hdk_spark.operators.crawl import crawl_curate
+
+    warcs, robots = planted
+    stages = crawl_curate(
+        warcs, robots, langs=["en", "de"], max_per_domain=1,
+        persist_stages=True,
+    )
+    assert "domain_cap" in stages
+    capped = stages["domain_cap"].collect()
+    # at most one survivor per registered domain, and the final stage
+    # sees exactly the capped set
+    from collections import Counter
+
+    doms = Counter(r["url"].split("/")[2] for r in capped)
+    assert doms and max(doms.values()) == 1
+    assert {r["doc_id"] for r in stages["final"].collect()} == {
+        r["doc_id"] for r in capped
+    }
+    for df in stages.values():
+        df.unpersist()
+
+
 def test_crawl_plan_no_cartesian(spark, planted):
     from hdk_spark.operators.crawl import crawl_curate
 
