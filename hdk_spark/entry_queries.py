@@ -7631,3 +7631,59 @@ def q_crawl_pipeline_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK_IMPLS["crawl_pipeline_capped"] = q_crawl_pipeline_capped
 ORACLES["crawl_pipeline_capped"] = _crawl_pipeline_oracle("capped")
+
+
+def q_streaming_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl front-end (streaming.py::stream_crawl_ingest):
+    the planted WARC corpus arrives as an unbounded file stream and
+    flows through WARC parse → HTTP gate → extract/noindex →
+    compact-robots gate (stream-static join + HOF longest-match fold —
+    the window-based batch gate is illegal on a stream) → 5-language
+    ID (keep= threading, no stream self-join) → canonical-URL
+    annotation. Zero state operators (pinned in test_streaming); the
+    oracle derives every gate, the extracted text, the predicted
+    language, and the canonical URL independently from the planted
+    arithmetic."""
+    import hashlib
+    import tempfile
+
+    from hdk_spark.operators.web import parse_robots, robots_rules_compact
+    from hdk_spark.streaming import stream_crawl_ingest, stream_parquet
+
+    _tables(spark, sf_dir)
+    tag = hashlib.sha1(
+        ("crawlwarc:" + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"hdk_stream_src_{tag}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        _crawl_warcs_df(spark).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    st = stream_parquet(spark, stage, schema)
+    compact = robots_rules_compact(parse_robots(_crawl_robots_df(spark)))
+    out = stream_crawl_ingest(st, compact, langs=list(_CRAWL_LANGS))
+    name = _run_stream(out, "append")
+    return spark.table(name).orderBy("doc_id")
+
+
+def _streaming_crawl_oracle() -> str:
+    langs_lit = ", ".join(f"'{x}'" for x in _CRAWL_LANGS)
+    return (
+        _crawl_kept_cte()
+        + _lang_score_cte("extr", _CRAWL_LANGS, 256, "sc_")
+        + f"""
+SELECT e.doc_id, e.url, e.text,
+       CASE WHEN b.n = 0 THEN 'und'
+            ELSE [{langs_lit}][list_position(b.isums, b.bi)] END AS lang,
+       CAST(b.n AS BIGINT) AS n_grams,
+       'https://site' || CAST(e.doc_id % 17 AS VARCHAR) || '.com/p/'
+         || CAST(e.doc_id % 85 AS VARCHAR) AS canonical_url
+FROM extr e JOIN sc_best b USING (doc_id)
+ORDER BY e.doc_id
+"""
+    )
+
+
+SPARK_IMPLS["streaming_crawl_ingest"] = q_streaming_crawl_ingest
+ORACLES["streaming_crawl_ingest"] = _streaming_crawl_oracle()

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -451,3 +451,66 @@ def robots_filter(
             F.when(F.col("__hit"), F.col("allow")), F.lit(True)
         ).alias("allowed"),
     )
+
+
+def robots_rules_compact(rules: DataFrame, agent: str = "*") -> DataFrame:
+    """Collapse :func:`parse_robots` output into ONE row per domain —
+    (reg_domain, rules array<struct<prefix,allow>>) — the shape a
+    STREAMING gate needs: :func:`robots_filter`'s per-URL
+    longest-match window is illegal on an unbounded stream, but a
+    stream-static equi-join on the domain plus a per-row HOF fold over
+    the (tiny) rule array is stateless and map-only after the join.
+
+    Applies the same RFC 9309 group selection as :func:`robots_filter`
+    (specific-agent group when the domain defines one, else the ``*``
+    group). Rule-array order is irrelevant: the verdict fold maximizes
+    (prefix length, allow) — a total preference, so ties give the same
+    answer in any order."""
+    from pyspark.sql.window import Window
+
+    al = agent.lower()
+    r = rules.filter(F.lower(F.col("agent")).isin(al, "*"))
+    if al != "*":
+        is_spec = (F.lower(F.col("agent")) == al).cast("int")
+        wd = Window.partitionBy("domain")
+        r = (
+            r.withColumn("__spec", is_spec)
+            .withColumn("__has_spec", F.max("__spec").over(wd))
+            .filter(F.col("__spec") == F.col("__has_spec"))
+        )
+    return r.groupBy(F.col("domain").alias("reg_domain")).agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("rules")
+    )
+
+
+def robots_allowed(path, rules) -> "F.Column":
+    """Longest-match robots verdict as ONE fold over a compact rule
+    array (:func:`robots_rules_compact`): keep the hit maximizing
+    (prefix length, allow) — Allow wins a length tie, RFC 9309 — and
+    default to allowed when nothing matches (or the domain has no
+    rules). Pure HOF expression: codegen, streaming-safe."""
+    hits = F.filter(
+        F.coalesce(rules, F.array().cast(
+            "array<struct<prefix:string,allow:boolean>>"
+        )),
+        lambda r: F.startswith(path, r["prefix"]),
+    )
+    best = F.aggregate(
+        hits,
+        F.struct(
+            F.lit(-1).alias("k"), F.lit(True).alias("allow")
+        ),
+        lambda acc, r: F.when(
+            F.length(r["prefix"]) * 2
+            + F.when(r["allow"], 1).otherwise(0)
+            > acc["k"],
+            F.struct(
+                (
+                    F.length(r["prefix"]) * 2
+                    + F.when(r["allow"], 1).otherwise(0)
+                ).alias("k"),
+                r["allow"].alias("allow"),
+            ),
+        ).otherwise(acc),
+    )
+    return best["allow"]

@@ -371,3 +371,96 @@ def stream_span_flags(
         staged.join(seen, "wkey", "left_semi")
         .select(F.col("id").alias(id_col), "pos", "wkey")
     )
+
+
+def stream_crawl_ingest(
+    warc_stream: DataFrame,
+    robots_compact: DataFrame,
+    warc_id_col: str = "warc_id",
+    data_col: str = "data",
+    langs: "list[str] | None" = None,
+    n_lang_buckets: int = 256,
+    lang_basis: str = "md5",
+    lang_model: "dict[str, list[float]] | None" = None,
+) -> DataFrame:
+    """Streaming crawl front-end — the STATELESS prefix of
+    :func:`hdk_spark.operators.crawl.crawl_curate` applied to an
+    unbounded stream of WARC files (the shape of live crawl ingest:
+    records arrive continuously, curation runs per micro-batch, the
+    corpus-level stages run downstream):
+
+      WARC records (Arrow ``mapInPandas`` — works unchanged on a
+      stream) → 200/text-html gate → HTML extract + noindex gate →
+      robots gate → language ID → canonical-URL annotation.
+
+    The robots gate CANNOT be the batch operator (its per-URL
+    longest-match window is illegal on a stream); it is a
+    stream-static equi-join against
+    :func:`hdk_spark.operators.web.robots_rules_compact`'s one-row-
+    per-domain rule arrays plus a per-row HOF fold
+    (:func:`~hdk_spark.operators.web.robots_allowed`) — verdicts
+    proven identical to the window-based batch gate in
+    tests/test_streaming.py.
+
+    Emits (doc_id, url, canonical_url, text, lang, n_grams): every
+    operator here is map-only or stream-static, so the query has ZERO
+    state operators, needs no watermark, and runs indefinitely (the
+    stream_minhash_dedup statelessness contract). Corpus-level stages
+    — canonical dedup, CCNet bucketing — are inherently cross-document
+    and belong downstream: route this stream into
+    :func:`stream_dedup` (watermark-bounded exact dedup on
+    ``canonical_url``) or micro-batch sinks feeding the batch
+    operators."""
+    from hdk_spark.operators.html import html_to_text
+    from hdk_spark.operators.text import lang_id_ngram
+    from hdk_spark.operators.warc import warc_records
+    from hdk_spark.operators.web import (
+        canonical_url,
+        robots_allowed,
+        url_features,
+    )
+
+    recs = warc_records(warc_stream, data_col=data_col, id_col=warc_id_col)
+    pages = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("body").cast("string").alias("html"),
+    )
+    # extraction + noindex gate inline (html_extract's projection,
+    # minus the counters this stage doesn't emit) — every derived
+    # column stays on the SAME streaming relation; a join-back of a
+    # projection against its own input would be a stream self-join
+    h = F.coalesce(F.col("html"), F.lit(""))
+    noindex = h.rlike(
+        r'(?is)<meta\b[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+        r'content\s*=\s*["\x27]?[^"\x27>]*noindex'
+    )
+    indexed = (
+        pages.withColumn("text", html_to_text(h))
+        .withColumn("__noindex", noindex)
+        .filter(~F.col("__noindex"))
+        .select("doc_id", "url", "text")
+    )
+    feats = url_features(indexed).select(
+        "doc_id", "url", "text", "path", "reg_domain"
+    )
+    gated = (
+        feats.join(robots_compact, "reg_domain", "left")
+        .filter(robots_allowed(F.col("path"), F.col("rules")))
+        .select("doc_id", "url", "text")
+    )
+    # lang_id_ngram is a pure projection chain; keep= threads url/text
+    # through it instead of joining its output back (stream self-join)
+    out = lang_id_ngram(
+        gated,
+        n_buckets=n_lang_buckets,
+        langs=langs,
+        basis=lang_basis,
+        model=lang_model,
+        keep=("url", "text"),
+    ).select("doc_id", "url", "text", "lang", "n_grams")
+    return out.withColumn("canonical_url", canonical_url(F.col("url")))

@@ -220,3 +220,92 @@ def test_stream_static_ops_have_empty_streaming_state(spark, tmp_path):
         progs = [json.loads(p.json) for p in q.recentProgress]
         assert progs, "query produced no progress"
         assert all(p.get("stateOperators", []) == [] for p in progs), progs
+
+
+def test_stream_crawl_ingest_matches_batch_and_is_stateless(spark, tmp_path):
+    """The streaming crawl front-end: per-doc output equals the batch
+    composition's noindex+robots-gated, lang-annotated relation, the
+    compact-robots fold agrees with the window-based batch gate, and
+    the query runs with ZERO state operators (stateless ingest)."""
+    import json
+
+    from hdk_spark.operators.crawl import crawl_curate
+    from hdk_spark.operators.warc import build_warc
+    from hdk_spark.operators.web import parse_robots, robots_rules_compact
+
+    rows = []
+    for i in range(30):
+        url = f"https://site{i % 3}.com/p/{i % 7}" + (
+            "?utm_source=x" if i % 2 == 0 else ""
+        )
+        html = (
+            f"<html><head><title>D{i}</title>"
+            + ('<meta name="robots" content="noindex">' if i % 11 == 0 else "")
+            + f"</head><body><p>word{i % 4} the and of text</p></body></html>"
+        ).encode()
+        status = b"HTTP/1.1 404 No" if i % 13 == 0 else b"HTTP/1.1 200 OK"
+        ctype = b"text/plain" if i % 17 == 0 else b"text/html"
+        rows.append(
+            (
+                i,
+                build_warc([
+                    {
+                        "warc_type": "response",
+                        "target_uri": url,
+                        "payload": status + b"\r\nContent-Type: " + ctype
+                        + b"\r\n\r\n" + html,
+                        "content_type": "application/http;msgtype=response",
+                    }
+                ]),
+            )
+        )
+    src = str(tmp_path / "warc_stream")
+    spark.createDataFrame(rows, "warc_id: long, data: binary").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    robots = spark.createDataFrame(
+        [
+            ("site0.com", "User-agent: *\nDisallow: /p\n"),
+            ("site1.com", "User-agent: *\nDisallow: /none\n"),
+            ("site2.com", "User-agent: *\nDisallow: /none\n"),
+        ],
+        "reg_domain: string, robots_txt: string",
+    )
+    compact = robots_rules_compact(parse_robots(robots))
+
+    st = streaming.stream_parquet(spark, src, schema)
+    out = streaming.stream_crawl_ingest(
+        st, compact, langs=["en", "de"]
+    )
+    assert out.isStreaming
+    q = streaming.run_to_memory(out, "t_crawl_ingest", "append")
+    got = {
+        r["doc_id"]: (r["url"], r["canonical_url"], r["lang"], r["n_grams"])
+        for r in spark.table("t_crawl_ingest").collect()
+    }
+
+    # batch reference: the composed operator's robots_gate+noindex
+    # survivor set with the same lang annotation
+    warcs = spark.read.parquet(src)
+    stages = crawl_curate(warcs, robots, langs=["en", "de"])
+    batch = {
+        r["doc_id"]
+        for r in stages["noindex_gate"].select("doc_id").collect()
+    }
+    assert set(got) == batch
+    # expected gate arithmetic: http (13/17), robots site0 (/p), noindex
+    expected = {
+        i for i in range(30)
+        if i % 13 != 0 and i % 17 != 0 and i % 3 != 0 and i % 11 != 0
+    }
+    assert set(got) == expected
+    # canonical collapses the utm variant; lang annotation present
+    for i, (url, cu, lang, ng) in got.items():
+        assert cu == f"https://site{i % 3}.com/p/{i % 7}"
+        assert lang in ("en", "de") and ng > 0
+
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    assert progs, "query produced no progress"
+    assert all(p.get("stateOperators", []) == [] for p in progs), progs
