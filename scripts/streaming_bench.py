@@ -140,6 +140,90 @@ def main() -> None:
     r2 = drive(q2, secs)
     print("stream_span_flags:", json.dumps(r2))
 
+    # --- streaming crawl ingest (round 8): rate rows -> synthesized
+    # WARC bytes (Python, like the parse side — the measurement is
+    # ingest-shaped end to end) -> full stateless front-end ---
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hdk_spark.operators.web import parse_robots, robots_rules_compact
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def synth_warcs(stream):
+        def mk(batches):
+            from hdk_spark.operators.warc import build_warc
+
+            for pdf in batches:
+                blobs = []
+                for v in pdf["value"]:
+                    v = int(v)
+                    text = " ".join(
+                        f"w{(v * 31 + i * 7) % 997}" for i in range(50)
+                    )
+                    html = (
+                        f"<html><head><title>D{v}</title></head>"
+                        f"<body><p>{text}</p></body></html>"
+                    ).encode()
+                    http = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                        b"\r\n\r\n" + html
+                    )
+                    blobs.append(
+                        build_warc([
+                            {
+                                "warc_type": "response",
+                                "target_uri":
+                                    f"https://site{v % 1000}.com"
+                                    f"/p/{v % 20000}",
+                                "payload": http,
+                                "content_type":
+                                    "application/http;msgtype=response",
+                            }
+                        ])
+                    )
+                yield pd.DataFrame(
+                    {"warc_id": pdf["value"], "data": blobs}
+                )
+
+        return stream.select("value").mapInPandas(
+            mk,
+            T.StructType([
+                T.StructField("warc_id", T.LongType()),
+                T.StructField("data", T.BinaryType()),
+            ]),
+        )
+
+    robots = spark.range(1000).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".com")).alias("reg_domain"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /x\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /private\n"))
+        .alias("robots_txt"),
+    )
+    compact = robots_rules_compact(parse_robots(robots)).persist()
+    compact.count()
+
+    src3 = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", 4)
+        .load()
+    )
+    out3 = streaming.stream_crawl_ingest(synth_warcs(src3), compact)
+    q3 = (
+        out3.writeStream.format("noop")
+        .option(
+            "checkpointLocation",
+            f"/tmp/stream_bench_ckpt_cr_{time.time_ns()}",
+        )
+        .start()
+    )
+    r3 = drive(q3, secs)
+    print("stream_crawl_ingest (26-lang):", json.dumps(r3))
+
 
 if __name__ == "__main__":
     main()
