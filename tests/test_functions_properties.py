@@ -281,3 +281,145 @@ def test_offset_in_fragment_dense_per_partition(spark):
         assert r["mn"] == 0 and r["mx"] == r["n"] - 1 and r["nd"] == r["n"]
     # dispatch-table route returns the same expression
     assert "MONOTONICALLY" in str(scalar_function("OFFSET_IN_FRAGMENT")).upper() or True
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators: python references on random inputs
+# ---------------------------------------------------------------------------
+
+
+def ref_robots_verdict(rules, path):
+    """RFC 9309 longest-match on parsed (prefix, allow) rules: most
+    specific rule wins, Allow wins a length tie, no match → allowed."""
+    hits = [(len(p), allow) for (p, allow) in rules if path.startswith(p)]
+    if not hits:
+        return True
+    return max(hits)[1]
+
+
+_prefix = st.text(alphabet="/abp", min_size=1, max_size=6).map(
+    lambda s: "/" + s.lstrip("/")
+)
+
+
+@given(
+    rules=st.lists(
+        st.tuples(_prefix, st.booleans()), min_size=0, max_size=8
+    ),
+    paths=st.lists(_prefix, min_size=1, max_size=6),
+)
+@settings(**SETTINGS)
+def test_robots_gates_agree_with_reference(spark, rules, paths):
+    """Random rule sets + paths: the batch window gate
+    (web.robots_filter), the streaming HOF fold (web.robots_allowed
+    over robots_rules_compact), and the pure-Python RFC 9309 reference
+    give identical verdicts."""
+    from hdk_spark.operators.web import (
+        parse_robots,
+        robots_allowed,
+        robots_filter,
+        robots_rules_compact,
+        url_features,
+    )
+
+    robots_txt = "User-agent: *\n" + "".join(
+        f"{'Allow' if allow else 'Disallow'}: {p}\n" for p, allow in rules
+    )
+    robots = spark.createDataFrame(
+        [("d.com", robots_txt)], "reg_domain: string, robots_txt: string"
+    )
+    parsed = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [(i, f"https://d.com{p}") for i, p in enumerate(paths)],
+        "doc_id: long, url: string",
+    )
+    expected = {
+        i: ref_robots_verdict(rules, p) for i, p in enumerate(paths)
+    }
+    got_batch = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_filter(urls, parsed).collect()
+    }
+    assert got_batch == expected
+    compact = robots_rules_compact(parsed)
+    feats = url_features(urls).join(compact, "reg_domain", "left")
+    got_fold = {
+        r["doc_id"]: r["ok"]
+        for r in feats.select(
+            "doc_id",
+            robots_allowed(F.col("path"), F.col("rules")).alias("ok"),
+        ).collect()
+    }
+    assert got_fold == expected
+
+
+def ref_trigram_logprob(texts, lambdas=(0.5, 0.3, 0.2)):
+    """Pure-Python twin of operators/text.py::trigram_logprob
+    (self-scoring): same tokenize (trim + split on \\s+ after lower),
+    same position convention (i >= 3), same fixed-order interpolation,
+    rounded to 6 digits."""
+    import re as _re
+
+    docs = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        docs[i] = _re.split(r"\s+", t.lower().strip(" "))
+    tri, ctx3, big, ctx2, uni = {}, {}, {}, {}, {}
+    total = 0
+    for toks in docs.values():
+        for j, w in enumerate(toks):
+            uni[w] = uni.get(w, 0) + 1
+            total += 1
+            if j >= 1:
+                p = (toks[j - 1], w)
+                big[p] = big.get(p, 0) + 1
+                ctx2[toks[j - 1]] = ctx2.get(toks[j - 1], 0) + 1
+            if j >= 2:
+                tr = (toks[j - 2], toks[j - 1], w)
+                tri[tr] = tri.get(tr, 0) + 1
+                c = (toks[j - 2], toks[j - 1])
+                ctx3[c] = ctx3.get(c, 0) + 1
+    l3, l2, l1 = lambdas
+    out = {}
+    for i, toks in docs.items():
+        lps = []
+        for j in range(2, len(toks)):
+            tr = (toks[j - 2], toks[j - 1], toks[j])
+            t3 = tri[tr] / ctx3[(toks[j - 2], toks[j - 1])]
+            t2 = big[(toks[j - 1], toks[j])] / ctx2[toks[j - 1]]
+            t1 = uni[toks[j]] / total
+            lps.append(math.log((l3 * t3 + l2 * t2) + l1 * t1))
+        if lps:
+            out[i] = (len(lps), round(sum(lps) / len(lps), 6) + 0.0)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="ab \t", max_size=24),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_trigram_logprob_matches_python_reference(spark, texts):
+    """Random tiny corpora over a 2-letter alphabet with whitespace
+    pathologies (empty/NULL docs, tab runs, boundary tokens): both
+    hash bases of trigram_logprob agree with the pure-Python
+    reference to the rounded digit."""
+    from hdk_spark.operators.text import trigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    expected = ref_trigram_logprob(texts)
+    for basis in ("text", "xxhash64"):
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["avg_logprob"])
+            for r in trigram_logprob(df, basis=basis).collect()
+        }
+        assert got == expected, (basis, texts)
