@@ -236,7 +236,6 @@ def lang_id_ngram(
     langs: "list[str] | None" = None,
     basis: str = "md5",
     model: "dict[str, list[float]] | None" = None,
-    keep: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Hashed character-n-gram language classifier (the fastText
     ARCHITECTURE with a deterministic seed-derived model): the
@@ -268,13 +267,7 @@ def lang_id_ngram(
     (weights are ×1e6-quantized into the same integer micro-weight
     fold, so trained scoring stays exactly as oracle-checkable as the
     seed model). ``langs`` must be None when ``model`` is given (the
-    model's keys ARE the language set).
-
-    ``keep`` threads extra input columns through to the output — the
-    operator is a pure projection chain, so carrying columns is free
-    and lets STREAMING callers annotate in place (a join-back of the
-    result against its own input is a stream self-join, which Spark
-    treats as stateful stream-stream)."""
+    model's keys ARE the language set)."""
     if basis not in ("crc32", "md5"):
         raise ValueError(f"basis must be 'crc32' or 'md5', got {basis!r}")
     if model is not None:
@@ -299,10 +292,7 @@ def lang_id_ngram(
             raise ValueError(f"no seed data for languages: {unknown}")
         model = _lang_ngram_model(n_buckets, sel, basis)
     bidx = _gram_bucket_indices(text_col, n_buckets, basis)
-    keep_cols = [F.col(c) for c in keep]
-    staged = df.select(
-        F.col(id_col).alias("id"), *keep_cols, bidx.alias("__bidx")
-    )
+    staged = df.select(F.col(id_col).alias("id"), bidx.alias("__bidx"))
     n_grams = F.size("__bidx")
 
     def _score_sql(lang: str) -> str:
@@ -328,7 +318,6 @@ def lang_id_ngram(
     # running best expression twice per language: 2^len(langs) nodes.
     scored = staged.select(
         "id",
-        *[F.col(c) for c in keep],
         n_grams.alias("__n"),
         F.expr(
             "array(" + ",".join(_score_sql(lang) for lang in sel) + ")"
@@ -347,7 +336,6 @@ def lang_id_ngram(
     # scaled-multiply std::round disagree about the same double.
     staged2 = scored.select(
         "id",
-        *[F.col(c) for c in keep],
         "__n",
         best_i.alias("__bi"),
         idx.alias("__idx"),
@@ -359,7 +347,6 @@ def lang_id_ngram(
     ).otherwise(-F.expr("(-2 * __bi + __nd) div (2 * __nd)"))
     return staged2.select(
         F.col("id").alias(id_col),
-        *[F.col(c) for c in keep],
         F.when(F.col("__n") == 0, F.lit("und"))
         .otherwise(F.element_at(lang_arr, F.col("__idx")))
         .alias("lang"),
@@ -960,7 +947,19 @@ def trigram_logprob(
     against the three model relations — corpus-derived vocabularies
     must NEVER be force-broadcast (see [[unigram_logprob]]'s 100 TB
     note); AQE broadcasts a measured-small model and shuffles a large
-    one. The 1-row corpus total is the only forced broadcast."""
+    one. The 1-row corpus total is the only forced broadcast.
+
+    Measured negative result (r8), recorded so it isn't re-tried:
+    pre-assembling ONE trigram-keyed model relation (bigram/unigram
+    counts attached vocab-side, so scoring joins the position relation
+    once instead of three times) was SLOWER on the 50k-doc corpus in
+    both regimes — 14.3 vs 13.9 s with AQE broadcasts (models measure
+    small, the three joins are already map-side), 21.1 vs 16.4 s with
+    broadcasts disabled (the three vocab-side assembly shuffles of the
+    wide trigram-keyed relation cost more than the two saved position
+    shuffles while |trigram vocab| ≈ positions/10). The three-join
+    shape stands until a corpus with a much higher positions:vocab
+    ratio shows otherwise."""
     l3, l2, l1 = (float(x) for x in lambdas)
     if abs((l3 + l2 + l1) - 1.0) > 1e-9 or min(l3, l2, l1) <= 0.0:
         raise ValueError("lambdas must be positive and sum to 1")
