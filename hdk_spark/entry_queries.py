@@ -7687,3 +7687,54 @@ ORDER BY e.doc_id
 
 SPARK_IMPLS["streaming_crawl_ingest"] = q_streaming_crawl_ingest
 ORACLES["streaming_crawl_ingest"] = _streaming_crawl_oracle()
+
+
+def q_web_url_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier seen-URL Bloom filter (operators/web.py::
+    build_url_seen_bloom + url_seen_probe): canonical URLs of the
+    planted docs with doc_id%85 < 40 are folded into a 2^20-bit
+    bitset (JVM build, crc32 double-hash) and EVERY doc's URL —
+    including utm/trailing-slash variants of seen pages — is probed
+    through the Arrow kernel. The oracle derives ``exact_seen``
+    independently (canonical membership is pure doc_id arithmetic)
+    and pins the no-false-negatives invariant
+    ``bloom_covers_ok = maybe_seen OR NOT exact_seen`` as literal
+    TRUE (the decontamination-row pattern: the FP side is noise, the
+    FN side is the contract)."""
+    from hdk_spark.operators.web import build_url_seen_bloom, url_seen_probe
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 17).cast("string"),
+        F.lit(".com/p/"), (d % 85).cast("string"),
+        F.when(d % 2 == 0, F.lit("?utm_source=x")).otherwise(F.lit("/")),
+    )
+    planted = spark.table("documents").select("doc_id", url.alias("url"))
+    seen = planted.filter(d % 85 < 40)
+    arr = build_url_seen_bloom(seen)
+    probed = url_seen_probe(planted, arr)
+    return probed.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        (d % 85 < 40).alias("exact_seen"),
+        (F.col("maybe_seen") | ~(d % 85 < 40)).alias("bloom_covers_ok"),
+    ).orderBy("doc_id")
+
+
+_URL_SEEN_BLOOM_ORACLE = """
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/'
+         || CAST(doc_id % 85 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '/' END
+         AS url,
+       'https://site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/'
+         || CAST(doc_id % 85 AS VARCHAR) AS canonical_url,
+       doc_id % 85 < 40 AS exact_seen,
+       TRUE AS bloom_covers_ok
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["web_url_seen_bloom"] = q_web_url_seen_bloom
+ORACLES["web_url_seen_bloom"] = _URL_SEEN_BLOOM_ORACLE

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -514,3 +514,89 @@ def robots_allowed(path, rules) -> "F.Column":
         ).otherwise(acc),
     )
     return best["allow"]
+
+
+def build_url_seen_bloom(
+    corpus: DataFrame,
+    url_col: str = "url",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> "list[int]":
+    """Fold a crawled corpus's CANONICAL URLs into a Bloom bitset
+    (``m_bits/64`` longs) — the crawl-frontier "have we seen this URL"
+    structure: at 100 TB the frontier cannot hold (or join against)
+    every crawled URL per batch, but a bitset bounded by ``m_bits/8``
+    bytes rides into every task as a closure constant REGARDLESS of
+    history size. Built entirely JVM-side via the decontamination
+    machinery (:func:`hdk_spark.operators.dedup._collect_bloom_bitset`
+    — explode k crc32 double-hash positions, bit-OR per word, bounded
+    groupBy; the collect is filter-sized). NO FALSE NEGATIVES: a
+    truly-seen canonical URL always probes positive, so nothing is
+    re-crawled; false positives (≈ (1−e^{−k·S/m})^k) only skip a
+    never-seen URL — re-queue on the next frontier cycle or size
+    ``m_bits`` to the expected S."""
+    from hdk_spark.operators.dedup import _collect_bloom_bitset
+
+    keys = corpus.select(
+        canonical_url(F.col(url_col)).alias("s")
+    ).distinct()
+    return _collect_bloom_bitset(keys, m_bits, k_hashes)
+
+
+def url_seen_probe(
+    df: DataFrame,
+    bitset: "list[int]",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe candidate URLs against :func:`build_url_seen_bloom`'s
+    bitset: adds ``canonical_url`` and ``maybe_seen`` (all k bits
+    set). MAP-ONLY — canonicalization is the JVM expression, the probe
+    an Arrow-batched kernel whose bitset is a bounded numpy closure
+    (the contamination_flags_bloom probe shape; works unchanged on a
+    STREAMING DataFrame, so the frontier filter composes with
+    stream_crawl_ingest: ``probe(...).filter(~F.col("maybe_seen"))``).
+    Probe and build hash the SAME canonical string through the same
+    crc32 double-hash, so the no-false-negatives contract holds
+    bit-exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if len(bitset) != (m_bits + 63) // 64:
+        raise ValueError(
+            f"bitset has {len(bitset)} words, need {(m_bits + 63) // 64}"
+        )
+    # int64 view, not uint64 cast: JVM words are signed (bit 63)
+    bits = np.array(bitset, dtype=np.int64).view(np.uint64)
+
+    # no annotations: web.py uses `from __future__ import annotations`
+    # and pandas is only imported locally, so string hints would not
+    # resolve — the returnType carries the signature
+    @pandas_udf("boolean")
+    def _probe(urls):
+        import zlib
+
+        out = []
+        for u in urls:
+            if u is None:
+                out.append(False)
+                continue
+            b = u.encode("utf-8")
+            h1 = zlib.crc32(b)
+            h2 = zlib.crc32(b"\x01" + b)
+            hit = True
+            for i in range(k_hashes):
+                p = (h1 + i * h2) % m_bits
+                if not (int(bits[p // 64]) >> (p % 64)) & 1:
+                    hit = False
+                    break
+            out.append(hit)
+        return pd.Series(out)
+
+    cu = canonical_url(F.col(url_col))
+    return df.withColumn("canonical_url", cu).withColumn(
+        "maybe_seen", _probe(F.col("canonical_url"))
+    )

@@ -148,3 +148,67 @@ def test_crawl_rejects_unknown_ccnet_model(spark, planted):
     warcs, robots = planted
     with pytest.raises(ValueError):
         crawl_curate(warcs, robots, ccnet_model="bogus")["final"].collect()
+
+
+def test_url_seen_bloom_frontier_filter(spark):
+    """Frontier dedup: canonical variants of seen pages always probe
+    positive (no false negatives), unseen URLs pass at a bounded FP
+    rate, the bitset length is validated, and the probe composes with
+    a STREAMING candidate relation with zero state operators."""
+    import json
+
+    import pytest
+
+    from hdk_spark import streaming
+    from hdk_spark.operators.web import (
+        build_url_seen_bloom,
+        url_seen_probe,
+    )
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    corpus = spark.createDataFrame(
+        [
+            (i, f"https://s{i % 5}.com/p/{i}"
+             + ("?utm_source=x" if i % 2 == 0 else ""))
+            for i in range(0, 300, 2)
+        ],
+        "doc_id: long, url: string",
+    )
+    arr = build_url_seen_bloom(corpus)
+    cands = spark.createDataFrame(
+        [(i, f"HTTPS://s{i % 5}.com/p/{i}/") for i in range(300)],
+        "doc_id: long, url: string",
+    )
+    out = {
+        r["doc_id"]: r["maybe_seen"]
+        for r in url_seen_probe(cands, arr).collect()
+    }
+    # no false negatives across scheme-case/utm/trailing-slash variants
+    assert all(out[i] for i in range(0, 300, 2))
+    fp = sum(out[i] for i in range(1, 300, 2))
+    assert fp <= 15, f"FP rate implausibly high: {fp}/150"
+
+    with pytest.raises(ValueError):
+        url_seen_probe(cands, arr[:-1])
+
+    # streaming candidates: map-only probe, zero state operators
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cands.coalesce(1).write.mode("overwrite").parquet(td)
+        schema = spark.read.parquet(td).schema
+        st = streaming.stream_parquet(spark, td, schema)
+        probed = url_seen_probe(st, arr)
+        assert probed.isStreaming
+        q = streaming.run_to_memory(
+            probed.filter(~F.col("maybe_seen")), "t_frontier", "append"
+        )
+        got = {r["doc_id"] for r in spark.table("t_frontier").collect()}
+        assert got == {
+            i for i in range(1, 300, 2) if not out[i]
+        }
+        progs = [json.loads(p.json) for p in q.recentProgress]
+        assert progs and all(
+            p.get("stateOperators", []) == [] for p in progs
+        )
