@@ -236,6 +236,7 @@ def lang_id_ngram(
     langs: "list[str] | None" = None,
     basis: str = "md5",
     model: "dict[str, list[float]] | None" = None,
+    keep: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Hashed character-n-gram language classifier (the fastText
     ARCHITECTURE with a deterministic seed-derived model): the
@@ -267,7 +268,13 @@ def lang_id_ngram(
     (weights are ×1e6-quantized into the same integer micro-weight
     fold, so trained scoring stays exactly as oracle-checkable as the
     seed model). ``langs`` must be None when ``model`` is given (the
-    model's keys ARE the language set)."""
+    model's keys ARE the language set).
+
+    ``keep`` threads extra input columns through the projection chain
+    unchanged. Batch callers can equivalently join the output back on
+    ``id_col``, but STREAMING callers cannot (a projection joined
+    against its own input is a stream self-join) — ``keep`` keeps the
+    whole classifier a single stream-safe projection."""
     if basis not in ("crc32", "md5"):
         raise ValueError(f"basis must be 'crc32' or 'md5', got {basis!r}")
     if model is not None:
@@ -291,8 +298,15 @@ def lang_id_ngram(
         if unknown:
             raise ValueError(f"no seed data for languages: {unknown}")
         model = _lang_ngram_model(n_buckets, sel, basis)
+    keep = tuple(keep)
+    reserved = {"id", "__bidx", "__n", "__si", "__bi", "__idx", "__nd"}
+    clash = [c for c in keep if c in reserved or c == id_col]
+    if clash:
+        raise ValueError(f"keep columns collide with internal names: {clash}")
     bidx = _gram_bucket_indices(text_col, n_buckets, basis)
-    staged = df.select(F.col(id_col).alias("id"), bidx.alias("__bidx"))
+    staged = df.select(
+        F.col(id_col).alias("id"), *keep, bidx.alias("__bidx")
+    )
     n_grams = F.size("__bidx")
 
     def _score_sql(lang: str) -> str:
@@ -318,6 +332,7 @@ def lang_id_ngram(
     # running best expression twice per language: 2^len(langs) nodes.
     scored = staged.select(
         "id",
+        *keep,
         n_grams.alias("__n"),
         F.expr(
             "array(" + ",".join(_score_sql(lang) for lang in sel) + ")"
@@ -336,6 +351,7 @@ def lang_id_ngram(
     # scaled-multiply std::round disagree about the same double.
     staged2 = scored.select(
         "id",
+        *keep,
         "__n",
         best_i.alias("__bi"),
         idx.alias("__idx"),
@@ -347,6 +363,7 @@ def lang_id_ngram(
     ).otherwise(-F.expr("(-2 * __bi + __nd) div (2 * __nd)"))
     return staged2.select(
         F.col("id").alias(id_col),
+        *keep,
         F.when(F.col("__n") == 0, F.lit("und"))
         .otherwise(F.element_at(lang_arr, F.col("__idx")))
         .alias("lang"),

@@ -70,8 +70,10 @@ def stop_spark() -> None:
         active.stop()
 
 
-def ensure_shipped(spark: SparkSession) -> None:
+def ensure_shipped(spark: SparkSession) -> "str | None":
     """Ship the hdk_spark package to Python workers via ``addPyFile``.
+    Returns the content-addressed cache path of the shipped zip (None
+    when the context was already shipped and the path wasn't rebuilt).
 
     Closures passed to ``mapInPandas``/``pandas_udf`` that reference
     module-level helpers are cloudpickled BY REFERENCE (the module is
@@ -157,3 +159,4 @@ def ensure_shipped(spark: SparkSession) -> None:
         os.replace(tmp, zpath)  # atomic; concurrent writers converge
     sc.addPyFile(zpath)
     sc._hdk_spark_shipped = True
+    return zpath

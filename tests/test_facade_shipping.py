@@ -18,16 +18,16 @@ def test_ensure_shipped_private_dir_and_squat_rejection(spark):
     from hdk_spark.session import ensure_shipped
 
     spark.sparkContext._hdk_spark_shipped = False
-    ensure_shipped(spark)
+    zpath = ensure_shipped(spark)
     cdir = _cache_dir()
     assert os.path.isdir(cdir)
     assert stat.S_IMODE(os.stat(cdir).st_mode) == 0o700
-    zips = sorted(glob.glob(os.path.join(cdir, "hdk_spark_pkg_*.zip")))
-    assert zips, "no shipped package zip in the per-user cache dir"
-
-    # squat the content-addressed name with foreign bytes; a re-ship
-    # must detect the digest mismatch and restore the real payload
-    zpath = zips[-1]
+    # the returned path is the CURRENT package state's zip — the cache
+    # dir legitimately holds stale digests from earlier source states,
+    # so a glob-and-pick-last here squats the wrong file and the
+    # repair assertion below goes flaky (r8 full-suite failure)
+    assert zpath is not None and os.path.dirname(zpath) == cdir
+    assert os.path.basename(zpath).startswith("hdk_spark_pkg_")
     good = open(zpath, "rb").read()
     with open(zpath, "wb") as fh:
         fh.write(b"PK\x03\x04 not the real package")
