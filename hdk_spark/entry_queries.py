@@ -2899,7 +2899,12 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_unrolled_ctes(with_cdist: bool = False) -> str:
+    """The unrolled deterministic Lloyd's rounds (k=4, 2 rounds) as a
+    CTE chain ``init, a1, c1, a2, c2, a3`` — shared by the
+    embedding_kmeans oracle and the dedup_semantic oracle (which also
+    needs ``a3.cdist``, the exact squared distance to the winning
+    centroid)."""
     from hdk_spark.operators.sampling import hash_bucket_sql
 
     hb = hash_bucket_sql("vec_id", 1000000007, 0)
@@ -2910,8 +2915,8 @@ def _kmeans_oracle() -> str:
     )
     assign = """
 {name} AS (
-  SELECT vec_id, embedding, c FROM (
-    SELECT e.vec_id, e.embedding, c.c,
+  SELECT vec_id, embedding, c{keep} FROM (
+    SELECT e.vec_id, e.embedding, c.c,{cdist}
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.c) AS rn
     FROM embeddings e CROSS JOIN {cents} c
   ) t WHERE rn = 1
@@ -2926,26 +2931,104 @@ def _kmeans_oracle() -> str:
     GROUP BY a.c, dd.d
   ) s GROUP BY c
 )"""
+
+    def asg(name: str, cents: str, final: bool) -> str:
+        keep = ", cdist" if (final and with_cdist) else ""
+        cdist = f" {dist} AS cdist," if (final and with_cdist) else ""
+        return assign.format(
+            name=name, dist=dist, cents=cents, keep=keep, cdist=cdist
+        )
+
     return (
-        "WITH init AS (\n"
+        "init AS (\n"
         "  SELECT embedding, row_number() OVER (ORDER BY " + hb + ", vec_id) - 1 AS c\n"
         "  FROM embeddings ORDER BY " + hb + ", vec_id LIMIT 4\n"
         "),"
-        + assign.format(name="a1", dist=dist, cents="init")
+        + asg("a1", "init", False)
         + ","
         + update.format(name="c1", assigned="a1")
         + ","
-        + assign.format(name="a2", dist=dist, cents="c1")
+        + asg("a2", "c1", False)
         + ","
         + update.format(name="c2", assigned="a2")
         + ","
-        + assign.format(name="a3", dist=dist, cents="c2")
+        + asg("a3", "c2", True)
+    )
+
+
+def _kmeans_oracle() -> str:
+    return (
+        "WITH "
+        + _kmeans_unrolled_ctes()
         + "\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a3"
     )
 
 
 SPARK_IMPLS["embedding_kmeans"] = q_embedding_kmeans
 ORACLES["embedding_kmeans"] = _kmeans_oracle()
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup end-to-end over the embeddings table: deterministic
+    k-means (k=4, 2 rounds) → within-cluster exact cosine pairs →
+    transitive duplicate groups → keep the member farthest from its
+    centroid. threshold=0.4 for the same reason as
+    dedup_embedding_cosine (the synthetic embeddings carry no planted
+    near-dups; 0.4 yields a non-trivial group structure)."""
+    from hdk_spark.operators.dedup import semantic_dedup
+
+    _tables(spark, sf_dir)
+    return semantic_dedup(
+        spark.table("embeddings"), "vec_id", "embedding",
+        k=4, iters=2, seed=0, threshold=0.4, mode="exact",
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    """Replays the ENTIRE SemDedup pipeline in SQL: the unrolled
+    Lloyd rounds (shared with the embedding_kmeans oracle, plus the
+    winning squared distance), the within-cluster cosine pair join,
+    recursive-CTE transitive closure, and the
+    farthest-from-centroid-wins window."""
+    dot = _DOT
+    return (
+        "WITH RECURSIVE "
+        + _kmeans_unrolled_ctes(with_cdist=True)
+        + f""",
+nv AS (
+  SELECT vec_id AS id, c AS cluster, cdist,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM a3
+), nn AS (
+  SELECT id, cluster, cdist, v, sqrt({dot.format(a='v', b='v')}) AS norm FROM nv
+), pr AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM nn a JOIN nn b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {dot.format(a='a.v', b='b.v')} / (a.norm * b.norm) >= {threshold}
+), ed AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+), reach(a, b) AS (
+  SELECT a, b FROM ed
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a
+), grp AS (
+  SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a
+), lab AS (
+  SELECT n.id, n.cluster, n.cdist, COALESCE(g.group_id, n.id) AS group_id
+  FROM nn n LEFT JOIN grp g ON n.id = g.id
+)
+SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, group_id,
+       (row_number() OVER (
+          PARTITION BY group_id ORDER BY cdist DESC, id ASC) = 1) AS kept
+FROM lab
+"""
+    )
+
+
+SPARK_IMPLS["dedup_semantic"] = q_dedup_semantic
+ORACLES["dedup_semantic"] = _semantic_dedup_oracle()
 
 
 def q_text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

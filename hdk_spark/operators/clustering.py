@@ -58,8 +58,15 @@ def _assign(df: DataFrame, id_col: str, vec_col: str, cents: dict[int, list[floa
         ]
     )
     best = F.array_sort(entries)[0]
+    # cdist (exact squared distance to the winning centroid) rides along
+    # for free — it is the winning struct's sort key. semantic_dedup's
+    # keep-farthest-from-centroid rule consumes it; kmeans callers that
+    # don't need it project it away.
     return df.select(
-        F.col(id_col), vec.alias(vec_col), best["c"].alias("cluster")
+        F.col(id_col),
+        vec.alias(vec_col),
+        best["c"].alias("cluster"),
+        best["d"].alias("cdist"),
     )
 
 

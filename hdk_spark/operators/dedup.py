@@ -825,6 +825,143 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    seed: int = 0,
+    threshold: float = 0.95,
+    mode: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    lsh_seed: int = 7,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column. K-means-cluster
+    the embedding space, compare pairs ONLY within a cluster (exact
+    cosine ≥ ``threshold``), transitively close the duplicate pairs,
+    and keep ONE representative per duplicate group — the member
+    FARTHEST from its centroid (the paper's low-centroid-similarity
+    keep rule, which preserves the cluster's diversity), ties on the
+    lower id. Documents in no duplicate group survive as singletons.
+
+    Returns ``(id_col, cluster, group_id, kept)`` — one row per input
+    row; ``group_id`` is the duplicate group's minimum id (own id for
+    singletons), ``kept`` marks the survivors a pruning pass writes.
+
+    Scale shape (the reason SemDedup beats all-pairs at 100 TB): the
+    pairwise stage is an equi-join ON THE CLUSTER KEY, so candidate
+    volume is Σ_c |c|², never n² — the operator's contract is that
+    ``k`` grows with the corpus (the paper uses k ≈ n/~10⁴) so
+    clusters stay bounded; a skew-fattened cluster is AQE's skew-join
+    case, and ``mode='lsh'`` additionally sub-buckets each cluster
+    with sign-random-projection tables (candidates must share
+    (cluster, table, bucket); exact cosine rescore keeps precision 1)
+    for corpora where even per-cluster quadratic is too much.
+    Clustering itself is the deterministic Lloyd's of
+    ``clustering.kmeans_centroids`` (map-only assignment, one partial
+    agg per round); the group-collapse is the pair-graph-sized
+    connected components of ``graph.duplicate_clusters``; the keep
+    rule is one window over groups. Everything downstream of the
+    k-means action is a single declarative plan.
+
+    Deterministic by construction end-to-end (hash-seeded init,
+    decimal-exact centroid sums, fixed-order double folds, struct-sort
+    argmin, lowest-id tie-breaks) — the driver oracle replays the
+    WHOLE pipeline, clustering included, in SQL.
+    """
+    from hdk_spark.operators.clustering import _assign, kmeans_centroids
+    from hdk_spark.operators.graph import duplicate_clusters
+
+    if mode not in ("exact", "lsh"):
+        raise ValueError(f"mode must be 'exact' or 'lsh', got {mode!r}")
+    cents = kmeans_centroids(df, k, iters, id_col, vec_col, seed)
+    assigned = _assign(df, id_col, vec_col, cents)
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        "cluster",
+        "cdist",
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    ).persist()  # referenced by both join sides + the final labeling
+
+    if mode == "lsh":
+        from hdk_spark.operators.similarity import _bucket_expr
+
+        dim = len(cents[min(cents)])
+        planes = rademacher_planes(n_planes * n_tables, dim, lsh_seed)
+        bucketed = base.select(
+            "id",
+            "cluster",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _bucket_expr(
+                                F.col("v"),
+                                planes[t * n_planes : (t + 1) * n_planes],
+                            ).alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(
+            "id", "cluster", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+        )
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cos >= threshold)
+        .select("id_a", "id_b")
+    )
+    groups = duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("group_id")
+    )
+    labeled = base.select("id", "cluster", "cdist").join(
+        groups, "id", "left"
+    ).withColumn("group_id", F.coalesce("group_id", F.col("id")))
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("cdist").desc(), F.col("id").asc()
+    )
+    return labeled.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        "group_id",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"]) if row else 0

@@ -919,3 +919,70 @@ def test_eval_contaminated_spans_bloom_corpus_pass_join_free(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Join" not in p
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_semantic_dedup_invariants(spark):
+    """One row per input, exactly one keeper per group, groups never
+    cross a k-means cluster, group_id is the group's minimum id."""
+    from hdk_spark.operators.dedup import semantic_dedup
+
+    emb = _semdedup_fixture(spark)
+    out = semantic_dedup(emb, threshold=0.4).persist()
+    n = emb.count()
+    assert out.count() == n
+    rows = out.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for gid, members in by_group.items():
+        assert sum(m["kept"] for m in members) == 1, gid
+        assert len({m["cluster"] for m in members}) == 1, gid
+        assert gid == min(m["vec_id"] for m in members), gid
+
+
+def test_semantic_dedup_lsh_drops_subset_of_exact(spark):
+    """LSH candidate generation can only MISS pairs (exact rescore on
+    both paths), so its duplicate groups are refinements of the exact
+    groups — and the exact keeper, being its whole group's
+    (cdist, -id)-max, wins any subgroup containing it. Hence
+    dropped(lsh) ⊆ dropped(exact)."""
+    from hdk_spark.operators.dedup import semantic_dedup
+
+    emb = _semdedup_fixture(spark)
+    exact = semantic_dedup(emb, threshold=0.4, mode="exact")
+    lsh = semantic_dedup(
+        emb, threshold=0.4, mode="lsh", n_planes=4, n_tables=4
+    )
+    dropped_exact = {
+        r["vec_id"] for r in exact.filter("NOT kept").collect()
+    }
+    dropped_lsh = {r["vec_id"] for r in lsh.filter("NOT kept").collect()}
+    assert dropped_lsh <= dropped_exact
+    assert dropped_exact, "fixture produced no duplicate groups"
+
+
+def test_semantic_dedup_repartition_deterministic(spark):
+    """Bit-identical verdicts at any input partitioning (the
+    decimal-sum / fixed-fold determinism contract)."""
+    from hdk_spark.operators.dedup import semantic_dedup
+
+    emb = _semdedup_fixture(spark)
+    a = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup(emb.repartition(13), threshold=0.4).collect(),
+        )
+    )
+    assert a == b
