@@ -7821,3 +7821,77 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["web_url_seen_bloom"] = q_web_url_seen_bloom
 ORACLES["web_url_seen_bloom"] = _URL_SEEN_BLOOM_ORACLE
+
+
+def q_text_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (operators/text.py::fix_text) over a planted
+    corrupted corpus: mojibake appended at doc_id%5, a mojibake header
+    prepended at %7, a zero-width-space insertion at %11 and C0
+    control bytes at %13 — the oracle replants identically and replays
+    the full repair chain in SQL."""
+    from hdk_spark.operators.text import fix_text
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    base = F.concat(F.lit("doc "), d.cast("string"), F.lit(" body"))
+    t = F.when(
+        d % 5 == 0, F.concat(base, F.lit(" cafÃ© dÃ©jÃ\xa0vu"))
+    ).otherwise(base)
+    t = F.when(d % 7 == 0, F.concat(F.lit("â€œheaderâ€¦ "), t)).otherwise(t)
+    t = F.when(
+        d % 11 == 0, F.concat(t, F.lit(" zero\u200bwidth"))
+    ).otherwise(t)
+    t = F.when(d % 13 == 0, F.concat(t, F.lit("\x01\x1f"))).otherwise(t)
+    planted = spark.table("documents").select("doc_id", t.alias("text"))
+    return fix_text(planted)
+
+
+def _fix_text_oracle() -> str:
+    """Replants the corrupted corpus (control/zero-width bytes via
+    chr() so the SQL text itself stays clean) and replays fix_text's
+    computed replacement chain + both regex passes. DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all semantics."""
+    from hdk_spark.operators.text import (
+        _CTRL_CLASS,
+        _WIDESPACE_CLASS,
+        _mojibake_pairs,
+    )
+
+    pairs = _mojibake_pairs()
+    expr = "t"
+    for moji, ch in pairs:
+        expr = f"replace({expr}, '{moji}', '{ch}')"
+    fixed = (
+        f"regexp_replace(regexp_replace({expr}, '{_CTRL_CLASS}', '', 'g'),"
+        f" '{_WIDESPACE_CLASS}', ' ', 'g')"
+    )
+    alt = "|".join(m for m, _ in pairs)
+    return f"""
+WITH p0 AS (
+  SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) || ' body' AS t FROM documents
+), p1 AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+    THEN t || ' cafÃ© dÃ©jÃ' || chr(160) || 'vu' ELSE t END AS t FROM p0
+), p2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+    THEN 'â€œheaderâ€¦ ' || t ELSE t END AS t FROM p1
+), p3 AS (
+  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+    THEN t || ' zero' || chr(8203) || 'width' ELSE t END AS t FROM p2
+), p4 AS (
+  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+    THEN t || chr(1) || chr(31) ELSE t END AS t FROM p3
+)
+SELECT doc_id,
+       {fixed} AS text,
+       regexp_matches(t, '{alt}') AS had_mojibake,
+       regexp_matches(t, '{_CTRL_CLASS}') AS had_ctrl,
+       regexp_matches(t, '{_WIDESPACE_CLASS}') AS had_widespace,
+       CAST(length(t) - length({fixed}) AS BIGINT) AS n_removed
+FROM p4
+"""
+
+
+SPARK_IMPLS["text_fix_encoding"] = q_text_fix_encoding
+ORACLES["text_fix_encoding"] = _fix_text_oracle()

@@ -1094,6 +1094,99 @@ def trigram_logprob(
 # PII redaction (pretraining-data scrubbing stage)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# encoding repair (mojibake / control chars / exotic whitespace)
+# ---------------------------------------------------------------------------
+
+# Characters whose UTF-8 byte sequences, mis-decoded as Windows-1252
+# (the classic double-encoding corruption ftfy calls "mojibake"),
+# round-trip through cp1252 without hitting one of its five unmapped
+# bytes (0x81 0x8D 0x8F 0x90 0x9D). Á Í Ï Ý and the right double quote
+# U+201D are deliberately absent — their corrupted forms contain raw C1
+# controls that never survive transport as text, so there is nothing
+# textual to repair.
+_MOJIBAKE_CHARS = (
+    "ÀÂÃÄÅÇÈÉÊËÌÎÑÒÓÔÕÖÙÚÛÜ"
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+    "ßæÆœØø"
+    "‘’“–—…€•™«»©®°"
+)
+
+
+def _mojibake_pairs() -> list[tuple[str, str]]:
+    """(corrupted, repaired) pairs, longest corruption first (then
+    lexicographic) so the replacement chain is deterministic and a
+    3-byte sequence is never half-eaten by a 2-byte rule. Computed,
+    not hand-typed: corrupted = utf8(ch) mis-decoded as cp1252."""
+    out: dict[str, str] = {}
+    for ch in _MOJIBAKE_CHARS:
+        moji = ch.encode("utf-8").decode("cp1252")
+        out.setdefault(moji, ch)
+    return sorted(out.items(), key=lambda p: (-len(p[0]), p[0]))
+
+
+# Regex classes shared verbatim by the Spark plan and the SQL oracle —
+# \x{...} hex escapes parse identically in Java regex and RE2 (DuckDB),
+# and keep raw control bytes out of the query text.
+_CTRL_CLASS = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F"
+    r"\x{200B}-\x{200D}\x{FEFF}]"
+)
+_WIDESPACE_CLASS = (
+    r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+)
+
+
+def fix_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding repair — the first stage a crawled corpus runs before
+    any linguistic operator (the ftfy niche, restricted to the
+    deterministic single-pass subset both engines express exactly):
+
+    1. mojibake repair: UTF-8-mis-decoded-as-Windows-1252 sequences
+       (``Ã©`` → ``é``, ``â€™`` → ``’``, …) via a computed replacement
+       chain, longest corruption first;
+    2. control-character strip: C0 (except tab/newline/CR), DEL, C1,
+       zero-width (U+200B-200D), BOM/ZWNBSP;
+    3. exotic-whitespace normalization: NBSP, ogham/en/em/thin/ideographic
+       spaces → plain space.
+
+    Returns ``(id_col, text, had_mojibake, had_ctrl, had_widespace,
+    n_removed)`` — flags are detected on the ORIGINAL text, n_removed
+    is the codepoint shrink. NULL text propagates NULL through every
+    output (the engine-neutral choice).
+
+    Scale shape: MAP-ONLY — one codegen projection of chained
+    ``replace``/``regexp_replace`` calls, no Python, no shuffle, cost
+    ∝ bytes scanned. Unicode NFC/NFKC normalization is deliberately
+    NOT here: it needs ICU-grade tables whose versions differ across
+    engines — when needed it belongs in an Arrow-batched
+    ``unicodedata`` kernel, downstream of this exact stage.
+
+    Single-pass contract: doubly-mojibaked text (corrupted twice) is
+    only peeled one layer per call — rerun the operator to peel more
+    (each pass is idempotent on clean text)."""
+    pairs = _mojibake_pairs()
+    orig = F.col(text_col)
+    fixed = orig
+    for moji, ch in pairs:
+        fixed = F.replace(fixed, F.lit(moji), F.lit(ch))
+    fixed = F.regexp_replace(fixed, _CTRL_CLASS, "")
+    fixed = F.regexp_replace(fixed, _WIDESPACE_CLASS, " ")
+    moji_alt = "|".join(m for m, _ in pairs)
+    return df.select(
+        F.col(id_col),
+        fixed.alias("text"),
+        orig.rlike(moji_alt).alias("had_mojibake"),
+        orig.rlike(_CTRL_CLASS).alias("had_ctrl"),
+        orig.rlike(_WIDESPACE_CLASS).alias("had_widespace"),
+        (F.length(orig) - F.length(fixed)).cast("long").alias("n_removed"),
+    )
+
+
 # Patterns restricted to the regex subset where Java (Spark) and RE2
 # (DuckDB) agree exactly: character classes + greedy quantifiers + \b,
 # no alternation with overlapping prefixes (leftmost-first vs

@@ -642,3 +642,60 @@ def test_dataset_report_values(spark):
     nolang = {r["metric"] for r in dataset_report(
         df, lang_col=None).collect()}
     assert "top_lang_share" not in nolang and "n_docs" in nolang
+
+
+def test_fix_text_repairs_and_flags(spark):
+    """Planted corruptions are repaired; flags fire on the original."""
+    from hdk_spark.operators.text import fix_text
+
+    rows = [
+        (1, "cafÃ© dÃ©jÃ\xa0vu â€™s"),
+        (2, "plain ascii"),
+        (3, "zero​width\xa0nbsp"),
+        (4, "ctrl\x01\x1fchar"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fix_text(df).collect()}
+    assert got[1]["text"] == "café déjàvu ’s"
+    assert got[1]["had_mojibake"] and not got[1]["had_ctrl"]
+    assert got[2]["text"] == "plain ascii" and got[2]["n_removed"] == 0
+    assert got[3]["text"] == "zerowidth nbsp"
+    assert got[3]["had_ctrl"] and got[3]["had_widespace"]
+    assert got[4]["text"] == "ctrlchar" and got[4]["n_removed"] == 2
+    assert got[5]["text"] is None and got[5]["had_mojibake"] is None
+
+
+def test_fix_text_idempotent_on_own_output(spark):
+    """A second pass over repaired text is the identity (single-layer
+    peel contract: output contains no pattern the chain matches)."""
+    from hdk_spark.operators.text import fix_text
+
+    rows = [
+        (1, "cafÃ© â€œqâ€¦"),
+        (2, "mÃ¼nchen Ã±"),
+        (3, "tab\tand\nnewline stay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = fix_text(df)
+    twice = fix_text(once.select("doc_id", "text"))
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+    assert a[3] == "tab\tand\nnewline stay"
+    flags = {r["doc_id"]: r for r in twice.collect()}
+    assert not any(
+        flags[i]["had_mojibake"] or flags[i]["had_ctrl"]
+        or flags[i]["had_widespace"]
+        for i in a
+    )
+
+
+def test_fix_text_map_only(spark):
+    """One codegen projection: no shuffle, no Python."""
+    from hdk_spark.operators.text import fix_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    p = fix_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Python" not in p
