@@ -7895,3 +7895,57 @@ FROM p4
 
 SPARK_IMPLS["text_fix_encoding"] = q_text_fix_encoding
 ORACLES["text_fix_encoding"] = _fix_text_oracle()
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling (the mixture knob in token
+    units): deterministic hash-order fill until each language's budget
+    is reached, last document may overshoot. The Spark side runs the
+    two-phase distributed prefix sum; the oracle replays it as ONE
+    plain window — exactly equal because the (bucket, hash, id) order
+    and integer token sums match."""
+    from hdk_spark.operators.sampling import token_budget_sample
+
+    _tables(spark, sf_dir)
+    s = token_budget_sample(
+        spark.table("documents"),
+        group_col="lang",
+        budgets={"en": 6000, "de": 2000, "fr": 1500},
+        default_budget=2500,
+        seed=7,
+        n_buckets=32,
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+def _token_budget_oracle() -> str:
+    h = _hb_sql("doc_id", 1000000007, 7)
+    b = _hb_sql("doc_id", 32, 108)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         {h} AS h, {b} AS b
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(tok) OVER (
+    PARTITION BY lang ORDER BY b, h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM c
+WHERE cum < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+                      WHEN 'fr' THEN 1500 ELSE 2500 END
+GROUP BY lang
+"""
+
+
+SPARK_IMPLS["sample_token_budget"] = q_sample_token_budget
+ORACLES["sample_token_budget"] = _token_budget_oracle()

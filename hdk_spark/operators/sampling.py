@@ -40,6 +40,7 @@ __all__ = [
     "weighted_sample",
     "shuffle_shards",
     "mixture_plan",
+    "token_budget_sample",
 ]
 
 # Knuth's multiplicative constant (2^32 / phi). Products stay well
@@ -261,3 +262,96 @@ def mixture_plan(
             ).cast("long"),
         )
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    budgets: "dict[str, int] | None" = None,
+    default_budget: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: "str | None" = None,
+    seed: int = 7,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-group TOKEN-budget sampling — the mixture knob training
+    pipelines actually turn ("5 B tokens of en, 2 B of de"), where
+    :func:`mixture_sample` turns a document-rate knob. Within each
+    group, documents are taken in deterministic hash order until the
+    group's running token total reaches its budget; the last taken
+    document may overshoot (documents are never split — that is
+    :mod:`packing`'s job downstream). A group absent from ``budgets``
+    gets ``default_budget``; budget 0 drops the group.
+
+    Returns the sampled rows (original columns + ``n_tokens``);
+    membership is a pure function of (id, tokens, seed) — stable under
+    repartitioning and recompute, like every sampler here.
+
+    Scale shape — the naive cut is ONE window per group ordered by
+    hash: a 50 B-token group serializes into a single task's sort.
+    Instead the prefix sum is two-phase: documents hash into
+    ``n_buckets`` sub-buckets per group, per-bucket token sums
+    (one partial-agg groupBy, group×n_buckets rows) cumulate in a
+    TINY window to per-bucket offsets that broadcast-join back, and
+    each bucket windows only its own slice. The total order is
+    (bucket, hash, id) — still a deterministic shuffle, and because
+    token counts are integers the two-phase sum is EXACTLY the serial
+    prefix sum, so the oracle may replay it as one plain window.
+    Raise ``n_buckets`` (to ~tasks-per-group) as groups grow; both
+    window stages stay bounded."""
+    tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else _ws_token_count(F.col(text_col))
+    )
+    g = F.col(group_col)
+    base = df.select(
+        "*",
+        F.coalesce(tok, F.lit(0)).alias("__tok"),
+        hash_bucket(F.col(id_col), 1_000_000_007, seed).alias("__h"),
+        hash_bucket(F.col(id_col), n_buckets, seed + 101).alias("__b"),
+    )
+    bsums = base.groupBy(g.alias("__g"), F.col("__b").alias("__bb")).agg(
+        F.sum("__tok").alias("__bsum")
+    )
+    w_off = (
+        Window.partitionBy("__g")
+        .orderBy("__bb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsums.select(
+        "__g",
+        "__bb",
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        base.withColumn(
+            "__cum_in", F.coalesce(F.sum("__tok").over(w_in), F.lit(0))
+        )
+        .join(
+            F.broadcast(offsets),
+            (g == F.col("__g")) & (F.col("__b") == F.col("__bb")),
+        )
+        .withColumn("__cum", F.col("__off") + F.col("__cum_in"))
+    )
+    budget = F.lit(int(default_budget))
+    for name, val in sorted((budgets or {}).items()):
+        budget = F.when(g == name, F.lit(int(val))).otherwise(budget)
+    out_cols = [F.col(c) for c in df.columns] + [
+        F.col("__tok").alias("n_tokens")
+    ]
+    return cum.filter(F.col("__cum") < budget).select(*out_cols)
+
+
+def _ws_token_count(text: Column) -> Column:
+    # local twin of text.token_count (sampling must not import the text
+    # module just for this): whitespace token count, empty/NULL -> 0
+    return F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("long")

@@ -213,3 +213,89 @@ def test_mixture_plan_upsampling_epochs(spark):
     df = spark.createDataFrame([("a", 10)], ["src", "toks"])
     r = mixture_plan(df, "src", "toks", {"a": 1.0}, budget_tokens=25).collect()[0]
     assert r["rate_bp"] == 10000 and r["epochs"] == 3  # ceil(25/10)
+
+
+def test_token_budget_sample_matches_serial_prefix_sum(spark):
+    """The two-phase (bucket offsets + within-bucket windows) prefix
+    sum selects EXACTLY the rows the serial single-window cut over the
+    (bucket, hash, id) order would — integer sums make them equal, not
+    just close."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sampling import hash_bucket, token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budgets = {"en": 900, "de": 400}
+    got = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, budgets=budgets, default_budget=300, seed=7, n_buckets=8
+        ).collect()
+    }
+    tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).cast("long")
+    serial = docs.select(
+        "doc_id",
+        "lang",
+        tok.alias("tok"),
+        hash_bucket(F.col("doc_id"), 1_000_000_007, 7).alias("h"),
+        hash_bucket(F.col("doc_id"), 8, 108).alias("b"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("b", "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = (
+        F.when(F.col("lang") == "de", 400)
+        .when(F.col("lang") == "en", 900)
+        .otherwise(300)
+    )
+    want = {
+        r["doc_id"]
+        for r in serial.withColumn(
+            "cum", F.coalesce(F.sum("tok").over(w), F.lit(0))
+        )
+        .filter(F.col("cum") < budget)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_token_budget_sample_budget_semantics(spark):
+    """Budget 0 drops the group entirely; removing the last taken doc
+    brings every group back under budget (overshoot ≤ one document)."""
+    from hdk_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_budget_sample(
+        docs, budgets={"en": 900, "de": 0}, default_budget=300, seed=7
+    )
+    rows = out.collect()
+    assert not [r for r in rows if r["lang"] == "de"]
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_tokens"])
+    budgets = {"en": 900}
+    for lang, toks in by_lang.items():
+        total = sum(toks)
+        assert total - max(toks) < budgets.get(lang, 300)
+
+
+def test_token_budget_sample_repartition_deterministic(spark):
+    from hdk_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, budgets={"en": 900}).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs.repartition(17), budgets={"en": 900}
+        ).collect()
+    }
+    assert a == b
