@@ -2899,12 +2899,16 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_unrolled_ctes(with_cdist: bool = False) -> str:
+def _kmeans_unrolled_ctes(
+    with_cdist: bool = False, source: str = "embeddings"
+) -> str:
     """The unrolled deterministic Lloyd's rounds (k=4, 2 rounds) as a
     CTE chain ``init, a1, c1, a2, c2, a3`` — shared by the
     embedding_kmeans oracle and the dedup_semantic oracle (which also
     needs ``a3.cdist``, the exact squared distance to the winning
-    centroid)."""
+    centroid). ``source`` is the (vec_id, embedding) relation to
+    cluster — the composed dedup_pipeline oracle clusters a SURVIVOR
+    subset, not the raw table."""
     from hdk_spark.operators.sampling import hash_bucket_sql
 
     hb = hash_bucket_sql("vec_id", 1000000007, 0)
@@ -2918,7 +2922,7 @@ def _kmeans_unrolled_ctes(with_cdist: bool = False) -> str:
   SELECT vec_id, embedding, c{keep} FROM (
     SELECT e.vec_id, e.embedding, c.c,{cdist}
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.c) AS rn
-    FROM embeddings e CROSS JOIN {cents} c
+    FROM {source} e CROSS JOIN {cents} c
   ) t WHERE rn = 1
 )"""
     update = """
@@ -2936,13 +2940,14 @@ def _kmeans_unrolled_ctes(with_cdist: bool = False) -> str:
         keep = ", cdist" if (final and with_cdist) else ""
         cdist = f" {dist} AS cdist," if (final and with_cdist) else ""
         return assign.format(
-            name=name, dist=dist, cents=cents, keep=keep, cdist=cdist
+            name=name, dist=dist, cents=cents, keep=keep, cdist=cdist,
+            source=source,
         )
 
     return (
         "init AS (\n"
         "  SELECT embedding, row_number() OVER (ORDER BY " + hb + ", vec_id) - 1 AS c\n"
-        "  FROM embeddings ORDER BY " + hb + ", vec_id LIMIT 4\n"
+        f"  FROM {source} ORDER BY " + hb + ", vec_id LIMIT 4\n"
         "),"
         + asg("a1", "init", False)
         + ","
@@ -2984,16 +2989,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
-    """Replays the ENTIRE SemDedup pipeline in SQL: the unrolled
-    Lloyd rounds (shared with the embedding_kmeans oracle, plus the
-    winning squared distance), the within-cluster cosine pair join,
-    recursive-CTE transitive closure, and the
-    farthest-from-centroid-wins window."""
+def _semantic_ctes(threshold: float = 0.4, source: str = "embeddings") -> str:
+    """The SemDedup pipeline as a CTE chain ending in ``sem``
+    (id, cluster, group_id, kept): the unrolled Lloyd rounds (shared
+    with the embedding_kmeans oracle, plus the winning squared
+    distance), the within-cluster cosine pair join, recursive-CTE
+    transitive closure, and the farthest-from-centroid-wins window.
+    Needs a ``WITH RECURSIVE`` header. Shared by the dedup_semantic
+    oracle and the composed dedup_pipeline oracle."""
     dot = _DOT
     return (
-        "WITH RECURSIVE "
-        + _kmeans_unrolled_ctes(with_cdist=True)
+        _kmeans_unrolled_ctes(with_cdist=True, source=source)
         + f""",
 nv AS (
   SELECT vec_id AS id, c AS cluster, cdist,
@@ -3018,12 +3024,20 @@ nv AS (
 ), lab AS (
   SELECT n.id, n.cluster, n.cdist, COALESCE(g.group_id, n.id) AS group_id
   FROM nn n LEFT JOIN grp g ON n.id = g.id
-)
-SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, group_id,
-       (row_number() OVER (
-          PARTITION BY group_id ORDER BY cdist DESC, id ASC) = 1) AS kept
-FROM lab
-"""
+), sem AS (
+  SELECT id, CAST(cluster AS BIGINT) AS cluster, group_id,
+         (row_number() OVER (
+            PARTITION BY group_id ORDER BY cdist DESC, id ASC) = 1) AS kept
+  FROM lab
+)"""
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _semantic_ctes(threshold)
+        + "\nSELECT id AS vec_id, cluster, group_id, kept FROM sem"
     )
 
 
@@ -7949,3 +7963,117 @@ GROUP BY lang
 
 SPARK_IMPLS["sample_token_budget"] = q_sample_token_budget
 ORACLES["sample_token_budget"] = _token_budget_oracle()
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup cascade a training corpus runs, composed as ONE
+    operator chain with per-stage survivor accounting (the
+    crawl_pipeline pattern applied to dedup): exact text dedup (clones
+    planted at doc_id%25 with +10000 ids so the stage provably bites)
+    → word-3-gram Jaccard near-dup clusters, canonical min-id survivor
+    → SemDedup over the survivors' embeddings. Emits one row per stage
+    (stage, n_docs, id_sum) — the checksums pin every handoff."""
+    from hdk_spark.operators.dedup import ngram_jaccard_pairs, semantic_dedup
+    from hdk_spark.operators.graph import duplicate_clusters
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    s0 = docs.unionAll(clones)
+    s1 = s0.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    pairs = ngram_jaccard_pairs(s1, "doc_id", "text", n=3, threshold=0.5)
+    removed = (
+        duplicate_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(removed, "doc_id", "left_anti")
+    emb = spark.table("embeddings").join(
+        s2.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    s3 = semantic_dedup(emb, "vec_id", "embedding", threshold=0.4).filter(
+        "kept"
+    )
+
+    def stage(name: str, frame: DataFrame, idc: str) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(idc).cast("bigint").alias("id_sum"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "id_sum")
+
+    return (
+        stage("0_input", s0, "doc_id")
+        .unionAll(stage("1_exact", s1, "doc_id"))
+        .unionAll(stage("2_neardup", s2, "doc_id"))
+        .unionAll(stage("3_semantic", s3, "vec_id"))
+    )
+
+
+def _dedup_pipeline_oracle(threshold: float = 0.4) -> str:
+    """Stage-by-stage SQL replay: planted clones + exact GROUP BY,
+    the word-3-gram Jaccard pair/closure chain (the dedup_clusters
+    oracle text over the exact survivors), and the full SemDedup chain
+    (_semantic_ctes) over the near-dup survivors' embeddings."""
+    return (
+        r"""
+WITH RECURSIVE s0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 25 = 0
+), s1 AS (
+  SELECT min(doc_id) AS doc_id, text FROM s0 GROUP BY text
+), jsh AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1, 1)),
+             i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+2]
+           )
+         ) AS s_list
+  FROM s1
+), jex AS (
+  SELECT id, len(s_list) AS n_sh, unnest(s_list) AS s FROM jsh WHERE len(s_list) > 0
+), jpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+  FROM jex a JOIN jex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), jed AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+  UNION
+  SELECT id_b, id_a FROM jpairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+), jreach(a, b) AS (
+  SELECT a, b FROM jed
+  UNION
+  SELECT r.a, e.b FROM jreach r JOIN jed e ON r.b = e.a
+), jgrp AS (
+  SELECT a AS id, least(a, min(b)) AS cluster_id FROM jreach GROUP BY a
+), s2 AS (
+  SELECT s1.doc_id FROM s1 LEFT JOIN jgrp g ON s1.doc_id = g.id
+  WHERE g.id IS NULL OR g.cluster_id = s1.doc_id
+), s2emb AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the unrolled Lloyd rounds scan their
+  -- source relation once per assign/update CTE, and inlining would
+  -- re-run the whole Jaccard chain each time (measured 195 s -> 7.7 s).
+  SELECT e.vec_id, e.embedding FROM embeddings e JOIN s2 ON e.vec_id = s2.doc_id
+),"""
+        + _semantic_ctes(threshold, source="s2emb")
+        + """
+SELECT '0_input' AS stage, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM s0
+UNION ALL
+SELECT '1_exact', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM s1
+UNION ALL
+SELECT '2_neardup', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_semantic', COUNT(*), CAST(SUM(id) AS BIGINT) FROM sem WHERE kept
+"""
+    )
+
+
+SPARK_IMPLS["dedup_pipeline"] = q_dedup_pipeline
+ORACLES["dedup_pipeline"] = _dedup_pipeline_oracle()
