@@ -7989,7 +7989,12 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
-    s2 = s1.join(removed, "doc_id", "left_anti")
+    # The Jaccard chain is the expensive leg and feeds BOTH the stage-2
+    # accounting branch and the semantic stage (whose k-means runs
+    # several driver-coordinated actions over it) — persist the
+    # survivor relation (ids + text, corpus-bounded) so the chain runs
+    # once, not once per downstream action.
+    s2 = s1.join(removed, "doc_id", "left_anti").persist()
     emb = spark.table("embeddings").join(
         s2.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
