@@ -8082,3 +8082,173 @@ SELECT '3_semantic', COUNT(*), CAST(SUM(id) AS BIGINT) FROM sem WHERE kept
 
 SPARK_IMPLS["dedup_pipeline"] = q_dedup_pipeline
 ORACLES["dedup_pipeline"] = _dedup_pipeline_oracle()
+
+
+def _planted_link_pages(spark: SparkSession):
+    """Deterministic crawl pages over documents.doc_id for the
+    link-graph family: page d lives on site{d%17}.com and links to
+    site{(2d+1)%17}.com (double-quoted href, always), to
+    site{(3d+2)%17}.com when d%3==0 (single-quoted UPPERCASE HREF,
+    https, query string), and to a relative path when d%5==0; an
+    href-less ``<a name>`` anchor is planted on every page so the
+    extractor's href requirement is exercised. Both cross-site
+    targets self-loop exactly when d%17==16 (2d+1≡d and 3d+2≡d mod 17
+    are both d≡-1), which link_graph drops."""
+    d = F.col("doc_id")
+    a = F.concat(
+        F.lit("site"), ((d * 2 + 1) % 17).cast("string"), F.lit(".com")
+    )
+    b = F.concat(
+        F.lit("site"), ((d * 3 + 2) % 17).cast("string"), F.lit(".com")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://'), a, F.lit('/x">one</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<A HREF='https://"), b, F.lit("/y?z=1'>two</A>")),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit('<a href="/rel/p">r</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit('<a name="anchor">plain</a></body></html>'),
+    )
+    url = F.concat(
+        F.lit("http://site"), (d % 17).cast("string"), F.lit(".com/p/"),
+        d.cast("string"),
+    )
+    return spark.table("documents").select(
+        "doc_id", url.alias("url"), html.alias("html")
+    )
+
+
+_LINK_EDGE_SQL = """
+dd AS (SELECT doc_id AS d FROM documents),
+e AS (
+  SELECT d % 17 AS s, (2 * d + 1) % 17 AS t FROM dd
+  UNION ALL
+  SELECT d % 17, (3 * d + 2) % 17 FROM dd WHERE d % 3 = 0
+)"""
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """href extraction (operators/html.py::extract_links) over the
+    planted link pages: every quoted <a href> target in document
+    order — double/single quotes, case-insensitive HREF, relative
+    links passed through, href-less anchors ignored. The oracle
+    derives every (doc, position, target) independently from the
+    planting arithmetic."""
+    from hdk_spark.operators.html import extract_links
+
+    _tables(spark, sf_dir)
+    return (
+        extract_links(_planted_link_pages(spark))
+        .select("doc_id", F.posexplode("links").alias("pos", "target"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "target")
+        .orderBy("doc_id", "pos")
+    )
+
+
+_HTML_LINKS_ORACLE = """
+WITH dd AS (SELECT doc_id AS d FROM documents),
+l AS (
+  SELECT d, CAST(0 AS BIGINT) AS pos,
+         'http://site' || CAST((2 * d + 1) % 17 AS VARCHAR) || '.com/x' AS target
+  FROM dd
+  UNION ALL
+  SELECT d, 1, 'https://site' || CAST((3 * d + 2) % 17 AS VARCHAR) || '.com/y?z=1'
+  FROM dd WHERE d % 3 = 0
+  UNION ALL
+  SELECT d, CASE WHEN d % 3 = 0 THEN 2 ELSE 1 END, '/rel/p'
+  FROM dd WHERE d % 5 = 0
+)
+SELECT d AS doc_id, pos, target FROM l ORDER BY doc_id, pos
+"""
+
+SPARK_IMPLS["html_links"] = q_html_links
+ORACLES["html_links"] = _HTML_LINKS_ORACLE
+
+
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph edges (operators/web.py::link_graph):
+    absolute http(s) targets only, registrable-domain endpoints,
+    self-edges dropped, parallel links aggregated into n_links. The
+    oracle derives the edge multiset independently from the planting
+    arithmetic (never replaying the extraction regex)."""
+    from hdk_spark.operators.web import link_graph
+
+    _tables(spark, sf_dir)
+    return link_graph(_planted_link_pages(spark)).orderBy(
+        "src_domain", "dst_domain"
+    )
+
+
+_LINK_GRAPH_ORACLE = (
+    "WITH " + _LINK_EDGE_SQL + """
+SELECT 'site' || CAST(s AS VARCHAR) || '.com' AS src_domain,
+       'site' || CAST(t AS VARCHAR) || '.com' AS dst_domain,
+       COUNT(*) AS n_links
+FROM e WHERE s <> t
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+SPARK_IMPLS["web_link_graph"] = q_web_link_graph
+ORACLES["web_link_graph"] = _LINK_GRAPH_ORACLE
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators/graph.py::page_rank,
+    3 iterations, damping 17/20, micro-unit scale 1e6) over the
+    DISTINCT host graph that link_graph extracts from the planted
+    pages — the crawl-prioritization composition end-to-end (HTML →
+    hrefs → host edges → authority). The oracle re-derives the edge
+    set from the planting arithmetic and unrolls all three exact
+    integer iterations in SQL."""
+    from hdk_spark.operators.graph import page_rank
+    from hdk_spark.operators.web import link_graph
+
+    _tables(spark, sf_dir)
+    edges = (
+        link_graph(_planted_link_pages(spark))
+        .select(
+            F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+        )
+        .distinct()
+    )
+    return page_rank(edges, iters=3).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration integer PageRank: contributions are
+    (rank*17) // (20*outdeg) with DuckDB's integer // matching
+    Spark's DIV on the all-positive ranks; base = 150000 micro-units
+    = (1e6 * 3) // 20."""
+    it = """
+c{k} AS (
+  SELECT de.t AS node, SUM((r.rm * 17) // (20 * g.outdeg)) AS sm
+  FROM de JOIN r{p} r ON r.node = de.s JOIN deg g ON g.s = de.s
+  GROUP BY de.t
+),
+r{k} AS (
+  SELECT n.node, CAST(150000 + COALESCE(c.sm, 0) AS BIGINT) AS rm
+  FROM r{p} n LEFT JOIN c{k} c ON c.node = n.node
+)"""
+    return (
+        "WITH " + _LINK_EDGE_SQL + """,
+de AS (SELECT DISTINCT s, t FROM e WHERE s <> t),
+deg AS (SELECT s, COUNT(*) AS outdeg FROM de GROUP BY s),
+nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM de UNION ALL SELECT t FROM de)),
+r0 AS (SELECT n AS node, CAST(1000000 AS BIGINT) AS rm FROM nodes),"""
+        + it.format(k=1, p=0) + ","
+        + it.format(k=2, p=1) + ","
+        + it.format(k=3, p=2)
+        + """
+SELECT 'site' || CAST(node AS VARCHAR) || '.com' AS node,
+       rm AS rank_micro, rm / 1000000.0 AS rank
+FROM r3 ORDER BY 1
+"""
+    )
+
+
+SPARK_IMPLS["graph_pagerank"] = q_graph_pagerank
+ORACLES["graph_pagerank"] = _pagerank_oracle()

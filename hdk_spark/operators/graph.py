@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "connected_components_star", "duplicate_clusters"]
+__all__ = ["connected_components", "connected_components_star", "duplicate_clusters", "page_rank"]
 
 
 def connected_components(
@@ -269,3 +269,92 @@ def connected_components_star(
         stats["rounds"] = rounds
         stats["converged"] = True
     return out
+
+
+def page_rank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: tuple[int, int] = (17, 20),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic integer fixed-point PageRank over a directed edge
+    list — the authority signal a crawl frontier prioritizes hosts by
+    (feed it :func:`hdk_spark.operators.web.link_graph` edges;
+    beyond-reference, cf. Page et al. 1999).
+
+    All arithmetic is exact int64 in rank micro-units of 1/``scale``,
+    with damping the RATIONAL ``num/den`` (default 17/20 = 0.85), so
+    results are bit-identical at any partitioning and SQL-replayable:
+
+        rank_0(v)   = scale                      (i.e. 1.0)
+        rank_{k+1}(v) = base + Σ_{u→v} (rank_k(u)·num) div (den·outdeg(u))
+        base        = (scale·(den−num)) div den  (i.e. 1−d)
+
+    Contract notes: every input row is one edge (parallel rows are
+    parallel edges and split a node's mass accordingly — pre-DISTINCT
+    for the simple-graph semantics); self-loops feed the update rule
+    as written; dangling-node mass is NOT redistributed (ranks then
+    sum below n — the RANKING ORDER, which is what prioritization
+    consumes, is unaffected; the base term keeps every node positive).
+
+    Scale shape: a FIXED iteration count (the determinism contract —
+    no data-dependent convergence test), each iteration exactly one
+    src-keyed equi-join of the rank relation against the persisted
+    edges⋈outdeg relation plus one partial-agg groupBy on dst;
+    contributions are summed as DECIMAL(38,0) so the fold can't
+    overflow int64 past ~10^12 in-edges, then the per-node total
+    (bounded by scale·n) returns to int64. Lineage is truncated per
+    round (localCheckpoint — the iterative-DataFrame discipline of
+    connected_components above). Returns one row per node:
+    (node, rank_micro, rank = rank_micro/scale).
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__outdeg"))
+    ed = e.join(deg, "__s").persist()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d")))
+        .distinct()
+        .persist()
+    )
+
+    base = (scale * (den - num)) // den
+    ranks = nodes.select(
+        "node", F.lit(int(scale)).cast("long").alias("rank_micro")
+    )
+    for _ in range(iters):
+        contrib = ed.join(ranks, ed["__s"] == ranks["node"]).select(
+            F.col("__d").alias("node"),
+            F.expr(f"(rank_micro * {num}) DIV ({den} * __outdeg)").alias("__c"),
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum(F.col("__c").cast("decimal(38,0)")).alias("__sum")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.coalesce(F.col("__sum"), F.lit(0)).cast("long")
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node",
+        "rank_micro",
+        (F.col("rank_micro") / F.lit(float(scale))).alias("rank"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["html_to_text", "html_extract"]
+__all__ = ["html_to_text", "html_extract", "extract_links"]
 
 # drop-entirely blocks: their text content is never prose
 _DROP_BLOCKS = [
@@ -110,4 +110,35 @@ def html_extract(
         n_images.cast("long").alias("n_images"),
         ratio.alias("text_ratio"),
         noindex.alias("noindex"),
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    out_col: str = "links",
+) -> DataFrame:
+    """All ``<a href>`` targets of each page, in document order —
+    the raw material of the crawl frontier and of link-graph analysis
+    (:func:`hdk_spark.operators.web.link_graph`).
+
+    One map-only ``regexp_extract_all`` projection; total on tag soup
+    (anchors without a quoted href contribute nothing; NULL html rows
+    yield empty arrays). Both double- and single-quoted attribute
+    forms match; the pattern stays inside the Java∩RE2∩DuckDB regex
+    subset so SQL oracles can replay it verbatim. Targets are NOT
+    canonicalized or resolved here — relative links pass through
+    as written (frontier code joins them against the page URL;
+    link_graph keeps only absolute http(s) targets).
+    """
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    return df.select(F.col(id_col), _href_targets(h).alias(out_col))
+
+
+def _href_targets(h) -> "F.Column":
+    """array<string> of quoted href values of ``<a>`` tags in an html
+    expression — shared by extract_links and web.link_graph."""
+    return F.regexp_extract_all(
+        h, F.lit(r'(?is)<a\b[^>]*?href\s*=\s*["\x27]([^"\x27]*)["\x27]'), 1
     )

@@ -14,11 +14,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe", "link_graph"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
 _PATH = r"^[a-z][a-z0-9+.-]*://[^/:?#]+(:\d+)?([^?#]*)"
+
+
+def _reg_domain(url) -> "F.Column":
+    """Registrable domain of a URL expression: last two host labels
+    (the public-suffix-free heuristic url_features documents), the
+    bare host when it has fewer, '' when the URL has no parseable
+    host. Shared by url_features and link_graph so both sides of a
+    link edge use the same domain definition."""
+    host = F.regexp_extract(url, _HOST, 1)
+    labels = F.split(host, r"\.")
+    return F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
 
 
 def url_features(
@@ -38,10 +52,7 @@ def url_features(
     host = F.regexp_extract(url, _HOST, 1)
     labels = F.split(host, r"\.")
     nlab = F.size(labels)
-    reg_domain = F.when(
-        nlab >= 2,
-        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
-    ).otherwise(host)
+    reg_domain = _reg_domain(url)
     path = F.regexp_extract(url, _PATH, 2)
     depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
     scheme = F.regexp_extract(url, _SCHEME, 1)
@@ -599,4 +610,50 @@ def url_seen_probe(
     cu = canonical_url(F.col(url_col))
     return df.withColumn("canonical_url", cu).withColumn(
         "maybe_seen", _probe(F.col("canonical_url"))
+    )
+
+
+def link_graph(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Host-level web-graph edges from crawled pages:
+    (src_domain, dst_domain, n_links), where n_links counts every
+    matching anchor across every page of the source domain (parallel
+    links aggregate — the edge weight a frontier scheduler wants).
+
+    Only absolute http(s) href targets become edges (relative links
+    stay intra-site by definition and the frontier resolves them
+    separately); intra-domain (self) edges are dropped — authority
+    flows BETWEEN sites. Both endpoints use the same registrable-
+    domain definition as url_features.
+
+    Scale shape: one map-only href explode + ONE partial-agg groupBy
+    on the (src, dst) pair — no joins; cost ∝ total anchor count.
+    Feed the distinct edge list into
+    :func:`hdk_spark.operators.graph.page_rank` for crawl
+    prioritization.
+    """
+    from hdk_spark.operators.html import _href_targets
+
+    ex = df.select(
+        _reg_domain(F.col(url_col)).alias("src_domain"),
+        F.explode(_href_targets(F.coalesce(F.col(html_col), F.lit("")))).alias(
+            "__target"
+        ),
+    )
+    return (
+        ex.filter(F.col("__target").rlike(r"^(?i)https?://"))
+        .select(
+            "src_domain", _reg_domain(F.lower(F.col("__target"))).alias("dst_domain")
+        )
+        .filter(
+            (F.col("src_domain") != "")
+            & (F.col("dst_domain") != "")
+            & (F.col("src_domain") != F.col("dst_domain"))
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
     )

@@ -152,3 +152,95 @@ def test_star_cc_raises_on_max_rounds_exhaustion(spark):
             edges, "id_a", "id_b", max_rounds=1, stats=stats
         )
     assert stats.get("converged") is False and stats.get("rounds") == 1
+
+
+# ---------------------------------------------------------------------------
+# page_rank
+# ---------------------------------------------------------------------------
+
+def _pr(spark, edges, **kw):
+    from hdk_spark.operators.graph import page_rank
+
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    return {
+        r["node"]: r["rank_micro"] for r in page_rank(df, **kw).collect()
+    }
+
+
+def _pr_python(edges, iters=3, num=17, den=20, scale=1_000_000):
+    """Pure-Python twin of the integer update rule."""
+    from collections import Counter, defaultdict
+
+    outdeg = Counter(s for s, _ in edges)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    base = (scale * (den - num)) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += (r[s] * num) // (den * outdeg[s])
+        r = {n: base + inc[n] for n in nodes}
+    return r
+
+
+def test_pagerank_matches_python_twin(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = list({
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    })
+    assert _pr(spark, edges) == _pr_python(edges)
+
+
+def test_pagerank_star_closed_form(spark):
+    # hub h with k=5 spokes each linking only to h; h links nowhere
+    # (dangling). spoke outdeg=1 so each sends floor(r*17/20).
+    edges = [(f"s{i}", "h") for i in range(5)]
+    r = _pr(spark, edges, iters=2)
+    # r1(spoke)=150000 (no in-edges); r1(h)=150000+5*850000
+    # r2(spoke)=150000; r2(h)=150000+5*floor(150000*17/20)=150000+5*127500
+    assert r == {**{f"s{i}": 150000 for i in range(5)}, "h": 787500}
+
+
+def test_pagerank_parallel_edges_split_mass(spark):
+    # a has TWO parallel edges to b and one to c: outdeg 3, b gets 2 shares
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")]
+    r = _pr(spark, edges, iters=1)
+    share = (1_000_000 * 17) // (20 * 3)
+    assert r["b"] == 150_000 + 2 * share
+    assert r["c"] == 150_000 + share
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)})
+    from hdk_spark.operators.graph import page_rank
+
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    a = {r["node"]: r["rank_micro"] for r in page_rank(df).collect()}
+    b = {
+        r["node"]: r["rank_micro"]
+        for r in page_rank(df.repartition(17, "dst")).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_zero_iters_and_validation(spark):
+    import pytest
+
+    edges = [("a", "b")]
+    assert _pr(spark, edges, iters=0) == {"a": 1_000_000, "b": 1_000_000}
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    from hdk_spark.operators.graph import page_rank
+
+    with pytest.raises(ValueError):
+        page_rank(df, iters=-1)
+    with pytest.raises(ValueError):
+        page_rank(df, damping=(20, 17))
+    with pytest.raises(ValueError):
+        page_rank(df, scale=0)

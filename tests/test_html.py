@@ -104,3 +104,67 @@ def test_html_to_text_composes_with_quality_gates(spark):
     df = spark.createDataFrame([(1, html)], "doc_id: long, html: string")
     out = c4_line_filter(html_extract(df).select("doc_id", "text"))
     assert out.count() >= 1
+
+
+def test_extract_links_quote_forms_and_order(spark):
+    from hdk_spark.operators.html import extract_links
+
+    html = (
+        '<a href="http://a.com/1">d</a>'
+        "<A HREF='https://b.com/2?q=1'>s</A>"
+        '<a class="x" href="/rel">rel</a>'
+        '<a name="anchor">no href</a>'
+        '<img src="http://c.com/i.png">'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id: long, html: string")
+    [row] = extract_links(df).collect()
+    assert row["links"] == ["http://a.com/1", "https://b.com/2?q=1", "/rel"]
+
+
+def test_extract_links_total_on_junk_and_null(spark):
+    from hdk_spark.operators.html import extract_links
+
+    rows = [(1, None), (2, ""), (3, "<a href=nounquoted>x</a>"), (4, "<<<>>")]
+    df = spark.createDataFrame(rows, "doc_id: long, html: string")
+    got = {r["doc_id"]: r["links"] for r in extract_links(df).collect()}
+    assert got == {1: [], 2: [], 3: [], 4: []}
+
+
+def test_extract_links_map_only_plan(spark):
+    from hdk_spark.operators.html import extract_links
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id: long, html: string")
+    p = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_link_graph_filters_and_weights(spark):
+    from hdk_spark.operators.web import link_graph
+
+    rows = [
+        # two parallel links a->b; a relative link (dropped); a
+        # self-link a->a (dropped); junk scheme (dropped)
+        (1, "http://www.a.com/p",
+         '<a href="http://b.com/1">x</a><a href="https://sub.b.com/2">y</a>'
+         '<a href="/rel">r</a><a href="http://a.com/self">s</a>'
+         '<a href="javascript:void(0)">j</a>'),
+        # no parseable page host -> src_domain '' dropped
+        (2, "not a url", '<a href="http://b.com/z">x</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, html: string")
+    got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+           for r in link_graph(df).collect()}
+    # www. is part of the host labels heuristic: reg_domain('www.a.com')
+    # is 'a.com'; sub.b.com collapses to b.com -> parallel edge count 2
+    assert got == {("a.com", "b.com"): 2}
+
+
+def test_link_graph_single_exchange_plan(spark):
+    from hdk_spark.operators.web import link_graph
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/", '<a href="http://b.com/">x</a>')],
+        "doc_id: long, url: string, html: string",
+    )
+    p = link_graph(df)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1 and "Join" not in p
