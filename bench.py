@@ -258,20 +258,24 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r8: no headline-path changes (round adds 12 "
-                "contract rows, 188->200: composed "
+                "notes": "r8: no headline-path changes (round adds 19 "
+                "contract rows, 188->207: composed "
                 "crawl_pipeline/stages/capped, "
                 "interpolated trigram LM self+cross + ccnet lm3, "
                 "trained softmax lang-ID train+apply, BPE "
                 "train+encode with a hand-derived oracle, streaming "
-                "crawl ingest, seen-URL Bloom frontier filter; plus "
-                "ADVICE r7 fixes; r7 itself shipped only the r6 defect "
-                "fixes — its notes string over-claimed, corrected "
-                "here); >2x-swing anomaly re-runs now execute "
-                "IMMEDIATELY after the query's first measurement, not "
-                "on the aged end-of-process JVM (ADVICE r7); defaults "
-                "remain crc32/xxhash64/vectorized, oracle bases "
-                "contract-side",
+                "crawl ingest, seen-URL Bloom frontier filter, "
+                "SemDedup + composed dedup_pipeline "
+                "(exact->Jaccard->SemDedup, per-stage checksums), "
+                "encoding repair, token-budget mixture sampling, "
+                "href extraction + host link graph + integer "
+                "PageRank; plus ADVICE r7 fixes; r7 itself shipped "
+                "only the r6 defect fixes — its notes string "
+                "over-claimed, corrected in r8); >2x-swing anomaly "
+                "re-runs execute IMMEDIATELY after the query's first "
+                "measurement, not on the aged end-of-process JVM "
+                "(ADVICE r7); defaults remain crc32/xxhash64/"
+                "vectorized, oracle bases contract-side",
             }
         )
     )
