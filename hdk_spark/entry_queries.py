@@ -8252,3 +8252,53 @@ FROM r3 ORDER BY 1
 
 SPARK_IMPLS["graph_pagerank"] = q_graph_pagerank
 ORACLES["graph_pagerank"] = _pagerank_oracle()
+
+
+def q_temporal_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrices
+    (operators/temporal.py::retention_cohorts) at day AND week grain
+    over events, tagged and unioned — the epoch-anchored integer
+    periods make both engines agree without any week-anchor
+    convention. n_users is COUNT(*) over the distinct (user, period)
+    activity relation."""
+    from hdk_spark.operators.temporal import retention_cohorts
+
+    _tables(spark, sf_dir)
+    e = spark.table("events")
+    day = retention_cohorts(e, grain="day").select(
+        F.lit("day").alias("grain"), "cohort_period", "period_offset",
+        "n_users",
+    )
+    week = retention_cohorts(e, grain="week").select(
+        F.lit("week").alias("grain"), "cohort_period", "period_offset",
+        "n_users",
+    )
+    return day.unionAll(week).orderBy(
+        "grain", "cohort_period", "period_offset"
+    )
+
+
+_RETENTION_ORACLE = """
+WITH act AS (
+  SELECT grain, user_id, p FROM (
+    SELECT 'day' AS grain, user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS p
+    FROM events
+    UNION ALL
+    SELECT 'week', user_id,
+           CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+    FROM events
+  ) GROUP BY 1, 2, 3
+), coh AS (
+  SELECT grain, user_id, MIN(p) AS cohort FROM act GROUP BY 1, 2
+)
+SELECT a.grain, c.cohort AS cohort_period,
+       a.p - c.cohort AS period_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN coh c ON a.grain = c.grain AND a.user_id = c.user_id
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+SPARK_IMPLS["temporal_retention"] = q_temporal_retention
+ORACLES["temporal_retention"] = _RETENTION_ORACLE

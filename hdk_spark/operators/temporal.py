@@ -499,3 +499,66 @@ def merge_rollups(*rollups: DataFrame) -> DataFrame:
             .cast("double").alias("sum_value"),
         )
     )
+
+
+def _epoch_period(ts_col: str, grain: str) -> "F.Column":
+    """Epoch-anchored integer period of a timestamp column: day =
+    days since 1970-01-01, week = day div 7, month = calendar months
+    since 1970-01. Integer periods are bit-identical across engines —
+    date_trunc('week') anchors (Monday/Sunday, locale) are not a
+    portable contract. div truncates toward zero, so pre-1970
+    day/week periods would be off by one — the operators below
+    document the post-epoch assumption rather than paying a pmod per
+    row for data that doesn't exist in practice."""
+    if grain == "day":
+        return F.expr(f"datediff(cast({ts_col} as date), date'1970-01-01')")
+    if grain == "week":
+        return F.expr(
+            f"datediff(cast({ts_col} as date), date'1970-01-01') div 7"
+        )
+    if grain == "month":
+        return (
+            (F.year(ts_col) - F.lit(1970)) * 12 + F.month(ts_col) - F.lit(1)
+        ).cast("long")
+    raise ValueError(f"grain must be day|week|month, got {grain!r}")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the classic activation/retention
+    report (beyond-reference; the reference has no date-cohort
+    surface): users are cohorted by their FIRST active period and
+    counted in every later period they return, as
+    (cohort_period, period_offset, n_users) with offset 0 = the
+    cohort's own size.
+
+    Periods are epoch-anchored integers (:func:`_epoch_period`) so
+    the result is engine-portable and deterministic; post-1970
+    timestamps assumed.
+
+    Scale shape: activity = ONE partial-agg distinct on
+    (user, period) (duplicate events collapse map-side); cohorts =
+    one groupBy on user; one AQE-decided user-keyed equi-join
+    (activity and cohorts shuffle on the SAME key, so the join
+    co-locates with no extra exchange); the final groupBy is
+    matrix-sized. n_users is a plain COUNT(*) — the distinct
+    activity relation already guarantees one row per user per
+    (cohort, offset), so no COUNT DISTINCT expand is paid.
+    """
+    period = _epoch_period(ts_col, grain)
+    activity = df.select(
+        F.col(user_col).alias("__u"), period.alias("__p")
+    ).distinct()
+    cohorts = activity.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (
+        activity.join(cohorts, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -247,3 +247,72 @@ def test_merge_rollups_equals_full_rollup(spark):
     f = sorted(map(tuple, full.select(*key, "n_events",
                                       F.round("sum_value", 2)).collect()))
     assert m == f
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+# ---------------------------------------------------------------------------
+
+def test_retention_cohorts_planted_matrix(spark):
+    from hdk_spark.operators.temporal import retention_cohorts
+
+    # u1 first active day 0, returns day 1 and 3 (dup event on day 1);
+    # u2 first active day 1 only; u3 first active day 3, returns day 4
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 23:00:00"), (1, "2024-01-04 01:00:00"),
+        (2, "2024-01-02 12:00:00"),
+        (3, "2024-01-04 12:00:00"), (3, "2024-01-05 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, s: string").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df, grain="day").collect()
+    }
+    d0 = 19723  # 2024-01-01 epoch day
+    assert got == {
+        (d0, 0): 1, (d0, 1): 1, (d0, 3): 1,   # u1
+        (d0 + 1, 0): 1,                        # u2
+        (d0 + 3, 0): 1, (d0 + 3, 1): 1,        # u3
+    }
+
+
+def test_retention_cohorts_month_and_week_grain(spark):
+    from hdk_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        (1, "2024-01-15 00:00:00"), (1, "2024-03-02 00:00:00"),
+        (2, "2024-03-20 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, s: string").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    m = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df, grain="month").collect()
+    }
+    jan24 = (2024 - 1970) * 12 + 0
+    assert m == {(jan24, 0): 1, (jan24, 2): 1, (jan24 + 2, 0): 1}
+    w = retention_cohorts(df, grain="week").collect()
+    assert sum(r["n_users"] for r in w if r["period_offset"] == 0) == 2
+
+
+def test_retention_cohorts_deterministic_and_exchange_count(spark):
+    import pytest
+    from hdk_spark.operators.temporal import retention_cohorts
+
+    rows = [(i % 7, f"2024-01-{(i % 27) + 1:02d} 06:00:00") for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id: long, s: string").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    a = sorted(map(tuple, retention_cohorts(df, grain="day").collect()))
+    b = sorted(map(tuple, retention_cohorts(df.repartition(13), grain="day").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        retention_cohorts(df, grain="hour")
+    # plan: distinct + cohort groupBy share the user-keyed exchange
+    # lineage; no force-broadcast hints anywhere
+    p = retention_cohorts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ResolvedHint" not in p and "CartesianProduct" not in p
