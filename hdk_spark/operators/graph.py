@@ -278,6 +278,7 @@ def page_rank(
     iters: int = 3,
     damping: tuple[int, int] = (17, 20),
     scale: int = 1_000_000,
+    weight: str | None = None,
 ) -> DataFrame:
     """Deterministic integer fixed-point PageRank over a directed edge
     list — the authority signal a crawl frontier prioritizes hosts by
@@ -299,6 +300,16 @@ def page_rank(
     sum below n — the RANKING ORDER, which is what prioritization
     consumes, is unaffected; the base term keeps every node positive).
 
+    ``weight`` names a POSITIVE-INTEGER multiplicity column — a
+    weighted edge is defined as exactly that many parallel edges
+    (contribution = w · ((rank·num) div (den·W_u)) with W_u the
+    weighted out-degree; the div happens BEFORE the multiply so the
+    identity with physically exploded rows is bit-exact,
+    property-tested). This is the 100 TB form: feed link_graph's
+    aggregated (src, dst, n_links) directly instead of exploding
+    n_links back into rows. Non-positive/fractional weights are a
+    contract violation (not scanned for — that would cost a pass).
+
     Scale shape: a FIXED iteration count (the determinism contract —
     no data-dependent convergence test), each iteration exactly one
     src-keyed equi-join of the rank relation against the persisted
@@ -318,8 +329,15 @@ def page_rank(
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
 
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__outdeg"))
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    )
+    deg = e.groupBy("__s").agg(F.sum("__w").alias("__outdeg"))
     ed = e.join(deg, "__s").persist()
     nodes = (
         e.select(F.col("__s").alias("node"))
@@ -335,7 +353,9 @@ def page_rank(
     for _ in range(iters):
         contrib = ed.join(ranks, ed["__s"] == ranks["node"]).select(
             F.col("__d").alias("node"),
-            F.expr(f"(rank_micro * {num}) DIV ({den} * __outdeg)").alias("__c"),
+            F.expr(
+                f"((rank_micro * {num}) DIV ({den} * __outdeg)) * __w"
+            ).alias("__c"),
         )
         summed = contrib.groupBy("node").agg(
             F.sum(F.col("__c").cast("decimal(38,0)")).alias("__sum")

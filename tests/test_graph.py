@@ -244,3 +244,25 @@ def test_pagerank_zero_iters_and_validation(spark):
         page_rank(df, damping=(20, 17))
     with pytest.raises(ValueError):
         page_rank(df, scale=0)
+
+
+def test_pagerank_weighted_equals_exploded(spark):
+    import random
+
+    from hdk_spark.operators.graph import page_rank
+
+    rng = random.Random(23)
+    nodes = [f"n{i}" for i in range(20)]
+    wrows = list({
+        (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 4))
+        for _ in range(80)
+    })
+    wdf = spark.createDataFrame(wrows, "src: string, dst: string, w: long")
+    xdf = spark.createDataFrame(
+        [(s, d) for s, d, w in wrows for _ in range(w)],
+        "src: string, dst: string",
+    )
+    a = {r["node"]: r["rank_micro"]
+         for r in page_rank(wdf, weight="w").collect()}
+    b = {r["node"]: r["rank_micro"] for r in page_rank(xdf).collect()}
+    assert a == b
