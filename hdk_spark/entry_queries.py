@@ -8302,3 +8302,43 @@ ORDER BY 1, 2, 3
 
 SPARK_IMPLS["temporal_retention"] = q_temporal_retention
 ORACLES["temporal_retention"] = _RETENTION_ORACLE
+
+
+def q_sample_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest
+    (operators/sampling.py::shard_manifest, 16 shards): per-shard
+    n_docs / n_tokens / key_sum plus the order-independent md5-basis
+    content digest — the oracle recomputes every shard's digest from
+    the same published formula, pinning that a consumer can verify a
+    delivered shard file in any row order."""
+    from hdk_spark.operators.sampling import shard_manifest
+
+    _tables(spark, sf_dir)
+    return shard_manifest(
+        spark.table("documents"), n_shards=16
+    ).orderBy("shard")
+
+
+def _shard_manifest_oracle() -> str:
+    sh = _hb_sql("doc_id", 16, 0)
+    return f"""
+WITH t AS (
+  SELECT {sh} AS shard, doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         ((doc_id % 2147483647) * 2654435761
+          + (CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 12)) AS BIGINT)
+             % 2147483647)) % 2147483647 AS term
+  FROM documents
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(term AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS digest
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+SPARK_IMPLS["sample_shard_manifest"] = q_sample_shard_manifest
+ORACLES["sample_shard_manifest"] = _shard_manifest_oracle()

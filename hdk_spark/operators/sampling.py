@@ -41,6 +41,7 @@ __all__ = [
     "shuffle_shards",
     "mixture_plan",
     "token_budget_sample",
+    "shard_manifest",
 ]
 
 # Knuth's multiplicative constant (2^32 / phi). Products stay well
@@ -355,3 +356,72 @@ def _ws_token_count(text: Column) -> Column:
     return F.when(
         F.length(F.trim(text)) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("long")
+
+
+# 31-bit Mersenne prime for the manifest digest fold — operands stay
+# far inside int64 even before reduction (see the term bound below)
+_DIGEST_M = 2_147_483_647
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-shard delivery manifest of a training export — the
+    verification artifact written alongside the shuffled shards so a
+    consumer can check every shard file independently after
+    download / re-sort / recompression. One row per shard of
+    :func:`shuffle_shards`' hash assignment (same hash, same seed —
+    the manifest describes exactly the files
+    ``.write.partitionBy('shard')`` produces):
+
+    - ``n_docs``, ``n_tokens`` (whitespace tokens of ``text_col``),
+      ``key_sum`` — exact integer totals;
+    - ``digest`` — an ORDER-INDEPENDENT content checksum:
+      Σ_rows ((key mod M)·2654435761 + md5_48(text) mod M) mod M,
+      folded mod M = 2³¹−1. Every per-row term is < M and reduced
+      before the multiply (the connected_components_star bound: the
+      product tops out near (M−1)·2654435761 ≈ 5.7e18 < int64), the
+      Σ runs in DECIMAL(38,0) so partial aggregation can't overflow,
+      and addition is associative-commutative — the digest is
+      reproducible from a shard file in ANY row order. It is a
+      transit/processing checksum (~2⁻³¹ accidental-collision odds),
+      not a cryptographic integrity proof. md5 is the cross-engine
+      contract basis (crc32/xxhash64 are the cheaper production
+      bases — the established minhash trade).
+
+    NULL text hashes as '' and counts 0 tokens (the corpus-wide
+    NULL-totality convention). Scale shape: ONE partial-agg groupBy
+    on the shard key — map-only otherwise; shards are hash-uniform so
+    the aggregate has no skew by construction.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    md5_48 = F.conv(
+        F.substring(F.md5(F.encode(text, "utf-8")), 1, 12), 16, 10
+    ).cast("long")
+    term = F.pmod(
+        F.pmod(F.col(key_col).cast("bigint"), F.lit(_DIGEST_M)) * F.lit(_MULT)
+        + F.pmod(md5_48, F.lit(_DIGEST_M)),
+        F.lit(_DIGEST_M),
+    )
+    return (
+        df.select(
+            hash_bucket(F.col(key_col), n_shards, seed).cast("int").alias("shard"),
+            F.col(key_col).alias("__k"),
+            _ws_token_count(text).alias("__tok"),
+            term.alias("__term"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+            F.sum("__k").cast("long").alias("key_sum"),
+            F.pmod(
+                F.sum(F.col("__term").cast("decimal(38,0)")).cast("decimal(38,0)"),
+                F.lit(_DIGEST_M).cast("decimal(38,0)"),
+            ).cast("long").alias("digest"),
+        )
+    )

@@ -299,3 +299,66 @@ def test_token_budget_sample_repartition_deterministic(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest
+# ---------------------------------------------------------------------------
+
+def test_shard_manifest_order_independent_digest(spark):
+    from hdk_spark.operators.sampling import shard_manifest
+
+    rows = [(i, f"doc {i} body text") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    a = sorted(map(tuple, shard_manifest(df, n_shards=8).collect()))
+    # reversed source order + different partitioning -> identical manifest
+    b = sorted(map(tuple, shard_manifest(
+        df.orderBy(F.desc("doc_id")).repartition(13), n_shards=8
+    ).collect()))
+    assert a == b
+    assert sum(r[1] for r in a) == 200  # n_docs totals the corpus
+
+
+def test_shard_manifest_detects_content_change(spark):
+    from hdk_spark.operators.sampling import shard_manifest
+
+    rows = [(i, f"doc {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    base = {r["shard"]: r["digest"] for r in shard_manifest(df, n_shards=4).collect()}
+    tampered = df.withColumn(
+        "text", F.when(F.col("doc_id") == 17, F.lit("doc 17 ")).otherwise(F.col("text"))
+    )
+    got = {r["shard"]: r["digest"] for r in shard_manifest(tampered, n_shards=4).collect()}
+    changed = [s for s in base if base[s] != got[s]]
+    assert len(changed) == 1  # exactly the shard holding doc 17
+
+
+def test_shard_manifest_null_text_and_python_twin(spark):
+    import hashlib
+
+    from hdk_spark.operators.sampling import shard_manifest
+
+    M, MULT = 2_147_483_647, 2654435761
+    rows = [(1, None), (2, ""), (3, "  "), (4, "a b  c")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    [r] = shard_manifest(df, n_shards=1).collect()
+    assert (r["n_docs"], r["n_tokens"], r["key_sum"]) == (4, 3, 10)
+
+    def term(k, t):
+        h = int(hashlib.md5((t or "").encode()).hexdigest()[:12], 16) % M
+        return ((k % M) * MULT + h) % M
+
+    assert r["digest"] == sum(term(k, t) for k, t in rows) % M
+
+
+def test_shard_manifest_matches_shuffle_shards_assignment(spark):
+    from hdk_spark.operators.sampling import shard_manifest, shuffle_shards
+
+    rows = [(i, f"d{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    man = {r["shard"]: r["n_docs"]
+           for r in shard_manifest(df, n_shards=8, seed=3).collect()}
+    real = {r["shard"]: r["n"]
+            for r in shuffle_shards(df, "doc_id", 8, seed=3)
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert man == real
