@@ -8218,11 +8218,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_rank(edges, iters=3).orderBy("node")
 
 
-def _pagerank_oracle() -> str:
-    """Unrolled 3-iteration integer PageRank: contributions are
-    (rank*17) // (20*outdeg) with DuckDB's integer // matching
-    Spark's DIV on the all-positive ranks; base = 150000 micro-units
-    = (1e6 * 3) // 20."""
+def _pagerank_ctes() -> str:
+    """The planted link-graph edges + unrolled 3-iteration integer
+    PageRank as a CTE chain ending in ``r3`` (node int, rm bigint) —
+    contributions are (rank*17) // (20*outdeg) with DuckDB's integer
+    // matching Spark's DIV on the all-positive ranks; base = 150000
+    micro-units = (1e6 * 3) // 20. Shared by the graph_pagerank
+    oracle and the composed crawl-frontier oracle."""
     it = """
 c{k} AS (
   SELECT de.t AS node, SUM((r.rm * 17) // (20 * g.outdeg)) AS sm
@@ -8234,7 +8236,7 @@ r{k} AS (
   FROM r{p} n LEFT JOIN c{k} c ON c.node = n.node
 )"""
     return (
-        "WITH " + _LINK_EDGE_SQL + """,
+        _LINK_EDGE_SQL + """,
 de AS (SELECT DISTINCT s, t FROM e WHERE s <> t),
 deg AS (SELECT s, COUNT(*) AS outdeg FROM de GROUP BY s),
 nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM de UNION ALL SELECT t FROM de)),
@@ -8242,6 +8244,12 @@ r0 AS (SELECT n AS node, CAST(1000000 AS BIGINT) AS rm FROM nodes),"""
         + it.format(k=1, p=0) + ","
         + it.format(k=2, p=1) + ","
         + it.format(k=3, p=2)
+    )
+
+
+def _pagerank_oracle() -> str:
+    return (
+        "WITH " + _pagerank_ctes()
         + """
 SELECT 'site' || CAST(node AS VARCHAR) || '.com' AS node,
        rm AS rank_micro, rm / 1000000.0 AS rank
@@ -8342,3 +8350,71 @@ FROM t GROUP BY 1 ORDER BY 1
 
 SPARK_IMPLS["sample_shard_manifest"] = q_sample_shard_manifest
 ORACLES["sample_shard_manifest"] = _shard_manifest_oracle()
+
+
+def q_web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed frontier scheduler
+    (operators/web.py::crawl_frontier): the web_url_seen_bloom
+    planting (seen = doc_id%85 < 40, utm/trailing-slash variants)
+    feeds the Bloom probe, and host authority comes from page_rank
+    over the SAME planted link graph graph_pagerank uses — pinning
+    the reg_domain seam between the probe's canonical URL and the
+    link graph's node naming. drop_seen=False so the hash compare
+    stays FP-independent: maybe_seen is checked through the
+    covers-exact invariant (the web_url_seen_bloom pattern) while
+    priority/ordering are exact."""
+    from hdk_spark.operators.graph import page_rank
+    from hdk_spark.operators.web import (
+        build_url_seen_bloom, crawl_frontier, link_graph,
+    )
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 17).cast("string"),
+        F.lit(".com/p/"), (d % 85).cast("string"),
+        F.when(d % 2 == 0, F.lit("?utm_source=x")).otherwise(F.lit("/")),
+    )
+    planted = spark.table("documents").select("doc_id", url.alias("url"))
+    arr = build_url_seen_bloom(planted.filter(d % 85 < 40))
+    authority = page_rank(
+        link_graph(_planted_link_pages(spark)).select(
+            F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+        ).distinct(),
+        iters=3,
+    )
+    out = crawl_frontier(planted, arr, authority, drop_seen=False)
+    return out.select(
+        "doc_id", "url", "canonical_url", "reg_domain", "priority",
+        (d % 85 < 40).alias("exact_seen"),
+        (F.col("maybe_seen") | ~(d % 85 < 40)).alias("bloom_covers_ok"),
+    ).orderBy(F.desc("priority"), "canonical_url", "doc_id")
+
+
+def _crawl_frontier_oracle() -> str:
+    return (
+        "WITH " + _pagerank_ctes() + """,
+cand AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 85 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '/' END
+           AS url,
+         'https://site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 85 AS VARCHAR) AS canonical_url,
+         'site' || CAST(doc_id % 17 AS VARCHAR) || '.com' AS reg_domain,
+         doc_id % 17 AS dom
+  FROM documents
+)
+SELECT c.doc_id, c.url, c.canonical_url, c.reg_domain,
+       CAST(COALESCE(r.rm, 0) AS BIGINT) AS priority,
+       c.doc_id % 85 < 40 AS exact_seen,
+       TRUE AS bloom_covers_ok
+FROM cand c LEFT JOIN r3 r ON r.node = c.dom
+ORDER BY priority DESC, canonical_url, doc_id
+"""
+    )
+
+
+SPARK_IMPLS["web_crawl_frontier"] = q_web_crawl_frontier
+ORACLES["web_crawl_frontier"] = _crawl_frontier_oracle()

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe", "link_graph"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe", "link_graph", "crawl_frontier"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -656,4 +656,57 @@ def link_graph(
         )
         .groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def crawl_frontier(
+    candidates: DataFrame,
+    seen_bitset: "list[int]",
+    authority: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    drop_seen: bool = True,
+) -> DataFrame:
+    """Priority-ordered crawl frontier — the scheduling composition of
+    the round's crawl pieces: candidates are probed against the
+    seen-URL Bloom bitset (:func:`url_seen_probe`, map-only;
+    ``drop_seen`` removes maybe_seen rows — no false negatives means
+    nothing is ever re-crawled, and an FP only defers a never-seen URL
+    one frontier cycle), then each survivor attaches its host
+    authority from a :func:`hdk_spark.operators.graph.page_rank`
+    relation (node = reg_domain, rank_micro) as ``priority``;
+    never-linked domains get priority 0 — they enter the frontier at
+    base priority rather than being dropped (a frontier that only
+    crawls already-linked hosts never discovers anything).
+
+    The join key is the registrable domain of the CANONICAL url
+    through the same :func:`_reg_domain` definition link_graph uses —
+    the seam this composition exists to pin.
+
+    Emit a frontier batch with
+    ``.orderBy(F.desc('priority'), 'canonical_url')`` (a
+    range-partitioned sort — the scale-safe way to write a sorted
+    batch) or take per-domain tops with domain_cap.
+
+    Scale shape: probe is map-only (bitset rides as a bounded
+    closure); ONE AQE-decided equi-join against the host-sized
+    authority relation (hosts ≪ URLs; broadcast when small, never
+    forced).
+    """
+    probed = url_seen_probe(
+        candidates, seen_bitset, url_col, id_col, m_bits, k_hashes
+    )
+    if drop_seen:
+        probed = probed.filter(~F.col("maybe_seen"))
+    feats = probed.select(
+        "*", _reg_domain(F.col("canonical_url")).alias("reg_domain")
+    )
+    auth = authority.select(
+        F.col("node").alias("reg_domain"),
+        F.col("rank_micro").alias("priority"),
+    )
+    return feats.join(auth, "reg_domain", "left").withColumn(
+        "priority", F.coalesce(F.col("priority"), F.lit(0)).cast("long")
     )

@@ -212,3 +212,40 @@ def test_url_seen_bloom_frontier_filter(spark):
         assert progs and all(
             p.get("stateOperators", []) == [] for p in progs
         )
+
+
+def test_crawl_frontier_drop_seen_and_priorities(spark):
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.web import build_url_seen_bloom, crawl_frontier
+
+    hist = spark.createDataFrame(
+        [(1, "http://a.com/old?utm_source=x")], "doc_id: long, url: string"
+    )
+    arr = build_url_seen_bloom(hist, m_bits=1 << 16)
+    cands = spark.createDataFrame(
+        [
+            (10, "http://a.com/old/"),      # canonical-equal to history
+            (11, "http://a.com/new"),        # unseen, linked domain
+            (12, "http://nowhere.org/x"),    # unseen, never-linked domain
+        ],
+        "doc_id: long, url: string",
+    )
+    authority = spark.createDataFrame(
+        [("a.com", 987654)], "node: string, rank_micro: long"
+    )
+    got = {
+        r["doc_id"]: (r["reg_domain"], r["priority"])
+        for r in crawl_frontier(
+            cands, arr, authority, m_bits=1 << 16
+        ).collect()
+    }
+    # the canonical variant of the seen URL is gone (no false negatives)
+    assert 10 not in got
+    assert got[11] == ("a.com", 987654)
+    assert got[12] == ("nowhere.org", 0)  # discoverable at base priority
+
+    kept_all = crawl_frontier(
+        cands, arr, authority, m_bits=1 << 16, drop_seen=False
+    )
+    assert kept_all.count() == 3 and "maybe_seen" in kept_all.columns
