@@ -309,3 +309,42 @@ def test_stream_crawl_ingest_matches_batch_and_is_stateless(spark, tmp_path):
     progs = [json.loads(p.json) for p in q.recentProgress]
     assert progs, "query produced no progress"
     assert all(p.get("stateOperators", []) == [] for p in progs), progs
+
+
+def test_streaming_crawl_frontier_stateless(spark, tmp_path):
+    """crawl_frontier composes onto a STREAMING candidate relation
+    with zero state operators: the Bloom probe is a bounded map-only
+    closure and the authority join is stream-static — the frontier
+    gate can run indefinitely."""
+    import json
+
+    from hdk_spark.operators.web import build_url_seen_bloom, crawl_frontier
+
+    hist = spark.createDataFrame(
+        [(1, "http://a.com/old")], "doc_id: long, url: string"
+    )
+    arr = build_url_seen_bloom(hist, m_bits=1 << 16)
+    authority = spark.createDataFrame(
+        [("a.com", 900000), ("b.com", 300000)],
+        "node: string, rank_micro: long",
+    )
+    src = str(tmp_path / "frontier_stream")
+    spark.createDataFrame(
+        [(10, "http://a.com/new"), (11, "http://b.com/x"),
+         (12, "http://a.com/old/")],
+        "doc_id: long, url: string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = streaming.run_to_memory(
+        crawl_frontier(
+            streaming.stream_parquet(spark, src, schema), arr, authority,
+            m_bits=1 << 16,
+        ),
+        "t_frontier_stateless",
+    )
+    rows = {r["doc_id"]: r["priority"]
+            for r in spark.sql("SELECT * FROM t_frontier_stateless").collect()}
+    assert rows == {10: 900000, 11: 300000}  # the seen canonical dropped
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    assert progs and all(p.get("stateOperators", []) == [] for p in progs)
