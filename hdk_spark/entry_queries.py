@@ -8418,3 +8418,62 @@ ORDER BY priority DESC, canonical_url, doc_id
 
 SPARK_IMPLS["web_crawl_frontier"] = q_web_crawl_frontier
 ORACLES["web_crawl_frontier"] = _crawl_frontier_oracle()
+
+
+def q_sample_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training export
+    (operators/sampling.py::export_corpus): token-budget mixture fill
+    (the sample_token_budget budgets) → 8-way shard shuffle → delivery
+    manifest; the returned manifest checksums the whole composition —
+    the oracle independently replays the serial budget cut, reassigns
+    shards, and recomputes every shard's digest, so any drift in any
+    stage handoff breaks the hash match."""
+    from hdk_spark.operators.sampling import export_corpus
+
+    _tables(spark, sf_dir)
+    budgets = {"en": 6000, "de": 2000, "fr": 1500}
+    _, manifest = export_corpus(
+        spark.table("documents"),
+        "lang",
+        budgets,
+        n_shards=8,
+        default_budget=2500,
+    )
+    return manifest.orderBy("shard")
+
+
+def _export_pipeline_oracle() -> str:
+    h = _hb_sql("doc_id", 1000000007, 7)
+    b = _hb_sql("doc_id", 32, 108)
+    sh = _hb_sql("doc_id", 8, 7)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         ((doc_id % 2147483647) * 2654435761
+          + (CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 12)) AS BIGINT)
+             % 2147483647)) % 2147483647 AS term,
+         {h} AS h, {b} AS b
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(tok) OVER (
+    PARTITION BY lang ORDER BY b, h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+), s AS (
+  SELECT doc_id, tok, term FROM c
+  WHERE cum < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+                        WHEN 'fr' THEN 1500 ELSE 2500 END
+)
+SELECT CAST({sh} AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(term AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS digest
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+SPARK_IMPLS["sample_export_pipeline"] = q_sample_export_pipeline
+ORACLES["sample_export_pipeline"] = _export_pipeline_oracle()

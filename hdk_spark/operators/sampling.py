@@ -42,6 +42,7 @@ __all__ = [
     "mixture_plan",
     "token_budget_sample",
     "shard_manifest",
+    "export_corpus",
 ]
 
 # Knuth's multiplicative constant (2^32 / phi). Products stay well
@@ -425,3 +426,43 @@ def shard_manifest(
             ).cast("long").alias("digest"),
         )
     )
+
+
+def export_corpus(
+    df: DataFrame,
+    group_col: str = "lang",
+    budgets: "dict[str, int] | None" = None,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+    default_budget: int = 0,
+) -> "tuple[DataFrame, DataFrame]":
+    """The training-export endgame composed as one operator:
+    :func:`token_budget_sample` (the mixture knob, token units) →
+    :func:`shuffle_shards` (deterministic global shuffle into
+    write-ready shards) → :func:`shard_manifest` (the per-shard
+    verification artifact). Returns ``(shards, manifest)``: write the
+    first with ``.write.partitionBy('shard')`` and publish the second
+    beside it — same hash, same seed, so the manifest describes
+    exactly the files written.
+
+    The manifest is computed from the SAMPLED relation directly
+    (membership and shard assignment are pure key functions), not
+    from the sharded one — no dependency on the shuffle's window
+    stage; the composition adds zero exchanges of its own. All three
+    stages are hash-deterministic, so re-running the export after a
+    lost-partition recompute reproduces byte-identical shards AND
+    manifest."""
+    sampled = token_budget_sample(
+        df,
+        group_col,
+        budgets,
+        default_budget=default_budget,
+        id_col=key_col,
+        text_col=text_col,
+        seed=seed,
+    )
+    shards = shuffle_shards(sampled, key_col, n_shards, seed)
+    manifest = shard_manifest(sampled, key_col, text_col, n_shards, seed)
+    return shards, manifest

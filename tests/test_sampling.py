@@ -362,3 +362,27 @@ def test_shard_manifest_matches_shuffle_shards_assignment(spark):
             for r in shuffle_shards(df, "doc_id", 8, seed=3)
             .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert man == real
+
+
+def test_export_corpus_shards_match_manifest(spark):
+    from hdk_spark.operators.sampling import export_corpus
+
+    rows = [(i, ["en", "de", "fr"][i % 3], f"w{i} " * (i % 9 + 1))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+    shards, manifest = export_corpus(
+        df, "lang", {"en": 150, "de": 80}, n_shards=4, default_budget=60
+    )
+    real = {
+        r["shard"]: (r["n"], r["ks"])
+        for r in shards.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("ks")
+        ).collect()
+    }
+    man = {r["shard"]: (r["n_docs"], r["key_sum"]) for r in manifest.collect()}
+    assert man == real  # the manifest describes exactly the written shards
+    # shard_pos is dense per shard (write-ready order)
+    pos = shards.groupBy("shard").agg(
+        F.max("shard_pos").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert all(r["mx"] == r["n"] - 1 for r in pos)
