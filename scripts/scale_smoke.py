@@ -206,6 +206,43 @@ def main() -> None:
             lambda: domain_boilerplate_removal(lined), n=1))
         return
 
+    if "--r8" in sys.argv:
+        # round-8 operators at 10× (500k docs)
+        from hdk_spark.operators.graph import page_rank
+        from hdk_spark.operators.sampling import shard_manifest
+        from hdk_spark.operators.web import link_graph
+
+        docs = spark.table("documents")
+        d = F.col("doc_id")
+        n_dom = 20_000
+        a = F.concat(F.lit("site"), ((d * 2 + 1) % n_dom).cast("string"),
+                     F.lit(".com"))
+        b = F.concat(F.lit("site"), ((d * 3 + 2) % n_dom).cast("string"),
+                     F.lit(".com"))
+        html = F.concat(
+            F.lit('<html><body><a href="http://'), a,
+            F.lit('/x">1</a><a href="https://'), b, F.lit('/y">2</a>'),
+            F.lit("</body></html>"),
+        )
+        url = F.concat(F.lit("http://site"), (d % n_dom).cast("string"),
+                       F.lit(".com/p/"), d.cast("string"))
+        pages = docs.select("doc_id", url.alias("url"), html.alias("html"))
+        t0 = time.perf_counter()
+        edges = link_graph(pages).persist()
+        n_edges = edges.count()
+        print("link_graph_500k_pages:", round(time.perf_counter() - t0, 2),
+              " edges:", n_edges)
+        t0 = time.perf_counter()
+        page_rank(
+            edges.select(F.col("src_domain").alias("src"),
+                         F.col("dst_domain").alias("dst"), "n_links"),
+            iters=3, weight="n_links",
+        ).write.format("noop").mode("overwrite").save()
+        print("pagerank_3it_weighted:", round(time.perf_counter() - t0, 2))
+        print("shard_manifest_1024:", best(
+            lambda: shard_manifest(docs, n_shards=1024), n=1))
+        return
+
     Q5 = """SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
