@@ -168,3 +168,36 @@ def test_link_graph_single_exchange_plan(spark):
     )
     p = link_graph(df)._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") == 1 and "Join" not in p
+
+
+def test_extract_links_fuzz_matches_python_twin(spark):
+    """Random tag soup through extract_links vs a Python re twin of
+    the same pattern — pins Java/RE2-subset parity and totality on
+    junk beyond the planted contract forms."""
+    import random
+    import re
+
+    rng = random.Random(99)
+    pat = re.compile(
+        r'(?is)<a\b[^>]*?href\s*=\s*["\']([^"\']*)["\']'
+    )
+    pieces = [
+        '<a href="http://s{}.com/p">x</a>', "<A HREF='/rel{}'>y</A>",
+        '<a href = "q{}">z</a>', '<a name="n{}">plain</a>',
+        '<a href={}>unquoted</a>', "text {} <b>bold</b>", "<<<>{}>",
+        '<img src="i{}.png">', '<a class="c" href="#f{}">frag</a>',
+        "<a\nhref=\"nl{}\">nl</a>", "&amp;{}", '"{}\'',
+    ]
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 8)
+        rows.append(
+            (i, "".join(rng.choice(pieces).format(rng.randint(0, 99))
+                        for _ in range(n)))
+        )
+    df = spark.createDataFrame(rows, "doc_id: long, html: string")
+    from hdk_spark.operators.html import extract_links
+
+    got = {r["doc_id"]: r["links"] for r in extract_links(df).collect()}
+    for i, html in rows:
+        assert got[i] == pat.findall(html), (i, html)
