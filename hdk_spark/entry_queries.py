@@ -8477,3 +8477,51 @@ FROM s GROUP BY 1 ORDER BY 1
 
 SPARK_IMPLS["sample_export_pipeline"] = q_sample_export_pipeline
 ORACLES["sample_export_pipeline"] = _export_pipeline_oracle()
+
+
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan (operators/layout.py::compaction_bins) over a
+    planted file listing: per-partition path-ordered cumulative-size
+    binning at a 1 MB target — the oracle replays the window
+    arithmetic, pinning the never-split / idempotent-replan
+    contract."""
+    from hdk_spark.operators.layout import compaction_bins
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    listing = spark.table("documents").select(
+        F.concat(F.lit("dt="), (d % 7).cast("string")).alias("part"),
+        F.concat(
+            F.lit("dt="), (d % 7).cast("string"), F.lit("/f"),
+            F.lpad(d.cast("string"), 6, "0"), F.lit(".parquet"),
+        ).alias("path"),
+        ((d % 97) * 4096 + 1024).alias("size_bytes"),
+    )
+    return compaction_bins(
+        listing, target_bytes=1 << 20, partition_col="part"
+    ).orderBy("part", "path")
+
+
+_COMPACTION_ORACLE = """
+WITH listing AS (
+  SELECT 'dt=' || CAST(doc_id % 7 AS VARCHAR) AS part,
+         'dt=' || CAST(doc_id % 7 AS VARCHAR) || '/f'
+           || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.parquet' AS path,
+         (doc_id % 97) * 4096 + 1024 AS size_bytes
+  FROM documents
+), c AS (
+  SELECT part, path, size_bytes,
+         COALESCE(SUM(size_bytes) OVER (
+           PARTITION BY part ORDER BY path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 1048576 AS bin
+  FROM listing
+)
+SELECT part, path, size_bytes, CAST(bin AS BIGINT) AS bin,
+       CAST(row_number() OVER (
+         PARTITION BY part, bin ORDER BY path) - 1 AS BIGINT) AS bin_pos
+FROM c ORDER BY part, path
+"""
+
+SPARK_IMPLS["layout_compaction"] = q_layout_compaction
+ORACLES["layout_compaction"] = _COMPACTION_ORACLE

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "zorder_by", "zorder_sql"]
+__all__ = ["zorder_key", "zorder_by", "zorder_sql", "compaction_bins"]
 
 
 def _scaled(col: Column, lo: float, hi: float, bits: int) -> Column:
@@ -136,3 +136,57 @@ def zorder_sql(
         for j, s in enumerate(scaled):
             terms.append(f"(((({s}) >> {i}) & 1) << {i * k + j})")
     return "(" + " + ".join(terms) + ")"
+
+
+def compaction_bins(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    path_col: str = "path",
+    target_bytes: int = 128 << 20,
+    partition_col: "str | None" = None,
+) -> DataFrame:
+    """Deterministic compaction plan for a small-file table — the
+    streaming-ingest failure mode at scale (per-batch writers leave
+    thousands of KB-sized parquet files; scan throughput dies on
+    footer overhead and task-per-file scheduling). Input is a file
+    listing (path, size[, partition]); output adds ``bin`` — files
+    sharing a bin are rewritten into one output file — and
+    ``bin_pos`` (0-based order within the bin).
+
+    Binning is cumulative: files are ordered by path within their
+    table partition and ``bin = cum_bytes_before div target_bytes``,
+    so every bin's total is < target_bytes + one file (files are
+    never split — the token_budget_sample rule applied to bytes) and
+    the plan is a pure function of the listing: re-running a crashed
+    compaction job re-derives the IDENTICAL plan, so already-written
+    bins are safely idempotent.
+
+    Scale shape: a file LISTING is metadata-sized (one row per file,
+    not per record), so the one window per partition key is cheap by
+    construction; partitioned tables parallelize across
+    ``partition_col``. The heavy lifting — the actual rewrite — is
+    ``spark.read.parquet(paths_of_bin).coalesce(1).write``, embarrass-
+    ingly parallel across bins.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    keys = [partition_col] if partition_col is not None else []
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(path_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(
+        F.sum(F.col(size_col).cast("long")).over(w), F.lit(0)
+    )
+    binned = (
+        files.select("*", cum.alias("__cum"))
+        .select("*", F.expr(f"__cum DIV {int(target_bytes)}").alias("bin"))
+        .drop("__cum")
+    )
+    w_pos = Window.partitionBy(*keys, "bin").orderBy(path_col)
+    return binned.select(
+        "*", (F.row_number().over(w_pos) - 1).cast("long").alias("bin_pos")
+    )

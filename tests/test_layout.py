@@ -153,3 +153,52 @@ def test_facade_zorder_write_tightens_file_stats(spark, tmp_path):
 
     with pytest.raises(ValueError):
         res.to_parquet(out, zorder=["x"], bucket_by=(4, ["x"]))
+
+
+def test_compaction_bins_never_split_and_bounded(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.layout import compaction_bins
+
+    rows = [(f"f{i:03d}", s) for i, s in enumerate(
+        [500, 300, 300, 900, 100, 100, 100, 100, 2000, 50])]
+    df = spark.createDataFrame(rows, "path: string, size_bytes: long")
+    out = compaction_bins(df, target_bytes=1000).collect()
+    by_bin = {}
+    for r in sorted(out, key=lambda r: r["path"]):
+        by_bin.setdefault(r["bin"], []).append(r["size_bytes"])
+    # cumulative rule bin = cum_before // target, files never split:
+    # cum_before = 0,500,800,1100,2000,2100,...,2400,4400
+    assert by_bin == {
+        0: [500, 300, 300],
+        1: [900],
+        2: [100, 100, 100, 100, 2000],
+        4: [50],  # the oversize file skips bin 3 entirely — correct:
+                  # a bin is a byte RANGE of the cumulative stream
+    }
+    with pytest.raises(ValueError):
+        compaction_bins(df, target_bytes=0)
+
+
+def test_compaction_bins_idempotent_replan_and_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.layout import compaction_bins
+
+    rows = [(f"p{i % 3}", f"p{i % 3}/f{i:04d}", (i * 37) % 700 + 1)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "part: string, path: string, size_bytes: long")
+    a = sorted(map(tuple, compaction_bins(
+        df, target_bytes=2000, partition_col="part").collect()))
+    b = sorted(map(tuple, compaction_bins(
+        df.repartition(7), target_bytes=2000, partition_col="part").collect()))
+    assert a == b
+    # bins are per-partition: bin 0 exists in every partition
+    assert {t[0] for t in a if t[3] == 0} == {"p0", "p1", "p2"}
+    # bin totals bounded by target + one file
+    import collections
+    tot = collections.Counter()
+    for part, path, size, bin_, pos in a:
+        tot[(part, bin_)] += size
+    assert all(v < 2000 + 700 for v in tot.values())
