@@ -8525,3 +8525,60 @@ FROM c ORDER BY part, path
 
 SPARK_IMPLS["layout_compaction"] = q_layout_compaction
 ORACLES["layout_compaction"] = _COMPACTION_ORACLE
+
+
+def q_web_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-rule robots.txt directives
+    (operators/web.py::robots_directives) over 17 planted per-domain
+    files: even domains declare a * Crawl-delay equal to their index
+    plus a bot-group delay of 99 that must be IGNORED, and two
+    file-scoped Sitemap lines (one under the bot group — still
+    counts, RFC 9309 §2.3); domain 4 writes a fractional delay
+    (floors); domain 8 writes two * delays (max wins); odd domains
+    declare none. Every value is derived INDEPENDENTLY by the oracle
+    from the planting arithmetic. Arrays are emitted joined so the
+    compare is type-stable."""
+    from hdk_spark.operators.web import robots_directives
+
+    _tables(spark, sf_dir)
+    i = F.col("id")
+    dom = F.concat(F.lit("site"), i.cast("string"), F.lit(".com"))
+    delay_line = F.when(
+        i == 4, F.lit("Crawl-delay: 4.5 # fractional\n")
+    ).when(
+        i == 8, F.lit("Crawl-delay: 3\nCrawl-delay: 8\n")
+    ).otherwise(F.concat(F.lit("Crawl-delay: "), i.cast("string"), F.lit("\n")))
+    even = F.concat(
+        F.lit("User-agent: *\n"), delay_line,
+        F.lit("Sitemap: https://"), dom, F.lit("/sm1.xml\n"),
+        F.lit("User-agent: bot\nCrawl-delay: 99\n"),
+        F.lit("Sitemap: https://"), dom, F.lit("/sm2.xml\n"),
+    )
+    odd = F.lit("User-agent: *\nDisallow: /x\n")
+    robots = spark.range(17).select(
+        dom.alias("reg_domain"),
+        F.when(i % 2 == 0, even).otherwise(odd).alias("robots_txt"),
+    )
+    out = robots_directives(robots)
+    return out.select(
+        "domain", "crawl_delay_s",
+        F.array_join("sitemaps", ",").alias("sitemaps_joined"),
+    ).orderBy("domain")
+
+
+_ROBOTS_DIRECTIVES_ORACLE = """
+WITH d AS (SELECT range AS i FROM range(17))
+SELECT 'site' || CAST(i AS VARCHAR) || '.com' AS domain,
+       CASE WHEN i % 2 = 1 THEN NULL
+            WHEN i = 4 THEN 4
+            WHEN i = 8 THEN 8
+            ELSE i END AS crawl_delay_s,
+       CASE WHEN i % 2 = 1 THEN ''
+            ELSE 'https://site' || CAST(i AS VARCHAR) || '.com/sm1.xml,'
+                 || 'https://site' || CAST(i AS VARCHAR) || '.com/sm2.xml'
+       END AS sitemaps_joined
+FROM d ORDER BY domain
+"""
+
+SPARK_IMPLS["web_robots_directives"] = q_web_robots_directives
+ORACLES["web_robots_directives"] = _ROBOTS_DIRECTIVES_ORACLE

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe", "link_graph", "crawl_frontier"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe", "link_graph", "crawl_frontier", "robots_directives"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -709,4 +709,73 @@ def crawl_frontier(
     )
     return feats.join(auth, "reg_domain", "left").withColumn(
         "priority", F.coalesce(F.col("priority"), F.lit(0)).cast("long")
+    )
+
+
+def robots_directives(
+    df: DataFrame,
+    domain_col: str = "reg_domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-domain non-rule robots.txt directives the frontier
+    scheduler consumes: ``crawl_delay_s`` (the ``Crawl-delay:`` of the
+    ``*`` agent group — integer seconds; NULL when absent or
+    unparseable, meaning no rate constraint declared) and ``sitemaps``
+    (every ``Sitemap:`` URL in file order — RFC 9309 §2.3 scopes
+    Sitemap lines to the whole file, not an agent group).
+
+    Same parse discipline as :func:`parse_robots` (line explode,
+    comment strip, running last-agent window); one extra tiny
+    per-domain aggregate. Non-integer Crawl-delay values (some sites
+    write fractions) floor via the leading-digits extract; a domain
+    with several * Crawl-delay lines keeps the MAX (the conservative
+    politeness choice, deterministic)."""
+    from pyspark.sql.window import Window
+
+    lines = F.split(F.col(robots_col), r"\r?\n")
+    staged = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(lines).alias("pos", "__raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("__raw", r"#.*$", "")).alias("__line"),
+    )
+    kind = F.lower(F.regexp_extract("__line", r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract("__line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    parsed = staged.select(
+        "domain", "pos", kind.alias("kind"), value.alias("value")
+    ).filter(
+        F.col("kind").isin("user-agent", "crawl-delay", "sitemap")
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    agent = F.last(
+        F.when(F.col("kind") == "user-agent", F.lower(F.col("value"))),
+        ignorenulls=True,
+    ).over(w)
+    tagged = parsed.withColumn("agent", agent)
+    delay = F.when(
+        (F.col("kind") == "crawl-delay") & (F.col("agent") == "*"),
+        F.regexp_extract("value", r"^(\d+)", 1).cast("long"),
+    )
+    sitemap = F.when(
+        (F.col("kind") == "sitemap") & (F.col("value") != ""),
+        F.col("value"),
+    )
+    return tagged.groupBy("domain").agg(
+        F.max(delay).alias("crawl_delay_s"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), sitemap.alias("u")))
+        ).alias("__sm"),
+    ).select(
+        "domain",
+        "crawl_delay_s",
+        F.filter(
+            F.transform(F.col("__sm"), lambda s: s["u"]),
+            lambda u: u.isNotNull(),
+        ).alias("sitemaps"),
     )

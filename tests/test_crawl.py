@@ -249,3 +249,29 @@ def test_crawl_frontier_drop_seen_and_priorities(spark):
         cands, arr, authority, m_bits=1 << 16, drop_seen=False
     )
     assert kept_all.count() == 3 and "maybe_seen" in kept_all.columns
+
+
+def test_robots_directives_parsing(spark):
+    from hdk_spark.operators.web import robots_directives
+
+    rows = [
+        # * group delay; bot group delay ignored; sitemaps file-scoped
+        ("a.com", "User-agent: *\nCrawl-delay: 4\n"
+                  "Sitemap: https://a.com/s1.xml\n"
+                  "User-agent: bot\nCrawl-delay: 99\n"
+                  "Sitemap: https://a.com/s2.xml\n"),
+        # fractional floors; two * delays keep max; comment stripped
+        ("b.com", "User-agent: *\nCrawl-delay: 2.5 # slow\n"
+                  "User-agent: *\nCrawl-delay: 7\n"),
+        # no directives at all
+        ("c.com", "User-agent: *\nDisallow: /x\n"),
+        # crawl-delay before any user-agent line: agent NULL -> ignored
+        ("d.com", "Crawl-delay: 9\nUser-agent: *\nDisallow: /\n"),
+    ]
+    df = spark.createDataFrame(rows, "reg_domain: string, robots_txt: string")
+    got = {r["domain"]: (r["crawl_delay_s"], r["sitemaps"])
+           for r in robots_directives(df).collect()}
+    assert got["a.com"] == (4, ["https://a.com/s1.xml", "https://a.com/s2.xml"])
+    assert got["b.com"] == (7, [])
+    assert got["c.com"] == (None, [])
+    assert got["d.com"] == (None, [])
