@@ -638,8 +638,11 @@ def link_graph(
     """
     from hdk_spark.operators.html import _href_targets
 
+    # both endpoints lowercase BEFORE domain extraction: hosts are
+    # case-insensitive and a mixed-case page URL must not produce a
+    # differently-cased edge endpoint than the same host as a target
     ex = df.select(
-        _reg_domain(F.col(url_col)).alias("src_domain"),
+        _reg_domain(F.lower(F.col(url_col))).alias("src_domain"),
         F.explode(_href_targets(F.coalesce(F.col(html_col), F.lit("")))).alias(
             "__target"
         ),

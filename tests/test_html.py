@@ -201,3 +201,17 @@ def test_extract_links_fuzz_matches_python_twin(spark):
     got = {r["doc_id"]: r["links"] for r in extract_links(df).collect()}
     for i, html in rows:
         assert got[i] == pat.findall(html), (i, html)
+
+
+def test_link_graph_case_insensitive_endpoints(spark):
+    from hdk_spark.operators.web import link_graph
+
+    rows = [
+        (1, "http://A.COM/p", '<a href="http://b.com/1">x</a>'),
+        (2, "http://b.com/p", '<a href="HTTP://a.com/2">y</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, html: string")
+    got = sorted(
+        (r["src_domain"], r["dst_domain"]) for r in link_graph(df).collect()
+    )
+    assert got == [("a.com", "b.com"), ("b.com", "a.com")]
