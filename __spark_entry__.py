@@ -314,57 +314,32 @@ def entry(spark: SparkSession) -> DataFrame:
 #      boundary was re-verified in round 3 or 4.
 _PRIORITY: list[str] = [
     # never checked
-    "dedup_window_decontam",
-    "dedup_window_decontam_bloom",
-    "text_scorer_train",
-    "text_lang_id",
-    "multimodal_progressive",
-    "text_scorer_score",
-    "dedup_window_decontam_remove",
-    "web_url_canonical_dedup",
-    "web_domain_cap",
-    "html_extract",
-    "text_ccnet_buckets",
-    "web_domain_boilerplate",
-    "warc_parse",
-    "web_robots_filter",
-    "chat_lint",
-    "profile_dataset_report",
-    "chat_preference_lint",
+    "dedup_semantic",
+    "text_trigram_logprob",
+    "text_ccnet_buckets_lm3",
+    "text_lang_id_train",
+    "text_lang_id_trained",
+    "crawl_pipeline",
+    "crawl_pipeline_stages",
+    "bpe_train_merges",
+    "bpe_encode_roundtrip",
+    "text_trigram_cross",
+    "crawl_pipeline_capped",
+    "streaming_crawl_ingest",
+    "web_url_seen_bloom",
+    "text_fix_encoding",
+    "sample_token_budget",
+    "dedup_pipeline",
+    "html_links",
+    "web_link_graph",
+    "graph_pagerank",
+    "temporal_retention",
+    "sample_shard_manifest",
+    "web_crawl_frontier",
+    "sample_export_pipeline",
+    "layout_compaction",
+    "web_robots_directives",
     # stable greens
-    "union_all_parties",
-    "window_analytics",
-    "window_explicit_frames",
-    "window_rank_orders",
-    "window_running_sum",
-    "agg_moments",
-    "agg_quantile_modes",
-    "agg_sample_single_value",
-    "array_item_cardinality",
-    "array_unnest",
-    "case_in_bucketize",
-    "cast_matrix",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "expr_bitwise_div",
-    "expr_math_funcs",
-    "expr_null_safe_in",
-    "expr_width_bucket_sample",
-    "geo_distance",
-    "join_left_nulls",
-    "lateral_topn_per_group",
-    "multimodal_decode",
-    "pivot_event_types",
-    "set_except_customers",
-    "set_intersect_customers",
-    "set_union_distinct",
-    "similarity_cosine_topk",
-    "streaming_dedup_counts",
-    "string_like_regex",
-    "text_profile",
-    "unpivot_measures",
-    "values_literal",
     "array_construct",
     "date_add_diff",
     "date_current_bounds",
@@ -503,7 +478,58 @@ _PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
     "union_all_nary",
+    "agg_moments",
+    "agg_quantile_modes",
+    "agg_sample_single_value",
+    "array_item_cardinality",
+    "array_unnest",
+    "case_in_bucketize",
+    "cast_matrix",
+    "chat_lint",
+    "chat_preference_lint",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_window_decontam",
+    "dedup_window_decontam_bloom",
+    "dedup_window_decontam_remove",
+    "expr_bitwise_div",
+    "expr_math_funcs",
+    "expr_null_safe_in",
+    "expr_width_bucket_sample",
+    "geo_distance",
+    "html_extract",
+    "join_left_nulls",
+    "lateral_topn_per_group",
+    "multimodal_decode",
+    "multimodal_progressive",
+    "pivot_event_types",
+    "profile_dataset_report",
+    "set_except_customers",
+    "set_intersect_customers",
+    "set_union_distinct",
+    "similarity_cosine_topk",
+    "streaming_dedup_counts",
+    "string_like_regex",
+    "text_ccnet_buckets",
+    "text_lang_id",
+    "text_profile",
+    "text_scorer_score",
+    "text_scorer_train",
+    "union_all_parties",
+    "unpivot_measures",
+    "values_literal",
+    "warc_parse",
+    "web_domain_boilerplate",
+    "web_domain_cap",
+    "web_robots_filter",
+    "web_url_canonical_dedup",
+    "window_analytics",
+    "window_explicit_frames",
+    "window_rank_orders",
+    "window_running_sum",
 ]
+
 
 
 def _reorder(registry: dict[str, object]) -> dict[str, object]:

@@ -258,8 +258,8 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r8: no headline-path changes (round adds 19 "
-                "contract rows, 188->207: composed "
+                "notes": "r8: no headline-path changes (round adds 25 "
+                "contract rows, 188->213: composed "
                 "crawl_pipeline/stages/capped, "
                 "interpolated trigram LM self+cross + ccnet lm3, "
                 "trained softmax lang-ID train+apply, BPE "
@@ -269,7 +269,10 @@ def main() -> None:
                 "(exact->Jaccard->SemDedup, per-stage checksums), "
                 "encoding repair, token-budget mixture sampling, "
                 "href extraction + host link graph + integer "
-                "PageRank; plus ADVICE r7 fixes; r7 itself shipped "
+                "PageRank (weighted), composed dedup cascade + "
+                "crawl-frontier scheduler + training-export "
+                "pipeline, cohort retention, shard manifest, "
+                "compaction planner, robots directives; plus ADVICE r7 fixes; r7 itself shipped "
                 "only the r6 defect fixes — its notes string "
                 "over-claimed, corrected in r8); >2x-swing anomaly "
                 "re-runs execute IMMEDIATELY after the query's first "
