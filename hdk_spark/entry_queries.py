@@ -8582,3 +8582,59 @@ FROM d ORDER BY domain
 
 SPARK_IMPLS["web_robots_directives"] = q_web_robots_directives
 ORACLES["web_robots_directives"] = _ROBOTS_DIRECTIVES_ORACLE
+
+
+def q_stats_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/stats.py::annotator_agreement) over
+    two planted annotator label columns: annotator A labels
+    doc_id%5; annotator B agrees except at doc_id%7==0 (shifts one
+    class) and abstains (NULL) at doc_id%11==0. The oracle recomputes
+    the integer confusion counts and the single-divide po/pe/kappa
+    from the same planting arithmetic."""
+    from hdk_spark.operators.stats import annotator_agreement
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    labeled = spark.table("documents").select(
+        (d % 5).cast("string").alias("ann_a"),
+        F.when(d % 11 == 0, F.lit(None).cast("string")).otherwise(
+            F.when(d % 7 == 0, ((d + 1) % 5).cast("string"))
+            .otherwise((d % 5).cast("string"))
+        ).alias("ann_b"),
+    )
+    return annotator_agreement(labeled, "ann_a", "ann_b")
+
+
+_AGREEMENT_ORACLE = """
+WITH lab AS (
+  SELECT CAST(doc_id % 5 AS VARCHAR) AS a,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 7 = 0 THEN CAST((doc_id + 1) % 5 AS VARCHAR)
+              ELSE CAST(doc_id % 5 AS VARCHAR) END AS b
+  FROM documents
+), p AS (
+  SELECT a, b, COUNT(*) AS c FROM lab WHERE b IS NOT NULL GROUP BY a, b
+), t AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM p
+), rm AS (SELECT a AS cls, SUM(c) AS r FROM p GROUP BY a),
+cm AS (SELECT b AS cls, SUM(c) AS k FROM p GROUP BY b),
+rc AS (
+  SELECT CAST(COALESCE(SUM(r * k), 0) AS BIGINT) AS rc
+  FROM rm JOIN cm USING (cls)
+), nc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes FROM (
+    SELECT a AS cls FROM p UNION SELECT b FROM p)
+)
+SELECT t.n AS n_items, nc.n_classes,
+       round(CAST(t.diag AS DOUBLE) / t.n, 6) + 0 AS po,
+       round(CAST(rc.rc AS DOUBLE) / (t.n * t.n), 6) + 0 AS pe,
+       round(CASE WHEN t.n * t.n <> rc.rc
+             THEN CAST(t.n * t.diag - rc.rc AS DOUBLE) / (t.n * t.n - rc.rc)
+             END, 6) + 0 AS kappa
+FROM t, rc, nc
+"""
+
+SPARK_IMPLS["stats_agreement"] = q_stats_agreement
+ORACLES["stats_agreement"] = _AGREEMENT_ORACLE

@@ -36,6 +36,7 @@ __all__ = [
     "embedding_covariance",
     "group_mad",
     "group_mode",
+    "annotator_agreement",
 ]
 
 
@@ -317,4 +318,74 @@ def group_mode(
         counts.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(F.col("grp").alias(group_col), "mode_value", "n_mode")
+    )
+
+
+def annotator_agreement(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two annotator label columns — the label-
+    quality gate of an SFT/preference dataset (beyond-reference; cf.
+    Cohen 1960): one row (n_items, n_classes, po, pe, kappa), where po
+    is observed agreement, pe chance agreement from the two marginals,
+    and kappa = (po − pe) / (1 − pe). Rows where either label is NULL
+    are excluded (un-annotated items aren't agreement evidence).
+
+    Exact-arithmetic discipline: all counts are integers; po, pe and
+    kappa each divide ONCE and emit through round6 (the repo's
+    rounded-double convention — both engines feed the divides
+    identical integers). kappa uses the integer identity
+    (po − pe)/(1 − pe) = (n·Σdiag − Σ row_c·col_c)/(n² − Σ row_c·col_c)
+    — a single integer-ratio divide, no compounding float error; NULL
+    when pe = 1 (both annotators constant and identical — agreement is
+    undefined there, not perfect).
+
+    Scale shape: ONE partial-agg groupBy on the (a, b) label pair —
+    the corpus is read once and collapses to a classes²-sized
+    relation; marginals, the Σ row·col join, and the class count all
+    run on that tiny relation (broadcast combines).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    pairs = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from hdk_spark.functions.scalar import round6
+
+    totals = pairs.agg(
+        F.sum("__c").cast("long").alias("n_items"),
+        F.sum(
+            F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0)
+        ).cast("long").alias("__diag"),
+    )
+    rows_m = pairs.groupBy(F.col("__a").alias("__cls")).agg(
+        F.sum("__c").cast("long").alias("__r")
+    )
+    cols_m = pairs.groupBy(F.col("__b").alias("__cls")).agg(
+        F.sum("__c").cast("long").alias("__k")
+    )
+    rc = rows_m.join(cols_m, "__cls").agg(
+        F.coalesce(F.sum(F.col("__r") * F.col("__k")), F.lit(0))
+        .cast("long").alias("__rc")
+    )
+    n_classes = (
+        pairs.select(F.col("__a").alias("__cls"))
+        .union(pairs.select("__b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+    )
+    base = (
+        totals.crossJoin(F.broadcast(rc)).crossJoin(F.broadcast(n_classes))
+    )
+    n, diag, rc_ = F.col("n_items"), F.col("__diag"), F.col("__rc")
+    kappa = F.when(n * n != rc_, (n * diag - rc_) / (n * n - rc_))
+    return base.select(
+        "n_items",
+        "n_classes",
+        round6(diag / n).alias("po"),
+        round6(rc_ / (n * n)).alias("pe"),
+        round6(kappa).alias("kappa"),
     )

@@ -699,3 +699,45 @@ def test_fix_text_map_only(spark):
     p = fix_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "Python" not in p
+
+
+# ---------------------------------------------------------------------------
+# annotator_agreement (stats.py)
+# ---------------------------------------------------------------------------
+
+def test_annotator_agreement_hand_computed(spark):
+    from hdk_spark.operators.stats import annotator_agreement
+
+    # confusion matrix (classic kappa example): 20 yes/yes, 5 yes/no,
+    # 10 no/yes, 15 no/no -> n=50, po=0.7, pe=(25*30 + 25*20)/2500=0.5,
+    # kappa=0.4
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+        + [("y", None)] * 3  # abstentions excluded
+    )
+    df = spark.createDataFrame(rows, "a: string, b: string")
+    [r] = annotator_agreement(df, "a", "b").collect()
+    assert (r["n_items"], r["n_classes"]) == (50, 2)
+    assert (r["po"], r["pe"], r["kappa"]) == (0.7, 0.5, 0.4)
+
+
+def test_annotator_agreement_degenerate_cases(spark):
+    from hdk_spark.operators.stats import annotator_agreement
+
+    # perfect agreement on 2+ classes: kappa = 1
+    df = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 2, "a: string, b: string"
+    )
+    [r] = annotator_agreement(df, "a", "b").collect()
+    assert r["kappa"] == 1.0
+    # both constant and identical: pe = 1 -> kappa NULL (undefined)
+    df2 = spark.createDataFrame([("a", "a")] * 4, "a: string, b: string")
+    [r2] = annotator_agreement(df2, "a", "b").collect()
+    assert r2["kappa"] is None and r2["po"] == 1.0
+    # disjoint label sets: diag 0, kappa < 0 bounded sanity
+    df3 = spark.createDataFrame(
+        [("a", "b")] * 2 + [("b", "a")] * 2, "a: string, b: string"
+    )
+    [r3] = annotator_agreement(df3, "a", "b").collect()
+    assert r3["po"] == 0.0 and r3["kappa"] < 0
