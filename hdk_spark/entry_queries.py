@@ -8638,3 +8638,60 @@ FROM t, rc, nc
 
 SPARK_IMPLS["stats_agreement"] = q_stats_agreement
 ORACLES["stats_agreement"] = _AGREEMENT_ORACLE
+
+
+def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (operators/exif.py::exif_extract) —
+    header-only, pixels never decoded: ten planted blob classes keyed
+    by doc_id%10 cover both TIFF byte orders (classes 0-3 II, 4-7 MM),
+    orientation/datetime/make/model/GPS-flag variation, a no-EXIF
+    JPEG (class 8) and a truncated APP1 (class 9 — has_exif with all
+    fields NULL, the totality contract). The oracle derives every
+    field from the class arithmetic."""
+    from hdk_spark.operators.exif import build_exif_app1
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    _tables(spark, sf_dir)
+    blobs = []
+    for c in range(8):
+        app1 = build_exif_app1(
+            orientation=c + 1,
+            datetime=f"2024:01:{c + 1:02d} 12:00:00",
+            make=f"Cam{c}",
+            model=f"M{c % 3}",
+            gps=(c % 2 == 0),
+            big_endian=(c >= 4),
+        )
+        blobs.append(b"\xff\xd8" + app1 + b"\xff\xd9")
+    blobs.append(b"\xff\xd8\xff\xd9")  # class 8: no EXIF
+    trunc = build_exif_app1(make="TruncatedMakerName", orientation=3)
+    blobs.append(b"\xff\xd8" + trunc[:16])  # class 9: cut mid-TIFF
+    d = F.col("doc_id")
+    data = F.element_at(
+        F.array(*[F.lit(b) for b in blobs]), (d % 10 + 1).cast("int")
+    )
+    planted = spark.table("documents").select("doc_id", data.alias("data"))
+    from hdk_spark.operators.exif import exif_extract
+
+    return exif_extract(planted).orderBy("doc_id")
+
+
+_EXIF_ORACLE = """
+SELECT doc_id,
+       doc_id % 10 <> 8 AS has_exif,
+       CASE WHEN doc_id % 10 < 8 THEN CAST(doc_id % 10 + 1 AS INTEGER) END
+         AS orientation,
+       CASE WHEN doc_id % 10 < 8 THEN
+         '2024:01:' || lpad(CAST(doc_id % 10 + 1 AS VARCHAR), 2, '0')
+           || ' 12:00:00' END AS datetime,
+       CASE WHEN doc_id % 10 < 8 THEN 'Cam' || CAST(doc_id % 10 AS VARCHAR)
+         END AS make,
+       CASE WHEN doc_id % 10 < 8 THEN 'M' || CAST(doc_id % 10 % 3 AS VARCHAR)
+         END AS model,
+       doc_id % 10 < 8 AND doc_id % 10 % 2 = 0 AS has_gps
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["multimodal_exif"] = q_multimodal_exif
+ORACLES["multimodal_exif"] = _EXIF_ORACLE

@@ -443,3 +443,57 @@ def test_progressive_probe_known_payload(spark):
         assert r["pix_md5"] == hashlib.md5(bytes([g]) * (w * h)).hexdigest()
     with _pytest.raises(ValueError, match="quality"):
         progressive_probe(df, quality=50)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (operators/exif.py)
+# ---------------------------------------------------------------------------
+
+def test_exif_roundtrip_both_endians():
+    from hdk_spark.operators.exif import build_exif_app1, parse_exif
+
+    for be in (False, True):
+        app1 = build_exif_app1(
+            orientation=6, datetime="2024:01:05 10:00:00",
+            make="CamX", model="M2", gps=True, big_endian=be,
+        )
+        got = parse_exif(b"\xff\xd8" + app1 + b"\xff\xd9")
+        assert got == {
+            "has_exif": True, "orientation": 6,
+            "datetime": "2024:01:05 10:00:00", "make": "CamX",
+            "model": "M2", "has_gps": True,
+        }, be
+
+
+def test_exif_totality_on_junk():
+    from hdk_spark.operators.exif import build_exif_app1, parse_exif
+
+    assert parse_exif(b"") == parse_exif(None) == {
+        "has_exif": False, "orientation": None, "datetime": None,
+        "make": None, "model": None, "has_gps": False,
+    }
+    assert not parse_exif(b"not a jpeg")["has_exif"]
+    assert not parse_exif(b"\xff\xd8\xff\xd9")["has_exif"]
+    trunc = build_exif_app1(make="LongCameraMakerName")
+    r = parse_exif(b"\xff\xd8" + trunc[:16])
+    assert r["has_exif"] and r["make"] is None
+    # APP1 that is not Exif (XMP) is skipped, later Exif still found
+    xmp = b"\xff\xe1\x00\x10http://ns.xmp\x00"
+    app1 = build_exif_app1(orientation=2)
+    r2 = parse_exif(b"\xff\xd8" + xmp + app1 + b"\xff\xd9")
+    assert r2["orientation"] == 2
+
+
+def test_exif_extract_header_only_never_decodes(spark):
+    from hdk_spark.operators.exif import build_exif_app1, exif_extract
+
+    # scan data after SOS is GARBAGE — a pass that touched pixels
+    # would fail; the metadata pass must not care
+    app1 = build_exif_app1(orientation=8, make="Cam")
+    blob = (b"\xff\xd8" + app1 + b"\xff\xda\x00\x04\x01\x00"
+            + b"\x99" * 500 + b"\xff\xd9")
+    df = spark.createDataFrame([(1, blob), (2, None)],
+                               "doc_id: long, data: binary")
+    got = {r["doc_id"]: (r["has_exif"], r["orientation"], r["make"])
+           for r in exif_extract(df).collect()}
+    assert got == {1: (True, 8, "Cam"), 2: (False, None, None)}
