@@ -8695,3 +8695,60 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["multimodal_exif"] = q_multimodal_exif
 ORACLES["multimodal_exif"] = _EXIF_ORACLE
+
+
+def q_multimodal_image_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only image size gate
+    (operators/exif.py::image_info_extract) over REAL codec-built
+    blobs: classes 0-1 PNG, 2-3 baseline JPEG, 4 progressive JPEG
+    (all solid-gray, dims from the class arithmetic), class 5 junk
+    bytes — format/width/height/progressive all derived by the oracle
+    from the arithmetic; pixels never decoded."""
+    import numpy as np
+
+    from hdk_spark.operators.exif import image_info_extract
+    from hdk_spark.operators.jpeg import encode_jpeg
+    from hdk_spark.operators.png import encode_png
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    _tables(spark, sf_dir)
+    blobs = []
+    for c in range(5):
+        img = np.full((16 + 4 * c, 32 + 8 * c, 3), 100 + c, dtype=np.uint8)
+        if c < 2:
+            blobs.append(encode_png(img))
+        else:
+            blobs.append(encode_jpeg(img, progressive=(c == 4)))
+    blobs.append(b"not an image at all")
+    d = F.col("doc_id")
+    data = F.element_at(
+        F.array(*[F.lit(b) for b in blobs]), (d % 6 + 1).cast("int")
+    )
+    planted = spark.table("documents").select("doc_id", data.alias("data"))
+    out = image_info_extract(planted)
+    # progressive emits as a nullable INT flag: a boolean NULL
+    # round-trips None-vs-NaN through pandas in the driver compare,
+    # a numeric NULL normalizes (the crawl_delay_s precedent)
+    return out.select(
+        "doc_id", "format", "width", "height",
+        F.col("progressive").cast("int").alias("progressive_flag"),
+    ).orderBy("doc_id")
+
+
+_IMAGE_INFO_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 6 < 2 THEN 'png'
+            WHEN doc_id % 6 < 5 THEN 'jpeg'
+            ELSE 'unknown' END AS format,
+       CASE WHEN doc_id % 6 < 5 THEN CAST(32 + 8 * (doc_id % 6) AS INTEGER)
+            END AS width,
+       CASE WHEN doc_id % 6 < 5 THEN CAST(16 + 4 * (doc_id % 6) AS INTEGER)
+            END AS height,
+       CASE WHEN doc_id % 6 < 5 THEN CAST(doc_id % 6 = 4 AS INTEGER)
+            END AS progressive_flag
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["multimodal_image_info"] = q_multimodal_image_info
+ORACLES["multimodal_image_info"] = _IMAGE_INFO_ORACLE

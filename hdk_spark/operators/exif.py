@@ -33,7 +33,7 @@ import struct
 
 from pyspark.sql import DataFrame
 
-__all__ = ["build_exif_app1", "parse_exif", "exif_extract"]
+__all__ = ["build_exif_app1", "parse_exif", "exif_extract", "image_header_info", "image_info_extract"]
 
 _TAG_MAKE = 0x010F
 _TAG_MODEL = 0x0110
@@ -224,5 +224,77 @@ def exif_extract(
                 columns=[id_col, "has_exif", "orientation", "datetime",
                          "make", "model", "has_gps"],
             )
+
+    return df.select(id_col, data_col).mapInPandas(kernel, schema)
+
+
+def image_header_info(data: bytes) -> dict:
+    """Format + dimensions from image HEADER bytes only — the size
+    gate every image-curation pipeline runs first (drop icons/
+    thumbnails, cap megapixel bombs) and, like :func:`parse_exif`,
+    deliberately decode-free: JPEG dims come from the SOF segment
+    (ITU-T T.81 §B.2.2 — also exposing ``progressive``, SOF2),
+    PNG dims from the IHDR chunk at its spec-fixed offset (RFC 2083
+    §3.1). Returns {format: 'jpeg'|'png'|'unknown', width, height,
+    progressive}; total on junk (unknown/NULLs)."""
+    out = {"format": "unknown", "width": None, "height": None,
+           "progressive": None}
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 8:
+        return out
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        out["format"] = "png"
+        if len(data) >= 24 and data[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", data[16:24])
+            out["width"], out["height"] = w, h
+            out["progressive"] = len(data) > 28 and data[28] == 1  # interlace
+        return out
+    if data[:2] != b"\xff\xd8":
+        return out
+    out["format"] = "jpeg"
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            if marker in (0xD9, 0xDA):
+                break
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= len(data):
+            h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+            out["width"], out["height"] = w, h
+            out["progressive"] = marker == 0xC2
+            break
+        pos += 2 + seglen
+    return out
+
+
+def image_info_extract(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, format, width, height, progressive) from header bytes via
+    one Arrow-batched mapInPandas — the map-only size gate."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, format string, width int, height int, "
+        "progressive boolean"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for key, blob in zip(pdf[id_col], pdf[data_col]):
+                r = image_header_info(
+                    bytes(blob) if blob is not None else b"")
+                recs.append((key, r["format"], r["width"], r["height"],
+                             r["progressive"]))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "format", "width", "height",
+                               "progressive"])
 
     return df.select(id_col, data_col).mapInPandas(kernel, schema)

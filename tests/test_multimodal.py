@@ -497,3 +497,28 @@ def test_exif_extract_header_only_never_decodes(spark):
     got = {r["doc_id"]: (r["has_exif"], r["orientation"], r["make"])
            for r in exif_extract(df).collect()}
     assert got == {1: (True, 8, "Cam"), 2: (False, None, None)}
+
+
+def test_image_header_info_real_codecs_no_decode():
+    import numpy as np
+
+    from hdk_spark.operators.exif import image_header_info
+    from hdk_spark.operators.jpeg import encode_jpeg
+    from hdk_spark.operators.png import encode_png
+
+    img = np.full((24, 40, 3), 128, dtype=np.uint8)
+    assert image_header_info(encode_png(img)) == {
+        "format": "png", "width": 40, "height": 24, "progressive": False}
+    assert image_header_info(encode_jpeg(img)) == {
+        "format": "jpeg", "width": 40, "height": 24, "progressive": False}
+    assert image_header_info(encode_jpeg(img, progressive=True))[
+        "progressive"] is True
+    # truncating AFTER the SOF/IHDR header must not matter — the gate
+    # reads header bytes only
+    png = encode_png(img)
+    assert image_header_info(png[:40])["width"] == 40
+    jpg = encode_jpeg(img)
+    assert image_header_info(jpg[:len(jpg) // 2])["width"] == 40
+    assert image_header_info(b"junk") == {
+        "format": "unknown", "width": None, "height": None,
+        "progressive": None}
