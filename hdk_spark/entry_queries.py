@@ -8752,3 +8752,54 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["multimodal_image_info"] = q_multimodal_image_info
 ORACLES["multimodal_image_info"] = _IMAGE_INFO_ORACLE
+
+
+def q_stats_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/stats.py::fleiss_kappa) over three
+    planted annotators per document (long format via explode):
+    annotator a deviates from the base label d%4 by a+1 classes
+    whenever (d+a)%5==0 — the oracle recomputes A/B and the
+    single-divide po/pe/kappa from the same arithmetic."""
+    from hdk_spark.operators.stats import fleiss_kappa
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    a = F.col("a")
+    ann = spark.table("documents").select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("a")
+    ).select(
+        "doc_id",
+        ((d + F.when((d + a) % 5 == 0, a + 1).otherwise(0)) % 4)
+        .cast("string").alias("label"),
+    )
+    return fleiss_kappa(ann, "doc_id", "label")
+
+
+_FLEISS_ORACLE = """
+WITH ann AS (
+  SELECT doc_id AS i,
+         CAST((doc_id + CASE WHEN (doc_id + t.a) % 5 = 0 THEN t.a + 1
+                             ELSE 0 END) % 4 AS VARCHAR) AS l
+  FROM documents, (VALUES (0), (1), (2)) t(a)
+), nij AS (
+  SELECT i, l, COUNT(*) AS n FROM ann GROUP BY 1, 2
+), tot AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS N FROM nij),
+asum AS (
+  SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS A,
+         CAST(COUNT(DISTINCT l) AS BIGINT) AS k
+  FROM nij
+), bsum AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS B
+  FROM (SELECT l, SUM(n) AS c FROM nij GROUP BY l)
+)
+SELECT N AS n_items, k AS n_classes, CAST(3 AS BIGINT) AS n_raters,
+       round(CAST(A AS DOUBLE) / (N * 3 * 2), 6) + 0 AS po,
+       round(CAST(B AS DOUBLE) / (CAST(N * 3 AS DOUBLE) * (N * 3)), 6) + 0 AS pe,
+       round(CAST(A * (N * 3) * (N * 3) - B * (N * 6) AS DOUBLE)
+             / (CAST(N * 6 AS DOUBLE) * ((N * 3) * (N * 3) - B)), 6) + 0 AS kappa,
+       TRUE AS m_constant
+FROM tot, asum, bsum
+"""
+
+SPARK_IMPLS["stats_fleiss"] = q_stats_fleiss
+ORACLES["stats_fleiss"] = _FLEISS_ORACLE

@@ -37,6 +37,7 @@ __all__ = [
     "group_mad",
     "group_mode",
     "annotator_agreement",
+    "fleiss_kappa",
 ]
 
 
@@ -388,4 +389,79 @@ def annotator_agreement(
         round6(diag / n).alias("po"),
         round6(rc_ / (n * n)).alias("pe"),
         round6(kappa).alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Fleiss' kappa over LONG-format annotations (one row per
+    (item, annotation); Fleiss 1971) — the >2-annotator companion of
+    :func:`annotator_agreement`. One output row:
+    (n_items, n_classes, n_raters, po, pe, kappa, m_constant).
+
+    Fleiss' formula assumes every item has the same number of
+    annotations m; ``m_constant`` reports whether the data satisfies
+    that, and po/pe/kappa are NULL when it doesn't (emitting a number
+    from the wrong formula would be worse than abstaining —
+    observability over exceptions, no extra driver action).
+
+    Exact-arithmetic discipline: with A = Σ_ij n_ij(n_ij−1),
+    D = N·m(m−1), B = Σ_j c_j², E = (N·m)²,
+    po = A/D, pe = B/E, kappa = (A·E − B·D) / (D·(E − B)) — integer
+    ratios dividing once, summed/multiplied in DECIMAL(38,0) so c_j²
+    and the cross products can't overflow int64 at corpus scale;
+    NULL kappa when E = B (pe = 1, undefined). NULL labels are
+    excluded like annotator_agreement.
+
+    Scale shape: one partial-agg groupBy on (item, label), one on
+    item (m_i), one label-sized groupBy (c_j) — all map-side
+    combinable; the combine is a broadcast of three 1-row relations.
+    """
+    item, lab = F.col(item_col), F.col(label_col)
+    nij = (
+        df.filter(lab.isNotNull())
+        .groupBy(item.alias("__i"), lab.alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_item = nij.groupBy("__i").agg(F.sum("__n").alias("__m"))
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.countDistinct("__m").alias("__m_kinds"),
+        F.min("__m").cast("long").alias("__m"),
+    )
+    a_sum = nij.agg(
+        F.sum((F.col("__n") * (F.col("__n") - 1)).cast("decimal(38,0)"))
+        .alias("__A"),
+        F.countDistinct("__l").cast("long").alias("n_classes"),
+    )
+    b_sum = (
+        nij.groupBy("__l").agg(F.sum("__n").cast("decimal(38,0)").alias("__c"))
+        .agg(F.sum(F.col("__c") * F.col("__c")).alias("__B"))
+    )
+    from hdk_spark.functions.scalar import round6
+
+    base = items.crossJoin(F.broadcast(a_sum)).crossJoin(F.broadcast(b_sum))
+    n, m = F.col("n_items").cast("decimal(38,0)"), F.col("__m").cast(
+        "decimal(38,0)")
+    A, B = F.col("__A"), F.col("__B")
+    ok = F.col("__m_kinds") == 1
+    D = (n * m * (F.col("__m") - 1).cast("decimal(38,0)"))
+    E = (n * m) * (n * m)
+    po = F.when(ok & (D > 0), A.cast("double") / D.cast("double"))
+    pe = F.when(ok, B.cast("double") / E.cast("double"))
+    kappa = F.when(
+        ok & (E != B) & (D > 0),
+        (A * E - B * D).cast("double") / (D * (E - B)).cast("double"),
+    )
+    return base.select(
+        "n_items",
+        "n_classes",
+        F.when(ok, F.col("__m")).alias("n_raters"),
+        round6(po).alias("po"),
+        round6(pe).alias("pe"),
+        round6(kappa).alias("kappa"),
+        ok.alias("m_constant"),
     )

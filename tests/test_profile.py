@@ -741,3 +741,29 @@ def test_annotator_agreement_degenerate_cases(spark):
     )
     [r3] = annotator_agreement(df3, "a", "b").collect()
     assert r3["po"] == 0.0 and r3["kappa"] < 0
+
+
+def test_fleiss_kappa_textbook_and_mixed_m(spark):
+    from hdk_spark.operators.stats import fleiss_kappa
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "a"),
+        (2, "a"), (2, "b"), (2, "b"),
+        (3, "b"), (3, "b"), (3, "c"),
+        (4, "a"), (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "item: long, label: string")
+    [r] = fleiss_kappa(df, "item", "label").collect()
+    # hand: per-item Σn(n−1) = 6, 2, 2, 0 → A=10, po=10/(4·3·2)=0.416667;
+    # marginals c = (a:5, b:5, c:2) → B=54, pe=54/144=0.375;
+    # kappa=(po−pe)/(1−pe)=0.066667
+    assert (r["n_items"], r["n_classes"], r["n_raters"]) == (4, 3, 3)
+    assert (r["po"], r["pe"], r["kappa"]) == (0.416667, 0.375, 0.066667)
+    assert r["m_constant"] is True
+
+    [r2] = fleiss_kappa(
+        spark.createDataFrame(rows + [(5, "a")], "item: long, label: string"),
+        "item", "label",
+    ).collect()
+    assert r2["m_constant"] is False
+    assert r2["kappa"] is None and r2["po"] is None and r2["n_raters"] is None
