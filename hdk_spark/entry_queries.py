@@ -8803,3 +8803,53 @@ FROM tot, asum, bsum
 
 SPARK_IMPLS["stats_fleiss"] = q_stats_fleiss
 ORACLES["stats_fleiss"] = _FLEISS_ORACLE
+
+
+def q_stats_label_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote merge (operators/stats.py::label_merge) over the
+    stats_fleiss planting (3 annotators, deterministic deviations) —
+    the oracle replays the vote window with the same
+    most-votes-then-lexicographic rule."""
+    from hdk_spark.operators.stats import label_merge
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    a = F.col("a")
+    ann = spark.table("documents").select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("a")
+    ).select(
+        "doc_id",
+        ((d + F.when((d + a) % 5 == 0, a + 1).otherwise(0)) % 4)
+        .cast("string").alias("label"),
+    )
+    return label_merge(ann, "doc_id", "label").orderBy("doc_id")
+
+
+_LABEL_MERGE_ORACLE = """
+WITH ann AS (
+  SELECT doc_id AS i,
+         CAST((doc_id + CASE WHEN (doc_id + t.a) % 5 = 0 THEN t.a + 1
+                             ELSE 0 END) % 4 AS VARCHAR) AS l
+  FROM documents, (VALUES (0), (1), (2)) t(a)
+), v AS (
+  SELECT i, l, COUNT(*) AS c FROM ann GROUP BY 1, 2
+), r AS (
+  SELECT i, l, c,
+         row_number() OVER (PARTITION BY i ORDER BY c DESC, l ASC) AS rn,
+         SUM(c) OVER (PARTITION BY i) AS n,
+         MAX(c) OVER (PARTITION BY i) AS mx
+  FROM v
+), top AS (
+  SELECT i, COUNT(*) AS top_ct FROM r WHERE c = mx GROUP BY i
+)
+SELECT r.i AS doc_id, r.l AS label,
+       CAST(r.c AS BIGINT) AS votes,
+       CAST(r.n AS BIGINT) AS n_annotations,
+       round(CAST(r.c AS DOUBLE) / r.n, 6) + 0 AS share,
+       top.top_ct > 1 AS tied
+FROM r JOIN top ON r.i = top.i
+WHERE r.rn = 1 ORDER BY doc_id
+"""
+
+SPARK_IMPLS["stats_label_merge"] = q_stats_label_merge
+ORACLES["stats_label_merge"] = _LABEL_MERGE_ORACLE

@@ -38,6 +38,7 @@ __all__ = [
     "group_mode",
     "annotator_agreement",
     "fleiss_kappa",
+    "label_merge",
 ]
 
 
@@ -464,4 +465,53 @@ def fleiss_kappa(
         round6(pe).alias("pe"),
         round6(kappa).alias("kappa"),
         ok.alias("m_constant"),
+    )
+
+
+def label_merge(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Majority-vote label merge — what turns multi-annotator rows
+    into THE training label once :func:`annotator_agreement` /
+    :func:`fleiss_kappa` say the annotators are usable. One row per
+    item: (item, label, votes, n_annotations, share, tied); the
+    winner is most-votes with a DETERMINISTIC tie-break
+    (lexicographically smallest label — stable across runs and
+    engines; ``tied`` exposes the ambiguity so a pipeline can route
+    tied items to re-annotation instead of silently keeping the
+    tie-break). share divides once (votes/n) through round6. NULL
+    labels are excluded.
+
+    Scale shape: one partial-agg groupBy on (item, label), then ONE
+    window over the item key (same exchange — the vote relation is
+    already item-partitioned)."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.functions.scalar import round6
+
+    item, lab = F.col(item_col), F.col(label_col)
+    votes = (
+        df.filter(lab.isNotNull())
+        .groupBy(item.alias("__i"), lab.alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    w = Window.partitionBy("__i")
+    ranked = votes.select(
+        "*",
+        F.row_number().over(
+            w.orderBy(F.desc("__v"), F.asc("__l"))
+        ).alias("__rn"),
+        F.sum("__v").over(w).alias("__n"),
+        F.count(F.when(F.col("__v") == F.max("__v").over(w), 1)).over(w)
+        .alias("__top_ct"),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        F.col("__i").alias(item_col),
+        F.col("__l").alias(label_col),
+        F.col("__v").cast("long").alias("votes"),
+        F.col("__n").cast("long").alias("n_annotations"),
+        round6(F.col("__v") / F.col("__n")).alias("share"),
+        (F.col("__top_ct") > 1).alias("tied"),
     )

@@ -767,3 +767,22 @@ def test_fleiss_kappa_textbook_and_mixed_m(spark):
     ).collect()
     assert r2["m_constant"] is False
     assert r2["kappa"] is None and r2["po"] is None and r2["n_raters"] is None
+
+
+def test_label_merge_majority_and_ties(spark):
+    from hdk_spark.operators.stats import label_merge
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),          # clear majority a 2/3
+        (2, "b"), (2, "a"),                    # tie -> lexicographic a
+        (3, "c"), (3, None), (3, "c"),         # NULLs excluded, c 2/2
+    ]
+    df = spark.createDataFrame(rows, "item: long, label: string")
+    got = {r["item"]: (r["label"], r["votes"], r["n_annotations"],
+                       r["share"], r["tied"])
+           for r in label_merge(df, "item", "label").collect()}
+    assert got == {
+        1: ("a", 2, 3, 0.666667, False),
+        2: ("a", 1, 2, 0.5, True),
+        3: ("c", 2, 2, 1.0, False),
+    }
