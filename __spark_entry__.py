@@ -339,6 +339,11 @@ _PRIORITY: list[str] = [
     "sample_export_pipeline",
     "layout_compaction",
     "web_robots_directives",
+    "stats_agreement",
+    "multimodal_exif",
+    "multimodal_image_info",
+    "stats_fleiss",
+    "stats_label_merge",
     # stable greens
     "array_construct",
     "date_add_diff",
@@ -529,6 +534,7 @@ _PRIORITY: list[str] = [
     "window_rank_orders",
     "window_running_sum",
 ]
+
 
 
 
