@@ -684,8 +684,12 @@ def test_no_shadowed_top_level_defs():
     import ast
     import collections
 
-    src = pathlib.Path(__file__).read_text()
-    names = [n.name for n in ast.parse(src).body
-             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
-    dupes = [n for n, c in collections.Counter(names).items() if c > 1]
-    assert not dupes, f"shadowed top-level defs in {__file__}: {dupes}"
+    all_dupes = {}
+    for path in sorted(pathlib.Path(__file__).parent.glob("test_*.py")):
+        src = path.read_text()
+        names = [n.name for n in ast.parse(src).body
+                 if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+        dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+        if dupes:
+            all_dupes[path.name] = dupes
+    assert not all_dupes, f"shadowed top-level defs: {all_dupes}"
