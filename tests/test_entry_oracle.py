@@ -28,3 +28,19 @@ def test_query_against_oracle(name, spark, duck):
         return
     rel = duck.sql(ORACLES[name])
     assert_frames_match(spark_df, rel, name)
+
+
+def test_no_duplicate_contract_row_registrations():
+    """A repeated SPARK_IMPLS[...] / ORACLES[...] key would silently
+    overwrite an earlier contract row (the dict cousin of the
+    shadowed-def regression) — fail loudly instead."""
+    import collections
+    import pathlib
+    import re
+
+    src = (pathlib.Path(__file__).parents[1]
+           / "hdk_spark" / "entry_queries.py").read_text()
+    for reg in ("SPARK_IMPLS", "ORACLES"):
+        keys = re.findall(rf'{reg}\["([^"]+)"\]\s*=', src)
+        dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+        assert not dupes, f"duplicate {reg} registrations: {dupes}"
