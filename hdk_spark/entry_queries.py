@@ -8853,3 +8853,78 @@ WHERE r.rn = 1 ORDER BY doc_id
 
 SPARK_IMPLS["stats_label_merge"] = q_stats_label_merge
 ORACLES["stats_label_merge"] = _LABEL_MERGE_ORACLE
+
+
+def q_multimodal_media_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only audio/video facts
+    (operators/exif.py::media_info_extract) over real codec-built
+    blobs: classes 0-1 WAV (stdlib wave writer; channels/rate/length
+    from class arithmetic), 2-3 uncompressed AVI (encode_avi;
+    dims/fps/frames from the arithmetic), class 4 junk. The oracle
+    recomputes every field — including the integer duration and
+    milli-fps formulas — from the same arithmetic; sample/frame
+    payloads are never decoded."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from hdk_spark.operators.avi import encode_avi
+    from hdk_spark.operators.exif import media_info_extract
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    _tables(spark, sf_dir)
+    blobs = []
+    for c in range(2):  # WAV classes 0-1
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(c + 1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000 * (c + 1))
+            wf.writeframes(b"\x00\x00" * (c + 1) * (1000 * (c + 2)))
+        blobs.append(buf.getvalue())
+    for c in range(2, 4):  # AVI classes 2-3
+        frames = [
+            np.full((8 + 2 * c, 16 + 4 * c, 3), 40 * c + i, dtype=np.uint8)
+            for i in range(3 + c)
+        ]
+        blobs.append(encode_avi(frames, fps=10 * c))
+    blobs.append(b"neither riff nor sense")
+    d = F.col("doc_id")
+    data = F.element_at(
+        F.array(*[F.lit(b) for b in blobs]), (d % 5 + 1).cast("int")
+    )
+    planted = spark.table("documents").select("doc_id", data.alias("data"))
+    return media_info_extract(planted).orderBy("doc_id")
+
+
+_MEDIA_INFO_ORACLE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 5 < 2 THEN 'wav'
+       WHEN doc_id % 5 < 4 THEN 'avi' ELSE 'unknown' END AS format,
+  CASE WHEN doc_id % 5 < 2 THEN CAST(doc_id % 5 + 1 AS INTEGER) END AS channels,
+  CASE WHEN doc_id % 5 < 2 THEN CAST(8000 * (doc_id % 5 + 1) AS INTEGER) END
+    AS sample_rate,
+  CASE WHEN doc_id % 5 < 2 THEN CAST(1000 * (doc_id % 5 + 2) AS BIGINT) END
+    AS n_samples,
+  CASE WHEN doc_id % 5 IN (2, 3) THEN CAST(16 + 4 * (doc_id % 5) AS INTEGER) END
+    AS width,
+  CASE WHEN doc_id % 5 IN (2, 3) THEN CAST(8 + 2 * (doc_id % 5) AS INTEGER) END
+    AS height,
+  CASE WHEN doc_id % 5 IN (2, 3) THEN CAST(3 + doc_id % 5 AS BIGINT) END
+    AS n_frames,
+  CASE WHEN doc_id % 5 IN (2, 3)
+       THEN CAST(1000000000 // (1000000 // (10 * (doc_id % 5))) AS BIGINT) END
+    AS fps_milli,
+  CASE WHEN doc_id % 5 < 2
+       THEN CAST((1000 * (doc_id % 5 + 2)) * 1000 // (8000 * (doc_id % 5 + 1))
+            AS BIGINT)
+       WHEN doc_id % 5 IN (2, 3)
+       THEN CAST((3 + doc_id % 5) * (1000000 // (10 * (doc_id % 5))) // 1000
+            AS BIGINT) END AS duration_ms
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["multimodal_media_info"] = q_multimodal_media_info
+ORACLES["multimodal_media_info"] = _MEDIA_INFO_ORACLE

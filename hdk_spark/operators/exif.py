@@ -33,7 +33,7 @@ import struct
 
 from pyspark.sql import DataFrame
 
-__all__ = ["build_exif_app1", "parse_exif", "exif_extract", "image_header_info", "image_info_extract"]
+__all__ = ["build_exif_app1", "parse_exif", "exif_extract", "image_header_info", "image_info_extract", "wav_header_info", "avi_header_info", "media_info_extract"]
 
 _TAG_MAKE = 0x010F
 _TAG_MODEL = 0x0110
@@ -296,5 +296,120 @@ def image_info_extract(
             yield pd.DataFrame(
                 recs, columns=[id_col, "format", "width", "height",
                                "progressive"])
+
+    return df.select(id_col, data_col).mapInPandas(kernel, schema)
+
+
+def wav_header_info(data: bytes) -> dict:
+    """WAV stream facts from the RIFF header chunks only (never
+    reading sample payloads): channels, sample_rate, bits,
+    n_samples, duration_ms (integer, floor) — the audio-curation
+    duration/rate gate at corpus scale. Total on junk."""
+    out = {"channels": None, "sample_rate": None, "bits": None,
+           "n_samples": None, "duration_ms": None}
+    if (not isinstance(data, (bytes, bytearray)) or len(data) < 12
+            or data[:4] != b"RIFF" or data[8:12] != b"WAVE"):
+        return out
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if cid == b"fmt " and pos + 8 + 16 <= len(data):
+            (_, ch, rate, _, block, bits) = struct.unpack(
+                "<HHIIHH", data[pos + 8:pos + 24])
+            fmt = (ch, rate, block, bits)
+        elif cid == b"data":
+            data_size = size
+        if fmt is not None and data_size is not None:
+            break
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None:
+        return out
+    ch, rate, block, bits = fmt
+    out.update(channels=ch, sample_rate=rate, bits=bits)
+    if data_size is not None and block:
+        n = data_size // block
+        out["n_samples"] = n
+        if rate:
+            out["duration_ms"] = n * 1000 // rate
+    return out
+
+
+def avi_header_info(data: bytes) -> dict:
+    """AVI stream facts from the avih main header only (frame
+    payloads never touched): width, height, n_frames, fps_milli
+    (1e6·1000 // µs-per-frame — exact integer milli-fps) and
+    duration_ms. Total on junk."""
+    out = {"width": None, "height": None, "n_frames": None,
+           "fps_milli": None, "duration_ms": None}
+    if (not isinstance(data, (bytes, bytearray)) or len(data) < 12
+            or data[:4] != b"RIFF" or data[8:12] != b"AVI "):
+        return out
+
+    def walk(off: int, end: int):
+        while off + 8 <= end:
+            cid = data[off:off + 4]
+            size = struct.unpack("<I", data[off + 4:off + 8])[0]
+            body = off + 8
+            if cid == b"LIST":
+                got = walk(body + 4, min(body + size, len(data)))
+                if got is not None:
+                    return got
+            elif cid == b"avih" and body + 40 <= len(data):
+                return data[body:body + 40]
+            off = body + size + (size & 1)
+        return None
+
+    avih = walk(12, len(data))
+    if avih is None:
+        return out
+    uspf, _, _, _, frames = struct.unpack("<IIIII", avih[:20])
+    w, h = struct.unpack("<II", avih[32:40])
+    out.update(width=w, height=h, n_frames=frames)
+    if uspf:
+        out["fps_milli"] = 1_000_000_000 // uspf
+        out["duration_ms"] = frames * uspf // 1000
+    return out
+
+
+def media_info_extract(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Header-only A/V facts for a binary media column: detects
+    WAV/AVI by magic and emits the union schema (id, format,
+    channels, sample_rate, n_samples, width, height, n_frames,
+    fps_milli, duration_ms) — one Arrow-batched map-only pass, the
+    audio/video companion of :func:`image_info_extract`."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, format string, channels int, sample_rate int, "
+        "n_samples long, width int, height int, n_frames long, "
+        "fps_milli long, duration_ms long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for key, blob in zip(pdf[id_col], pdf[data_col]):
+                b = bytes(blob) if blob is not None else b""
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    r = wav_header_info(b)
+                    recs.append((key, "wav", r["channels"],
+                                 r["sample_rate"], r["n_samples"], None,
+                                 None, None, None, r["duration_ms"]))
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    r = avi_header_info(b)
+                    recs.append((key, "avi", None, None, None, r["width"],
+                                 r["height"], r["n_frames"], r["fps_milli"],
+                                 r["duration_ms"]))
+                else:
+                    recs.append((key, "unknown") + (None,) * 8)
+            yield pd.DataFrame(
+                recs, columns=[id_col, "format", "channels", "sample_rate",
+                               "n_samples", "width", "height", "n_frames",
+                               "fps_milli", "duration_ms"])
 
     return df.select(id_col, data_col).mapInPandas(kernel, schema)

@@ -522,3 +522,35 @@ def test_image_header_info_real_codecs_no_decode():
     assert image_header_info(b"junk") == {
         "format": "unknown", "width": None, "height": None,
         "progressive": None}
+
+
+def test_wav_avi_header_info_real_codecs():
+    import io
+    import wave
+
+    import numpy as np
+
+    from hdk_spark.operators.avi import encode_avi
+    from hdk_spark.operators.exif import avi_header_info, wav_header_info
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"\x00\x00" * 2 * 8000)
+    assert wav_header_info(buf.getvalue()) == {
+        "channels": 2, "sample_rate": 16000, "bits": 16,
+        "n_samples": 8000, "duration_ms": 500}
+    # header survives payload truncation (fmt chunk precedes data)
+    assert wav_header_info(buf.getvalue()[:64])["sample_rate"] == 16000
+
+    frames = [np.full((8, 12, 3), i, dtype=np.uint8) for i in range(5)]
+    blob = encode_avi(frames, fps=25)
+    assert avi_header_info(blob) == {
+        "width": 12, "height": 8, "n_frames": 5,
+        "fps_milli": 25000, "duration_ms": 200}
+    assert avi_header_info(blob[:128])["n_frames"] == 5  # avih is early
+    for junk in (b"", b"RIFF\x00\x00\x00\x00WAVE", b"RIFFxxxxAVI "):
+        assert wav_header_info(junk)["sample_rate"] is None
+        assert avi_header_info(junk)["n_frames"] is None
