@@ -8928,3 +8928,71 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["multimodal_media_info"] = q_multimodal_media_info
 ORACLES["multimodal_media_info"] = _MEDIA_INFO_ORACLE
+
+
+def q_search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 over a persistent inverted index
+    (operators/search.py::build_text_index + bm25_batch) — the
+    build-once/query-many retrieval shape, fully declarative (corpus
+    stats are broadcast 1-row relations, no driver action) with
+    order-independent quantized score sums. Three planted queries,
+    k=5; the oracle rebuilds the index and replays the whole batch
+    in SQL."""
+    from hdk_spark.operators.search import bm25_batch, build_text_index
+
+    _tables(spark, sf_dir)
+    postings, docs = build_text_index(spark.table("documents"))
+    queries = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["window"]), (3, ["data", "the", "hash"])],
+        "query_id: long, terms: array<string>",
+    )
+    return bm25_batch(postings, docs, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_BM25_BATCH_ORACLE = r"""
+WITH q(qid, terms) AS (
+  VALUES (1, ['hash', 'join']), (2, ['window']), (3, ['data', 'the', 'hash'])
+), qt AS (
+  SELECT DISTINCT qid, unnest(terms) AS term FROM q
+), staged AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+  FROM documents
+), post AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(toks) AS term FROM staged) GROUP BY 1, 2
+), stats AS (
+  SELECT COUNT(*) AS n, avg(dl) AS avgdl FROM staged
+), hits AS (
+  SELECT qt.qid, p.term, p.id, p.tf FROM post p JOIN qt USING (term)
+), dfq AS (
+  SELECT qid, term, COUNT(DISTINCT id) AS dft FROM hits GROUP BY 1, 2
+), sc AS (
+  SELECT h.qid, h.id,
+         CAST(round(
+           ln(1.0 + (st.n - d.dft + 0.5) / (d.dft + 0.5))
+           * (CAST(h.tf AS DOUBLE) * 2.2
+              / (CAST(h.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * s.dl / st.avgdl))) * 1e9
+         ) AS BIGINT) AS cq
+  FROM hits h
+  JOIN dfq d ON h.qid = d.qid AND h.term = d.term
+  JOIN staged s ON s.id = h.id
+  CROSS JOIN stats st
+), agg AS (
+  SELECT qid, id, SUM(cq) AS sq FROM sc GROUP BY 1, 2 HAVING SUM(cq) > 0
+), r AS (
+  SELECT qid, id, sq,
+         row_number() OVER (PARTITION BY qid ORDER BY sq DESC, id) AS rank
+  FROM agg
+)
+SELECT qid AS query_id, id, round(sq / 1e9, 6) + 0 AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+SPARK_IMPLS["search_bm25_batch"] = q_search_bm25_batch
+ORACLES["search_bm25_batch"] = _BM25_BATCH_ORACLE

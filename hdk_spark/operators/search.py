@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from hdk_spark.operators.text import tokenize
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "build_text_index", "bm25_batch"]
 
 
 def bm25_topk(
@@ -80,4 +80,112 @@ def bm25_topk(
         .filter(F.col("score") > 0.0)
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
+    )
+
+
+def build_text_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """The persistent inverted index of a fixed corpus — the
+    build-once/query-many shape a retrieval (RAG) pipeline runs,
+    versus :func:`bm25_topk`'s map-only ad-hoc path: returns
+    ``(postings, docs)`` where postings = (term, id, tf) and
+    docs = (id, dl). Persist/bucket postings BY TERM and docs by id;
+    every subsequent :func:`bm25_batch` call is then joins against
+    these relations — the corpus text is never re-tokenized.
+
+    Build cost: one token explode + one (id, term) partial-agg
+    groupBy — the standard index-build pass, amortized over every
+    query batch that follows."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    staged = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks")
+    ).withColumn("dl", F.size("__toks").cast("long"))
+    postings = (
+        staged.select("id", F.explode("__toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return postings, staged.select("id", "dl")
+
+
+def bm25_batch(
+    postings: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` for a whole BATCH of queries against a
+    :func:`build_text_index` index — fully declarative (no driver
+    action: corpus stats are 1-row relations broadcast in-plan,
+    unlike bm25_topk's literal-folding) and shuffle-frugal:
+
+    - the query batch explodes to (query_id, term) — query-sized;
+    - postings are cut to matching terms by ONE AQE-decided equi-join
+      on term (a semi-restriction: only postings of queried terms
+      flow into scoring, the inverted-index point);
+    - per-term idf comes from a term-df groupBy of that already-cut
+      relation; dl attaches by doc id; per-(query, doc) scores sum
+      QUANTIZED micro-contributions (round(x·1e9) as int64, summed
+      exactly) so the aggregation is order-independent — a double sum
+      across a shuffle would not be deterministic;
+    - one per-query window emits rank ≤ k (score desc, id asc).
+
+    Returns (query_id, id, score, rank); score = micro-sum / 1e9
+    rounded to 6 dp. idf = ln(1 + (N − df + 0.5)/(df + 0.5)), the
+    Lucene non-negative variant, matching bm25_topk."""
+    from pyspark.sql.window import Window
+
+    qt = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(terms_col).alias("term"),
+    ).distinct()
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    hits = postings.join(qt, "term")  # AQE decides; query side is tiny
+    dfreq = hits.groupBy("qid", "term").agg(
+        F.countDistinct("id").cast("long").alias("__df")
+    )
+    scored = (
+        hits.join(dfreq, ["qid", "term"])
+        .join(docs, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    contrib = idf * (
+        tf * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * F.col("dl") / F.col("__avgdl")))
+    )
+    quant = F.round(contrib * F.lit(1e9)).cast("long")
+    agg = (
+        scored.select("qid", "id", quant.alias("__q"))
+        .groupBy("qid", "id")
+        .agg(F.sum("__q").cast("long").alias("__score_q"))
+        .filter(F.col("__score_q") > 0)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("__score_q"), F.asc("id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            "id",
+            F.round(F.col("__score_q") / F.lit(1e9), 6).alias("score"),
+            "rank",
+        )
     )

@@ -59,3 +59,51 @@ def test_distinctive_terms_planted(spark):
     top = {r["grp"]: r["token"] for r in out}
     # 'common' is in every doc (idf=0); group-exclusive terms win
     assert top == {"a": "schnell", "b": "rapide"}
+
+
+def test_bm25_batch_matches_single_query_topk(spark):
+    """bm25_batch with a one-query batch agrees with the map-only
+    bm25_topk: same ranking, scores within the 1e-9 quantization."""
+    from __spark_entry__ import load_tables
+    from hdk_spark.operators.search import (
+        bm25_batch,
+        bm25_topk,
+        build_text_index,
+    )
+    from tests.conftest import SF_CORRECT
+
+    load_tables(spark, SF_CORRECT)
+    docs_tbl = spark.table("documents")
+    single = bm25_topk(docs_tbl, ["hash", "join", "window"], k=15).collect()
+    postings, docs = build_text_index(docs_tbl)
+    queries = spark.createDataFrame(
+        [(0, ["hash", "join", "window"])], "query_id: long, terms: array<string>"
+    )
+    batch = bm25_batch(postings, docs, queries, k=15).collect()
+    assert [r["id"] for r in batch] == [r["id"] for r in single]
+    for b_row, s_row in zip(batch, single):
+        assert abs(b_row["score"] - s_row["score"]) <= 1e-6
+
+
+def test_bm25_batch_deterministic_and_per_query_isolation(spark):
+    from hdk_spark.operators.search import bm25_batch, build_text_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta {'gamma ' * (i % 4)}word{i % 3}") for i in range(60)],
+        "doc_id: long, text: string",
+    )
+    postings, docs = build_text_index(corpus)
+    queries = spark.createDataFrame(
+        [(1, ["gamma"]), (2, ["word1", "alpha"]), (3, ["absentterm"])],
+        "query_id: long, terms: array<string>",
+    )
+    a = sorted(map(tuple, bm25_batch(postings, docs, queries, k=7).collect()))
+    p2, d2 = build_text_index(corpus.repartition(13))
+    b = sorted(map(tuple, bm25_batch(
+        p2, d2, queries.repartition(2), k=7).collect()))
+    assert a == b
+    qids = {t[0] for t in a}
+    assert qids == {1, 2}  # the absent-term query returns nothing
+    for qid in qids:
+        ranks = [t[3] for t in a if t[0] == qid]
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
