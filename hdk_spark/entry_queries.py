@@ -8996,3 +8996,46 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 
 SPARK_IMPLS["search_bm25_batch"] = q_search_bm25_batch
 ORACLES["search_bm25_batch"] = _BM25_BATCH_ORACLE
+
+
+def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/search.py::rrf_fuse) over two
+    planted per-query rankings derived from doc_id arithmetic — a
+    'lexical' leg ranking doc d at (d%7)+1 for query d%3 and a
+    'dense' leg ranking (d+2) at (d%5)+1 for query d%3, so some docs
+    appear in both legs and some in one. The oracle replays the exact
+    integer 1e9 div (60+rank) fusion and the per-query re-rank."""
+    from hdk_spark.operators.search import rrf_fuse
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    base = spark.table("documents").filter(d < 60)
+    leg_a = base.select(
+        (d % 3).alias("query_id"), d.alias("id"), ((d % 7) + 1).alias("rank")
+    )
+    leg_b = base.select(
+        (d % 3).alias("query_id"), (d + 2).alias("id"),
+        ((d % 5) + 1).alias("rank"),
+    )
+    return rrf_fuse(leg_a, leg_b, k=8).orderBy("query_id", "rank")
+
+
+_RRF_ORACLE = """
+WITH base AS (SELECT doc_id AS d FROM documents WHERE doc_id < 60),
+legs AS (
+  SELECT d % 3 AS q, d AS i, 1000000000 // (60 + (d % 7) + 1) AS c FROM base
+  UNION ALL
+  SELECT d % 3, d + 2, 1000000000 // (60 + (d % 5) + 1) FROM base
+), agg AS (
+  SELECT q, i, CAST(SUM(c) AS BIGINT) AS s FROM legs GROUP BY 1, 2
+), r AS (
+  SELECT q, i, s, row_number() OVER (PARTITION BY q ORDER BY s DESC, i) AS rank
+  FROM agg
+)
+SELECT q AS query_id, i AS id, round(s / 1e9, 6) + 0 AS rrf_score,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 8 ORDER BY query_id, rank
+"""
+
+SPARK_IMPLS["search_rrf_fusion"] = q_search_rrf_fusion
+ORACLES["search_rrf_fusion"] = _RRF_ORACLE

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from hdk_spark.operators.text import tokenize
 
-__all__ = ["bm25_topk", "build_text_index", "bm25_batch"]
+__all__ = ["bm25_topk", "build_text_index", "bm25_batch", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -186,6 +186,61 @@ def bm25_batch(
             F.col("qid").alias(query_id_col),
             "id",
             F.round(F.col("__score_q") / F.lit(1e9), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def rrf_fuse(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings (Cormack et
+    al. 2009) — the standard hybrid-retrieval combiner for a lexical
+    (:func:`bm25_batch`) and a dense (ANN) result set: per (query,
+    doc), score = Σ_sources 1/(k0 + rank), then top-``k`` re-rank.
+    RRF needs only RANKS, which is why it fuses heterogeneous scorers
+    without calibration.
+
+    Determinism: each source contribution is the exact integer
+    ``1_000_000_000 div (k0 + rank)`` and the per-(query, doc) sum is
+    an int64 aggregate — order-independent across the shuffle (the
+    bm25_batch quantization discipline; summing 1/(k0+r) doubles
+    would not be). Emitted rrf_score = micro-sum / 1e9 (round6); ties
+    break by id. A document present in only one source contributes
+    one term — the standard convention.
+
+    Scale shape: one unionAll (no shuffle) + one partial-agg groupBy
+    on (query, id) + one per-query window; result sets are k-sized
+    per query, so everything downstream of the sources is
+    query-batch-sized, not corpus-sized."""
+    from pyspark.sql.window import Window
+
+    def leg(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(query_id_col).alias("__q"),
+            F.col(id_col).alias("__i"),
+            F.expr(f"1000000000 DIV ({int(k0)} + {rank_col})").alias("__c"),
+        )
+
+    agg = (
+        leg(results_a).unionAll(leg(results_b))
+        .groupBy("__q", "__i")
+        .agg(F.sum("__c").cast("long").alias("__s"))
+    )
+    w = Window.partitionBy("__q").orderBy(F.desc("__s"), F.asc("__i"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.col("__i").alias(id_col),
+            F.round(F.col("__s") / F.lit(1e9), 6).alias("rrf_score"),
             "rank",
         )
     )

@@ -107,3 +107,42 @@ def test_bm25_batch_deterministic_and_per_query_isolation(spark):
     for qid in qids:
         ranks = [t[3] for t in a if t[0] == qid]
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_rrf_fuse_hand_computed_and_end_to_end(spark):
+    from hdk_spark.operators.search import (
+        bm25_batch,
+        build_text_index,
+        rrf_fuse,
+    )
+
+    # hand case: doc 1 ranked 1st by A and 2nd by B beats doc 2
+    # ranked 2nd/1st only on the id tie-break (scores equal)
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id: long, id: long, rank: long")
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 1, 2), (0, 3, 3)],
+        "query_id: long, id: long, rank: long")
+    got = rrf_fuse(a, b, k=3).collect()
+    s12 = (1_000_000_000 // 61 + 1_000_000_000 // 62) / 1e9
+    assert [(r["id"], r["rank"]) for r in got] == [(1, 1), (2, 2), (3, 3)]
+    assert got[0]["rrf_score"] == got[1]["rrf_score"] == round(s12, 6)
+    assert got[2]["rrf_score"] == round(1_000_000_000 // 63 / 1e9, 6)
+
+    # end-to-end: fuse two bm25 legs (different term sets) — fusion
+    # output stays per-query consistent and deterministic
+    corpus = spark.createDataFrame(
+        [(i, f"alpha {'beta ' * (i % 3)}gamma{i % 4}") for i in range(40)],
+        "doc_id: long, text: string")
+    postings, docs = build_text_index(corpus)
+    q1 = spark.createDataFrame(
+        [(0, ["beta"])], "query_id: long, terms: array<string>")
+    q2 = spark.createDataFrame(
+        [(0, ["gamma1"])], "query_id: long, terms: array<string>")
+    ra = bm25_batch(postings, docs, q1, k=5)
+    rb = bm25_batch(postings, docs, q2, k=5)
+    fused = rrf_fuse(ra, rb, k=10)
+    rows = fused.collect()
+    assert rows and len({r["id"] for r in rows}) == len(rows)
+    again = sorted(map(tuple, rrf_fuse(ra, rb, k=10).collect()))
+    assert again == sorted(map(tuple, rows))
