@@ -344,6 +344,9 @@ _PRIORITY: list[str] = [
     "multimodal_image_info",
     "stats_fleiss",
     "stats_label_merge",
+    "multimodal_media_info",
+    "search_bm25_batch",
+    "search_rrf_fusion",
     # stable greens
     "array_construct",
     "date_add_diff",
@@ -534,6 +537,7 @@ _PRIORITY: list[str] = [
     "window_rank_orders",
     "window_running_sum",
 ]
+
 
 
 

@@ -258,8 +258,8 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r8: no headline-path changes (round adds 30 "
-                "contract rows, 188->218: composed "
+                "notes": "r8: no headline-path changes (round adds 33 "
+                "contract rows, 188->221: composed "
                 "crawl_pipeline/stages/capped, "
                 "interpolated trigram LM self+cross + ccnet lm3, "
                 "trained softmax lang-ID train+apply, BPE "
@@ -273,8 +273,9 @@ def main() -> None:
                 "crawl-frontier scheduler + training-export "
                 "pipeline, cohort retention, shard manifest, "
                 "compaction planner, robots directives, Cohen/Fleiss "
-                "kappa + label merge, header-only EXIF/image-dims "
-                "gates; plus ADVICE r7 fixes; r7 itself shipped "
+                "kappa + label merge, header-only EXIF/image/WAV/AVI "
+                "metadata gates, inverted-index batched BM25 + RRF "
+                "hybrid fusion; plus ADVICE r7 fixes; r7 itself shipped "
                 "only the r6 defect fixes — its notes string "
                 "over-claimed, corrected in r8); >2x-swing anomaly "
                 "re-runs execute IMMEDIATELY after the query's first "
