@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from hdk_spark.operators.text import tokenize
 
-__all__ = ["bm25_topk", "build_text_index", "bm25_batch", "rrf_fuse"]
+__all__ = ["bm25_topk", "build_text_index", "bm25_batch", "rrf_fuse", "merge_text_index"]
 
 
 def bm25_topk(
@@ -244,3 +244,32 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def merge_text_index(
+    postings: DataFrame,
+    docs: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental index update — the daily-ingest path of
+    :func:`build_text_index`: tokenize ONLY the new documents, then
+    union-merge into the existing relations (postings tf's sum per
+    (term, id) so a re-ingested doc id accumulates rather than
+    duplicates; at 100 TB the merge groupBy co-partitions with the
+    term-bucketed postings, touching history only at shuffle-read).
+    Returns the merged (postings, docs) pair with identical schemas —
+    property-pinned equal to a from-scratch rebuild."""
+    new_postings, new_docs = build_text_index(new_df, id_col, text_col)
+    merged_postings = (
+        postings.unionByName(new_postings)
+        .groupBy("term", "id")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    merged_docs = (
+        docs.unionByName(new_docs)
+        .groupBy("id")
+        .agg(F.sum("dl").cast("long").alias("dl"))
+    )
+    return merged_postings, merged_docs

@@ -146,3 +146,21 @@ def test_rrf_fuse_hand_computed_and_end_to_end(spark):
     assert rows and len({r["id"] for r in rows}) == len(rows)
     again = sorted(map(tuple, rrf_fuse(ra, rb, k=10).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_merge_text_index_equals_rebuild(spark):
+    from hdk_spark.operators.search import build_text_index, merge_text_index
+
+    old = spark.createDataFrame(
+        [(i, f"alpha beta word{i % 3}") for i in range(30)],
+        "doc_id: long, text: string")
+    new = spark.createDataFrame(
+        [(i, f"beta gamma word{i % 2}") for i in range(30, 45)],
+        "doc_id: long, text: string")
+    p_old, d_old = build_text_index(old)
+    p_merged, d_merged = merge_text_index(p_old, d_old, new)
+    p_full, d_full = build_text_index(old.unionAll(new))
+    assert sorted(map(tuple, p_merged.collect())) == sorted(
+        map(tuple, p_full.collect()))
+    assert sorted(map(tuple, d_merged.collect())) == sorted(
+        map(tuple, d_full.collect()))
