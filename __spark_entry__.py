@@ -290,81 +290,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(_COMMON_SQL["q1_pricing_summary"])
 
 
-# Round-4 window (driver checks roughly the first 50 entries, in order;
-# regenerated by scripts/rotate_priority.py):
-#   1. the round-3 red row (embedding_covariance, determinism fixed) and
-#      the two rows-only queries upgraded to value-checked this round;
-#   2. every never-checked query — the round-4 additions: the LM unk/
-#      cross-scoring paths, PII redaction, hashed scorer, web curation,
-#      profiling, per-group stats, temporal anomaly queries, streaming
-#      incremental dedup, the TPC-H completions (Q2/Q11/Q12/Q16),
-#      segment dedup, shuffle shards, mixture plan;
-#   3. stale greens oldest-first so every query's latest driver row
-#      stays fresh. Everything past the ~50 boundary is a recent green
-#      whose inputs this round didn't touch.
-# Round-5 window (driver checks roughly the first 50 entries, in order;
-# regenerated by scripts/rotate_priority.py):
-#   1. the round-4 red row (embedding_covariance — sign-of-zero
-#      normalized on both sides this round);
-#   2. the 6 never-checked round-5 queries (Gopher/C4/n-gram-repetition
-#      curation trio, star-CC clusters, rollup merge, Bloom decontam);
-#   3. stale greens OLDEST-ROUND-FIRST — the round-1-era TPC-H /
-#      window / set-op / string batch rotates through the window so no
-#      query's latest driver row goes stale. Everything past the ~50
-#      boundary was re-verified in round 3 or 4.
+# Round-9 window (regenerated by scripts/rotate_priority.py against
+# CORRECTNESS_r08): 0 failed, 0 never-checked; stable greens rotate
+# stalest-first, so the ~50-row window leads with the 22 rows last
+# checked r3 and the oldest r4 rows (q1/q3/q5/q6, search_bm25,
+# similarity_ann_ivf/lsh, profile_*, minhash/simhash/segment dedup,
+# streaming rows). New round-9 contract rows get inserted at the head
+# as they land.
 _PRIORITY: list[str] = [
-    # never checked
-    "dedup_semantic",
-    "text_trigram_logprob",
-    "text_ccnet_buckets_lm3",
-    "text_lang_id_train",
-    "text_lang_id_trained",
-    "crawl_pipeline",
-    "crawl_pipeline_stages",
-    "bpe_train_merges",
-    "bpe_encode_roundtrip",
-    "text_trigram_cross",
-    "crawl_pipeline_capped",
-    "streaming_crawl_ingest",
-    "web_url_seen_bloom",
-    "text_fix_encoding",
-    "sample_token_budget",
-    "dedup_pipeline",
-    "html_links",
-    "web_link_graph",
-    "graph_pagerank",
-    "temporal_retention",
-    "sample_shard_manifest",
-    "web_crawl_frontier",
-    "sample_export_pipeline",
-    "layout_compaction",
-    "web_robots_directives",
-    "stats_agreement",
-    "multimodal_exif",
-    "multimodal_image_info",
-    "stats_fleiss",
-    "stats_label_merge",
-    "multimodal_media_info",
-    "search_bm25_batch",
-    "search_rrf_fusion",
     # stable greens
-    "array_construct",
-    "date_add_diff",
-    "date_current_bounds",
-    "date_extract_fields",
-    "date_extract_trunc",
-    "date_interval_arith",
-    "date_trunc_epochs",
-    "date_trunc_exotic",
-    "dedup_clusters",
-    "dedup_contamination",
-    "dedup_keep_best",
-    "embedding_kmeans",
-    "events_json_props",
-    "events_sessionize",
-    "join_cross_small",
-    "join_full_outer",
-    "pack_sequences",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -536,6 +470,56 @@ _PRIORITY: list[str] = [
     "window_explicit_frames",
     "window_rank_orders",
     "window_running_sum",
+    "array_construct",
+    "bpe_encode_roundtrip",
+    "bpe_train_merges",
+    "crawl_pipeline",
+    "crawl_pipeline_capped",
+    "crawl_pipeline_stages",
+    "date_add_diff",
+    "date_current_bounds",
+    "date_extract_fields",
+    "date_extract_trunc",
+    "date_interval_arith",
+    "date_trunc_epochs",
+    "date_trunc_exotic",
+    "dedup_clusters",
+    "dedup_contamination",
+    "dedup_keep_best",
+    "dedup_pipeline",
+    "dedup_semantic",
+    "embedding_kmeans",
+    "events_json_props",
+    "events_sessionize",
+    "graph_pagerank",
+    "html_links",
+    "join_cross_small",
+    "join_full_outer",
+    "layout_compaction",
+    "multimodal_exif",
+    "multimodal_image_info",
+    "multimodal_media_info",
+    "pack_sequences",
+    "sample_export_pipeline",
+    "sample_shard_manifest",
+    "sample_token_budget",
+    "search_bm25_batch",
+    "search_rrf_fusion",
+    "stats_agreement",
+    "stats_fleiss",
+    "stats_label_merge",
+    "streaming_crawl_ingest",
+    "temporal_retention",
+    "text_ccnet_buckets_lm3",
+    "text_fix_encoding",
+    "text_lang_id_train",
+    "text_lang_id_trained",
+    "text_trigram_cross",
+    "text_trigram_logprob",
+    "web_crawl_frontier",
+    "web_link_graph",
+    "web_robots_directives",
+    "web_url_seen_bloom",
 ]
 
 
