@@ -338,7 +338,11 @@ def token_budget_sample(
         )
         .join(
             F.broadcast(offsets),
-            (g == F.col("__g")) & (F.col("__b") == F.col("__bb")),
+            # eqNullSafe: a NULL group must still match its own offset
+            # row so it is sampled under default_budget, as the
+            # docstring promises for groups absent from budgets
+            # (ADVICE r8 — plain == silently dropped NULL-group rows)
+            g.eqNullSafe(F.col("__g")) & (F.col("__b") == F.col("__bb")),
         )
         .withColumn("__cum", F.col("__off") + F.col("__cum_in"))
     )

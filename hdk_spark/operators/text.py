@@ -299,7 +299,13 @@ def lang_id_ngram(
             raise ValueError(f"no seed data for languages: {unknown}")
         model = _lang_ngram_model(n_buckets, sel, basis)
     keep = tuple(keep)
-    reserved = {"id", "__bidx", "__n", "__si", "__bi", "__idx", "__nd"}
+    # includes the operator's OWN output columns (lang/score/n_grams):
+    # a keep column with one of these names would duplicate the output
+    # name and fail downstream instead of here (ADVICE r8)
+    reserved = {
+        "id", "__bidx", "__n", "__si", "__bi", "__idx", "__nd",
+        "lang", "score", "n_grams",
+    }
     clash = [c for c in keep if c in reserved or c == id_col]
     if clash:
         raise ValueError(f"keep columns collide with internal names: {clash}")

@@ -548,9 +548,15 @@ def build_url_seen_bloom(
     ``m_bits`` to the expected S."""
     from hdk_spark.operators.dedup import _collect_bloom_bitset
 
-    keys = corpus.select(
-        canonical_url(F.col(url_col)).alias("s")
-    ).distinct()
+    keys = (
+        corpus.select(canonical_url(F.col(url_col)).alias("s"))
+        # NULL urls canonicalize to NULL; a NULL key would fold NULL
+        # bit positions into the bitset and crash the collect (ADVICE
+        # r8). Probe-side already maps NULL -> False, so dropping here
+        # keeps build/probe totality symmetric.
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
     return _collect_bloom_bitset(keys, m_bits, k_hashes)
 
 

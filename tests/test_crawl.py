@@ -275,3 +275,24 @@ def test_robots_directives_parsing(spark):
     assert got["b.com"] == (7, [])
     assert got["c.com"] == (None, [])
     assert got["d.com"] == (None, [])
+
+
+def test_url_seen_bloom_null_url_total(spark):
+    """A NULL url in the corpus must not crash the bitset build
+    (ADVICE r8): NULL canonicalizes to NULL and is dropped build-side,
+    matching the probe side's NULL -> False totality."""
+    from hdk_spark.operators.web import build_url_seen_bloom, url_seen_probe
+    from hdk_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    corpus = spark.createDataFrame(
+        [(0, "https://a.com/x"), (1, None), (2, "https://b.com/y")],
+        "doc_id: long, url: string",
+    )
+    arr = build_url_seen_bloom(corpus, m_bits=1 << 12)
+    out = {
+        r["doc_id"]: r["maybe_seen"]
+        for r in url_seen_probe(corpus, arr, m_bits=1 << 12).collect()
+    }
+    # seen non-null urls still probe positive; NULL probes False
+    assert out[0] and out[2] and not out[1]

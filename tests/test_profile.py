@@ -786,3 +786,20 @@ def test_label_merge_majority_and_ties(spark):
         2: ("a", 1, 2, 0.5, True),
         3: ("c", 2, 2, 1.0, False),
     }
+
+
+def test_lang_id_ngram_keep_collides_with_outputs(spark):
+    """keep columns named after the operator's own outputs fail fast at
+    the ValueError guard (ADVICE r8) instead of emitting duplicate
+    output columns."""
+    import pytest
+
+    from hdk_spark.operators.text import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [(0, "hello there", "en")], "doc_id: long, text: string, lang: string"
+    )
+    for col in ("lang", "score", "n_grams"):
+        df2 = df.withColumnRenamed("lang", col)
+        with pytest.raises(ValueError, match="collide"):
+            lang_id_ngram(df2, keep=(col,))

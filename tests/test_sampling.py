@@ -386,3 +386,22 @@ def test_export_corpus_shards_match_manifest(spark):
         F.max("shard_pos").alias("mx"), F.count(F.lit(1)).alias("n")
     ).collect()
     assert all(r["mx"] == r["n"] - 1 for r in pos)
+
+
+def test_token_budget_sample_null_group_default_budget(spark):
+    """NULL-group rows are sampled under default_budget instead of
+    silently vanishing (ADVICE r8: the offsets equi-join used ==,
+    which never matches NULL)."""
+    from hdk_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "en", "tok " * 50) for i in range(20)],
+        "doc_id: long, lang: string, text: string",
+    )
+    rows = token_budget_sample(
+        docs, budgets={"en": 300}, default_budget=300, seed=7
+    ).collect()
+    null_toks = [r["n_tokens"] for r in rows if r["lang"] is None]
+    assert null_toks, "NULL-group rows must be sampled"
+    # overshoot <= one document, same contract as named groups
+    assert sum(null_toks) - max(null_toks) < 300
