@@ -45,7 +45,13 @@ def bm25_topk(
 
     Returns (id, score) with score rounded to 6 digits; ties broken by
     id for a deterministic result set.
+
+    Duplicate query terms are scored ONCE (first occurrence kept):
+    the unified convention with :func:`bm25_batch`, whose exploded
+    query side is ``.distinct()`` — pinned by the
+    bm25_batch(single query) == bm25_topk property test.
     """
+    query_terms = list(dict.fromkeys(query_terms))
     toks = tokenize(F.lower(F.col(text_col)))
     staged = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).withColumn(
         "__dl", F.size("__toks")
@@ -252,16 +258,34 @@ def merge_text_index(
     new_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "append",
 ) -> "tuple[DataFrame, DataFrame]":
     """Incremental index update — the daily-ingest path of
     :func:`build_text_index`: tokenize ONLY the new documents, then
-    union-merge into the existing relations (postings tf's sum per
-    (term, id) so a re-ingested doc id accumulates rather than
-    duplicates; at 100 TB the merge groupBy co-partitions with the
-    term-bucketed postings, touching history only at shuffle-read).
-    Returns the merged (postings, docs) pair with identical schemas —
-    property-pinned equal to a from-scratch rebuild."""
+    union-merge into the existing relations. Two contracts for a doc
+    id present in BOTH the old index and ``new_df``:
+
+    - ``mode='append'`` (default): tf and dl ACCUMULATE per (term,
+      id) — "the document grew" semantics. WARNING: this matches a
+      from-scratch rebuild only when the id sets are DISJOINT; for a
+      re-crawled page it silently doubles the page's length and term
+      frequencies. Use 'replace' for re-crawl/upsert ingest.
+    - ``mode='replace'``: re-ingested ids' OLD postings and docs rows
+      are anti-joined away before the merge, so the new tokenization
+      wins outright — property-pinned equal to a from-scratch rebuild
+      of (old corpus minus re-ingested ids) ∪ new_df.
+
+    Scale shape: at 100 TB the merge groupBy co-partitions with the
+    term-bucketed postings, touching history only at shuffle-read;
+    'replace' adds one broadcast-sized anti-join (the new-id relation
+    is ingest-batch-sized, never corpus-sized)."""
+    if mode not in ("append", "replace"):
+        raise ValueError(f"mode must be 'append' or 'replace', got {mode!r}")
     new_postings, new_docs = build_text_index(new_df, id_col, text_col)
+    if mode == "replace":
+        new_ids = new_docs.select("id").distinct()
+        postings = postings.join(F.broadcast(new_ids), "id", "left_anti")
+        docs = docs.join(F.broadcast(new_ids), "id", "left_anti")
     merged_postings = (
         postings.unionByName(new_postings)
         .groupBy("term", "id")

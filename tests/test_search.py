@@ -3,6 +3,8 @@ shape (map-only scoring, no join/explode)."""
 
 import math
 
+from pyspark.sql import functions as F
+
 from hdk_spark.operators.search import bm25_topk
 
 
@@ -164,3 +166,117 @@ def test_merge_text_index_equals_rebuild(spark):
         map(tuple, p_full.collect()))
     assert sorted(map(tuple, d_merged.collect())) == sorted(
         map(tuple, d_full.collect()))
+
+
+def test_bm25_duplicate_query_terms_scored_once(spark):
+    """Unified duplicate-term convention (VERDICT r8 #3): a repeated
+    query term scores once in BOTH bm25_topk and bm25_batch, so the
+    single-query equality property holds with dup terms too."""
+    from hdk_spark.operators.search import (
+        bm25_batch,
+        bm25_topk,
+        build_text_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta {'gamma ' * (i % 4)}word{i % 3}") for i in range(40)],
+        "doc_id: long, text: string",
+    )
+    dup = ["gamma", "alpha", "gamma", "gamma"]
+    uniq = ["gamma", "alpha"]
+    single_dup = bm25_topk(corpus, dup, k=8).collect()
+    single_uniq = bm25_topk(corpus, uniq, k=8).collect()
+    assert [tuple(r) for r in single_dup] == [tuple(r) for r in single_uniq]
+
+    postings, docs = build_text_index(corpus)
+    queries = spark.createDataFrame(
+        [(0, dup)], "query_id: long, terms: array<string>")
+    batch = bm25_batch(postings, docs, queries, k=8).collect()
+    assert [r["id"] for r in batch] == [r["id"] for r in single_dup]
+    for b_row, s_row in zip(batch, single_dup):
+        assert abs(b_row["score"] - s_row["score"]) <= 1e-6
+
+
+def test_merge_text_index_replace_mode(spark):
+    """mode='replace': a re-crawled doc id's new tokenization wins
+    outright — merged index equals a from-scratch rebuild of the
+    replaced corpus (VERDICT r8 #4 / ADVICE r8). mode='append' on the
+    same input accumulates (doc-grew semantics), and an unknown mode
+    fails fast."""
+    import pytest
+
+    from hdk_spark.operators.search import build_text_index, merge_text_index
+
+    old = spark.createDataFrame(
+        [(i, f"alpha beta word{i % 3}") for i in range(20)],
+        "doc_id: long, text: string")
+    # ids 15-19 re-crawled with NEW text; 20-24 genuinely new
+    new = spark.createDataFrame(
+        [(i, f"gamma delta word{i % 2}") for i in range(15, 25)],
+        "doc_id: long, text: string")
+    p_old, d_old = build_text_index(old)
+
+    p_rep, d_rep = merge_text_index(p_old, d_old, new, mode="replace")
+    rebuilt_corpus = old.filter("doc_id < 15").unionAll(new)
+    p_full, d_full = build_text_index(rebuilt_corpus)
+    assert sorted(map(tuple, p_rep.collect())) == sorted(
+        map(tuple, p_full.collect()))
+    assert sorted(map(tuple, d_rep.collect())) == sorted(
+        map(tuple, d_full.collect()))
+
+    # append on the SAME overlap doubles the re-ingested docs' dl
+    _, d_app = merge_text_index(p_old, d_old, new, mode="append")
+    dl_app = {r["id"]: r["dl"] for r in d_app.collect()}
+    dl_rep = {r["id"]: r["dl"] for r in d_rep.collect()}
+    for i in range(15, 20):
+        assert dl_app[i] == dl_rep[i] + 3  # old "alpha beta wordN" = 3 tokens
+
+    with pytest.raises(ValueError, match="mode"):
+        merge_text_index(p_old, d_old, new, mode="upsert")
+
+
+def test_rrf_fusion_recovers_docs_each_leg_misses(spark):
+    """WHY hybrid retrieval exists (VERDICT r8 #7): a planted corpus
+    where the lexical leg misses a relevant synonym-worded doc (zero
+    query-term overlap) and the dense leg's top-k cut misses a
+    relevant keyword-worded doc (orthogonal embedding) — the fused
+    ranking surfaces BOTH."""
+    from hdk_spark.operators.search import bm25_batch, build_text_index, rrf_fuse
+    from hdk_spark.operators.similarity import cosine_topk
+
+    # id 0 is the query's own vector (cosine_topk excludes self).
+    # 101: keyword match, orthogonal embedding. 102: synonym wording,
+    # near-parallel embedding. 201/202: distractors that crowd each
+    # leg's k=2 cut.
+    rows = [
+        (0, "spark shuffle", [1.0, 0.0, 0.0, 0.0]),
+        (101, "spark shuffle tuning guide for spark shuffle",
+         [0.0, 1.0, 0.0, 0.0]),
+        (102, "distributed engine data exchange tuning guide",
+         [0.99, 0.1, 0.0, 0.0]),
+        (201, "spark notes", [0.0, 0.0, 1.0, 0.0]),
+        (202, "unrelated cooking recipe", [0.95, 0.2, 0.1, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id: long, text: string, embedding: array<double>")
+
+    postings, docs = build_text_index(corpus.select("doc_id", "text"))
+    queries = spark.createDataFrame(
+        [(0, ["spark", "shuffle"])], "query_id: long, terms: array<string>")
+    lex = bm25_batch(postings, docs, queries, k=2)
+    lex_ids = {r["id"] for r in lex.collect()}
+    assert 102 not in lex_ids  # lexical leg blind to the synonym doc
+
+    dense = cosine_topk(
+        corpus.select("doc_id", "embedding"), [0], k=2,
+        id_col="doc_id", vec_col="embedding",
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    dense_ids = {r["id"] for r in dense.collect()}
+    assert 101 not in dense_ids  # dense k=2 cut misses the keyword doc
+
+    fused_ids = {r["id"] for r in rrf_fuse(lex, dense, k=4).collect()}
+    assert {101, 102} <= fused_ids
