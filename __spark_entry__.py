@@ -298,6 +298,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming rows). New round-9 contract rows get inserted at the head
 # as they land.
 _PRIORITY: list[str] = [
+    # round-9 additions, never checked
+    "training_export_pipeline",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -9039,3 +9039,383 @@ FROM r WHERE rank <= 8 ORDER BY query_id, rank
 
 SPARK_IMPLS["search_rrf_fusion"] = q_search_rrf_fusion
 ORACLES["search_rrf_fusion"] = _RRF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 9: the capstone training-export composition (VERDICT r8 "What's
+# missing #1") — the full funnel a training-data job actually runs, as
+# ONE contract row whose hash surface is every stage's survivor
+# accounting plus the delivery manifest digests.
+# ---------------------------------------------------------------------------
+
+
+def q_training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data funnel, every stage through the
+    real operators, handoff-to-handoff:
+
+      crawl_curate (WARC → gates → lang-ID → URL dedup → CCNet
+      buckets, operators/crawl.py) → CCNet tail-bucket gate → planted
+      re-crawl clones (exact at doc_id%10==3 +20000, one-token drift
+      at %10==7 +30000 — so the dedup stages provably bite) → exact
+      text dedup (min-id) → word-3-gram Jaccard near-dup clusters →
+      SemDedup over survivors' embeddings → quality_score ≥ 0.52 gate
+      → per-language token_budget_sample → pack_sequences (budget 256,
+      4 shards) → shard_manifest (4 shards).
+
+    Emits one row per stage (stage, n_docs, id_sum, n_tokens, digest):
+    stages 0-7 carry exact survivor counts / id sums / whitespace-token
+    sums (digest 0 except pack, whose digest pins the (shard, chunk)
+    assignment as Σ(shard·100000 + chunk_id)); the manifest stage emits
+    one row PER SHARD with the order-independent md5-basis content
+    digest. The oracle replays every stage in SQL — lang-ID integer
+    scoring, the unigram LM + NTILE, the Jaccard pair/closure chain,
+    the unrolled k-means + SemDedup keep rule, the quality arithmetic,
+    the serial prefix-sum budget cut, the packing window, and the
+    manifest digests — so drift in ANY handoff (schema, gate
+    semantics, survivor set, hash order) breaks the hash match.
+
+    Scale shape: the composition adds NO exchanges of its own — every
+    shuffle belongs to a member stage, each audited at its own
+    contract row; survivor relations are persisted once per stage
+    because the funnel accounting triggers one action per stage."""
+    from hdk_spark.operators.dedup import ngram_jaccard_pairs, semantic_dedup
+    from hdk_spark.operators.graph import duplicate_clusters
+    from hdk_spark.operators.packing import pack_sequences
+    from hdk_spark.operators.sampling import shard_manifest, token_budget_sample
+    from hdk_spark.operators.text import quality_score, token_count
+
+    _tables(spark, sf_dir)
+
+    # Stage boundaries are EAGER localCheckpoints, not persists: each
+    # stage's plan references its input 2+ times (groupBy+join-back,
+    # operator+accounting branch), so raw lineage DOUBLES per stage —
+    # the analyzed plan of the final 10-branch union reached the 2 GiB
+    # plan-string ceiling and never finished analysis. Checkpointing
+    # truncates the logical plan at every handoff (the PageRank
+    # per-round discipline, graph.py) — and at 100 TB it's also the
+    # right recovery unit: recomputing a lost funnel-stage partition
+    # must not re-run the whole upstream funnel.
+    def _cp(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint()
+
+    st = _crawl_stages(spark, persist=True)
+    d = F.col("doc_id")
+    s0 = (
+        st["final"].select("doc_id", "lang", "bucket")
+        .join(st["url_dedup"].select("doc_id", "text"), "doc_id")
+    )
+    s0 = _cp(s0)
+    s1 = _cp(
+        s0.filter(F.col("bucket") != "tail").select("doc_id", "text", "lang")
+    )
+    inp = (
+        s1.unionByName(
+            s1.filter(d % 10 == 3).select(
+                (d + 20000).alias("doc_id"), "text", "lang"
+            )
+        ).unionByName(
+            s1.filter(d % 10 == 7).select(
+                (d + 30000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" recrawl")).alias("text"),
+                "lang",
+            )
+        )
+    )
+    inp = _cp(inp)
+    s3 = _cp(
+        inp.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .join(inp, ["doc_id", "text"])
+    )
+    removed = (
+        duplicate_clusters(
+            ngram_jaccard_pairs(s3, "doc_id", "text", n=3, threshold=0.5)
+        )
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    s4 = _cp(s3.join(removed, "doc_id", "left_anti"))
+    kept_sem = (
+        semantic_dedup(
+            spark.table("embeddings").join(
+                s4.select(d.alias("vec_id")), "vec_id"
+            ),
+            "vec_id", "embedding", threshold=0.3,
+        )
+        .filter("kept")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    s5 = _cp(s4.join(kept_sem, "doc_id"))
+    s6 = _cp(
+        s5.filter(F.round(quality_score(F.col("text")), 6) >= 0.52)
+    )
+    s7 = _cp(token_budget_sample(
+        s6, group_col="lang",
+        budgets={"fr": 400, "en": 350}, default_budget=250, seed=7,
+    ))
+    packed = pack_sequences(
+        s7.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        budget=256, n_shards=4, seed=0,
+    )
+    manifest = shard_manifest(s7, "doc_id", "text", n_shards=4, seed=0)
+
+    zero = F.lit(0).cast("bigint")
+
+    def acc(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum(token_count(F.col("text")).cast("bigint"))
+            .cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(name).alias("stage"), "n_docs", "id_sum", "n_tokens",
+            zero.alias("digest"),
+        )
+
+    pack_acc = packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("shard") * 100000 + F.col("chunk_id"))
+        .cast("bigint").alias("digest"),
+    ).select(
+        F.lit("8_pack").alias("stage"), "n_docs", "id_sum", "n_tokens",
+        "digest",
+    )
+    shard_rows = manifest.select(
+        F.concat(F.lit("9_shard_"), F.col("shard").cast("string"))
+        .alias("stage"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("key_sum").alias("id_sum"),
+        F.col("n_tokens"),
+        F.col("digest"),
+    )
+    return (
+        acc("0_crawl", s0)
+        .unionByName(acc("1_ccnet_gate", s1))
+        .unionByName(acc("2_recrawl_input", inp))
+        .unionByName(acc("3_exact", s3))
+        .unionByName(acc("4_neardup", s4))
+        .unionByName(acc("5_semantic", s5))
+        .unionByName(acc("6_quality", s6))
+        .unionByName(acc("7_budget", s7))
+        .unionByName(pack_acc)
+        .unionByName(shard_rows)
+        .orderBy("stage")
+    )
+
+
+def _training_export_oracle() -> str:
+    """Stage-by-stage SQL replay of the capstone funnel: the crawl
+    survivor arithmetic + lang-ID scoring + unigram-LM NTILE (the
+    crawl_pipeline oracle machinery), planted clones, exact GROUP BY,
+    the word-3-gram Jaccard pair/closure chain (the dedup_pipeline
+    oracle text), unrolled k-means + SemDedup (_semantic_ctes), the
+    quality_score arithmetic (the text_profile oracle expression), the
+    serial-window token-budget cut, the packing window, and the
+    per-shard manifest digests."""
+    langs_lit = ", ".join(f"'{x}'" for x in _CRAWL_LANGS)
+    bh = _hb_sql("doc_id", 1000000007, 7)
+    bb = _hb_sql("doc_id", 32, 108)
+    ph = _hb_sql("doc_id", 1000000007, 0)
+    psh = _hb_sql("doc_id", 4, 1)
+    msh = _hb_sql("doc_id", 4, 0)
+    return (
+        _crawl_kept_cte().replace("WITH surv", "WITH RECURSIVE surv", 1)
+        + _lang_score_cte("kept", _CRAWL_LANGS, 256, "lp")
+        + rf""", langpred AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 'und'
+              ELSE [{langs_lit}][list_position(isums, bi)] END AS lang
+  FROM lpbest
+), ctok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM kept
+), cf AS (
+  SELECT token, COUNT(*) AS c FROM ctok GROUP BY token
+), ctot AS (
+  SELECT SUM(c) AS s FROM cf
+), cscored AS (
+  SELECT doc_id,
+         round(AVG(ln(cf.c / CAST(ctot.s AS DOUBLE))), 6) + 0
+           AS avg_logprob
+  FROM ctok JOIN cf USING (token) CROSS JOIN ctot
+  GROUP BY doc_id
+), cranked AS (
+  SELECT s.doc_id, l.lang,
+         NTILE(3) OVER (PARTITION BY l.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+  FROM cscored s JOIN langpred l USING (doc_id)
+), s0 AS MATERIALIZED (
+  SELECT k.doc_id, k.text, r.lang, r.nt
+  FROM cranked r JOIN kept k USING (doc_id)
+), s1 AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM s0 WHERE nt < 3
+), inp AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM s1
+  UNION ALL
+  SELECT doc_id + 20000, text, lang FROM s1 WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 30000, text || ' recrawl', lang FROM s1
+  WHERE doc_id % 10 = 7
+), s3k AS (
+  SELECT min(doc_id) AS doc_id, text FROM inp GROUP BY text
+), s3 AS MATERIALIZED (
+  SELECT k.doc_id, k.text, i.lang
+  FROM s3k k JOIN inp i ON k.doc_id = i.doc_id AND k.text = i.text
+), jsh AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1, 1)),
+             i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(lower(text)), '\s+')[i+2]
+           )
+         ) AS s_list
+  FROM s3
+), jex AS (
+  SELECT id, len(s_list) AS n_sh, unnest(s_list) AS s
+  FROM jsh WHERE len(s_list) > 0
+), jpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM jex a JOIN jex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), jed AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+  UNION
+  SELECT id_b, id_a FROM jpairs
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+), jreach(a, b) AS (
+  SELECT a, b FROM jed
+  UNION
+  SELECT r.a, e.b FROM jreach r JOIN jed e ON r.b = e.a
+), jgrp AS (
+  SELECT a AS id, least(a, min(b)) AS cluster_id FROM jreach GROUP BY a
+), s4 AS MATERIALIZED (
+  SELECT s3.doc_id, s3.text, s3.lang
+  FROM s3 LEFT JOIN jgrp g ON s3.doc_id = g.id
+  WHERE g.id IS NULL OR g.cluster_id = s3.doc_id
+), s4emb AS MATERIALIZED (
+  -- MATERIALIZED: the unrolled Lloyd rounds scan their source once
+  -- per assign/update CTE; inlining would re-run the crawl + Jaccard
+  -- chains each time (the dedup_pipeline oracle's measured 195->7.7 s)
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN s4 ON e.vec_id = s4.doc_id
+),"""
+        + _semantic_ctes(0.3, source="s4emb")
+        + rf""", s5 AS MATERIALIZED (
+  SELECT s4.doc_id, s4.text, s4.lang
+  FROM s4 JOIN sem ON sem.id = s4.doc_id AND sem.kept
+), s6 AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           round(
+             least(length(text) / 500.0, 1.0) * 0.4
+             + (1.0 - least(
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END * 5.0, 1.0)) * 0.3
+             + least(
+                 CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                                x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+                           / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                      ELSE 0.0 END * 4.0, 1.0) * 0.3,
+             6) AS qual
+    FROM s5
+  ) WHERE qual >= 0.52
+), bt AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok,
+         {bh} AS h, {bb} AS b
+  FROM s6
+), bc AS (
+  SELECT *, COALESCE(SUM(tok) OVER (
+    PARTITION BY lang ORDER BY b, h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM bt
+), s7 AS MATERIALIZED (
+  SELECT doc_id, text, lang, tok FROM bc
+  WHERE cum < CASE lang WHEN 'fr' THEN 400 WHEN 'en' THEN 350
+                        ELSE 250 END
+), pk AS (
+  SELECT doc_id, tok, {psh} AS shard,
+         SUM(tok) OVER (
+           PARTITION BY {psh} ORDER BY {ph}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM s7
+), mt AS (
+  SELECT {msh} AS shard, doc_id, tok,
+         ((doc_id % 2147483647) * 2654435761
+          + (CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)
+             % 2147483647)) % 2147483647 AS term
+  FROM s7
+), wtok AS MATERIALIZED (
+  -- token counts for EVERY id the funnel accounts: s0 covers the
+  -- tail-bucket docs that never reach inp; inp covers the clones
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+  FROM (
+    SELECT doc_id, text FROM s0
+    UNION
+    SELECT doc_id, text FROM inp
+  )
+)
+SELECT '0_crawl' AS stage, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(w.tok) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS digest
+FROM s0 JOIN wtok w USING (doc_id)
+UNION ALL
+SELECT '1_ccnet_gate', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(w.tok) AS BIGINT), 0
+FROM s1 JOIN wtok w USING (doc_id)
+UNION ALL
+SELECT '2_recrawl_input', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(w.tok) AS BIGINT), 0
+FROM inp JOIN wtok w USING (doc_id)
+UNION ALL
+SELECT '3_exact', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(w.tok) AS BIGINT), 0
+FROM s3 JOIN wtok w USING (doc_id)
+UNION ALL
+SELECT '4_neardup', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(w.tok) AS BIGINT), 0
+FROM s4 JOIN wtok w USING (doc_id)
+UNION ALL
+SELECT '5_semantic', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(w.tok) AS BIGINT), 0
+FROM s5 JOIN wtok w USING (doc_id)
+UNION ALL
+SELECT '6_quality', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(w.tok) AS BIGINT), 0
+FROM s6 JOIN wtok w USING (doc_id)
+UNION ALL
+SELECT '7_budget', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(tok) AS BIGINT), 0
+FROM s7
+UNION ALL
+SELECT '8_pack', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(tok) AS BIGINT),
+       CAST(SUM(shard * 100000 + CAST(floor((cum - tok) / 256.0) AS BIGINT))
+            AS BIGINT)
+FROM pk
+UNION ALL
+SELECT '9_shard_' || CAST(shard AS VARCHAR), COUNT(*),
+       CAST(SUM(doc_id) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+       CAST(SUM(CAST(term AS DECIMAL(38,0))) % 2147483647 AS BIGINT)
+FROM mt GROUP BY 1
+ORDER BY stage
+"""
+    )
+
+
+SPARK_IMPLS["training_export_pipeline"] = q_training_export_pipeline
+ORACLES["training_export_pipeline"] = _training_export_oracle()

@@ -206,6 +206,87 @@ def main() -> None:
             lambda: domain_boilerplate_removal(lined), n=1))
         return
 
+    if "--r9" in sys.argv:
+        # round-9: the capstone training-export funnel at 10x (500k
+        # docs; the 10x regen duplicates each text 10 times under
+        # shifted ids, so the exact stage does real 90% collapse work).
+        # Crawl front measured separately (--r6 html/lang, --r8 graph);
+        # this measures the post-crawl funnel composition end-to-end.
+        from hdk_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            semantic_dedup,
+        )
+        from hdk_spark.operators.graph import duplicate_clusters
+        from hdk_spark.operators.packing import pack_sequences
+        from hdk_spark.operators.sampling import (
+            shard_manifest,
+            token_budget_sample,
+        )
+        from hdk_spark.operators.text import quality_score
+
+        docs = spark.table("documents").select("doc_id", "text", "lang")
+        d = F.col("doc_id")
+        t_all = time.perf_counter()
+
+        t0 = time.perf_counter()
+        s1 = (
+            docs.groupBy("text").agg(
+                F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+            )
+        ).localCheckpoint()
+        print("exact_500k->", s1.count(),
+              round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        removed = (
+            duplicate_clusters(
+                ngram_jaccard_pairs(s1, "doc_id", "text", n=3,
+                                    threshold=0.5)
+            )
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        s2 = s1.join(removed, "doc_id", "left_anti").localCheckpoint()
+        print("jaccard->", s2.count(), round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        emb = spark.table("embeddings").join(
+            s2.select(d.alias("vec_id")), "vec_id"
+        )
+        kept_sem = (
+            semantic_dedup(emb, "vec_id", "embedding", k=64,
+                           threshold=0.95, mode="lsh")
+            .filter("kept").select(F.col("vec_id").alias("doc_id"))
+        )
+        s3 = s2.join(kept_sem, "doc_id").localCheckpoint()
+        print("semdedup_lsh->", s3.count(),
+              round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        s4 = s3.filter(
+            F.round(quality_score(F.col("text")), 6) >= 0.52
+        ).localCheckpoint()
+        print("quality->", s4.count(), round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        s5 = token_budget_sample(
+            s4, group_col="lang", budgets={"en": 2_000_000},
+            default_budget=500_000, seed=7,
+        ).localCheckpoint()
+        print("budget->", s5.count(), round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        pack_sequences(
+            s5.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+            budget=2048, n_shards=64, seed=0,
+        ).write.format("noop").mode("overwrite").save()
+        shard_manifest(
+            s5, "doc_id", "text", n_shards=64, seed=0
+        ).write.format("noop").mode("overwrite").save()
+        print("pack+manifest:", round(time.perf_counter() - t0, 2))
+        print("funnel_total:", round(time.perf_counter() - t_all, 2))
+        return
+
     if "--r8" in sys.argv:
         # round-8 operators at 10× (500k docs)
         from hdk_spark.operators.graph import page_rank
