@@ -301,6 +301,10 @@ _PRIORITY: list[str] = [
     # round-9 additions, never checked
     "training_export_pipeline",
     "multimodal_phash_dct",
+    "select_dsir_weights",
+    "select_dsir_sample",
+    "select_temperature_mixture",
+    "select_temperature_budgets",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -9497,3 +9497,234 @@ SELECT doc_id AS id, CAST(phash AS BIGINT) AS phash FROM h ORDER BY id
 
 SPARK_IMPLS["multimodal_phash_dct"] = q_multimodal_phash_dct
 ORACLES["multimodal_phash_dct"] = _MULTIMODAL_PHASH_DCT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 9: data-selection operators (operators/selection.py) — DSIR
+# importance resampling (Xie et al. 2023) and temperature mixture
+# weights/budgets (the multilingual alpha-sampling rule).
+# ---------------------------------------------------------------------------
+
+
+def _dsir_target_df(spark: SparkSession) -> DataFrame:
+    # deterministic planted "high-quality target": the en documents
+    # with doc_id % 7 == 0 (sample-sized, id-derived — the oracle
+    # replays the same predicate)
+    return spark.table("documents").filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)
+    ).select("doc_id", "text")
+
+
+def q_select_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weights
+    (operators/selection.py::dsir_logweights, 256 buckets, unigrams +
+    bigrams, add-1 smoothing) of every document against the planted
+    en target. The oracle replays gram extraction, the md5 bucket
+    hash, both count distributions, the quantized per-bucket
+    log-ratio table, and the exact int64 micro-sum."""
+    from hdk_spark.operators.selection import dsir_logweights
+
+    _tables(spark, sf_dir)
+    return dsir_logweights(
+        spark.table("documents"), _dsir_target_df(spark), n_buckets=256
+    ).orderBy("doc_id")
+
+
+_DSIR_GRAMS = r"""
+grams AS (
+  SELECT doc_id AS id, unnest(list_concat(toks,
+           list_transform(range(1, greatest(len(toks), 1)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS g
+  FROM (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0
+                THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+           END AS toks
+    FROM documents
+  )
+), tgrams AS (
+  SELECT g FROM grams
+  JOIN documents d ON grams.id = d.doc_id
+  WHERE d.lang = 'en' AND d.doc_id % 7 = 0
+), rb AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+  FROM grams
+), tb AS (
+  SELECT CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+  FROM tgrams
+), rc AS (
+  SELECT b, COUNT(*) AS cr FROM rb GROUP BY b
+), tc AS (
+  SELECT b, COUNT(*) AS ct FROM tb GROUP BY b
+), tot AS (
+  SELECT (SELECT SUM(cr) FROM rc) AS tr, (SELECT SUM(ct) FROM tc) AS tt
+), ratio AS (
+  SELECT rc.b,
+         CAST(round((ln(COALESCE(tc.ct, 0) + 1)
+                     - ln(COALESCE(tot.tt, 0) + 256)
+                     - ln(rc.cr + 1)
+                     + ln(tot.tr + 256)) * 1000000) AS BIGINT) AS lrm
+  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot
+), sc AS (
+  SELECT rb.id, COUNT(*) AS n_grams, SUM(ratio.lrm) AS m
+  FROM rb JOIN ratio ON rb.b = ratio.b GROUP BY rb.id
+)"""
+
+
+_DSIR_WEIGHTS_ORACLE = (
+    "WITH " + _DSIR_GRAMS + """
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       round(COALESCE(sc.m, 0) / 1e6, 6) + 0 AS log_weight
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.id
+ORDER BY d.doc_id
+"""
+)
+
+SPARK_IMPLS["select_dsir_weights"] = q_select_dsir_weights
+ORACLES["select_dsir_weights"] = _DSIR_WEIGHTS_ORACLE
+
+
+def q_select_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step: Gumbel top-25 over length-normalized
+    log-weights with the repo's deterministic-hash uniform (pure
+    function of (doc_id, seed) — stable under repartitioning). The
+    oracle replays weight computation, the hash uniform, the Gumbel
+    transform, and the top-k cut."""
+    from hdk_spark.operators.selection import dsir_sample
+
+    _tables(spark, sf_dir)
+    return dsir_sample(
+        spark.table("documents"), _dsir_target_df(spark), k=25,
+        n_buckets=256, seed=17,
+    )
+
+
+def _dsir_sample_oracle() -> str:
+    u = ("((" + _hb_sql("d.doc_id", 2147483647, 17)
+         + ") + 0.5) / 2147483647.0")
+    return (
+        "WITH " + _DSIR_GRAMS + f"""
+, w AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         round(COALESCE(sc.m, 0) / 1e6, 6) + 0 AS log_weight,
+         round(round(COALESCE(sc.m, 0) / 1e6, 6)
+                 / greatest(COALESCE(sc.n_grams, 0), 1)
+               + (-ln(-ln({u}))), 6) + 0 AS score
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.id
+)
+SELECT doc_id, n_grams, log_weight, score
+FROM w ORDER BY score DESC, doc_id LIMIT 25
+"""
+    )
+
+
+SPARK_IMPLS["select_dsir_sample"] = q_select_dsir_sample
+ORACLES["select_dsir_sample"] = _dsir_sample_oracle()
+
+
+def q_select_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-flattened mixture weights q_g ∝ p_g^0.3 by token
+    mass (operators/selection.py::temperature_mixture — the
+    mBERT/XLM-R alpha-sampling rule): majority languages damp, tails
+    boost. Oracle replays token counting, the power law, and the
+    normalization."""
+    from hdk_spark.operators.selection import temperature_mixture
+
+    _tables(spark, sf_dir)
+    return temperature_mixture(
+        spark.table("documents"), "lang", alpha=0.3
+    ).orderBy("lang")
+
+
+_TEMP_MIX_CTES = r"""
+g AS (
+  SELECT lang AS grp, COUNT(*) AS n_docs,
+         SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(CAST(n_tokens AS DOUBLE)) AS t FROM g
+), staged AS (
+  SELECT grp, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / tot.t AS p,
+         pow(CAST(n_tokens AS DOUBLE) / tot.t, 0.3) AS pa
+  FROM g CROSS JOIN tot
+), z AS (
+  SELECT SUM(pa) AS z FROM staged
+)"""
+
+
+_TEMP_MIX_ORACLE = (
+    "WITH " + _TEMP_MIX_CTES + """
+SELECT grp AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(p, 6) + 0 AS p,
+       round(pa / z.z, 6) + 0 AS q,
+       round(pa / z.z / p, 6) + 0 AS boost
+FROM staged CROSS JOIN z ORDER BY lang
+"""
+)
+
+SPARK_IMPLS["select_temperature_mixture"] = q_select_temperature_mixture
+ORACLES["select_temperature_mixture"] = _TEMP_MIX_ORACLE
+
+
+def q_select_temperature_budgets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer per-group token budgets from the temperature weights,
+    summing EXACTLY to 1,000,003 (a deliberately awkward total —
+    largest-remainder rounding must distribute the shortfall):
+    operators/selection.py::temperature_budgets. Oracle replays the
+    micro-quantized shares, HUGEINT floor division, and the
+    remainder-ranked distribution."""
+    from hdk_spark.operators.selection import temperature_budgets
+
+    _tables(spark, sf_dir)
+    return temperature_budgets(
+        spark.table("documents"), 1_000_003, "lang", alpha=0.3
+    ).orderBy("lang")
+
+
+_TEMP_BUDGETS_ORACLE = (
+    "WITH " + _TEMP_MIX_CTES + """
+, m AS (
+  SELECT grp, n_docs, n_tokens, round(pa / z.z, 6) + 0 AS q
+  FROM staged CROSS JOIN z
+), qm AS (
+  SELECT grp, n_docs, n_tokens, q,
+         CAST(round(q * 1e6) AS BIGINT) AS qmv
+  FROM m
+), s AS (
+  SELECT SUM(qmv) AS s FROM qm
+), fl AS (
+  SELECT grp, n_docs, n_tokens, q,
+         CAST((CAST(qmv AS HUGEINT) * 1000003) // s.s AS BIGINT) AS fl,
+         CAST((CAST(qmv AS HUGEINT) * 1000003)
+              - ((CAST(qmv AS HUGEINT) * 1000003) // s.s) * s.s
+              AS BIGINT) AS rem
+  FROM qm CROSS JOIN s
+), short AS (
+  SELECT 1000003 - SUM(fl) AS sh FROM fl
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, grp ASC NULLS LAST)
+              AS rk
+  FROM fl
+)
+SELECT grp AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, q,
+       CAST(fl + CASE WHEN rk <= short.sh THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM rk CROSS JOIN short ORDER BY lang
+"""
+)
+
+SPARK_IMPLS["select_temperature_budgets"] = q_select_temperature_budgets
+ORACLES["select_temperature_budgets"] = _TEMP_BUDGETS_ORACLE
