@@ -305,6 +305,7 @@ _PRIORITY: list[str] = [
     "select_dsir_sample",
     "select_temperature_mixture",
     "select_temperature_budgets",
+    "pack_sequences_split",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -9728,3 +9728,64 @@ FROM rk CROSS JOIN short ORDER BY lang
 
 SPARK_IMPLS["select_temperature_budgets"] = q_select_temperature_budgets
 ORACLES["select_temperature_budgets"] = _TEMP_BUDGETS_ORACLE
+
+
+def q_pack_sequences_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-SPLITTING sequence packing
+    (operators/packing.py::pack_sequences_split, budget 128, 8
+    shards): exact-fill chunks — every chunk but each shard's last
+    holds exactly 128 tokens, docs straddling a boundary split into
+    (piece_index, offset, n_tokens) pieces. The oracle replays the
+    hash order, the running sum, and the piece interval arithmetic
+    with generate_series."""
+    from hdk_spark.operators.packing import pack_sequences_split
+    from hdk_spark.operators.text import token_count
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences_split(
+        docs, "doc_id", "n_tokens", budget=128, n_shards=8, seed=0
+    ).orderBy("shard", "chunk_id", "piece_index", "doc_id")
+
+
+_PACK_SPLIT_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens,
+         {_hb_sql('doc_id', 1000000007, 0)} AS h,
+         {_hb_sql('doc_id', 8, 1)} AS shard
+  FROM documents
+), runs AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM toks
+), spans AS (
+  SELECT doc_id, shard, n_tokens, cum, cum - n_tokens AS start,
+         CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) AS lo,
+         greatest(CAST(floor((cum - 1) / 128.0) AS BIGINT),
+                  CAST(floor((cum - n_tokens) / 128.0) AS BIGINT)) AS hi
+  FROM runs
+), pieces AS (
+  SELECT doc_id, shard, start, cum, lo,
+         unnest(range(lo, hi + 1)) AS chunk_id
+  FROM spans
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id - lo AS BIGINT) AS piece_index,
+       CAST(greatest(chunk_id * 128, start) - start AS BIGINT) AS offset,
+       CAST(least((chunk_id + 1) * 128, cum)
+            - greatest(chunk_id * 128, start) AS BIGINT) AS n_tokens
+FROM pieces
+ORDER BY shard, chunk_id, piece_index, doc_id
+"""
+
+SPARK_IMPLS["pack_sequences_split"] = q_pack_sequences_split
+ORACLES["pack_sequences_split"] = _PACK_SPLIT_ORACLE

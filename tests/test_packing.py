@@ -1,0 +1,76 @@
+
+
+def test_pack_split_exact_fill_and_reconstruction(spark):
+    """Splitting contract: every chunk except each shard's last holds
+    exactly `budget` tokens; per-doc pieces reconstruct the document
+    (contiguous offsets summing to the doc's tokens); the first piece
+    agrees with pack_sequences' assignment."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.packing import pack_sequences, pack_sequences_split
+
+    docs = spark.createDataFrame(
+        [(i, 3 + (i * 7) % 40) for i in range(300)] + [(999, 0)],
+        "doc_id: long, n_tokens: long",
+    )
+    out = pack_sequences_split(
+        docs, "doc_id", "n_tokens", budget=32, n_shards=4, seed=0
+    ).collect()
+
+    # per-chunk fill
+    fill = {}
+    for r in out:
+        fill[(r["shard"], r["chunk_id"])] = (
+            fill.get((r["shard"], r["chunk_id"]), 0) + r["n_tokens"]
+        )
+    last = {}
+    for (s, c) in fill:
+        last[s] = max(last.get(s, -1), c)
+    for (s, c), tot in fill.items():
+        if c != last[s]:
+            assert tot == 32, (s, c, tot)
+        else:
+            assert 0 < tot <= 32
+
+    # per-doc reconstruction
+    toks = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(toks)
+    for did, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["piece_index"])
+        assert [p["piece_index"] for p in pieces] == list(range(len(pieces)))
+        assert sum(p["n_tokens"] for p in pieces) == toks[did]
+        off = 0
+        for p in pieces:
+            assert p["offset"] == off
+            off += p["n_tokens"]
+        # pieces are consecutive chunks
+        cks = [p["chunk_id"] for p in pieces]
+        assert cks == list(range(cks[0], cks[0] + len(cks)))
+
+    # first-piece parity with the never-split packer
+    whole = {r["doc_id"]: (r["shard"], r["chunk_id"])
+             for r in pack_sequences(
+                 docs, "doc_id", "n_tokens", budget=32, n_shards=4, seed=0
+             ).collect()}
+    for did, pieces in by_doc.items():
+        p0 = min(pieces, key=lambda r: r["piece_index"])
+        assert (p0["shard"], p0["chunk_id"]) == whole[did]
+
+    # zero-token doc: one empty piece
+    z = by_doc[999]
+    assert len(z) == 1 and z[0]["n_tokens"] == 0
+
+    # determinism under repartition
+    again = pack_sequences_split(
+        docs.repartition(11), "doc_id", "n_tokens", budget=32,
+        n_shards=4, seed=0,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences_split(docs, "doc_id", "n_tokens", budget=0)
