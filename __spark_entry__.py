@@ -306,6 +306,7 @@ _PRIORITY: list[str] = [
     "select_temperature_mixture",
     "select_temperature_budgets",
     "pack_sequences_split",
+    "graph_hits",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -9789,3 +9789,74 @@ ORDER BY shard, chunk_id, piece_index, doc_id
 
 SPARK_IMPLS["pack_sequences_split"] = q_pack_sequences_split
 ORACLES["pack_sequences_split"] = _PACK_SPLIT_ORACLE
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS (operators/graph.py::hits, 2
+    iterations, L∞ normalization, 1e9 micro-scale) over the same
+    DISTINCT host graph as graph_pagerank — hubs and authorities
+    separated where PageRank folds them. The oracle re-derives the
+    edges from the planting arithmetic and unrolls both iterations
+    (each half-round: DECIMAL sum-join, scalar max, ·scale // max)."""
+    from hdk_spark.operators.graph import hits
+    from hdk_spark.operators.web import link_graph
+
+    _tables(spark, sf_dir)
+    edges = (
+        link_graph(_planted_link_pages(spark))
+        .select(
+            F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+        )
+        .distinct()
+    )
+    return hits(edges, iters=2).orderBy("node")
+
+
+def _hits_ctes(iters: int = 2) -> str:
+    """Unrolled HITS rounds ending in ``h{iters}`` / ``a{iters}``
+    (node, m): the planted de/nodes CTEs of _pagerank_ctes, hub_0 =
+    1e9, then per round an authority half (sum hubs over in-edges,
+    max-normalize) and a hub half (sum auths over out-edges,
+    max-normalize). HUGEINT keeps the ·1e9 rescale exact."""
+    half = """
+{out}raw AS (
+  SELECT de.{to} AS node, SUM(CAST(s.m AS HUGEINT)) AS sm
+  FROM de JOIN {src} s ON s.node = de.{frm} GROUP BY de.{to}
+),
+{out}mx AS (
+  SELECT greatest(MAX(sm), 1) AS mx FROM {out}raw
+),
+{out} AS (
+  SELECT n.node,
+         CAST((COALESCE(r.sm, 0) * 1000000000) // m.mx AS BIGINT) AS m
+  FROM h0 n LEFT JOIN {out}raw r ON r.node = n.node CROSS JOIN {out}mx m
+)"""
+    parts = [
+        _LINK_EDGE_SQL + """,
+de AS (SELECT DISTINCT s, t FROM e WHERE s <> t),
+nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM de UNION ALL SELECT t FROM de)),
+h0 AS (SELECT n AS node, CAST(1000000000 AS BIGINT) AS m FROM nodes)"""
+    ]
+    prev_hub = "h0"
+    for k in range(1, iters + 1):
+        parts.append(half.format(out=f"a{k}", to="t", frm="s", src=prev_hub))
+        parts.append(half.format(out=f"h{k}", to="s", frm="t", src=f"a{k}"))
+        prev_hub = f"h{k}"
+    return ",".join(parts)
+
+
+def _hits_oracle(iters: int = 2) -> str:
+    return (
+        "WITH " + _hits_ctes(iters)
+        + f"""
+SELECT 'site' || CAST(h.node AS VARCHAR) || '.com' AS node,
+       h.m AS hub_micro, a.m AS auth_micro,
+       h.m / 1000000000.0 AS hub, a.m / 1000000000.0 AS authority
+FROM h{iters} h JOIN a{iters} a ON h.node = a.node
+ORDER BY node
+"""
+    )
+
+
+SPARK_IMPLS["graph_hits"] = q_graph_hits
+ORACLES["graph_hits"] = _hits_oracle()

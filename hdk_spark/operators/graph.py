@@ -36,7 +36,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "connected_components_star", "duplicate_clusters", "page_rank"]
+__all__ = ["connected_components", "connected_components_star", "duplicate_clusters", "page_rank",
+    "hits",
+]
 
 
 def connected_components(
@@ -377,4 +379,113 @@ def page_rank(
         "node",
         "rank_micro",
         (F.col("rank_micro") / F.lit(float(scale))).alias("rank"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Deterministic integer fixed-point HITS (Kleinberg 1999) over a
+    directed edge list — the hubs-and-authorities companion to
+    :func:`page_rank`: authorities are pages many good hubs point TO,
+    hubs are pages that point AT many good authorities. The two
+    scores separate roles PageRank folds together (a link directory
+    is a great hub and a poor authority), which is why crawl
+    schedulers use hubs to pick pages to EXPAND and authorities to
+    pick pages to KEEP.
+
+    Update rule, max-normalized in exact integer micro-units of
+    1/``scale`` (L∞ rather than the paper's L2: same fixed-point
+    ranking, but divisions stay integer and SQL-replayable):
+
+        auth_{k}(v) = Σ_{u→v} hub_{k-1}(u)      then ·scale div max
+        hub_{k}(u)  = Σ_{u→v} auth_{k}(v)       then ·scale div max
+
+    starting from hub_0 = scale. FIXED iteration count (the
+    page_rank determinism contract). Per-round L∞ normalization also
+    bounds magnitudes — the un-normalized iteration grows like
+    σ_max^{2k} and overflows at scale. Parallel edge rows are
+    parallel edges (pre-DISTINCT for simple-graph semantics);
+    self-loops feed the rule as written.
+
+    Returns one row per node: (node, hub_micro, auth_micro, hub,
+    authority) — micro int64 (the exact contract surface), doubles =
+    micro/scale. Nodes with no in-edges get authority 0, no
+    out-edges hub 0; the round-k max is over positive sums only and
+    guards empty graphs with max ≥ 1.
+
+    Scale shape: each half-round is ONE equi-join of the score
+    relation against the persisted edges plus one partial-agg groupBy
+    (sums in DECIMAL(38,0) — int64-safe past 10^9 in-edges·scale),
+    one 1-row max broadcast, and the ·scale div max rescale also in
+    DECIMAL(38,0). Lineage truncated per round (localCheckpoint, the
+    iterative-DataFrame discipline of connected_components /
+    page_rank above)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).persist()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d")))
+        .distinct()
+        .persist()
+    )
+
+    def _half(scores: DataFrame, join_on: str, emit: str) -> DataFrame:
+        """One half-round: sum scores over edges keyed on ``join_on``
+        (__s for auth←hubs, __d for hub←auths), L∞-normalize."""
+        summed = (
+            e.join(scores, e[join_on] == scores["node"])
+            .select(
+                F.col("__d" if join_on == "__s" else "__s").alias("node"),
+                F.col("m").alias("__v"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("__v").cast("decimal(38,0)")).alias("__sum"))
+        )
+        mx = summed.agg(
+            F.greatest(F.max("__sum"), F.lit(1).cast("decimal(38,0)"))
+            .alias("__mx")
+        )
+        return (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((COALESCE(__sum, 0) * {int(scale)}) DIV __mx"
+                    " AS BIGINT)"
+                ).alias(emit),
+            )
+        )
+
+    hub = nodes.select(
+        "node", F.lit(int(scale)).cast("long").alias("m")
+    )
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "__s", "m").localCheckpoint(eager=True)
+        hub = _half(auth, "__d", "m").localCheckpoint(eager=True)
+    out = (
+        hub.select("node", F.col("m").alias("hub_micro"))
+        .join(
+            auth.select("node", F.col("m").alias("auth_micro")), "node"
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out.select(
+        "node",
+        "hub_micro",
+        "auth_micro",
+        (F.col("hub_micro") / F.lit(float(scale))).alias("hub"),
+        (F.col("auth_micro") / F.lit(float(scale))).alias("authority"),
     )

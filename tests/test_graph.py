@@ -266,3 +266,37 @@ def test_pagerank_weighted_equals_exploded(spark):
          for r in page_rank(wdf, weight="w").collect()}
     b = {r["node"]: r["rank_micro"] for r in page_rank(xdf).collect()}
     assert a == b
+
+
+def test_hits_hand_graph_and_determinism(spark):
+    """Hand-checkable hub/authority separation: 1→3, 2→3, 3→4 makes 3
+    the top authority and 1/2 the top hubs (iteration arithmetic
+    verified by hand in micro-units); result is repartition-stable and
+    a directory-style node (high out, no in) gets hub≫authority."""
+    from hdk_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src: long, dst: long")
+    got = {r["node"]: r for r in hits(edges, iters=2).collect()}
+    assert got[3]["auth_micro"] == 1_000_000_000
+    assert got[1]["hub_micro"] == got[2]["hub_micro"] == 1_000_000_000
+    # hand-derived round-2 values: auth_raw(4)=hub_1(3)=5e8, max=2e9
+    assert got[4]["auth_micro"] == 250_000_000
+    assert got[3]["hub_micro"] == 250_000_000
+    assert got[1]["auth_micro"] == 0 and got[4]["hub_micro"] == 0
+
+    again = {r["node"]: tuple(r) for r in hits(
+        edges.repartition(5), iters=2).collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
+
+    # directory node: many out-links, zero in-links
+    d_edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2), (3, 2)],
+        "src: long, dst: long")
+    d = {r["node"]: r for r in hits(d_edges, iters=3).collect()}
+    assert d[0]["hub_micro"] > 0 and d[0]["auth_micro"] == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="iters"):
+        hits(edges, iters=0)
