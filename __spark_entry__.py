@@ -307,6 +307,8 @@ _PRIORITY: list[str] = [
     "select_temperature_budgets",
     "pack_sequences_split",
     "graph_hits",
+    "similarity_pq_encode",
+    "similarity_pq_topk",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

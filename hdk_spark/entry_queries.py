@@ -9860,3 +9860,123 @@ ORDER BY node
 
 SPARK_IMPLS["graph_hits"] = q_graph_hits
 ORACLES["graph_hits"] = _hits_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 9: product quantization (Jégou et al. 2011) — contract rows use
+# EXPLICIT literal codebooks (the ann_ivf_topk centroids= discipline:
+# trained codebooks are driver-sample-dependent; literal ones make
+# encode and ADC bit-replayable in SQL). 8 subspaces × 4 constant-
+# vector centroids sized to the synthetic embeddings' per-dim scale.
+# ---------------------------------------------------------------------------
+
+_PQ_VALS = (-0.15, -0.05, 0.05, 0.15)
+_PQ_CB = [[[v] * 8 for v in _PQ_VALS] for _ in range(8)]
+
+
+def q_similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (operators/similarity.py::pq_encode): every 64-dim
+    embedding → 8 centroid ids (2 bits each with ksub=4 — a 64×
+    compression of float32 vectors), emitted PACKED into one bigint
+    (Σ code_j·4^j) so the hash surface is scalar. Oracle replays the
+    per-subspace constant-centroid distances, first-minimum argmin
+    (ties to the lower centroid id), and the packing."""
+    from hdk_spark.operators.similarity import pq_encode
+
+    _tables(spark, sf_dir)
+    enc = pq_encode(spark.table("embeddings"), _PQ_CB)
+    packed = F.lit(0).cast("bigint")
+    for j in range(8):
+        packed = packed + F.col("code")[j].cast("bigint") * F.lit(4 ** j)
+    return enc.select(
+        F.col("id").alias("vec_id"), packed.alias("code_packed")
+    ).orderBy("vec_id")
+
+
+def _pq_sub_dist_sql(vexpr: str, j: int, val: float) -> str:
+    lo, hi = j * 8 + 1, j * 8 + 8
+    return (
+        f"list_reduce(list_transform({vexpr}[{lo}:{hi}], "
+        f"x -> (CAST(x AS DOUBLE) - ({val})) * (CAST(x AS DOUBLE) - ({val}))), "
+        "(p, q) -> p + q)"
+    )
+
+
+def _pq_code_sql(vexpr: str, j: int) -> str:
+    ds = ", ".join(_pq_sub_dist_sql(vexpr, j, v) for v in _PQ_VALS)
+    return (
+        f"(list_position([{ds}], list_aggregate([{ds}], 'min')) - 1)"
+    )
+
+
+def _pq_encode_oracle() -> str:
+    packed = " + ".join(
+        f"CAST({_pq_code_sql('v', j)} AS BIGINT) * {4 ** j}"
+        for j in range(8)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id, CAST({packed} AS BIGINT) AS code_packed
+FROM e ORDER BY vec_id
+"""
+
+
+SPARK_IMPLS["similarity_pq_encode"] = q_similarity_pq_encode
+ORACLES["similarity_pq_encode"] = _pq_encode_oracle()
+
+
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 for queries 0-3
+    (operators/similarity.py::pq_topk): the corpus is scanned as
+    codes, each query's exact subvector→centroid distances form the
+    LUT, candidate distance = Σ_j lut[j][code_j]. Oracle recomputes
+    codes, LUTs, the ADC sum in the same fold order, and the
+    (adc asc, id asc) rank window."""
+    from hdk_spark.operators.similarity import pq_topk
+
+    _tables(spark, sf_dir)
+    return pq_topk(
+        spark.table("embeddings"), [0, 1, 2, 3], _PQ_CB, k=5
+    ).orderBy("qid", "rank")
+
+
+def _pq_topk_oracle() -> str:
+    codes = ", ".join(
+        f"CAST({_pq_code_sql('v', j)} AS INT)" for j in range(8)
+    )
+    luts = ", ".join(
+        "[" + ", ".join(_pq_sub_dist_sql("qv", j, v) for v in _PQ_VALS) + "]"
+        f" AS lut{j}"
+        for j in range(8)
+    )
+    adc = " + ".join(f"q.lut{j}[c.code[{j + 1}] + 1]" for j in range(8))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id, [{codes}] AS code FROM e
+), q AS (
+  SELECT vec_id AS qid, v AS qv, {luts}
+  FROM e WHERE vec_id IN (0, 1, 2, 3)
+), scored AS (
+  SELECT q.qid, c.vec_id AS neighbor_id, {adc} AS adc
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.qid
+), r AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id)
+           AS rank,
+         adc
+  FROM scored
+)
+SELECT qid, neighbor_id, CAST(rank AS INT) AS rank,
+       round(adc, 6) + 0 AS adc_dist
+FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+SPARK_IMPLS["similarity_pq_topk"] = q_similarity_pq_topk
+ORACLES["similarity_pq_topk"] = _pq_topk_oracle()

@@ -101,3 +101,57 @@ def test_ann_topk_size_dispatch(spark):
     assert small.columns == ["qid", "neighbor_id", "rank", "cosine"]
     assert big.columns == ["qid", "neighbor_id", "rank", "cosine"]
     assert small.count() > 0 and big.count() > 0
+
+
+def test_pq_planted_structure_recovers_neighbors(spark):
+    """Vectors planted at codebook centroids (+tiny per-id jitter):
+    ADC must rank same-cell vectors above different-cell ones, and the
+    pre-encoded `codes` path must equal the inline path."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.similarity import pq_encode, pq_topk
+
+    dsub, m = 4, 2
+    vals = (-1.0, 1.0)
+    cbs = [[[v] * dsub for v in vals] for _ in range(m)]
+    # 4 cells (2 per subspace); ids i occupy cell (i%2, (i//2)%2)
+    rows = []
+    for i in range(40):
+        c0, c1 = vals[i % 2], vals[(i // 2) % 2]
+        jit = (i % 5) * 0.01
+        rows.append((i, [c0 + jit] * dsub + [c1 - jit] * dsub))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    enc = {r["id"]: r["code"] for r in pq_encode(df, cbs).collect()}
+    for i in range(40):
+        assert enc[i] == [i % 2, (i // 2) % 2]
+
+    top = pq_topk(df, [0], cbs, k=9).collect()
+    same_cell = {i for i in range(1, 40)
+                 if i % 2 == 0 and (i // 2) % 2 == 0}
+    got = {r["neighbor_id"] for r in top}
+    assert got == same_cell  # exactly the 9 co-cell vectors rank first
+
+    codes = pq_encode(df, cbs)
+    via_codes = pq_topk(df, [0], cbs, k=9, codes=codes).collect()
+    assert sorted(map(tuple, via_codes)) == sorted(map(tuple, top))
+
+
+def test_pq_train_and_validation(spark):
+    import pytest
+
+    from hdk_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_train(emb, m=8, ksub=4, train_sample=256)
+    assert len(cbs) == 8 and len(cbs[0]) == 4 and len(cbs[0][0]) == 8
+    out = pq_topk(emb, [0, 1], cbs, k=3).collect()
+    assert len(out) == 6
+    for qid in (0, 1):
+        ranks = [r["rank"] for r in out if r["qid"] == qid]
+        assert sorted(ranks) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7)
+    with pytest.raises(ValueError, match="same centroid count"):
+        pq_encode(emb, [[[0.0] * 8] * 4, [[0.0] * 8] * 3])
