@@ -285,6 +285,35 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         print("pack+manifest:", round(time.perf_counter() - t0, 2))
         print("funnel_total:", round(time.perf_counter() - t_all, 2))
+
+        # PQ at 10x (100k vectors, d=64): encode once, ADC-scan for a
+        # 16-query batch; compare wall + shuffled bytes against the
+        # exact cosine scan (the LSH/IVF crossover table's companion)
+        from hdk_spark.operators.similarity import (
+            cosine_topk,
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = spark.table("embeddings")
+        n_emb = emb.count()
+        qids = list(range(16))
+        cbs = pq_train(emb, m=8, ksub=16, train_sample=4096)
+        t0 = time.perf_counter()
+        codes = pq_encode(emb, cbs).persist()
+        n_codes = codes.count()
+        t_enc = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pq_topk(emb, qids, cbs, k=10, codes=codes).write.format(
+            "noop").mode("overwrite").save()
+        t_adc = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cosine_topk(emb, qids, k=10).write.format(
+            "noop").mode("overwrite").save()
+        t_exact = round(time.perf_counter() - t0, 2)
+        print(f"pq_encode_{n_emb}:", t_enc, " adc_16q:", t_adc,
+              " exact_cosine_16q:", t_exact, " codes:", n_codes)
         return
 
     if "--r8" in sys.argv:
