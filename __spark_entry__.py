@@ -309,6 +309,7 @@ _PRIORITY: list[str] = [
     "graph_hits",
     "similarity_pq_encode",
     "similarity_pq_topk",
+    "text_kneser_ney",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

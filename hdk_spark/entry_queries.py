@@ -9980,3 +9980,83 @@ FROM r WHERE rank <= 5 ORDER BY qid, rank
 
 SPARK_IMPLS["similarity_pq_topk"] = q_similarity_pq_topk
 ORACLES["similarity_pq_topk"] = _pq_topk_oracle()
+
+
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring
+    (operators/text.py::kneser_ney_logprob, D=0.75 both orders,
+    self-scored) — the literal KenLM smoothing family behind CCNet.
+    The oracle rebuilds every count relation (trigram counts, context
+    totals/type counts, continuation pairs, middle types, follower
+    types, continuation unigrams, the bigram-type total) and replays
+    the fixed-order interpolation + ln per position."""
+    from hdk_spark.operators.text import kneser_ney_logprob
+
+    _tables(spark, sf_dir)
+    return kneser_ney_logprob(spark.table("documents")).orderBy("doc_id")
+
+
+_KNESER_NEY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         toks[CAST(i AS INT) - 2] AS w1,
+         toks[CAST(i AS INT) - 1] AS w2,
+         toks[CAST(i AS INT)] AS w3
+  FROM (SELECT doc_id, toks, unnest(range(3, len(toks) + 1)) AS i FROM t)
+), tri AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM pos GROUP BY 1, 2, 3
+), ctx3 AS (
+  SELECT w1, w2, SUM(c3) AS ctx3_c, COUNT(*) AS ctx3_n1
+  FROM tri GROUP BY 1, 2
+), cont2 AS (
+  SELECT w2, w3, COUNT(*) AS cont2 FROM tri GROUP BY 1, 2
+), mid AS (
+  SELECT w2, COUNT(*) AS mid_n FROM tri GROUP BY 1
+), fol AS (
+  SELECT w2, COUNT(*) AS fol_n FROM cont2 GROUP BY 1
+), cont1 AS (
+  SELECT w3, COUNT(*) AS cont1 FROM cont2 GROUP BY 1
+), nbb AS (
+  SELECT COUNT(*) AS nbb FROM cont2
+), sc AS (
+  SELECT p.doc_id,
+         ln(
+           CASE WHEN x3.ctx3_c IS NOT NULL THEN
+             greatest(COALESCE(tr.c3, 0) - 0.75, 0) / x3.ctx3_c
+             + 0.75 * x3.ctx3_n1 / x3.ctx3_c * (
+               CASE WHEN m.mid_n IS NOT NULL THEN
+                 greatest(COALESCE(c2.cont2, 0) - 0.75, 0) / m.mid_n
+                 + 0.75 * f.fol_n / m.mid_n
+                   * (CAST(greatest(COALESCE(c1.cont1, 0), 1) AS DOUBLE)
+                      / nbb.nbb)
+               ELSE CAST(greatest(COALESCE(c1.cont1, 0), 1) AS DOUBLE)
+                    / nbb.nbb END)
+           ELSE
+             CASE WHEN m.mid_n IS NOT NULL THEN
+               greatest(COALESCE(c2.cont2, 0) - 0.75, 0) / m.mid_n
+               + 0.75 * f.fol_n / m.mid_n
+                 * (CAST(greatest(COALESCE(c1.cont1, 0), 1) AS DOUBLE)
+                    / nbb.nbb)
+             ELSE CAST(greatest(COALESCE(c1.cont1, 0), 1) AS DOUBLE)
+                  / nbb.nbb END
+           END
+         ) AS lp
+  FROM pos p
+  LEFT JOIN tri tr ON p.w1 = tr.w1 AND p.w2 = tr.w2 AND p.w3 = tr.w3
+  LEFT JOIN ctx3 x3 ON p.w1 = x3.w1 AND p.w2 = x3.w2
+  LEFT JOIN cont2 c2 ON p.w2 = c2.w2 AND p.w3 = c2.w3
+  LEFT JOIN mid m ON p.w2 = m.w2
+  LEFT JOIN fol f ON p.w2 = f.w2
+  LEFT JOIN cont1 c1 ON p.w3 = c1.w3
+  CROSS JOIN nbb
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       round(AVG(lp), 6) + 0 AS avg_logprob
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_kneser_ney"] = q_text_kneser_ney
+ORACLES["text_kneser_ney"] = _KNESER_NEY_ORACLE

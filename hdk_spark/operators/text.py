@@ -925,8 +925,10 @@ def trigram_logprob(
     filtering actually runs on (Wenzek et al. 2020 use a 5-gram KenLM;
     Jelinek-Mercer interpolation is the classic smoothed-n-gram recipe
     whose weights are exact literals, so the whole model stays
-    deterministic and oracle-expressible — unlike Kneser-Ney's
-    corpus-derived discounts):
+    deterministic and oracle-expressible; the true KN smoothing KenLM
+    uses is [[kneser_ney_logprob]] below — its discounts turned out to
+    be just as oracle-expressible, retiring this docstring's earlier
+    claim otherwise):
 
         p(w_i | w_{i-2} w_{i-1}) = λ3·c(w_{i-2} w_{i-1} w_i)/c(w_{i-2} w_{i-1} ·)
                                  + λ2·c(w_{i-1} w_i)/c(w_{i-1} ·)
@@ -2111,4 +2113,152 @@ def ccnet_buckets(
         .when(nt == 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discounts: "tuple[float, float]" = (0.75, 0.75),
+    model_df: "DataFrame | None" = None,
+    model_text_col: "str | None" = None,
+) -> DataFrame:
+    """Per-document average log-probability under an INTERPOLATED
+    KNESER-NEY order-3 model (Chen & Goodman 1999 eq. 4.25 — the
+    smoothing family KenLM itself implements, so this is the literal
+    CCNet scorer where [[trigram_logprob]] is its Jelinek-Mercer
+    stand-in):
+
+        p(w₃|w₁w₂) = max(c(w₁w₂w₃)−D₃,0)/c(w₁w₂·)
+                     + D₃·N₁₊(w₁w₂·)/c(w₁w₂·) · p(w₃|w₂)
+        p(w₃|w₂)   = max(N₁₊(·w₂w₃)−D₂,0)/N₁₊(·w₂·)
+                     + D₂·N₁₊(w₂·)/N₁₊(·w₂·) · p(w₃)
+        p(w₃)      = max(N₁₊(·w₃),1)/N₁₊(··)
+
+    — the lower orders use CONTINUATION counts (in how many distinct
+    contexts does this n-gram appear), the property that makes KN beat
+    plain backoff ("San Francisco" inflates c(Francisco) but not
+    N₁₊(·Francisco)). Discounts are literal parameters (the standard
+    0.75); every other quantity is an integer count, so each term is
+    an exact IEEE division and the fixed evaluation order makes the
+    ln() argument bit-identical cross-engine — fully SQL-replayable
+    despite the docstring claim retired in r9 that KN was not.
+
+    Scored over full-context positions i ≥ 3; documents with fewer
+    than 3 tokens are dropped (the [[trigram_logprob]] convention).
+    With ``model_df`` (cross-scoring) an unseen trigram context backs
+    off wholesale to the bigram term (λ = 1), an unseen middle word to
+    the unigram term, and an unseen unigram floors at continuation
+    count 1 — p is therefore always positive. Returns
+    (id, n_trigrams, avg_logprob) with the average rounded to 6
+    digits.
+
+    Scale shape — the [[trigram_logprob]] discipline plus distinct
+    aggregates: ONE position explode per side; the model side is
+    persisted once and every count relation (trigram counts + context
+    totals/type counts, continuation pair counts, middle-type counts,
+    follower types, continuation unigrams, one 1-row type total) is a
+    partial-agg groupBy or count-distinct over that cache, all
+    vocab-sized. Scoring is six AQE-decided equi-joins of the position
+    relation against vocab-sized relations (never force-broadcast —
+    the corpus-derived-model rule) plus the 1-row broadcast total."""
+    d3, d2 = (float(x) for x in discounts)
+    if not (0.0 < d3 < 1.0 and 0.0 < d2 < 1.0):
+        raise ValueError("discounts must lie in (0, 1)")
+
+    def positions(frame: DataFrame, tcol: str, keep_id: bool) -> DataFrame:
+        toks = tokenize(F.lower(F.col(tcol)))
+        n = F.size(toks)
+        trip = F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(3), F.greatest(n, F.lit(3))),
+                lambda i: F.struct(
+                    F.element_at(toks, i - 2).alias("w1"),
+                    F.element_at(toks, i - 1).alias("w2"),
+                    F.element_at(toks, i).alias("w3"),
+                ),
+            ),
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.explode(trip).alias("t")).select(
+            *cols,
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+
+    if model_df is None:
+        model_pos = positions(df, text_col, keep_id=False).persist()
+    else:
+        model_pos = positions(
+            model_df, model_text_col or text_col, keep_id=False
+        ).persist()
+
+    tri = model_pos.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    ).persist()
+    # trigram context: total count + distinct-follower types
+    ctx3 = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("long").alias("ctx3_c"),
+        F.count(F.lit(1)).cast("long").alias("ctx3_n1"),
+    )
+    # continuation pair count N1+(·w2w3) and middle-type count N1+(·w2·)
+    cont2 = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("cont2")
+    ).persist()
+    mid = tri.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("mid_n")
+    )
+    # follower types N1+(w2·) and continuation unigrams N1+(·w3) over
+    # DISTINCT BIGRAM TYPES (w2, w3) — cont2's key set is exactly the
+    # trigram-observed bigrams; bigram types from positions i>=2 would
+    # differ only by each document's first bigram (model convention:
+    # type counts come from the same full-context positions as c3)
+    fol = cont2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("fol_n")
+    )
+    cont1 = cont2.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("long").alias("cont1")
+    )
+    nbb = cont2.agg(F.count(F.lit(1)).cast("long").alias("nbb"))
+
+    pos = positions(df, text_col, keep_id=True)
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"], "left")
+        .join(cont2, ["w2", "w3"], "left")
+        .join(mid, ["w2"], "left")
+        .join(fol, ["w2"], "left")
+        .join(cont1, ["w3"], "left")
+        .crossJoin(F.broadcast(nbb))
+    )
+    p1 = (
+        F.greatest(F.coalesce(F.col("cont1"), F.lit(0)), F.lit(1))
+        .cast("double") / F.col("nbb").cast("double")
+    )
+    p2 = F.when(
+        F.col("mid_n").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("cont2"), F.lit(0)).cast("double") - F.lit(d2),
+            F.lit(0.0),
+        ) / F.col("mid_n").cast("double")
+        + F.lit(d2) * F.col("fol_n").cast("double")
+        / F.col("mid_n").cast("double") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("ctx3_c").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(d3),
+            F.lit(0.0),
+        ) / F.col("ctx3_c").cast("double")
+        + F.lit(d3) * F.col("ctx3_n1").cast("double")
+        / F.col("ctx3_c").cast("double") * p2,
+    ).otherwise(p2)
+    return scored.select(id_col, F.log(p3).alias("__lp")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        round6(F.avg("__lp")).alias("avg_logprob"),
     )
