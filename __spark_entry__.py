@@ -310,6 +310,7 @@ _PRIORITY: list[str] = [
     "similarity_pq_encode",
     "similarity_pq_topk",
     "text_kneser_ney",
+    "text_ccnet_buckets_kn3",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

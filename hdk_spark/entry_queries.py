@@ -10060,3 +10060,44 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 
 SPARK_IMPLS["text_kneser_ney"] = q_text_kneser_ney
 ORACLES["text_kneser_ney"] = _KNESER_NEY_ORACLE
+
+
+def q_text_ccnet_buckets_kn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet buckets over the KNESER-NEY trigram scorer
+    (ccnet_buckets(model='kn3') — the literal Wenzek et al. pipeline:
+    KenLM-family smoothed LM + per-language NTILE thirds). The oracle
+    chains the full KN replay into the rounded-score NTILE window."""
+    from hdk_spark.operators.text import ccnet_buckets
+
+    _tables(spark, sf_dir)
+    return ccnet_buckets(
+        spark.table("documents"), lang_col="lang", model="kn3"
+    ).orderBy("doc_id")
+
+
+# the KN replay as a nested WITH, its tail re-aimed at the bucket
+# window (n_trigrams -> n_tokens, no inner ORDER BY)
+_CCNET_KN3_ORACLE = _KNESER_NEY_ORACLE.replace(
+    """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       round(AVG(lp), 6) + 0 AS avg_logprob
+FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(lp), 6) + 0 AS avg_logprob
+FROM sc GROUP BY doc_id""",
+)
+_CCNET_KN3_ORACLE = f"""
+WITH scored AS ({_CCNET_KN3_ORACLE}
+), ranked AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_ccnet_buckets_kn3"] = q_text_ccnet_buckets_kn3
+ORACLES["text_ccnet_buckets_kn3"] = _CCNET_KN3_ORACLE

@@ -2058,7 +2058,9 @@ def ccnet_buckets(
     bucket; the tail is where boilerplate and gibberish concentrate.
 
     ``model`` picks the perplexity proxy: ``'unigram'`` (default — the
-    cheap two-pass :func:`unigram_logprob`; ``min_count`` applies) or
+    cheap two-pass :func:`unigram_logprob`; ``min_count`` applies),
+    ``'kn3'`` (:func:`kneser_ney_logprob` — the literal KenLM
+    smoothing family), or
     ``'trigram'`` (:func:`trigram_logprob`'s interpolated order-3 LM —
     the KenLM-grade signal CCNet's buckets are defined over; documents
     with fewer than 3 tokens are dropped by that scorer and therefore
@@ -2091,9 +2093,17 @@ def ccnet_buckets(
             model_df=model_df, model_text_col=model_text_col,
             basis=model_basis,
         ).withColumnRenamed("n_trigrams", "n_tokens")
+    elif model == "kn3":
+        # the literal KenLM smoothing (interpolated Kneser-Ney) — the
+        # closest to Wenzek et al.'s actual scorer; same <3-token drop
+        # convention as 'trigram'
+        scored = kneser_ney_logprob(
+            df, id_col, text_col,
+            model_df=model_df, model_text_col=model_text_col,
+        ).withColumnRenamed("n_trigrams", "n_tokens")
     else:
         raise ValueError(
-            f"model must be 'unigram' or 'trigram', got {model!r}"
+            f"model must be 'unigram', 'trigram' or 'kn3', got {model!r}"
         )
     if lang_col is not None:
         langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))

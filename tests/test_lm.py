@@ -91,3 +91,26 @@ def test_kneser_ney_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="discounts"):
         kneser_ney_logprob(df, discounts=(1.5, 0.75))
+
+
+def test_ccnet_kn3_bucket_consistency(spark):
+    """model='kn3' buckets follow the rounded-score ordering within
+    each language (head >= middle >= tail score ranges) and reject an
+    unknown model name."""
+    import pytest
+
+    from hdk_spark.operators.text import ccnet_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_buckets(docs, lang_col="lang", model="kn3").collect()
+    assert out
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (-r["avg_logprob"], r["doc_id"]))
+        labels = [order[r["bucket"]] for r in rows]
+        assert labels == sorted(labels), lang
+    with pytest.raises(ValueError, match="model"):
+        ccnet_buckets(docs, model="kn5")
