@@ -311,6 +311,7 @@ _PRIORITY: list[str] = [
     "similarity_pq_topk",
     "text_kneser_ney",
     "text_ccnet_buckets_kn3",
+    "tok_unigram_encode",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

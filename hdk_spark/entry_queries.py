@@ -10101,3 +10101,96 @@ FROM ranked ORDER BY doc_id
 
 SPARK_IMPLS["text_ccnet_buckets_kn3"] = q_text_ccnet_buckets_kn3
 ORACLES["text_ccnet_buckets_kn3"] = _CCNET_KN3_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 9: unigram-LM tokenizer (Kudo 2018 / SentencePiece) — encode is
+# value-checked under a HAND-SPECIFIED literal vocab on a planted
+# closed lexicon, every segmentation derived by hand in the oracle
+# (the bpe_encode_roundtrip pattern); training is pinned by the
+# brute-force-Viterbi + invariant tests in test_bpe.py.
+# ---------------------------------------------------------------------------
+
+_UNI_LEX = ("lowering", "redoing", "undoing", "lower", "doing",
+            "slow", "under", "sing", "ring")
+# hand-specified vocab (max piece len 3). Hand derivations, Σ log p,
+# every alternative strictly worse (chars cost −4 each):
+#   lowering = low|er|ing  (−2−2.2−2.1 = −6.3)
+#   redoing  = re|do|ing   (−2.4−2.5−2.1 = −7.0)
+#   undoing  = un|do|ing   (−2.3−2.5−2.1 = −6.9)
+#   lower    = low|er      (−4.2)   doing = do|ing (−4.6)
+#   slow     = s|low       (−6.0)   under = un|d|er (−8.5)
+#   sing     = s|ing       (−6.1)   ring  = r|ing  (−6.1)
+_UNI_VOCAB = (
+    [("low", -2.0), ("ing", -2.1), ("er", -2.2), ("un", -2.3),
+     ("re", -2.4), ("do", -2.5)]
+    + [(c, -4.0) for c in "delginorsuw"]
+)
+_UNI_SEG = {
+    "lowering": "low|er|ing", "redoing": "re|do|ing",
+    "undoing": "un|do|ing", "lower": "low|er", "doing": "do|ing",
+    "slow": "s|low", "under": "un|d|er", "sing": "s|ing",
+    "ring": "r|ing",
+}
+
+
+def q_tok_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi tokenization
+    (operators/bpe.py::unigram_encode) of a planted closed-lexicon
+    corpus (word k of doc d = lexicon[(d+k) % 9], d%4+2 words per
+    doc) under the hand-specified literal vocab above — the oracle
+    carries each word's hand-derived optimal segmentation as a VALUES
+    table and reassembles documents in word order, so the DP, the
+    tie-break rules, and the Arrow plumbing are all value-checked
+    with NO Viterbi anywhere in the oracle."""
+    from hdk_spark.operators.bpe import unigram_encode
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    lex = F.array(*[F.lit(w) for w in _UNI_LEX])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), d % 4 + 1),
+            lambda k: F.element_at(lex, ((d + k) % 9 + 1).cast("int")),
+        ),
+        " ",
+    )
+    planted = spark.table("documents").select("doc_id", text.alias("text"))
+    enc = unigram_encode(planted, _UNI_VOCAB)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens"),
+        F.array_join("tokens", "|").alias("toks"),
+    ).orderBy("doc_id")
+
+
+def _unigram_encode_oracle() -> str:
+    lex_rows = ", ".join(
+        f"({i}, '{w}')" for i, w in enumerate(_UNI_LEX)
+    )
+    seg_rows = ", ".join(
+        f"('{w}', '{p}')" for w, p in sorted(_UNI_SEG.items())
+    )
+    return f"""
+WITH lex(i, w) AS (VALUES {lex_rows}),
+seg(w, pieces) AS (VALUES {seg_rows}),
+words AS (
+  SELECT d.doc_id, k, l.w
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS k
+        FROM documents) d
+  JOIN lex l ON l.i = (d.doc_id + k) % 9
+), joined AS (
+  SELECT w1.doc_id,
+         string_agg(s.pieces, '|' ORDER BY w1.k) AS toks
+  FROM words w1 JOIN seg s ON s.w = w1.w
+  GROUP BY w1.doc_id
+)
+SELECT doc_id,
+       CAST(len(string_split(toks, '|')) AS BIGINT) AS n_tokens,
+       toks
+FROM joined ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["tok_unigram_encode"] = q_tok_unigram_encode
+ORACLES["tok_unigram_encode"] = _unigram_encode_oracle()

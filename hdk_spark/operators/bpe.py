@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["bpe_train", "bpe_encode", "bpe_train_from_counts"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_train_from_counts",
+           "unigram_train", "unigram_encode", "unigram_train_from_counts"]
 
 # end-of-word sentinel (Sennrich-style): lets the tokenizer distinguish
 # word-final subwords; chosen outside the plausible text alphabet
@@ -158,3 +159,197 @@ def bpe_encode(
             yield pd.DataFrame({"id": ids, "tokens": toks, "n_tokens": ns})
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(encode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization" §3 /
+# SentencePiece's unigram model) — the other real-world tokenizer
+# family next to BPE. Same scale contract: ONE distributed word-count
+# pass, then training runs driver-side over the bounded frequency
+# table; encoding is a map-only Arrow-batched Viterbi with per-batch
+# word memoization.
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_segment(
+    word: str,
+    logp: "dict[str, float]",
+    max_piece_len: int,
+    floor: float,
+) -> "list[str]":
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    Σ log p, ties to FEWER pieces, then to the lexicographically
+    LARGEST piece sequence — a total order, so the segmentation is a
+    pure function of (word, vocab). Out-of-vocab single characters
+    score ``floor`` (coverage guarantee: a path always exists)."""
+    n = len(word)
+    best: "list[tuple | None]" = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        cand = None
+        for ln in range(1, min(max_piece_len, i) + 1):
+            prev = best[i - ln]
+            if prev is None:
+                continue
+            piece = word[i - ln:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = floor
+            key = (prev[0] + lp, prev[1] - 1, prev[2] + (piece,))
+            if cand is None or key > cand:
+                cand = key
+        best[i] = cand
+    return list(best[n][2])
+
+
+def unigram_train_from_counts(
+    word_counts: "list[tuple[str, int]]",
+    vocab_size: int = 200,
+    max_piece_len: int = 4,
+    iters: int = 2,
+    seed_factor: int = 8,
+) -> "list[tuple[str, float]]":
+    """The driver-side trainer, exposed for testing: hard-EM (Viterbi)
+    unigram-LM fitting over a (word, frequency) table.
+
+    1. SEED: every substring of length ≤ ``max_piece_len`` of every
+       word, weighted by word frequency; all single characters are
+       mandatory (coverage), multi-char pieces capped at
+       ``vocab_size·seed_factor`` by (count desc, piece asc).
+    2. EM ×``iters``: E-step Viterbi-segments each distinct word under
+       current probs and accumulates frequency-weighted piece counts
+       (hard EM — deterministic where soft-EM float accumulation
+       order would not be); M-step re-normalizes. Single chars floor
+       at count 1 so coverage never dies.
+    3. PRUNE to ``vocab_size``: all single chars + top multi-char
+       pieces by (count desc, piece asc).
+
+    Returns [(piece, log p)] sorted by (-count, piece) — a pure
+    function of its inputs (ties broken totally everywhere)."""
+    import math
+
+    wc = [(w, int(c)) for w, c in word_counts if w]
+    chars = sorted({ch for w, _ in wc for ch in w})
+    sub_counts: "dict[str, int]" = {}
+    for w, c in wc:
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                s = w[i:i + ln]
+                sub_counts[s] = sub_counts.get(s, 0) + c
+    multi = sorted(
+        ((s, c) for s, c in sub_counts.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: vocab_size * seed_factor]
+    counts = {ch: sub_counts.get(ch, 1) for ch in chars}
+    counts.update(dict(multi))
+
+    def _probs(cts: "dict[str, int]") -> "dict[str, float]":
+        tot = sum(cts.values())
+        return {s: math.log(c / tot) for s, c in cts.items() if c > 0}
+
+    logp = _probs(counts)
+    floor = min(logp.values()) - 10.0 if logp else -30.0
+    for _ in range(iters):
+        new_counts: "dict[str, int]" = {}
+        for w, c in wc:
+            for piece in _viterbi_segment(w, logp, max_piece_len, floor):
+                new_counts[piece] = new_counts.get(piece, 0) + c
+        for ch in chars:  # coverage floor
+            new_counts[ch] = max(new_counts.get(ch, 0), 1)
+        counts = new_counts
+        logp = _probs(counts)
+        floor = min(logp.values()) - 10.0
+    singles = [(s, c) for s, c in counts.items() if len(s) == 1]
+    multis = sorted(
+        ((s, c) for s, c in counts.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(vocab_size - len(singles), 0)]
+    kept = dict(singles + multis)
+    tot = sum(kept.values())
+    return sorted(
+        ((s, math.log(c / tot)) for s, c in kept.items()),
+        key=lambda kv: (-kept[kv[0]], kv[0]),
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 4,
+    iters: int = 2,
+    min_count: int = 2,
+) -> "list[tuple[str, float]]":
+    """Train the unigram-LM vocabulary from a corpus: the bpe_train
+    shape — one distributed word-count pass (min_count-floored, Zipf-
+    bounded), then the bounded driver-side EM."""
+    counts = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    rows = counts.collect()  # bounded by the min_count floor
+    return unigram_train_from_counts(
+        [(r["w"], r["c"]) for r in rows], vocab_size, max_piece_len, iters
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: "list[tuple[str, float]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: "int | None" = None,
+) -> DataFrame:
+    """Viterbi-tokenize ``text_col`` under a unigram vocab (trained or
+    hand-specified [(piece, logp)]). Returns (id, tokens, n_tokens) —
+    the bpe_encode surface, so the two tokenizer families are drop-in
+    interchangeable upstream of packing/budget operators. Map-only
+    Arrow batches, per-batch word memoization; OOV single chars take
+    the floor path (min vocab logp − 10), so encoding is total."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    logp = {s: float(lp) for s, lp in vocab}
+    if not logp:
+        raise ValueError("vocab must be non-empty")
+    mpl = max_piece_len or max(len(s) for s in logp)
+    floor = min(logp.values()) - 10.0
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: "dict[str, list[str]]" = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = t.lower().split() if t else []
+                out: "list[str]" = []
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _viterbi_segment(w, logp, mpl, floor)
+                        cache[w] = enc
+                    out.extend(enc)
+                ids.append(i)
+                toks.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame({"id": ids, "tokens": toks, "n_tokens": ns})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode, out_schema
+    )

@@ -96,3 +96,90 @@ def test_encode_feeds_sequence_packing(spark, docs):
     assert all(
         sum(v) <= 512 or sum(v) - max(v) < 512 for v in per_pack.values()
     )
+
+
+def test_unigram_viterbi_optimal_vs_bruteforce():
+    """_viterbi_segment returns the argmax over ALL segmentations
+    (score, fewer-pieces, lexicographic tiebreak) — checked by brute
+    force on every word up to length 7 over a small alphabet."""
+    import itertools
+    import math
+
+    from hdk_spark.operators.bpe import _viterbi_segment
+
+    logp = {"a": math.log(0.1), "b": math.log(0.12), "ab": math.log(0.2),
+            "ba": math.log(0.18), "aab": math.log(0.15), "bb": math.log(0.09)}
+    floor = min(logp.values()) - 10.0
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for i, c in enumerate(cuts, 1):
+                if c:
+                    pieces.append(word[start:i])
+                    start = i
+            pieces.append(word[start:])
+            if any(len(p) > 3 for p in pieces):
+                continue
+            sc = 0.0
+            ok = True
+            for p in pieces:
+                lp = logp.get(p)
+                if lp is None:
+                    if len(p) > 1:
+                        ok = False
+                        break
+                    lp = floor
+                sc += lp
+            if not ok:
+                continue
+            key = (sc, -len(pieces), tuple(pieces))
+            if best is None or key > best:
+                best = key
+        return list(best[2])
+
+    for n in range(1, 8):
+        for word in map("".join, itertools.product("ab", repeat=n)):
+            assert _viterbi_segment(word, logp, 3, floor) == brute(word), word
+
+
+def test_unigram_train_invariants_and_encode(spark):
+    """Training: vocab cap respected, all corpus chars covered,
+    deterministic; encode: total (OOV chars), reconstructive (concat
+    == word), repartition-stable, consistent with driver Viterbi."""
+    from hdk_spark.operators.bpe import (
+        _viterbi_segment,
+        unigram_encode,
+        unigram_train,
+        unigram_train_from_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = unigram_train(docs, vocab_size=120, min_count=2)
+    assert v == unigram_train(docs.repartition(7), vocab_size=120, min_count=2)
+    pieces = {s for s, _ in v}
+    assert len([s for s in pieces if len(s) > 1]) <= 120
+    enc = unigram_encode(docs, v).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in enc:
+        words = (texts[r["id"]] or "").lower().split()
+        # reconstruction: pieces concatenate back to the words in order
+        assert "".join(r["tokens"]) == "".join(words)
+        assert r["n_tokens"] == len(r["tokens"])
+
+    # OOV totality: chars never seen in training fall to the floor path
+    import math
+
+    weird = spark.createDataFrame(
+        [(0, "données çæ®"), (1, None), (2, "")],
+        "doc_id: long, text: string")
+    out = {r["id"]: r for r in unigram_encode(weird, v).collect()}
+    assert "".join(out[0]["tokens"]) == "donnéesçæ®"
+    assert out[1]["tokens"] == [] and out[2]["n_tokens"] == 0
+
+    # pure-count trainer ties are total: identical inputs, identical vocab
+    wc = [("abab", 4), ("baba", 4), ("aabb", 2)]
+    assert unigram_train_from_counts(wc, 10) == unigram_train_from_counts(
+        list(reversed(wc)), 10)
