@@ -312,6 +312,7 @@ _PRIORITY: list[str] = [
     "text_kneser_ney",
     "text_ccnet_buckets_kn3",
     "tok_unigram_encode",
+    "stats_ndv_sketch_rollup",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -10194,3 +10194,58 @@ FROM joined ORDER BY doc_id
 
 SPARK_IMPLS["tok_unigram_encode"] = q_tok_unigram_encode
 ORACLES["tok_unigram_encode"] = _unigram_encode_oracle()
+
+
+def q_stats_ndv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL NDV rollups (operators/sketches.py): per-language
+    distinct counts of doc_id%97 via DataSketches HLL, PLUS the
+    mergeability check in-query — the corpus is sketched in two
+    disjoint halves and merged, and ``merge_equal`` pins
+    estimate(merge) == estimate(single-pass) exactly. At this
+    cardinality (≤97 ≪ the lgk=12 coupon threshold) the sketch is in
+    exact mode, so ``ndv`` itself value-checks against DuckDB's exact
+    COUNT(DISTINCT); at estimate-mode cardinalities the contract
+    degrades to the agg_approx error-band pattern (documented)."""
+    from hdk_spark.operators.sketches import (
+        merge_ndv_rollups,
+        ndv_estimate,
+        ndv_rollup,
+    )
+
+    _tables(spark, sf_dir)
+    vals = spark.table("documents").select(
+        "lang", (F.col("doc_id") % 97).alias("v"), "doc_id"
+    )
+    single = ndv_estimate(ndv_rollup(vals, "lang", "v"))
+    merged = ndv_estimate(
+        merge_ndv_rollups(
+            ndv_rollup(vals.filter(F.col("doc_id") % 2 == 0), "lang", "v"),
+            ndv_rollup(vals.filter(F.col("doc_id") % 2 == 1), "lang", "v"),
+        )
+    ).select(
+        F.col("grp").alias("g2"),
+        F.col("n_rows").alias("n2"),
+        F.col("ndv").alias("ndv2"),
+    )
+    return (
+        single.join(merged, single["grp"] == merged["g2"])
+        .select(
+            F.col("grp").alias("lang"),
+            "n_rows",
+            "ndv",
+            ((F.col("ndv") == F.col("ndv2")) & (F.col("n_rows") == F.col("n2")))
+            .alias("merge_equal"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NDV_SKETCH_ORACLE = """
+SELECT lang, COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id % 97) AS BIGINT) AS ndv,
+       TRUE AS merge_equal
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+SPARK_IMPLS["stats_ndv_sketch_rollup"] = q_stats_ndv_sketch_rollup
+ORACLES["stats_ndv_sketch_rollup"] = _NDV_SKETCH_ORACLE
