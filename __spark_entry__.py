@@ -313,6 +313,7 @@ _PRIORITY: list[str] = [
     "text_ccnet_buckets_kn3",
     "tok_unigram_encode",
     "stats_ndv_sketch_rollup",
+    "web_politeness_schedule",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

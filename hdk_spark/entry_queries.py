@@ -10249,3 +10249,51 @@ FROM documents GROUP BY lang ORDER BY lang
 
 SPARK_IMPLS["stats_ndv_sketch_rollup"] = q_stats_ndv_sketch_rollup
 ORACLES["stats_ndv_sketch_rollup"] = _NDV_SKETCH_ORACLE
+
+
+def q_web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness waves (operators/web.py::politeness_schedule,
+    per_host=2) over the planted skewed frontier (site{d%17}.com —
+    domain 0 holds ~6% of all urls, so its queue stretches over many
+    waves while small hosts finish in wave 0). Priority = doc_id%13.
+    The oracle replays canonicalization arithmetic, the per-host
+    (priority desc, url) window, and the wave division."""
+    from hdk_spark.operators.web import politeness_schedule
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = spark.table("documents").select(
+        F.concat(
+            F.lit("https://site"), (d % 17).cast("string"),
+            F.lit(".com/p/"), d.cast("string"),
+            F.when(d % 2 == 0, F.lit("?utm_source=x")).otherwise(F.lit("/")),
+        ).alias("url"),
+        (d % 13).alias("prio"),
+    )
+    return politeness_schedule(
+        planted, per_host=2, priority_col="prio"
+    ).orderBy("reg_domain", "host_rank")
+
+
+_POLITENESS_ORACLE = """
+WITH cand AS (
+  SELECT 'https://site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '/' END
+           AS url,
+         'site' || CAST(doc_id % 17 AS VARCHAR) || '.com' AS reg_domain,
+         doc_id % 13 AS prio
+  FROM documents
+), r AS (
+  SELECT url, reg_domain,
+         row_number() OVER (PARTITION BY reg_domain
+                            ORDER BY prio DESC, url) AS rn
+  FROM cand
+)
+SELECT url, reg_domain, CAST(rn AS BIGINT) AS host_rank,
+       CAST((rn - 1) // 2 AS BIGINT) AS wave
+FROM r ORDER BY reg_domain, host_rank
+"""
+
+SPARK_IMPLS["web_politeness_schedule"] = q_web_politeness_schedule
+ORACLES["web_politeness_schedule"] = _POLITENESS_ORACLE

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe", "link_graph", "crawl_frontier", "robots_directives"]
+__all__ = ["url_features", "domain_stats", "canonical_url", "url_dedup", "domain_cap", "domain_boilerplate_removal", "parse_robots", "robots_filter", "robots_rules_compact", "robots_allowed", "build_url_seen_bloom", "url_seen_probe", "link_graph", "crawl_frontier", "robots_directives", "politeness_schedule"]
 
 _SCHEME = r"^([a-z][a-z0-9+.-]*)://"
 _HOST = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
@@ -787,4 +787,51 @@ def robots_directives(
             F.transform(F.col("__sm"), lambda s: s["u"]),
             lambda u: u.isNotNull(),
         ).alias("sitemaps"),
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    per_host: int = 1,
+    url_col: str = "url",
+    priority_col: "str | None" = None,
+) -> DataFrame:
+    """Assign frontier URLs to FETCH WAVES under a per-host politeness
+    cap — the scheduling step between :func:`crawl_frontier`'s
+    prioritized candidates and the fetchers: within each registered
+    domain, URLs are ordered by (priority desc, url asc) and wave
+    ``w`` holds that host's URLs ``w·per_host ..< (w+1)·per_host``, so
+    executing waves in order guarantees no host is hit more than
+    ``per_host`` times per wave regardless of how skewed the frontier
+    is toward one domain (the crawl analog of the skew-salting rule:
+    a 10M-url host stretches over many waves instead of hammering one
+    origin). Pair ``per_host`` with the host's robots Crawl-delay
+    (:func:`robots_directives`) to turn waves into wall-clock slots.
+
+    Returns (url, reg_domain, host_rank, wave) — host_rank 1-based
+    within the host, wave 0-based; deterministic (total tie-break by
+    url). Scale shape: canonicalization is map-only, the schedule is
+    ONE window exchange keyed on reg_domain — per-host partitions,
+    never a global sort."""
+    from pyspark.sql.window import Window
+
+    if per_host < 1:
+        raise ValueError(f"per_host must be >= 1, got {per_host}")
+    dom = _reg_domain(canonical_url(F.col(url_col)))
+    staged = frontier.select(
+        F.col(url_col).alias("url"), dom.alias("reg_domain"),
+        (
+            F.col(priority_col).cast("long")
+            if priority_col is not None else F.lit(0).cast("long")
+        ).alias("__p"),
+    )
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.desc("__p"), F.asc("url")
+    )
+    rn = F.row_number().over(w)
+    return staged.select(
+        "url",
+        "reg_domain",
+        rn.cast("long").alias("host_rank"),
+        ((rn - 1) / F.lit(int(per_host))).cast("long").alias("wave"),
     )

@@ -296,3 +296,40 @@ def test_url_seen_bloom_null_url_total(spark):
     }
     # seen non-null urls still probe positive; NULL probes False
     assert out[0] and out[2] and not out[1]
+
+
+def test_politeness_schedule_cap_property(spark):
+    """No host exceeds per_host urls in any wave; high-priority urls
+    land in earlier waves; determinism under repartition."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.web import politeness_schedule
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/p/{i}", i % 7) for i in range(60)],
+        "url: string, prio: long",
+    )
+    out = politeness_schedule(urls, per_host=2, priority_col="prio").collect()
+    per_wave = {}
+    for r in out:
+        k = (r["reg_domain"], r["wave"])
+        per_wave[k] = per_wave.get(k, 0) + 1
+    assert max(per_wave.values()) <= 2
+    # within a host, waves are ordered by descending priority
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["reg_domain"], []).append(r)
+    prios = {u["url"]: u["prio"] for u in urls.collect()}
+    for rows in by_host.values():
+        rows.sort(key=lambda r: r["host_rank"])
+        ps = [prios[r["url"]] for r in rows]
+        assert ps == sorted(ps, reverse=True) or all(
+            ps[i] >= ps[i + 1] or rows[i]["url"] < rows[i + 1]["url"]
+            for i in range(len(ps) - 1)
+        )
+    again = politeness_schedule(
+        urls.repartition(7), per_host=2, priority_col="prio").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError, match="per_host"):
+        politeness_schedule(urls, per_host=0)
