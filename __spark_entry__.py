@@ -314,6 +314,7 @@ _PRIORITY: list[str] = [
     "tok_unigram_encode",
     "stats_ndv_sketch_rollup",
     "web_politeness_schedule",
+    "similarity_ivfpq_topk",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -10297,3 +10297,89 @@ FROM r ORDER BY reg_domain, host_rank
 
 SPARK_IMPLS["web_politeness_schedule"] = q_web_politeness_schedule
 ORACLES["web_politeness_schedule"] = _POLITENESS_ORACLE
+
+
+# coarse quantizer for the IVF-PQ row: 4 literal 64-dim centroids from
+# a simple formula (((c·(d+1)) mod 5 − 2)/20 — distinct directions,
+# magnitudes inside the synthetic embeddings' per-dim scale)
+_IVFPQ_CENTS = {
+    c: [(((c * (d + 1)) % 5) - 2) / 20.0 for d in range(64)]
+    for c in range(4)
+}
+
+
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/similarity.py::ann_ivfpq_topk,
+    nprobe=2, the PQ row's codebooks): coarse lists cut candidates,
+    ADC scores only probed codes. The oracle replays the whole chain
+    — struct-sort assignment/probe set, per-subspace codes, query
+    LUTs, fold-order ADC over probed candidates, rank window."""
+    from hdk_spark.operators.similarity import ann_ivfpq_topk
+
+    _tables(spark, sf_dir)
+    return ann_ivfpq_topk(
+        spark.table("embeddings"), [0, 1, 2, 3],
+        _IVFPQ_CENTS, _PQ_CB, k=5, nprobe=2,
+    ).orderBy("qid", "rank")
+
+
+def _ivfpq_full_dist_sql(vexpr: str, cent: "list[float]") -> str:
+    lits = ", ".join(repr(float(x)) for x in cent)
+    return (
+        f"list_reduce(list_transform(list_zip({vexpr}, [{lits}]), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), "
+        "(p, q) -> p + q)"
+    )
+
+
+def _ivfpq_oracle() -> str:
+    structs = ", ".join(
+        "struct_pack(d := "
+        + _ivfpq_full_dist_sql("v", _IVFPQ_CENTS[c])
+        + f", c := CAST({c} AS BIGINT))"
+        for c in sorted(_IVFPQ_CENTS)
+    )
+    codes = ", ".join(
+        f"CAST({_pq_code_sql('v', j)} AS INT)" for j in range(8)
+    )
+    luts = ", ".join(
+        "[" + ", ".join(_pq_sub_dist_sql("qv", j, v) for v in _PQ_VALS) + "]"
+        f" AS lut{j}"
+        for j in range(8)
+    )
+    adc = " + ".join(f"ql.lut{j}[c.code[{j + 1}] + 1]" for j in range(8))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), asg AS (
+  SELECT vec_id, v, list_sort([{structs}]) AS s FROM e
+), a2 AS (
+  SELECT vec_id, v, s[1].c AS list_id, [s[1].c, s[2].c] AS probes
+  FROM asg
+), c AS (
+  SELECT vec_id, list_id, [{codes}] AS code FROM a2
+), q AS (
+  SELECT a.vec_id AS qid, unnest(a.probes) AS qlist, a.v AS qv
+  FROM a2 a WHERE a.vec_id IN (0, 1, 2, 3)
+), ql AS (
+  SELECT qid, qlist, {luts} FROM q
+), scored AS (
+  SELECT ql.qid, c.vec_id AS neighbor_id, {adc} AS adc
+  FROM c JOIN ql ON c.list_id = ql.qlist AND c.vec_id <> ql.qid
+), r AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id)
+           AS rank,
+         adc
+  FROM scored
+)
+SELECT qid, neighbor_id, CAST(rank AS INT) AS rank,
+       round(adc, 6) + 0 AS adc_dist
+FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+SPARK_IMPLS["similarity_ivfpq_topk"] = q_similarity_ivfpq_topk
+ORACLES["similarity_ivfpq_topk"] = _ivfpq_oracle()

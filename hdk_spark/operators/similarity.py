@@ -566,3 +566,112 @@ def pq_topk(
             round6("adc").alias("adc_dist"),
         )
     )
+
+
+def ann_ivfpq_topk(
+    df: DataFrame,
+    query_ids: "list[int]",
+    centroids: "dict[int, list[float]]",
+    codebooks: "list[list[list[float]]]",
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS big-corpus composition): coarse-quantize the
+    corpus into inverted lists (the ann_ivf_topk assignment), PQ-encode
+    every vector (:func:`pq_encode`), then answer a query by scanning
+    ONLY its ``nprobe`` nearest lists' CODES with asymmetric distance
+    (:func:`pq_topk`'s LUT scoring). The two restrictions compose
+    multiplicatively: candidate volume drops by ~n_lists/nprobe AND
+    each candidate moves m·log₂k bits instead of d·32 — which is how a
+    10¹⁰-vector index answers from cluster memory.
+
+    Both models are explicit literals (the contract discipline of
+    ann_ivf_topk's ``centroids=`` / pq_topk's codebooks), so every
+    stage — assignment, probe set, codes, LUTs, ADC, rank — replays
+    in SQL. Residual encoding (PQ over vector−centroid, FAISS's
+    default refinement) is deliberately NOT done: codebooks stay
+    list-independent so the code relation is buildable before the
+    coarse quantizer exists and reusable across re-clusterings; at
+    equal bit budget residual-PQ is more accurate — revisit if recall
+    at the contract sizes warrants it.
+
+    Returns (qid, neighbor_id, rank, adc_dist); rank by (adc asc, id
+    asc) within the probed candidate set, self excluded.
+
+    Scale shape: assignment + encode are ONE map-only pass over the
+    corpus; the probe is an equi-join on list id against the broadcast
+    exploded query probe set; ADC joins only probed codes. No
+    corpus-sized shuffle anywhere; the window ranks per-query
+    candidate subsets."""
+    from hdk_spark.operators.clustering import _dist_sq
+
+    cbs, ksub, dsub = _check_codebooks(codebooks)
+    m = len(cbs)
+    cents = {int(c): [float(x) for x in v] for c, v in centroids.items()}
+    vec = F.col(vec_col)
+    entries = F.array(
+        *[
+            F.struct(
+                _dist_sq(vec, cents[cid]).alias("d"),
+                F.lit(cid).cast("long").alias("c"),
+            )
+            for cid in sorted(cents)
+        ]
+    )
+    sorted_entries = F.array_sort(entries)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        sorted_entries[0]["c"].alias("list_id"),
+        F.transform(
+            F.slice(sorted_entries, 1, nprobe), lambda s: s["c"]
+        ).alias("probes"),
+    )
+    codes = pq_encode(
+        base.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
+        cbs, id_col, vec_col,
+    )
+    indexed = base.select("id", "list_id").join(codes, "id")
+    queries = base.filter(
+        F.col("id").isin([int(q) for q in query_ids])
+    ).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode("probes").alias("qlist"),
+    )
+    luts = [
+        F.array(
+            *[
+                _sub_dist_sq(F.col("qv"), j * dsub + 1, dsub, cbs[j][c])
+                for c in range(ksub)
+            ]
+        ).alias(f"__lut{j}")
+        for j in range(m)
+    ]
+    q2 = queries.select("qid", "qlist", *luts)
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"__lut{j}"), F.col("code")[j].cast("int") + 1
+        )
+        adc = term if adc is None else adc + term
+    # no pair dedup needed (unlike a multi-table LSH join): a vector
+    # has exactly ONE list_id and the probe set is distinct centroid
+    # ids, so each (query, candidate) matches at most one probe row —
+    # skipping dropDuplicates saves its exchange
+    cand = indexed.join(
+        F.broadcast(q2),
+        (F.col("list_id") == F.col("qlist"))
+        & (F.col("id") != F.col("qid")),
+    ).select("qid", F.col("id").alias("neighbor_id"), adc.alias("adc"))
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+            round6("adc").alias("adc_dist"),
+        )
+    )

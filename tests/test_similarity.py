@@ -155,3 +155,34 @@ def test_pq_train_and_validation(spark):
         pq_train(emb, m=7)
     with pytest.raises(ValueError, match="same centroid count"):
         pq_encode(emb, [[[0.0] * 8] * 4, [[0.0] * 8] * 3])
+
+
+def test_ivfpq_candidates_subset_and_planted_recall(spark):
+    """IVF-PQ vs flat PQ: every IVF-PQ result is reachable through one
+    of the query's probed lists (candidate-restriction semantics); on
+    the planted cell corpus with list-aligned coarse centroids, IVF-PQ
+    with nprobe=1 still finds the co-cell neighbors (lists align with
+    cells, so no recall is lost)."""
+    from hdk_spark.operators.similarity import ann_ivfpq_topk, pq_topk
+
+    dsub, m = 4, 2
+    vals = (-1.0, 1.0)
+    cbs = [[[v] * dsub for v in vals] for _ in range(m)]
+    rows = []
+    for i in range(40):
+        c0, c1 = vals[i % 2], vals[(i // 2) % 2]
+        jit = (i % 5) * 0.01
+        rows.append((i, [c0 + jit] * dsub + [c1 - jit] * dsub))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    # coarse centroids = the 4 cell centers (8-dim)
+    cents = {
+        0: [-1.0] * 4 + [-1.0] * 4, 1: [1.0] * 4 + [-1.0] * 4,
+        2: [-1.0] * 4 + [1.0] * 4, 3: [1.0] * 4 + [1.0] * 4,
+    }
+    got = ann_ivfpq_topk(df, [0], cents, cbs, k=9, nprobe=1).collect()
+    same_cell = {i for i in range(1, 40) if i % 2 == 0 and (i // 2) % 2 == 0}
+    assert {r["neighbor_id"] for r in got} == same_cell
+    # nprobe = all lists == flat PQ ranking
+    full = ann_ivfpq_topk(df, [0], cents, cbs, k=9, nprobe=4).collect()
+    flat = pq_topk(df, [0], cbs, k=9).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, flat))
