@@ -315,6 +315,7 @@ _PRIORITY: list[str] = [
     "stats_ndv_sketch_rollup",
     "web_politeness_schedule",
     "similarity_ivfpq_topk",
+    "select_temperature_export",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

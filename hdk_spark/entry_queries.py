@@ -10383,3 +10383,87 @@ FROM r WHERE rank <= 5 ORDER BY qid, rank
 
 SPARK_IMPLS["similarity_ivfpq_topk"] = q_similarity_ivfpq_topk
 ORACLES["similarity_ivfpq_topk"] = _ivfpq_oracle()
+
+
+def q_select_temperature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature→budget→sample BRIDGE as one composed row:
+    temperature_budgets (α=0.3, 8,000 total tokens) computes the
+    per-language budgets — collected to the driver (a GROUPS-sized
+    relation, the bounded-driver-action pattern of the IVF coarse
+    quantizer) — and token_budget_sample executes the mixture; the
+    emitted per-language (n_docs, n_tokens, budget) pins the whole
+    handoff. Oracle replays the budget arithmetic AND the serial
+    prefix-sum cut, joining the cut against the derived budget
+    relation instead of literals."""
+    from hdk_spark.operators.sampling import token_budget_sample
+    from hdk_spark.operators.selection import temperature_budgets
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents")
+    brel = temperature_budgets(docs, 8_000, "lang", alpha=0.3)
+    budgets = {r["lang"]: r["budget"] for r in brel.collect()}
+    sampled = token_budget_sample(
+        docs, "lang", budgets, default_budget=0, seed=7
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .join(
+            brel.select("lang", "budget"), "lang"
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMP_EXPORT_ORACLE = (
+    "WITH " + _TEMP_MIX_CTES + """
+, m AS (
+  SELECT grp, round(pa / z.z, 6) + 0 AS q FROM staged CROSS JOIN z
+), qm AS (
+  SELECT grp, q, CAST(round(q * 1e6) AS BIGINT) AS qmv FROM m
+), s AS (
+  SELECT SUM(qmv) AS s FROM qm
+), fl AS (
+  SELECT grp,
+         CAST((CAST(qmv AS HUGEINT) * 8000) // s.s AS BIGINT) AS fl,
+         CAST((CAST(qmv AS HUGEINT) * 8000)
+              - ((CAST(qmv AS HUGEINT) * 8000) // s.s) * s.s
+              AS BIGINT) AS rem
+  FROM qm CROSS JOIN s
+), short AS (
+  SELECT 8000 - SUM(fl) AS sh FROM fl
+), budgets AS (
+  SELECT grp,
+         CAST(fl + CASE WHEN
+           row_number() OVER (ORDER BY rem DESC, grp ASC NULLS LAST)
+             <= short.sh THEN 1 ELSE 0 END AS BIGINT) AS budget
+  FROM fl CROSS JOIN short
+), bt AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         """ + _hb_sql("doc_id", 1000000007, 7) + """ AS h,
+         """ + _hb_sql("doc_id", 32, 108) + """ AS b
+  FROM documents
+), bc AS (
+  SELECT *, COALESCE(SUM(tok) OVER (
+    PARTITION BY lang ORDER BY b, h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM bt
+), cut AS (
+  SELECT bc.doc_id, bc.lang, bc.tok
+  FROM bc JOIN budgets bg ON bc.lang = bg.grp
+  WHERE bc.cum < bg.budget
+)
+SELECT c.lang, COUNT(*) AS n_docs, CAST(SUM(c.tok) AS BIGINT) AS n_tokens,
+       bg.budget
+FROM cut c JOIN budgets bg ON c.lang = bg.grp
+GROUP BY c.lang, bg.budget ORDER BY c.lang
+"""
+)
+
+SPARK_IMPLS["select_temperature_export"] = q_select_temperature_export
+ORACLES["select_temperature_export"] = _TEMP_EXPORT_ORACLE
