@@ -858,3 +858,31 @@ def test_robots_filter_agent_star_fallback(spark):
     star = {r["doc_id"]: r["allowed"] for r in robots_filter(
         urls, rules).collect()}
     assert star == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_round9_operator_plan_shapes(spark):
+    """Plan pins for the round-9 operators: PQ encode is map-only (no
+    exchange/join — codebooks are literals), the politeness schedule
+    is exactly one domain-keyed window exchange, and unigram encode is
+    a single Arrow stage with no shuffle."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.bpe import unigram_encode
+    from hdk_spark.operators.similarity import pq_encode
+    from hdk_spark.operators.web import politeness_schedule
+
+    emb = spark.table("embeddings")
+    cbs = [[[0.05 * c] * 8 for c in range(4)] for _ in range(8)]
+    p = plan(pq_encode(emb, cbs))
+    assert "Exchange" not in p and "Join" not in p
+
+    urls = spark.table("documents").select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string")).alias("url")
+    )
+    p2 = plan(politeness_schedule(urls, per_host=3))
+    assert p2.count("hashpartitioning(") == 1 and "Window" in p2
+
+    p3 = plan(unigram_encode(
+        spark.table("documents"), [("a", -1.0), ("b", -1.2)]))
+    assert "Exchange" not in p3 and "Join" not in p3
