@@ -316,6 +316,7 @@ _PRIORITY: list[str] = [
     "web_politeness_schedule",
     "similarity_ivfpq_topk",
     "select_temperature_export",
+    "pack_materialize_chunks",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -10467,3 +10467,102 @@ GROUP BY c.lang, bg.budget ORDER BY c.lang
 
 SPARK_IMPLS["select_temperature_export"] = q_select_temperature_export
 ORACLES["select_temperature_export"] = _TEMP_EXPORT_ORACLE
+
+
+def q_pack_materialize_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize→split-pack→materialize composition
+    (operators/packing.py::materialize_chunks over unigram_encode's
+    output, budget 64, 4 shards): actual fixed-length training
+    examples with document-boundary counts. The oracle rebuilds each
+    shard's WHOLE token stream (hand-derived segmentations
+    concatenated in pack order) and slices it at 64-token boundaries
+    — an INDEPENDENT formulation (stream slicing) of what the
+    operator computes via per-piece intervals, so agreement pins the
+    tiling, the within-chunk order, and the boundary arithmetic."""
+    from hdk_spark.operators.bpe import unigram_encode
+    from hdk_spark.operators.packing import materialize_chunks
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    lex = F.array(*[F.lit(w) for w in _UNI_LEX])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), d % 4 + 1),
+            lambda k: F.element_at(lex, ((d + k) % 9 + 1).cast("int")),
+        ),
+        " ",
+    )
+    planted = spark.table("documents").select("doc_id", text.alias("text"))
+    toks = unigram_encode(planted, _UNI_VOCAB).select(
+        F.col("id").alias("doc_id"), "tokens"
+    )
+    out = materialize_chunks(
+        toks, "doc_id", "tokens", budget=64, n_shards=4, seed=0
+    )
+    return out.select(
+        "shard", "chunk_id", "n_tokens", "n_docs",
+        F.md5(F.encode(F.array_join("tokens", "|"), "utf-8")).alias("digest"),
+    ).orderBy("shard", "chunk_id")
+
+
+def _materialize_oracle() -> str:
+    lex_rows = ", ".join(f"({i}, '{w}')" for i, w in enumerate(_UNI_LEX))
+    seg_rows = ", ".join(
+        f"('{w}', '{p}')" for w, p in sorted(_UNI_SEG.items())
+    )
+    h = _hb_sql("doc_id", 1000000007, 0)
+    sh = _hb_sql("doc_id", 4, 1)
+    return f"""
+WITH lex(i, w) AS (VALUES {lex_rows}),
+seg(w, pieces) AS (VALUES {seg_rows}),
+words AS (
+  SELECT d.doc_id, k, l.w
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS k
+        FROM documents) d
+  JOIN lex l ON l.i = (d.doc_id + k) % 9
+), dtoks AS (
+  SELECT w1.doc_id,
+         string_agg(s.pieces, '|' ORDER BY w1.k) AS toks,
+         {h} AS h, {sh} AS shard
+  FROM words w1 JOIN seg s ON s.w = w1.w
+  GROUP BY w1.doc_id
+), streams AS (
+  SELECT shard, string_agg(toks, '|' ORDER BY h, doc_id) AS stream
+  FROM dtoks GROUP BY shard
+), spl AS (
+  SELECT shard, string_split(stream, '|') AS ts FROM streams
+), chunks AS (
+  SELECT shard, unnest(range(0, (len(ts) + 63) // 64)) AS chunk_id, ts
+  FROM spl
+), built AS (
+  SELECT shard, chunk_id,
+         ts[CAST(chunk_id * 64 + 1 AS INT):CAST(least((chunk_id + 1) * 64,
+                                                len(ts)) AS INT)] AS ck
+  FROM chunks
+), spans AS (
+  SELECT d.doc_id, d.shard,
+         SUM(len(string_split(d.toks, '|'))) OVER (
+           PARTITION BY d.shard ORDER BY d.h, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS fin,
+         len(string_split(d.toks, '|')) AS nt
+  FROM dtoks d
+), ndocs AS (
+  SELECT b.shard, b.chunk_id, COUNT(*) AS n_docs
+  FROM built b JOIN spans s
+    ON s.shard = b.shard
+   AND s.fin - s.nt < (b.chunk_id + 1) * 64
+   AND s.fin > b.chunk_id * 64
+  GROUP BY b.shard, b.chunk_id
+)
+SELECT b.shard, CAST(b.chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(b.ck) AS BIGINT) AS n_tokens,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       md5(array_to_string(b.ck, '|')) AS digest
+FROM built b JOIN ndocs n ON b.shard = n.shard AND b.chunk_id = n.chunk_id
+ORDER BY b.shard, b.chunk_id
+"""
+
+
+SPARK_IMPLS["pack_materialize_chunks"] = q_pack_materialize_chunks
+ORACLES["pack_materialize_chunks"] = _materialize_oracle()

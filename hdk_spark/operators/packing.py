@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from hdk_spark.operators.sampling import hash_bucket
 
-__all__ = ["pack_sequences", "pack_sequences_split"]
+__all__ = ["pack_sequences", "pack_sequences_split", "materialize_chunks"]
 
 
 def pack_sequences(
@@ -146,5 +146,83 @@ def pack_sequences_split(
             (chunk - F.col("__lo")).cast("bigint").alias("piece_index"),
             (piece_start - F.col("__start")).cast("bigint").alias("offset"),
             (piece_end - piece_start).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def materialize_chunks(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    budget: int = 2048,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize the TRAINING EXAMPLES :func:`pack_sequences_split`
+    plans: given tokenized documents (id, tokens array — the
+    bpe_encode / unigram_encode surface), emit one row per chunk with
+    its actual token sequence — documents sliced at chunk boundaries
+    and concatenated in pack order. Every chunk except each shard's
+    last is EXACTLY ``budget`` tokens (the split-pack invariant), so
+    the output writes straight to fixed-length training shards with
+    zero padding.
+
+    Returns (shard, chunk_id, n_tokens, tokens, n_docs) — n_docs the
+    number of documents contributing pieces (observability for
+    attention masks that reset at document boundaries).
+
+    Within-chunk order is reconstructed WITHOUT threading global
+    offsets: a chunk contains AT MOST ONE continuation piece
+    (piece_index > 0 means its document started in an earlier chunk,
+    so the piece starts AT the chunk boundary — two such pieces would
+    both claim position 0), and every other piece belongs to a
+    document that STARTS in this chunk, ordered by the pack order
+    (hash, key). sort_array over (is_continuation, hash, key, piece)
+    structs therefore rebuilds the exact tiling, and the aggregate is
+    shuffle-order-independent.
+
+    Scale shape: the split plan's one window + ONE equi-join back to
+    the token arrays (map-only slice per piece) + ONE
+    groupBy(shard, chunk_id) whose per-group state is budget-bounded
+    (≤ budget tokens regardless of corpus size — the reason to group
+    by CHUNK, never by document)."""
+    toks = F.col(tokens_col)
+    counts = df.select(
+        F.col(key_col), F.size(toks).cast("long").alias("__nt")
+    )
+    plan = pack_sequences_split(
+        counts, key_col, "__nt", budget=budget, n_shards=n_shards, seed=seed
+    )
+    h = hash_bucket(F.col(key_col), 1_000_000_007, seed)
+    pieces = (
+        plan.join(df.select(F.col(key_col), toks.alias("__toks")), key_col)
+        .select(
+            "shard",
+            "chunk_id",
+            F.struct(
+                (F.col("piece_index") == 0).cast("int").alias("o1"),
+                h.alias("o2"),
+                F.col(key_col).cast("long").alias("o3"),
+                F.slice(
+                    F.col("__toks"), (F.col("offset") + 1).cast("int"),
+                    F.col("n_tokens").cast("int"),
+                ).alias("p"),
+            ).alias("__s"),
+        )
+    )
+    seq = F.flatten(F.transform(F.col("__ps"), lambda s: s["p"]))
+    return (
+        pieces.groupBy("shard", "chunk_id")
+        .agg(F.sort_array(F.collect_list("__s")).alias("__ps"))
+        .select(
+            "shard",
+            "chunk_id",
+            seq.alias("tokens"),
+            F.size("__ps").cast("long").alias("n_docs"),
+        )
+        .select(
+            "shard", "chunk_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens", "n_docs",
         )
     )

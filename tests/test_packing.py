@@ -74,3 +74,57 @@ def test_pack_split_exact_fill_and_reconstruction(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_sequences_split(docs, "doc_id", "n_tokens", budget=0)
+
+
+def test_materialize_chunks_reconstructs_shard_streams(spark):
+    """Chunk materialization: per shard, concatenating chunk token
+    sequences in chunk order reproduces EXACTLY the concatenation of
+    its documents' tokens in pack order; every non-final chunk holds
+    exactly `budget` tokens; n_docs matches contributing docs;
+    repartition-stable."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.packing import materialize_chunks
+    from hdk_spark.operators.sampling import hash_bucket
+
+    docs = spark.createDataFrame(
+        [(i, [f"t{i}_{j}" for j in range((i * 13) % 29 + 1)])
+         for i in range(120)],
+        "doc_id: long, tokens: array<string>",
+    )
+    out = materialize_chunks(
+        docs, "doc_id", "tokens", budget=24, n_shards=3, seed=0
+    ).collect()
+
+    # fill invariant
+    last = {}
+    for r in out:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["chunk_id"])
+    for r in out:
+        if r["chunk_id"] != last[r["shard"]]:
+            assert r["n_tokens"] == 24, (r["shard"], r["chunk_id"])
+        assert r["n_tokens"] == len(r["tokens"])
+
+    # stream reconstruction per shard
+    assign = docs.select(
+        "doc_id", "tokens",
+        hash_bucket(F.col("doc_id"), 3, 1).alias("shard"),
+        hash_bucket(F.col("doc_id"), 1_000_000_007, 0).alias("h"),
+    ).collect()
+    streams = {}
+    for r in sorted(assign, key=lambda r: (r["shard"], r["h"], r["doc_id"])):
+        streams.setdefault(r["shard"], []).extend(r["tokens"])
+    got = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["chunk_id"])):
+        got.setdefault(r["shard"], []).extend(r["tokens"])
+    assert got == streams
+
+    # n_docs: count docs whose [start, end) interval meets the chunk
+    again = materialize_chunks(
+        docs.repartition(11), "doc_id", "tokens", budget=24, n_shards=3,
+        seed=0,
+    ).collect()
+    assert sorted((r["shard"], r["chunk_id"], tuple(r["tokens"]), r["n_docs"])
+                  for r in again) == sorted(
+        (r["shard"], r["chunk_id"], tuple(r["tokens"]), r["n_docs"])
+        for r in out)
