@@ -317,6 +317,7 @@ _PRIORITY: list[str] = [
     "similarity_ivfpq_topk",
     "select_temperature_export",
     "pack_materialize_chunks",
+    "graph_trustrank",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -10566,3 +10566,69 @@ ORDER BY b.shard, b.chunk_id
 
 SPARK_IMPLS["pack_materialize_chunks"] = q_pack_materialize_chunks
 ORACLES["pack_materialize_chunks"] = _materialize_oracle()
+
+
+def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/graph.py::trust_rank, seeds = the even
+    site ids, 3 iterations) over the planted host graph — trust flows
+    out of the seed half only, so odd sites score exactly their
+    link-inherited trust (no base term). The oracle unrolls the
+    seeded integer iteration like the graph_pagerank oracle."""
+    from hdk_spark.operators.graph import trust_rank
+    from hdk_spark.operators.web import link_graph
+
+    _tables(spark, sf_dir)
+    edges = (
+        link_graph(_planted_link_pages(spark))
+        .select(
+            F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = [f"site{i}.com" for i in range(0, 17, 2)]
+    return trust_rank(edges, seeds, iters=3).orderBy("node")
+
+
+def _trustrank_ctes() -> str:
+    """Seeded variant of _pagerank_ctes: rank_0 = 1e6 for even nodes
+    else 0; per-round base 150000 paid to even nodes only."""
+    it = """
+tc{k} AS (
+  SELECT de.t AS node, SUM((r.rm * 17) // (20 * g.outdeg)) AS sm
+  FROM de JOIN tr{p} r ON r.node = de.s JOIN deg g ON g.s = de.s
+  GROUP BY de.t
+),
+tr{k} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % 2 = 0 THEN 150000 ELSE 0 END
+              + COALESCE(c.sm, 0) AS BIGINT) AS rm
+  FROM tr{p} n LEFT JOIN tc{k} c ON c.node = n.node
+)"""
+    return (
+        _LINK_EDGE_SQL + """,
+de AS (SELECT DISTINCT s, t FROM e WHERE s <> t),
+deg AS (SELECT s, COUNT(*) AS outdeg FROM de GROUP BY s),
+nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM de UNION ALL SELECT t FROM de)),
+tr0 AS (SELECT n AS node,
+               CAST(CASE WHEN n % 2 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
+                 AS rm
+        FROM nodes),"""
+        + it.format(k=1, p=0) + ","
+        + it.format(k=2, p=1) + ","
+        + it.format(k=3, p=2)
+    )
+
+
+def _trustrank_oracle() -> str:
+    return (
+        "WITH " + _trustrank_ctes()
+        + """
+SELECT 'site' || CAST(node AS VARCHAR) || '.com' AS node,
+       rm AS trust_micro, rm / 1000000.0 AS trust
+FROM tr3 ORDER BY 1
+"""
+    )
+
+
+SPARK_IMPLS["graph_trustrank"] = q_graph_trustrank
+ORACLES["graph_trustrank"] = _trustrank_oracle()

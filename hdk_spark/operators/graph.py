@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "connected_components_star", "duplicate_clusters", "page_rank",
     "hits",
+    "trust_rank",
 ]
 
 
@@ -488,4 +489,99 @@ def hits(
         "auth_micro",
         (F.col("hub_micro") / F.lit(float(scale))).alias("hub"),
         (F.col("auth_micro") / F.lit(float(scale))).alias("authority"),
+    )
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: "list",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: "tuple[int, int]" = (17, 20),
+    scale: int = 1_000_000,
+    weight: "str | None" = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004) — PageRank with teleport
+    restricted to a curated SEED set of trusted nodes: trust flows
+    only out of seeds along links, so spam hosts that acquire raw
+    in-link mass but sit far from any trusted neighborhood score ~0.
+    The crawl-frontier demotion signal that complements
+    :func:`page_rank`'s raw authority (rank by authority, gate by
+    trust).
+
+    Same exact integer fixed-point contract as :func:`page_rank`
+    (micro-units, rational damping, DECIMAL sums, per-round
+    localCheckpoint) with two changes: rank_0 = scale only for seeds
+    (0 elsewhere) and the (1−d) base term is paid ONLY to seeds —
+    the personalization-vector form of the update rule. ``seeds`` is
+    a literal list (trusted-host lists are curated and bounded — the
+    IVF coarse-quantizer driver-literal discipline); a seed absent
+    from the graph's nodes is ignored. Returns (node, trust_micro,
+    trust = micro/scale).
+
+    Scale shape identical to page_rank: per iteration one src-keyed
+    equi-join + one partial-agg groupBy; the seed membership test is
+    an isin over a literal list — map-only, no extra exchange."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list")
+
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    )
+    deg = e.groupBy("__s").agg(F.sum("__w").alias("__outdeg"))
+    ed = e.join(deg, "__s").persist()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d")))
+        .distinct()
+        .persist()
+    )
+    is_seed = F.col("node").isin(list(seeds))
+    base = (scale * (den - num)) // den
+    seed_base = F.when(is_seed, F.lit(int(base))).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(int(scale)))
+        .otherwise(F.lit(0)).cast("long").alias("rank_micro"),
+    )
+    for _ in range(iters):
+        contrib = ed.join(ranks, ed["__s"] == ranks["node"]).select(
+            F.col("__d").alias("node"),
+            F.expr(
+                f"((rank_micro * {num}) DIV ({den} * __outdeg)) * __w"
+            ).alias("__c"),
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum(F.col("__c").cast("decimal(38,0)")).alias("__sum")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    seed_base
+                    + F.coalesce(F.col("__sum"), F.lit(0)).cast("long")
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node",
+        F.col("rank_micro").alias("trust_micro"),
+        (F.col("rank_micro") / F.lit(float(scale))).alias("trust"),
     )

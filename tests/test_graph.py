@@ -300,3 +300,29 @@ def test_hits_hand_graph_and_determinism(spark):
 
     with pytest.raises(ValueError, match="iters"):
         hits(edges, iters=0)
+
+
+def test_trust_rank_spam_demotion_and_determinism(spark):
+    """TrustRank property: a 'spam' node with heavy in-links from
+    untrusted nodes scores 0 while a node one hop from a seed scores
+    positive; seed-only teleport conserves the base term; stable
+    under repartition."""
+    import pytest
+
+    from hdk_spark.operators.graph import trust_rank
+
+    # seeds: 1. trusted chain 1->2. spam farm: 10,11,12 all -> 99
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 99), (11, 99), (12, 99)], "src: long, dst: long")
+    got = {r["node"]: r for r in trust_rank(edges, [1], iters=3).collect()}
+    assert got[1]["trust_micro"] > 0       # seed keeps its base
+    assert got[2]["trust_micro"] > 0       # one hop from seed
+    assert got[99]["trust_micro"] == 0     # spam farm: no trust path
+    assert got[10]["trust_micro"] == 0
+
+    again = {r["node"]: tuple(r) for r in trust_rank(
+        edges.repartition(5), [1], iters=3).collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
+
+    with pytest.raises(ValueError, match="seeds"):
+        trust_rank(edges, [])
