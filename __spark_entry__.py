@@ -318,6 +318,7 @@ _PRIORITY: list[str] = [
     "select_temperature_export",
     "pack_materialize_chunks",
     "graph_trustrank",
+    "text_dedup_doc_lines",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

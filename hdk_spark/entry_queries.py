@@ -10632,3 +10632,63 @@ FROM tr3 ORDER BY 1
 
 SPARK_IMPLS["graph_trustrank"] = q_graph_trustrank
 ORACLES["graph_trustrank"] = _trustrank_oracle()
+
+
+def q_text_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc line dedup (operators/text.py::dedup_doc_lines) over
+    a planted multi-line corpus: doc d = lines [L(d), L(d+1), L(d),
+    banner, L(d+2), banner] (the repeated first line and the
+    twice-pasted banner must both collapse). The oracle is the
+    INDEPENDENT formulation — explode + per-(doc, line) first-position
+    window + ordered string_agg — versus the operator's map-only JVM
+    fold."""
+    from hdk_spark.operators.text import dedup_doc_lines
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def line(k):
+        return F.concat(F.lit("line "), ((d + k) % 7).cast("string"))
+
+    planted = spark.table("documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", line(0), line(1), line(0), F.lit("COOKIE BANNER"),
+            line(2), F.lit("COOKIE BANNER"),
+        ).alias("text"),
+    )
+    return dedup_doc_lines(planted).orderBy("doc_id")
+
+
+_DEDUP_DOC_LINES_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         'line ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'line ' || CAST((doc_id + 1) % 7 AS VARCHAR) || chr(10) ||
+         'line ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'COOKIE BANNER' || chr(10) ||
+         'line ' || CAST((doc_id + 2) % 7 AS VARCHAR) || chr(10) ||
+         'COOKIE BANNER' AS text
+  FROM documents
+), ex AS (
+  SELECT doc_id, text, i,
+         string_split(text, chr(10))[CAST(i AS INT)] AS line
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+        FROM planted)
+), firsts AS (
+  SELECT doc_id, i, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS total
+  FROM ex
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY i) FILTER (WHERE rn = 1) AS text,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_lines,
+       CAST(ANY_VALUE(total) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT)
+         AS n_removed
+FROM firsts GROUP BY doc_id ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_dedup_doc_lines"] = q_text_dedup_doc_lines
+ORACLES["text_dedup_doc_lines"] = _DEDUP_DOC_LINES_ORACLE

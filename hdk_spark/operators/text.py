@@ -2272,3 +2272,48 @@ def kneser_ney_logprob(
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
         round6(F.avg("__lp")).alias("avg_logprob"),
     )
+
+
+def dedup_doc_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document line dedup — remove every repeat of a line
+    already seen earlier in the SAME document, keeping first
+    occurrences in order (the C4-style boilerplate trim one scope
+    below [[segment_dedup]]'s corpus-wide frequency rule: a cookie
+    banner pasted 40× inside one page dies here without any corpus
+    statistics). Matching is exact on the line content; emitted lines
+    are byte-identical to their first occurrence.
+
+    Returns (id, text, n_lines, n_removed) — ``text`` the deduped
+    document, NULL text passes through NULL with zero counts
+    (totality). MAP-ONLY: one JVM fold over the split lines per row
+    (O(L²) string compares per doc with L = its line count — bounded
+    per document, never corpus-dependent), no explode, no shuffle at
+    any corpus size."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    folded = F.aggregate(
+        lines,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                F.array_contains(acc["out"], x), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(x))).alias("out"),
+        ),
+    )["out"]
+    out_text = F.array_join(folded, "\n")
+    return df.select(
+        F.col(id_col),
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(out_text).alias(text_col),
+        F.when(t.isNull(), F.lit(0))
+        .otherwise(F.size(folded)).cast("long").alias("n_lines"),
+        F.when(t.isNull(), F.lit(0))
+        .otherwise(F.size(lines) - F.size(folded)).cast("long")
+        .alias("n_removed"),
+    )
