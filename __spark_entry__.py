@@ -319,6 +319,7 @@ _PRIORITY: list[str] = [
     "pack_materialize_chunks",
     "graph_trustrank",
     "text_dedup_doc_lines",
+    "chat_loss_mask",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

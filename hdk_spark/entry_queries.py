@@ -10692,3 +10692,77 @@ FROM firsts GROUP BY doc_id ORDER BY doc_id
 
 SPARK_IMPLS["text_dedup_doc_lines"] = q_text_dedup_doc_lines
 ORACLES["text_dedup_doc_lines"] = _DEDUP_DOC_LINES_ORACLE
+
+
+def q_chat_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sample building (operators/chat.py::chat_loss_mask) over
+    planted conversations (doc d: d%3+1 user/assistant pairs, pair i
+    content 'u{i} q{(d+i)%5}' / 'a{i} r{(d+i)%3} ok'): rendered token
+    stream + per-token loss mask, trainable only on assistant
+    content. The oracle rebuilds both streams independently from the
+    planting arithmetic — per-pair 7-token fragments and the constant
+    '0001011...' mask pattern — with no JSON and no HOFs."""
+    from hdk_spark.operators.chat import chat_loss_mask
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    pairs = (d % 3 + 1).cast("int")
+    conv = F.to_json(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), pairs),
+                lambda i: F.array(
+                    F.struct(
+                        F.lit("user").alias("role"),
+                        F.concat(
+                            F.lit("u"), i.cast("string"), F.lit(" q"),
+                            ((d + i) % 5).cast("string"),
+                        ).alias("content"),
+                    ),
+                    F.struct(
+                        F.lit("assistant").alias("role"),
+                        F.concat(
+                            F.lit("a"), i.cast("string"), F.lit(" r"),
+                            ((d + i) % 3).cast("string"), F.lit(" ok"),
+                        ).alias("content"),
+                    ),
+                ),
+            )
+        )
+    )
+    planted = spark.table("documents").select(
+        "doc_id", conv.alias("conversation")
+    )
+    out = chat_loss_mask(planted)
+    return out.select(
+        "doc_id", "n_tokens", "n_trainable",
+        F.md5(F.encode(F.array_join("tokens", "|"), "utf-8")).alias(
+            "tok_digest"
+        ),
+        F.array_join(F.transform("loss_mask", lambda x: x.cast("string")), "")
+        .alias("mask"),
+    ).orderBy("doc_id")
+
+
+_CHAT_LOSS_MASK_ORACLE = """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 + 1 AS pairs FROM documents
+), frags AS (
+  SELECT p.doc_id, i,
+         '<|user|>|u' || CAST(i AS VARCHAR) || '|q'
+           || CAST((p.doc_id + i) % 5 AS VARCHAR)
+           || '|<|assistant|>|a' || CAST(i AS VARCHAR) || '|r'
+           || CAST((p.doc_id + i) % 3 AS VARCHAR) || '|ok' AS frag
+  FROM p, unnest(range(1, pairs + 1)) AS t(i)
+)
+SELECT f.doc_id,
+       CAST(7 * p.pairs AS BIGINT) AS n_tokens,
+       CAST(3 * p.pairs AS BIGINT) AS n_trainable,
+       md5(string_agg(f.frag, '|' ORDER BY f.i)) AS tok_digest,
+       repeat('0000111', CAST(p.pairs AS INT)) AS mask
+FROM frags f JOIN p ON f.doc_id = p.doc_id
+GROUP BY f.doc_id, p.pairs ORDER BY f.doc_id
+"""
+
+SPARK_IMPLS["chat_loss_mask"] = q_chat_loss_mask
+ORACLES["chat_loss_mask"] = _CHAT_LOSS_MASK_ORACLE

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["chat_lint", "preference_lint"]
+__all__ = ["chat_lint", "preference_lint", "chat_loss_mask"]
 
 _CONV_SCHEMA = "array<struct<role:string,content:string>>"
 _KNOWN_ROLES = ("system", "user", "assistant", "tool")
@@ -158,4 +158,74 @@ def preference_lint(
             )
         ],
         F.coalesce(valid, F.lit(False)).alias("valid"),
+    )
+
+
+def chat_loss_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    conv_col: str = "conversation",
+) -> DataFrame:
+    """Render chat conversations to a training token stream WITH the
+    per-token loss mask — the supervised-fine-tuning sample builder:
+    each turn contributes a role header token ``<|role|>`` (mask 0)
+    followed by its whitespace-tokenized content, masked 1 ONLY for
+    assistant turns (the model trains on its own replies, attends to
+    everything). Compose downstream with the real tokenizers by
+    re-tokenizing per piece; the mask is defined per rendered token.
+
+    Returns (id, n_tokens, n_trainable, tokens array<string>,
+    loss_mask array<int>) — arrays index-aligned; an unparseable or
+    NULL conversation yields empty arrays with zero counts
+    (totality), and a blank content contributes just its header.
+
+    Scale shape: ONE map-only projection (from_json + nested HOF
+    flatten) — no explode, no shuffle, whole-stage codegen except the
+    JSON parse."""
+    arr = F.from_json(F.col(conv_col), _CONV_SCHEMA)
+    parsed = arr.isNotNull() & (F.size(arr) > 0) & ~F.exists(
+        arr, lambda t: t["role"].isNull()
+    )
+
+    def content_toks(t):
+        c = F.coalesce(t["content"], F.lit(""))
+        return F.when(
+            F.length(F.trim(c)) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(c), r"\s+"))
+
+    toks = F.flatten(
+        F.transform(
+            arr,
+            lambda t: F.concat(
+                F.array(F.concat(F.lit("<|"), t["role"], F.lit("|>"))),
+                content_toks(t),
+            ),
+        )
+    )
+    mask = F.flatten(
+        F.transform(
+            arr,
+            lambda t: F.concat(
+                F.array(F.lit(0)),
+                F.transform(
+                    content_toks(t),
+                    lambda _x: F.when(
+                        t["role"] == "assistant", F.lit(1)
+                    ).otherwise(F.lit(0)),
+                ),
+            ),
+        )
+    )
+    empty_s = F.array().cast("array<string>")
+    empty_i = F.array().cast("array<int>")
+    toks_out = F.when(parsed, toks).otherwise(empty_s)
+    mask_out = F.when(parsed, mask).otherwise(empty_i)
+    return df.select(
+        F.col(id_col),
+        F.size(toks_out).cast("long").alias("n_tokens"),
+        F.aggregate(
+            mask_out, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_trainable"),
+        toks_out.alias("tokens"),
+        mask_out.alias("loss_mask"),
     )

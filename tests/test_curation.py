@@ -15,3 +15,36 @@ def test_dedup_doc_lines_map_only_and_totality(spark):
     assert got[3]["text"] == "x" and got[3]["n_removed"] == 2
     p = dedup_doc_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Generate" not in p  # map-only
+
+
+def test_chat_loss_mask_totality_and_alignment(spark):
+    import json
+
+    from hdk_spark.operators.chat import chat_loss_mask
+
+    convs = [
+        (0, json.dumps([{"role": "user", "content": "hi there"},
+                        {"role": "assistant", "content": "hello friend !"}])),
+        (1, None),
+        (2, "not json"),
+        (3, json.dumps([{"role": "system", "content": ""},
+                        {"role": "user", "content": "q"},
+                        {"role": "assistant", "content": "a b"}])),
+        (4, json.dumps([{"role": "tool", "content": "result 42"},
+                        {"role": "assistant", "content": "ok"}])),
+    ]
+    df = spark.createDataFrame(convs, "doc_id: long, conversation: string")
+    got = {r["doc_id"]: r for r in chat_loss_mask(df).collect()}
+    for r in got.values():
+        assert len(r["tokens"]) == len(r["loss_mask"]) == r["n_tokens"]
+        assert sum(r["loss_mask"]) == r["n_trainable"]
+        # headers never train; only assistant content does
+        for t, m in zip(r["tokens"], r["loss_mask"]):
+            if t.startswith("<|"):
+                assert m == 0
+    assert got[0]["loss_mask"] == [0, 0, 0, 0, 1, 1, 1]
+    assert got[1]["n_tokens"] == 0 and got[2]["n_tokens"] == 0
+    assert got[3]["tokens"][0] == "<|system|>" and got[3]["n_trainable"] == 2
+    assert got[4]["loss_mask"] == [0, 0, 0, 0, 1]  # tool content masked 0
+    p = chat_loss_mask(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Generate" not in p
