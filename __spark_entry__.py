@@ -320,6 +320,7 @@ _PRIORITY: list[str] = [
     "graph_trustrank",
     "text_dedup_doc_lines",
     "chat_loss_mask",
+    "denoise_span_corruption",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",

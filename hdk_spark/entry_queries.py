@@ -10766,3 +10766,96 @@ GROUP BY f.doc_id, p.pairs ORDER BY f.doc_id
 
 SPARK_IMPLS["chat_loss_mask"] = q_chat_loss_mask
 ORACLES["chat_loss_mask"] = _CHAT_LOSS_MASK_ORACLE
+
+
+def q_denoise_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/denoise.py::span_corruption,
+    density 3/20, mean span 3) over planted token arrays
+    (doc d: tokens w{(d+j)%11}, j < d%17+4). The oracle replays the
+    ENTIRE deterministic sampler in SQL — noise budget, window cuts,
+    per-(id, k) Knuth-hash offsets, slice framing, sentinel placement
+    — and emits the same digests, so the whole corruption contract is
+    value-checked."""
+    from hdk_spark.operators.denoise import span_corruption
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(0), (d % 17 + 3).cast("int")),
+        lambda j: F.concat(F.lit("w"), ((d + j) % 11).cast("string")),
+    )
+    planted = spark.table("documents").select("doc_id", toks.alias("tokens"))
+    out = span_corruption(planted)
+    return out.select(
+        "doc_id", "n_tokens", "n_noise", "n_spans",
+        F.md5(F.encode(F.array_join("inputs", "|"), "utf-8")).alias(
+            "in_digest"
+        ),
+        F.md5(F.encode(F.array_join("targets", "|"), "utf-8")).alias(
+            "tgt_digest"
+        ),
+    ).orderBy("doc_id")
+
+
+def _span_corruption_oracle() -> str:
+    h = _hb_sql("(doc_id * 1000003 + k)", 1000000007, 11)
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 17 + 4 AS L,
+         list_transform(range(0, doc_id % 17 + 4),
+                        j -> 'w' || CAST((doc_id + j) % 11 AS VARCHAR))
+           AS toks,
+         (3 * (doc_id % 17 + 4) + 10) // 20 AS n_noise
+  FROM documents
+), p2 AS (
+  SELECT *, greatest(n_noise // 3, 1) AS n_spans FROM p
+), frag AS (
+  SELECT p.doc_id, ks.kk AS k,
+         CAST((ks.kk * p.L) // p.n_spans AS INT) AS ws,
+         CAST(((ks.kk + 1) * p.L) // p.n_spans AS INT) AS we,
+         least(
+           CAST(p.n_noise // p.n_spans AS INT)
+           + CASE WHEN ks.kk < p.n_noise % p.n_spans THEN 1 ELSE 0 END,
+           CAST(((ks.kk + 1) * p.L) // p.n_spans
+                - (ks.kk * p.L) // p.n_spans AS INT)
+         ) AS ln,
+         p.toks, p.L, p.n_spans
+  FROM p2 p, (SELECT unnest(range(0, 100)) AS kk) ks
+  WHERE ks.kk < p.n_spans
+), placed AS (
+  SELECT doc_id, k, toks, n_spans, ws, we, ln,
+         ws + CAST({h} %
+              greatest(we - ws - ln + 1, 1) AS INT) AS a
+  FROM frag
+), parts AS (
+  SELECT doc_id, k, n_spans,
+         array_to_string(
+           list_concat(
+             list_concat(toks[ws + 1:a],
+                         ['<extra_id_' || CAST(k AS VARCHAR) || '>']),
+             toks[a + ln + 1:we]
+           ), '|') AS inp,
+         array_to_string(
+           list_concat(['<extra_id_' || CAST(k AS VARCHAR) || '>'],
+                       toks[a + 1:a + ln]), '|') AS tgt
+  FROM placed
+), agg AS (
+  SELECT doc_id,
+         string_agg(inp, '|' ORDER BY k) AS inputs,
+         string_agg(tgt, '|' ORDER BY k)
+           || '|<extra_id_' || CAST(ANY_VALUE(n_spans) AS VARCHAR) || '>'
+           AS targets
+  FROM parts GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.L AS BIGINT) AS n_tokens,
+       CAST(p.n_noise AS BIGINT) AS n_noise,
+       CAST(p.n_spans AS BIGINT) AS n_spans,
+       md5(a.inputs) AS in_digest,
+       md5(a.targets) AS tgt_digest
+FROM p2 p JOIN agg a USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+SPARK_IMPLS["denoise_span_corruption"] = q_denoise_span_corruption
+ORACLES["denoise_span_corruption"] = _span_corruption_oracle()
