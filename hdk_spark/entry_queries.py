@@ -10859,3 +10859,130 @@ ORDER BY p.doc_id
 
 SPARK_IMPLS["denoise_span_corruption"] = q_denoise_span_corruption
 ORACLES["denoise_span_corruption"] = _span_corruption_oracle()
+
+
+def q_denoise_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (operators/denoise.py::
+    fim_transform, PSM framing, rate 1/2) over the same planted token
+    arrays as span corruption. The oracle replays the gate, the two
+    Knuth-hash cut points, the ordered (a, b) pair, and the
+    sentinel framing in SQL and emits identical digests."""
+    from hdk_spark.operators.denoise import fim_transform
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(0), (d % 17 + 3).cast("int")),
+        lambda j: F.concat(F.lit("w"), ((d + j) % 11).cast("string")),
+    )
+    planted = spark.table("documents").select("doc_id", toks.alias("tokens"))
+    out = fim_transform(planted)
+    return out.select(
+        "doc_id", "n_tokens", "fim_applied", "cut_a", "cut_b",
+        F.md5(F.encode(F.array_join("out", "|"), "utf-8")).alias(
+            "out_digest"
+        ),
+    ).orderBy("doc_id")
+
+
+def _fim_oracle() -> str:
+    gate = _hb_sql("doc_id", 2, 13)
+    h1 = _hb_sql("(doc_id * 1000003 + 1)", 1000000007, 13)
+    h2 = _hb_sql("(doc_id * 1000003 + 2)", 1000000007, 13)
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 17 + 4 AS L,
+         list_transform(range(0, doc_id % 17 + 4),
+                        j -> 'w' || CAST((doc_id + j) % 11 AS VARCHAR))
+           AS toks,
+         CASE WHEN {gate} < 1 THEN 1 ELSE 0 END AS applied,
+         CAST({h1} % (doc_id % 17 + 5) AS INT) AS p1,
+         CAST({h2} % (doc_id % 17 + 5) AS INT) AS p2
+  FROM documents
+), cuts AS (
+  SELECT doc_id, L, toks, applied,
+         least(p1, p2) AS a, greatest(p1, p2) AS b
+  FROM p
+)
+SELECT doc_id, CAST(L AS BIGINT) AS n_tokens, applied AS fim_applied,
+       CAST(CASE WHEN applied = 1 THEN a ELSE -1 END AS INT) AS cut_a,
+       CAST(CASE WHEN applied = 1 THEN b ELSE -1 END AS INT) AS cut_b,
+       md5(CASE WHEN applied = 1 THEN
+             array_to_string(
+               list_concat(
+                 list_concat(
+                   list_concat(
+                     list_concat(
+                       list_concat(['<fim_prefix>'], toks[1:a]),
+                       ['<fim_suffix>']),
+                     toks[b + 1:L]),
+                   ['<fim_middle>']),
+                 toks[a + 1:b]), '|')
+           ELSE array_to_string(toks, '|') END) AS out_digest
+FROM cuts ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["denoise_fim_psm"] = q_denoise_fim
+ORACLES["denoise_fim_psm"] = _fim_oracle()
+
+
+def q_denoise_mlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM masking (operators/denoise.py::mlm_mask,
+    select_pct=30) over the planted token arrays. The oracle replays
+    the per-position selection hash, the 80/10/10 corruption draw, and
+    the deterministic replacement pick, and rebuilds both the masked
+    stream and the label stream (NULL labels rendered '~')."""
+    from hdk_spark.operators.denoise import mlm_mask
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(0), (d % 17 + 3).cast("int")),
+        lambda j: F.concat(F.lit("w"), ((d + j) % 11).cast("string")),
+    )
+    planted = spark.table("documents").select("doc_id", toks.alias("tokens"))
+    out = mlm_mask(planted, select_pct=30)
+    return out.select(
+        "doc_id", "n_tokens", "n_selected",
+        F.md5(F.encode(F.array_join("masked", "|"), "utf-8")).alias(
+            "masked_digest"
+        ),
+        F.md5(F.encode(F.array_join("labels", "|", "~"), "utf-8")).alias(
+            "label_digest"
+        ),
+    ).orderBy("doc_id")
+
+
+def _mlm_oracle() -> str:
+    sel = _hb_sql("(doc_id * 1000003 + j)", 100, 17)
+    r = _hb_sql("(doc_id * 2000003 + j)", 10, 18)
+    repl = _hb_sql("(doc_id * 3000017 + j)", 4, 19)
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 17 + 4 AS L,
+         list_transform(range(0, doc_id % 17 + 4),
+                        j -> 'w' || CAST((doc_id + j) % 11 AS VARCHAR))
+           AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(L AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(0, L), j -> {sel} < 30)) AS BIGINT)
+         AS n_selected,
+       md5(array_to_string(
+         list_transform(range(0, L), j ->
+           CASE WHEN {sel} < 30 THEN
+             CASE WHEN {r} < 8 THEN '[MASK]'
+                  WHEN {r} = 8 THEN 'r' || CAST({repl} AS VARCHAR)
+                  ELSE toks[j + 1] END
+           ELSE toks[j + 1] END), '|')) AS masked_digest,
+       md5(array_to_string(
+         list_transform(range(0, L), j ->
+           CASE WHEN {sel} < 30 THEN toks[j + 1] ELSE '~' END),
+         '|')) AS label_digest
+FROM p ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["denoise_mlm_mask"] = q_denoise_mlm
+ORACLES["denoise_mlm_mask"] = _mlm_oracle()

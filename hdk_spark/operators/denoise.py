@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from hdk_spark.operators.sampling import hash_bucket
 
-__all__ = ["span_corruption"]
+__all__ = ["span_corruption", "fim_transform", "mlm_mask"]
 
 
 def span_corruption(
@@ -110,4 +110,156 @@ def span_corruption(
         F.coalesce(n_spans, F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce(inputs, empty_s).alias("inputs"),
         F.coalesce(targets, empty_s).alias("targets"),
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    rate: "tuple[int, int]" = (1, 2),
+    mode: str = "psm",
+    seed: int = 13,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): for a
+    hash-selected ``rate`` fraction of documents, cut the token stream
+    at two hash-derived points into (prefix, middle, suffix) and emit
+    the sentinel-framed reordering the FIM objective trains on;
+    the rest pass through untouched (the paper's joint AR+FIM mix).
+
+    Framings (this operator's exact contract):
+
+    - ``psm``:  <fim_prefix> P <fim_suffix> S <fim_middle> M
+    - ``spm``:  <fim_suffix> S <fim_prefix> P <fim_middle> M
+
+    Cut points a <= b are the ordered pair of two per-(id, slot) Knuth
+    hashes modulo L+1, so any document (including empty) is total and
+    the whole transform is a pure function of (id, tokens).
+
+    Returns (id, n_tokens, fim_applied, cut_a, cut_b, out); cut_a and
+    cut_b are -1 for passthrough rows.
+
+    Scale shape: ONE map-only projection — gate, cuts, and framing are
+    integer expressions + slice/concat HOFs; no explode, no shuffle,
+    no Python at any corpus size.
+    """
+    num, den = (int(x) for x in rate)
+    if not (0 <= num <= den and den > 0):
+        raise ValueError(f"rate must be a fraction in [0,1], got {rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+
+    toks = F.coalesce(
+        F.col(tokens_col), F.array().cast("array<string>")
+    )
+    L = F.size(toks)
+    key = F.col(id_col).cast("bigint")
+    applied = hash_bucket(key, den, seed) < F.lit(num)
+    h1 = hash_bucket(key * F.lit(1_000_003) + F.lit(1), 1_000_000_007, seed)
+    h2 = hash_bucket(key * F.lit(1_000_003) + F.lit(2), 1_000_000_007, seed)
+    p1 = (h1 % (L + 1)).cast("int")
+    p2 = (h2 % (L + 1)).cast("int")
+    a = F.least(p1, p2)
+    b = F.greatest(p1, p2)
+    prefix = F.slice(toks, 1, a)
+    middle = F.slice(toks, a + 1, b - a)
+    suffix = F.slice(toks, b + 1, L - b)
+    if mode == "psm":
+        framed = F.concat(
+            F.array(F.lit("<fim_prefix>")), prefix,
+            F.array(F.lit("<fim_suffix>")), suffix,
+            F.array(F.lit("<fim_middle>")), middle,
+        )
+    else:
+        framed = F.concat(
+            F.array(F.lit("<fim_suffix>")), suffix,
+            F.array(F.lit("<fim_prefix>")), prefix,
+            F.array(F.lit("<fim_middle>")), middle,
+        )
+    return df.select(
+        F.col(id_col),
+        L.cast("long").alias("n_tokens"),
+        applied.cast("int").alias("fim_applied"),
+        F.when(applied, a).otherwise(F.lit(-1)).cast("int").alias("cut_a"),
+        F.when(applied, b).otherwise(F.lit(-1)).cast("int").alias("cut_b"),
+        F.when(applied, framed).otherwise(toks).alias("out"),
+    )
+
+
+def mlm_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    select_pct: int = 15,
+    mask_token: str = "[MASK]",
+    random_tokens: "tuple[str, ...]" = ("r0", "r1", "r2", "r3"),
+    seed: int = 17,
+) -> DataFrame:
+    """BERT-style masked-LM sample builder (Devlin et al. 2018 §3.1):
+    select ``select_pct``% of positions; of the selected, 80% become
+    ``mask_token``, 10% a replacement drawn from ``random_tokens``,
+    10% stay unchanged. Labels carry the ORIGINAL token at selected
+    positions and NULL elsewhere (loss is computed only where the
+    label is non-NULL — the masked-LM objective).
+
+    All three draws are per-(id, position) Knuth hashes, so the
+    corruption is a pure function of (id, tokens) — recomputes,
+    repartitions, and the SQL oracle reproduce it bit-for-bit.
+
+    Returns (id, n_tokens, n_selected, masked, labels).
+
+    Scale shape: ONE map-only projection — selection and replacement
+    are transform() HOFs over the token array with integer hash
+    expressions; no explode, no shuffle, no Python at any size.
+    """
+    if not (0 <= select_pct <= 100):
+        raise ValueError(f"select_pct must be in [0,100], got {select_pct}")
+    if not random_tokens:
+        raise ValueError("random_tokens must be non-empty")
+    R = len(random_tokens)
+
+    toks = F.coalesce(
+        F.col(tokens_col), F.array().cast("array<string>")
+    )
+    key = F.col(id_col).cast("bigint")
+    rnd = F.array(*[F.lit(t) for t in random_tokens])
+
+    def sel(j):
+        return (
+            hash_bucket(key * F.lit(1_000_003) + j, 100, seed)
+            < F.lit(select_pct)
+        )
+
+    def masked_tok(x, j):
+        r = hash_bucket(key * F.lit(2_000_003) + j, 10, seed + 1)
+        repl = F.element_at(
+            rnd,
+            (
+                hash_bucket(key * F.lit(3_000_017) + j, R, seed + 2)
+            ).cast("int") + 1,
+        )
+        return F.when(
+            sel(j),
+            F.when(r < 8, F.lit(mask_token))
+            .when(r == 8, repl)
+            .otherwise(x),
+        ).otherwise(x)
+
+    masked = F.transform(toks, masked_tok)
+    labels = F.transform(
+        toks, lambda x, j: F.when(sel(j), x).otherwise(F.lit(None))
+    )
+    n_selected = F.size(
+        F.filter(F.sequence(F.lit(0), F.size(toks) - 1), sel)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.size(toks) > 0, n_selected)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_selected"),
+        masked.alias("masked"),
+        labels.alias("labels"),
     )

@@ -96,3 +96,100 @@ def test_span_corruption_reconstruction_and_budget(spark):
         span_corruption(df, density=(21, 20))
     p = span_corruption(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Generate" not in p
+
+
+def test_fim_reconstruction_and_modes(spark):
+    """FIM: for applied rows, stripping sentinels and reordering the
+    (prefix, suffix, middle) segments reproduces the original tokens
+    exactly in both framings; passthrough rows are untouched;
+    deterministic under repartition; rate=(1,1) applies everywhere."""
+    import pytest
+
+    from hdk_spark.operators.denoise import fim_transform
+
+    rows = [(i, [f"t{j}" for j in range(i % 23)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, tokens: array<string>")
+    orig = dict(rows)
+
+    def rebuild(out_tokens, mode):
+        seg, segs = None, {"<fim_prefix>": [], "<fim_suffix>": [],
+                           "<fim_middle>": []}
+        for t in out_tokens:
+            if t in segs:
+                seg = t
+            else:
+                segs[seg].append(t)
+        return (segs["<fim_prefix>"] + segs["<fim_middle>"]
+                + segs["<fim_suffix>"])
+
+    for mode in ("psm", "spm"):
+        out = fim_transform(df, rate=(1, 1), mode=mode).collect()
+        for r in out:
+            assert r["fim_applied"] == 1
+            assert 0 <= r["cut_a"] <= r["cut_b"] <= r["n_tokens"]
+            assert rebuild(r["out"], mode) == orig[r["doc_id"]], r["doc_id"]
+
+    half = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    assert any(r["fim_applied"] == 0 for r in half.values())
+    assert any(r["fim_applied"] == 1 for r in half.values())
+    for r in half.values():
+        if not r["fim_applied"]:
+            assert list(r["out"]) == orig[r["doc_id"]]
+            assert r["cut_a"] == r["cut_b"] == -1
+
+    again = {r["doc_id"]: r
+             for r in fim_transform(df.repartition(5)).collect()}
+    assert {k: list(v["out"]) for k, v in again.items()} == {
+        k: list(v["out"]) for k, v in half.items()}
+
+    with pytest.raises(ValueError, match="rate"):
+        fim_transform(df, rate=(3, 2))
+    with pytest.raises(ValueError, match="mode"):
+        fim_transform(df, mode="mps")
+    p = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Generate" not in p
+
+
+def test_mlm_mask_invariants(spark):
+    """MLM: labels are non-NULL exactly at selected positions
+    (n_selected of them); every divergence between masked and original
+    happens at a selected position; unselected positions pass through;
+    the corruption mix contains [MASK], random-replacement, and
+    keep-unchanged cases at 30%; deterministic under repartition."""
+    import pytest
+
+    from hdk_spark.operators.denoise import mlm_mask
+
+    rows = [(i, [f"t{j}" for j in range(i % 29)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, tokens: array<string>")
+    orig = dict(rows)
+    out = mlm_mask(df, select_pct=30).collect()
+    saw_mask = saw_rand = saw_keep = False
+    for r in out:
+        o = orig[r["doc_id"]]
+        assert len(r["masked"]) == len(r["labels"]) == len(o)
+        assert sum(x is not None for x in r["labels"]) == r["n_selected"]
+        for j, (m, lab) in enumerate(zip(r["masked"], r["labels"])):
+            if lab is None:
+                assert m == o[j]  # unselected: untouched
+            else:
+                assert lab == o[j]  # label = original
+                if m == "[MASK]":
+                    saw_mask = True
+                elif m == o[j]:
+                    saw_keep = True
+                else:
+                    assert m.startswith("r")
+                    saw_rand = True
+    assert saw_mask and saw_rand and saw_keep
+
+    again = mlm_mask(df.repartition(7), select_pct=30).collect()
+    assert sorted((r["doc_id"], tuple(r["masked"])) for r in again) == \
+        sorted((r["doc_id"], tuple(r["masked"])) for r in out)
+
+    with pytest.raises(ValueError, match="select_pct"):
+        mlm_mask(df, select_pct=101)
+    with pytest.raises(ValueError, match="random_tokens"):
+        mlm_mask(df, random_tokens=())
+    p = mlm_mask(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Generate" not in p
