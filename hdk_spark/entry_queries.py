@@ -10986,3 +10986,85 @@ FROM p ORDER BY doc_id
 
 SPARK_IMPLS["denoise_mlm_mask"] = q_denoise_mlm
 ORACLES["denoise_mlm_mask"] = _mlm_oracle()
+
+
+_WP_VOCAB = ["un", "run", "##n", "##ing", "##ed", "jump", "walk",
+             "##s", "over", "##able", "a", "##b"]
+_WP_LEX = ["running", "jumps", "walked", "unable", "walking",
+           "zebra", "run", "ab", "overrun"]
+# Hand-derived greedy longest-match segmentations under _WP_VOCAB —
+# the oracle carries these as literals, so NO matching loop exists
+# anywhere on the oracle side. 'zebra' has an uncoverable first char;
+# 'overrun' matches 'over' then fails ('##run' absent) — both collapse
+# to [UNK] whole-word, the BERT contract.
+_WP_SEG = {
+    "running": "run|##n|##ing",
+    "jumps": "jump|##s",
+    "walked": "walk|##ed",
+    "unable": "un|##able",
+    "walking": "walk|##ing",
+    "zebra": "[UNK]",
+    "run": "run",
+    "ab": "a|##b",
+    "overrun": "[UNK]",
+}
+
+
+def q_tok_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match tokenization
+    (operators/bpe.py::wordpiece_encode) of a planted closed-lexicon
+    corpus (word k of doc d = lexicon[(d+k) % 9], d%4+2 words per
+    doc) under the literal vocab above — the oracle carries each
+    word's HAND-DERIVED segmentation as a VALUES table and reassembles
+    documents in word order, so the longest-match loop, the
+    whole-word-[UNK] collapse, and the Arrow plumbing are all
+    value-checked with no matching logic in the oracle."""
+    from hdk_spark.operators.bpe import wordpiece_encode
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    lex = F.array(*[F.lit(w) for w in _WP_LEX])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), d % 4 + 1),
+            lambda k: F.element_at(lex, ((d + k) % 9 + 1).cast("int")),
+        ),
+        " ",
+    )
+    planted = spark.table("documents").select("doc_id", text.alias("text"))
+    enc = wordpiece_encode(planted, _WP_VOCAB)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens"),
+        F.array_join("tokens", "|").alias("toks"),
+    ).orderBy("doc_id")
+
+
+def _wordpiece_encode_oracle() -> str:
+    lex_rows = ", ".join(f"({i}, '{w}')" for i, w in enumerate(_WP_LEX))
+    seg_rows = ", ".join(
+        f"('{w}', '{p}')" for w, p in sorted(_WP_SEG.items())
+    )
+    return f"""
+WITH lex(i, w) AS (VALUES {lex_rows}),
+seg(w, pieces) AS (VALUES {seg_rows}),
+words AS (
+  SELECT d.doc_id, k, l.w
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS k
+        FROM documents) d
+  JOIN lex l ON l.i = (d.doc_id + k) % 9
+), joined AS (
+  SELECT w1.doc_id,
+         string_agg(s.pieces, '|' ORDER BY w1.k) AS toks
+  FROM words w1 JOIN seg s ON s.w = w1.w
+  GROUP BY w1.doc_id
+)
+SELECT doc_id,
+       CAST(len(string_split(toks, '|')) AS BIGINT) AS n_tokens,
+       toks
+FROM joined ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["tok_wordpiece_encode"] = q_tok_wordpiece_encode
+ORACLES["tok_wordpiece_encode"] = _wordpiece_encode_oracle()

@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["bpe_train", "bpe_encode", "bpe_train_from_counts",
-           "unigram_train", "unigram_encode", "unigram_train_from_counts"]
+           "unigram_train", "unigram_encode", "unigram_train_from_counts",
+           "wordpiece_train", "wordpiece_encode",
+           "wordpiece_train_from_counts"]
 
 # end-of-word sentinel (Sennrich-style): lets the tokenizer distinguish
 # word-final subwords; chosen outside the plausible text alphabet
@@ -343,6 +345,200 @@ def unigram_encode(
                     enc = cache.get(w)
                     if enc is None:
                         enc = _viterbi_segment(w, logp, mpl, floor)
+                        cache[w] = enc
+                    out.extend(enc)
+                ids.append(i)
+                toks.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame({"id": ids, "tokens": toks, "n_tokens": ns})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family) —
+# the third real-world tokenizer next to BPE and unigram-LM. Same
+# scale contract as bpe_train/bpe_encode: ONE distributed word-count
+# pass, bounded driver-side merge loop, map-only Arrow-batched encode.
+#
+# Two deliberate contract points (both match the HuggingFace
+# WordPiece trainer/encoder, the de-facto public spec):
+# - training selects the pair maximizing count(ab) / (count(a)·count(b))
+#   — the likelihood gain of the merge under a unigram factorization —
+#   compared EXACTLY by cross-multiplied integers (no float ties);
+# - encoding ignores merge order entirely and greedily takes the
+#   LONGEST vocab piece at each position ('##' continuation prefix);
+#   a word with any un-coverable position encodes to [UNK] as a whole.
+# ---------------------------------------------------------------------------
+
+_WP_CONT = "##"
+
+
+def wordpiece_train_from_counts(
+    word_counts: "list[tuple[str, int]]",
+    n_merges: int = 200,
+) -> list[str]:
+    """Driver-side WordPiece trainer, exposed for testing: given
+    (word, frequency) pairs, return the vocabulary (alphabet pieces
+    plus one merged piece per iteration, insertion-ordered).
+
+    Pair selection maximizes count(ab)/(count(a)·count(b)); the
+    comparison cross-multiplies integer counts so ties are exact, and
+    ties break on the lexicographically smallest pair — the vocab is a
+    pure function of (corpus, n_merges)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        if not w:
+            continue
+        sym = (w[0],) + tuple(_WP_CONT + ch for ch in w[1:])
+        vocab[sym] = vocab.get(sym, 0) + c
+    pieces: dict[str, None] = {}
+    for sym in sorted(vocab):
+        for s in sym:
+            pieces.setdefault(s, None)
+    for _ in range(n_merges):
+        single: dict[str, int] = {}
+        pair: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for s in sym:
+                single[s] = single.get(s, 0) + c
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair[p] = pair.get(p, 0) + c
+        if not pair:
+            break
+        # max count(ab)/(count(a)*count(b)) via cross-multiplication:
+        # ab1/(a1*b1) > ab2/(a2*b2)  <=>  ab1*a2*b2 > ab2*a1*b1
+        best = None
+        best_num = best_den = 0
+        for p, cab in pair.items():
+            den = single[p[0]] * single[p[1]]
+            if (
+                best is None
+                or cab * best_den > best_num * den
+                or (cab * best_den == best_num * den and p < best)
+            ):
+                best, best_num, best_den = p, cab, den
+        a, b = best
+        joined = a + (b[len(_WP_CONT):] if b.startswith(_WP_CONT) else b)
+        pieces.setdefault(joined, None)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return list(pieces)
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_count: int = 2,
+) -> list[str]:
+    """Train a WordPiece vocabulary: ONE word-count pass on the
+    cluster (partial aggregation collapses the Zipf head map-side,
+    ``min_count`` floors the collected relation), then the bounded
+    driver-side likelihood-scored merge loop."""
+    counts = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    rows = counts.collect()  # bounded by the min_count floor
+    return wordpiece_train_from_counts(
+        [(r["w"], r["c"]) for r in rows], n_merges
+    )
+
+
+def _wordpiece_word(
+    word: str,
+    vocab: "set[str]",
+    unk: str,
+    max_word_len: int,
+) -> list[str]:
+    """Greedy longest-match-first WordPiece encoding of one word; any
+    un-coverable position collapses the WHOLE word to [UNK] (the BERT
+    contract — partial coverage is not emitted)."""
+    if not word:
+        return []
+    if len(word) > max_word_len:
+        return [unk]
+    out: list[str] = []
+    start, n = 0, len(word)
+    while start < n:
+        end = n
+        piece = None
+        while end > start:
+            sub = word[start:end]
+            if start > 0:
+                sub = _WP_CONT + sub
+            if sub in vocab:
+                piece = sub
+                break
+            end -= 1
+        if piece is None:
+            return [unk]
+        out.append(piece)
+        start = end
+    return out
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk: str = "[UNK]",
+    max_word_len: int = 100,
+) -> DataFrame:
+    """Tokenize ``text_col`` with a WordPiece vocabulary (greedy
+    longest-match, '##' continuation prefix). Returns
+    (id, tokens array<string>, n_tokens) — the bpe_encode-compatible
+    surface. Map-only: one Arrow-batched pandas UDF with per-batch
+    word memoization; the vocab ships as a broadcast-sized closure
+    set (real vocabularies are 30-50k pieces)."""
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    vset = set(vocab)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = t.lower().split() if t else []
+                out: list[str] = []
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _wordpiece_word(w, vset, unk, max_word_len)
                         cache[w] = enc
                     out.extend(enc)
                 ids.append(i)

@@ -183,3 +183,88 @@ def test_unigram_train_invariants_and_encode(spark):
     wc = [("abab", 4), ("baba", 4), ("aabb", 2)]
     assert unigram_train_from_counts(wc, 10) == unigram_train_from_counts(
         list(reversed(wc)), 10)
+
+
+def test_wordpiece_trainer_likelihood_scoring():
+    """HF-style WordPiece divergence case: with counts hugs=10 hug=5
+    pun=12 pug=4 bun=4, raw pair counts would merge (##u,##g)=19
+    first, but the likelihood score count(ab)/(count(a)count(b)) picks
+    (##g,##s): 10/(19*10) = 1/19 beats every 1/35 candidate. The
+    first learned piece is therefore ##gs."""
+    from hdk_spark.operators.bpe import wordpiece_train_from_counts
+
+    v = wordpiece_train_from_counts(
+        [("hugs", 10), ("hug", 5), ("pun", 12), ("pug", 4), ("bun", 4)], 3
+    )
+    alphabet = {"b", "h", "p", "##u", "##g", "##n", "##s"}
+    learned = [p for p in v if p not in alphabet]
+    assert learned[0] == "##gs"
+    # empty corpus / zero merges are total
+    assert wordpiece_train_from_counts([], 5) == []
+    assert set(wordpiece_train_from_counts([("ab", 1)], 0)) == {"a", "##b"}
+
+
+def test_wordpiece_encode_invariants(spark):
+    """Greedy longest-match: full-coverage words reconstruct exactly
+    (strip '##', join); any un-coverable position collapses the WHOLE
+    word to [UNK] (even after a matched prefix); words over
+    max_word_len are [UNK]; NULL/empty text is total; deterministic
+    under repartition."""
+    import pytest
+
+    from hdk_spark.operators.bpe import wordpiece_encode
+
+    vocab = ["un", "run", "##n", "##ing", "##ed", "jump", "walk",
+             "##s", "over", "##able", "a", "##b"]
+    rows = [
+        (0, "running jumps walked"),
+        (1, "unable walking RUN"),   # lowercased before matching
+        (2, "zebra overrun ab"),     # overrun: 'over' matches, then UNK
+        (3, None),
+        (4, ""),
+        (5, "a" * 120),              # > max_word_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["id"]: list(r["tokens"])
+           for r in wordpiece_encode(df, vocab).collect()}
+    assert got[0] == ["run", "##n", "##ing", "jump", "##s", "walk", "##ed"]
+    assert got[1] == ["un", "##able", "walk", "##ing", "run"]
+    assert got[2] == ["[UNK]", "[UNK]", "a", "##b"]
+    assert got[3] == [] and got[4] == []
+    assert got[5] == ["[UNK]"]
+
+    # reconstruction for covered words
+    for tok_list, text in [(got[0], rows[0][1]), (got[1], rows[1][1])]:
+        joined = "".join(t[2:] if t.startswith("##") else " " + t
+                         for t in tok_list).strip()
+        assert joined == text.lower()
+
+    again = {r["id"]: list(r["tokens"])
+             for r in wordpiece_encode(df.repartition(3), vocab).collect()}
+    assert again == got
+
+    with pytest.raises(ValueError, match="vocab"):
+        wordpiece_encode(df, [])
+
+
+def test_wordpiece_train_distributed_matches_counts(spark):
+    """wordpiece_train == wordpiece_train_from_counts on the exact
+    word-frequency table (the distributed pass adds nothing but the
+    count aggregation)."""
+    from collections import Counter
+
+    from hdk_spark.operators.bpe import (
+        wordpiece_train,
+        wordpiece_train_from_counts,
+    )
+
+    texts = ["the cat sat", "the cat ran", "a cat ran far", "the end"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    expect = wordpiece_train_from_counts(
+        sorted((w, c) for w, c in wc.items() if c >= 2), 10
+    )
+    got = wordpiece_train(df, n_merges=10, min_count=2)
+    assert got == expect
