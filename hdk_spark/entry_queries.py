@@ -11068,3 +11068,42 @@ FROM joined ORDER BY doc_id
 
 SPARK_IMPLS["tok_wordpiece_encode"] = q_tok_wordpiece_encode
 ORACLES["tok_wordpiece_encode"] = _wordpiece_encode_oracle()
+
+
+def q_stats_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/sketches.py::frequent_items,
+    k=10) over a planted skewed item column ('hot0'/'hot1' ~2/3 of
+    rows, a mid tier, a unique tail). The Misra-Gries candidate pass
+    is guaranteed a superset of {cnt·k > n}, and the recount pass is
+    exact — so the oracle is nothing but GROUP BY + HAVING with the
+    same integer threshold."""
+    from hdk_spark.operators.sketches import frequent_items
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    item = (
+        F.when(d % 3 != 2, F.concat(F.lit("hot"), (d % 2).cast("string")))
+        .when(d % 9 == 2, F.concat(F.lit("mid"), (d % 27).cast("string")))
+        .otherwise(F.concat(F.lit("tail"), d.cast("string")))
+    )
+    planted = spark.table("documents").select(item.alias("v"))
+    return frequent_items(planted, "v", k=10)
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN doc_id % 3 <> 2 THEN 'hot' || CAST(doc_id % 2 AS VARCHAR)
+              WHEN doc_id % 9 = 2 THEN 'mid' || CAST(doc_id % 27 AS VARCHAR)
+              ELSE 'tail' || CAST(doc_id AS VARCHAR) END AS item
+  FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM src)
+SELECT s.item, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(t.n AS BIGINT) AS n_total
+FROM src s, tot t
+GROUP BY s.item, t.n
+HAVING COUNT(*) * 10 > t.n
+ORDER BY cnt DESC, item
+"""
+
+SPARK_IMPLS["stats_heavy_hitters"] = q_stats_heavy_hitters
+ORACLES["stats_heavy_hitters"] = _HEAVY_HITTERS_ORACLE

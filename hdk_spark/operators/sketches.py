@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate"]
+__all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
+           "frequent_items"]
 
 
 def ndv_rollup(
@@ -64,3 +65,78 @@ def ndv_estimate(rollup: DataFrame) -> DataFrame:
         "n_rows",
         F.round(F.hll_sketch_estimate("sketch")).cast("long").alias("ndv"),
     )
+
+
+def _mg_trim(counters: "dict", k: int) -> None:
+    """Misra-Gries overflow step: subtract the (k+1)-th largest
+    counter from everything and drop non-positives — the mergeable-
+    summaries trim (Agarwal et al. 2012, "Mergeable Summaries" §3),
+    which keeps per-item undercount ≤ (N − Σcounters)/(k+1)."""
+    if len(counters) <= k:
+        return
+    med = sorted(counters.values(), reverse=True)[k]
+    for key in list(counters):
+        c = counters[key] - med
+        if c > 0:
+            counters[key] = c
+        else:
+            del counters[key]
+
+
+def frequent_items(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters: every item of ``value_col`` whose count
+    strictly exceeds n/k, with its TRUE count — at any scale, in two
+    bounded passes (Misra-Gries 1982 + the classic recount).
+
+    Pass 1 — candidates: each partition folds its rows through a
+    k-counter Misra-Gries summary (bounded memory regardless of the
+    partition's cardinality; the decremental trim is why this is a
+    Python kernel — a decrement-all step is not expressible as a
+    Spark partial aggregate). Pass 2 — exact: the corpus is
+    semi-joined to the (≤ partitions·k)-row candidate set and counted
+    exactly, then thresholded with integer arithmetic (cnt·k > n).
+
+    The candidate superset is GUARANTEED: if an item survives no
+    partition summary, its count in every partition p is at most
+    n_p/(k+1), so its total is ≤ n/(k+1) < n/k — contraposition says
+    every item over the threshold is a candidate (property-tested
+    against brute force). NULLs are excluded (not an item).
+
+    Returns (item, cnt, n_total), descending cnt, ties on item.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    src = df.select(F.col(value_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    out_schema = T.StructType([T.StructField("item", T.StringType())])
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v, c in pdf["item"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            _mg_trim(counters, k)
+        yield pd.DataFrame({"item": sorted(counters)})
+
+    cands = src.mapInPandas(summarize, out_schema).distinct()
+    n_total = src.count()
+    counted = (
+        src.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") * F.lit(k) > F.lit(n_total))
+    )
+    return counted.select(
+        "item", "cnt", F.lit(n_total).cast("long").alias("n_total")
+    ).orderBy(F.desc("cnt"), "item")
