@@ -11107,3 +11107,62 @@ ORDER BY cnt DESC, item
 
 SPARK_IMPLS["stats_heavy_hitters"] = q_stats_heavy_hitters
 ORACLES["stats_heavy_hitters"] = _HEAVY_HITTERS_ORACLE
+
+
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test
+    (operators/stats.py::chi2_contingency) between two planted
+    categorical columns (a = doc_id % 3, b = (doc_id % 7) % 4 —
+    dependent through the shared id). The oracle replays the exact
+    cell/marginal relations and the micro-quantized per-cell terms
+    ((O·n − r·c)²/(n·r·c), round(·1e9) into a 128-bit sum), so the
+    statistic, dof, and Cramér's V are all value-checked."""
+    from hdk_spark.operators.stats import chi2_contingency
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = spark.table("documents").select(
+        F.concat(F.lit("a"), (d % 3).cast("string")).alias("a"),
+        F.concat(F.lit("b"), ((d % 7) % 4).cast("string")).alias("b"),
+    )
+    return chi2_contingency(planted, "a", "b")
+
+
+_CHI2_ORACLE = """
+WITH src AS (
+  SELECT 'a' || CAST(doc_id % 3 AS VARCHAR) AS a,
+         'b' || CAST((doc_id % 7) % 4 AS VARCHAR) AS b
+  FROM documents
+), cells AS (
+  SELECT a, b, COUNT(*) AS o FROM src GROUP BY a, b
+), rm AS (
+  SELECT a, SUM(o) AS r FROM cells GROUP BY a
+), cm AS (
+  SELECT b, SUM(o) AS k FROM cells GROUP BY b
+), tot AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ac, COUNT(DISTINCT b) AS bc
+  FROM cells
+), grid AS (
+  SELECT rm.a, cm.b, rm.r, cm.k, COALESCE(c.o, 0) AS o
+  FROM rm CROSS JOIN cm LEFT JOIN cells c ON c.a = rm.a AND c.b = cm.b
+), terms AS (
+  SELECT CAST(round(
+           (CAST(o AS DOUBLE) * t.n - CAST(r AS DOUBLE) * k)
+           * (CAST(o AS DOUBLE) * t.n - CAST(r AS DOUBLE) * k)
+           / (CAST(t.n AS DOUBLE) * r * k) * 1e9
+         ) AS HUGEINT) AS micro,
+         t.n, t.ac, t.bc
+  FROM grid, tot t
+)
+SELECT CAST(n AS BIGINT) AS n_items,
+       CAST(ac AS BIGINT) AS a_classes,
+       CAST(bc AS BIGINT) AS b_classes,
+       CAST((ac - 1) * (bc - 1) AS BIGINT) AS dof,
+       round(CAST(SUM(micro) AS DOUBLE) / 1e9, 6) + 0 AS chi2,
+       round(sqrt(CAST(SUM(micro) AS DOUBLE) / 1e9
+                  / (n * least(ac - 1, bc - 1))), 6) + 0 AS cramers_v
+FROM terms GROUP BY n, ac, bc
+"""
+
+SPARK_IMPLS["stats_chi2_independence"] = q_stats_chi2
+ORACLES["stats_chi2_independence"] = _CHI2_ORACLE

@@ -39,6 +39,7 @@ __all__ = [
     "annotator_agreement",
     "fleiss_kappa",
     "label_merge",
+    "chi2_contingency",
 ]
 
 
@@ -514,4 +515,84 @@ def label_merge(
         F.col("__n").cast("long").alias("n_annotations"),
         round6(F.col("__v") / F.col("__n")).alias("share"),
         (F.col("__top_ct") > 1).alias("tied"),
+    )
+
+
+def chi2_contingency(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (Pearson 1900) — the recipe-comparison gate of a data
+    pipeline ("did the new filter change the label mix?"): one row
+    (n_items, a_classes, b_classes, dof, chi2, cramers_v). Rows with a
+    NULL in either column are excluded (not evidence).
+
+    Exactness discipline: cell counts O and marginals r, c are exact
+    integers from ONE partial-agg groupBy on the label pair. Each
+    cell's term uses the integer identity
+    (O − r·c/n)²/(r·c/n) = (O·n − r·c)²/(n·r·c), evaluated in double
+    from those exact integers and quantized to int64 micro-units
+    (round(term·1e9), the bm25 convention) so the cross-cell SUM is
+    order-independent; micro-units sum into DECIMAL(38,0) so the fold
+    cannot overflow. Products stay double-exact below 2^53 — the
+    n·r·c bound holds to ~10^15 items, documented, not checked.
+
+    Scale shape: the corpus collapses map-side to a classes²-sized
+    cell relation; marginals and the statistic run on that tiny
+    relation with broadcast combines — no second corpus scan.
+    """
+    from hdk_spark.functions.scalar import round6
+
+    a, b = F.col(a_col), F.col(b_col)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
+    rows_m = cells.groupBy("__a").agg(
+        F.sum("__o").cast("long").alias("__r")
+    )
+    cols_m = cells.groupBy("__b").agg(
+        F.sum("__o").cast("long").alias("__k")
+    )
+    tot = cells.agg(
+        F.sum("__o").cast("long").alias("n_items"),
+        F.count_distinct(F.col("__a")).cast("long").alias("a_classes"),
+        F.count_distinct(F.col("__b")).cast("long").alias("b_classes"),
+    )
+    # every (row, col) pair contributes — absent cells have O = 0 but
+    # (0·n − r·c)² > 0, so build the full grid from the marginals
+    grid = F.broadcast(rows_m).crossJoin(F.broadcast(cols_m))
+    full = grid.join(cells, ["__a", "__b"], "left").select(
+        "__r", "__k", F.coalesce(F.col("__o"), F.lit(0)).alias("__o")
+    )
+    full = full.crossJoin(F.broadcast(tot))
+    o, r, k, n = (
+        F.col("__o").cast("double"),
+        F.col("__r").cast("double"),
+        F.col("__k").cast("double"),
+        F.col("n_items").cast("double"),
+    )
+    term = (o * n - r * k) * (o * n - r * k) / (n * r * k)
+    micro = F.round(term * F.lit(1e9)).cast("decimal(38,0)")
+    agg = full.groupBy("n_items", "a_classes", "b_classes").agg(
+        F.sum(micro).alias("__m")
+    )
+    chi2 = F.col("__m").cast("double") / F.lit(1e9)
+    dof = (F.col("a_classes") - 1) * (F.col("b_classes") - 1)
+    denom = (
+        F.col("n_items")
+        * F.least(F.col("a_classes") - 1, F.col("b_classes") - 1)
+    ).cast("double")
+    return agg.select(
+        "n_items",
+        "a_classes",
+        "b_classes",
+        dof.cast("long").alias("dof"),
+        round6(chi2).alias("chi2"),
+        round6(
+            F.when(denom > 0, F.sqrt(chi2 / denom))
+        ).alias("cramers_v"),
     )

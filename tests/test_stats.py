@@ -105,3 +105,47 @@ def test_mg_trim_bound():
     slack = (len(stream) - sum(counters.values())) / (k + 1)
     for item, t in true.items():
         assert counters.get(item, 0) >= t - slack - 1e-9
+
+
+def test_chi2_contingency_reference_and_invariants(spark):
+    """chi2 matches the closed-form Pearson statistic on a 2x2 and a
+    3x2 table (including absent cells, which still contribute their
+    expected mass); perfectly dependent columns give chi2 = n and
+    Cramer's V = 1; independent-by-construction columns give chi2 = 0;
+    NULLs excluded; deterministic under repartition."""
+    from hdk_spark.operators.stats import chi2_contingency
+
+    rows = ([("x", "p")] * 10 + [("x", "q")] * 20
+            + [("y", "p")] * 30 + [("y", "q")] * 40)
+    df = spark.createDataFrame(rows, "a: string, b: string")
+    got = chi2_contingency(df, "a", "b").collect()[0]
+    assert got["n_items"] == 100 and got["dof"] == 1
+    assert abs(got["chi2"] - 0.793651) < 1e-9  # (O*n-r*c)^2/(n*r*c) sum
+
+    # 3x2 with an absent cell: z never pairs with q
+    rows3 = ([("x", "p")] * 4 + [("x", "q")] * 6 + [("y", "p")] * 5
+             + [("y", "q")] * 5 + [("z", "p")] * 8)
+    df3 = spark.createDataFrame(rows3, "a: string, b: string")
+    g3 = chi2_contingency(df3, "a", "b").collect()[0]
+    n = 28
+    r = {"x": 10, "y": 10, "z": 8}
+    c = {"p": 17, "q": 11}
+    O = {("x", "p"): 4, ("x", "q"): 6, ("y", "p"): 5, ("y", "q"): 5,
+         ("z", "p"): 8, ("z", "q"): 0}
+    expect = sum((O[(i, j)] * n - r[i] * c[j]) ** 2 / (n * r[i] * c[j])
+                 for i in r for j in c)
+    assert abs(g3["chi2"] - round(expect, 6)) < 2e-6
+    assert g3["dof"] == 2
+
+    # perfect dependence / exact independence
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 7, "a: string, b: string")
+    gd = chi2_contingency(dep, "a", "b").collect()[0]
+    assert gd["chi2"] == 12.0 and gd["cramers_v"] == 1.0
+    ind = spark.createDataFrame(
+        [(f"a{i % 2}", f"b{j % 3}") for i in range(2) for j in range(3)
+         for _ in range(4)], "a: string, b: string")
+    assert chi2_contingency(ind, "a", "b").collect()[0]["chi2"] == 0.0
+
+    again = chi2_contingency(df.repartition(7), "a", "b").collect()[0]
+    assert again == got
