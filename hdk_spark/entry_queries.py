@@ -11166,3 +11166,53 @@ FROM terms GROUP BY n, ac, bc
 
 SPARK_IMPLS["stats_chi2_independence"] = q_stats_chi2
 ORACLES["stats_chi2_independence"] = _CHI2_ORACLE
+
+
+def q_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history compression
+    (operators/temporal.py::scd2_history) of the orders change-log:
+    key = o_custkey % 20, event time = o_orderdate, tracked attributes
+    (o_orderstatus, o_orderpriority). The oracle replays the NULL-safe
+    lag change-detection, the run compression, and the lead valid_to
+    chain with identical window specs."""
+    from hdk_spark.operators.temporal import scd2_history
+
+    _tables(spark, sf_dir)
+    log = spark.table("orders").select(
+        (F.col("o_custkey") % 20).alias("cust_bucket"),
+        F.col("o_orderdate").alias("event_date"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    out = scd2_history(log, "cust_bucket", "event_date",
+                       ["status", "priority"])
+    return out.orderBy("key", "valid_from", "status", "priority")
+
+
+_SCD2_ORACLE = """
+WITH base AS (
+  SELECT o_custkey % 20 AS key, o_orderdate AS valid_from,
+         o_orderstatus AS status, o_orderpriority AS priority
+  FROM orders
+), marked AS (
+  SELECT key, valid_from, status, priority,
+         row_number() OVER w AS rn,
+         lag(status) OVER w AS ps, lag(priority) OVER w AS pp
+  FROM base
+  WINDOW w AS (PARTITION BY key ORDER BY valid_from, status, priority)
+), chg AS (
+  SELECT key, valid_from, status, priority FROM marked
+  WHERE rn = 1 OR status IS DISTINCT FROM ps
+     OR priority IS DISTINCT FROM pp
+)
+SELECT key, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       status, priority
+FROM chg
+WINDOW w2 AS (PARTITION BY key ORDER BY valid_from, status, priority)
+ORDER BY key, valid_from, status, priority
+"""
+
+SPARK_IMPLS["temporal_scd2_history"] = q_temporal_scd2
+ORACLES["temporal_scd2_history"] = _SCD2_ORACLE

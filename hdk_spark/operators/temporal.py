@@ -562,3 +562,61 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: "list[str]",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 compression of a change log
+    (Kimball's SCD2): collapse per-key event streams into versioned
+    rows — one row per RUN of identical attribute values — with
+    [valid_from, valid_to) validity and an is_current flag (valid_to
+    NULL on the open version). The dimension-history builder every
+    warehouse needs before a point-in-time join (pair with
+    ``asof_join`` for as-of lookups).
+
+    A version boundary is any event whose attribute tuple differs
+    (null-safely) from the key's previous event; consecutive
+    duplicates compress away. Events sharing (key, ts) order
+    deterministically by the attribute tuple — last one in that order
+    wins the instant, earlier same-instant versions close with
+    valid_to = valid_from (zero-width, preserved for auditability).
+
+    Scale shape: ONE shuffle on the key — both windows (the lag
+    change-detection and the lead valid_to) share the same
+    partitioning, so Spark plans a single Exchange (plan-pinned in
+    tests); no self-joins, no driver state.
+    """
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+    # alias BEFORE either window so both windows partition on the same
+    # attribute identity — aliasing between them makes Catalyst plan a
+    # second Exchange (seen in development; the plan pin guards this)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("valid_from"),
+        *[F.col(c) for c in attr_cols],
+    )
+    w = Window.partitionBy("key").orderBy(
+        "valid_from", *[F.col(c) for c in attr_cols]
+    )
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    first = F.row_number().over(w) == 1
+    versions = (
+        base.withColumn("__chg", first | changed)
+        .filter(F.col("__chg"))
+        .select(
+            "key", "valid_from", *attr_cols,
+            F.lead(F.col("valid_from")).over(w).alias("valid_to"),
+        )
+    )
+    return versions.select(
+        "key", "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        *attr_cols,
+    )

@@ -316,3 +316,53 @@ def test_retention_cohorts_deterministic_and_exchange_count(spark):
     # lineage; no force-broadcast hints anywhere
     p = retention_cohorts(df)._jdf.queryExecution().executedPlan().toString()
     assert "ResolvedHint" not in p and "CartesianProduct" not in p
+
+
+def test_scd2_history_compression_and_plan(spark):
+    """SCD2: consecutive duplicate attribute tuples compress away;
+    NULL-safe change detection; valid_to chains to the next version's
+    valid_from; open version flagged current; single Exchange (both
+    windows share one partitioning+sort); attr guard."""
+    import pytest
+
+    from hdk_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, 10, "A", "x"), (1, 20, "A", "x"),
+        (1, 30, "B", "x"), (1, 40, "B", "y"), (1, 50, "A", "x"),
+        (2, 10, None, "z"), (2, 20, None, "z"), (2, 30, "C", "z"),
+        (3, 5, "Q", None),
+    ]
+    df = spark.createDataFrame(rows, "k: long, ts: long, s: string, p: string")
+    out = scd2_history(df, "k", "ts", ["s", "p"])
+    got = sorted((r["key"], r["valid_from"], r["valid_to"],
+                  r["is_current"], r["s"], r["p"]) for r in out.collect())
+    assert got == [
+        (1, 10, 30, False, "A", "x"), (1, 30, 40, False, "B", "x"),
+        (1, 40, 50, False, "B", "y"), (1, 50, None, True, "A", "x"),
+        (2, 10, 30, False, None, "z"), (2, 30, None, True, "C", "z"),
+        (3, 5, None, True, "Q", None),
+    ]
+    # every key has exactly one current version; intervals tile
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r[0], []).append(r)
+    for vs in by_key.values():
+        assert sum(1 for v in vs if v[3]) == 1
+        for a, b in zip(vs, vs[1:]):
+            assert a[2] == b[1]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert final.count("Exchange hashpartitioning") == 1
+    assert final.count("Sort [") == 1
+
+    again = sorted(
+        (r["key"], r["valid_from"], r["valid_to"], r["is_current"],
+         r["s"], r["p"])
+        for r in scd2_history(df.repartition(5), "k", "ts", ["s", "p"])
+        .collect())
+    assert again == got
+
+    with pytest.raises(ValueError, match="attr_cols"):
+        scd2_history(df, "k", "ts", [])
