@@ -11216,3 +11216,47 @@ ORDER BY key, valid_from, status, priority
 
 SPARK_IMPLS["temporal_scd2_history"] = q_temporal_scd2
 ORACLES["temporal_scd2_history"] = _SCD2_ORACLE
+
+
+def q_stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorer reliability diagram
+    (operators/stats.py::calibration_curve, 10 bins) over a planted
+    score/label pair correlated through the id (score = (id·37 mod
+    1000)/1000, label = [ (id·17 mod 1000) < score·1000 ]). The oracle
+    replays the clamped binning, the DECIMAL(28,9)-quantized score
+    sums, and both per-bin divides."""
+    from hdk_spark.operators.stats import calibration_curve
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = spark.table("documents").select(
+        (((d * 37) % 1000) / F.lit(1000.0)).alias("score"),
+        ((d * 17) % 1000 < (d * 37) % 1000).cast("int").alias("label"),
+    )
+    return calibration_curve(planted, "score", "label")
+
+
+_CALIBRATION_ORACLE = """
+WITH src AS (
+  SELECT CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score,
+         CASE WHEN (doc_id * 17) % 1000 < (doc_id * 37) % 1000
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+), binned AS (
+  SELECT greatest(0, least(CAST(floor(score * 10) AS INT), 9)) AS bin,
+         score, label
+  FROM src
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(score AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 6) + 0 AS mean_score,
+       round(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) + 0 AS pos_rate,
+       round(abs(CAST(SUM(CAST(score AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*)
+                 - CAST(SUM(label) AS DOUBLE) / COUNT(*)), 6) + 0
+         AS abs_gap
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+SPARK_IMPLS["stats_calibration_curve"] = q_stats_calibration
+ORACLES["stats_calibration_curve"] = _CALIBRATION_ORACLE

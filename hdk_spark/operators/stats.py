@@ -40,6 +40,7 @@ __all__ = [
     "fleiss_kappa",
     "label_merge",
     "chi2_contingency",
+    "calibration_curve",
 ]
 
 
@@ -596,3 +597,51 @@ def chi2_contingency(
             F.when(denom > 0, F.sqrt(chi2 / denom))
         ).alias("cramers_v"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic scorer (the quality-
+    classifier acceptance gate: "does score 0.8 mean 80% good?"):
+    bucket scores into ``n_bins`` equal-width bins over [0, 1] and
+    emit per-bin (bin, n, mean_score, pos_rate, abs_gap) — ECE is one
+    weighted fold over this relation. Rows with a NULL score or label
+    are excluded; scores outside [0, 1] clamp into the edge bins
+    (scorers emit logits-through-sigmoid; exact 1.0 belongs in the top
+    bin, not a phantom n_bins-th one).
+
+    Order-independence: scores are quantized to DECIMAL(28,9) (1e-9
+    grid) before the per-bin SUM, so the mean is exact regardless of
+    aggregation order; labels sum as integers. Both divides happen
+    once per bin and emit through round6.
+
+    Scale shape: ONE partial-agg groupBy on the bin — the corpus
+    collapses map-side to an n_bins-sized relation.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    from hdk_spark.functions.scalar import round6
+
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    src = df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(F.floor(s * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)),
+    )
+    agg = src.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s.cast("decimal(28,9)")).alias("__s"),
+        F.sum(y).cast("long").alias("__pos"),
+    )
+    mean_s = F.col("__s").cast("double") / F.col("n")
+    rate = F.col("__pos").cast("double") / F.col("n")
+    return agg.select(
+        "bin", "n",
+        round6(mean_s).alias("mean_score"),
+        round6(rate).alias("pos_rate"),
+        round6(F.abs(mean_s - rate)).alias("abs_gap"),
+    ).orderBy("bin")

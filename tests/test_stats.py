@@ -149,3 +149,37 @@ def test_chi2_contingency_reference_and_invariants(spark):
 
     again = chi2_contingency(df.repartition(7), "a", "b").collect()[0]
     assert again == got
+
+
+def test_calibration_curve_reference(spark):
+    """Per-bin means/rates match hand arithmetic; score 1.0 lands in
+    the top bin and out-of-range scores clamp; NULLs excluded; order-
+    independent under repartition; n_bins guard."""
+    import pytest
+
+    from hdk_spark.operators.stats import calibration_curve
+
+    rows = [
+        (0.05, 0), (0.05, 0), (0.09, 1),        # bin 0
+        (0.55, 1), (0.50, 0),                   # bin 5
+        (1.00, 1), (0.95, 1), (1.20, 0),        # bin 9 (1.0 & 1.2 clamp)
+        (-0.30, 0),                             # clamps to bin 0
+        (None, 1), (0.4, None),
+    ]
+    df = spark.createDataFrame(rows, "score: double, label: int")
+    got = {r["bin"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(got) == {0, 5, 9}
+    b0 = got[0]
+    assert b0["n"] == 4 and b0["pos_rate"] == 0.25
+    assert abs(b0["mean_score"] - round((0.05 + 0.05 + 0.09 - 0.30) / 4, 6)) < 1e-12
+    assert got[5]["n"] == 2 and got[5]["pos_rate"] == 0.5
+    b9 = got[9]
+    assert b9["n"] == 3 and abs(b9["mean_score"] - 1.05) < 1e-9
+    assert abs(b9["abs_gap"] - round(abs(1.05 - 2 / 3), 6)) < 1e-9
+
+    again = {r["bin"]: r for r in
+             calibration_curve(df.repartition(7), "score", "label").collect()}
+    assert again == got
+
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_curve(df, "score", "label", 0)
