@@ -11260,3 +11260,78 @@ FROM binned GROUP BY bin ORDER BY bin
 
 SPARK_IMPLS["stats_calibration_curve"] = q_stats_calibration
 ORACLES["stats_calibration_curve"] = _CALIBRATION_ORACLE
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation
+    (operators/graph.py::label_propagation, 3 rounds) over a planted
+    two-community graph: ring+chord edges inside 0-14 and 15-29, one
+    bridge (0, 15). The oracle unrolls all three rounds in SQL —
+    neighbor-mass counts, max-count/min-label pick — with the same
+    deterministic tie-break."""
+    from hdk_spark.operators.graph import label_propagation
+
+    _tables(spark, sf_dir)
+    base = spark.table("documents").select(
+        (F.col("doc_id") % 15).cast("long").alias("i")
+    ).distinct()
+    i = F.col("i")
+    parts = [
+        base.select(i.alias("src"), ((i + 1) % 15).alias("dst")),
+        base.select(i.alias("src"), ((i + 2) % 15).alias("dst")),
+        base.select((i + 15).alias("src"), ((i + 1) % 15 + 15).alias("dst")),
+        base.select((i + 15).alias("src"), ((i + 2) % 15 + 15).alias("dst")),
+        base.filter(i == 0).select(
+            F.lit(0).cast("long").alias("src"),
+            F.lit(15).cast("long").alias("dst"),
+        ),
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.union(p)
+    out = label_propagation(edges.distinct(), rounds=3)
+    return out.orderBy("node")
+
+
+def _lpa_oracle() -> str:
+    rnd = """
+l{k} AS (
+  SELECT node, label FROM (
+    SELECT u.a AS node, l.label, SUM(u.w) AS c,
+           row_number() OVER (PARTITION BY u.a
+                              ORDER BY SUM(u.w) DESC, l.label) AS rn
+    FROM und u JOIN l{p} l ON l.node = u.b
+    GROUP BY u.a, l.label
+  ) WHERE rn = 1
+)"""
+    return (
+        """
+WITH base AS (SELECT DISTINCT doc_id % 15 AS i FROM documents),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i + 1) % 15 AS dst FROM base
+    UNION ALL SELECT i, (i + 2) % 15 FROM base
+    UNION ALL SELECT i + 15, (i + 1) % 15 + 15 FROM base
+    UNION ALL SELECT i + 15, (i + 2) % 15 + 15 FROM base
+    UNION ALL SELECT 0, 15 FROM base WHERE i = 0
+  )
+),
+und AS (
+  SELECT a, b, COUNT(*) AS w FROM (
+    SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e0 WHERE src <> dst
+  ) GROUP BY a, b
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),"""
+        + rnd.format(k=1, p=0) + ","
+        + rnd.format(k=2, p=1) + ","
+        + rnd.format(k=3, p=2)
+        + """
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l3 ORDER BY node
+"""
+    )
+
+
+SPARK_IMPLS["graph_label_propagation"] = q_graph_label_propagation
+ORACLES["graph_label_propagation"] = _lpa_oracle()

@@ -35,8 +35,9 @@ Scale design (the interesting part at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["connected_components", "connected_components_star", "duplicate_clusters", "page_rank",
+__all__ = ["connected_components", "connected_components_star", "duplicate_clusters", "page_rank", "label_propagation",
     "hits",
     "trust_rank",
 ]
@@ -585,3 +586,79 @@ def trust_rank(
         F.col("rank_micro").alias("trust_micro"),
         (F.col("rank_micro") / F.lit(float(scale))).alias("trust"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    weight: "str | None" = None,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) — community detection over an undirected edge list: every
+    node starts labeled with itself; each round, every node
+    simultaneously adopts the label carrying the most neighbor mass,
+    ties to the SMALLEST label. The async/random-order variant of the
+    paper is replaced by this synchronous, totally-ordered form — the
+    repo's determinism contract (same trade as page_rank's fixed
+    iteration count): results are a pure function of (edges, rounds)
+    and the oracle unrolls the rounds in SQL.
+
+    Input is an edge LIST: each row is one undirected edge (both
+    orientations are generated internally; self-loops dropped);
+    parallel rows are parallel edges and add neighbor mass, exactly
+    like page_rank's weighted contract — pre-DISTINCT for
+    simple-graph semantics. ``weight`` names a positive-integer
+    multiplicity column.
+
+    Scale shape: the edge relation aggregates once to (a, b, w) and
+    persists; each round is ONE equi-join of the (n)-sized label
+    relation against it plus one partial-agg groupBy and one window
+    on the node key; lineage truncated per round (localCheckpoint).
+    Returns (node, label).
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("__a"), F.col(dst).alias("__b"), w.alias("__w")
+    ).filter(F.col("__a") != F.col("__b"))
+    und = (
+        e.union(
+            e.select(
+                F.col("__b").alias("__a"),
+                F.col("__a").alias("__b"),
+                "__w",
+            )
+        )
+        .groupBy("__a", "__b")
+        .agg(F.sum("__w").alias("__w"))
+        .persist()
+    )
+    # after both orientations every node appears on the __a side
+    nodes = und.select(F.col("__a").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    pick = Window.partitionBy("__a").orderBy(
+        F.desc("__c"), F.asc("label")
+    )
+    for _ in range(rounds):
+        nbr = und.join(labels, und["__b"] == labels["node"]).select(
+            "__a", "label", "__w"
+        )
+        counted = nbr.groupBy("__a", "label").agg(
+            F.sum("__w").alias("__c")
+        )
+        labels = (
+            counted.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    nodes.unpersist()
+    return labels

@@ -326,3 +326,75 @@ def test_trust_rank_spam_demotion_and_determinism(spark):
 
     with pytest.raises(ValueError, match="seeds"):
         trust_rank(edges, [])
+
+
+def _lpa_reference(edges, rounds):
+    """Pure-Python synchronous LPA with identical tie-breaks: max
+    neighbor mass, ties to smallest label."""
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    for a, b, w in edges:
+        if a != b:
+            mass[(a, b)] += w
+            mass[(b, a)] += w
+    nbrs = defaultdict(dict)
+    for (a, b), w in mass.items():
+        nbrs[a][b] = w
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n in nbrs:
+            cnt = defaultdict(int)
+            for b, w in nbrs[n].items():
+                cnt[labels[b]] += w
+            new[n] = min(cnt, key=lambda lab: (-cnt[lab], lab))
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    """Spark LPA == the pure-Python synchronous rule on a two-clique
+    bridge graph (communities keep distinct labels) and on a randomish
+    weighted graph; weight column == physically exploded parallel
+    rows; deterministic under repartition; rounds guard."""
+    import pytest
+
+    from hdk_spark.operators.graph import label_propagation
+
+    cliques = [(a, b) for grp in ([0, 1, 2, 3], [10, 11, 12, 13])
+               for i, a in enumerate(grp) for b in grp[i + 1:]]
+    bridge = [(3, 10)]
+    e = cliques + bridge
+    df = spark.createDataFrame(e, "src: long, dst: long")
+    got = dict(
+        (r["node"], r["label"])
+        for r in label_propagation(df, rounds=3).collect()
+    )
+    assert got == _lpa_reference([(a, b, 1) for a, b in e], 3)
+    assert len(set(got.values())) == 2  # the two cliques stay apart
+
+    wedges = [(i % 7, (i * 3 + 1) % 7, i % 3 + 1) for i in range(20)]
+    wdf = spark.createDataFrame(wedges, "src: long, dst: long, w: long")
+    gw = dict(
+        (r["node"], r["label"])
+        for r in label_propagation(wdf, rounds=2, weight="w").collect()
+    )
+    assert gw == _lpa_reference(wedges, 2)
+
+    exploded = [(a, b) for a, b, w in wedges for _ in range(w)]
+    edf = spark.createDataFrame(exploded, "src: long, dst: long")
+    ge = dict(
+        (r["node"], r["label"])
+        for r in label_propagation(edf, rounds=2).collect()
+    )
+    assert ge == gw  # weighted == parallel-edge identity
+
+    again = dict(
+        (r["node"], r["label"])
+        for r in label_propagation(df.repartition(5), rounds=3).collect()
+    )
+    assert again == got
+
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(df, rounds=-1)
