@@ -11335,3 +11335,58 @@ FROM l3 ORDER BY node
 
 SPARK_IMPLS["graph_label_propagation"] = q_graph_label_propagation
 ORACLES["graph_label_propagation"] = _lpa_oracle()
+
+
+def q_similarity_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining
+    (operators/similarity.py::mine_contrastive_pairs, positives ≥
+    0.35, hard-negative band [0.2, 0.35), the LSH candidate machinery
+    of dedup_embedding_cosine). The oracle reuses the exact LSH pair
+    SQL at threshold 0.2, then replays the symmetrize → classify-on-
+    rounded-cosine → per-(anchor, class) QUALIFY pick → join."""
+    from hdk_spark.operators.similarity import mine_contrastive_pairs
+
+    _tables(spark, sf_dir)
+    out = mine_contrastive_pairs(
+        spark.table("embeddings"),
+        pos_threshold=0.35, neg_lo=0.2, neg_hi=0.35,
+    )
+    return out.orderBy("anchor")
+
+
+def _contrastive_oracle() -> str:
+    inner = _emb_lsh_oracle(threshold=0.2)
+    return f"""
+WITH pairs AS (
+  SELECT * FROM ({inner})
+), sym AS (
+  SELECT id_a AS anchor, id_b AS other, cosine FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, cosine FROM pairs
+), classified AS (
+  SELECT anchor, other, cosine,
+         CASE WHEN cosine >= 0.35 THEN 'P'
+              WHEN cosine < 0.35 THEN 'N' END AS cls
+  FROM sym
+), top AS (
+  SELECT anchor, other, cosine, cls
+  FROM classified
+  QUALIFY row_number() OVER (PARTITION BY anchor, cls
+                             ORDER BY cosine DESC, other) = 1
+), folded AS (
+  SELECT anchor,
+         MAX(CASE WHEN cls = 'P' THEN other END) AS positive,
+         MAX(CASE WHEN cls = 'P' THEN cosine END) AS pos_cos,
+         MAX(CASE WHEN cls = 'N' THEN other END) AS negative,
+         MAX(CASE WHEN cls = 'N' THEN cosine END) AS neg_cos
+  FROM top GROUP BY anchor
+)
+SELECT anchor, positive, pos_cos, negative, neg_cos
+FROM folded
+WHERE positive IS NOT NULL AND negative IS NOT NULL
+ORDER BY anchor
+"""
+
+
+SPARK_IMPLS["similarity_contrastive_mine"] = q_similarity_contrastive
+ORACLES["similarity_contrastive_mine"] = _contrastive_oracle()

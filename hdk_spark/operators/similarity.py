@@ -675,3 +675,96 @@ def ann_ivfpq_topk(
             round6("adc").alias("adc_dist"),
         )
     )
+
+
+def mine_contrastive_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_threshold: float = 0.5,
+    neg_lo: float = 0.2,
+    neg_hi: float = 0.45,
+    mode: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) triplets for contrastive
+    embedding training (the in-batch-negatives upgrade; cf. SimCSE /
+    DPR hard-negative mining): positives are near-duplicates
+    (cosine ≥ ``pos_threshold``), hard negatives are same-bucket
+    neighbors in the ``[neg_lo, neg_hi)`` band — close enough to
+    collide in LSH, far enough to be semantically distinct, which is
+    exactly what makes them HARD. Each anchor emits at most ONE
+    triplet: its best positive and its best hard negative
+    (max cosine, ties to the smallest partner id — deterministic).
+
+    Classification happens on the round6-rounded cosine (the same
+    value the pair relation emits), so the band edges are engine-
+    stable. Anchors missing either side emit nothing.
+
+    Scale shape: candidate generation is the bucketed
+    ``embedding_neardup_pairs`` machinery (Σ|bucket|² candidates,
+    never n²); the triplet pick is ONE window on (anchor, class) and
+    one partial-agg groupBy on anchor. Returns
+    (anchor, positive, pos_cos, negative, neg_cos).
+    """
+    if not (neg_lo < neg_hi <= pos_threshold):
+        raise ValueError(
+            "need neg_lo < neg_hi <= pos_threshold, got "
+            f"({neg_lo}, {neg_hi}, {pos_threshold})"
+        )
+    from hdk_spark.operators.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=neg_lo,
+        mode=mode, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        dim=dim,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("other"),
+        "cosine",
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("other"),
+            "cosine",
+        )
+    )
+    cls = (
+        F.when(F.col("cosine") >= pos_threshold, F.lit("P"))
+        .when(F.col("cosine") < neg_hi, F.lit("N"))
+    )
+    classified = sym.withColumn("cls", cls).filter(F.col("cls").isNotNull())
+    w = Window.partitionBy("anchor", "cls").orderBy(
+        F.desc("cosine"), F.asc("other")
+    )
+    top = classified.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    folded = top.groupBy("anchor").agg(
+        F.max(
+            F.when(
+                F.col("cls") == "P",
+                F.struct(F.col("other"), F.col("cosine")),
+            )
+        ).alias("__p"),
+        F.max(
+            F.when(
+                F.col("cls") == "N",
+                F.struct(F.col("other"), F.col("cosine")),
+            )
+        ).alias("__n"),
+    )
+    return (
+        folded.filter(F.col("__p").isNotNull() & F.col("__n").isNotNull())
+        .select(
+            "anchor",
+            F.col("__p.other").alias("positive"),
+            F.col("__p.cosine").alias("pos_cos"),
+            F.col("__n.other").alias("negative"),
+            F.col("__n.cosine").alias("neg_cos"),
+        )
+    )

@@ -186,3 +186,60 @@ def test_ivfpq_candidates_subset_and_planted_recall(spark):
     full = ann_ivfpq_topk(df, [0], cents, cbs, k=9, nprobe=4).collect()
     flat = pq_topk(df, [0], cbs, k=9).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, flat))
+
+
+def test_mine_contrastive_pairs_exact_vs_brute_force(spark):
+    """Triplet mining (exact candidate mode) == a pure-Python brute
+    force: symmetrize pairs, classify on the 6dp-rounded cosine, best
+    positive / best hard negative per anchor with (max cosine, min
+    partner) tie-break; anchors missing either side drop; band guard."""
+    import math
+
+    import pytest
+
+    from hdk_spark.operators.similarity import mine_contrastive_pairs
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),     # ~0.994 with 0 -> positive
+        (2, [0.5, 0.5, 0.5, 0.5]),     # 0.5 with 0 -> negative band
+        (3, [0.45, 0.55, 0.5, 0.5]),   # near 2 -> positive for 2
+        (4, [0.0, 1.0, 0.0, 0.0]),     # orthogonal to 0
+        (5, [-1.0, 0.0, 0.0, 0.0]),    # anti-parallel
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    PT, LO, HI = 0.9, 0.3, 0.7
+    got = {
+        r["anchor"]: (r["positive"], r["pos_cos"], r["negative"], r["neg_cos"])
+        for r in mine_contrastive_pairs(
+            df, pos_threshold=PT, neg_lo=LO, neg_hi=HI, mode="exact"
+        ).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / math.sqrt(sum(x * x for x in a))
+                     / math.sqrt(sum(x * x for x in b)), 6)
+
+    best = {}
+    for i, va in vecs:
+        P, N = [], []
+        for j, vb in vecs:
+            if i == j:
+                continue
+            c = cos(va, vb)
+            if c < LO:
+                continue
+            if c >= PT:
+                P.append((-c, j))
+            elif c < HI:
+                N.append((-c, j))
+        if P and N:
+            p = min(P)
+            n = min(N)
+            best[i] = (p[1], -p[0], n[1], -n[0])
+    assert got == best
+    assert got  # the planted structure yields at least one triplet
+
+    with pytest.raises(ValueError, match="neg_lo"):
+        mine_contrastive_pairs(df, pos_threshold=0.5, neg_lo=0.6, neg_hi=0.7)
