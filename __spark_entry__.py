@@ -298,7 +298,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming rows). New round-9 contract rows get inserted at the head
 # as they land.
 _PRIORITY: list[str] = [
-    # round-9 additions, never checked
+    # never checked
     "training_export_pipeline",
     "multimodal_phash_dct",
     "select_dsir_weights",
@@ -321,6 +321,15 @@ _PRIORITY: list[str] = [
     "text_dedup_doc_lines",
     "chat_loss_mask",
     "denoise_span_corruption",
+    "denoise_fim_psm",
+    "denoise_mlm_mask",
+    "tok_wordpiece_encode",
+    "stats_heavy_hitters",
+    "stats_chi2_independence",
+    "temporal_scd2_history",
+    "stats_calibration_curve",
+    "graph_label_propagation",
+    "similarity_contrastive_mine",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",
