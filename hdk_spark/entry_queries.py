@@ -11390,3 +11390,41 @@ ORDER BY anchor
 
 SPARK_IMPLS["similarity_contrastive_mine"] = q_similarity_contrastive
 ORACLES["similarity_contrastive_mine"] = _contrastive_oracle()
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary blocklist gate
+    (operators/text.py::blocklist_gate, C4 drop-on-any-hit policy)
+    over planted text 'Alpha (W{d%11}).,  end' — the middle token is
+    wrapped in punctuation and upper-cased so the gate's
+    normalization (case fold + edge strip) is what decides the match.
+    The oracle derives every output closed-form from the planting
+    arithmetic: no tokenizer anywhere on the oracle side."""
+    from hdk_spark.operators.text import blocklist_gate
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("Alpha (W"), (d % 11).cast("string"), F.lit(").,  end")
+    )
+    planted = spark.table("documents").select("doc_id", text.alias("text"))
+    out = blocklist_gate(planted, ["w3", "W7"])
+    return out.select(
+        "doc_id", "n_tokens", "n_hits",
+        F.array_join("hit_terms", "|").alias("hits"),
+        "blocked",
+    ).orderBy("doc_id")
+
+
+_BLOCKLIST_ORACLE = """
+SELECT doc_id, CAST(3 AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN doc_id % 11 IN (3, 7) THEN 1 ELSE 0 END AS BIGINT)
+         AS n_hits,
+       CASE WHEN doc_id % 11 IN (3, 7)
+            THEN 'w' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END AS hits,
+       doc_id % 11 IN (3, 7) AS blocked
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_blocklist_gate"] = q_text_blocklist
+ORACLES["text_blocklist_gate"] = _BLOCKLIST_ORACLE

@@ -2317,3 +2317,53 @@ def dedup_doc_lines(
         .otherwise(F.size(lines) - F.size(folded)).cast("long")
         .alias("n_removed"),
     )
+
+
+def blocklist_gate(
+    df: DataFrame,
+    terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Word-boundary blocklist gate (the C4 §2.1 "List of Dirty,
+    Naughty, Obscene..." filter family): lowercase, whitespace-
+    tokenize, strip leading/trailing non-alphanumerics from each
+    token, and count tokens that appear in ``terms``. A document is
+    ``blocked`` when hits exceed ``max_hits`` (the default 0 is C4's
+    drop-on-any-hit policy; raise it for Gopher-style tolerance).
+
+    Returns (id, n_tokens, n_hits, hit_terms, blocked) — hit_terms is
+    the sorted distinct matched set, the audit trail a filtering run
+    must keep. NULL/empty text is total (0 hits, not blocked).
+
+    Scale shape: ONE map-only codegen projection — membership tests
+    are array_contains against a literal array, so the whole gate
+    stays in whole-stage codegen with no shuffle and no Python.
+    Intended for the few-thousand-term curated lists this gate
+    exists for (per-token cost is O(|terms|)); a corpus-derived
+    blocklist of millions of terms should use a broadcast semi-join
+    on exploded tokens instead.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm_terms = sorted({t.lower() for t in terms})
+    lit_terms = F.array(*[F.lit(t) for t in norm_terms])
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.lower(F.col(text_col))), _WS),
+    ).otherwise(F.array().cast("array<string>"))
+    norm = F.transform(
+        toks,
+        lambda t: F.regexp_replace(
+            F.regexp_replace(t, r"^[^a-z0-9]+", ""), r"[^a-z0-9]+$", ""
+        ),
+    )
+    hits = F.filter(norm, lambda t: F.array_contains(lit_terms, t))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.array_sort(F.array_distinct(hits)).alias("hit_terms"),
+        (F.size(hits) > F.lit(max_hits)).alias("blocked"),
+    )

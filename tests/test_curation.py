@@ -193,3 +193,36 @@ def test_mlm_mask_invariants(spark):
         mlm_mask(df, random_tokens=())
     p = mlm_mask(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Generate" not in p
+
+
+def test_blocklist_gate(spark):
+    """Word-boundary matching (edge punctuation stripped, case
+    folded), hit multiset vs distinct audit set, max_hits policy,
+    NULL/empty totality, map-only plan, empty-terms guard."""
+    import pytest
+
+    from hdk_spark.operators.text import blocklist_gate
+
+    rows = [(0, "The BAD word, and (worse)!"), (1, "all clean here"),
+            (2, None), (3, ""), (4, "bad bad worse"),
+            (5, "embedded badword stays unmatched")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in blocklist_gate(df, ["bad", "WORSE"]).collect()}
+    assert got[0]["n_hits"] == 2 and got[0]["blocked"]
+    assert list(got[0]["hit_terms"]) == ["bad", "worse"]
+    assert got[1]["n_hits"] == 0 and not got[1]["blocked"]
+    assert got[2]["n_tokens"] == 0 and not got[2]["blocked"]
+    assert got[3]["n_tokens"] == 0
+    assert got[4]["n_hits"] == 3 and list(got[4]["hit_terms"]) == ["bad", "worse"]
+    assert got[5]["n_hits"] == 0  # substring must not match
+
+    tol = {r["doc_id"]: r["blocked"]
+           for r in blocklist_gate(df, ["bad", "worse"], max_hits=2).collect()}
+    assert not tol[0] and tol[4]  # 2 hits tolerated, 3 not
+
+    plan = blocklist_gate(df, ["bad"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+
+    with pytest.raises(ValueError, match="terms"):
+        blocklist_gate(df, [])
