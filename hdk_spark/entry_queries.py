@@ -11428,3 +11428,74 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["text_blocklist_gate"] = q_text_blocklist
 ORACLES["text_blocklist_gate"] = _BLOCKLIST_ORACLE
+
+
+def q_text_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level BLEU-2 (operators/text.py::ngram_overlap_score)
+    over planted (reference, hypothesis) pairs: ref = w{(d+j)%7} for
+    j < d%6+3, hyp = w{(d+j+d%3)%7} for j < d%5+3 — the shared-vocab
+    shift gives the full overlap spectrum. The oracle rebuilds both
+    token lists, the clipped n-gram counts, the brevity penalty, and
+    the √ geometric mean with DuckDB list HOFs."""
+    from hdk_spark.operators.text import ngram_overlap_score
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def words(shift, upper):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), upper),
+                lambda j: F.concat(
+                    F.lit("w"), ((d + j + shift) % 7).cast("string")
+                ),
+            ),
+            " ",
+        )
+
+    planted = spark.table("documents").select(
+        "doc_id",
+        words(F.lit(0), (d % 6 + 2).cast("int")).alias("ref"),
+        words(d % 3, (d % 5 + 2).cast("int")).alias("hyp"),
+    )
+    return ngram_overlap_score(planted, "ref", "hyp").orderBy("doc_id")
+
+
+_BLEU_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         list_transform(range(0, doc_id % 6 + 3),
+           j -> 'w' || CAST((doc_id + j) % 7 AS VARCHAR)) AS tr,
+         list_transform(range(0, doc_id % 5 + 3),
+           j -> 'w' || CAST((doc_id + j + doc_id % 3) % 7 AS VARCHAR)) AS th
+  FROM documents
+), g AS (
+  SELECT doc_id, tr, th,
+         list_transform(range(0, len(th) - 1),
+           j -> th[j + 1] || ' ' || th[j + 2]) AS gh2,
+         list_transform(range(0, len(tr) - 1),
+           j -> tr[j + 1] || ' ' || tr[j + 2]) AS gr2
+  FROM p
+), prec AS (
+  SELECT doc_id, len(tr) AS ref_len, len(th) AS hyp_len,
+         CAST(list_sum(list_transform(list_distinct(th), t ->
+              least(len(list_filter(th, x -> x = t)),
+                    len(list_filter(tr, x -> x = t))))) AS DOUBLE)
+           / len(th) AS p1,
+         CAST(list_sum(list_transform(list_distinct(gh2), t ->
+              least(len(list_filter(gh2, x -> x = t)),
+                    len(list_filter(gr2, x -> x = t))))) AS DOUBLE)
+           / len(gh2) AS p2
+  FROM g
+)
+SELECT doc_id, CAST(ref_len AS BIGINT) AS ref_len,
+       CAST(hyp_len AS BIGINT) AS hyp_len,
+       round(p1, 6) + 0 AS p1, round(p2, 6) + 0 AS p2,
+       round(CASE WHEN hyp_len >= ref_len THEN 1.0
+                  ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / hyp_len) END
+             * sqrt(p1 * p2), 6) + 0 AS bleu2
+FROM prec ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_bleu_overlap"] = q_text_bleu
+ORACLES["text_bleu_overlap"] = _BLEU_ORACLE

@@ -2367,3 +2367,96 @@ def blocklist_gate(
         F.array_sort(F.array_distinct(hits)).alias("hit_terms"),
         (F.size(hits) > F.lit(max_hits)).alias("blocked"),
     )
+
+
+def ngram_overlap_score(
+    df: DataFrame,
+    ref_col: str,
+    hyp_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-level BLEU-2 (Papineni et al. 2002): modified
+    (clipped) unigram/bigram precisions of ``hyp_col`` against
+    ``ref_col`` plus the brevity penalty — the generation-eval metric
+    a training pipeline scores model outputs with. Whitespace tokens,
+    case-folded; returns (id, ref_len, hyp_len, p1, p2, bleu2) where
+    pn = Σ_g min(cnt_hyp(g), cnt_ref(g)) / |hyp n-grams| and
+    bleu2 = bp·√(p1·p2) on the UNROUNDED precisions (p1/p2/bleu2 emit
+    through round6). pn is NULL when the hypothesis has no n-grams
+    (callers choose their own smoothing); bleu2 is then NULL too.
+
+    Determinism note: √ is correctly rounded by IEEE 754 on every
+    engine; exp (the brevity penalty) is last-ulp-accurate on both
+    JVM and DuckDB — a 6-dp round flips only within ~1e-16 of a
+    boundary, which planted integer-ratio inputs never sit on.
+
+    Scale shape: ONE map-only projection; the clipped-count fold is
+    array HOFs over each row's own tokens (O(len²) per row,
+    corpus-independent — generation evals are sentence-scale). No
+    explode, no shuffle, no Python.
+    """
+    def toks(c):
+        return F.when(
+            F.length(F.trim(F.col(c))) > 0,
+            F.split(F.trim(F.lower(F.col(c))), _WS),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def grams(xs, n):
+        return F.when(
+            F.size(xs) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(xs) - n),
+                lambda j: F.array_join(F.slice(xs, j + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def clipped(gh, gr):
+        return F.aggregate(
+            F.array_distinct(gh),
+            F.lit(0),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(gh, lambda x: x == g)),
+                F.size(F.filter(gr, lambda x: x == g)),
+            ),
+        )
+
+    from hdk_spark.functions.scalar import round6
+
+    tr, th = toks(ref_col), toks(hyp_col)
+    out = df.select(
+        F.col(id_col),
+        tr.alias("__tr"), th.alias("__th"),
+    ).select(
+        F.col(id_col),
+        F.size("__tr").cast("long").alias("ref_len"),
+        F.size("__th").cast("long").alias("hyp_len"),
+        *[
+            (
+                clipped(grams(F.col("__th"), n), grams(F.col("__tr"), n))
+                .cast("double")
+                / F.when(
+                    F.size(grams(F.col("__th"), n)) > 0,
+                    F.size(grams(F.col("__th"), n)),
+                )
+            ).alias(f"__p{n}")
+            for n in (1, 2)
+        ],
+    )
+    bp = F.when(
+        F.col("hyp_len") >= F.col("ref_len"), F.lit(1.0)
+    ).otherwise(
+        # hyp_len = 0 -> NULL bp (bleu2 is NULL anyway: p1 is NULL);
+        # the guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+        F.exp(
+            F.lit(1.0)
+            - F.col("ref_len")
+            / F.when(F.col("hyp_len") > 0, F.col("hyp_len"))
+        )
+    )
+    return out.select(
+        F.col(id_col), "ref_len", "hyp_len",
+        round6(F.col("__p1")).alias("p1"),
+        round6(F.col("__p2")).alias("p2"),
+        round6(bp * F.sqrt(F.col("__p1") * F.col("__p2"))).alias("bleu2"),
+    )

@@ -226,3 +226,56 @@ def test_blocklist_gate(spark):
 
     with pytest.raises(ValueError, match="terms"):
         blocklist_gate(df, [])
+
+
+def test_ngram_overlap_score_reference(spark):
+    """BLEU-2 against a pure-Python reference (clipped precisions,
+    brevity penalty, sqrt geometric mean) on the classic clipping
+    example and random-ish pairs; NULL/empty totality; map-only."""
+    import math
+    from collections import Counter
+
+    from hdk_spark.operators.text import ngram_overlap_score
+
+    def py_bleu(ref, hyp):
+        tr = ref.lower().split() if ref and ref.strip() else []
+        th = hyp.lower().split() if hyp and hyp.strip() else []
+
+        def pn(n):
+            gh = [" ".join(th[i:i + n]) for i in range(len(th) - n + 1)]
+            gr = [" ".join(tr[i:i + n]) for i in range(len(tr) - n + 1)]
+            if not gh:
+                return None
+            ch, cr = Counter(gh), Counter(gr)
+            return sum(min(c, cr[g]) for g, c in ch.items()) / len(gh)
+
+        p1, p2 = pn(1), pn(2)
+        if p1 is None or p2 is None:
+            return len(tr), len(th), p1, p2, None
+        bp = 1.0 if len(th) >= len(tr) else math.exp(1 - len(tr) / len(th))
+        return len(tr), len(th), p1, p2, bp * math.sqrt(p1 * p2)
+
+    rows = [
+        (0, "the cat sat on the mat", "the cat sat on the mat"),
+        (1, "the cat sat on the mat", "the the the the"),
+        (2, "a b c d", "a b"),
+        (3, "x y", "q r s"),
+        (4, None, "a"), (5, "a", ""),
+        (6, "w0 w1 w2 w3 w4", "w2 w3 w4 w5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, ref: string, hyp: string")
+    got = {r["doc_id"]: r
+           for r in ngram_overlap_score(df, "ref", "hyp").collect()}
+    for i, ref, hyp in rows:
+        rl, hl, p1, p2, b = py_bleu(ref, hyp)
+        g = got[i]
+        assert (g["ref_len"], g["hyp_len"]) == (rl, hl), i
+        for col, want in (("p1", p1), ("p2", p2), ("bleu2", b)):
+            if want is None:
+                assert g[col] is None, (i, col)
+            else:
+                assert abs(g[col] - round(want, 6)) < 1e-9, (i, col)
+
+    plan = ngram_overlap_score(df, "ref", "hyp")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
