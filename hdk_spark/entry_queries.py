@@ -11499,3 +11499,54 @@ FROM prec ORDER BY doc_id
 
 SPARK_IMPLS["text_bleu_overlap"] = q_text_bleu
 ORACLES["text_bleu_overlap"] = _BLEU_ORACLE
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-histogram junk signals
+    (operators/text.py::char_entropy) over planted ASCII text (the
+    w{(d+j)%11} token stream joined by spaces — chars are 'w', digits,
+    space, so the histogram is arithmetic). The oracle rebuilds the
+    character list, folds -p·log2 p over the SORTED distinct set (the
+    operator's canonical order), and emits the same rounded values."""
+    from hdk_spark.operators.text import char_entropy
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (d % 17 + 3).cast("int")),
+            lambda j: F.concat(F.lit("w"), ((d + j) % 11).cast("string")),
+        ),
+        " ",
+    )
+    planted = spark.table("documents").select("doc_id", text.alias("text"))
+    return char_entropy(planted).orderBy("doc_id")
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         string_split(array_to_string(
+           list_transform(range(0, doc_id % 17 + 4),
+             j -> 'w' || CAST((doc_id + j) % 11 AS VARCHAR)), ' '), '')
+           AS cs
+  FROM documents
+), m AS (
+  SELECT doc_id, cs, len(cs) AS n,
+         list_sort(list_distinct(cs)) AS dc
+  FROM p
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(len(dc) AS BIGINT) AS n_distinct,
+       round(list_aggregate(list_transform(dc, ch ->
+           -(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)
+           * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)),
+         'sum'), 6) + 0 AS entropy_bits,
+       round(CAST(list_max(list_transform(dc, ch ->
+           len(list_filter(cs, x -> x = ch)))) AS DOUBLE) / n, 6) + 0
+         AS max_char_ratio
+FROM m ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_char_entropy"] = q_text_char_entropy
+ORACLES["text_char_entropy"] = _CHAR_ENTROPY_ORACLE

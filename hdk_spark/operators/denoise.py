@@ -27,6 +27,19 @@ from hdk_spark.operators.sampling import hash_bucket
 
 __all__ = ["span_corruption", "fim_transform", "mlm_mask"]
 
+_MOD = 1_000_000_007
+
+
+def _hkey(expr):
+    """Reduce a hash-key expression into [0, 1e9+7) BEFORE it reaches
+    hash_bucket's Knuth multiply. Mod-equivalence makes this
+    value-identical for non-negative keys (the bucket is taken mod the
+    same prime), but it keeps ``key · 2654435761`` inside int64 for
+    ids past ~3.4e9 — composite keys like ``id·1000003 + j`` overflow
+    ANSI mode at 10^8-scale ids otherwise (hit in the 10× smoke; the
+    SQL oracles never overflow because DuckDB promotes to HUGEINT)."""
+    return F.pmod(expr, F.lit(_MOD))
+
 
 def span_corruption(
     df: DataFrame,
@@ -75,7 +88,8 @@ def span_corruption(
         ln = F.least(base_len + extra, wlen)
         legal = F.greatest(wlen - ln + 1, F.lit(1))
         a = ws + hash_bucket(
-            F.col(id_col) * F.lit(1_000_003) + k, 1_000_000_007, seed
+            _hkey(_hkey(F.col(id_col)) * F.lit(1_000_003) + k),
+            1_000_000_007, seed,
         ).cast("int") % legal
         sentinel = F.concat(
             F.lit("<extra_id_"), k.cast("string"), F.lit(">")
@@ -155,9 +169,13 @@ def fim_transform(
     )
     L = F.size(toks)
     key = F.col(id_col).cast("bigint")
-    applied = hash_bucket(key, den, seed) < F.lit(num)
-    h1 = hash_bucket(key * F.lit(1_000_003) + F.lit(1), 1_000_000_007, seed)
-    h2 = hash_bucket(key * F.lit(1_000_003) + F.lit(2), 1_000_000_007, seed)
+    applied = hash_bucket(_hkey(key), den, seed) < F.lit(num)
+    h1 = hash_bucket(
+        _hkey(_hkey(key) * F.lit(1_000_003) + F.lit(1)), 1_000_000_007, seed
+    )
+    h2 = hash_bucket(
+        _hkey(_hkey(key) * F.lit(1_000_003) + F.lit(2)), 1_000_000_007, seed
+    )
     p1 = (h1 % (L + 1)).cast("int")
     p2 = (h2 % (L + 1)).cast("int")
     a = F.least(p1, p2)
@@ -227,16 +245,20 @@ def mlm_mask(
 
     def sel(j):
         return (
-            hash_bucket(key * F.lit(1_000_003) + j, 100, seed)
+            hash_bucket(_hkey(_hkey(key) * F.lit(1_000_003) + j), 100, seed)
             < F.lit(select_pct)
         )
 
     def masked_tok(x, j):
-        r = hash_bucket(key * F.lit(2_000_003) + j, 10, seed + 1)
+        r = hash_bucket(
+            _hkey(_hkey(key) * F.lit(2_000_003) + j), 10, seed + 1
+        )
         repl = F.element_at(
             rnd,
             (
-                hash_bucket(key * F.lit(3_000_017) + j, R, seed + 2)
+                hash_bucket(
+                    _hkey(_hkey(key) * F.lit(3_000_017) + j), R, seed + 2
+                )
             ).cast("int") + 1,
         )
         return F.when(

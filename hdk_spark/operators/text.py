@@ -2460,3 +2460,62 @@ def ngram_overlap_score(
         round6(F.col("__p2")).alias("p2"),
         round6(bp * F.sqrt(F.col("__p1") * F.col("__p2"))).alias("bleu2"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-distribution junk signals: Shannon entropy (bits) of
+    the character histogram plus the modal-character ratio — the
+    gibberish/binary-spill/keyboard-mash detector that complements the
+    token-level Gopher flags (encoding garbage has near-uniform high
+    entropy; 'aaaa…' padding has entropy ≈ 0 and max_ratio ≈ 1).
+
+    Returns (id, n_chars, n_distinct, entropy_bits, max_char_ratio);
+    entropy and ratio are NULL for NULL/empty text (no distribution).
+
+    Determinism: counts are exact integers from array HOFs; each
+    histogram term divides once and log2 is last-ulp-accurate on both
+    engines (same argument as the brevity penalty's exp — a 6-dp
+    round never sits on the boundary for integer-ratio inputs). The
+    per-term fold runs over the SORTED distinct characters, so the
+    float sum has one canonical order on every engine (DuckDB's
+    list_distinct returns a different order than Spark's).
+
+    Scale shape: ONE map-only projection; the histogram fold is
+    O(len·distinct) per row over the row's own characters — no
+    explode, no shuffle, no Python.
+    """
+    from hdk_spark.functions.scalar import round6
+
+    chars = F.when(
+        F.length(F.col(text_col)) > 0, F.split(F.col(text_col), "")
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(
+        F.col(id_col), chars.alias("__c"), F.size(chars).alias("__n")
+    )
+    n = F.col("__n").cast("double")
+    cnt = lambda ch: F.size(  # noqa: E731
+        F.filter(F.col("__c"), lambda x: x == ch)
+    )
+    ent = F.aggregate(
+        F.array_sort(F.array_distinct(F.col("__c"))),
+        F.lit(0.0),
+        lambda acc, ch: acc
+        - (cnt(ch) / n) * F.log2(cnt(ch) / n),
+    )
+    max_cnt = F.array_max(
+        F.transform(F.array_distinct(F.col("__c")), cnt)
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.col("__c"))).cast("long")
+        .alias("n_distinct"),
+        round6(F.when(F.col("__n") > 0, ent)).alias("entropy_bits"),
+        round6(
+            F.when(F.col("__n") > 0, max_cnt / n)
+        ).alias("max_char_ratio"),
+    )

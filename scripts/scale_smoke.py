@@ -316,6 +316,101 @@ def main() -> None:
               " exact_cosine_16q:", t_exact, " codes:", n_codes)
         return
 
+    if "--r9b" in sys.argv:
+        # round-9 late additions at 10x (500k docs, 100k embeddings)
+        from hdk_spark.operators.denoise import fim_transform, mlm_mask
+        from hdk_spark.operators.graph import label_propagation
+        from hdk_spark.operators.similarity import mine_contrastive_pairs
+        from hdk_spark.operators.sketches import frequent_items
+        from hdk_spark.operators.stats import chi2_contingency
+        from hdk_spark.operators.temporal import scd2_history
+        from hdk_spark.operators.text import blocklist_gate
+        from hdk_spark.operators.bpe import wordpiece_encode, wordpiece_train
+
+        docs = spark.table("documents")
+        d = F.col("doc_id")
+        n_docs = docs.count()
+
+        # heavy hitters: 5M skewed items (10 per doc), k=100 — the MG
+        # candidate pass must stay bounded while the tail is ~unique
+        items = docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(9)),
+                    lambda i: F.when(
+                        (d + i) % 3 != 2,
+                        F.concat(F.lit("hot"), ((d + i) % 17).cast("string")),
+                    ).otherwise(
+                        F.concat(F.lit("tail"), (d * 10 + i).cast("string"))
+                    ),
+                )
+            ).alias("v")
+        )
+        t0 = time.perf_counter()
+        hh = frequent_items(items, "v", k=100)
+        n_hh = hh.count()
+        print(f"frequent_items_5M(k=100) -> {n_hh} hitters:",
+              round(time.perf_counter() - t0, 2))
+
+        # label propagation: ~1M-edge host graph (20k nodes), 3 rounds
+        edges = docs.select(
+            ((d * 2 + 1) % 20_000).alias("src"),
+            ((d * 7 + 3) % 20_000).alias("dst"),
+        ).union(docs.select(
+            ((d * 3 + 2) % 20_000).alias("src"),
+            ((d * 5 + 1) % 20_000).alias("dst"),
+        ))
+        t0 = time.perf_counter()
+        lp = label_propagation(edges, rounds=3)
+        n_comm = lp.select("label").distinct().count()
+        print(f"label_propagation_1M_edges(3r) -> {n_comm} labels:",
+              round(time.perf_counter() - t0, 2))
+
+        # SCD2 over events 10x: one shuffle regardless of history depth
+        ev = spark.table("events").select(
+            F.col("user_id"), F.col("ts"), F.col("event_type")
+        )
+        print("scd2_events_10x:", best(
+            lambda: scd2_history(ev, "user_id", "ts", ["event_type"]), n=1))
+
+        # map-only sample builders + gates at 500k docs
+        toks = docs.select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("tokens"),
+        )
+        print("fim_500k:", best(lambda: fim_transform(toks), n=1))
+        print("mlm_500k:", best(lambda: mlm_mask(toks), n=1))
+        print("blocklist_500k:", best(
+            lambda: blocklist_gate(docs, ["the", "data", "zz"]), n=1))
+
+        # chi2: 5M-row cell collapse
+        big = items.select(
+            F.substring("v", 1, 3).alias("a"),
+            (F.length("v") % 4).cast("string").alias("b"),
+        )
+        t0 = time.perf_counter()
+        chi2_contingency(big, "a", "b").write.format("noop").mode(
+            "overwrite").save()
+        print("chi2_5M:", round(time.perf_counter() - t0, 2))
+
+        # wordpiece: train on 50k docs, encode 500k (Arrow kernel)
+        t0 = time.perf_counter()
+        vocab = wordpiece_train(
+            docs.filter(d % 10 == 0), n_merges=200, min_count=5)
+        t_train = round(time.perf_counter() - t0, 2)
+        print(f"wordpiece_train_50k({len(vocab)} pieces):", t_train)
+        print("wordpiece_encode_500k:", best(
+            lambda: wordpiece_encode(docs, vocab), n=1))
+
+        # contrastive mining at 100k embeddings (LSH candidates)
+        emb = spark.table("embeddings")
+        t0 = time.perf_counter()
+        n_trip = mine_contrastive_pairs(
+            emb, pos_threshold=0.35, neg_lo=0.2, neg_hi=0.35).count()
+        print(f"contrastive_100k -> {n_trip} triplets:",
+              round(time.perf_counter() - t0, 2))
+        return
+
     if "--r8" in sys.argv:
         # round-8 operators at 10× (500k docs)
         from hdk_spark.operators.graph import page_rank

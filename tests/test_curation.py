@@ -279,3 +279,60 @@ def test_ngram_overlap_score_reference(spark):
     plan = ngram_overlap_score(df, "ref", "hyp")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_denoise_hash_keys_survive_huge_ids(spark):
+    """Regression (10x smoke, ANSI ARITHMETIC_OVERFLOW): composite
+    hash keys id*1000003+j overflow int64 inside hash_bucket's Knuth
+    multiply at 1e8-scale ids. The pre-mod reduction must keep every
+    sampler total at 1e11-scale ids AND value-identical to the small-id
+    formula (mod-equivalence, checked against the raw-Python hash)."""
+    from hdk_spark.operators.denoise import (
+        fim_transform,
+        mlm_mask,
+        span_corruption,
+    )
+
+    big = 10 ** 11 + 7
+    rows = [(big + i, [f"t{j}" for j in range(12)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id: long, tokens: array<string>")
+    f = fim_transform(df).collect()
+    assert len(f) == 4
+    for r in f:
+        if r["fim_applied"]:
+            MOD, MULT = 1_000_000_007, 2654435761
+            did = r["doc_id"]
+            hs = [((did % MOD * 1_000_003 + s) % MOD * MULT + 13)
+                  % MOD % MOD % 13 for s in (1, 2)]
+            ps = sorted(h % 13 for h in
+                        [((did % MOD * 1_000_003 + s) % MOD * MULT + 13)
+                         % MOD for s in (1, 2)])
+            assert [r["cut_a"], r["cut_b"]] == ps
+    assert len(mlm_mask(df).collect()) == 4
+    assert len(span_corruption(df).collect()) == 4
+
+
+def test_char_entropy_closed_form(spark):
+    """Entropy matches closed forms (uniform k chars -> log2 k,
+    constant -> 0), the modal ratio, NULL/empty totality, repartition
+    determinism, map-only plan."""
+    import math
+
+    from hdk_spark.operators.text import char_entropy
+
+    rows = [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, None), (4, ""),
+            (5, "hello world"), (6, "aab")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[0]["entropy_bits"] == 0.0 and got[0]["max_char_ratio"] == 1.0
+    assert got[1]["entropy_bits"] == 1.0
+    assert got[2]["entropy_bits"] == 2.0 and got[2]["n_distinct"] == 4
+    assert got[3]["entropy_bits"] is None and got[4]["entropy_bits"] is None
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[6]["entropy_bits"] - round(h, 6)) < 1e-9
+    assert abs(got[6]["max_char_ratio"] - round(2 / 3, 6)) < 1e-12
+
+    again = {r["doc_id"]: r for r in char_entropy(df.repartition(5)).collect()}
+    assert again == got
+    plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
