@@ -11550,3 +11550,105 @@ FROM m ORDER BY doc_id
 
 SPARK_IMPLS["text_char_entropy"] = q_text_char_entropy
 ORACLES["text_char_entropy"] = _CHAR_ENTROPY_ORACLE
+
+
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance (operators/stats.py::ks_test)
+    between two planted integer score distributions (group a:
+    (d·37)%100, group b: (d·41)%110 — different supports and shapes;
+    a third group 'c' must be ignored). The oracle replays the
+    support groupBy, the cumulative window, and the integer
+    cross-multiplied max."""
+    from hdk_spark.operators.stats import ks_test
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = spark.table("documents").select(
+        F.when(d % 3 == 0, F.lit("a"))
+        .when(d % 3 == 1, F.lit("b"))
+        .otherwise(F.lit("c")).alias("g"),
+        F.when(d % 3 == 0, (d * 37) % 100)
+        .otherwise((d * 41) % 110).cast("long").alias("v"),
+    )
+    return ks_test(planted, "g", "v", "a", "b")
+
+
+_KS_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'a'
+              WHEN doc_id % 3 = 1 THEN 'b' ELSE 'c' END AS g,
+         CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 100
+              ELSE (doc_id * 41) % 110 END AS v
+  FROM documents
+), f AS (SELECT * FROM src WHERE g IN ('a', 'b')),
+per AS (
+  SELECT v, SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM f GROUP BY v
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS fa,
+         SUM(cb) OVER (ORDER BY v) AS fb
+  FROM per
+), tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per
+)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(MAX(abs(c.fa * t.nb - c.fb * t.na)) AS BIGINT) AS d_num,
+       round(CAST(MAX(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE)
+             / (t.na * t.nb), 6) + 0 AS d
+FROM cum c, tot t GROUP BY t.na, t.nb
+"""
+
+SPARK_IMPLS["stats_ks_test"] = q_stats_ks
+ORACLES["stats_ks_test"] = _KS_ORACLE
+
+
+def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney ROC-AUC (operators/stats.py::auc_score)
+    over the same correlated score/label planting as the calibration
+    row — scores hit a 1000-point grid so midrank tie handling is
+    exercised for real. The oracle replays the support groupBy, the
+    tie-group prefix window, and the integer rank2 numerator."""
+    from hdk_spark.operators.stats import auc_score
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = spark.table("documents").select(
+        (((d * 37) % 1000) / F.lit(1000.0)).alias("score"),
+        ((d * 17) % 1000 < (d * 37) % 1000).cast("int").alias("label"),
+    )
+    out = auc_score(planted, "score", "label")
+    # bigint surface for the driver hash (the operator's internal sum
+    # stays DECIMAL(38,0); sf-scale numerators are far inside int64)
+    return out.withColumn("auc_num", F.col("auc_num").cast("long"))
+
+
+_AUC_ORACLE = """
+WITH src AS (
+  SELECT CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s,
+         CASE WHEN (doc_id * 17) % 1000 < (doc_id * 37) % 1000
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+), per AS (
+  SELECT s, SUM(y) AS p, COUNT(*) AS t FROM src GROUP BY s
+), ranked AS (
+  SELECT p, t,
+         COALESCE(SUM(t) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM per
+), agg AS (
+  SELECT SUM(p) AS np, SUM(t) - SUM(p) AS nn,
+         SUM(CAST(p * (2 * before + t + 1) AS DECIMAL(38,0))) AS r2
+  FROM ranked
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(r2 - CAST(np AS DECIMAL(38,0)) * (np + 1) AS BIGINT)
+         AS auc_num,
+       round(CAST(r2 - CAST(np AS DECIMAL(38,0)) * (np + 1) AS DOUBLE)
+             / (2.0 * np * nn), 6) + 0 AS auc
+FROM agg
+"""
+
+SPARK_IMPLS["stats_auc_exact"] = q_stats_auc
+ORACLES["stats_auc_exact"] = _AUC_ORACLE

@@ -41,6 +41,8 @@ __all__ = [
     "label_merge",
     "chi2_contingency",
     "calibration_curve",
+    "ks_test",
+    "auc_score",
 ]
 
 
@@ -645,3 +647,135 @@ def calibration_curve(
         round6(rate).alias("pos_rate"),
         round6(F.abs(mean_s - rate)).alias("abs_gap"),
     ).orderBy("bin")
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    a_label,
+    b_label,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the ``a_label``
+    and ``b_label`` slices of ``value_col`` — the distribution-drift
+    gate ("did the new crawl change the quality-score distribution?")
+    that complements chi2 (categorical) and psi-style binned drift.
+
+    EXACT: D = max over the support of |F_a(x) − F_b(x)| is computed
+    as max |cum_a·n_b − cum_b·n_a| over integer cumulative counts —
+    one cross-multiplied integer per support point, no float CDFs —
+    then divided ONCE and emitted through round6. Returns one row
+    (n_a, n_b, d_num, d) with d_num the integer numerator (the
+    bit-exact surface).
+
+    Scale shape: the corpus collapses map-side via groupBy(value) to
+    a |support|-sized relation; the cumulative runs as ONE window
+    over that support. For continuous 100 TB columns, pre-quantize to
+    the resolution that matters (the histogram discipline) so the
+    support — not the corpus — bounds the window; the sort is of the
+    support only.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    src = df.filter(v.isNotNull() & g.isin([a_label, b_label]))
+    per = src.groupBy(v.alias("__v")).agg(
+        F.sum(F.when(g == a_label, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(g == b_label, 1).otherwise(0)).alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.sum("__ca").over(w).alias("__fa"),
+        F.sum("__cb").over(w).alias("__fb"),
+    )
+    tot = per.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    agg = joined.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(
+            F.abs(F.col("__fa") * F.col("n_b") - F.col("__fb") * F.col("n_a"))
+        ).cast("long").alias("d_num"),
+    )
+    from hdk_spark.functions.scalar import round6
+
+    return agg.select(
+        "n_a", "n_b", "d_num",
+        round6(
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("d_num") / (F.col("n_a") * F.col("n_b")),
+            )
+        ).alias("d"),
+    )
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC of a scorer against binary labels via the
+    Mann-Whitney identity with midranks for ties:
+
+        AUC = (Σ rank2(pos) − P·(P+1)) / (2·P·N)
+
+    where rank2(x) = 2·(# values < x) + (# values = x) + 1 is TWICE
+    the average rank of x's tie group — an integer, so the whole
+    numerator is exact (summed in DECIMAL(38,0)); one divide at the
+    end through round6. Rows with NULL score or label are excluded.
+    Returns one row (n_pos, n_neg, auc_num, auc); auc_num =
+    Σrank2(pos) − P(P+1) is the bit-exact integer surface; auc is
+    NULL when either class is empty.
+
+    Scale shape: groupBy(score) collapses the corpus map-side to the
+    score support; ONE window over the support computes the tie-group
+    prefix; the rank2 weighted sum is one aggregate. Same support-not-
+    corpus bound (and pre-quantization advice) as ks_test above.
+    """
+    s = F.col(score_col)
+    y = F.col(label_col).cast("long")
+    src = df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+    per = src.groupBy(s.alias("__s")).agg(
+        F.sum(F.when(y != 0, 1).otherwise(0)).alias("__p"),
+        F.count(F.lit(1)).alias("__t"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "__p", "__t",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__before"),
+    )
+    agg = ranked.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__t") - F.sum("__p")).cast("long").alias("n_neg"),
+        F.sum(
+            (
+                F.col("__p")
+                * (F.lit(2) * F.col("__before") + F.col("__t") + F.lit(1))
+            ).cast("decimal(38,0)")
+        ).alias("__r2"),
+    )
+    from hdk_spark.functions.scalar import round6
+
+    num = (
+        F.col("__r2").cast("decimal(38,0)")
+        - F.col("n_pos").cast("decimal(38,0)") * (F.col("n_pos") + 1)
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        num.cast("decimal(38,0)").alias("auc_num"),
+        round6(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                num.cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+            )
+        ).alias("auc"),
+    )

@@ -183,3 +183,63 @@ def test_calibration_curve_reference(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         calibration_curve(df, "score", "label", 0)
+
+
+def test_ks_test_exact(spark):
+    """KS distance as exact integer cross-multiplication: hand cases
+    (2/3 on shifted supports, 0 on identical, 1 on disjoint), other
+    groups ignored, NULL values excluded, repartition-deterministic."""
+    from hdk_spark.operators.stats import ks_test
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 3.0), ("b", 4.0), ("b", 5.0),
+            ("c", 99.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    got = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"], got["d_num"]) == (3, 3, 6)
+    assert abs(got["d"] - round(2 / 3, 6)) < 1e-9
+
+    same = [("a", float(i % 5)) for i in range(10)] + \
+        [("b", float(i % 5)) for i in range(10)]
+    g0 = ks_test(spark.createDataFrame(same, "g: string, v: double"),
+                 "g", "v", "a", "b").collect()[0]
+    assert g0["d"] == 0.0 and g0["d_num"] == 0
+
+    disj = [("a", 1.0), ("a", 2.0), ("b", 9.0)]
+    g1 = ks_test(spark.createDataFrame(disj, "g: string, v: double"),
+                 "g", "v", "a", "b").collect()[0]
+    assert g1["d"] == 1.0
+
+    again = ks_test(df.repartition(5), "g", "v", "a", "b").collect()[0]
+    assert again == got
+
+
+def test_auc_score_exact(spark):
+    """Mann-Whitney AUC with midrank ties: perfect separation -> 1,
+    all-tied -> 0.5, the sklearn docs example -> 0.75, anti-scorer ->
+    0, tie-heavy case cross-checked against the O(P*N) pair count,
+    single-class -> NULL, repartition-deterministic."""
+    from hdk_spark.operators.stats import auc_score
+
+    def run(rows):
+        return auc_score(
+            spark.createDataFrame(rows, "s: double, y: int"), "s", "y"
+        ).collect()[0]
+
+    assert run([(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 0)])["auc"] == 1.0
+    assert run([(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)])["auc"] == 0.5
+    assert run([(0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1)])["auc"] == 0.75
+    assert run([(0.1, 1), (0.9, 0)])["auc"] == 0.0
+    assert run([(0.3, 1)])["auc"] is None
+
+    rows = [(float((i * 7) % 5) / 10, (i * 3) % 2) for i in range(40)]
+    got = run(rows)
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    assert abs(got["auc"] - round(wins / (len(pos) * len(neg)), 6)) < 1e-9
+
+    df = spark.createDataFrame(rows, "s: double, y: int")
+    again = auc_score(df.repartition(7), "s", "y").collect()[0]
+    assert again == got
