@@ -11652,3 +11652,137 @@ FROM agg
 
 SPARK_IMPLS["stats_auc_exact"] = q_stats_auc
 ORACLES["stats_auc_exact"] = _AUC_ORACLE
+
+
+def q_stats_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (operators/stats.py::pass_at_k, Chen 2021
+    eq. 1) over planted per-problem sample counts (n = d%20+1,
+    c = (d·7) mod (n+1) — every (n, c) shape incl. c=0 and c=n). The
+    oracle replays the k-term telescoping product with the same
+    branch rules (c=0 → 0, n−c<k → 1)."""
+    from hdk_spark.operators.stats import pass_at_k
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    n = (d % 20 + 1).cast("int")
+    planted = spark.table("documents").select(
+        F.concat(F.lit("p"), d.cast("string")).alias("problem_id"),
+        n.alias("n"),
+        ((d * 7) % (n + 1)).cast("int").alias("c"),
+    )
+    return pass_at_k(planted, "n", "c", ks=(1, 5, 10)).orderBy("problem_id")
+
+
+def _pass_at_k_oracle() -> str:
+    def pk(k: int) -> str:
+        return f"""
+       round(CASE WHEN c = 0 THEN 0.0
+                  WHEN n - c < {k} THEN 1.0
+                  ELSE 1.0 - list_aggregate(
+                    list_transform(range(0, {k}),
+                      i -> CAST(n - c - i AS DOUBLE) / (n - i)),
+                    'product') END, 6) + 0 AS pass_at_{k}"""
+
+    return f"""
+WITH p AS (
+  SELECT 'p' || CAST(doc_id AS VARCHAR) AS problem_id,
+         doc_id % 20 + 1 AS n,
+         (doc_id * 7) % (doc_id % 20 + 2) AS c
+  FROM documents
+)
+SELECT problem_id, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+       {pk(1)}, {pk(5)}, {pk(10)}
+FROM p ORDER BY problem_id
+"""
+
+
+SPARK_IMPLS["stats_pass_at_k"] = q_stats_pass_at_k
+ORACLES["stats_pass_at_k"] = _pass_at_k_oracle()
+
+
+def q_search_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC-style retrieval metrics
+    (operators/search.py::retrieval_metrics, k=5) over a planted run
+    (the distinct (q = d%5, doc = d%40) grid scored by
+    (7q + 13·doc) % 31) and planted graded qrels (judged where
+    (q + doc) % 7 = 0, rel = doc%3 + 1). The oracle replays the rank
+    window, the micro-quantized DCG/IDCG sums, and every divide."""
+    from hdk_spark.operators.search import retrieval_metrics
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    grid = (
+        spark.table("documents")
+        .select((d % 5).alias("qn"), (d % 40).alias("dn"))
+        .distinct()
+    )
+    run = grid.select(
+        F.concat(F.lit("q"), F.col("qn").cast("string")).alias("query_id"),
+        F.concat(F.lit("d"), F.col("dn").cast("string")).alias("doc_id"),
+        ((F.col("qn") * 7 + F.col("dn") * 13) % 31)
+        .cast("double").alias("score"),
+    )
+    qrels = grid.filter((F.col("qn") + F.col("dn")) % 7 == 0).select(
+        F.concat(F.lit("q"), F.col("qn").cast("string")).alias("query_id"),
+        F.concat(F.lit("d"), F.col("dn").cast("string")).alias("doc_id"),
+        (F.col("dn") % 3 + 1).cast("int").alias("rel"),
+    )
+    return retrieval_metrics(run, qrels, k=5).orderBy("query_id")
+
+
+_RETRIEVAL_METRICS_ORACLE = """
+WITH grid AS (
+  SELECT DISTINCT doc_id % 5 AS qn, doc_id % 40 AS dn FROM documents
+), run AS (
+  SELECT 'q' || CAST(qn AS VARCHAR) AS q, 'd' || CAST(dn AS VARCHAR) AS d,
+         CAST((qn * 7 + dn * 13) % 31 AS DOUBLE) AS score
+  FROM grid
+), jr AS (
+  SELECT 'q' || CAST(qn AS VARCHAR) AS q, 'd' || CAST(dn AS VARCHAR) AS d,
+         dn % 3 + 1 AS rel
+  FROM grid WHERE (qn + dn) % 7 = 0
+), topk AS (
+  SELECT q, d, rnk FROM (
+    SELECT q, d, row_number() OVER (PARTITION BY q
+             ORDER BY score DESC, d) AS rnk
+    FROM run
+  ) WHERE rnk <= 5
+), ideal AS (
+  SELECT q, COUNT(*) AS n_rel,
+         SUM(CASE WHEN irank <= 5 THEN
+           CAST(round(CAST(rel AS DOUBLE) / log2(irank + 1) * 1e9)
+                AS BIGINT) ELSE 0 END) AS idcg_u
+  FROM (
+    SELECT q, rel, row_number() OVER (PARTITION BY q
+             ORDER BY rel DESC, d) AS irank
+    FROM jr
+  ) GROUP BY q
+), judged AS (
+  SELECT t.q, t.rnk, j.rel
+  FROM topk t LEFT JOIN jr j ON j.q = t.q AND j.d = t.d
+), per_q AS (
+  SELECT q,
+         SUM(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+         MIN(CASE WHEN rel IS NOT NULL THEN rnk END) AS first_rel,
+         SUM(CASE WHEN rel IS NOT NULL THEN
+           CAST(round(CAST(rel AS DOUBLE) / log2(rnk + 1) * 1e9)
+                AS BIGINT) ELSE 0 END) AS dcg_u
+  FROM judged GROUP BY q
+)
+SELECT p.q AS query_id,
+       CAST(COALESCE(i.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(p.hits AS BIGINT) AS hits_at_k,
+       round(p.hits / 5.0, 6) + 0 AS p_at_k,
+       round(CASE WHEN i.n_rel > 0
+             THEN CAST(p.hits AS DOUBLE) / i.n_rel END, 6) + 0
+         AS recall_at_k,
+       round(COALESCE(1.0 / p.first_rel, 0.0), 6) + 0 AS rr,
+       round(CASE WHEN i.idcg_u > 0
+             THEN CAST(p.dcg_u AS DOUBLE) / i.idcg_u END, 6) + 0
+         AS ndcg_at_k
+FROM per_q p LEFT JOIN ideal i ON i.q = p.q
+ORDER BY query_id
+"""
+
+SPARK_IMPLS["search_retrieval_metrics"] = q_search_retrieval_metrics
+ORACLES["search_retrieval_metrics"] = _RETRIEVAL_METRICS_ORACLE

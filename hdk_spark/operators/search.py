@@ -24,10 +24,11 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from hdk_spark.operators.text import tokenize
 
-__all__ = ["bm25_topk", "build_text_index", "bm25_batch", "rrf_fuse", "merge_text_index"]
+__all__ = ["bm25_topk", "build_text_index", "bm25_batch", "rrf_fuse", "merge_text_index", "retrieval_metrics"]
 
 
 def bm25_topk(
@@ -297,3 +298,109 @@ def merge_text_index(
         .agg(F.sum("dl").cast("long").alias("dl"))
     )
     return merged_postings, merged_docs
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics of a run against graded
+    judgments (the TREC evaluation set): P@k, recall@k, reciprocal
+    rank, and nDCG@k — what decides whether a bm25/RRF/ANN change
+    actually helped. ``run`` is (query, doc, score); ``qrels`` is
+    (query, doc, rel) with rel ≥ 1 meaning relevant (graded rels
+    feed DCG with their value).
+
+    Determinism discipline: ranks come from (score DESC, doc) — a
+    total order; P@k/recall/RR are exact rationals divided once
+    through round6; DCG and ideal-DCG terms rel/log2(rank+1) are
+    quantized to int64 micro-units (round(x·1e9), the bm25
+    convention) before their per-query sums, so aggregation order
+    cannot change the value, and nDCG divides the two micro sums.
+    Queries with no judged-relevant docs emit NULL recall/ndcg
+    (undefined, not zero); RR is 0.0 when no relevant doc is
+    retrieved in the top k.
+
+    Returns (query, n_rel, hits_at_k, p_at_k, recall_at_k, rr,
+    ndcg_at_k).
+
+    Scale shape: ONE window on the query key cuts the run to top-k
+    (rank ≤ k before anything joins); qrels aggregate per query to
+    (n_rel, idcg) — a queries-sized relation that broadcasts; the
+    judged join is on (query, doc) against only k rows per query.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, d_ = F.col(query_col), F.col(doc_col)
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(doc_col)
+    )
+    topk = (
+        run.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(q.alias("__q"), d_.alias("__d"), "__rank")
+    )
+    jr = qrels.filter(F.col(rel_col) >= 1).select(
+        q.alias("__q"), d_.alias("__d"), F.col(rel_col).alias("__rel")
+    )
+    # ideal DCG: each query's rels sorted descending fill ranks 1..k
+    wi = Window.partitionBy("__q").orderBy(F.desc("__rel"), F.asc("__d"))
+    micro = lambda rel, rank: F.round(  # noqa: E731
+        rel.cast("double") / F.log2(rank.cast("double") + 1) * 1e9
+    ).cast("long")
+    ideal = (
+        jr.withColumn("__irank", F.row_number().over(wi))
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("__irank") <= k,
+                    micro(F.col("__rel"), F.col("__irank")),
+                ).otherwise(F.lit(0))
+            ).alias("__idcg_u"),
+        )
+    )
+    judged = topk.join(jr, ["__q", "__d"], "left")
+    per_q = judged.groupBy("__q").agg(
+        F.sum(
+            F.when(F.col("__rel").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("hits_at_k"),
+        F.min(
+            F.when(F.col("__rel").isNotNull(), F.col("__rank"))
+        ).alias("__first"),
+        F.sum(
+            F.when(
+                F.col("__rel").isNotNull(),
+                micro(F.col("__rel"), F.col("__rank")),
+            ).otherwise(F.lit(0))
+        ).alias("__dcg_u"),
+    )
+    from hdk_spark.functions.scalar import round6
+
+    out = per_q.join(F.broadcast(ideal), "__q", "left")
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        "hits_at_k",
+        round6(F.col("hits_at_k") / F.lit(float(k))).alias("p_at_k"),
+        round6(
+            F.when(
+                F.col("n_rel") > 0, F.col("hits_at_k") / F.col("n_rel")
+            )
+        ).alias("recall_at_k"),
+        round6(
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0))
+        ).alias("rr"),
+        round6(
+            F.when(
+                F.col("__idcg_u") > 0,
+                F.col("__dcg_u") / F.col("__idcg_u"),
+            )
+        ).alias("ndcg_at_k"),
+    )

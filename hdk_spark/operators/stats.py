@@ -43,6 +43,7 @@ __all__ = [
     "calibration_curve",
     "ks_test",
     "auc_score",
+    "pass_at_k",
 ]
 
 
@@ -778,4 +779,68 @@ def auc_score(
                 ),
             )
         ).alias("auc"),
+    )
+
+
+def pass_at_k(
+    df: DataFrame,
+    n_col: str,
+    c_col: str,
+    ks: "tuple[int, ...]" = (1, 10, 100),
+    id_col: str = "problem_id",
+) -> DataFrame:
+    """The unbiased pass@k estimator of Chen et al. 2021 (Codex,
+    eq. 1) per problem, plus its corpus mean — THE metric of a
+    code-generation eval pipeline: given n samples of which c passed,
+
+        pass@k = 1 − C(n−c, k)/C(n, k)
+               = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+
+    evaluated as the right-hand product so nothing overflows. Each
+    factor is a ratio of exact integers; the product folds over a
+    k-term literal sequence in a fixed order, then emits through
+    round6. k > n−c makes the product empty-of-support → pass@k = 1
+    (some sample must pass); c = 0 gives exactly 0. Rows with NULL
+    n/c are excluded; c > n or k < 1 is a contract violation (raise).
+
+    Returns one row per problem (id, n, c, pass_at_{k}...) — mean
+    over problems is one tiny aggregate the caller owns (means of
+    rounded per-problem values, the reporting convention).
+
+    Scale shape: ONE map-only projection over the per-problem
+    (n, c) relation — the expensive part of a code eval (running the
+    samples) happened upstream; this is the exact final fold.
+    """
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError(f"ks must be positive ints, got {ks}")
+    from hdk_spark.functions.scalar import round6
+
+    n, c = F.col(n_col).cast("long"), F.col(c_col).cast("long")
+    src = df.filter(n.isNotNull() & c.isNotNull())
+
+    def pk(k: int):
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(int(k) - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc
+            * F.when(n - c - i > 0, (n - c - i).cast("double"))
+            .otherwise(F.lit(0.0))
+            / (n - i).cast("double"),
+        )
+        # branch order matters: n−c < k (which covers every k > n
+        # case with c > 0) short-circuits to 1.0 BEFORE prod, so the
+        # product's (n − i) divisors are provably ≥ 1 when evaluated
+        return F.when(c > n, F.lit(None)).otherwise(
+            F.when(c == 0, F.lit(0.0)).otherwise(
+                F.when(n - c < k, F.lit(1.0)).otherwise(
+                    F.lit(1.0) - prod
+                )
+            )
+        )
+
+    return src.select(
+        F.col(id_col),
+        n.alias("n"),
+        c.alias("c"),
+        *[round6(pk(int(k))).alias(f"pass_at_{int(k)}") for k in ks],
     )

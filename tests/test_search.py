@@ -280,3 +280,45 @@ def test_rrf_fusion_recovers_docs_each_leg_misses(spark):
 
     fused_ids = {r["id"] for r in rrf_fuse(lex, dense, k=4).collect()}
     assert {101, 102} <= fused_ids
+
+
+def test_retrieval_metrics_reference(spark):
+    """P@k / recall@k / RR / nDCG@k against hand arithmetic: graded
+    rels feed DCG, ideal ranking fills ranks 1..k, no-hit queries get
+    rr = ndcg = 0, unjudged queries get NULL recall/ndcg, k guard,
+    repartition determinism."""
+    import math
+
+    import pytest
+
+    from hdk_spark.operators.search import retrieval_metrics
+
+    run = ([("q1", f"d{i}", 10.0 - i) for i in range(5)]
+           + [("q2", "d0", 5.0), ("q2", "d9", 4.0)]
+           + [("q4", "d5", 1.0)])
+    qrels = [("q1", "d1", 2), ("q1", "d3", 1), ("q1", "d7", 3),
+             ("q2", "dX", 1), ("q3", "d0", 1)]
+    r = spark.createDataFrame(run, "query_id: string, doc_id: string, score: double")
+    j = spark.createDataFrame(qrels, "query_id: string, doc_id: string, rel: int")
+    got = {x["query_id"]: x for x in retrieval_metrics(r, j, k=3).collect()}
+
+    g1 = got["q1"]
+    assert (g1["n_rel"], g1["hits_at_k"]) == (3, 1)
+    assert g1["p_at_k"] == round(1 / 3, 6) and g1["rr"] == 0.5
+    dcg = 2 / math.log2(3)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert abs(g1["ndcg_at_k"] - round(dcg / idcg, 6)) < 2e-6
+
+    g2 = got["q2"]
+    assert g2["hits_at_k"] == 0 and g2["rr"] == 0.0 and g2["ndcg_at_k"] == 0.0
+    g4 = got["q4"]  # never judged
+    assert g4["n_rel"] == 0 and g4["recall_at_k"] is None
+    assert g4["ndcg_at_k"] is None
+    assert "q3" not in got  # qrels-only queries are not run rows
+
+    again = {x["query_id"]: x
+             for x in retrieval_metrics(r.repartition(5), j, k=3).collect()}
+    assert again == got
+
+    with pytest.raises(ValueError, match="k"):
+        retrieval_metrics(r, j, k=0)

@@ -243,3 +243,39 @@ def test_auc_score_exact(spark):
     df = spark.createDataFrame(rows, "s: double, y: int")
     again = auc_score(df.repartition(7), "s", "y").collect()[0]
     assert again == got
+
+
+def test_pass_at_k_matches_comb(spark):
+    """pass@k == 1 - C(n-c,k)/C(n,k) (math.comb reference) across the
+    full edge grid incl. c=0, c=n, k>n-c, k>n; NULL rows excluded;
+    c>n -> NULL; ks guard; map-only plan."""
+    from math import comb
+
+    import pytest
+
+    from hdk_spark.operators.stats import pass_at_k
+
+    rows = [(f"p{n}_{c}", n, c) for n in (1, 3, 5, 10, 20)
+            for c in range(0, n + 1, max(1, n // 3))]
+    df = spark.createDataFrame(rows, "problem_id: string, n: int, c: int")
+    ks = (1, 5, 10)
+    got = {r["problem_id"]: r for r in pass_at_k(df, "n", "c", ks).collect()}
+    for pid, n, c in rows:
+        for k in ks:
+            exp = 1.0 if k > n - c else 1 - comb(n - c, k) / comb(n, k)
+            if c == 0:
+                exp = 0.0
+            assert abs(got[pid][f"pass_at_{k}"] - round(exp, 6)) < 1e-9, \
+                (pid, k)
+
+    bad = spark.createDataFrame(
+        [("x", 3, 5), ("y", None, 1)], "problem_id: string, n: int, c: int")
+    out = {r["problem_id"]: r for r in pass_at_k(bad, "n", "c", (1,)).collect()}
+    assert out["x"]["pass_at_1"] is None and "y" not in out
+
+    plan = pass_at_k(df, "n", "c", ks)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="ks"):
+        pass_at_k(df, "n", "c", (0,))
