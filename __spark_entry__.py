@@ -330,6 +330,13 @@ _PRIORITY: list[str] = [
     "stats_calibration_curve",
     "graph_label_propagation",
     "similarity_contrastive_mine",
+    "text_blocklist_gate",
+    "text_bleu_overlap",
+    "text_char_entropy",
+    "stats_ks_test",
+    "stats_auc_exact",
+    "stats_pass_at_k",
+    "search_retrieval_metrics",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",
