@@ -11786,3 +11786,92 @@ ORDER BY query_id
 
 SPARK_IMPLS["search_retrieval_metrics"] = q_search_retrieval_metrics
 ORACLES["search_retrieval_metrics"] = _RETRIEVAL_METRICS_ORACLE
+
+
+def q_sample_repeat_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repeat expansion
+    (operators/sampling.py::repeat_expand, Muennighoff 2023) over the
+    documents table's lang groups: en 5/2 epochs, everything else 1/4.
+    The oracle replays the per-id base+extra copy law and the range
+    unnest, emitting (doc_id, copy_idx) plus per-row copy counts."""
+    from hdk_spark.operators.sampling import repeat_expand
+
+    _tables(spark, sf_dir)
+    out = repeat_expand(
+        spark.table("documents").select("doc_id", "lang"),
+        "lang", {"en": (5, 2)}, default_epochs=(1, 4),
+    )
+    return out.select("doc_id", "lang", "copy_idx").orderBy(
+        "doc_id", "copy_idx"
+    )
+
+
+def _repeat_expand_oracle() -> str:
+    h = _hb_sql("doc_id", 1000000007, 23)
+    return f"""
+WITH p AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 5 ELSE 1 END AS nu,
+         CASE WHEN lang = 'en' THEN 2 ELSE 4 END AS de
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         nu // de + CASE WHEN {h} % de < nu % de THEN 1 ELSE 0 END
+           AS copies
+  FROM p
+)
+SELECT doc_id, lang, CAST(t.i AS INT) AS copy_idx
+FROM c, unnest(range(1, copies + 1)) AS t(i)
+WHERE copies > 0
+ORDER BY doc_id, copy_idx
+"""
+
+
+SPARK_IMPLS["sample_repeat_expand"] = q_sample_repeat_expand
+ORACLES["sample_repeat_expand"] = _repeat_expand_oracle()
+
+
+def q_stats_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit
+    (operators/stats.py::k_anonymity_audit, k=5) of the customer
+    table against the (c_nationkey, mktsegment-ish bucket) quasi set
+    with acctbal sign as the sensitive attribute. Oracle replays the
+    quasi groupBy and the below-k tallies."""
+    from hdk_spark.operators.stats import k_anonymity_audit
+
+    _tables(spark, sf_dir)
+    cust = spark.table("customer").select(
+        F.col("c_nationkey").alias("nat"),
+        (F.col("c_custkey") % 7).alias("seg"),
+        (F.col("c_acctbal") >= 0).cast("int").alias("bal_sign"),
+    )
+    return k_anonymity_audit(
+        cust, ["nat", "seg"], k=5, sensitive_col="bal_sign"
+    )
+
+
+_K_ANON_ORACLE = """
+WITH src AS (
+  SELECT c_nationkey AS nat, c_custkey % 7 AS seg,
+         CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS bal_sign
+  FROM customer
+), g AS (
+  SELECT nat, seg, COUNT(*) AS n,
+         COUNT(DISTINCT bal_sign) AS l
+  FROM src GROUP BY nat, seg
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       round(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 6) + 0 AS pct_rows_at_risk,
+       CAST(MIN(l) AS BIGINT) AS min_l
+FROM g
+"""
+
+SPARK_IMPLS["stats_k_anonymity"] = q_stats_k_anonymity
+ORACLES["stats_k_anonymity"] = _K_ANON_ORACLE

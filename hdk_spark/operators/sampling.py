@@ -43,6 +43,7 @@ __all__ = [
     "token_budget_sample",
     "shard_manifest",
     "export_corpus",
+    "repeat_expand",
 ]
 
 # Knuth's multiplicative constant (2^32 / phi). Products stay well
@@ -470,3 +471,58 @@ def export_corpus(
     shards = shuffle_shards(sampled, key_col, n_shards, seed)
     manifest = shard_manifest(sampled, key_col, text_col, n_shards, seed)
     return shards, manifest
+
+
+def repeat_expand(
+    df: DataFrame,
+    group_col: str,
+    epochs: "dict[str, tuple[int, int]] | None" = None,
+    default_epochs: "tuple[int, int]" = (1, 1),
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Deterministic fractional-epoch expansion — the repeat knob of
+    data-constrained scaling (Muennighoff et al. 2023: rare domains
+    repeat, abundant domains subsample, all under ONE budget law):
+    a group with epochs num/den emits each document
+    ``num div den`` times, plus one more copy for the hash-selected
+    ``(num mod den)/den`` fraction of its documents — so the group's
+    total is n·num/den in expectation with per-id determinism, and
+    epochs < 1 subsample (0 copies for unselected ids). Adds
+    ``copy_idx`` (1-based); downstream shuffling treats copies as
+    independent documents.
+
+    Scale shape: ONE map-side explode of a ≤⌈epochs⌉-element
+    sequence per row — no shuffle, no join; membership and copy
+    count are pure functions of (id, group, seed), so recomputes and
+    the SQL oracle reproduce the expansion exactly.
+    """
+    eps = dict(epochs or {})
+    for g_, (nu, de) in list(eps.items()) + [("__default__", default_epochs)]:
+        if de <= 0 or nu < 0:
+            raise ValueError(
+                f"epochs must be non-negative fractions, got {g_}: {(nu, de)}"
+            )
+    g = F.col(group_col)
+    nu = F.lit(int(default_epochs[0]))
+    de = F.lit(int(default_epochs[1]))
+    for name, (n_, d_) in sorted(eps.items()):
+        nu = F.when(g == name, F.lit(int(n_))).otherwise(nu)
+        de = F.when(g == name, F.lit(int(d_))).otherwise(de)
+    base = F.floor(nu / de).cast("int")
+    rem = nu % de
+    extra = (
+        hash_bucket(F.col(id_col), 1_000_000_007, seed) % de < rem
+    ).cast("int")
+    copies = (base + extra).alias("__copies")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.col("__copies"))).alias(
+                "copy_idx"
+            ),
+        )
+        .drop("__copies")
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "ks_test",
     "auc_score",
     "pass_at_k",
+    "k_anonymity_audit",
 ]
 
 
@@ -844,3 +845,59 @@ def pass_at_k(
         c.alias("c"),
         *[round6(pk(int(k))).alias(f"pass_at_{int(k)}") for k in ks],
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int = 5,
+    sensitive_col: "str | None" = None,
+) -> DataFrame:
+    """k-anonymity (Sweeney 2002) audit of a table against a
+    quasi-identifier set — the re-identification gate a training-data
+    release runs before shipping: every row whose quasi-identifier
+    combination is shared by fewer than ``k`` rows is at risk. With
+    ``sensitive_col``, also reports l-diversity (the minimum count of
+    distinct sensitive values within any quasi-group — homogeneous
+    groups leak the attribute even at high k).
+
+    Returns one row: (n_rows, n_groups, min_group_size,
+    groups_below_k, rows_below_k, pct_rows_at_risk[, min_l]) —
+    pct through round6. NULL quasi values form their own group
+    (groupBy semantics): NULL is itself a linkable value.
+
+    Scale shape: ONE partial-agg groupBy on the quasi tuple (the
+    corpus collapses map-side), then a tiny aggregate over the group
+    relation. No joins, no windows.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).alias("__l")
+        )
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out_aggs = [
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__n").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("long").alias("groups_below_k"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long").alias("rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        out_aggs.append(F.min("__l").cast("long").alias("min_l"))
+    agg = groups.agg(*out_aggs)
+    cols = [
+        "n_rows", "n_groups", "min_group_size",
+        "groups_below_k", "rows_below_k",
+        round6(F.col("rows_below_k") / F.col("n_rows"))
+        .alias("pct_rows_at_risk"),
+    ]
+    if sensitive_col is not None:
+        cols.append(F.col("min_l"))
+    return agg.select(*cols)

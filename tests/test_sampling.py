@@ -405,3 +405,46 @@ def test_token_budget_sample_null_group_default_budget(spark):
     assert null_toks, "NULL-group rows must be sampled"
     # overshoot <= one document, same contract as named groups
     assert sum(null_toks) - max(null_toks) < 300
+
+
+def test_repeat_expand_budget_law(spark):
+    """Fractional epochs: copies per id == base + hash-selected extra
+    (pure function of id); group totals land within the integer
+    rounding envelope of n*num/den; epochs < 1 subsample; copy_idx is
+    dense 1..copies; guard on bad fractions; deterministic under
+    repartition."""
+    import pytest
+
+    from hdk_spark.operators.sampling import hash_bucket, repeat_expand
+
+    rows = [(i, "rare" if i % 3 == 0 else "big") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = repeat_expand(df, "lang", {"rare": (5, 2), "big": (1, 4)})
+    got = out.collect()
+
+    from collections import Counter, defaultdict
+
+    per_id = defaultdict(list)
+    for r in got:
+        per_id[r["doc_id"]].append(r["copy_idx"])
+    MULT, MOD = 2654435761, 1_000_000_007
+    for i, lang in rows:
+        nu, de = (5, 2) if lang == "rare" else (1, 4)
+        h = ((i * MULT + 23) % MOD) % MOD % de
+        expect = nu // de + (1 if h < nu % de else 0)
+        assert len(per_id.get(i, [])) == expect, i
+        if expect:
+            assert sorted(per_id[i]) == list(range(1, expect + 1))
+
+    c = Counter(r["lang"] for r in got)
+    assert abs(c["rare"] - 1000 * 5 / 2) <= 60
+    assert abs(c["big"] - 2000 / 4) <= 60
+
+    again = sorted((r["doc_id"], r["copy_idx"])
+                   for r in repeat_expand(
+                       df.repartition(7), "lang",
+                       {"rare": (5, 2), "big": (1, 4)}).collect())
+    assert again == sorted((r["doc_id"], r["copy_idx"]) for r in got)
+
+    with pytest.raises(ValueError, match="epochs"):
+        repeat_expand(df, "lang", {"rare": (1, 0)})

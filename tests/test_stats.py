@@ -279,3 +279,31 @@ def test_pass_at_k_matches_comb(spark):
 
     with pytest.raises(ValueError, match="ks"):
         pass_at_k(df, "n", "c", (0,))
+
+
+def test_k_anonymity_audit(spark):
+    """Group counts, below-k tallies, NULL-as-value quasi groups,
+    l-diversity minimum, guards."""
+    import pytest
+
+    from hdk_spark.operators.stats import k_anonymity_audit
+
+    rows = [("us", 30, "a"), ("us", 30, "b"), ("us", 30, "a"),
+            ("de", 40, "c"), ("de", 40, "c"),
+            ("fr", 50, "d"),
+            (None, 30, "e"), (None, 30, "f")]
+    df = spark.createDataFrame(rows, "country: string, age: int, disease: string")
+    g = k_anonymity_audit(df, ["country", "age"], k=3,
+                          sensitive_col="disease").collect()[0]
+    assert (g["n_rows"], g["n_groups"], g["min_group_size"]) == (8, 4, 1)
+    assert (g["groups_below_k"], g["rows_below_k"]) == (3, 5)
+    assert g["pct_rows_at_risk"] == 0.625 and g["min_l"] == 1
+
+    g2 = k_anonymity_audit(df, ["age"], k=2).collect()[0]
+    assert g2["n_groups"] == 3 and "min_l" not in g2.asDict()
+    assert g2["groups_below_k"] == 1  # age 50 singleton
+
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_audit(df, [], k=2)
+    with pytest.raises(ValueError, match="k"):
+        k_anonymity_audit(df, ["age"], k=0)
