@@ -11875,3 +11875,52 @@ FROM g
 
 SPARK_IMPLS["stats_k_anonymity"] = q_stats_k_anonymity
 ORACLES["stats_k_anonymity"] = _K_ANON_ORACLE
+
+
+def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (operators/dedup.py::split_leakage_audit):
+    the embedding near-dup pairs (cosine ≥ 0.4, the LSH machinery of
+    dedup_embedding_cosine) joined against an 80/20 hash split of the
+    vectors — pairs straddling train/val are exactly the contamination
+    a fair eval must not have. The oracle reuses the LSH pair SQL and
+    replays the split hash and the straddle filter."""
+    from hdk_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        split_leakage_audit,
+    )
+    from hdk_spark.operators.sampling import train_val_split
+
+    _tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    assign = train_val_split(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id",
+        train_pct=80, seed=11,
+    )
+    out = split_leakage_audit(pairs, assign)
+    return out.select(
+        "id_a", "id_b", "cosine", "split_a", "split_b"
+    ).orderBy("id_a", "id_b")
+
+
+def _split_leakage_oracle() -> str:
+    inner = _emb_lsh_oracle(threshold=0.4)
+    hb_a = _hb_sql("p.id_a", 100, 11)
+    hb_b = _hb_sql("p.id_b", 100, 11)
+    return f"""
+WITH pairs AS (
+  SELECT * FROM ({inner})
+), lab AS (
+  SELECT p.id_a, p.id_b, p.cosine,
+         CASE WHEN {hb_a} < 80 THEN 'train' ELSE 'val' END AS split_a,
+         CASE WHEN {hb_b} < 80 THEN 'train' ELSE 'val' END AS split_b
+  FROM pairs p
+)
+SELECT id_a, id_b, cosine, split_a, split_b
+FROM lab WHERE split_a <> split_b
+ORDER BY id_a, id_b
+"""
+
+
+SPARK_IMPLS["dedup_split_leakage"] = q_dedup_split_leakage
+ORACLES["dedup_split_leakage"] = _split_leakage_oracle()

@@ -1882,3 +1882,51 @@ def sketch_pr_report(
         round6(rec).alias("recall"),
         round6(f1).alias("f1"),
     )
+
+
+def split_leakage_audit(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    summary: bool = False,
+) -> DataFrame:
+    """Train/eval split leakage audit: which near-duplicate pairs
+    STRADDLE the split boundary? A val document whose near-dup sits
+    in train inflates eval scores exactly like test-set contamination
+    — this is the check a split must pass before anyone trusts the
+    numbers (pair it with any pair relation this module produces:
+    exact, MinHash, Jaccard, SemDedup, embedding-cosine).
+
+    Default: the audit trail — straddling pairs as
+    (id_a, id_b, split_a, split_b) plus any pair columns the input
+    carried (cosine, jaccard …). ``summary=True``: one row
+    (n_pairs, n_straddling, pct_straddling) for the gate itself.
+
+    Scale shape: two equi-joins of the pair relation against the
+    (id, split) assignment — the assignment projects to two columns
+    and joins by id; no new shuffles beyond the joins Spark already
+    plans for pair enrichment (AQE broadcasts the smaller side).
+    """
+    a = assignment.select(
+        F.col(id_col).alias(pair_a), F.col(split_col).alias("split_a")
+    )
+    b = assignment.select(
+        F.col(id_col).alias(pair_b), F.col(split_col).alias("split_b")
+    )
+    enriched = pairs.join(a, pair_a).join(b, pair_b)
+    straddle = enriched.filter(~F.col("split_a").eqNullSafe(F.col("split_b")))
+    if not summary:
+        return straddle
+    n_all = enriched.count()
+    from hdk_spark.functions.scalar import round6
+
+    return straddle.agg(
+        F.lit(n_all).cast("long").alias("n_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_straddling"),
+        round6(
+            F.when(F.lit(n_all) > 0, F.count(F.lit(1)) / F.lit(float(n_all)))
+        ).alias("pct_straddling"),
+    )

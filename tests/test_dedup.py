@@ -986,3 +986,25 @@ def test_semantic_dedup_repartition_deterministic(spark):
         )
     )
     assert a == b
+
+
+def test_split_leakage_audit(spark):
+    """Straddling pairs detected across orientations, NULL-safe split
+    compare, carried pair columns preserved, summary gate row."""
+    from hdk_spark.operators.dedup import split_leakage_audit
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.97), (3, 4, 0.96), (5, 6, 0.99), (7, 8, 0.95)],
+        "id_a: long, id_b: long, cosine: double")
+    assign = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "train"),
+         (5, "val"), (6, "val"), (7, "train"), (8, None)],
+        "doc_id: long, split: string")
+    got = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"], r["cosine"])
+           for r in split_leakage_audit(pairs, assign).collect()}
+    assert set(got) == {(1, 2), (7, 8)}  # NULL split != train
+    assert got[(1, 2)] == ("train", "val", 0.97)
+
+    s = split_leakage_audit(pairs, assign, summary=True).collect()[0]
+    assert (s["n_pairs"], s["n_straddling"]) == (4, 2)
+    assert s["pct_straddling"] == 0.5
