@@ -11924,3 +11924,75 @@ ORDER BY id_a, id_b
 
 SPARK_IMPLS["dedup_split_leakage"] = q_dedup_split_leakage
 ORACLES["dedup_split_leakage"] = _split_leakage_oracle()
+
+
+def q_profile_json_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ingest schema gate
+    (operators/profile.py::json_schema_gate) over planted jsonl rows
+    with arithmetic fault injection: d%5=0 → field a is a quoted
+    string (must fail int without coercion), d%7=0 → field b missing,
+    d%11=0 → malformed JSON, d%13=0 → explicit null b. The oracle
+    replays the gate on DuckDB's json_valid/json_type (UBIGINT/BIGINT
+    ↔ the variant BIGINT class, VARCHAR ↔ STRING)."""
+    from hdk_spark.operators.profile import json_schema_gate
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    j = (
+        F.when(d % 11 == 0, F.lit("not json"))
+        .otherwise(
+            F.concat(
+                F.lit('{"a": '),
+                F.when(d % 5 == 0,
+                       F.concat(F.lit('"'), d.cast("string"), F.lit('"')))
+                .otherwise(d.cast("string")),
+                F.when(d % 7 == 0, F.lit("")).otherwise(
+                    F.when(d % 13 == 0, F.lit(', "b": null')).otherwise(
+                        F.concat(F.lit(', "b": "s'), (d % 3).cast("string"),
+                                 F.lit('"'))
+                    )
+                ),
+                F.lit("}"),
+            )
+        )
+    )
+    planted = spark.table("documents").select("doc_id", j.alias("j"))
+    return json_schema_gate(
+        planted, "j", {"a": "int", "b": "string"}
+    ).orderBy("doc_id")
+
+
+_JSON_GATE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'not json'
+              ELSE '{"a": '
+                || CASE WHEN doc_id % 5 = 0
+                        THEN '"' || CAST(doc_id AS VARCHAR) || '"'
+                        ELSE CAST(doc_id AS VARCHAR) END
+                || CASE WHEN doc_id % 7 = 0 THEN ''
+                        WHEN doc_id % 13 = 0 THEN ', "b": null'
+                        ELSE ', "b": "s' || CAST(doc_id % 3 AS VARCHAR)
+                             || '"' END
+                || '}' END AS j
+  FROM documents
+), t AS (
+  SELECT doc_id, json_valid(j) AS is_json,
+         CASE WHEN json_valid(j) THEN json_type(j, '$.a') END AS ta,
+         CASE WHEN json_valid(j) THEN json_type(j, '$.b') END AS tb
+  FROM p
+), f AS (
+  SELECT doc_id, is_json,
+         COALESCE(ta IN ('UBIGINT', 'BIGINT'), FALSE) AS ok_a,
+         COALESCE(tb = 'VARCHAR', FALSE) AS ok_b
+  FROM t
+)
+SELECT doc_id, is_json, ok_a, ok_b,
+       CAST((CASE WHEN ok_a THEN 0 ELSE 1 END)
+            + (CASE WHEN ok_b THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+       is_json AND ok_a AND ok_b AS valid
+FROM f ORDER BY doc_id
+"""
+
+SPARK_IMPLS["profile_json_schema_gate"] = q_profile_json_gate
+ORACLES["profile_json_schema_gate"] = _JSON_GATE_ORACLE

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from hdk_spark.functions.scalar import round6
 
-__all__ = ["summarize", "histogram", "skew_report", "expect", "drift_report", "snapshot_diff"]
+__all__ = ["summarize", "histogram", "skew_report", "expect", "drift_report", "snapshot_diff", "json_schema_gate"]
 
 
 def summarize(
@@ -403,4 +403,77 @@ def dataset_report(
     stack = ", ".join(f"'{m}', {m}" for m in metrics)
     return base.selectExpr(
         f"stack({len(metrics)}, {stack}) AS (metric, value)"
+    )
+
+
+_JSON_TYPE_CLASSES = ("int", "number", "string", "bool", "array", "object")
+
+
+def json_schema_gate(
+    df: DataFrame,
+    json_col: str,
+    required: "dict[str, str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Schema gate for a JSON ingest column (the jsonl-feed cousin of
+    :func:`expect`): every required field must be PRESENT with the
+    declared JSON type class — ``int``, ``number`` (int or float),
+    ``string``, ``bool``, ``array``, ``object``. Checks run on JSON-
+    NATIVE types via Spark 4's variant surface (try_parse_json +
+    schema_of_variant), deliberately WITHOUT cast coercion — a JSON
+    string "7" does NOT satisfy ``int`` (try_variant_get would coerce
+    it; an ingest gate must not), and an explicit JSON null satisfies
+    nothing (it types as VOID).
+
+    Returns (id, is_json, ok_<field>…, n_failed, valid); malformed
+    JSON fails every field. Field names must be [A-Za-z0-9_]
+    (they are embedded in '$.' paths and output column names).
+
+    Scale shape: ONE map-only projection — parse once per row, one
+    variant_get per required field; no explode, no shuffle, no
+    Python.
+    """
+    if not required:
+        raise ValueError("required must be non-empty")
+    for f_, t_ in required.items():
+        if t_ not in _JSON_TYPE_CLASSES:
+            raise ValueError(
+                f"unknown type class {t_!r} for field {f_!r}; "
+                f"expected one of {_JSON_TYPE_CLASSES}"
+            )
+        if not f_ or not all(c.isalnum() or c == "_" for c in f_):
+            raise ValueError(f"field name {f_!r} must be [A-Za-z0-9_]+")
+
+    v = F.try_parse_json(F.col(json_col))
+
+    def ok(field: str, cls: str):
+        t = F.schema_of_variant(
+            F.try_variant_get(v, f"$.{field}", "variant")
+        )
+        if cls == "int":
+            c = t == "BIGINT"
+        elif cls == "number":
+            c = (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL")
+        elif cls == "string":
+            c = t == "STRING"
+        elif cls == "bool":
+            c = t == "BOOLEAN"
+        elif cls == "array":
+            c = t.startswith("ARRAY")
+        else:
+            c = t.startswith("OBJECT")
+        return F.coalesce(c, F.lit(False))
+
+    items = sorted(required.items())
+    flags = [ok(f_, t_).alias(f"ok_{f_}") for f_, t_ in items]
+    out = df.select(
+        F.col(id_col), v.isNotNull().alias("is_json"), *flags
+    )
+    n_failed = sum(
+        (~F.col(f"ok_{f_}")).cast("int") for f_, _ in items
+    )
+    return out.select(
+        "*",
+        n_failed.cast("long").alias("n_failed"),
+        (F.col("is_json") & (n_failed == 0)).alias("valid"),
     )

@@ -803,3 +803,40 @@ def test_lang_id_ngram_keep_collides_with_outputs(spark):
         df2 = df.withColumnRenamed("lang", col)
         with pytest.raises(ValueError, match="collide"):
             lang_id_ngram(df2, keep=(col,))
+
+
+def test_json_schema_gate(spark):
+    """Presence + JSON-native type classes without coercion: "5" is
+    not an int, explicit null satisfies nothing, malformed/NULL JSON
+    fails everything; number accepts int and float; guards."""
+    import pytest
+
+    from hdk_spark.operators.profile import json_schema_gate
+
+    rows = [
+        (0, '{"a": 5, "b": "x", "c": 1.5, "d": [1], "e": {"k":1}, "f": true}'),
+        (1, '{"a": "5", "b": "x", "c": 2, "d": [], "e": {}, "f": false}'),
+        (2, '{"b": "x"}'),
+        (3, 'not json'),
+        (4, '{"a": 5, "b": null}'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, j: string")
+    req = {"a": "int", "b": "string", "c": "number", "d": "array",
+           "e": "object", "f": "bool"}
+    got = {r["doc_id"]: r for r in json_schema_gate(df, "j", req).collect()}
+    assert got[0]["valid"] and got[0]["n_failed"] == 0
+    g1 = got[1]
+    assert not g1["ok_a"] and g1["ok_b"] and g1["ok_c"] and g1["ok_d"] \
+        and g1["ok_e"] and g1["ok_f"]
+    assert not got[2]["ok_a"] and got[2]["ok_b"]
+    assert not got[3]["is_json"] and got[3]["n_failed"] == 6
+    assert got[4]["ok_a"] and not got[4]["ok_b"]
+    assert not got[5]["is_json"]
+
+    with pytest.raises(ValueError, match="type class"):
+        json_schema_gate(df, "j", {"a": "integer"})
+    with pytest.raises(ValueError, match="field name"):
+        json_schema_gate(df, "j", {"a.b": "int"})
+    with pytest.raises(ValueError, match="required"):
+        json_schema_gate(df, "j", {})
