@@ -11996,3 +11996,61 @@ FROM f ORDER BY doc_id
 
 SPARK_IMPLS["profile_json_schema_gate"] = q_profile_json_gate
 ORACLES["profile_json_schema_gate"] = _JSON_GATE_ORACLE
+
+
+def q_web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text relation (operators/web.py::anchor_text_index)
+    over planted pages: page d on site{d%17}.com anchors
+    'Buy w{d%7} <b>now</b>' at site{(2d+1)%17}.com (double-quoted)
+    and, when d%3=0, 'W{d%5}  deal' at site{(3d+2)%17}.com
+    (single-quoted uppercase HREF); both targets self-loop exactly at
+    d%17=16 and drop. The oracle derives every (domain, term, weight)
+    row closed-form from the planting arithmetic — no regex, no HTML
+    anywhere on the oracle side."""
+    from hdk_spark.operators.web import anchor_text_index
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    a = F.concat(F.lit("site"), ((d * 2 + 1) % 17).cast("string"),
+                 F.lit(".com"))
+    b = F.concat(F.lit("site"), ((d * 3 + 2) % 17).cast("string"),
+                 F.lit(".com"))
+    html = F.concat(
+        F.lit('<html><a href="http://'), a, F.lit('/x">Buy w'),
+        (d % 7).cast("string"), F.lit(" <b>now</b></a>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<A HREF='https://"), b, F.lit("/y'>W"),
+                     (d % 5).cast("string"), F.lit("  deal</A>")),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    url = F.concat(F.lit("http://site"), (d % 17).cast("string"),
+                   F.lit(".com/p"))
+    pages = spark.table("documents").select(
+        "doc_id", url.alias("url"), html.alias("html")
+    )
+    return anchor_text_index(pages).orderBy("dst_domain", "term")
+
+
+_ANCHOR_TEXT_ORACLE = """
+WITH dd AS (SELECT doc_id AS d FROM documents),
+t1 AS (
+  SELECT 'site' || CAST((2 * d + 1) % 17 AS VARCHAR) || '.com' AS dst,
+         term
+  FROM dd, unnest(['buy', 'w' || CAST(d % 7 AS VARCHAR), 'now'])
+    AS u(term)
+  WHERE d % 17 <> 16
+), t2 AS (
+  SELECT 'site' || CAST((3 * d + 2) % 17 AS VARCHAR) || '.com' AS dst,
+         term
+  FROM dd, unnest(['w' || CAST(d % 5 AS VARCHAR), 'deal']) AS u(term)
+  WHERE d % 3 = 0 AND d % 17 <> 16
+)
+SELECT dst AS dst_domain, term, CAST(COUNT(*) AS BIGINT) AS weight
+FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+GROUP BY dst, term ORDER BY dst_domain, term
+"""
+
+SPARK_IMPLS["web_anchor_text"] = q_web_anchor_text
+ORACLES["web_anchor_text"] = _ANCHOR_TEXT_ORACLE

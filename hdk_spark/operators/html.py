@@ -136,9 +136,13 @@ def extract_links(
     return df.select(F.col(id_col), _href_targets(h).alias(out_col))
 
 
+# the quoted-href pattern, shared with web.anchor_text_index's per-tag
+# scalar re-extraction (one source of truth keeps Spark and oracle text
+# in lockstep)
+_HREF_VAL_RE = r'(?is)<a\b[^>]*?href\s*=\s*["\x27]([^"\x27]*)["\x27]'
+
+
 def _href_targets(h) -> "F.Column":
     """array<string> of quoted href values of ``<a>`` tags in an html
     expression — shared by extract_links and web.link_graph."""
-    return F.regexp_extract_all(
-        h, F.lit(r'(?is)<a\b[^>]*?href\s*=\s*["\x27]([^"\x27]*)["\x27]'), 1
-    )
+    return F.regexp_extract_all(h, F.lit(_HREF_VAL_RE), 1)

@@ -835,3 +835,75 @@ def politeness_schedule(
         rn.cast("long").alias("host_rank"),
         ((rn - 1) / F.lit(int(per_host))).cast("long").alias("wave"),
     )
+
+
+_ANCHOR_TAG_RE = (
+    r'(?is)<a\b[^>]*?href\s*=\s*["\x27][^"\x27]*["\x27][^>]*>.*?</a>'
+)
+
+
+def anchor_text_index(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-text relation (dst_domain, term, weight) — the classic
+    off-page retrieval signal (anchor text describes the TARGET page
+    better than the target's own words; union these rows into
+    :func:`hdk_spark.operators.search.build_text_index` postings for
+    anchor-boosted BM25). Same edge discipline as ``link_graph``:
+    absolute http(s) targets only, self-domain anchors dropped
+    (on-site anchors are navigation, not description), registrable-
+    domain endpoints, hosts lowercased before extraction.
+
+    Terms are the whitespace tokens of the anchor's inner text after
+    inner markup strips to spaces and case folds; empty anchors
+    (image links) contribute nothing. ``weight`` counts every
+    occurrence across the corpus.
+
+    Scale shape: one map-only full-tag ``regexp_extract_all`` +
+    per-tag scalar re-extraction inside the HOF, a bounded explode
+    (anchors × terms), and ONE partial-agg groupBy on (domain, term)
+    — no joins; the regex stays in the Java∩RE2∩DuckDB subset so the
+    oracle replays it verbatim.
+    """
+    from hdk_spark.operators.html import _HREF_VAL_RE
+
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    tags = F.regexp_extract_all(h, F.lit(_ANCHOR_TAG_RE), 0)
+    src = _reg_domain(F.lower(F.col(url_col)))
+    ex = df.select(
+        src.alias("__src"),
+        F.explode(tags).alias("__tag"),
+    ).select(
+        "__src",
+        F.regexp_extract(F.col("__tag"), _HREF_VAL_RE, 1).alias("__href"),
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(
+                        F.col("__tag"), r"(?is)>(.*)</a>$", 1
+                    ),
+                    r"(?s)<[^>]*>",
+                    " ",
+                )
+            )
+        ).alias("__txt"),
+    )
+    good = ex.filter(
+        F.col("__href").rlike(r"^(?i)https?://") & (F.col("__txt") != "")
+    ).select(
+        "__src",
+        _reg_domain(F.lower(F.col("__href"))).alias("dst_domain"),
+        "__txt",
+    ).filter(
+        (F.col("dst_domain") != "") & (F.col("dst_domain") != F.col("__src"))
+    )
+    terms = good.select(
+        "dst_domain",
+        F.explode(F.split(F.col("__txt"), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return terms.groupBy("dst_domain", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )

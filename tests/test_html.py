@@ -215,3 +215,29 @@ def test_link_graph_case_insensitive_endpoints(spark):
         (r["src_domain"], r["dst_domain"]) for r in link_graph(df).collect()
     )
     assert got == [("a.com", "b.com"), ("b.com", "a.com")]
+
+
+def test_anchor_text_index(spark):
+    """Inner markup strips to spaces, case folds, empty/image anchors
+    drop, relative and self-domain anchors drop, weights aggregate
+    across pages; NULL html total."""
+    from hdk_spark.operators.web import anchor_text_index
+
+    rows = [
+        (0, "http://a.com/p",
+         '<a href="http://b.com/x">Great <b>Search</b> Engine</a>'
+         '<a href="/rel">rel text</a>'
+         '<a href="http://a.com/self">self nav</a>'
+         '<a href="http://c.com/y"><img src="i.png"/></a>'),
+        (1, "http://B.com/q", "<A HREF='https://C.com/z'>great  engine</A>"),
+        (2, "http://d.com", None),
+        (3, "http://e.com", '<a name="x">no href</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, html: string")
+    got = {(r["dst_domain"], r["term"]): r["weight"]
+           for r in anchor_text_index(df).collect()}
+    assert got == {
+        ("b.com", "great"): 1, ("b.com", "search"): 1,
+        ("b.com", "engine"): 1,
+        ("c.com", "great"): 1, ("c.com", "engine"): 1,
+    }
