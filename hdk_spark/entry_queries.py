@@ -12054,3 +12054,102 @@ GROUP BY dst, term ORDER BY dst_domain, term
 
 SPARK_IMPLS["web_anchor_text"] = q_web_anchor_text
 ORACLES["web_anchor_text"] = _ANCHOR_TEXT_ORACLE
+
+
+def q_chat_sft_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed SFT export funnel
+    (operators/chat.py::sft_pack_export: chat template → loss masks →
+    greedy budget packing → pack-order chunk reassembly) over the
+    same planted conversations as chat_loss_mask (d%3+1 pairs,
+    budget 40, 4 shards). The oracle rebuilds doc token/mask strings
+    from the planting arithmetic, replays the packer's cum-window
+    chunk law, and string_aggs chunks in the packer's (hash, id)
+    order — mask/token alignment across the pack boundary is the
+    value-checked surface."""
+    from hdk_spark.operators.chat import sft_pack_export
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    pairs = (d % 3 + 1).cast("int")
+    conv = F.to_json(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), pairs),
+                lambda i: F.array(
+                    F.struct(
+                        F.lit("user").alias("role"),
+                        F.concat(
+                            F.lit("u"), i.cast("string"), F.lit(" q"),
+                            ((d + i) % 5).cast("string"),
+                        ).alias("content"),
+                    ),
+                    F.struct(
+                        F.lit("assistant").alias("role"),
+                        F.concat(
+                            F.lit("a"), i.cast("string"), F.lit(" r"),
+                            ((d + i) % 3).cast("string"), F.lit(" ok"),
+                        ).alias("content"),
+                    ),
+                ),
+            )
+        )
+    )
+    planted = spark.table("documents").select(
+        "doc_id", conv.alias("conversation")
+    )
+    out = sft_pack_export(planted, budget=40, n_shards=4, seed=0)
+    return out.select(
+        "shard", "chunk_id", "n_docs", "n_tokens", "n_trainable",
+        F.md5(F.encode(F.array_join("tokens", "|"), "utf-8")).alias(
+            "tok_digest"
+        ),
+        F.array_join(
+            F.transform("loss_mask", lambda x: x.cast("string")), ""
+        ).alias("mask"),
+    ).orderBy("shard", "chunk_id")
+
+
+def _sft_export_oracle() -> str:
+    h = _hb_sql("doc_id", 1000000007, 0)
+    sh = _hb_sql("doc_id", 4, 1)
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 3 + 1 AS pairs FROM documents
+), frags AS (
+  SELECT p.doc_id, i,
+         '<|user|>|u' || CAST(i AS VARCHAR) || '|q'
+           || CAST((p.doc_id + i) % 5 AS VARCHAR)
+           || '|<|assistant|>|a' || CAST(i AS VARCHAR) || '|r'
+           || CAST((p.doc_id + i) % 3 AS VARCHAR) || '|ok' AS frag
+  FROM p, unnest(range(1, pairs + 1)) AS t(i)
+), docs AS (
+  SELECT f.doc_id,
+         string_agg(f.frag, '|' ORDER BY f.i) AS toks,
+         repeat('0000111', CAST(p.pairs AS INT)) AS mask,
+         7 * p.pairs AS n_tok, 3 * p.pairs AS n_train
+  FROM frags f JOIN p ON f.doc_id = p.doc_id
+  GROUP BY f.doc_id, p.pairs
+), packed AS (
+  SELECT doc_id, toks, mask, n_tok, n_train,
+         {h} AS hh, {sh} AS shard,
+         SUM(n_tok) OVER (PARTITION BY {sh}
+           ORDER BY {h}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM docs
+), chunks AS (
+  SELECT shard, (cum - n_tok) // 40 AS chunk_id, doc_id, hh,
+         toks, mask, n_tok, n_train
+  FROM packed
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_train) AS BIGINT) AS n_trainable,
+       md5(string_agg(toks, '|' ORDER BY hh, doc_id)) AS tok_digest,
+       string_agg(mask, '' ORDER BY hh, doc_id) AS mask
+FROM chunks GROUP BY shard, chunk_id ORDER BY shard, chunk_id
+"""
+
+
+SPARK_IMPLS["chat_sft_export"] = q_chat_sft_export
+ORACLES["chat_sft_export"] = _sft_export_oracle()

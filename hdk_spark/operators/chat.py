@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["chat_lint", "preference_lint", "chat_loss_mask"]
+__all__ = ["chat_lint", "preference_lint", "chat_loss_mask"    "sft_pack_export",
+]
 
 _CONV_SCHEMA = "array<struct<role:string,content:string>>"
 _KNOWN_ROLES = ("system", "user", "assistant", "tool")
@@ -228,4 +229,76 @@ def chat_loss_mask(
         ).alias("n_trainable"),
         toks_out.alias("tokens"),
         mask_out.alias("loss_mask"),
+    )
+
+
+def sft_pack_export(
+    df: DataFrame,
+    conversation_col: str = "conversation",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """The SFT export funnel as one operator: render conversations to
+    (tokens, loss_mask) pairs (:func:`chat_loss_mask`), greedy-pack
+    documents into fixed-budget chunks
+    (:func:`hdk_spark.operators.packing.pack_sequences`), and
+    REASSEMBLE each chunk's token and mask streams in pack order —
+    the stage handoff a training job actually consumes, where the
+    thing that rots silently is mask/token alignment across the
+    pack boundary (pinned here: both streams flatten from the SAME
+    ordered struct list, so they cannot drift).
+
+    Empty conversations (unparseable, no messages) drop before
+    packing — a zero-token doc would pad chunks with nothing.
+
+    Returns one row per chunk: (shard, chunk_id, n_docs, n_tokens,
+    n_trainable, tokens, loss_mask), with documents in the packer's
+    deterministic (hash, id) order inside each chunk.
+
+    Scale shape: loss-mask rendering is map-only; packing is ONE
+    window on the shard key; the mask relation joins back by id and
+    ONE partial-agg groupBy on (shard, chunk) builds the chunk —
+    token payloads shuffle once, at the final group.
+    """
+    from hdk_spark.operators.packing import pack_sequences
+    from hdk_spark.operators.sampling import hash_bucket
+
+    lm = chat_loss_mask(df, id_col, conversation_col).filter(
+        F.col("n_tokens") > 0
+    )
+    plan = pack_sequences(
+        lm.select(id_col, "n_tokens"), id_col, "n_tokens",
+        budget=budget, n_shards=n_shards, seed=seed,
+    )
+    joined = plan.select(id_col, "shard", "chunk_id").join(
+        lm.select(
+            id_col,
+            hash_bucket(F.col(id_col), 1_000_000_007, seed).alias("__h"),
+            "tokens", "loss_mask", "n_tokens", "n_trainable",
+        ),
+        id_col,
+    )
+    packed = joined.groupBy("shard", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_trainable").cast("long").alias("n_trainable"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__h"), F.col(id_col).alias("__id"),
+                    F.col("tokens"), F.col("loss_mask"),
+                )
+            )
+        ).alias("__docs"),
+    )
+    return packed.select(
+        "shard", "chunk_id", "n_docs", "n_tokens", "n_trainable",
+        F.flatten(
+            F.transform(F.col("__docs"), lambda s: s["tokens"])
+        ).alias("tokens"),
+        F.flatten(
+            F.transform(F.col("__docs"), lambda s: s["loss_mask"])
+        ).alias("loss_mask"),
     )

@@ -96,3 +96,39 @@ def test_preference_lint_map_only_plan(spark):
         [(1, "[]", "[]")], "doc_id: long, chosen: string, rejected: string")
     p = preference_lint(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_sft_pack_export_alignment(spark):
+    """The SFT funnel invariant: every chunk's token and mask streams
+    have identical length, trainable counts survive packing, chunks
+    respect budget + one-overflow, unparseable conversations drop,
+    and the whole thing is deterministic under repartition."""
+    import json
+
+    from hdk_spark.operators.chat import sft_pack_export
+
+    convs = [
+        (i, json.dumps([
+            {"role": "user", "content": f"q{i} tell me"},
+            {"role": "assistant", "content": f"a{i} ok fine then"},
+        ]))
+        for i in range(40)
+    ] + [(100, None), (101, "broken json")]
+    df = spark.createDataFrame(convs, "doc_id: long, conversation: string")
+    rows = sft_pack_export(df, budget=30, n_shards=3, seed=0).collect()
+    assert sum(r["n_docs"] for r in rows) == 40  # null/broken dropped
+    max_doc = 9  # 2 headers + 3 + 4 content tokens
+    for r in rows:
+        assert len(r["tokens"]) == len(r["loss_mask"]) == r["n_tokens"]
+        assert sum(r["loss_mask"]) == r["n_trainable"]
+        assert r["n_tokens"] <= 30 + max_doc
+        # headers never train even after the pack concat
+        for t, m in zip(r["tokens"], r["loss_mask"]):
+            if t.startswith("<|"):
+                assert m == 0
+
+    again = sft_pack_export(df.repartition(7), budget=30, n_shards=3,
+                            seed=0).collect()
+    key = lambda r: (r["shard"], r["chunk_id"])  # noqa: E731
+    assert sorted((key(r), list(r["tokens"])) for r in again) == \
+        sorted((key(r), list(r["tokens"])) for r in rows)
