@@ -12153,3 +12153,47 @@ FROM chunks GROUP BY shard, chunk_id ORDER BY shard, chunk_id
 
 SPARK_IMPLS["chat_sft_export"] = q_chat_sft_export
 ORACLES["chat_sft_export"] = _sft_export_oracle()
+
+
+def q_select_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum annotation
+    (operators/selection.py::curriculum_order, 4 stages) over a
+    planted difficulty score ((d·37 mod 1000)/1000). The oracle
+    recomputes the quantile thresholds with quantile_cont and replays
+    the boundary rule (ties low) and the hash shuffle key — stage
+    flips are impossible even under last-ulp threshold differences
+    because no planted score lies strictly between adjacent grid
+    values (argued in the row's planting)."""
+    from hdk_spark.operators.selection import curriculum_order
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = spark.table("documents").select(
+        "doc_id",
+        (((d * 37) % 1000) / F.lit(1000.0)).alias("difficulty"),
+    )
+    out = curriculum_order(planted, "difficulty", n_stages=4)
+    return out.select("doc_id", "stage", "curriculum_key").orderBy("doc_id")
+
+
+def _curriculum_oracle() -> str:
+    h = _hb_sql("doc_id", 1000000007, 31)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s
+  FROM documents
+), t AS (
+  SELECT quantile_cont(s, [0.25, 0.5, 0.75]) AS th FROM p
+)
+SELECT doc_id,
+       CAST((CASE WHEN s > th[1] THEN 1 ELSE 0 END)
+          + (CASE WHEN s > th[2] THEN 1 ELSE 0 END)
+          + (CASE WHEN s > th[3] THEN 1 ELSE 0 END) AS INT) AS stage,
+       CAST({h} AS BIGINT) AS curriculum_key
+FROM p, t ORDER BY doc_id
+"""
+
+
+SPARK_IMPLS["select_curriculum_order"] = q_select_curriculum
+ORACLES["select_curriculum_order"] = _curriculum_oracle()

@@ -28,6 +28,7 @@ __all__ = [
     "dsir_sample",
     "temperature_mixture",
     "temperature_budgets",
+    "curriculum_order",
 ]
 
 
@@ -351,4 +352,56 @@ def temperature_budgets(
                 .otherwise(F.lit(0))
             ).cast("long").alias("budget"),
         )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 31,
+    easy_first: bool = True,
+) -> DataFrame:
+    """Curriculum annotation (Bengio et al. 2009): equal-population
+    difficulty stages from the score's own quantiles, plus a
+    deterministic within-stage shuffle key — training order is
+    ``ORDER BY stage, curriculum_key, id`` and is a pure function of
+    (corpus, seed). ``easy_first=True`` puts LOW scores in stage 0
+    (score = difficulty); flip for high-is-easy scorers.
+
+    Stage boundaries are the (1..n_stages−1)/n_stages exact
+    percentiles, computed once and folded in as literals (the
+    bounded-driver-action pattern of the IVF quantizer) — so the data
+    pass is ONE map-only projection, not a global ntile window (which
+    would sort the corpus in one task). Ties at a boundary go to the
+    LOWER stage (score ≤ threshold). NULL scores get stage NULL —
+    annotation, not a filter; callers decide.
+
+    Adds (stage, curriculum_key) to the input columns.
+    """
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    from hdk_spark.operators.sampling import hash_bucket
+
+    s = F.col(score_col).cast("double")
+    qs = [i / n_stages for i in range(1, n_stages)]
+    if qs:
+        row = df.agg(
+            F.percentile(s, F.array(*[F.lit(q) for q in qs])).alias("t")
+        ).first()
+        thresholds = list(row["t"] or [])
+    else:
+        thresholds = []
+    stage = F.lit(0)
+    for t in thresholds:
+        stage = stage + (s > F.lit(float(t))).cast("int")
+    if not easy_first:
+        stage = F.lit(max(len(thresholds), 0)) - stage
+    return df.select(
+        "*",
+        F.when(s.isNotNull(), stage).cast("int").alias("stage"),
+        hash_bucket(F.col(id_col), 1_000_000_007, seed).alias(
+            "curriculum_key"
+        ),
     )

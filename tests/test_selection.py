@@ -119,3 +119,48 @@ def test_temperature_budgets_null_group_total(spark):
     rows = temperature_budgets(docs, 1000, "lang", alpha=0.5).collect()
     assert sum(r["budget"] for r in rows) == 1000
     assert any(r["lang"] is None for r in rows)  # NULL group is a row
+
+
+def test_curriculum_order(spark):
+    """Equal-population stages from exact quantiles, boundary ties go
+    low, easy_first flip reverses stages, NULL score -> NULL stage,
+    curriculum_key is the id hash (pure function), n_stages=1 total,
+    guard."""
+    from collections import Counter
+
+    import pytest
+
+    from hdk_spark.operators.selection import curriculum_order
+
+    rows = [(i, float(i % 50)) for i in range(200)] + [(900, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, difficulty: double")
+    got = curriculum_order(df, "difficulty", n_stages=4).collect()
+    c = Counter(r["stage"] for r in got)
+    assert c[None] == 1 and sum(v for k, v in c.items() if k is not None) == 200
+    assert set(k for k in c if k is not None) == {0, 1, 2, 3}
+    assert max(c[k] for k in (0, 1, 2, 3)) - min(c[k] for k in (0, 1, 2, 3)) <= 8
+
+    by_id = {r["doc_id"]: r for r in got}
+    # monotone: higher score never lands in a lower stage
+    for i in range(200):
+        for j in range(200):
+            if rows[i][1] < rows[j][1]:
+                assert by_id[rows[i][0]]["stage"] <= by_id[rows[j][0]]["stage"]
+                break
+
+    rev = {r["doc_id"]: r["stage"]
+           for r in curriculum_order(df, "difficulty", n_stages=4,
+                                     easy_first=False).collect()}
+    for i, s in rows:
+        if s is not None:
+            assert rev[i] == 3 - by_id[i]["stage"]
+
+    MULT, MOD = 2654435761, 1_000_000_007
+    for r in got[:5]:
+        assert r["curriculum_key"] == ((r["doc_id"] * MULT + 31) % MOD) % MOD
+
+    one = curriculum_order(df, "difficulty", n_stages=1).collect()
+    assert set(r["stage"] for r in one) == {0, None}
+
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, "difficulty", n_stages=0)
