@@ -337,6 +337,13 @@ _PRIORITY: list[str] = [
     "stats_auc_exact",
     "stats_pass_at_k",
     "search_retrieval_metrics",
+    "sample_repeat_expand",
+    "stats_k_anonymity",
+    "dedup_split_leakage",
+    "profile_json_schema_gate",
+    "web_anchor_text",
+    "chat_sft_export",
+    "select_curriculum_order",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",
