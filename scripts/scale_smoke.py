@@ -316,6 +316,119 @@ def main() -> None:
               " exact_cosine_16q:", t_exact, " codes:", n_codes)
         return
 
+    if "--r9c" in sys.argv:
+        # round-9 second batch at 10x (500k docs / 1M-5M rows)
+        import json as _json
+
+        from hdk_spark.operators.chat import sft_pack_export
+        from hdk_spark.operators.profile import json_schema_gate
+        from hdk_spark.operators.sampling import repeat_expand
+        from hdk_spark.operators.search import retrieval_metrics
+        from hdk_spark.operators.selection import curriculum_order
+        from hdk_spark.operators.stats import (
+            auc_score,
+            k_anonymity_audit,
+            ks_test,
+            pass_at_k,
+        )
+        from hdk_spark.operators.web import anchor_text_index
+
+        docs = spark.table("documents")
+        d = F.col("doc_id")
+        n_docs = docs.count()
+        print("docs:", n_docs)
+
+        scored = docs.select(
+            "doc_id",
+            (((d * 37) % 100000) / F.lit(100000.0)).alias("s"),
+            ((d * 17) % 1000 < (d * 37) % 1000).cast("int").alias("y"),
+            F.when(d % 3 == 0, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        ).localCheckpoint()
+
+        t0 = time.perf_counter()
+        ks_test(scored, "g", "s", "a", "b").write.format("noop").mode(
+            "overwrite").save()
+        print("ks_500k(support=100k):", round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
+        auc_score(scored, "s", "y").write.format("noop").mode(
+            "overwrite").save()
+        print("auc_500k:", round(time.perf_counter() - t0, 2))
+        print("pass_at_k_500k:", best(lambda: pass_at_k(
+            docs.select(F.concat(F.lit("p"), d.cast("string"))
+                        .alias("problem_id"),
+                        (d % 20 + 1).cast("int").alias("n"),
+                        ((d * 7) % (d % 20 + 2)).cast("int").alias("c")),
+            "n", "c", ks=(1, 10, 100)), n=1))
+        print("curriculum_500k:", best(lambda: curriculum_order(
+            scored, "s", n_stages=8), n=1))
+        print("repeat_expand_500k:", best(lambda: repeat_expand(
+            docs.select("doc_id", "lang"), "lang",
+            {"en": (3, 2)}, default_epochs=(1, 2)), n=1))
+        t0 = time.perf_counter()
+        k_anonymity_audit(
+            docs.select((d % 5000).alias("qa"), (d % 97).alias("qb"),
+                        (d % 7).alias("s")),
+            ["qa", "qb"], k=5, sensitive_col="s",
+        ).write.format("noop").mode("overwrite").save()
+        print("k_anonymity_500k(480k groups):",
+              round(time.perf_counter() - t0, 2))
+        jrows = docs.select(
+            "doc_id",
+            F.concat(F.lit('{"a": '), d.cast("string"),
+                     F.lit(', "b": "s"}')).alias("j"),
+        )
+        print("json_gate_500k:", best(lambda: json_schema_gate(
+            jrows, "j", {"a": "int", "b": "string"}), n=1))
+
+        pages = docs.select(
+            "doc_id",
+            F.concat(F.lit("http://site"), (d % 20000).cast("string"),
+                     F.lit(".com/p")).alias("url"),
+            F.concat(
+                F.lit('<a href="http://site'),
+                ((d * 2 + 1) % 20000).cast("string"),
+                F.lit('.com/x">buy w'), (d % 50).cast("string"),
+                F.lit(" now</a>"),
+            ).alias("html"),
+        )
+        print("anchor_text_500k:", best(
+            lambda: anchor_text_index(pages), n=1))
+
+        convs = docs.select(
+            "doc_id",
+            F.to_json(F.array(
+                F.struct(F.lit("user").alias("role"),
+                         F.concat(F.lit("q "), d.cast("string"))
+                         .alias("content")),
+                F.struct(F.lit("assistant").alias("role"),
+                         F.concat(F.lit("a "), (d % 100).cast("string"),
+                                  F.lit(" ok")).alias("content")),
+            )).alias("conversation"),
+        )
+        t0 = time.perf_counter()
+        sft_pack_export(convs, budget=2048, n_shards=64).write.format(
+            "noop").mode("overwrite").save()
+        print("sft_export_500k:", round(time.perf_counter() - t0, 2))
+
+        run = docs.select(
+            F.concat(F.lit("q"), (d % 1000).cast("string"))
+            .alias("query_id"),
+            F.concat(F.lit("d"), d.cast("string")).alias("doc_id"),
+            ((d * 13) % 997).cast("double").alias("score"),
+        )
+        qrels = docs.filter(d % 9 == 0).select(
+            F.concat(F.lit("q"), (d % 1000).cast("string"))
+            .alias("query_id"),
+            F.concat(F.lit("d"), d.cast("string")).alias("doc_id"),
+            (d % 3 + 1).cast("int").alias("rel"),
+        )
+        t0 = time.perf_counter()
+        retrieval_metrics(run, qrels, k=10).write.format("noop").mode(
+            "overwrite").save()
+        print("retrieval_metrics_500k_run_1k_queries:",
+              round(time.perf_counter() - t0, 2))
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions at 10x (500k docs, 100k embeddings)
         from hdk_spark.operators.denoise import fim_transform, mlm_mask
