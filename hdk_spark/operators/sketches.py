@@ -92,13 +92,16 @@ def frequent_items(
     strictly exceeds n/k, with its TRUE count — at any scale, in two
     bounded passes (Misra-Gries 1982 + the classic recount).
 
-    Pass 1 — candidates: each partition folds its rows through a
-    k-counter Misra-Gries summary (bounded memory regardless of the
-    partition's cardinality; the decremental trim is why this is a
-    Python kernel — a decrement-all step is not expressible as a
-    Spark partial aggregate). Pass 2 — exact: the corpus is
+    Pass 1 — candidates AND total: each partition folds its rows
+    through a k-counter Misra-Gries summary (bounded memory regardless
+    of the partition's cardinality; the decremental trim is why this
+    is a Python kernel — a decrement-all step is not expressible as a
+    Spark partial aggregate) and emits its row count alongside, so
+    n_total needs NO extra corpus pass. Pass 2 — exact: the corpus is
     semi-joined to the (≤ partitions·k)-row candidate set and counted
     exactly, then thresholded with integer arithmetic (cnt·k > n).
+    Exactly two corpus scans, both unavoidable (any exact algorithm
+    needs the recount).
 
     The candidate superset is GUARANTEED: if an item survives no
     partition summary, its count in every partition p is at most
@@ -119,24 +122,38 @@ def frequent_items(
     src = df.select(F.col(value_col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
-    out_schema = T.StructType([T.StructField("item", T.StringType())])
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("n_part", T.LongType()),
+        ]
+    )
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for v, c in pdf["item"].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
             _mg_trim(counters, k)
-        yield pd.DataFrame({"item": sorted(counters)})
+        items = sorted(counters) + [None]
+        yield pd.DataFrame(
+            {"item": items, "n_part": [0] * (len(items) - 1) + [seen]}
+        )
 
-    cands = src.mapInPandas(summarize, out_schema).distinct()
-    n_total = src.count()
+    # tiny (≤ partitions·(k+1) rows); persisted because both the total
+    # and the candidate set read it — without the persist the corpus
+    # summary pass would run twice
+    summ = src.mapInPandas(summarize, out_schema).persist()
+    n_total = summ.agg(F.sum("n_part")).collect()[0][0] or 0
+    cands = summ.filter(F.col("item").isNotNull()).select("item").distinct()
     counted = (
         src.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .filter(F.col("cnt") * F.lit(k) > F.lit(n_total))
+        .filter(F.col("cnt") * F.lit(k) > F.lit(int(n_total)))
     )
     return counted.select(
-        "item", "cnt", F.lit(n_total).cast("long").alias("n_total")
+        "item", "cnt", F.lit(int(n_total)).cast("long").alias("n_total")
     ).orderBy(F.desc("cnt"), "item")

@@ -207,9 +207,9 @@ def main() -> None:
         return
 
     if "--r9" in sys.argv:
-        # round-9: the capstone training-export funnel at 10x (500k
-        # docs; the 10x regen duplicates each text 10 times under
-        # shifted ids, so the exact stage does real 90% collapse work).
+        # round-9: the capstone training-export funnel on the 10x
+        # synth corpus (50k rows = 5k unique texts x10 shifted replicas,
+        # so the exact stage does real 90% collapse work).
         # Crawl front measured separately (--r6 html/lang, --r8 graph);
         # this measures the post-crawl funnel composition end-to-end.
         from hdk_spark.operators.dedup import (
@@ -234,7 +234,7 @@ def main() -> None:
                 F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
             )
         ).localCheckpoint()
-        print("exact_500k->", s1.count(),
+        print("exact_synth->", s1.count(),
               round(time.perf_counter() - t0, 2))
 
         t0 = time.perf_counter()
@@ -317,7 +317,7 @@ def main() -> None:
         return
 
     if "--r9c" in sys.argv:
-        # round-9 second batch at 10x (500k docs / 1M-5M rows)
+        # round-9 second batch on the 10x synth tables (counts printed)
         import json as _json
 
         from hdk_spark.operators.chat import sft_pack_export
@@ -348,20 +348,20 @@ def main() -> None:
         t0 = time.perf_counter()
         ks_test(scored, "g", "s", "a", "b").write.format("noop").mode(
             "overwrite").save()
-        print("ks_500k(support=100k):", round(time.perf_counter() - t0, 2))
+        print("ks_docs(support<=docs):", round(time.perf_counter() - t0, 2))
         t0 = time.perf_counter()
         auc_score(scored, "s", "y").write.format("noop").mode(
             "overwrite").save()
-        print("auc_500k:", round(time.perf_counter() - t0, 2))
-        print("pass_at_k_500k:", best(lambda: pass_at_k(
+        print("auc_docs:", round(time.perf_counter() - t0, 2))
+        print("pass_at_k_docs:", best(lambda: pass_at_k(
             docs.select(F.concat(F.lit("p"), d.cast("string"))
                         .alias("problem_id"),
                         (d % 20 + 1).cast("int").alias("n"),
                         ((d * 7) % (d % 20 + 2)).cast("int").alias("c")),
             "n", "c", ks=(1, 10, 100)), n=1))
-        print("curriculum_500k:", best(lambda: curriculum_order(
+        print("curriculum_docs:", best(lambda: curriculum_order(
             scored, "s", n_stages=8), n=1))
-        print("repeat_expand_500k:", best(lambda: repeat_expand(
+        print("repeat_expand_docs:", best(lambda: repeat_expand(
             docs.select("doc_id", "lang"), "lang",
             {"en": (3, 2)}, default_epochs=(1, 2)), n=1))
         t0 = time.perf_counter()
@@ -370,14 +370,14 @@ def main() -> None:
                         (d % 7).alias("s")),
             ["qa", "qb"], k=5, sensitive_col="s",
         ).write.format("noop").mode("overwrite").save()
-        print("k_anonymity_500k(480k groups):",
+        print("k_anonymity_docs(dense quasi grid):",
               round(time.perf_counter() - t0, 2))
         jrows = docs.select(
             "doc_id",
             F.concat(F.lit('{"a": '), d.cast("string"),
                      F.lit(', "b": "s"}')).alias("j"),
         )
-        print("json_gate_500k:", best(lambda: json_schema_gate(
+        print("json_gate_docs:", best(lambda: json_schema_gate(
             jrows, "j", {"a": "int", "b": "string"}), n=1))
 
         pages = docs.select(
@@ -391,7 +391,7 @@ def main() -> None:
                 F.lit(" now</a>"),
             ).alias("html"),
         )
-        print("anchor_text_500k:", best(
+        print("anchor_text_docs:", best(
             lambda: anchor_text_index(pages), n=1))
 
         convs = docs.select(
@@ -408,7 +408,7 @@ def main() -> None:
         t0 = time.perf_counter()
         sft_pack_export(convs, budget=2048, n_shards=64).write.format(
             "noop").mode("overwrite").save()
-        print("sft_export_500k:", round(time.perf_counter() - t0, 2))
+        print("sft_export_docs:", round(time.perf_counter() - t0, 2))
 
         run = docs.select(
             F.concat(F.lit("q"), (d % 1000).cast("string"))
@@ -425,12 +425,13 @@ def main() -> None:
         t0 = time.perf_counter()
         retrieval_metrics(run, qrels, k=10).write.format("noop").mode(
             "overwrite").save()
-        print("retrieval_metrics_500k_run_1k_queries:",
+        print("retrieval_metrics_docs_run_1k_queries:",
               round(time.perf_counter() - t0, 2))
         return
 
     if "--r9b" in sys.argv:
-        # round-9 late additions at 10x (500k docs, 100k embeddings)
+        # round-9 late additions on the 10x synth tables (50k docs,
+        # 20k embeddings, 1M events — counts printed below)
         from hdk_spark.operators.denoise import fim_transform, mlm_mask
         from hdk_spark.operators.graph import label_propagation
         from hdk_spark.operators.similarity import mine_contrastive_pairs
@@ -443,8 +444,9 @@ def main() -> None:
         docs = spark.table("documents")
         d = F.col("doc_id")
         n_docs = docs.count()
+        print("docs:", n_docs)
 
-        # heavy hitters: 5M skewed items (10 per doc), k=100 — the MG
+        # heavy hitters: 500k skewed items (10 per doc), k=100 — the MG
         # candidate pass must stay bounded while the tail is ~unique
         items = docs.select(
             F.explode(
@@ -462,10 +464,10 @@ def main() -> None:
         t0 = time.perf_counter()
         hh = frequent_items(items, "v", k=100)
         n_hh = hh.count()
-        print(f"frequent_items_5M(k=100) -> {n_hh} hitters:",
+        print(f"frequent_items_{n_docs * 10}(k=100) -> {n_hh} hitters:",
               round(time.perf_counter() - t0, 2))
 
-        # label propagation: ~1M-edge host graph (20k nodes), 3 rounds
+        # label propagation: 2 edge rows per doc (100k rows, 20k nodes)
         edges = docs.select(
             ((d * 2 + 1) % 20_000).alias("src"),
             ((d * 7 + 3) % 20_000).alias("dst"),
@@ -476,7 +478,7 @@ def main() -> None:
         t0 = time.perf_counter()
         lp = label_propagation(edges, rounds=3)
         n_comm = lp.select("label").distinct().count()
-        print(f"label_propagation_1M_edges(3r) -> {n_comm} labels:",
+        print(f"label_propagation_{n_docs * 2}_edge_rows(3r) -> {n_comm} labels:",
               round(time.perf_counter() - t0, 2))
 
         # SCD2 over events 10x: one shuffle regardless of history depth
@@ -491,9 +493,9 @@ def main() -> None:
             "doc_id",
             F.split(F.trim(F.lower("text")), r"\s+").alias("tokens"),
         )
-        print("fim_500k:", best(lambda: fim_transform(toks), n=1))
-        print("mlm_500k:", best(lambda: mlm_mask(toks), n=1))
-        print("blocklist_500k:", best(
+        print("fim_docs:", best(lambda: fim_transform(toks), n=1))
+        print("mlm_docs:", best(lambda: mlm_mask(toks), n=1))
+        print("blocklist_docs:", best(
             lambda: blocklist_gate(docs, ["the", "data", "zz"]), n=1))
 
         # chi2: 5M-row cell collapse
@@ -504,15 +506,15 @@ def main() -> None:
         t0 = time.perf_counter()
         chi2_contingency(big, "a", "b").write.format("noop").mode(
             "overwrite").save()
-        print("chi2_5M:", round(time.perf_counter() - t0, 2))
+        print("chi2_10x_items:", round(time.perf_counter() - t0, 2))
 
         # wordpiece: train on 50k docs, encode 500k (Arrow kernel)
         t0 = time.perf_counter()
         vocab = wordpiece_train(
             docs.filter(d % 10 == 0), n_merges=200, min_count=5)
         t_train = round(time.perf_counter() - t0, 2)
-        print(f"wordpiece_train_50k({len(vocab)} pieces):", t_train)
-        print("wordpiece_encode_500k:", best(
+        print(f"wordpiece_train_tenth({len(vocab)} pieces):", t_train)
+        print("wordpiece_encode_docs:", best(
             lambda: wordpiece_encode(docs, vocab), n=1))
 
         # contrastive mining at 100k embeddings (LSH candidates)
@@ -520,17 +522,19 @@ def main() -> None:
         t0 = time.perf_counter()
         n_trip = mine_contrastive_pairs(
             emb, pos_threshold=0.35, neg_lo=0.2, neg_hi=0.35).count()
-        print(f"contrastive_100k -> {n_trip} triplets:",
+        print(f"contrastive_{emb.count()} -> {n_trip} triplets:",
               round(time.perf_counter() - t0, 2))
         return
 
     if "--r8" in sys.argv:
-        # round-8 operators at 10× (500k docs)
+        # round-8 operators on the 10x synth tables (label
+        # errata r9: documents is 50k rows — counts now printed)
         from hdk_spark.operators.graph import page_rank
         from hdk_spark.operators.sampling import shard_manifest
         from hdk_spark.operators.web import link_graph
 
         docs = spark.table("documents")
+        print("docs:", docs.count())
         d = F.col("doc_id")
         n_dom = 20_000
         a = F.concat(F.lit("site"), ((d * 2 + 1) % n_dom).cast("string"),
@@ -548,7 +552,7 @@ def main() -> None:
         t0 = time.perf_counter()
         edges = link_graph(pages).persist()
         n_edges = edges.count()
-        print("link_graph_500k_pages:", round(time.perf_counter() - t0, 2),
+        print("link_graph_synth_pages:", round(time.perf_counter() - t0, 2),
               " edges:", n_edges)
         t0 = time.perf_counter()
         page_rank(
