@@ -677,6 +677,84 @@ def ann_ivfpq_topk(
     )
 
 
+def _asym_anchor_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    floor: float,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: "int | None",
+    anchor_pct: int,
+) -> DataFrame:
+    """Asymmetric LSH candidate generation for anchor-sampled
+    contrastive mining: the corpus buckets ONCE per table; the left
+    (anchor) side keeps only the hash-sampled anchor_pct% of ids, so
+    candidate volume scales with the sample rate while partners still
+    come from the full corpus. Emits the symmetric-form relation
+    (anchor, other, cosine) with cosine ≥ floor, cosine through
+    round6 — drop-in for the full-anchor union path."""
+    if not (0 < anchor_pct <= 100):
+        raise ValueError(f"anchor_pct must be in (0, 100], got {anchor_pct}")
+    from hdk_spark.operators.dedup import _vec_dim, rademacher_planes
+    from hdk_spark.operators.sampling import hash_bucket
+
+    d = dim if dim is not None else _vec_dim(df, vec_col)
+    planes = rademacher_planes(n_planes * n_tables, d, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    ).persist()
+    bucketed = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr(
+                            F.col("v"),
+                            planes[t * n_planes:(t + 1) * n_planes],
+                        ).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    a = bucketed.filter(
+        hash_bucket(F.col("id"), 100, seed + 501) < F.lit(anchor_pct)
+    ).alias("a")
+    b = bucketed.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("anchor"), F.col("b.id").alias("other"))
+        .dropDuplicates(["anchor", "other"])
+    )
+    paired = cand.join(
+        base.select(F.col("id").alias("anchor"), F.col("v").alias("va"),
+                    F.col("norm").alias("na")),
+        "anchor",
+    ).join(
+        base.select(F.col("id").alias("other"), F.col("v").alias("vb"),
+                    F.col("norm").alias("nb")),
+        "other",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        paired.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= floor)
+        .select("anchor", "other", round6("cosine").alias("cosine"))
+    )
+
+
 def mine_contrastive_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -689,6 +767,7 @@ def mine_contrastive_pairs(
     n_tables: int = 4,
     seed: int = 7,
     dim: "int | None" = None,
+    anchor_pct: "int | None" = None,
 ) -> DataFrame:
     """Mine (anchor, positive, hard-negative) triplets for contrastive
     embedding training (the in-batch-negatives upgrade; cf. SimCSE /
@@ -709,30 +788,48 @@ def mine_contrastive_pairs(
     never n²); the triplet pick is ONE window on (anchor, class) and
     one partial-agg groupBy on anchor. Returns
     (anchor, positive, pos_cos, negative, neg_cos).
+
+    ``anchor_pct`` is the big-corpus knob: restrict ANCHORS to a
+    deterministic hash-sampled ``anchor_pct``% of ids and generate
+    candidates asymmetrically (sampled-anchor buckets × full corpus
+    buckets), cutting candidate volume by the sample rate — triplet
+    counts needed for contrastive training are corpus-sublinear, so
+    mining from every anchor is waste at 10⁶+ vectors (measured: the
+    full-anchor pass floors the rescore at neg_lo and pays ~10× a
+    near-dup candidate set). Partners still come from the FULL
+    corpus; only the anchor side is sampled. lsh mode only.
     """
     if not (neg_lo < neg_hi <= pos_threshold):
         raise ValueError(
             "need neg_lo < neg_hi <= pos_threshold, got "
             f"({neg_lo}, {neg_hi}, {pos_threshold})"
         )
-    from hdk_spark.operators.dedup import embedding_neardup_pairs
+    if anchor_pct is not None and mode != "lsh":
+        raise ValueError("anchor_pct requires mode='lsh'")
+    if anchor_pct is None:
+        from hdk_spark.operators.dedup import embedding_neardup_pairs
 
-    pairs = embedding_neardup_pairs(
-        df, id_col=id_col, vec_col=vec_col, threshold=neg_lo,
-        mode=mode, n_planes=n_planes, n_tables=n_tables, seed=seed,
-        dim=dim,
-    )
-    sym = pairs.select(
-        F.col("id_a").alias("anchor"),
-        F.col("id_b").alias("other"),
-        "cosine",
-    ).union(
-        pairs.select(
-            F.col("id_b").alias("anchor"),
-            F.col("id_a").alias("other"),
-            "cosine",
+        pairs = embedding_neardup_pairs(
+            df, id_col=id_col, vec_col=vec_col, threshold=neg_lo,
+            mode=mode, n_planes=n_planes, n_tables=n_tables, seed=seed,
+            dim=dim,
         )
-    )
+        sym = pairs.select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("other"),
+            "cosine",
+        ).union(
+            pairs.select(
+                F.col("id_b").alias("anchor"),
+                F.col("id_a").alias("other"),
+                "cosine",
+            )
+        )
+    else:
+        sym = _asym_anchor_pairs(
+            df, id_col, vec_col, neg_lo, n_planes, n_tables, seed,
+            dim, int(anchor_pct),
+        )
     cls = (
         F.when(F.col("cosine") >= pos_threshold, F.lit("P"))
         .when(F.col("cosine") < neg_hi, F.lit("N"))

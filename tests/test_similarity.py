@@ -243,3 +243,37 @@ def test_mine_contrastive_pairs_exact_vs_brute_force(spark):
 
     with pytest.raises(ValueError, match="neg_lo"):
         mine_contrastive_pairs(df, pos_threshold=0.5, neg_lo=0.6, neg_hi=0.7)
+
+
+def test_mine_contrastive_anchor_sampling(spark):
+    """anchor_pct=100 == the full-anchor LSH path exactly; a sampled
+    run equals the full run restricted to the hash-sampled anchors
+    (partners still drawn from the whole corpus); exact-mode guard."""
+    import pytest
+
+    from hdk_spark.operators.similarity import mine_contrastive_pairs
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    kw = dict(pos_threshold=0.8, neg_lo=0.3, neg_hi=0.7)
+
+    full = {r["anchor"]: (r["positive"], r["negative"], r["pos_cos"])
+            for r in mine_contrastive_pairs(df, **kw).collect()}
+    all100 = {r["anchor"]: (r["positive"], r["negative"], r["pos_cos"])
+              for r in mine_contrastive_pairs(df, anchor_pct=100,
+                                              **kw).collect()}
+    assert all100 == full and full
+
+    samp = {r["anchor"]: (r["positive"], r["negative"], r["pos_cos"])
+            for r in mine_contrastive_pairs(df, anchor_pct=30,
+                                            **kw).collect()}
+    MULT, MOD = 2654435761, 1_000_000_007
+    sampled = {i for i, _ in rows if ((i * MULT + 7 + 501) % MOD) % 100 < 30}
+    assert samp == {k: v for k, v in full.items() if k in sampled}
+    assert 0 < len(samp) < len(full)
+
+    with pytest.raises(ValueError, match="anchor_pct"):
+        mine_contrastive_pairs(df, mode="exact", anchor_pct=50, **kw)
+    with pytest.raises(ValueError, match="anchor_pct"):
+        mine_contrastive_pairs(df, anchor_pct=0, **kw)
