@@ -12197,3 +12197,34 @@ FROM p, t ORDER BY doc_id
 
 SPARK_IMPLS["select_curriculum_order"] = q_select_curriculum
 ORACLES["select_curriculum_order"] = _curriculum_oracle()
+
+
+def q_text_fold_homoglyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph folding (operators/text.py::fold_homoglyphs) over
+    planted blocklist-evasion text: every third doc spells 'pay' with
+    a Cyrillic а. The oracle emits the EXPECTED post-fold strings and
+    fold counts closed-form from the planting arithmetic — no
+    translate(), no Unicode anywhere on the oracle side, so the fold
+    map itself is what gets value-checked."""
+    from hdk_spark.operators.text import fold_homoglyphs
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    text = F.concat(
+        F.when(d % 3 == 0, F.lit("pаy w")).otherwise(F.lit("pay w")),
+        (d % 7).cast("string"),
+    )
+    planted = spark.table("documents").select("doc_id", text.alias("text"))
+    return fold_homoglyphs(planted).orderBy("doc_id")
+
+
+_HOMOGLYPH_ORACLE = """
+SELECT doc_id,
+       'pay w' || CAST(doc_id % 7 AS VARCHAR) AS text,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_folded
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_fold_homoglyphs"] = q_text_fold_homoglyphs
+ORACLES["text_fold_homoglyphs"] = _HOMOGLYPH_ORACLE

@@ -2519,3 +2519,52 @@ def char_entropy(
             F.when(F.col("__n") > 0, max_cnt / n)
         ).alias("max_char_ratio"),
     )
+
+
+# Cyrillic/Greek lookalikes that appear in latin text to evade
+# filters (the confusables core of Unicode TR39, restricted to the
+# 1:1 single-codepoint pairs a translate() can fold). Sources are the
+# characters; targets the latin letters they imitate.
+_HOMOGLYPH_SRC = (
+    "аеорсухіј"  # аеорсухіј
+    "АВЕКМНОРСТХ"
+    "αορνΑΒΕΗΚΜΝ"
+    "ΟΡΤΥΧ"
+)
+_HOMOGLYPH_DST = (
+    "aeopcyxij"
+    "ABEKMHOPCTX"
+    "aopv" "ABEHKMNOPTYX"
+)
+
+
+def fold_homoglyphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold Cyrillic/Greek lookalike characters onto the latin
+    letters they imitate (Unicode TR39 confusables, the 1:1 subset) —
+    the blocklist-evasion counter: 'frее mоnеу' with Cyrillic е/о
+    passes a naive word filter and fails this one. Run BEFORE
+    :func:`blocklist_gate` / dedup hashing so evasion variants
+    collapse onto their canonical spelling.
+
+    Returns (id, text, n_folded) — n_folded counts replaced
+    characters (the spam signal itself: latin text with a nonzero
+    fold count is near-certainly adversarial). NULL text passes
+    through (totality).
+
+    Scale shape: ONE map-only codegen projection — translate() plus
+    a character-class count; no explode, no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    folded = F.translate(t, _HOMOGLYPH_SRC, _HOMOGLYPH_DST)
+    n = F.length(t) - F.length(
+        F.regexp_replace(t, f"[{_HOMOGLYPH_SRC}]", "")
+    )
+    return df.select(
+        F.col(id_col),
+        folded.alias(text_col),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_folded"),
+    )

@@ -336,3 +336,31 @@ def test_char_entropy_closed_form(spark):
     assert again == got
     plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_fold_homoglyphs(spark):
+    """Cyrillic/Greek lookalikes fold to latin; fold count is the
+    spam signal; clean/NULL text untouched; map-only; src/dst maps
+    stay in lockstep."""
+    from hdk_spark.operators.text import (
+        _HOMOGLYPH_DST,
+        _HOMOGLYPH_SRC,
+        fold_homoglyphs,
+    )
+
+    assert len(_HOMOGLYPH_SRC) == len(_HOMOGLYPH_DST)
+    assert len(set(_HOMOGLYPH_SRC)) == len(_HOMOGLYPH_SRC)
+    rows = [(0, "frее mоnеy"), (1, "clean"),
+            (2, None), (3, "АВЕ maria"),
+            (4, "αlpha")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["text"], r["n_folded"])
+           for r in fold_homoglyphs(df).collect()}
+    assert got[0] == ("free money", 4)
+    assert got[1] == ("clean", 0)
+    assert got[2] == (None, 0)
+    assert got[3] == ("ABE maria", 3)
+    assert got[4] == ("alpha", 1)
+    plan = fold_homoglyphs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
