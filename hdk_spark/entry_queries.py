@@ -12228,3 +12228,52 @@ FROM documents ORDER BY doc_id
 
 SPARK_IMPLS["text_fold_homoglyphs"] = q_text_fold_homoglyphs
 ORACLES["text_fold_homoglyphs"] = _HOMOGLYPH_ORACLE
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit (operators/text.py::zipf_fit, top 200
+    terms) over the REAL documents corpus. The oracle replays the
+    whole chain — tokenize, count, deterministic rank, micro-
+    quantized (x, y, xy, x²) sums, closed-form least squares."""
+    from hdk_spark.operators.text import zipf_fit
+
+    _tables(spark, sf_dir)
+    return zipf_fit(spark.table("documents"), k=200)
+
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM toks
+  WHERE length(token) >= 1 GROUP BY token
+  ORDER BY n DESC, token LIMIT 200
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token) AS r, n FROM counts
+), micro AS (
+  SELECT COUNT(*) AS nt,
+         SUM(CAST(round(ln(r) * 1e9) AS HUGEINT)) AS sx,
+         SUM(CAST(round(ln(n) * 1e9) AS HUGEINT)) AS sy,
+         SUM(CAST(round(ln(r) * ln(n) * 1e9) AS HUGEINT)) AS sxy,
+         SUM(CAST(round(ln(r) * ln(r) * 1e9) AS HUGEINT)) AS sxx
+  FROM ranked
+)
+SELECT CAST(nt AS BIGINT) AS n_terms,
+       round((nt * (CAST(sxy AS DOUBLE) / 1e9)
+              - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+             / (nt * (CAST(sxx AS DOUBLE) / 1e9)
+                - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
+             6) + 0 AS slope,
+       round(((CAST(sy AS DOUBLE) / 1e9)
+              - ((nt * (CAST(sxy AS DOUBLE) / 1e9)
+                  - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                 / (nt * (CAST(sxx AS DOUBLE) / 1e9)
+                    - (CAST(sx AS DOUBLE) / 1e9)
+                      * (CAST(sx AS DOUBLE) / 1e9)))
+                * (CAST(sx AS DOUBLE) / 1e9)) / nt, 6) + 0 AS intercept
+FROM micro
+"""
+
+SPARK_IMPLS["text_zipf_fit"] = q_text_zipf_fit
+ORACLES["text_zipf_fit"] = _ZIPF_ORACLE

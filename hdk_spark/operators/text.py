@@ -2568,3 +2568,66 @@ def fold_homoglyphs(
         folded.alias(text_col),
         F.coalesce(n, F.lit(0)).cast("long").alias("n_folded"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 1000,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus vocabulary: least-squares
+    slope of ln(freq) against ln(rank) over the top-``k`` terms — the
+    corpus-health diagnostic (natural language sits near slope −1;
+    boilerplate-heavy or template-generated corpora flatten, spam
+    token soups steepen; a drift in the slope between two crawls is a
+    composition change worth investigating).
+
+    Returns one row (n_terms, slope, intercept), both fit parameters
+    through round6 and NULL when fewer than 2 distinct terms exist.
+
+    Determinism: the per-term (x, y, xy, x²) contributions quantize
+    once to int64 micro-units (round(·1e9), the bm25 convention)
+    before their sums, so the regression inputs are order-independent
+    exact integers; the closed-form solve is then a pure double
+    function of those sums.
+
+    Scale shape: ``top_terms``'s explode → partial-agg →
+    TakeOrdered(k) bounds everything downstream at k rows; the rank
+    window and the fit aggregate run on that k-row relation (k is a
+    literal — single-task by construction, not by accident).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    from hdk_spark.functions.scalar import round6
+
+    top = top_terms(df, text_col, k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.select(
+        F.row_number().over(w).alias("r"), F.col("n")
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    micro = lambda c: F.round(c * F.lit(1e9)).cast("long")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(micro(x)).cast("decimal(38,0)").alias("__sx"),
+        F.sum(micro(y)).cast("decimal(38,0)").alias("__sy"),
+        F.sum(micro(x * y)).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(micro(x * x)).cast("decimal(38,0)").alias("__sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("__sx").cast("double") / 1e9
+    sy = F.col("__sy").cast("double") / 1e9
+    sxy = F.col("__sxy").cast("double") / 1e9
+    sxx = F.col("__sxx").cast("double") / 1e9
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+    return agg.select(
+        "n_terms",
+        round6(slope).alias("slope"),
+        round6(
+            F.when(den != 0, (sy - slope * sx) / n)
+        ).alias("intercept"),
+    )

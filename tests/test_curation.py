@@ -364,3 +364,53 @@ def test_fold_homoglyphs(spark):
     plan = fold_homoglyphs(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_zipf_fit(spark):
+    """Planted 1/r corpus fits slope ~ -1 (least-squares reference
+    equality); uniform frequencies fit slope 0; degenerate vocab ->
+    NULL; repartition determinism; k guard."""
+    import math
+
+    import pytest
+
+    from hdk_spark.operators.text import zipf_fit
+
+    doc = []
+    for r in range(1, 51):
+        doc.extend([f"t{r:03d}"] * round(1000 / r))
+    df = spark.createDataFrame([(0, " ".join(doc))],
+                               "doc_id: long, text: string")
+    got = zipf_fit(df, k=50).collect()[0]
+    assert got["n_terms"] == 50
+    assert abs(got["slope"] + 1.0) < 0.01
+
+    # python least-squares on the same quantized inputs
+    pts = [(math.log(r), math.log(round(1000 / r))) for r in range(1, 51)]
+    q = lambda v: round(v * 1e9) / 1e9  # noqa: E731
+    sx = sum(q(x) for x, _ in pts)
+    sy = sum(q(y) for _, y in pts)
+    sxy = sum(q(x * y) for x, y in pts)
+    sxx = sum(q(x * x) for x, _ in pts)
+    n = len(pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(got["slope"] - round(slope, 6)) < 1e-9
+
+    uni = spark.createDataFrame(
+        [(0, " ".join(f"u{i} u{i}" for i in range(30)))],
+        "doc_id: long, text: string")
+    assert abs(zipf_fit(uni, k=30).collect()[0]["slope"]) < 1e-9
+
+    deg = spark.createDataFrame([(0, "same same same")],
+                                "doc_id: long, text: string")
+    assert zipf_fit(deg, k=10).collect()[0]["slope"] is None
+
+    big = spark.createDataFrame(
+        [(i, " ".join(doc[i::7])) for i in range(7)],
+        "doc_id: long, text: string")
+    a = zipf_fit(big, k=40).collect()[0]
+    b = zipf_fit(big.repartition(5), k=40).collect()[0]
+    assert a == b
+
+    with pytest.raises(ValueError, match="k"):
+        zipf_fit(df, k=1)
