@@ -344,6 +344,8 @@ _PRIORITY: list[str] = [
     "web_anchor_text",
     "chat_sft_export",
     "select_curriculum_order",
+    "text_fold_homoglyphs",
+    "text_zipf_fit",
     # stable greens
     "q1_pricing_summary",
     "q3_shipping_priority",
