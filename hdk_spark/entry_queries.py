@@ -12277,3 +12277,90 @@ FROM micro
 
 SPARK_IMPLS["text_zipf_fit"] = q_text_zipf_fit
 ORACLES["text_zipf_fit"] = _ZIPF_ORACLE
+
+
+def q_similarity_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k
+    (operators/similarity.py::ann_multiprobe_topk, 4 ±1 planes, 5
+    probes = exact bucket + all 1-bit flips in margin order, k=5,
+    queries 0-4). The oracle replays the fold dots against the same
+    literal planes, the sign bucket, the |margin|-sorted probe set,
+    the probe join, and the exact-cosine rank window."""
+    from hdk_spark.operators.similarity import ann_multiprobe_topk
+
+    _tables(spark, sf_dir)
+    out = ann_multiprobe_topk(
+        spark.table("embeddings"), [0, 1, 2, 3, 4],
+        k=5, n_planes=4, n_probes=5,
+    )
+    return out.orderBy("qid", "rank")
+
+
+def _multiprobe_oracle(
+    n_planes: int = 4, n_probes: int = 5, seed: int = 7, dims: int = 64
+) -> str:
+    from hdk_spark.operators.dedup import rademacher_planes
+
+    planes = rademacher_planes(n_planes, dims, seed)
+
+    def dot_plane(p):
+        lit = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in p) + "]"
+        return _DOT.format(a="v", b=lit)
+
+    dot_cols = ",\n         ".join(
+        f"{dot_plane(p)} AS d{i}" for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    margin_rows = " UNION ALL ".join(
+        f"SELECT id, abs(d{i}) AS m, {i} AS i, {1 << i} AS p2 FROM h "
+        f"WHERE id IN (0,1,2,3,4)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), h0 AS (
+  SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm,
+         {dot_cols}
+  FROM b
+), h AS (
+  SELECT *, ({bucket}) AS bkt FROM h0
+), m AS (
+  SELECT id, i, p2,
+         row_number() OVER (PARTITION BY id ORDER BY m, i) AS rn
+  FROM ({margin_rows})
+), probes AS (
+  SELECT id AS qid, bkt AS pb FROM h WHERE id IN (0,1,2,3,4)
+  UNION ALL
+  SELECT m.id, xor(h.bkt, m.p2)
+  FROM m JOIN h ON h.id = m.id
+  WHERE m.rn <= {n_probes - 1}
+), cand AS (
+  SELECT DISTINCT p.qid, c.id
+  FROM probes p JOIN h c ON c.bkt = p.pb AND c.id <> p.qid
+), scored AS (
+  SELECT cand.qid, cand.id AS neighbor_id,
+         {_DOT.format(a='q.v', b='c.v')} / (q.norm * c.norm) AS cosine
+  FROM cand
+  JOIN h q ON q.id = cand.qid
+  JOIN h c ON c.id = cand.id
+)
+SELECT qid, neighbor_id, CAST(rnk AS INT) AS rank,
+       round(cosine, 6) + 0 AS cosine
+FROM (
+  SELECT qid, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+SPARK_IMPLS["similarity_multiprobe_lsh"] = q_similarity_multiprobe
+ORACLES["similarity_multiprobe_lsh"] = _multiprobe_oracle()

@@ -865,3 +865,132 @@ def mine_contrastive_pairs(
             F.col("__n.cosine").alias("neg_cos"),
         )
     )
+
+
+def ann_multiprobe_topk(
+    df: DataFrame,
+    query_ids: "list[int]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_probes: int = 4,
+    seed: int = 7,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Approximate top-k via MULTI-PROBE LSH (Lv et al. 2007): ONE
+    sign-bucket table of ``n_planes`` bits; each query probes its
+    exact bucket plus the ``n_probes − 1`` buckets reached by
+    flipping its lowest-|margin| sign bits — the planes the query
+    sits closest to, exactly where a true neighbor most likely fell
+    on the other side. The recall-per-MEMORY upgrade over the
+    L-tables construction (``ann_lsh_topk``): L tables store the
+    corpus L times (the measured 459 MB/200k amplification above);
+    multi-probe stores it ONCE and spends probes instead — probes
+    multiply only the broadcast-side rows (|queries| × n_probes),
+    never the corpus.
+
+    Candidates are rescored with EXACT cosine (precision 1, recall
+    approximate, monotone non-decreasing in n_probes — property-
+    tested). All dot products are fold-based JVM expressions over
+    ±1 Rademacher planes, so the whole path is SQL-replayable.
+    Returns (qid, neighbor_id, rank, cosine) like the other ANN ops.
+
+    Scale shape: corpus side is ONE bucket row per vector (no
+    posexplode ×tables); the probe set builds on the |queries|-sized
+    relation with array HOFs and broadcasts; candidate volume ≈
+    |queries| · n_probes · bucket occupancy; TakeOrdered per query.
+    """
+    if n_probes < 1 or n_probes > n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1], got {n_probes}"
+        )
+    from hdk_spark.operators.dedup import _vec_dim, rademacher_planes
+
+    d = dim if dim is not None else _vec_dim(df, vec_col)
+    planes = rademacher_planes(n_planes, d, seed)
+
+    def plane_dot(vec, p):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(c)) for c in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = F.array(*[plane_dot(F.col("v"), p) for p in planes])
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(
+            F.element_at(F.col("__dots"), i + 1) >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+            dots.alias("__dots"),
+        )
+        .withColumn("b", bucket)
+        .persist()
+    )
+    corpus = base.select("id", "v", "norm", "b")
+    # probe set: exact bucket + flips of the n_probes-1 smallest
+    # |margin| planes (ties to the lower plane index — total order)
+    margins = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.struct(
+            F.abs(F.element_at(F.col("__dots"), i + 1)).alias("m"),
+            i.alias("i"),
+        ),
+    )
+    flips = F.slice(
+        F.transform(F.array_sort(margins), lambda s: s["i"]),
+        1,
+        n_probes - 1,
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    probes = F.concat(
+        F.array(F.col("b")),
+        F.transform(
+            flips,
+            lambda f: F.col("b").bitwiseXOR(F.element_at(pow2, f + 1)),
+        ),
+    )
+    queries = (
+        base.filter(F.col("id").isin(query_ids))
+        .select(
+            F.col("id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(probes).alias("pb"),
+        )
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("b") == F.col("pb")) & (F.col("id") != F.col("qid")),
+        )
+        .select("qid", "qv", "qnorm", "id", "v", "norm")
+        .dropDuplicates(["qid", "id"])
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = cand.select(
+        "qid", F.col("id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            round6("cosine").alias("cosine"),
+        )
+    )

@@ -277,3 +277,50 @@ def test_mine_contrastive_anchor_sampling(spark):
         mine_contrastive_pairs(df, mode="exact", anchor_pct=50, **kw)
     with pytest.raises(ValueError, match="anchor_pct"):
         mine_contrastive_pairs(df, anchor_pct=0, **kw)
+
+
+def test_ann_multiprobe_monotone_recall(spark):
+    """Multi-probe LSH: more probes never hurt — per (qid, rank) the
+    cosine under T probes is >= the cosine under T' < T (candidate
+    superset); an exact duplicate is always retrieved at T=1 (same
+    bucket by construction); probe-count guard; deterministic under
+    repartition."""
+    import pytest
+
+    from hdk_spark.operators.similarity import ann_multiprobe_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+            for i in range(200)]
+    rows.append((500, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    qids = [0, 3, 9]
+
+    per_t = {}
+    for t in (1, 3, 5):
+        per_t[t] = {
+            (r["qid"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in ann_multiprobe_topk(
+                df, qids, k=5, n_planes=4, n_probes=t).collect()
+        }
+    for lo, hi in ((1, 3), (3, 5)):
+        for key, (_, c_lo) in per_t[lo].items():
+            if key in per_t[hi]:
+                assert per_t[hi][key][1] >= c_lo - 1e-12, (lo, hi, key)
+
+    # an exact duplicate shares the exact bucket -> retrieved at T=1
+    # with cosine exactly 1.0 at rank 1 (the planted vectors repeat
+    # with period 11, so several ids tie at 1.0; smallest id wins)
+    t1 = per_t[1]
+    assert t1[(0, 1)][1] == 1.0 and t1[(0, 1)][0] == 11
+
+    again = {
+        (r["qid"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ann_multiprobe_topk(
+            df.repartition(5), qids, k=5, n_planes=4, n_probes=5).collect()
+    }
+    assert again == per_t[5]
+
+    with pytest.raises(ValueError, match="n_probes"):
+        ann_multiprobe_topk(df, qids, n_planes=4, n_probes=6)
+    with pytest.raises(ValueError, match="n_probes"):
+        ann_multiprobe_topk(df, qids, n_planes=4, n_probes=0)
