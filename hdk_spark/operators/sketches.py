@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
-           "frequent_items"]
+           "frequent_items"    "cms_build", "cms_merge", "cms_query",
+]
 
 
 def ndv_rollup(
@@ -157,3 +158,117 @@ def frequent_items(
     return counted.select(
         "item", "cnt", F.lit(int(n_total)).cast("long").alias("n_total")
     ).orderBy(F.desc("cnt"), "item")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 37,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
+    column as a RELATION: (r, b, c) cells with r < depth hash rows,
+    b < width buckets — the mergeable frequency summary (store one
+    per ingest slice, answer "how often did X appear so far" without
+    re-scanning history; the frequency-sketch sibling of
+    ``ndv_rollup``'s HLL). Build is one map-side explode of depth
+    cells per row + ONE partial-agg groupBy; absent cells are zero.
+
+    Row hashes are the repo's arithmetic Knuth family
+    (((x·MULT + seed + r·r_mult) mod P) mod width over the value's
+    xxhash64), so the sketch is a pure function of the multiset and
+    SQL-replayable. NULLs are excluded (not an item).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    v = F.xxhash64(F.col(value_col).cast("string"))
+    src = df.filter(F.col(value_col).isNotNull()).select(v.alias("__x"))
+    cells = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.pmod(
+                                F.pmod(F.col("__x"), F.lit(1_000_000_007))
+                                * F.lit(2654435761 % 1_000_000_007)
+                                + F.lit(seed + r * 1_000_003),
+                                F.lit(1_000_000_007),
+                            )
+                            % F.lit(width)
+                        ).cast("int").alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return cells.groupBy(
+        F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME (depth, width,
+    seed): element-wise cell sum — EXACTLY the sketch of the
+    concatenated multisets (counter addition commutes, unlike HLL's
+    register max this is even linear: deletions via negative slices
+    work too). Property-pinned: estimates from merge(A, B) equal
+    estimates from build(A ++ B) bit-for-bit."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "b").agg(F.sum("c").cast("long").alias("c"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    values: "list[str]",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 37,
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each
+    value, min over its depth cells (absent cell = 0). The classic
+    guarantee: estimate ≥ true count always, ≤ true + εN with
+    probability 1 − (1/2)^depth for width = ⌈e/ε⌉ (property-tested:
+    never under, overestimate bounded on a planted stream). The query
+    relation is |values|·depth rows — broadcast-sized."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    vals = sketch.sparkSession.createDataFrame(
+        [(v,) for v in values], ["item"]
+    )
+    x = F.xxhash64(F.col("item").cast("string"))
+    probes = vals.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.pmod(
+                                F.pmod(x, F.lit(1_000_000_007))
+                                * F.lit(2654435761 % 1_000_000_007)
+                                + F.lit(seed + r * 1_000_003),
+                                F.lit(1_000_000_007),
+                            )
+                            % F.lit(width)
+                        ).cast("int").alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("item", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    joined = probes.join(sketch, ["r", "b"], "left").select(
+        "item", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy("item").agg(
+        F.min("c").cast("long").alias("est")
+    )
