@@ -290,66 +290,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(_COMMON_SQL["q1_pricing_summary"])
 
 
-# Round-9 window (regenerated by scripts/rotate_priority.py against
-# CORRECTNESS_r08): 0 failed, 0 never-checked; stable greens rotate
-# stalest-first, so the ~50-row window leads with the 22 rows last
-# checked r3 and the oldest r4 rows (q1/q3/q5/q6, search_bm25,
-# similarity_ann_ivf/lsh, profile_*, minhash/simhash/segment dedup,
-# streaming rows). New round-9 contract rows get inserted at the head
-# as they land.
+# Round-10 window (regenerated by scripts/rotate_priority.py against
+# CORRECTNESS_r09): failed last check: 0, never checked: 1, green: 268  (window ~50).
+# Leads with similarity_multiprobe_lsh (the only never-checked row),
+# then the r3/r4-stale backlog (oldest driver check first) so the
+# ~50-row window drains staleness instead of re-verifying fresh
+# greens. Consolidation round: new rows are capped and appended
+# AFTER the stale head so rotation order is preserved.
 _PRIORITY: list[str] = [
     # never checked
-    "training_export_pipeline",
-    "multimodal_phash_dct",
-    "select_dsir_weights",
-    "select_dsir_sample",
-    "select_temperature_mixture",
-    "select_temperature_budgets",
-    "pack_sequences_split",
-    "graph_hits",
-    "similarity_pq_encode",
-    "similarity_pq_topk",
-    "text_kneser_ney",
-    "text_ccnet_buckets_kn3",
-    "tok_unigram_encode",
-    "stats_ndv_sketch_rollup",
-    "web_politeness_schedule",
-    "similarity_ivfpq_topk",
-    "select_temperature_export",
-    "pack_materialize_chunks",
-    "graph_trustrank",
-    "text_dedup_doc_lines",
-    "chat_loss_mask",
-    "denoise_span_corruption",
-    "denoise_fim_psm",
-    "denoise_mlm_mask",
-    "tok_wordpiece_encode",
-    "stats_heavy_hitters",
-    "stats_chi2_independence",
-    "temporal_scd2_history",
-    "stats_calibration_curve",
-    "graph_label_propagation",
-    "similarity_contrastive_mine",
-    "text_blocklist_gate",
-    "text_bleu_overlap",
-    "text_char_entropy",
-    "stats_ks_test",
-    "stats_auc_exact",
-    "stats_pass_at_k",
-    "search_retrieval_metrics",
-    "sample_repeat_expand",
-    "stats_k_anonymity",
-    "dedup_split_leakage",
-    "profile_json_schema_gate",
-    "web_anchor_text",
-    "chat_sft_export",
-    "select_curriculum_order",
-    "text_fold_homoglyphs",
-    "text_zipf_fit",
+    "similarity_multiprobe_lsh",
     # stable greens
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "q6_revenue_forecast",
     "sample_mixture_split",
     "sample_stratified",
@@ -568,6 +519,56 @@ _PRIORITY: list[str] = [
     "web_link_graph",
     "web_robots_directives",
     "web_url_seen_bloom",
+    "chat_loss_mask",
+    "chat_sft_export",
+    "dedup_split_leakage",
+    "denoise_fim_psm",
+    "denoise_mlm_mask",
+    "denoise_span_corruption",
+    "graph_hits",
+    "graph_label_propagation",
+    "graph_trustrank",
+    "multimodal_phash_dct",
+    "pack_materialize_chunks",
+    "pack_sequences_split",
+    "profile_json_schema_gate",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "sample_repeat_expand",
+    "search_retrieval_metrics",
+    "select_curriculum_order",
+    "select_dsir_sample",
+    "select_dsir_weights",
+    "select_temperature_budgets",
+    "select_temperature_export",
+    "select_temperature_mixture",
+    "similarity_contrastive_mine",
+    "similarity_ivfpq_topk",
+    "similarity_pq_encode",
+    "similarity_pq_topk",
+    "stats_auc_exact",
+    "stats_calibration_curve",
+    "stats_chi2_independence",
+    "stats_heavy_hitters",
+    "stats_k_anonymity",
+    "stats_ks_test",
+    "stats_ndv_sketch_rollup",
+    "stats_pass_at_k",
+    "temporal_scd2_history",
+    "text_bleu_overlap",
+    "text_blocklist_gate",
+    "text_ccnet_buckets_kn3",
+    "text_char_entropy",
+    "text_dedup_doc_lines",
+    "text_fold_homoglyphs",
+    "text_kneser_ney",
+    "text_zipf_fit",
+    "tok_unigram_encode",
+    "tok_wordpiece_encode",
+    "training_export_pipeline",
+    "web_anchor_text",
+    "web_politeness_schedule",
 ]
 
 

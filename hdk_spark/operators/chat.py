@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["chat_lint", "preference_lint", "chat_loss_mask"    "sft_pack_export",
+__all__ = ["chat_lint", "preference_lint", "chat_loss_mask", "sft_pack_export",
 ]
 
 _CONV_SCHEMA = "array<struct<role:string,content:string>>"

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
-           "frequent_items"    "cms_build", "cms_merge", "cms_query",
+           "frequent_items", "cms_build", "cms_merge", "cms_query",
 ]
 
 

@@ -1,0 +1,56 @@
+"""Module-integrity checks over the public API surface.
+
+Round-9 verdict found two ``__all__`` lists with missing commas
+("frequent_items"  "cms_build" silently concatenates into the bogus
+name "frequent_itemscms_build", so ``from module import *`` raises
+AttributeError). These tests walk every module under ``hdk_spark``
+and pin that each ``__all__`` entry actually resolves, so the defect
+class cannot recur.
+"""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+
+import pytest
+
+import hdk_spark
+
+
+def _iter_modules():
+    yield "hdk_spark", hdk_spark
+    for pkg in (hdk_spark,):
+        for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            yield info.name, importlib.import_module(info.name)
+
+
+_MODULES = dict(_iter_modules())
+
+
+@pytest.mark.parametrize("modname", sorted(_MODULES))
+def test_all_entries_resolve(modname):
+    mod = _MODULES[modname]
+    exported = getattr(mod, "__all__", None)
+    if exported is None:
+        pytest.skip(f"{modname} defines no __all__")
+    assert isinstance(exported, (list, tuple)), f"{modname}.__all__ wrong type"
+    for name in exported:
+        # A concatenated pair (missing comma) shows up as one long
+        # name that hasattr cannot resolve.
+        assert hasattr(mod, name), (
+            f"{modname}.__all__ lists {name!r} which does not resolve — "
+            "likely a missing comma concatenating two adjacent entries"
+        )
+    assert len(set(exported)) == len(exported), f"{modname}.__all__ has dupes"
+
+
+@pytest.mark.parametrize("modname", sorted(_MODULES))
+def test_star_import_works(modname):
+    mod = _MODULES[modname]
+    if getattr(mod, "__all__", None) is None:
+        pytest.skip(f"{modname} defines no __all__")
+    ns: dict = {}
+    exec(f"from {modname} import *", ns)  # noqa: S102 - test-only
+    for name in mod.__all__:
+        assert name in ns, f"star-import of {modname} dropped {name}"
