@@ -300,6 +300,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY: list[str] = [
     # never checked
     "similarity_multiprobe_lsh",
+    "stats_cms_frequency",
     # stable greens
     "q6_revenue_forecast",
     "sample_mixture_split",

@@ -12364,3 +12364,91 @@ ORDER BY qid, rnk
 
 SPARK_IMPLS["similarity_multiprobe_lsh"] = q_similarity_multiprobe
 ORACLES["similarity_multiprobe_lsh"] = _multiprobe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 10: Count-Min sketch point-frequency contract row — closes the
+# r9 verdict's "CMS shipped with zero verification" gap. The cell
+# relation is plain SQL (explode depth Knuth-hash cells + groupBy), so
+# with hash_basis='md5' (DuckDB-computable base hash, same discipline
+# as the simhash/minhash md5 modes) the oracle replays build, query
+# (min over depth cells, absent cell = 0) AND the exact truth counts.
+# ---------------------------------------------------------------------------
+
+
+def q_stats_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + point queries (operators/sketches.py::
+    cms_build/cms_query, depth=3, width=64, seed=37, hash_basis='md5')
+    over the heavy-hitters planted skew column; emits (item, est,
+    cnt_true) for a fixed probe list spanning hot/mid/tail/absent so
+    the never-under guarantee is visible in the row values
+    themselves. width=64 << the ~6.6k distinct items at sf0.01
+    forces real collisions — the oracle must reproduce the collided
+    cell sums exactly, not just exact counts."""
+    from hdk_spark.operators.sketches import cms_build, cms_query
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    item = (
+        F.when(d % 3 != 2, F.concat(F.lit("hot"), (d % 2).cast("string")))
+        .when(d % 9 == 2, F.concat(F.lit("mid"), (d % 27).cast("string")))
+        .otherwise(F.concat(F.lit("tail"), d.cast("string")))
+    )
+    planted = spark.table("documents").select(item.alias("v"))
+    probes = ["hot0", "hot1", "mid2", "mid11", "mid20",
+              "tail5", "tail17", "never-seen"]
+    kw = dict(depth=3, width=64, seed=37, hash_basis="md5")
+    sk = cms_build(planted, "v", **kw)
+    truth = planted.groupBy(F.col("v").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_true")
+    )
+    return (
+        cms_query(sk, probes, **kw)
+        .join(truth, "item", "left")
+        .select(
+            "item",
+            F.col("est").cast("long").alias("est"),
+            F.coalesce("cnt_true", F.lit(0)).cast("long").alias("cnt_true"),
+        )
+        .orderBy("item")
+    )
+
+
+_CMS_CELL = (
+    "((CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT) % 1000000007)"
+    " * 654435747 + (37 + r.r * 1000003)) % 1000000007 % 64"
+)
+
+_CMS_FREQUENCY_ORACLE = f"""
+WITH src AS (
+  SELECT CASE WHEN doc_id % 3 <> 2 THEN 'hot' || CAST(doc_id % 2 AS VARCHAR)
+              WHEN doc_id % 9 = 2 THEN 'mid' || CAST(doc_id % 27 AS VARCHAR)
+              ELSE 'tail' || CAST(doc_id AS VARCHAR) END AS v
+  FROM documents
+), rr AS (SELECT unnest([0, 1, 2]) AS r),
+vals AS (
+  SELECT unnest(['hot0','hot1','mid2','mid11','mid20',
+                 'tail5','tail17','never-seen']) AS item
+), cells AS (
+  SELECT r.r AS r, {_CMS_CELL.format(v='s.v')} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM src s CROSS JOIN rr r
+  GROUP BY 1, 2
+), probes AS (
+  SELECT v.item, r.r AS r, {_CMS_CELL.format(v='v.item')} AS b
+  FROM vals v CROSS JOIN rr r
+), est AS (
+  SELECT p.item, MIN(COALESCE(c.c, 0)) AS est
+  FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.b = p.b
+  GROUP BY p.item
+), truth AS (
+  SELECT v AS item, COUNT(*) AS cnt FROM src GROUP BY v
+)
+SELECT e.item, CAST(e.est AS BIGINT) AS est,
+       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt_true
+FROM est e LEFT JOIN truth t USING (item)
+ORDER BY item
+"""
+
+SPARK_IMPLS["stats_cms_frequency"] = q_stats_cms_frequency
+ORACLES["stats_cms_frequency"] = _CMS_FREQUENCY_ORACLE

@@ -160,12 +160,54 @@ def frequent_items(
     ).orderBy(F.desc("cnt"), "item")
 
 
+def _cms_base_hash(col, hash_basis: str):
+    """64-bit base hash of a value for the CMS Knuth-cell family.
+
+    'xxhash64' (default): JVM-native, the production basis.
+    'md5': first 4 md5 bytes as a non-negative int — computable
+    identically in DuckDB (``CAST(('0x' || substr(md5(v),1,8)) AS
+    BIGINT)``), so contract rows can replay every cell in SQL (the
+    same basis discipline as simhash_pairs / minhash md5 modes).
+    """
+    s = col.cast("string")
+    if hash_basis == "xxhash64":
+        return F.xxhash64(s)
+    if hash_basis == "md5":
+        return F.conv(
+            F.substring(F.md5(F.encode(s, "utf-8")), 1, 8), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash_basis {hash_basis!r}")
+
+
+def _cms_cell_structs(xcol, depth: int, width: int, seed: int):
+    """The depth (r, b) cell coordinates of one hashed value: the
+    repo's arithmetic Knuth family ((x mod P)·MULT + seed + r·r_mult)
+    mod P mod width with P = 1e9+7 — every factor < 2^31 so the
+    product stays inside int64 in Spark AND DuckDB."""
+    return [
+        F.struct(
+            F.lit(r).alias("r"),
+            (
+                F.pmod(
+                    F.pmod(xcol, F.lit(1_000_000_007))
+                    * F.lit(2654435761 % 1_000_000_007)
+                    + F.lit(seed + r * 1_000_003),
+                    F.lit(1_000_000_007),
+                )
+                % F.lit(width)
+            ).cast("int").alias("b"),
+        )
+        for r in range(depth)
+    ]
+
+
 def cms_build(
     df: DataFrame,
     value_col: str,
     depth: int = 4,
     width: int = 1024,
     seed: int = 37,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
     column as a RELATION: (r, b, c) cells with r < depth hash rows,
@@ -177,32 +219,18 @@ def cms_build(
 
     Row hashes are the repo's arithmetic Knuth family
     (((x·MULT + seed + r·r_mult) mod P) mod width over the value's
-    xxhash64), so the sketch is a pure function of the multiset and
-    SQL-replayable. NULLs are excluded (not an item).
+    base hash), so the sketch is a pure function of the multiset and
+    SQL-replayable. ``hash_basis='md5'`` pins a DuckDB-computable
+    base hash for the contract row (production default: xxhash64).
+    NULLs are excluded (not an item).
     """
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
-    v = F.xxhash64(F.col(value_col).cast("string"))
+    v = _cms_base_hash(F.col(value_col), hash_basis)
     src = df.filter(F.col(value_col).isNotNull()).select(v.alias("__x"))
     cells = src.select(
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            F.pmod(
-                                F.pmod(F.col("__x"), F.lit(1_000_000_007))
-                                * F.lit(2654435761 % 1_000_000_007)
-                                + F.lit(seed + r * 1_000_003),
-                                F.lit(1_000_000_007),
-                            )
-                            % F.lit(width)
-                        ).cast("int").alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
+            F.array(*_cms_cell_structs(F.col("__x"), depth, width, seed))
         ).alias("rb")
     )
     return cells.groupBy(
@@ -231,6 +259,7 @@ def cms_query(
     depth: int = 4,
     width: int = 1024,
     seed: int = 37,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """Point-frequency estimates from a Count-Min sketch: for each
     value, min over its depth cells (absent cell = 0). The classic
@@ -243,27 +272,11 @@ def cms_query(
     vals = sketch.sparkSession.createDataFrame(
         [(v,) for v in values], ["item"]
     )
-    x = F.xxhash64(F.col("item").cast("string"))
+    x = _cms_base_hash(F.col("item"), hash_basis)
     probes = vals.select(
         "item",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            F.pmod(
-                                F.pmod(x, F.lit(1_000_000_007))
-                                * F.lit(2654435761 % 1_000_000_007)
-                                + F.lit(seed + r * 1_000_003),
-                                F.lit(1_000_000_007),
-                            )
-                            % F.lit(width)
-                        ).cast("int").alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
+            F.array(*_cms_cell_structs(x, depth, width, seed))
         ).alias("rb"),
     ).select("item", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     joined = probes.join(sketch, ["r", "b"], "left").select(

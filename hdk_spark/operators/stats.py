@@ -802,7 +802,11 @@ def pass_at_k(
     k-term literal sequence in a fixed order, then emits through
     round6. k > n−c makes the product empty-of-support → pass@k = 1
     (some sample must pass); c = 0 gives exactly 0. Rows with NULL
-    n/c are excluded; c > n or k < 1 is a contract violation (raise).
+    n/c are excluded; k < 1 raises. c > n (a malformed eval row)
+    yields NULL pass@k for that row — NULL, not a raise, because
+    detecting it eagerly would cost a driver-side action on a
+    map-only operator; the NULL makes the corruption visible
+    row-by-row instead of silently clamping.
 
     Returns one row per problem (id, n, c, pass_at_{k}...) — mean
     over problems is one tiny aggregate the caller owns (means of

@@ -307,3 +307,96 @@ def test_k_anonymity_audit(spark):
         k_anonymity_audit(df, [], k=2)
     with pytest.raises(ValueError, match="k"):
         k_anonymity_audit(df, ["age"], k=0)
+
+
+def test_cms_merge_equals_build_bit_for_bit(spark):
+    """Count-Min mergeability (Cormode & Muthukrishnan 2005): the
+    merged sketch of two slices is the SAME RELATION as the sketch of
+    the concatenated multiset — cell-for-cell, and therefore every
+    point estimate is bit-for-bit equal. Holds for both hash bases."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import cms_build, cms_merge, cms_query
+
+    import pytest
+
+    src = spark.range(2_000).select(
+        F.concat(F.lit("w"), (F.col("id") % 97).cast("string")).alias("v"),
+        F.col("id"),
+    )
+    a, b = src.filter("id % 2 = 0"), src.filter("id % 2 = 1")
+    for basis in ("xxhash64", "md5"):
+        kw = dict(depth=4, width=64, seed=37, hash_basis=basis)
+        merged = cms_merge(cms_build(a, "v", **kw), cms_build(b, "v", **kw))
+        whole = cms_build(src, "v", **kw)
+        cells_m = {(r["r"], r["b"]): r["c"] for r in merged.collect()}
+        cells_w = {(r["r"], r["b"]): r["c"] for r in whole.collect()}
+        assert cells_m == cells_w, basis
+        vals = [f"w{i}" for i in range(0, 97, 13)] + ["absent"]
+        est_m = {r["item"]: r["est"] for r in cms_query(merged, vals, **kw).collect()}
+        est_w = {r["item"]: r["est"] for r in cms_query(whole, vals, **kw).collect()}
+        assert est_m == est_w, basis
+
+    with pytest.raises(ValueError, match="at least one"):
+        cms_merge()
+
+
+def test_cms_never_under_and_bounded_over(spark):
+    """The classic CMS guarantee on a planted stream: estimate >= true
+    count ALWAYS (counters only ever add), and with width w the
+    overestimate is bounded by eps*N, eps = e/w (checked deterministic
+    at the pinned seed; width 32 forces real collisions at 97 distinct
+    items so the never-under property is exercised, not vacuous).
+    Absent items estimate >= 0 with the same over bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import cms_build, cms_query
+
+    import pytest
+
+    # item w_i appears (i+1) times: known exact counts, N = sum
+    src = spark.range(97).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("id").cast("int")),
+                lambda _: F.concat(F.lit("w"), F.col("id").cast("string")),
+            )
+        ).alias("v")
+    )
+    true = {f"w{i}": i + 1 for i in range(97)}
+    n_total = sum(true.values())
+    kw = dict(depth=4, width=32, seed=37)
+    sk = cms_build(src, "v", **kw)
+    vals = list(true) + ["never-seen-a", "never-seen-b"]
+    est = {r["item"]: r["est"] for r in cms_query(sk, vals, **kw).collect()}
+    bound = math.e / 32 * n_total
+    collided = 0
+    for item in vals:
+        t = true.get(item, 0)
+        assert est[item] >= t, (item, est[item], t)
+        assert est[item] - t <= bound, (item, est[item], t, bound)
+        collided += est[item] > t
+    assert collided > 0  # width 32 << 97 items: collisions must exist
+
+    with pytest.raises(ValueError, match="non-empty"):
+        cms_query(sk, [], **kw)
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_build(src, "v", depth=0)
+    with pytest.raises(ValueError, match="hash_basis"):
+        cms_build(src, "v", hash_basis="sha1")
+
+
+def test_pass_at_k_c_gt_n_yields_null(spark):
+    """pass@k on a malformed eval row (c > n): the documented NULL
+    emission — visible corruption, no silent clamp, no raise."""
+    from hdk_spark.operators.stats import pass_at_k
+
+    df = spark.createDataFrame(
+        [("ok", 10, 3), ("bad", 5, 9)], ["problem_id", "n", "c"]
+    )
+    rows = {r["problem_id"]: r for r in pass_at_k(df, "n", "c", ks=(1, 5)).collect()}
+    assert rows["bad"]["pass_at_1"] is None
+    assert rows["bad"]["pass_at_5"] is None
+    assert rows["ok"]["pass_at_1"] is not None
