@@ -877,6 +877,7 @@ def ann_multiprobe_topk(
     n_probes: int = 4,
     seed: int = 7,
     dim: "int | None" = None,
+    deterministic: bool = True,
 ) -> DataFrame:
     """Approximate top-k via MULTI-PROBE LSH (Lv et al. 2007): ONE
     sign-bucket table of ``n_planes`` bits; each query probes its
@@ -892,14 +893,24 @@ def ann_multiprobe_topk(
 
     Candidates are rescored with EXACT cosine (precision 1, recall
     approximate, monotone non-decreasing in n_probes — property-
-    tested). All dot products are fold-based JVM expressions over
-    ±1 Rademacher planes, so the whole path is SQL-replayable.
+    tested). ``deterministic=True`` (the oracle-pinned default)
+    computes every plane dot as a fold-based JVM expression, so the
+    whole path is SQL-replayable; ``deterministic=False`` is the
+    production corpus kernel — all sign bits + the norm in one
+    vectorized numpy matmul per Arrow batch, the same split (and the
+    same ~10× interpreted-HOF gap) as ``ann_lsh_topk``. The query
+    side (|queries| rows) always uses fold expressions — at 16 rows
+    the kernel dispatch would cost more than it saves.
     Returns (qid, neighbor_id, rank, cosine) like the other ANN ops.
 
     Scale shape: corpus side is ONE bucket row per vector (no
-    posexplode ×tables); the probe set builds on the |queries|-sized
-    relation with array HOFs and broadcasts; candidate volume ≈
-    |queries| · n_probes · bucket occupancy; TakeOrdered per query.
+    posexplode ×tables) and the persisted relation carries ONLY
+    (id, v, norm, b) — plane dots are never cached; the probe set
+    builds on the |queries|-sized relation with array HOFs and
+    broadcasts; candidate volume ≈ |queries| · n_probes · bucket
+    occupancy; TakeOrdered per query. Measured at 200k×64d vs the
+    L-tables construction: see SCALE.md (×1 cache vs ×n_tables at
+    comparable recall).
     """
     if n_probes < 1 or n_probes > n_planes + 1:
         raise ValueError(
@@ -928,19 +939,62 @@ def ann_multiprobe_topk(
             F.element_at(F.col("__dots"), i + 1) >= 0,
             F.lit(1 << i).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-    base = (
-        df.select(
+    if deterministic:
+        # fold-based JVM plane dots: bit-reproducible in a SQL oracle
+        corpus = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+                dots.alias("__dots"),
+            )
+            .withColumn("b", bucket)
+            .select("id", "v", "norm", "b")
+            .persist()
+        )
+    else:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        planes_mat = np.array(planes, dtype=np.float64).T  # dim × planes
+        pow2_np = np.array(
+            [1 << i for i in range(n_planes)], dtype=np.int64
+        )
+
+        @pandas_udf("struct<b:long,norm:double>")
+        def _sketch(vecs: pd.Series) -> pd.DataFrame:
+            m = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+            signs = (m @ planes_mat) >= 0  # batch × planes
+            ids = (signs * pow2_np[None, :]).sum(axis=1)
+            norms = np.sqrt((m * m).sum(axis=1))
+            return pd.DataFrame({"b": ids, "norm": norms})
+
+        corpus = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                _sketch(F.col(vec_col)).alias("sk"),
+            )
+            .select(
+                "id", "v",
+                F.col("sk.norm").alias("norm"),
+                F.col("sk.b").alias("b"),
+            )
+            .persist()
+        )
+    # query side: recompute norm/dots with fold expressions on the
+    # |queries| filtered rows (pushed to the scan) — tiny either mode.
+    # Probe set: exact bucket + flips of the n_probes-1 smallest
+    # |margin| planes (ties to the lower plane index — total order)
+    qbase = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
             dots.alias("__dots"),
         )
         .withColumn("b", bucket)
-        .persist()
     )
-    corpus = base.select("id", "v", "norm", "b")
-    # probe set: exact bucket + flips of the n_probes-1 smallest
-    # |margin| planes (ties to the lower plane index — total order)
     margins = F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         lambda i: F.struct(
@@ -961,14 +1015,11 @@ def ann_multiprobe_topk(
             lambda f: F.col("b").bitwiseXOR(F.element_at(pow2, f + 1)),
         ),
     )
-    queries = (
-        base.filter(F.col("id").isin(query_ids))
-        .select(
-            F.col("id").alias("qid"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.explode(probes).alias("pb"),
-        )
+    queries = qbase.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(probes).alias("pb"),
     )
     cand = (
         corpus.join(

@@ -429,6 +429,71 @@ def main() -> None:
               round(time.perf_counter() - t0, 2))
         return
 
+    if "--r10" in sys.argv:
+        # round-10: multi-probe LSH vs L-tables LSH at 200k×64d —
+        # recall@10 vs exact, wall, and CACHED BYTES (the reason the
+        # operator exists: one corpus copy vs ×n_tables). Clustered
+        # synth corpus (256 hash-derived centroids + small noise) so
+        # top-k is meaningful; 16 query ids land in 16 clusters.
+        from hdk_spark.operators.similarity import (
+            ann_lsh_topk,
+            ann_multiprobe_topk,
+            cosine_topk,
+        )
+
+        path = "/tmp/ann200k.parquet"
+        if not os.path.exists(path):
+            spark.range(200_000).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: (
+                        (F.hash(F.col("id") % 256, j) % 1000).cast("double")
+                        / 500.0
+                        + (F.hash(F.col("id"), j) % 100).cast("double")
+                        / 5000.0 * 3.0
+                    ),
+                ).alias("embedding"),
+            ).write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+        print("ann corpus rows:", emb.count())
+        qids = list(range(16))
+
+        def cached_mb() -> float:
+            infos = spark._jsc.sc().getRDDStorageInfo()
+            return round(sum(i.memSize() for i in infos) / 1e6, 1)
+
+        def run(make):
+            b, mb, res = 1e9, 0.0, None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = make().collect()
+                b = min(b, time.perf_counter() - t0)
+                mb = cached_mb()
+                res = {r["qid"]: set() for r in rows}
+                for r in rows:
+                    res[r["qid"]].add(r["neighbor_id"])
+            return round(b, 2), mb, res
+
+        t_ex, _, exact = run(lambda: cosine_topk(emb, qids, k=10))
+        print(f"exact cosine_topk: {t_ex}s")
+
+        def recall(res) -> float:
+            hits = sum(len(res.get(q, set()) & exact[q]) for q in exact)
+            return round(hits / sum(len(v) for v in exact.values()), 3)
+
+        t, mb, res = run(lambda: ann_lsh_topk(
+            emb, qids, k=10, n_planes=4, n_tables=8))
+        print(f"lsh_topk 4p×8t: {t}s cache={mb}MB recall@10={recall(res)}")
+        for probes in (1, 4, 8):
+            t, mb, res = run(lambda: ann_multiprobe_topk(
+                emb, qids, k=10, n_planes=8, n_probes=probes,
+                deterministic=False))
+            print(f"multiprobe 8p T={probes}: {t}s cache={mb}MB "
+                  f"recall@10={recall(res)}")
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)

@@ -324,3 +324,26 @@ def test_ann_multiprobe_monotone_recall(spark):
         ann_multiprobe_topk(df, qids, n_planes=4, n_probes=6)
     with pytest.raises(ValueError, match="n_probes"):
         ann_multiprobe_topk(df, qids, n_planes=4, n_probes=0)
+
+
+def test_ann_multiprobe_numpy_mode_matches_deterministic(spark):
+    """deterministic=False (the production numpy corpus kernel) emits
+    the SAME result as the fold-based oracle mode on an integer-valued
+    corpus: plane dots are exact integers in float64, so the sign rule
+    and the norm agree bit-for-bit across kernels (the same split
+    ann_lsh_topk pins; near-zero float dots are where the kernels may
+    legitimately diverge, which integer vectors exclude)."""
+    from hdk_spark.operators.similarity import ann_multiprobe_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    qids = [0, 3, 9]
+    kw = dict(k=5, n_planes=6, n_probes=3)
+    det = {(r["qid"], r["rank"]): (r["neighbor_id"], r["cosine"])
+           for r in ann_multiprobe_topk(
+               df, qids, deterministic=True, **kw).collect()}
+    fast = {(r["qid"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in ann_multiprobe_topk(
+                df, qids, deterministic=False, **kw).collect()}
+    assert det == fast and len(det) > 0
