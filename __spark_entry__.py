@@ -301,6 +301,8 @@ _PRIORITY: list[str] = [
     # never checked
     "similarity_multiprobe_lsh",
     "stats_cms_frequency",
+    "streaming_cms_counts",
+    "streaming_ndv_rollup",
     # stable greens
     "q6_revenue_forecast",
     "sample_mixture_split",

@@ -12452,3 +12452,119 @@ ORDER BY item
 
 SPARK_IMPLS["stats_cms_frequency"] = q_stats_cms_frequency
 ORACLES["stats_cms_frequency"] = _CMS_FREQUENCY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 10: streaming sketch family — the bounded-state incremental
+# variants of the r9 sketch ops. complete-mode streaming state IS the
+# merged sketch (CMS merge is linear; HLL union is register-max), so
+# the completed table equals the batch build and the full SQL oracles
+# replay it.
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_cms (streaming.py — the batch
+    CMS cell relation as a streaming aggregation, state bounded at
+    depth·width cells) in complete mode, then point-queried with
+    cms_query + exact truth counts. Planted item = lang '-' doc_id%5
+    (25 distinct >> width 16, so collided cells are value-checked).
+    The oracle replays the full-history build — streaming state
+    update == cms_merge, which is the property this row pins."""
+    from hdk_spark.operators.sketches import cms_query
+
+    _tables(spark, sf_dir)
+    item = F.concat(F.col("lang"), F.lit("-"),
+                    (F.col("doc_id") % 5).cast("string"))
+    stream = _documents_stream(spark, sf_dir).select(item.alias("v"))
+    from hdk_spark.streaming import stream_cms
+
+    kw = dict(depth=4, width=16, seed=37, hash_basis="md5")
+    name = _run_stream(stream_cms(stream, "v", **kw), "complete")
+    sketch = spark.table(name)
+    probes = ["en-0", "en-3", "zh-1", "es-2", "de-4", "fr-0", "xx-9"]
+    truth = (
+        spark.table("documents")
+        .select(item.alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_true"))
+    )
+    return (
+        cms_query(sketch, probes, **kw)
+        .join(truth, "item", "left")
+        .select(
+            "item",
+            F.col("est").cast("long").alias("est"),
+            F.coalesce("cnt_true", F.lit(0)).cast("long").alias("cnt_true"),
+        )
+        .orderBy("item")
+    )
+
+
+_STREAM_CMS_CELL = (
+    "((CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT) % 1000000007)"
+    " * 654435747 + (37 + r.r * 1000003)) % 1000000007 % 16"
+)
+
+_STREAM_CMS_ORACLE = f"""
+WITH src AS (
+  SELECT lang || '-' || CAST(doc_id % 5 AS VARCHAR) AS v FROM documents
+), rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+vals AS (
+  SELECT unnest(['en-0','en-3','zh-1','es-2','de-4','fr-0','xx-9']) AS item
+), cells AS (
+  SELECT r.r AS r, {_STREAM_CMS_CELL.format(v='s.v')} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM src s CROSS JOIN rr r
+  GROUP BY 1, 2
+), probes AS (
+  SELECT v.item, r.r AS r, {_STREAM_CMS_CELL.format(v='v.item')} AS b
+  FROM vals v CROSS JOIN rr r
+), est AS (
+  SELECT p.item, MIN(COALESCE(c.c, 0)) AS est
+  FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.b = p.b
+  GROUP BY p.item
+), truth AS (
+  SELECT v AS item, COUNT(*) AS cnt FROM src GROUP BY v
+)
+SELECT e.item, CAST(e.est AS BIGINT) AS est,
+       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt_true
+FROM est e LEFT JOIN truth t USING (item)
+ORDER BY item
+"""
+
+SPARK_IMPLS["streaming_cms_counts"] = q_streaming_cms_counts
+ORACLES["streaming_cms_counts"] = _STREAM_CMS_ORACLE
+
+
+def q_streaming_ndv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_ndv_rollup (per-lang HLL NDV
+    of doc_id%97 as streaming state — ONE ≤2^lgk-byte sketch per
+    group, the bounded-state alternative to streaming COUNT(DISTINCT))
+    in complete mode, then estimated. Exact-mode cardinality (≤97 ≪
+    the lgk=12 coupon threshold) so ndv value-checks against DuckDB's
+    exact COUNT(DISTINCT) — the same exactness argument as the batch
+    stats_ndv_sketch_rollup row."""
+    from hdk_spark.operators.sketches import ndv_estimate
+    from hdk_spark.streaming import stream_ndv_rollup
+
+    _tables(spark, sf_dir)
+    stream = _documents_stream(spark, sf_dir).select(
+        "lang", (F.col("doc_id") % 97).alias("v")
+    )
+    name = _run_stream(stream_ndv_rollup(stream, "lang", "v"), "complete")
+    return (
+        ndv_estimate(spark.table(name))
+        .select(F.col("grp").alias("lang"), "n_rows", "ndv")
+        .orderBy("lang")
+    )
+
+
+_STREAM_NDV_ORACLE = """
+SELECT lang, COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id % 97) AS BIGINT) AS ndv
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+SPARK_IMPLS["streaming_ndv_rollup"] = q_streaming_ndv_rollup
+ORACLES["streaming_ndv_rollup"] = _STREAM_NDV_ORACLE

@@ -657,6 +657,7 @@ def ks_test(
     value_col: str,
     a_label,
     b_label,
+    quantize: "int | None" = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance between the ``a_label``
     and ``b_label`` slices of ``value_col`` — the distribution-drift
@@ -672,12 +673,17 @@ def ks_test(
 
     Scale shape: the corpus collapses map-side via groupBy(value) to
     a |support|-sized relation; the cumulative runs as ONE window
-    over that support. For continuous 100 TB columns, pre-quantize to
-    the resolution that matters (the histogram discipline) so the
-    support — not the corpus — bounds the window; the sort is of the
-    support only.
+    over that support. For continuous 100 TB columns, pass
+    ``quantize=<decimal places>`` — values snap to that grid BEFORE
+    the support groupBy (decimal-exact Spark round), so the support,
+    not the corpus, bounds the single-task window (the histogram
+    discipline, now enforceable instead of advisory). On a column
+    already at that resolution quantization is a bit-exact no-op
+    (property-tested), so enabling it defensively costs nothing.
     """
     g, v = F.col(group_col), F.col(value_col)
+    if quantize is not None:
+        v = F.round(v, int(quantize))
     src = df.filter(v.isNotNull() & g.isin([a_label, b_label]))
     per = src.groupBy(v.alias("__v")).agg(
         F.sum(F.when(g == a_label, 1).otherwise(0)).alias("__ca"),
@@ -719,6 +725,7 @@ def auc_score(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    quantize: "int | None" = None,
 ) -> DataFrame:
     """EXACT ROC-AUC of a scorer against binary labels via the
     Mann-Whitney identity with midranks for ties:
@@ -736,9 +743,14 @@ def auc_score(
     Scale shape: groupBy(score) collapses the corpus map-side to the
     score support; ONE window over the support computes the tie-group
     prefix; the rank2 weighted sum is one aggregate. Same support-not-
-    corpus bound (and pre-quantization advice) as ks_test above.
+    corpus bound as ks_test above — and the same enforceable
+    ``quantize=<decimal places>`` grid snap (bit-exact no-op on a
+    column already at that resolution; ties created by quantization
+    get correct midrank treatment by construction).
     """
     s = F.col(score_col)
+    if quantize is not None:
+        s = F.round(s, int(quantize))
     y = F.col(label_col).cast("long")
     src = df.filter(s.isNotNull() & F.col(label_col).isNotNull())
     per = src.groupBy(s.alias("__s")).agg(

@@ -464,3 +464,46 @@ def stream_crawl_ingest(
         keep=("url", "text"),
     ).select("doc_id", "url", "text", "lang", "n_grams")
     return out.withColumn("canonical_url", canonical_url(F.col("url")))
+
+
+def stream_cms(
+    stream_df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 37,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming Count-Min sketch: the batch ``cms_build`` cell
+    relation expressed as a STREAMING aggregation — Spark maintains
+    the (r, b) cell counters as streaming state, so state is bounded
+    at depth·width cells for an UNBOUNDED stream (the sketch-as-state
+    pattern; what the per-micro-batch state update performs is exactly
+    ``cms_merge`` of the batch's sketch into the running one, and CMS
+    merge is linear, so order never matters). Run in 'update' (emit
+    changed cells) or 'complete' mode; the completed table equals
+    ``cms_build`` over the full history bit-for-bit — property-pinned
+    in test_streaming. Query the completed/stored cells with
+    ``cms_query`` as usual."""
+    from hdk_spark.operators.sketches import cms_build
+
+    return cms_build(stream_df, value_col, depth, width, seed, hash_basis)
+
+
+def stream_ndv_rollup(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Streaming per-group NDV via DataSketches HLL: ``ndv_rollup``'s
+    partial-agg groupBy as a streaming aggregation — per-group state
+    is ONE ≤2^lgk-byte sketch regardless of how many distinct values
+    stream past (the bounded-state alternative to streaming
+    COUNT(DISTINCT), which would hold every key). The per-batch state
+    update is ``merge_ndv_rollups``' register-max union, idempotent
+    under replayed rows. Completed table == the batch rollup of the
+    full history (property-pinned); feed it to ``ndv_estimate``."""
+    from hdk_spark.operators.sketches import ndv_rollup
+
+    return ndv_rollup(stream_df, group_col, value_col, lgk)

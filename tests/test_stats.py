@@ -400,3 +400,42 @@ def test_pass_at_k_c_gt_n_yields_null(spark):
     assert rows["bad"]["pass_at_1"] is None
     assert rows["bad"]["pass_at_5"] is None
     assert rows["ok"]["pass_at_1"] is not None
+
+
+def test_ks_auc_quantize_grid(spark):
+    """The enforceable support-bound discipline (quantize=<decimal
+    places>): on a column ALREADY at that resolution the result is
+    bit-for-bit the unquantized one (defensive enablement is free);
+    on a continuous column the support provably collapses to the grid
+    and ties get correct midrank treatment."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.stats import auc_score, ks_test
+
+    # already-quantized column: 1-decimal values
+    df = spark.range(2_000).select(
+        (F.col("id") % 2).alias("grp"),
+        F.round((F.col("id") % 7).cast("double") / 10.0
+                + (F.col("id") % 2).cast("double") / 10.0, 1).alias("v"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    base_ks = ks_test(df, "grp", "v", 0, 1).collect()[0]
+    quant_ks = ks_test(df, "grp", "v", 0, 1, quantize=1).collect()[0]
+    assert base_ks == quant_ks
+    base_auc = auc_score(df, "v", "y").collect()[0]
+    quant_auc = auc_score(df, "v", "y", quantize=1).collect()[0]
+    assert base_auc == quant_auc
+
+    # continuous column: support collapses to the grid; KS/AUC match
+    # computing on the explicitly rounded column
+    cont = spark.range(5_000).select(
+        (F.col("id") % 2).alias("grp"),
+        (F.sin(F.col("id").cast("double"))
+         + (F.col("id") % 2).cast("double") * 0.1).alias("v"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    rounded = cont.withColumn("v", F.round("v", 2))
+    assert (ks_test(cont, "grp", "v", 0, 1, quantize=2).collect()
+            == ks_test(rounded, "grp", "v", 0, 1).collect())
+    assert (auc_score(cont, "v", "y", quantize=2).collect()
+            == auc_score(rounded, "v", "y").collect())

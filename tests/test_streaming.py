@@ -348,3 +348,43 @@ def test_streaming_crawl_frontier_stateless(spark, tmp_path):
     assert rows == {10: 900000, 11: 300000}  # the seen canonical dropped
     progs = [json.loads(p.json) for p in q.recentProgress]
     assert progs and all(p.get("stateOperators", []) == [] for p in progs)
+
+
+def test_stream_cms_equals_batch_bit_for_bit(spark, events_dir, events_schema):
+    """stream_cms in complete mode == cms_build over the full history,
+    cell-for-cell: the streaming state update IS cms_merge (linear),
+    and the 2-file source forces >1 micro-batch so real merging
+    happens. State is bounded at depth*width cells."""
+    from hdk_spark.operators.sketches import cms_build
+
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    kw = dict(depth=3, width=16, seed=37)
+    got = _collect(
+        spark, streaming.stream_cms(st, "event_type", **kw),
+        "t_cms", "complete",
+    )
+    batch = cms_build(spark.read.parquet(events_dir), "event_type", **kw)
+    assert sorted(got.collect()) == sorted(batch.collect())
+    assert got.count() <= 3 * 16
+
+
+def test_stream_ndv_rollup_equals_batch(spark, events_dir, events_schema):
+    """stream_ndv_rollup in complete mode: ndv_estimate over the
+    completed table equals the batch rollup's estimates exactly (the
+    per-batch state update is the same register-max union
+    merge_ndv_rollups performs; HLL estimates are deterministic for
+    fixed registers)."""
+    from hdk_spark.operators.sketches import ndv_estimate, ndv_rollup
+
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    got = ndv_estimate(
+        _collect(
+            spark,
+            streaming.stream_ndv_rollup(st, "event_type", "user_id"),
+            "t_ndv", "complete",
+        )
+    )
+    batch = ndv_estimate(
+        ndv_rollup(spark.read.parquet(events_dir), "event_type", "user_id")
+    )
+    assert sorted(got.collect()) == sorted(batch.collect())
