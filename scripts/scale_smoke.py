@@ -494,6 +494,104 @@ def main() -> None:
                   f"recall@10={recall(res)}")
         return
 
+    if "--r10b" in sys.argv:
+        # round-10: the BUDGET-CAPPED crawl front at 10× (50k WARC
+        # records built + parsed in-job) handing off into the funnel —
+        # the knob interaction the r9 runs didn't cover (r9's 10×
+        # funnel started from documents; the small-SF contract rows
+        # pin max_per_domain correctness, this pins its 10× cost).
+        # The contract fixture's URL arithmetic (%17 domains × %85
+        # paths) saturates at 10× — canonical space collapses to ~40
+        # urls and the cap never binds — so this block plants SCALED
+        # urls (%170 domains × %8500 paths) with the same gate moduli.
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from hdk_spark.operators.crawl import crawl_curate
+
+        def to_warc(batches):
+            from hdk_spark.operators.warc import build_warc
+
+            for pdf in batches:
+                blobs = []
+                for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                    rid = int(rid)
+                    url = (
+                        f"https://site{rid % 170}.com/p/{rid % 8500}"
+                        + ("?utm_source=x" if rid % 2 == 0 else "/")
+                    )
+                    html = (
+                        f"<html><head><title>Doc {rid}</title>"
+                        + ('<meta name="robots" content="noindex">'
+                           if rid % 11 == 0 else "")
+                        + f"</head><body><p>{text}</p></body></html>"
+                    ).encode("utf-8")
+                    status = (b"HTTP/1.1 404 Not Found" if rid % 19 == 0
+                              else b"HTTP/1.1 200 OK")
+                    ctype = (b"text/plain" if rid % 23 == 0
+                             else b"text/html; charset=utf-8")
+                    http = (status + b"\r\nContent-Type: " + ctype
+                            + b"\r\n\r\n" + html)
+                    blobs.append(build_warc([{
+                        "warc_type": "response",
+                        "target_uri": url,
+                        "payload": http,
+                        "content_type":
+                            "application/http;msgtype=response",
+                    }]))
+                yield pd.DataFrame(
+                    {"warc_id": pdf["doc_id"], "data": blobs}
+                )
+
+        warcs = spark.table("documents").select(
+            "doc_id", "text"
+        ).mapInPandas(to_warc, T.StructType([
+            T.StructField("warc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]))
+        robots = spark.range(170).select(
+            F.concat(F.lit("site"), F.col("id").cast("string"),
+                     F.lit(".com")).alias("reg_domain"),
+            F.when(F.col("id") % 2 == 0,
+                   F.lit("User-agent: *\nDisallow: /private\n"))
+            .otherwise(F.lit("User-agent: *\nDisallow: /private\n"))
+            .alias("robots_txt"),
+        )
+        t_all = time.perf_counter()
+        st = crawl_curate(
+            warcs, robots,
+            langs=["en", "de", "es", "fr", "zh"],
+            max_per_domain=20, persist_stages=True,
+        )
+        for name, frame in st.items():
+            t0 = time.perf_counter()
+            print(f"{name}->", frame.count(),
+                  round(time.perf_counter() - t0, 2))
+        # funnel handoff over the capped survivors: CCNet tail gate +
+        # exact dedup (the r9 block measured the rest at 10×)
+        s0 = st["final"].select("doc_id", "lang", "bucket").join(
+            st["domain_cap"].select("doc_id", "text"), "doc_id"
+        )
+        t0 = time.perf_counter()
+        s1 = (
+            s0.filter(F.col("bucket") != "tail")
+            .select("doc_id", "text", "lang")
+            .localCheckpoint()
+        )
+        print("tail_gate->", s1.count(),
+              round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
+        s2 = (
+            s1.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+            .join(s1, ["doc_id", "text"])
+            .localCheckpoint()
+        )
+        print("exact_dedup->", s2.count(),
+              round(time.perf_counter() - t0, 2))
+        print("crawl_capped_total:",
+              round(time.perf_counter() - t_all, 2))
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
