@@ -303,6 +303,8 @@ _PRIORITY: list[str] = [
     "stats_cms_frequency",
     "streaming_cms_counts",
     "streaming_ndv_rollup",
+    "stats_krippendorff_alpha",
+    "text_rouge_overlap",
     # stable greens
     "q6_revenue_forecast",
     "sample_mixture_split",

@@ -299,20 +299,17 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r9: no headline-path changes (round adds the "
-                "capstone training_export_pipeline contract row, pHash "
-                "value-checked driver rows, BM25 duplicate-term "
-                "unification, merge_text_index replace mode, RRF "
-                "retrieval-quality evidence, and the four r8 ADVICE "
-                "fixes — none touch q1-q9 paths); NEW this round: the "
-                "uniform-ambient-drift gate (VERDICT r8 #1) — when the "
-                "total moves >15% vs the previous round with zero "
-                "per-query anomalies, the 3 cheapest queries are "
-                "re-probed and the artifact records "
-                "ambient_drift_suspected + probe numbers, so a "
-                "BENCH_r08-style +26% uniform drift self-explains; "
-                "defaults remain crc32/xxhash64/vectorized, oracle "
-                "bases contract-side",
+                "notes": "r10: consolidation round, no headline-path "
+                "changes (CMS verification closure, streaming sketch "
+                "rows, KS/AUC quantize grid, and the multiprobe-LSH "
+                "numpy production path — q9 uses ann_lsh_topk, whose "
+                "code is untouched; ann_multiprobe_topk is a separate "
+                "function). The uniform-ambient-drift gate (shipped "
+                "r9) stays: >15% total move with zero per-query "
+                "anomalies re-probes the 3 cheapest queries and "
+                "records ambient_drift_suspected + probes; defaults "
+                "remain crc32/xxhash64/vectorized, oracle bases "
+                "contract-side",
             }
         )
     )

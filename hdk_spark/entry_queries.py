@@ -12568,3 +12568,158 @@ FROM documents GROUP BY lang ORDER BY lang
 
 SPARK_IMPLS["streaming_ndv_rollup"] = q_streaming_ndv_rollup
 ORACLES["streaming_ndv_rollup"] = _STREAM_NDV_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 10: labeling-reliability + summarization-eval completions —
+# krippendorff_alpha (the varying-raters/missing-data coefficient
+# fleiss_kappa deliberately abstains on) and rouge_n (the recall side
+# of the BLEU overlap pair).
+# ---------------------------------------------------------------------------
+
+
+def q_stats_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (operators/stats.py::krippendorff_alpha)
+    over planted long-format annotations: unit = doc_id%50 (varying
+    raters per unit — the case Fleiss abstains on), label = unit-
+    derived with a %7 disagreement twist, doc_id%13 rows NULL
+    (missing data), doc_id%97 rows land in singleton units
+    (unpairable, counted in n_units but excluded from alpha). The
+    oracle replays the coincidence arithmetic including the ×1e9
+    micro-quantized agreement sum."""
+    from hdk_spark.operators.stats import krippendorff_alpha
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    ann = spark.table("documents").select(
+        F.when(d % 97 == 0, d + 1000).otherwise(d % 50).alias("item"),
+        F.when(
+            d % 13 == 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(
+                F.lit("l"),
+                ((d % 50 + (d % 7 == 0).cast("long")) % 5).cast("string"),
+            )
+        ).alias("label"),
+    )
+    return krippendorff_alpha(ann, "item", "label")
+
+
+_KRIPPENDORFF_ORACLE = """
+WITH ann AS (
+  SELECT CASE WHEN doc_id % 97 = 0 THEN doc_id + 1000
+              ELSE doc_id % 50 END AS item,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE 'l' || CAST((doc_id % 50
+                   + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 5
+                   AS VARCHAR) END AS label
+  FROM documents
+), nij AS (
+  SELECT item, label, COUNT(*) AS n FROM ann
+  WHERE label IS NOT NULL GROUP BY item, label
+), mi AS (
+  SELECT item, SUM(n) AS m FROM nij GROUP BY item
+), units AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairable
+  FROM mi
+), cells AS (
+  SELECT nij.item, nij.label, nij.n, mi.m
+  FROM nij JOIN mi USING (item) WHERE mi.m >= 2
+), asum AS (
+  SELECT COALESCE(SUM(CAST(round(1e9 * n * (n - 1)
+                                 / CAST(m - 1 AS DOUBLE)) AS HUGEINT)),
+                  0) AS aq,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS n_classes
+  FROM cells
+), marg AS (
+  SELECT COALESCE(SUM(c), 0) AS nv, COALESCE(SUM(c * c), 0) AS s2
+  FROM (SELECT SUM(n) AS c FROM cells GROUP BY label)
+)
+SELECT u.n_units, u.n_pairable, a.n_classes,
+       CAST(m.nv AS BIGINT) AS n_vals,
+       round(CASE WHEN m.nv * m.nv - m.s2 > 0 THEN
+                1.0 - (m.nv - CAST(a.aq AS DOUBLE) / 1e9)
+                    * (m.nv - 1.0)
+                    / CAST(m.nv * m.nv - m.s2 AS DOUBLE)
+             END, 6) + 0 AS alpha
+FROM units u, asum a, marg m
+"""
+
+SPARK_IMPLS["stats_krippendorff_alpha"] = q_stats_krippendorff
+ORACLES["stats_krippendorff_alpha"] = _KRIPPENDORFF_ORACLE
+
+
+def q_text_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (operators/text.py::rouge_n) over planted (ref, hyp)
+    pairs using the BLEU row's shared-vocab shift planting but with
+    SHORT rows in the spectrum: ref has (d%6)+1 tokens and hyp
+    (d%5)+1, so zero-bigram sides exercise the NULL
+    precision/recall/f1 conventions alongside the full overlap range.
+    The oracle rebuilds tokens, bigrams, the clipped count, and both
+    divides with DuckDB list HOFs."""
+    from hdk_spark.operators.text import rouge_n
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def words(shift, upper):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), upper),
+                lambda j: F.concat(
+                    F.lit("w"), ((d + j + shift) % 7).cast("string")
+                ),
+            ),
+            " ",
+        )
+
+    planted = spark.table("documents").select(
+        "doc_id",
+        words(F.lit(0), (d % 6).cast("int")).alias("ref"),
+        words(d % 3, (d % 5).cast("int")).alias("hyp"),
+    )
+    return rouge_n(planted, "ref", "hyp", n=2).orderBy("doc_id")
+
+
+_ROUGE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         list_transform(range(0, doc_id % 6 + 1),
+           j -> 'w' || CAST((doc_id + j) % 7 AS VARCHAR)) AS tr,
+         list_transform(range(0, doc_id % 5 + 1),
+           j -> 'w' || CAST((doc_id + j + doc_id % 3) % 7 AS VARCHAR)) AS th
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(tr) >= 2 THEN list_transform(range(0, len(tr) - 1),
+           j -> tr[j + 1] || ' ' || tr[j + 2]) ELSE [] END AS gr,
+         CASE WHEN len(th) >= 2 THEN list_transform(range(0, len(th) - 1),
+           j -> th[j + 1] || ' ' || th[j + 2]) ELSE [] END AS gh
+  FROM p
+), c AS (
+  SELECT doc_id, len(gr) AS ref_grams, len(gh) AS hyp_grams,
+         CAST(COALESCE(list_sum(list_transform(list_distinct(gh), t ->
+              least(len(list_filter(gh, x -> x = t)),
+                    len(list_filter(gr, x -> x = t))))), 0) AS DOUBLE)
+           AS clip
+  FROM g
+), pr AS (
+  SELECT doc_id, ref_grams, hyp_grams,
+         clip / CASE WHEN hyp_grams > 0 THEN hyp_grams END AS p,
+         clip / CASE WHEN ref_grams > 0 THEN ref_grams END AS r
+  FROM c
+)
+SELECT doc_id, CAST(ref_grams AS BIGINT) AS ref_grams,
+       CAST(hyp_grams AS BIGINT) AS hyp_grams,
+       round(p, 6) + 0 AS precision,
+       round(r, 6) + 0 AS recall,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                  WHEN p IS NOT NULL AND r IS NOT NULL THEN 0.0
+             END, 6) + 0 AS f1
+FROM pr ORDER BY doc_id
+"""
+
+SPARK_IMPLS["text_rouge_overlap"] = q_text_rouge
+ORACLES["text_rouge_overlap"] = _ROUGE_ORACLE

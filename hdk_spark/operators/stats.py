@@ -38,6 +38,7 @@ __all__ = [
     "group_mode",
     "annotator_agreement",
     "fleiss_kappa",
+    "krippendorff_alpha",
     "label_merge",
     "chi2_contingency",
     "calibration_curve",
@@ -471,6 +472,105 @@ def fleiss_kappa(
         round6(pe).alias("pe"),
         round6(kappa).alias("kappa"),
         ok.alias("m_constant"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal; Krippendorff 2004 §11) over
+    LONG-format annotations — the agreement coefficient for the case
+    :func:`fleiss_kappa` deliberately ABSTAINS on: any number of
+    raters, VARYING raters per item, missing labels. The labeling-ops
+    triple is kappa (2 raters) → Fleiss (constant m) → alpha
+    (anything), so a crowdsourced labeling pipeline always has a
+    defined reliability gate.
+
+    Coincidence-matrix form: with n_uc the count of label c in unit u
+    and m_u = Σ_c n_uc, units with m_u < 2 are unpairable and drop;
+
+        A  = Σ_u Σ_c n_uc·(n_uc − 1)/(m_u − 1)   (agreement mass)
+        n_c = Σ_u n_uc,   n = Σ_c n_c
+        alpha = 1 − (n − A)·(n − 1) / (n² − Σ_c n_c²)
+
+    A is the one fractional sum (per-unit denominators differ), so
+    each (u, c) term is MICRO-QUANTIZED — round(term·1e9) summed in
+    DECIMAL(38,0), order-independent across the shuffle (the
+    bm25/retrieval-metrics discipline); marginals are exact integers.
+    Output: one row (n_units, n_pairable, n_classes, n_vals, alpha);
+    alpha is NULL when the expected-disagreement denominator is 0
+    (every pairable value identical, or < 2 pairable values) —
+    abstention over a 0/0 emission.
+
+    Scale shape: one partial-agg groupBy on (item, label), one on
+    item, one label-sized groupBy for marginals; the combine is a
+    cross of three broadcast 1-row relations. No window, no explode —
+    alpha over 100 TB of annotations is three map-side-combinable
+    aggregations.
+    """
+    item, lab = F.col(item_col), F.col(label_col)
+    nij = (
+        df.filter(lab.isNotNull())
+        .groupBy(item.alias("__i"), lab.alias("__l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    per_item = nij.groupBy("__i").agg(
+        F.sum("__n").cast("long").alias("__m")
+    )
+    unit_stats = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum((F.col("__m") >= 2).cast("long")).cast("long")
+        .alias("n_pairable"),
+    )
+    cells = nij.join(
+        per_item.filter(F.col("__m") >= 2), "__i"
+    )
+    a_q = (
+        F.round(
+            F.lit(1e9)
+            * (F.col("__n") * (F.col("__n") - 1)).cast("double")
+            / (F.col("__m") - 1).cast("double")
+        ).cast("decimal(38,0)")
+    )
+    a_sum = cells.agg(
+        F.coalesce(F.sum(a_q), F.lit(0).cast("decimal(38,0)"))
+        .alias("__Aq"),
+        F.countDistinct("__l").cast("long").alias("n_classes"),
+    )
+    marg = (
+        cells.groupBy("__l")
+        .agg(F.sum("__n").cast("decimal(38,0)").alias("__c"))
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0).cast("decimal(38,0)"))
+            .alias("__N"),
+            F.coalesce(
+                F.sum(F.col("__c") * F.col("__c")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__S2"),
+        )
+    )
+    from hdk_spark.functions.scalar import round6
+
+    base = unit_stats.crossJoin(F.broadcast(a_sum)).crossJoin(
+        F.broadcast(marg)
+    )
+    n = F.col("__N").cast("double")
+    de_num = F.col("__N") * F.col("__N") - F.col("__S2")
+    alpha = F.when(
+        de_num > 0,
+        F.lit(1.0)
+        - (n - F.col("__Aq").cast("double") / F.lit(1e9))
+        * (n - F.lit(1.0))
+        / de_num.cast("double"),
+    )
+    return base.select(
+        "n_units",
+        "n_pairable",
+        "n_classes",
+        F.col("__N").cast("long").alias("n_vals"),
+        round6(alpha).alias("alpha"),
     )
 
 

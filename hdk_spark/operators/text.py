@@ -2462,6 +2462,85 @@ def ngram_overlap_score(
     )
 
 
+def rouge_n(
+    df: DataFrame,
+    ref_col: str,
+    hyp_col: str,
+    n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-level ROUGE-N (Lin 2004): clipped n-gram RECALL of
+    ``hyp_col`` against ``ref_col`` — the summarization-eval
+    complement of :func:`ngram_overlap_score`'s BLEU (precision-
+    oriented); between them a generation eval reports both sides of
+    the overlap. Same whitespace/case-fold tokenization and the same
+    clipped-count fold (Σ_g min(cnt_hyp(g), cnt_ref(g))), divided by
+    the REFERENCE gram count for recall and the hypothesis gram count
+    for precision; f1 is their harmonic mean. Returns (id, ref_grams,
+    hyp_grams, precision, recall, f1) — each NULL when its
+    denominator is empty (recall NULL ⇒ f1 NULL; callers own
+    smoothing, exactly the BLEU convention).
+
+    Scale shape: ONE map-only projection, array HOFs over each row's
+    own tokens (O(len²) per row, corpus-independent). No explode, no
+    shuffle, no Python.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def toks(c):
+        return F.when(
+            F.length(F.trim(F.col(c))) > 0,
+            F.split(F.trim(F.lower(F.col(c))), _WS),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def grams(xs):
+        return F.when(
+            F.size(xs) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(xs) - n),
+                lambda j: F.array_join(F.slice(xs, j + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def clipped(gh, gr):
+        return F.aggregate(
+            F.array_distinct(gh),
+            F.lit(0),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(gh, lambda x: x == g)),
+                F.size(F.filter(gr, lambda x: x == g)),
+            ),
+        )
+
+    from hdk_spark.functions.scalar import round6
+
+    out = df.select(
+        F.col(id_col),
+        grams(toks(ref_col)).alias("__gr"),
+        grams(toks(hyp_col)).alias("__gh"),
+    ).select(
+        F.col(id_col),
+        F.size("__gr").cast("long").alias("ref_grams"),
+        F.size("__gh").cast("long").alias("hyp_grams"),
+        clipped(F.col("__gh"), F.col("__gr")).cast("double").alias("__c"),
+    )
+    prec = F.col("__c") / F.when(F.col("hyp_grams") > 0, F.col("hyp_grams"))
+    rec = F.col("__c") / F.when(F.col("ref_grams") > 0, F.col("ref_grams"))
+    f1 = F.when(
+        prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(
+        F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0))
+    )
+    return out.select(
+        F.col(id_col), "ref_grams", "hyp_grams",
+        round6(prec).alias("precision"),
+        round6(rec).alias("recall"),
+        round6(f1).alias("f1"),
+    )
+
+
 def char_entropy(
     df: DataFrame,
     text_col: str = "text",

@@ -414,3 +414,58 @@ def test_zipf_fit(spark):
 
     with pytest.raises(ValueError, match="k"):
         zipf_fit(df, k=1)
+
+
+def test_rouge_n_reference_equality(spark):
+    """rouge_n == a pure-Python clipped-count reference on hand cases:
+    the classic clipping example (repeated 'the'), identical pair ->
+    all 1.0, disjoint -> all 0.0, short-hypothesis NULL precision,
+    short-reference NULL recall, n=1 vs n=2 divergence."""
+    from collections import Counter
+
+    import pytest
+
+    from hdk_spark.operators.text import rouge_n
+
+    def ref_rouge(ref, hyp, n):
+        def gr(s):
+            t = s.strip().lower().split()
+            return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+        r, h = Counter(gr(ref)), Counter(gr(hyp))
+        c = sum(min(h[g], r[g]) for g in h)
+        nr, nh = sum(r.values()), sum(h.values())
+        p = round(c / nh, 6) + 0 if nh else None
+        rec = round(c / nr, 6) + 0 if nr else None
+        if p is None or rec is None:
+            f1 = None
+        elif p + rec == 0:
+            f1 = 0.0
+        else:
+            f1 = round(2 * p * rec / (p + rec), 6) + 0
+        return (nr, nh, p, rec, f1)
+
+    cases = [
+        ("the cat sat on the mat", "the the the the the the the"),
+        ("a b c d", "a b c d"),
+        ("a b c d", "x y z w"),
+        ("a b c d e f", "b c"),
+        ("ab", "ab cd ef"),
+        ("", "a b"),
+        ("a b", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, r, h) for i, (r, h) in enumerate(cases)],
+        "doc_id: long, ref: string, hyp: string",
+    )
+    for n in (1, 2):
+        got = {r["doc_id"]: (r["ref_grams"], r["hyp_grams"],
+                             r["precision"], r["recall"], r["f1"])
+               for r in rouge_n(df, "ref", "hyp", n=n).collect()}
+        for i, (ref, hyp) in enumerate(cases):
+            exp = ref_rouge(ref, hyp, n)
+            # Spark reference: approximate float equality is NOT used;
+            # both sides round6 the same double arithmetic
+            assert got[i] == exp, (n, i, got[i], exp)
+
+    with pytest.raises(ValueError, match="n must be"):
+        rouge_n(df, "ref", "hyp", n=0)

@@ -439,3 +439,88 @@ def test_ks_auc_quantize_grid(spark):
             == ks_test(rounded, "grp", "v", 0, 1).collect())
     assert (auc_score(cont, "v", "y", quantize=2).collect()
             == auc_score(rounded, "v", "y").collect())
+
+
+def test_krippendorff_alpha_reference_equality(spark):
+    """alpha == a pure-Python coincidence-matrix reference on (a) the
+    classic Krippendorff textbook grid (4 raters, missing cells,
+    varying pairable counts — the case fleiss_kappa abstains on),
+    (b) perfect agreement -> 1, (c) systematic disagreement < 0,
+    (d) single-label degenerate -> NULL (De = 0), (e) unpairable
+    (1-rating) units excluded."""
+    from collections import Counter
+
+    from hdk_spark.operators.stats import fleiss_kappa, krippendorff_alpha
+
+    def ref_alpha(rows):
+        units = {}
+        for u, c in rows:
+            if c is not None:
+                units.setdefault(u, []).append(c)
+        units = {u: v for u, v in units.items() if len(v) >= 2}
+        a = 0.0
+        marg = Counter()
+        for v in units.values():
+            m = len(v)
+            for c, k in Counter(v).items():
+                # the operator's micro-quantization, replayed
+                a += round(1e9 * k * (k - 1) / (m - 1)) / 1e9
+                marg[c] += k
+        n = sum(marg.values())
+        de = n * n - sum(x * x for x in marg.values())
+        if de <= 0:
+            return None
+        return round(1.0 - (n - a) * (n - 1) / de, 6) + 0
+
+    # Krippendorff 2004's standard example: 4 coders, 12 units,
+    # missing values; published nominal alpha ~= 0.743
+    grid = {
+        "A": [1, 2, 3, 3, 2, 1, 4, 1, 2, None, None, None],
+        "B": [1, 2, 3, 3, 2, 2, 4, 1, 2, 5, None, 3],
+        "C": [None, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, None],
+        "D": [1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, None],
+    }
+    rows = [(u, grid[r][u]) for r in grid for u in range(12)]
+    df = spark.createDataFrame(
+        [(u, c) for u, c in rows], "item: long, label: long"
+    )
+    got = krippendorff_alpha(df, "item", "label").collect()[0]
+    want = ref_alpha(rows)
+    assert got["alpha"] == want
+    assert 0.70 < got["alpha"] < 0.78  # published value ≈ 0.743
+    # varying m (unit 10 has 2 ratings, most have 4): Fleiss abstains,
+    # alpha is defined — the reason the operator exists
+    fk = fleiss_kappa(df, "item", "label").collect()[0]
+    assert fk["kappa"] is None and not fk["m_constant"]
+    assert got["n_units"] == 12 and got["n_pairable"] == 11
+
+    perfect = spark.createDataFrame(
+        [(u, "x" if u % 2 else "y") for u in range(20) for _ in range(3)],
+        "item: long, label: string",
+    )
+    assert krippendorff_alpha(perfect, "item", "label").collect()[0][
+        "alpha"] == 1.0
+
+    # two raters always disagreeing with flipped marginals -> alpha < 0
+    flip = spark.createDataFrame(
+        [(u, r, "a" if (u + r) % 2 else "b")
+         for u in range(10) for r in range(2)],
+        "item: long, rater: long, label: string",
+    )
+    fa = krippendorff_alpha(flip, "item", "label").collect()[0]
+    assert fa["alpha"] == ref_alpha(
+        [(u, "a" if (u + r) % 2 else "b")
+         for u in range(10) for r in range(2)]
+    )
+    assert fa["alpha"] < 0
+
+    mono = spark.createDataFrame(
+        [(u, "same") for u in range(5) for _ in range(2)],
+        "item: long, label: string",
+    )
+    assert krippendorff_alpha(mono, "item", "label").collect()[0][
+        "alpha"] is None
+
+    # repartition determinism (quantized order-independent sums)
+    again = krippendorff_alpha(df.repartition(7), "item", "label").collect()
+    assert again[0] == got
