@@ -592,6 +592,52 @@ def main() -> None:
               round(time.perf_counter() - t_all, 2))
         return
 
+    if "--r10c" in sys.argv:
+        # round-10 operators at 10×: alpha over a 500k-annotation
+        # grid (50k units × 10 raters), ROUGE-2 over 50k rows, and
+        # the batch CMS build/query path at corpus scale.
+        from hdk_spark.operators.sketches import cms_build, cms_query
+        from hdk_spark.operators.stats import krippendorff_alpha
+        from hdk_spark.operators.text import rouge_n
+
+        docs = spark.table("documents")
+        print("docs:", docs.count())
+        d = F.col("doc_id")
+        ann = docs.select(
+            d.alias("item"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(9)),
+                    lambda r: F.concat(
+                        F.lit("l"),
+                        ((d + r.cast("long") % 3) % 5).cast("string"),
+                    ),
+                )
+            ).alias("label"),
+        )
+        print("annotations:", ann.count())
+        print("krippendorff_alpha_500k:", best(
+            lambda: krippendorff_alpha(ann, "item", "label"), n=2))
+
+        pairs = docs.select(
+            "doc_id", F.col("text").alias("ref"),
+            F.concat(F.lit("recrawl "), F.col("text")).alias("hyp"),
+        )
+        print("rouge2_50k:", best(lambda: rouge_n(pairs, "ref", "hyp"),
+                                  n=1))
+
+        t0 = time.perf_counter()
+        sk = cms_build(docs.select(
+            (d % 999).cast("string").alias("v")), "v").persist()
+        n_cells = sk.count()
+        t_build = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cms_query(sk, [str(i) for i in range(50)]).write.format(
+            "noop").mode("overwrite").save()
+        print("cms_build_50k:", t_build, " cells:", n_cells,
+              " query_50:", round(time.perf_counter() - t0, 2))
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
