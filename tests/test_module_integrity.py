@@ -54,3 +54,21 @@ def test_star_import_works(modname):
     exec(f"from {modname} import *", ns)  # noqa: S102 - test-only
     for name in mod.__all__:
         assert name in ns, f"star-import of {modname} dropped {name}"
+
+
+def test_priority_window_covers_every_contract_row():
+    """The r9 operational miss, made structurally impossible: every
+    queries() entry must appear in _PRIORITY exactly once (a row
+    absent from the committed list would never rotate into the
+    driver's ~50-row check window), every _PRIORITY name must still
+    resolve to a live query (no ghosts after a rename), and the list
+    must be duplicate-free (a dupe eats a window slot)."""
+    import __spark_entry__ as entry
+
+    names = set(entry.queries())
+    prio = entry._PRIORITY
+    assert len(set(prio)) == len(prio), "duplicate _PRIORITY entries"
+    missing = names - set(prio)
+    assert not missing, f"contract rows absent from _PRIORITY: {missing}"
+    ghosts = set(prio) - names
+    assert not ghosts, f"_PRIORITY names with no live query: {ghosts}"
