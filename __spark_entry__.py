@@ -305,6 +305,7 @@ _PRIORITY: list[str] = [
     "streaming_ndv_rollup",
     "stats_krippendorff_alpha",
     "text_rouge_overlap",
+    "pack_stats",
     # stable greens
     "q6_revenue_forecast",
     "sample_mixture_split",

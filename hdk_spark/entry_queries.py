@@ -12723,3 +12723,69 @@ FROM pr ORDER BY doc_id
 
 SPARK_IMPLS["text_rouge_overlap"] = q_text_rouge
 ORACLES["text_rouge_overlap"] = _ROUGE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 10: packing-efficiency telemetry over the pack_sequences
+# assignment (operators/packing.py::pack_stats) — the per-shard
+# fill/overflow/skew report a training job checks before committing a
+# pack layout. The oracle replays the pack (hash order + cum window)
+# and both accounting groupBys.
+# ---------------------------------------------------------------------------
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_stats over the same pack_sequences layout the
+    pack_sequences row pins (budget 512, 8 shards): per shard the
+    chunk count, doc/token volumes, fill_ratio against budget,
+    overflow chunks (greedy no-split packing overflows by ≤1 doc),
+    and the min/max chunk-token skew surface."""
+    from hdk_spark.operators.packing import pack_sequences, pack_stats
+    from hdk_spark.operators.text import token_count
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", budget=512, n_shards=8, seed=0
+    )
+    return pack_stats(packed, budget=512)
+
+
+_PACK_STATS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens,
+         {_hb_sql('doc_id', 1000000007, 0)} AS h,
+         {_hb_sql('doc_id', 8, 1)} AS shard
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+  FROM toks
+), chunks AS (
+  SELECT shard, chunk_id, SUM(n_tokens) AS t, COUNT(*) AS d
+  FROM packed GROUP BY shard, chunk_id
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(d) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(t) AS DOUBLE) / (COUNT(*) * 512.0), 6) + 0
+         AS fill_ratio,
+       CAST(SUM(CASE WHEN t > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overflow_chunks,
+       CAST(MAX(t) AS BIGINT) AS max_chunk_tokens,
+       CAST(MIN(t) AS BIGINT) AS min_chunk_tokens
+FROM chunks GROUP BY shard ORDER BY shard
+"""
+
+SPARK_IMPLS["pack_stats"] = q_pack_stats
+ORACLES["pack_stats"] = _PACK_STATS_ORACLE

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from hdk_spark.operators.sampling import hash_bucket
 
-__all__ = ["pack_sequences", "pack_sequences_split", "materialize_chunks"]
+__all__ = ["pack_sequences", "pack_sequences_split", "materialize_chunks", "pack_stats"]
 
 
 def pack_sequences(
@@ -225,4 +225,57 @@ def materialize_chunks(
             F.size("tokens").cast("long").alias("n_tokens"),
             "tokens", "n_docs",
         )
+    )
+
+
+def pack_stats(
+    packed: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Packing-efficiency telemetry over a :func:`pack_sequences` /
+    :func:`pack_sequences_split` assignment — the numbers a training
+    job reports before committing a pack layout: per shard,
+
+      n_chunks, n_docs, n_tokens        — volume
+      fill_ratio = n_tokens/(n_chunks·budget) — budget utilization
+      overflow_chunks                    — chunks past budget (greedy
+                                           no-split packing overflows
+                                           by ≤1 doc; split mode never)
+      max_chunk_tokens / min_chunk_tokens — skew surface (a straggler
+                                           chunk is a straggler batch)
+
+    All doubles emit through round6. Scale shape: ONE partial-agg
+    groupBy (shard, chunk) + one groupBy shard — both map-side
+    combinable, output is shards-sized. No window: the chunk relation
+    already carries the assignment, so stats never re-pack.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from hdk_spark.functions.scalar import round6
+
+    chunks = packed.groupBy("shard", "chunk_id").agg(
+        F.sum(tokens_col).cast("long").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("__d"),
+    )
+    return (
+        chunks.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("__d").cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.sum((F.col("__t") > budget).cast("long"))
+            .cast("long").alias("overflow_chunks"),
+            F.max("__t").cast("long").alias("max_chunk_tokens"),
+            F.min("__t").cast("long").alias("min_chunk_tokens"),
+        )
+        .select(
+            "shard", "n_chunks", "n_docs", "n_tokens",
+            round6(
+                F.col("n_tokens")
+                / (F.col("n_chunks") * F.lit(budget)).cast("double")
+            ).alias("fill_ratio"),
+            "overflow_chunks", "max_chunk_tokens", "min_chunk_tokens",
+        )
+        .orderBy("shard")
     )

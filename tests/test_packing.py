@@ -128,3 +128,63 @@ def test_materialize_chunks_reconstructs_shard_streams(spark):
                   for r in again) == sorted(
         (r["shard"], r["chunk_id"], tuple(r["tokens"]), r["n_docs"])
         for r in out)
+
+
+def test_pack_stats_invariants(spark):
+    """pack_stats vs hand-computed chunk accounting: volumes conserve
+    (Σn_docs == input rows, Σn_tokens == Σ input tokens), greedy
+    no-split packing overflows by at most one doc per chunk (every
+    overflow chunk has >= 2 docs and max overflow < budget + max doc),
+    split mode reports zero overflow and fill_ratio 1.0 on full
+    chunks; budget guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_split,
+        pack_stats,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 3).alias("n_tokens"),
+    )
+    budget = 128
+    packed = pack_sequences(df, "doc_id", "n_tokens",
+                            budget=budget, n_shards=4)
+    stats = pack_stats(packed, budget).collect()
+    assert sorted(r["shard"] for r in stats) == [0, 1, 2, 3]
+    assert sum(r["n_docs"] for r in stats) == 500
+    total_tokens = df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["n_tokens"] for r in stats) == total_tokens
+    max_doc = df.agg(F.max("n_tokens")).collect()[0][0]
+    chunk_tokens = {
+        (r["shard"], r["chunk_id"]): r["cnt"]
+        for r in packed.groupBy("shard", "chunk_id")
+        .agg(F.sum("n_tokens").alias("cnt")).collect()
+    }
+    for r in stats:
+        assert r["max_chunk_tokens"] == max(
+            v for (s, _), v in chunk_tokens.items() if s == r["shard"])
+        assert r["max_chunk_tokens"] < budget + max_doc
+        assert 0 < r["fill_ratio"] < 1.5
+        exp_overflow = sum(
+            1 for (s, _), v in chunk_tokens.items()
+            if s == r["shard"] and v > budget)
+        assert r["overflow_chunks"] == exp_overflow
+
+    # split mode: every chunk except a shard's last is EXACTLY full
+    split = pack_sequences_split(df, "doc_id", "n_tokens",
+                                 budget=budget, n_shards=4)
+    cols = split.columns
+    tok = "piece_tokens" if "piece_tokens" in cols else "n_tokens"
+    sstats = pack_stats(split, budget, tokens_col=tok).collect()
+    assert all(r["overflow_chunks"] == 0 for r in sstats)
+    assert sum(r["n_tokens"] for r in sstats) == total_tokens
+    for r in sstats:
+        # all chunks full except possibly the final partial one
+        assert r["n_tokens"] >= (r["n_chunks"] - 1) * budget
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_stats(packed, 0)
