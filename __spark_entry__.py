@@ -290,13 +290,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(_COMMON_SQL["q1_pricing_summary"])
 
 
-# Round-10 window (regenerated by scripts/rotate_priority.py against
-# CORRECTNESS_r09): failed last check: 0, never checked: 1, green: 268  (window ~50).
-# Leads with similarity_multiprobe_lsh (the only never-checked row),
-# then the r3/r4-stale backlog (oldest driver check first) so the
-# ~50-row window drains staleness instead of re-verifying fresh
-# greens. Consolidation round: new rows are capped and appended
-# AFTER the stale head so rotation order is preserved.
+# Round-10 window: leads with the 7 never-checked rows (multiprobe
+# LSH from r9's final commit + this round's 6 new contract rows),
+# then the r3/r4-stale backlog oldest-first, so the driver's ~50-row
+# window drains staleness instead of re-verifying fresh greens.
+# Maintained by `python scripts/rotate_priority.py --write` (run it
+# after the last contract-row commit of a round); the
+# test_module_integrity priority guard fails if any queries() entry
+# is missing from this list.
+# Regenerated by scripts/rotate_priority.py — failed last check: 0, never checked: 7, green: 268  (window ~50).
 _PRIORITY: list[str] = [
     # never checked
     "similarity_multiprobe_lsh",

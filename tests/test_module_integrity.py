@@ -72,3 +72,21 @@ def test_priority_window_covers_every_contract_row():
     assert not missing, f"contract rows absent from _PRIORITY: {missing}"
     ghosts = set(prio) - names
     assert not ghosts, f"_PRIORITY names with no live query: {ghosts}"
+
+
+def test_readme_query_count_matches_registry():
+    """The README's 'exposes N named queries' claim is regenerated
+    from len(queries()) — this pins it so the count cannot drift
+    (VERDICT r9 doc-staleness item, made structural)."""
+    import pathlib
+    import re
+
+    import __spark_entry__ as entry
+
+    readme = (pathlib.Path(__file__).parents[1] / "README.md").read_text()
+    m = re.search(r"exposes (\d+) named queries", readme)
+    assert m, "README lost the query-count sentence"
+    assert int(m.group(1)) == len(entry.queries()), (
+        "README query count drifted — run: python -c \"import "
+        "__spark_entry__ as e; print(len(e.queries()))\" and update"
+    )
