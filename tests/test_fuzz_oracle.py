@@ -693,3 +693,51 @@ def test_no_shadowed_top_level_defs():
         if dupes:
             all_dupes[path.name] = dupes
     assert not all_dupes, f"shadowed top-level defs: {all_dupes}"
+
+
+# ---------------------------------------------------------------------------
+# scalar-projection grammar (round 10): CASE/string/conditional scalar
+# expressions projected per row — the shapes the agg/window grammars
+# never emit. Only engine-deterministic expressions (no float rounding,
+# no negative modulo, 1-based substr on both engines).
+# ---------------------------------------------------------------------------
+
+SCALAR_EXPRS = [
+    "CASE WHEN l_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END",
+    "CASE WHEN l_quantity > 25 THEN l_linenumber ELSE -l_linenumber END",
+    "length(l_returnflag || l_linestatus)",
+    "upper(l_linestatus) || lower(l_returnflag)",
+    "substr(l_returnflag || 'xyz', 2, 2)",
+    "abs(l_linenumber - 4)",
+    "l_orderkey % 97",
+    "coalesce(nullif(l_linenumber, 3), -1)",
+    "greatest(l_linenumber, 4)",
+    "least(l_suppkey, 100)",
+    "CAST(l_quantity AS BIGINT) * 3 + l_linenumber",
+    "CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 0 END",
+]
+
+
+@st.composite
+def scalar_queries(draw):
+    exprs = draw(st.lists(st.sampled_from(SCALAR_EXPRS), min_size=1,
+                          max_size=3, unique=True))
+    where = draw(st.lists(preds, min_size=1, max_size=2))
+    sel = ["l_orderkey", "l_linenumber"] + [
+        f"{e} AS s{i}" for i, e in enumerate(exprs)
+    ]
+    return (f"SELECT {', '.join(sel)} FROM lineitem WHERE "
+            + " AND ".join(where))
+
+
+@given(sql=scalar_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_scalar_projection_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
