@@ -383,7 +383,15 @@ def ann_topk(
     LSH's ×n_tables cached bucket relation — the measured boundary in
     SCALE.md). Pass ``n_vectors`` when the caller already knows the
     corpus size (catalog stats, a prior count) to skip the one
-    counting pass; extra ``kwargs`` flow to the chosen variant."""
+    counting pass; extra ``kwargs`` flow to the chosen variant.
+
+    Route note (measured r10, SCALE.md): :func:`ann_multiprobe_topk`
+    matches the L-tables recall at exactly 1/n_tables the cache and
+    less wall at 200k×64d — it is the better explicit choice at ANY
+    size when executor cache is the constraint. The dispatch here
+    keeps the L-tables/IVF split for stability (per-table recall
+    knobs small, trained lists big); callers who want the
+    memory-bound path should call multiprobe directly."""
     if n_vectors is None:
         n_vectors = df.count()
     if n_vectors <= ANN_LSH_MAX_VECTORS:
