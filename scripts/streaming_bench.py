@@ -91,6 +91,56 @@ def main() -> None:
     if not os.path.exists(DST):
         raise SystemExit("run scripts/scale_smoke.py --regen first")
 
+    if "--sketch" in sys.argv:
+        # round-10 bounded-state sketch pair: the state-row counts
+        # reported by StreamingQueryProgress ARE the bounded-state
+        # claim — cms state <= depth*width cells and ndv state ==
+        # group count, no matter how many rows stream past.
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate * 8)
+            .option("numPartitions", 4)
+            .load()
+        )
+        items = src.select(
+            F.concat(
+                F.lit("w"), F.pmod(F.col("value"), F.lit(99_991))
+                .cast("string")
+            ).alias("v")
+        )
+        out = streaming.stream_cms(items, "v", depth=4, width=1024)
+        q = (
+            out.writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation",
+                    f"/tmp/stream_bench_ckpt_cms_{time.time_ns()}")
+            .start()
+        )
+        r = drive(q, secs)
+        print("stream_cms:", json.dumps(r))
+        assert r["state_rows_total"] <= 4 * 1024, r
+
+        src2 = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate * 8)
+            .option("numPartitions", 4)
+            .load()
+        )
+        grouped = src2.select(
+            F.pmod(F.col("value"), F.lit(64)).alias("g"),
+            F.pmod(F.col("value") * 7919, F.lit(1_000_003)).alias("x"),
+        )
+        out2 = streaming.stream_ndv_rollup(grouped, "g", "x")
+        q2 = (
+            out2.writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation",
+                    f"/tmp/stream_bench_ckpt_ndv_{time.time_ns()}")
+            .start()
+        )
+        r2 = drive(q2, secs)
+        print("stream_ndv_rollup:", json.dumps(r2))
+        assert r2["state_rows_total"] <= 64, r2
+        return
+
     docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
     print("corpus docs:", docs.count())
 
