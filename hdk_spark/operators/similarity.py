@@ -989,19 +989,19 @@ def ann_multiprobe_topk(
             )
             .persist()
         )
-    # query side: recompute norm/dots with fold expressions on the
-    # |queries| filtered rows (pushed to the scan) — tiny either mode.
+    # query side: filter the PERSISTED hashed relation, so the query's
+    # exact bucket b comes from the SAME kernel that bucketed the
+    # corpus — a near-zero plane dot may get opposite signs from the
+    # numpy matmul vs a fold (the ann_lsh_topk divergence note), and a
+    # fold-derived query bucket would then miss the query's own
+    # (duplicate-holding) corpus bucket entirely at n_probes=1. Fold
+    # dots are recomputed on the |queries| rows ONLY for the margin
+    # ORDERING of the flips, where a near-zero disagreement just
+    # reorders near-tied probe candidates.
     # Probe set: exact bucket + flips of the n_probes-1 smallest
     # |margin| planes (ties to the lower plane index — total order)
-    qbase = (
-        df.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-            dots.alias("__dots"),
-        )
-        .withColumn("b", bucket)
+    qbase = corpus.filter(F.col("id").isin(query_ids)).withColumn(
+        "__dots", dots
     )
     margins = F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),

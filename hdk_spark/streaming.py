@@ -500,10 +500,14 @@ def stream_ndv_rollup(
     partial-agg groupBy as a streaming aggregation — per-group state
     is ONE ≤2^lgk-byte sketch regardless of how many distinct values
     stream past (the bounded-state alternative to streaming
-    COUNT(DISTINCT), which would hold every key). The per-batch state
-    update is ``merge_ndv_rollups``' register-max union, idempotent
-    under replayed rows. Completed table == the batch rollup of the
-    full history (property-pinned); feed it to ``ndv_estimate``."""
+    COUNT(DISTINCT), which would hold every key). The per-batch
+    SKETCH update is ``merge_ndv_rollups``' register-max union, so
+    the ``ndv`` estimate is idempotent under replayed rows — but the
+    companion ``n_rows`` count is additive and WILL double-count
+    replays (exactly-once sinks see exact counts; at-least-once
+    sources keep ndv correct while n_rows drifts high). Completed
+    table == the batch rollup of the full history (property-pinned);
+    feed it to ``ndv_estimate``."""
     from hdk_spark.operators.sketches import ndv_rollup
 
     return ndv_rollup(stream_df, group_col, value_col, lgk)

@@ -549,11 +549,13 @@ def main() -> None:
             T.StructField("warc_id", T.LongType()),
             T.StructField("data", T.BinaryType()),
         ]))
+        # every 5th domain disallows /p so the robots gate BINDS at
+        # 10× (~20% drop) instead of measuring a pass-through join
         robots = spark.range(170).select(
             F.concat(F.lit("site"), F.col("id").cast("string"),
                      F.lit(".com")).alias("reg_domain"),
-            F.when(F.col("id") % 2 == 0,
-                   F.lit("User-agent: *\nDisallow: /private\n"))
+            F.when(F.col("id") % 5 == 0,
+                   F.lit("User-agent: *\nDisallow: /p\n"))
             .otherwise(F.lit("User-agent: *\nDisallow: /private\n"))
             .alias("robots_txt"),
         )

@@ -347,3 +347,30 @@ def test_ann_multiprobe_numpy_mode_matches_deterministic(spark):
             for r in ann_multiprobe_topk(
                 df, qids, deterministic=False, **kw).collect()}
     assert det == fast and len(det) > 0
+
+
+def test_ann_multiprobe_numpy_mode_exact_duplicate_at_one_probe(spark):
+    """The numpy/fold seam fix, pinned: in production mode the query's
+    exact bucket is read from the SAME numpy-hashed relation as the
+    corpus, so an exact duplicate is retrieved at n_probes=1 with
+    cosine 1.0 even on float vectors whose near-zero plane dots could
+    sign-flip between kernels (a fold-derived query bucket could miss
+    the duplicate's bucket entirely)."""
+    import math
+
+    from hdk_spark.operators.similarity import ann_multiprobe_topk
+
+    rows = [
+        (i, [math.sin(i * 0.7 + j) * 0.1 + (1e-12 if j == 0 else 0.0)
+             for j in range(16)])
+        for i in range(150)
+    ]
+    rows.append((900, rows[5][1]))  # exact duplicate of vec 5
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {
+        (r["qid"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ann_multiprobe_topk(
+            df, [5], k=3, n_planes=6, n_probes=1,
+            deterministic=False).collect()
+    }
+    assert got[(5, 1)] == (900, 1.0)
