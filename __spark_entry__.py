@@ -308,6 +308,7 @@ _PRIORITY: list[str] = [
     "stats_krippendorff_alpha",
     "text_rouge_overlap",
     "pack_stats",
+    "similarity_sq8_topk",
     # stable greens
     "q6_revenue_forecast",
     "sample_mixture_split",

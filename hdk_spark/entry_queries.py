@@ -12789,3 +12789,73 @@ FROM chunks GROUP BY shard ORDER BY shard
 
 SPARK_IMPLS["pack_stats"] = q_pack_stats
 ORACLES["pack_stats"] = _PACK_STATS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 10: scalar (int8) quantization — the ×4 embedding-lake shrink
+# (per-dim affine SQ8, the simple high-recall companion of PQ).
+# Exact-bounds training makes the WHOLE path SQL-replayable: unlike
+# pq/ivf the oracle re-derives the trainer itself.
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 end-to-end (operators/similarity.py::sq8_train/encode/
+    topk): exact per-dim (min, max) bounds → int8 codes → dequantized
+    brute-force cosine top-5 for queries [0, 1, 2]. The oracle
+    re-derives bounds, codes, dequantization and the cosine ranking —
+    train/encode/search all value-checked, no fixture constants."""
+    from hdk_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    _tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    bounds = sq8_train(emb)
+    coded = sq8_encode(emb, bounds)
+    return sq8_topk(emb, [0, 1, 2], bounds, k=5, codes=coded)
+
+
+_SQ8_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+flat AS (
+  SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims d
+), b AS (
+  SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i
+), deq AS (
+  SELECT f.vec_id, f.i,
+         b.lo + ((CASE WHEN b.hi > b.lo THEN
+                    least(127, greatest(-128,
+                      CAST(round(255.0 * (f.x - b.lo) / (b.hi - b.lo))
+                           AS INT) - 128))
+                  ELSE 0 END) + 128.0)
+              * (CASE WHEN b.hi > b.lo THEN (b.hi - b.lo) / 255.0
+                 ELSE 0.0 END) AS x
+  FROM flat f JOIN b USING (i)
+), v AS (
+  SELECT vec_id AS id, list(x ORDER BY i) AS v FROM deq GROUP BY vec_id
+), n AS (
+  SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm FROM v
+), q AS (
+  SELECT id AS qid, v AS qv, norm AS qnorm FROM n WHERE id IN (0, 1, 2)
+), scored AS (
+  SELECT q.qid, n.id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='n.v')} / (q.qnorm * n.norm) AS cos
+  FROM q JOIN n ON n.id != q.qid
+), ranked AS (
+  SELECT qid, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, neighbor_id) AS INT)
+           AS rank,
+         cos
+  FROM scored
+)
+SELECT qid, neighbor_id, rank, round(cos, 6) + 0 AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+SPARK_IMPLS["similarity_sq8_topk"] = q_similarity_sq8
+ORACLES["similarity_sq8_topk"] = _SQ8_ORACLE

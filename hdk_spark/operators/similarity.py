@@ -1053,3 +1053,145 @@ def ann_multiprobe_topk(
             round6("cosine").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization — the ×4 storage shrink for embedding
+# LAKES (per-dimension affine quantization; the simple high-recall
+# companion of PQ's ×(d·4/m) shrink). Citation pattern: the standard
+# symmetric-range SQ8 of FAISS's ScalarQuantizer (public algorithm;
+# no code consulted).
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> "list[tuple[float, float]]":
+    """Per-dimension (min, max) quantization bounds from ONE exact
+    aggregation pass: posexplode → groupBy(dim) → min/max → collect of
+    a d-sized relation (the bounded driver action of the centroid /
+    codebook trainers — d rows, never corpus rows). Exact bounds (not
+    sampled) so train is deterministic AND cross-engine-reproducible:
+    unlike pq_train / ivf centroids, contract rows can use the real
+    trainer."""
+    stats = (
+        df.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"),
+             F.max(F.col("x").cast("double")).alias("hi"))
+        .orderBy("d")
+        .collect()
+    )
+    return [(float(r["lo"]), float(r["hi"])) for r in stats]
+
+
+def sq8_encode(
+    df: DataFrame,
+    bounds: "list[tuple[float, float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``array<tinyint>``: per dimension,
+    code = round(255·(x − lo)/(hi − lo)) − 128, clamped to [−128, 127]
+    (constant dims — hi == lo — encode to 0). Map-only, one codegen
+    projection; the coded relation is ¼ the float32 storage and the
+    reconstruction error per dim is ≤ (hi−lo)/510 + representation
+    error (round-to-nearest on a 255-step grid), property-tested.
+    Returns (id, codes). SQL-replayable: round() on the same doubles.
+    """
+    d = len(bounds)
+    los = F.array(*[F.lit(lo) for lo, _ in bounds])
+    spans = F.array(*[
+        F.lit((hi - lo) if hi > lo else None).cast("double")
+        for lo, hi in bounds
+    ])
+    codes = F.transform(
+        F.col(vec_col),
+        # NULL span marks a constant dim (hi == lo) -> code 0; the
+        # branch must be a when, NOT coalesce around greatest/least
+        # (Spark's greatest/least SKIP nulls, so a NULL code would be
+        # silently clamped to -128 instead of surfacing)
+        lambda x, i: F.when(
+            F.element_at(spans, i + 1).isNotNull(),
+            F.least(
+                F.lit(127),
+                F.greatest(
+                    F.lit(-128),
+                    (
+                        F.round(
+                            F.lit(255.0)
+                            * (x.cast("double") - F.element_at(los, i + 1))
+                            / F.element_at(spans, i + 1)
+                        ).cast("int")
+                        - F.lit(128)
+                    ),
+                ),
+            ),
+        ).otherwise(F.lit(0)).cast("tinyint"),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(vec_col) == d, codes).alias("codes"),
+    )
+    return out.filter(F.col("codes").isNotNull())
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_ids: "list[int]",
+    bounds: "list[tuple[float, float]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: "DataFrame | None" = None,
+) -> DataFrame:
+    """Brute-force cosine top-k over DEQUANTIZED int8 codes — the
+    memory path when the embedding lake is stored coded (¼ float32
+    bytes scanned; recall vs exact float cosine is high because SQ8
+    is a per-dim 255-step grid, property-tested on clustered synth).
+    Queries are dequantized from their own codes (the stored-lake
+    regime: floats are gone). Pass ``codes`` to reuse an encoded
+    relation; otherwise encodes in-flight. Returns (qid, neighbor_id,
+    rank, cosine) like the other ANN ops; cosine is the dequantized
+    estimate through round6."""
+    coded = codes if codes is not None else sq8_encode(
+        df, bounds, id_col, vec_col)
+    los = F.array(*[F.lit(lo) for lo, _ in bounds])
+    scales = F.array(*[
+        F.lit(((hi - lo) / 255.0) if hi > lo else 0.0)
+        for lo, hi in bounds
+    ])
+    deq = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(los, i + 1)
+        + (c.cast("double") + F.lit(128.0)) * F.element_at(scales, i + 1),
+    )
+    base = coded.select(
+        "id",
+        deq.alias("v"),
+    ).select(
+        "id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    queries = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.col("qnorm") * F.col("norm")
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("id") != F.col("qid")
+    ).select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            round6("cosine").alias("cosine"),
+        )
+    )

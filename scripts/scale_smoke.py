@@ -492,6 +492,34 @@ def main() -> None:
                 deterministic=False))
             print(f"multiprobe 8p T={probes}: {t}s cache={mb}MB "
                   f"recall@10={recall(res)}")
+
+        # SQ8: the x4 storage path — coded relation cached, brute
+        # cosine over dequantized codes, recall vs exact
+        from hdk_spark.operators.similarity import (
+            sq8_encode,
+            sq8_topk,
+            sq8_train,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        bounds = sq8_train(emb)
+        t_train = round(time.perf_counter() - t0, 2)
+        coded = sq8_encode(emb, bounds).persist()
+        coded.count()
+        mb_coded = cached_mb()
+        t0 = time.perf_counter()
+        rows = sq8_topk(emb, qids, bounds, k=10, codes=coded).collect()
+        t_sq = round(time.perf_counter() - t0, 2)
+        res = {}
+        for r in rows:
+            res.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        spark.catalog.clearCache()
+        emb.select("vec_id", "embedding").persist().count()
+        mb_float = cached_mb()
+        print(f"sq8: train={t_train}s topk={t_sq}s "
+              f"coded_cache={mb_coded}MB float_cache={mb_float}MB "
+              f"recall@10={recall(res)}")
         return
 
     if "--r10b" in sys.argv:
