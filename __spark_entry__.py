@@ -309,6 +309,7 @@ _PRIORITY: list[str] = [
     "text_rouge_overlap",
     "pack_stats",
     "similarity_sq8_topk",
+    "similarity_bitext_mine",
     # stable greens
     "q6_revenue_forecast",
     "sample_mixture_split",

@@ -12859,3 +12859,121 @@ FROM ranked WHERE rank <= 5
 
 SPARK_IMPLS["similarity_sq8_topk"] = q_similarity_sq8
 ORACLES["similarity_sq8_topk"] = _SQ8_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 10: bitext mining (Artetxe & Schwenk 2019 ratio margin — the
+# CCMatrix/LASER parallel-corpus op). Candidates via the multiprobe
+# sign-bucket machinery (never |src|·|tgt|); neighborhood averages
+# micro-quantized; the oracle replays planes, buckets, probes,
+# cosines, both top-k neighborhoods and the margin divide.
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitext_mine between the even-id and odd-id halves of the
+    embeddings table (k=4, threshold=1.0, 4 planes, 3 probes): the
+    margin-best odd twin per even vector where the ratio margin
+    clears 1. Fully value-checked — no fixture constants."""
+    from hdk_spark.operators.similarity import bitext_mine
+
+    _tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4, threshold=1.0, n_planes=4, n_probes=3, seed=7,
+    ).orderBy("src_id")
+
+
+def _bitext_oracle(
+    k: int = 4, threshold: float = 1.0,
+    n_planes: int = 4, n_probes: int = 3, seed: int = 7, dims: int = 64,
+) -> str:
+    from hdk_spark.operators.dedup import rademacher_planes
+
+    planes = rademacher_planes(n_planes, dims, seed)
+
+    def dot_plane(p):
+        lit = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in p) + "]"
+        return _DOT.format(a="v", b=lit)
+
+    dot_cols = ",\n         ".join(
+        f"{dot_plane(p)} AS d{i}" for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    margin_rows = " UNION ALL ".join(
+        f"SELECT id, abs(d{i}) AS m, {i} AS i, {1 << i} AS p2 FROM h "
+        f"WHERE id % 2 = 0"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), h0 AS (
+  SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm,
+         {dot_cols}
+  FROM b
+), h AS (
+  SELECT *, ({bucket}) AS bkt FROM h0
+), m AS (
+  SELECT id, i, p2,
+         row_number() OVER (PARTITION BY id ORDER BY m, i) AS rn
+  FROM ({margin_rows})
+), probes AS (
+  SELECT id AS qid, bkt AS pb FROM h WHERE id % 2 = 0
+  UNION ALL
+  SELECT m.id, xor(h.bkt, m.p2)
+  FROM m JOIN h ON h.id = m.id
+  WHERE m.rn <= {n_probes - 1}
+), cand AS (
+  SELECT DISTINCT p.qid, t.id AS tid
+  FROM probes p JOIN h t ON t.bkt = p.pb AND t.id % 2 = 1
+), scored AS (
+  SELECT cand.qid, cand.tid,
+         {_DOT.format(a='q.v', b='t.v')} / (q.norm * t.norm) AS cosine
+  FROM cand
+  JOIN h q ON q.id = cand.qid
+  JOIN h t ON t.id = cand.tid
+), ranked AS (
+  SELECT qid, tid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, tid) AS rq,
+         row_number() OVER (PARTITION BY tid
+                            ORDER BY cosine DESC, qid) AS rt
+  FROM scored
+), aq AS (
+  SELECT qid,
+         CAST(SUM(CAST(round(cosine * 1e9) AS HUGEINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS a
+  FROM ranked WHERE rq <= {k} GROUP BY qid
+), at AS (
+  SELECT tid,
+         CAST(SUM(CAST(round(cosine * 1e9) AS HUGEINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS a
+  FROM ranked WHERE rt <= {k} GROUP BY tid
+), margined AS (
+  SELECT r.qid, r.tid, r.cosine,
+         r.cosine / ((aq.a + at.a) / 2.0) AS marg
+  FROM ranked r JOIN aq USING (qid) JOIN at USING (tid)
+), best AS (
+  SELECT qid, tid, cosine, marg,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY marg DESC, tid) AS rb
+  FROM margined
+)
+SELECT qid AS src_id, tid AS tgt_id,
+       round(cosine, 6) + 0 AS cosine,
+       round(marg, 6) + 0 AS margin
+FROM best WHERE rb = 1 AND marg >= {threshold}
+ORDER BY src_id
+"""
+
+
+SPARK_IMPLS["similarity_bitext_mine"] = q_similarity_bitext
+ORACLES["similarity_bitext_mine"] = _bitext_oracle()

@@ -1195,3 +1195,185 @@ def sq8_topk(
             round6("cosine").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining — margin-based parallel-pair extraction across two
+# embedding corpora (Artetxe & Schwenk 2019, "Margin-based Parallel
+# Corpus Mining"; the CCMatrix/LASER pipeline op). Candidates come
+# from the SAME sign-bucket machinery as ann_multiprobe_topk, so there
+# is no all-pairs path: candidate volume is Σ per-bucket |src|·|tgt|.
+# ---------------------------------------------------------------------------
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_probes: int = 4,
+    seed: int = 7,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Mine aligned (src, tgt) pairs by RATIO MARGIN scoring:
+
+        margin(x, y) = cos(x, y) /
+                       ((avgₖNN(x) + avgₖNN(y)) / 2)
+
+    where avgₖNN is the mean cosine of a side's top-k candidate
+    neighborhood — the correction that separates true translations
+    from hubs (a vector близко to everything scores high raw cosine
+    but its dense neighborhood deflates the margin). Emits the
+    margin-best target per source with margin ≥ threshold:
+    (src_id, tgt_id, cosine, margin).
+
+    Candidates: both corpora bucket under the SAME Rademacher planes;
+    the src side probes its exact bucket plus the n_probes−1
+    lowest-|margin| bit flips (the multi-probe construction) and pairs
+    with co-bucketed tgt rows — Σ|bucket_src|·|bucket_tgt| work, never
+    |src|·|tgt|. Neighborhoods are computed WITHIN the candidate
+    relation (the standard ANN-mining approximation — CCMatrix does
+    the same with its index; exact k-NN would be a full cross
+    product). All plane dots are fold-based JVM expressions, so the
+    whole path — buckets, probes, cosines, both neighborhood windows,
+    the margin divide — replays as a SQL oracle.
+
+    Scale shape: two map-only bucket projections (each corpus hashed
+    ONCE, persisted), one equi-join on bucket id, two windows over the
+    candidate relation sharing its (qid)/(tid) partitionings, one
+    filter. At 100 TB raise n_planes ≈ log₂(n) so buckets stay small;
+    recall follows the multi-probe law (SCALE.md).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_probes < 1 or n_probes > n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1], got {n_probes}"
+        )
+    from hdk_spark.operators.dedup import _vec_dim, rademacher_planes
+
+    d = dim if dim is not None else _vec_dim(src, vec_col)
+    planes = rademacher_planes(n_planes, d, seed)
+
+    def plane_dot(vec, p):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(c)) for c in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = F.array(*[plane_dot(F.col("v"), p) for p in planes])
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(
+            F.element_at(F.col("__dots"), i + 1) >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    def hashed(df: DataFrame, with_dots: bool) -> DataFrame:
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+                dots.alias("__dots"),
+            )
+            .withColumn("b", bucket)
+        )
+        cols = ["id", "v", "norm", "b"] + (["__dots"] if with_dots else [])
+        return base.select(*cols).persist()
+
+    s = hashed(src, with_dots=True)
+    t = hashed(tgt, with_dots=False)
+    # multi-probe set on the src side (same construction as
+    # ann_multiprobe_topk: exact bucket + lowest-|margin| bit flips)
+    margins = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.struct(
+            F.abs(F.element_at(F.col("__dots"), i + 1)).alias("m"),
+            i.alias("i"),
+        ),
+    )
+    flips = F.slice(
+        F.transform(F.array_sort(margins), lambda x: x["i"]),
+        1,
+        n_probes - 1,
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    probes = F.concat(
+        F.array(F.col("b")),
+        F.transform(
+            flips,
+            lambda f: F.col("b").bitwiseXOR(F.element_at(pow2, f + 1)),
+        ),
+    )
+    sprobed = s.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(probes).alias("pb"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    cand = (
+        t.join(sprobed, F.col("b") == F.col("pb"))
+        .select(
+            "qid",
+            F.col("id").alias("tid"),
+            cos.alias("cosine"),
+        )
+        .dropDuplicates(["qid", "tid"])
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("tid")
+    )
+    wt = Window.partitionBy("tid").orderBy(
+        F.desc("cosine"), F.asc("qid")
+    )
+    ranked = cand.select(
+        "qid", "tid", "cosine",
+        F.row_number().over(wq).alias("__rq"),
+        F.row_number().over(wt).alias("__rt"),
+    )
+    # avg of each side's top-k candidate cosines — MICRO-QUANTIZED
+    # (round(cos·1e9) summed in DECIMAL(38,0)): a plain double avg
+    # sums in partial-agg arrival order, so near-boundary margins
+    # could flip their 6-dp rounding across engines/partitionings
+    q9 = F.round(F.col("cosine") * F.lit(1e9)).cast("decimal(38,0)")
+    avg_q = ranked.filter(F.col("__rq") <= k).groupBy("qid").agg(
+        (F.sum(q9).cast("double") / F.count(F.lit(1)) / F.lit(1e9))
+        .alias("__aq")
+    )
+    avg_t = ranked.filter(F.col("__rt") <= k).groupBy("tid").agg(
+        (F.sum(q9).cast("double") / F.count(F.lit(1)) / F.lit(1e9))
+        .alias("__at")
+    )
+    scored = (
+        ranked.join(avg_q, "qid")
+        .join(avg_t, "tid")
+        .select(
+            "qid", "tid", "cosine",
+            (F.col("cosine")
+             / ((F.col("__aq") + F.col("__at")) / F.lit(2.0))
+             ).alias("__margin"),
+        )
+    )
+    wbest = Window.partitionBy("qid").orderBy(
+        F.desc("__margin"), F.asc("tid")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(wbest))
+        .filter((F.col("__r") == 1) & (F.col("__margin") >= threshold))
+        .select(
+            F.col("qid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            round6("cosine").alias("cosine"),
+            round6("__margin").alias("margin"),
+        )
+    )

@@ -434,3 +434,63 @@ def test_sq8_reconstruction_and_recall(spark):
         e = {v for (qq, _), v in exact.items() if qq == q}
         a = {v for (qq, _), v in approx.items() if qq == q}
         assert len(e & a) >= 4, (q, e, a)
+
+
+def test_bitext_mine_planted_alignment(spark):
+    """bitext_mine (Artetxe & Schwenk margin): every src with a
+    planted unique tgt twin mines exactly that twin at cosine 1.0;
+    mixture srcs (equidistant from two tgt shapes — the hub/decoy
+    regime) get margins DEFLATED below every twin's margin and below
+    1.0, which raw cosine top-1 cannot do; deterministic under
+    repartition; guards."""
+    import pytest
+
+    from hdk_spark.operators.similarity import bitext_mine
+
+    def vec(i):
+        return [float((i * 7 + j * 3) % 11 - 5) for j in range(16)]
+
+    def mix(a, b):
+        return [(x + y) / 2.0 for x, y in zip(vec(a), vec(b))]
+
+    src_rows = [(i, vec(i)) for i in range(11)] + [
+        (50, mix(0, 1)), (51, mix(2, 5))]
+    src = spark.createDataFrame(
+        src_rows, "vec_id: long, embedding: array<double>")
+    tgt = spark.createDataFrame(
+        [(1000 + i, vec(i)) for i in range(11)],
+        "vec_id: long, embedding: array<double>")
+
+    kw = dict(k=2, n_planes=4, n_probes=3)
+    allp = {
+        r["src_id"]: (r["tgt_id"], r["cosine"], r["margin"])
+        for r in bitext_mine(src, tgt, threshold=0.0, **kw).collect()
+    }
+    twin_margins = []
+    for i in range(11):
+        tid, cos, margin = allp[i]
+        assert cos == 1.0 and tid == 1000 + i, (i, allp[i])
+        twin_margins.append(margin)
+    # mixtures: top candidates near-tied -> neighborhood average hugs
+    # the best cosine -> margin < 1 < every twin margin
+    for d in (50, 51):
+        assert allp[d][2] < 1.0, allp[d]
+        assert allp[d][2] < min(twin_margins)
+    # at threshold 1.0 the mined set is exactly the twins
+    mined = {
+        r["src_id"] for r in bitext_mine(src, tgt, threshold=1.0,
+                                         **kw).collect()
+    }
+    assert mined == set(range(11))
+
+    again = {
+        r["src_id"]: (r["tgt_id"], r["cosine"], r["margin"])
+        for r in bitext_mine(src.repartition(5), tgt.repartition(3),
+                             threshold=0.0, **kw).collect()
+    }
+    assert again == allp
+
+    with pytest.raises(ValueError, match="k must"):
+        bitext_mine(src, tgt, k=0)
+    with pytest.raises(ValueError, match="n_probes"):
+        bitext_mine(src, tgt, n_planes=4, n_probes=9)
