@@ -666,6 +666,23 @@ def main() -> None:
             "noop").mode("overwrite").save()
         print("cms_build_50k:", t_build, " cells:", n_cells,
               " query_50:", round(time.perf_counter() - t0, 2))
+
+        # bitext mining at 100k x 100k (the ann200k synth corpus split
+        # in half): planes sized ~log2(side) so buckets stay small —
+        # candidate volume is sum per-bucket |src|*|tgt|, never n^2
+        from hdk_spark.operators.similarity import bitext_mine
+
+        emb = spark.read.parquet("/tmp/ann200k.parquet")
+        src = emb.filter(F.col("vec_id") % 2 == 0)
+        tgt = emb.filter(F.col("vec_id") % 2 == 1)
+        print("bitext sides:", src.count(), tgt.count())
+        t0 = time.perf_counter()
+        n_mined = bitext_mine(
+            src, tgt, k=4, threshold=1.0,
+            n_planes=14, n_probes=2, dim=64,
+        ).count()
+        print("bitext_100k_x_100k:", round(time.perf_counter() - t0, 2),
+              " mined:", n_mined)
         return
 
     if "--r9b" in sys.argv:
