@@ -886,3 +886,43 @@ def test_round9_operator_plan_shapes(spark):
     p3 = plan(unigram_encode(
         spark.table("documents"), [("a", -1.0), ("b", -1.2)]))
     assert "Exchange" not in p3 and "Join" not in p3
+
+
+def test_round10_operator_plan_shapes(spark):
+    """Round-10 operators keep the repo's plan discipline:
+    bitext_mine has NO cartesian/nested-loop path (candidates are an
+    equi-join on bucket id — the no-all-pairs claim, pinned);
+    sq8_encode is a map-only projection (no Exchange, no Join);
+    pack_stats adds exactly the two accounting aggregations over the
+    pack relation and never a window of its own."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.packing import pack_sequences, pack_stats
+    from hdk_spark.operators.similarity import (
+        bitext_mine,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = spark.table("embeddings")
+    p = plan(bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=2, n_planes=4, n_probes=2, dim=64,
+    ))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    bounds = sq8_train(emb)
+    p2 = plan(sq8_encode(emb, bounds))
+    assert "Exchange" not in p2 and "Join" not in p2
+
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 97 + 3).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=128)
+    p3 = plan(pack_stats(packed, 128))
+    # stats adds aggregations only — the composed plan carries exactly
+    # the pack's own Window nodes, no re-pack, no stats window
+    # (formatted plans print each node twice: tree + detail section)
+    assert p3.count("Window") == plan(packed).count("Window")
