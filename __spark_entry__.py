@@ -298,7 +298,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — failed last check: 0, never checked: 7, green: 268  (window ~50).
+# Regenerated by scripts/rotate_priority.py — failed last check: 0, never checked: 9, green: 268  (window ~50).
 _PRIORITY: list[str] = [
     # never checked
     "similarity_multiprobe_lsh",
