@@ -10798,7 +10798,7 @@ def q_denoise_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_corruption_oracle() -> str:
-    h = _hb_sql("(doc_id * 1000003 + k)", 1000000007, 11)
+    h = _hb_sql("(((doc_id % 1000000007) * 1000003 + k) % 1000000007)", 1000000007, 11)
     return f"""
 WITH p AS (
   SELECT doc_id, doc_id % 17 + 4 AS L,
@@ -10887,8 +10887,8 @@ def q_denoise_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fim_oracle() -> str:
     gate = _hb_sql("doc_id", 2, 13)
-    h1 = _hb_sql("(doc_id * 1000003 + 1)", 1000000007, 13)
-    h2 = _hb_sql("(doc_id * 1000003 + 2)", 1000000007, 13)
+    h1 = _hb_sql("(((doc_id % 1000000007) * 1000003 + 1) % 1000000007)", 1000000007, 13)
+    h2 = _hb_sql("(((doc_id % 1000000007) * 1000003 + 2) % 1000000007)", 1000000007, 13)
     return f"""
 WITH p AS (
   SELECT doc_id, doc_id % 17 + 4 AS L,
@@ -10955,9 +10955,9 @@ def q_denoise_mlm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mlm_oracle() -> str:
-    sel = _hb_sql("(doc_id * 1000003 + j)", 100, 17)
-    r = _hb_sql("(doc_id * 2000003 + j)", 10, 18)
-    repl = _hb_sql("(doc_id * 3000017 + j)", 4, 19)
+    sel = _hb_sql("(((doc_id % 1000000007) * 1000003 + j) % 1000000007)", 100, 17)
+    r = _hb_sql("(((doc_id % 1000000007) * 2000003 + j) % 1000000007)", 10, 18)
+    repl = _hb_sql("(((doc_id % 1000000007) * 3000017 + j) % 1000000007)", 4, 19)
     return f"""
 WITH p AS (
   SELECT doc_id, doc_id % 17 + 4 AS L,

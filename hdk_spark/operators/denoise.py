@@ -36,8 +36,11 @@ def _hkey(expr):
     value-identical for non-negative keys (the bucket is taken mod the
     same prime), but it keeps ``key · 2654435761`` inside int64 for
     ids past ~3.4e9 — composite keys like ``id·1000003 + j`` overflow
-    ANSI mode at 10^8-scale ids otherwise (hit in the 10× smoke; the
-    SQL oracles never overflow because DuckDB promotes to HUGEINT)."""
+    ANSI mode at 10^8-scale ids otherwise (hit in the 10× smoke). The
+    SQL oracles carry the SAME pre-reduction: DuckDB does NOT promote
+    BIGINT·BIGINT to HUGEINT — it raises OutOfRange, which the r10
+    cross-SF gate sweep hit at sf0.1 composite keys ≈3.5e9 before the
+    oracle keys were mod-reduced to mirror this function."""
     return F.pmod(expr, F.lit(_MOD))
 
 
