@@ -741,3 +741,52 @@ def test_random_scalar_projection_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# explicit-frame window grammar (round 10): ROWS/RANGE frames over a
+# deterministic total order — the contract rows pin fixed frames, this
+# fuzzes the frame-bound space differentially.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def framed_window_queries(draw):
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata, so a
+    # short ORDER BY leaves frame ties whose results are legitimately
+    # engine-dependent. Ordering by the full tuple that INCLUDES every
+    # aggregable column makes any remaining ties full duplicates
+    # w.r.t. both order and aggregate -> multiset-deterministic.
+    order = ("l_orderkey, l_linenumber, l_quantity, l_partkey, "
+             "l_suppkey")
+    agg = draw(st.sampled_from(
+        ["SUM(l_quantity)", "COUNT(*)", "MIN(l_orderkey)",
+         "MAX(l_linenumber)", "SUM(l_partkey)", "MAX(l_suppkey)"]))
+    part = draw(st.sampled_from(KEY_COLS))
+    lo = draw(st.integers(min_value=0, max_value=5))
+    hi = draw(st.integers(min_value=0, max_value=3))
+    frame = draw(st.sampled_from([
+        f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    ]))
+    where = draw(st.lists(preds, min_size=1, max_size=2))
+    return (
+        f"SELECT l_orderkey, l_linenumber, {agg} OVER ("
+        f"PARTITION BY {part} ORDER BY {order} "
+        f"{frame}) AS w FROM lineitem WHERE " + " AND ".join(where)
+    )
+
+
+@given(sql=framed_window_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_framed_window_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
