@@ -759,9 +759,14 @@ def framed_window_queries(draw):
     # w.r.t. both order and aggregate -> multiset-deterministic.
     order = ("l_orderkey, l_linenumber, l_quantity, l_partkey, "
              "l_suppkey")
-    agg = draw(st.sampled_from(
-        ["SUM(l_quantity)", "COUNT(*)", "MIN(l_orderkey)",
-         "MAX(l_linenumber)", "SUM(l_partkey)", "MAX(l_suppkey)"]))
+    # (fn, needs_bigint_cast): int sums type as HUGEINT in DuckDB
+    # (→ float64 in pandas) vs BIGINT in Spark — the cast must wrap
+    # the WHOLE window expression (CAST(... OVER (...) AS BIGINT)),
+    # same determinism rule as the agg grammar above
+    agg, cast_bigint = draw(st.sampled_from(
+        [("SUM(l_quantity)", False), ("COUNT(*)", False),
+         ("MIN(l_orderkey)", False), ("MAX(l_linenumber)", False),
+         ("SUM(l_partkey)", True), ("MAX(l_suppkey)", False)]))
     part = draw(st.sampled_from(KEY_COLS))
     lo = draw(st.integers(min_value=0, max_value=5))
     hi = draw(st.integers(min_value=0, max_value=3))
@@ -772,10 +777,13 @@ def framed_window_queries(draw):
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
     ]))
     where = draw(st.lists(preds, min_size=1, max_size=2))
+    win = (f"{agg} OVER (PARTITION BY {part} ORDER BY {order} "
+           f"{frame})")
+    if cast_bigint:
+        win = f"CAST({win} AS BIGINT)"
     return (
-        f"SELECT l_orderkey, l_linenumber, {agg} OVER ("
-        f"PARTITION BY {part} ORDER BY {order} "
-        f"{frame}) AS w FROM lineitem WHERE " + " AND ".join(where)
+        f"SELECT l_orderkey, l_linenumber, {win} AS w "
+        f"FROM lineitem WHERE " + " AND ".join(where)
     )
 
 
