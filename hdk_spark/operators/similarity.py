@@ -32,6 +32,85 @@ def _dot(a, b):
     )
 
 
+def _fold_plane_dots(planes):
+    """Array of fold-based plane dots of column ``v`` — the
+    SQL-replayable sign-projection kernel shared by the multiprobe
+    family (ann_multiprobe_topk, bitext_mine): one fix here reaches
+    every consumer AND stays textually aligned with their oracles."""
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(float(c)) for c in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array(*[plane_dot(p) for p in planes])
+
+
+def _bucket_from_dots(n_planes: int):
+    """Sign-bucket id from the ``__dots`` column (bit i = dot_i >= 0)."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(
+            F.element_at(F.col("__dots"), i + 1) >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def _multiprobe_probes(n_planes: int, n_probes: int):
+    """Lv 2007 probe set from columns ``b`` and ``__dots``: the exact
+    bucket plus flips of the n_probes−1 lowest-|margin| planes (ties
+    to the lower plane index — total order)."""
+    margins = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.struct(
+            F.abs(F.element_at(F.col("__dots"), i + 1)).alias("m"),
+            i.alias("i"),
+        ),
+    )
+    flips = F.slice(
+        F.transform(F.array_sort(margins), lambda s: s["i"]),
+        1,
+        n_probes - 1,
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    return F.concat(
+        F.array(F.col("b")),
+        F.transform(
+            flips,
+            lambda f: F.col("b").bitwiseXOR(F.element_at(pow2, f + 1)),
+        ),
+    )
+
+
+def _brute_cosine_rank(base: DataFrame, queries: DataFrame, k: int):
+    """Exact-cosine top-k of broadcast ``queries`` (qid, qv, qnorm)
+    against ``base`` (id, v, norm) — the shared scoring tail of
+    cosine_topk / sq8_topk, so tie-break and rounding conventions
+    cannot drift between the brute-force variants."""
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = base.join(
+        F.broadcast(queries), F.col("id") != F.col("qid")
+    ).select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            round6("cosine").alias("cosine"),
+        )
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -49,18 +128,7 @@ def cosine_topk(
     queries = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
-    joined = base.join(F.broadcast(queries), F.col("id") != F.col("qid"))
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
-    scored = joined.select(
-        "qid", F.col("id").alias("neighbor_id"), cos.alias("cosine")
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "neighbor_id", F.col("rank").cast("int").alias("rank"),
-                round6("cosine").alias("cosine"))
-    )
+    return _brute_cosine_rank(base, queries, k)
 
 
 # ---------------------------------------------------------------------------
@@ -928,25 +996,8 @@ def ann_multiprobe_topk(
 
     d = dim if dim is not None else _vec_dim(df, vec_col)
     planes = rademacher_planes(n_planes, d, seed)
-
-    def plane_dot(vec, p):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(c)) for c in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dots = F.array(*[plane_dot(F.col("v"), p) for p in planes])
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        bucket = bucket + F.when(
-            F.element_at(F.col("__dots"), i + 1) >= 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+    dots = _fold_plane_dots(planes)
+    bucket = _bucket_from_dots(n_planes)
     if deterministic:
         # fold-based JVM plane dots: bit-reproducible in a SQL oracle
         corpus = (
@@ -1003,26 +1054,7 @@ def ann_multiprobe_topk(
     qbase = corpus.filter(F.col("id").isin(query_ids)).withColumn(
         "__dots", dots
     )
-    margins = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda i: F.struct(
-            F.abs(F.element_at(F.col("__dots"), i + 1)).alias("m"),
-            i.alias("i"),
-        ),
-    )
-    flips = F.slice(
-        F.transform(F.array_sort(margins), lambda s: s["i"]),
-        1,
-        n_probes - 1,
-    )
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
-    probes = F.concat(
-        F.array(F.col("b")),
-        F.transform(
-            flips,
-            lambda f: F.col("b").bitwiseXOR(F.element_at(pow2, f + 1)),
-        ),
-    )
+    probes = _multiprobe_probes(n_planes, n_probes)
     queries = qbase.select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
@@ -1099,6 +1131,13 @@ def sq8_encode(
     reconstruction error per dim is ≤ (hi−lo)/510 + representation
     error (round-to-nearest on a 255-step grid), property-tested.
     Returns (id, codes). SQL-replayable: round() on the same doubles.
+
+    Row-drop policy: vectors whose length differs from len(bounds)
+    (corrupt/truncated embeddings, or NULL) CANNOT be coded against
+    these bounds and are DROPPED — the output may have fewer rows
+    than the input; audit ``input.count() - coded.count()`` before
+    committing a lake if silent loss matters (the same explicit
+    mismatched-row policy as bitext_mine's dimension gate).
     """
     d = len(bounds)
     los = F.array(*[F.lit(lo) for lo, _ in bounds])
@@ -1177,24 +1216,7 @@ def sq8_topk(
         F.col("id").alias("qid"), F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.col("qnorm") * F.col("norm")
-    )
-    scored = base.join(
-        F.broadcast(queries), F.col("id") != F.col("qid")
-    ).select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
-    w = Window.partitionBy("qid").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "qid", "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            round6("cosine").alias("cosine"),
-        )
-    )
+    return _brute_cosine_rank(base, queries, k)
 
 
 # ---------------------------------------------------------------------------
@@ -1257,29 +1279,18 @@ def bitext_mine(
 
     d = dim if dim is not None else _vec_dim(src, vec_col)
     planes = rademacher_planes(n_planes, d, seed)
-
-    def plane_dot(vec, p):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(c)) for c in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dots = F.array(*[plane_dot(F.col("v"), p) for p in planes])
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        bucket = bucket + F.when(
-            F.element_at(F.col("__dots"), i + 1) >= 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+    dots = _fold_plane_dots(planes)
+    bucket = _bucket_from_dots(n_planes)
 
     def hashed(df: DataFrame, with_dots: bool) -> DataFrame:
+        # dimension gate: a vector of the wrong width would zip_with
+        # into NULL plane dots that silently collapse into bucket 0
+        # with NULL cosines (and NULL-cosine candidates would still
+        # count in the k-NN averages) — drop mismatched rows instead,
+        # the same explicit policy as sq8_encode
         base = (
-            df.select(
+            df.filter(F.size(vec_col) == d)
+            .select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
                 F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
@@ -1288,32 +1299,15 @@ def bitext_mine(
             .withColumn("b", bucket)
         )
         cols = ["id", "v", "norm", "b"] + (["__dots"] if with_dots else [])
-        return base.select(*cols).persist()
+        # no persist: each side feeds exactly one consumer (the probe
+        # explode / the candidate join) — the THRICE-consumed relation
+        # is `ranked` below, which is what gets persisted
+        return base.select(*cols)
 
     s = hashed(src, with_dots=True)
     t = hashed(tgt, with_dots=False)
-    # multi-probe set on the src side (same construction as
-    # ann_multiprobe_topk: exact bucket + lowest-|margin| bit flips)
-    margins = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda i: F.struct(
-            F.abs(F.element_at(F.col("__dots"), i + 1)).alias("m"),
-            i.alias("i"),
-        ),
-    )
-    flips = F.slice(
-        F.transform(F.array_sort(margins), lambda x: x["i"]),
-        1,
-        n_probes - 1,
-    )
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
-    probes = F.concat(
-        F.array(F.col("b")),
-        F.transform(
-            flips,
-            lambda f: F.col("b").bitwiseXOR(F.element_at(pow2, f + 1)),
-        ),
-    )
+    # multi-probe set on the src side (the shared Lv 2007 construction)
+    probes = _multiprobe_probes(n_planes, n_probes)
     sprobed = s.select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
@@ -1336,11 +1330,14 @@ def bitext_mine(
     wt = Window.partitionBy("tid").orderBy(
         F.desc("cosine"), F.asc("qid")
     )
+    # persisted: three consumers (avg_q, avg_t, the final margin
+    # join) over a 3-scalar-column candidate relation — the cheap
+    # thing to cache, unlike the full-vector corpus relations
     ranked = cand.select(
         "qid", "tid", "cosine",
         F.row_number().over(wq).alias("__rq"),
         F.row_number().over(wt).alias("__rt"),
-    )
+    ).persist()
     # avg of each side's top-k candidate cosines — MICRO-QUANTIZED
     # (round(cos·1e9) summed in DECIMAL(38,0)): a plain double avg
     # sums in partial-agg arrival order, so near-boundary margins

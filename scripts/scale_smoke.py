@@ -672,7 +672,22 @@ def main() -> None:
         # candidate volume is sum per-bucket |src|*|tgt|, never n^2
         from hdk_spark.operators.similarity import bitext_mine
 
-        emb = spark.read.parquet("/tmp/ann200k.parquet")
+        path = "/tmp/ann200k.parquet"
+        if not os.path.exists(path):
+            # same clustered synth corpus the --r10 branch generates
+            spark.range(200_000).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: (
+                        (F.hash(F.col("id") % 256, j) % 1000)
+                        .cast("double") / 500.0
+                        + (F.hash(F.col("id"), j) % 100).cast("double")
+                        / 5000.0 * 3.0
+                    ),
+                ).alias("embedding"),
+            ).write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
         src = emb.filter(F.col("vec_id") % 2 == 0)
         tgt = emb.filter(F.col("vec_id") % 2 == 1)
         print("bitext sides:", src.count(), tgt.count())
