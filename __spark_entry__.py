@@ -290,68 +290,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(_COMMON_SQL["q1_pricing_summary"])
 
 
-# Round-10 window: leads with the 7 never-checked rows (multiprobe
-# LSH from r9's final commit + this round's 6 new contract rows),
-# then the r3/r4-stale backlog oldest-first, so the driver's ~50-row
-# window drains staleness instead of re-verifying fresh greens.
+# Priority window: never-checked rows first, then the stale backlog
+# oldest-first, so the driver's ~50-row window drains staleness
+# instead of re-verifying fresh greens. The auto-generated
+# "Regenerated by" line below is the source of truth for counts.
 # Maintained by `python scripts/rotate_priority.py --write` (run it
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — failed last check: 0, never checked: 9, green: 268  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r10; failed last check: 0, never checked: 0, green: 277  (window ~50).
 _PRIORITY: list[str] = [
-    # never checked
-    "similarity_multiprobe_lsh",
-    "stats_cms_frequency",
-    "streaming_cms_counts",
-    "streaming_ndv_rollup",
-    "stats_krippendorff_alpha",
-    "text_rouge_overlap",
-    "pack_stats",
-    "similarity_sq8_topk",
-    "similarity_bitext_mine",
     # stable greens
-    "q6_revenue_forecast",
-    "sample_mixture_split",
-    "sample_stratified",
-    "search_bm25",
-    "streaming_distinct_users",
-    "streaming_interval_join",
-    "streaming_sessionize",
-    "streaming_sliding_agg",
-    "streaming_stateful_counts",
-    "streaming_static_join",
-    "streaming_tumbling_agg",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "text_chunking",
-    "text_distinctive_terms",
-    "text_repetition",
-    "text_top_terms",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "agg_approx",
-    "agg_topk_bottomk",
-    "catalog_stats",
-    "dedup_minhash_lsh",
-    "dedup_segments",
-    "dedup_simhash",
-    "embedding_correlation",
-    "events_funnel",
-    "groupby_all_year",
-    "layout_zorder",
-    "linkage_fuzzy_names",
-    "multimodal_frames",
-    "multimodal_phash",
-    "profile_drift",
-    "profile_expectations",
-    "profile_histogram",
-    "profile_skew",
-    "profile_snapshot_diff",
-    "profile_summarize",
-    "sample_mixture_plan",
-    "sample_shuffle_shards",
-    "sample_weighted",
     "similarity_ann_ivf",
     "similarity_ann_lsh",
     "stats_mad",
@@ -579,6 +528,56 @@ _PRIORITY: list[str] = [
     "training_export_pipeline",
     "web_anchor_text",
     "web_politeness_schedule",
+    "agg_approx",
+    "agg_topk_bottomk",
+    "catalog_stats",
+    "dedup_minhash_lsh",
+    "dedup_segments",
+    "dedup_simhash",
+    "embedding_correlation",
+    "events_funnel",
+    "groupby_all_year",
+    "layout_zorder",
+    "linkage_fuzzy_names",
+    "multimodal_frames",
+    "multimodal_phash",
+    "pack_stats",
+    "profile_drift",
+    "profile_expectations",
+    "profile_histogram",
+    "profile_skew",
+    "profile_snapshot_diff",
+    "profile_summarize",
+    "q6_revenue_forecast",
+    "sample_mixture_plan",
+    "sample_mixture_split",
+    "sample_shuffle_shards",
+    "sample_stratified",
+    "sample_weighted",
+    "search_bm25",
+    "similarity_bitext_mine",
+    "similarity_multiprobe_lsh",
+    "similarity_sq8_topk",
+    "stats_cms_frequency",
+    "stats_krippendorff_alpha",
+    "streaming_cms_counts",
+    "streaming_distinct_users",
+    "streaming_interval_join",
+    "streaming_ndv_rollup",
+    "streaming_sessionize",
+    "streaming_sliding_agg",
+    "streaming_stateful_counts",
+    "streaming_static_join",
+    "streaming_tumbling_agg",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "text_chunking",
+    "text_distinctive_terms",
+    "text_repetition",
+    "text_rouge_overlap",
+    "text_top_terms",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
