@@ -12296,9 +12296,21 @@ def q_similarity_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("qid", "rank")
 
 
+_MP_FLOAT_VSOURCE = """
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+"""
+
+
 def _multiprobe_oracle(
-    n_planes: int = 4, n_probes: int = 5, seed: int = 7, dims: int = 64
+    n_planes: int = 4, n_probes: int = 5, seed: int = 7, dims: int = 64,
+    lead_ctes: str = "", vsource: str = _MP_FLOAT_VSOURCE,
 ) -> str:
+    """The multiprobe construction replayed in DuckDB SQL, over a
+    pluggable (id, v) vector source — the float embeddings by default,
+    the SQ8 dequantization chain for the coded-lake composition row
+    (same machinery, so the two oracles cannot drift)."""
     from hdk_spark.operators.dedup import rademacher_planes
 
     planes = rademacher_planes(n_planes, dims, seed)
@@ -12320,11 +12332,7 @@ def _multiprobe_oracle(
         for i in range(n_planes)
     )
     return f"""
-WITH b AS (
-  SELECT vec_id AS id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-), h0 AS (
+WITH {lead_ctes}b AS ({vsource}), h0 AS (
   SELECT id, v, sqrt({_DOT.format(a='v', b='v')}) AS norm,
          {dot_cols}
   FROM b
@@ -12859,6 +12867,66 @@ FROM ranked WHERE rank <= 5
 
 SPARK_IMPLS["similarity_sq8_topk"] = q_similarity_sq8
 ORACLES["similarity_sq8_topk"] = _SQ8_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 11: the coded-lake × sub-linear-search composition — SQ8 codes
+# fed straight into the multiprobe ANN kernel (dequantized inside via
+# sq8_decode), i.e. the actual 100 TB configuration: ¼ the bytes
+# scanned AND bucket-bounded candidates. The oracle composes the SQ8
+# dequantization chain with the SAME _multiprobe_oracle machinery, so
+# train, encode, decode, planes, buckets, probes and ranking are ALL
+# value-checked end-to-end with no fixture constants.
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-coded corpus searched sub-linearly
+    (operators/similarity.py::ann_multiprobe_topk(codes=, bounds=)):
+    exact bounds → int8 codes → in-kernel dequantization → multiprobe
+    top-5 for queries 0-4 (4 planes, 5 probes — same params as the
+    float multiprobe row, so any mismatch isolates to the SQ8 leg)."""
+    from hdk_spark.operators.similarity import (
+        ann_multiprobe_topk,
+        sq8_encode,
+        sq8_train,
+    )
+
+    _tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    bounds = sq8_train(emb)
+    coded = sq8_encode(emb, bounds)
+    out = ann_multiprobe_topk(
+        None, [0, 1, 2, 3, 4],
+        k=5, n_planes=4, n_probes=5, codes=coded, bounds=bounds,
+    )
+    return out.orderBy("qid", "rank")
+
+
+_SQ8_DEQ_LEAD = """dims AS (SELECT unnest(range(1, 65)) AS i),
+flat AS (
+  SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims d
+), bnd AS (
+  SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i
+), deqx AS (
+  SELECT f.vec_id, f.i,
+         bnd.lo + ((CASE WHEN bnd.hi > bnd.lo THEN
+                      least(127, greatest(-128,
+                        CAST(round(255.0 * (f.x - bnd.lo)
+                                   / (bnd.hi - bnd.lo)) AS INT) - 128))
+                    ELSE 0 END) + 128.0)
+              * (CASE WHEN bnd.hi > bnd.lo
+                 THEN (bnd.hi - bnd.lo) / 255.0 ELSE 0.0 END) AS x
+  FROM flat f JOIN bnd ON bnd.i = f.i
+), """
+
+SPARK_IMPLS["similarity_sq8_ann"] = q_similarity_sq8_ann
+ORACLES["similarity_sq8_ann"] = _multiprobe_oracle(
+    lead_ctes=_SQ8_DEQ_LEAD,
+    vsource="SELECT vec_id AS id, list(x ORDER BY i) AS v "
+            "FROM deqx GROUP BY vec_id",
+)
 
 
 # ---------------------------------------------------------------------------

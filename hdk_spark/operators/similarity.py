@@ -308,6 +308,8 @@ def ann_lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
     deterministic: bool = False,
+    codes: "DataFrame | None" = None,
+    bounds: "list[tuple[float, float]] | None" = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH.
 
@@ -346,9 +348,20 @@ def ann_lsh_topk(
     there (200k: 5.2 s vs 13.9 s; 1M: 8.3 s vs 19.3 s). **Prefer
     ann_ivf_topk above ~100k corpus vectors**; LSH remains the
     no-training choice for small/mid corpora and for workloads that
-    tune recall per table instead of per probe."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
+    tune recall per table instead of per probe.
+
+    Coded-lake entrance: ``codes=`` + ``bounds=`` dequantize an
+    ``sq8_encode`` relation inside the kernel (``sq8_decode``) exactly
+    like ``ann_multiprobe_topk(codes=...)`` — ¼ the bytes scanned,
+    ``df``/``id_col``/``vec_col`` ignored (``df`` may be None)."""
+    if codes is not None:
+        if bounds is None:
+            raise ValueError("codes= requires the bounds it was trained on")
+        df, id_col, vec_col = sq8_decode(codes, bounds), "id", "v"
+        dim = len(bounds)
+    else:
+        dim_row = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(dim_row["d"])
     tables = [
         _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -954,6 +967,8 @@ def ann_multiprobe_topk(
     seed: int = 7,
     dim: "int | None" = None,
     deterministic: bool = True,
+    codes: "DataFrame | None" = None,
+    bounds: "list[tuple[float, float]] | None" = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-PROBE LSH (Lv et al. 2007): ONE
     sign-bucket table of ``n_planes`` bits; each query probes its
@@ -979,6 +994,23 @@ def ann_multiprobe_topk(
     the kernel dispatch would cost more than it saves.
     Returns (qid, neighbor_id, rank, cosine) like the other ANN ops.
 
+    Row-drop policy: vectors whose length differs from the (inferred
+    or passed) ``dim`` are DROPPED before hashing — the same explicit
+    mismatched-row policy as ``bitext_mine`` / ``sq8_encode`` (a
+    wrong-width vector would otherwise bucket to 0 with NULL cosines,
+    or break the numpy batch).
+
+    Coded-lake entrance (the actual 100 TB configuration): pass
+    ``codes`` (an ``sq8_encode`` relation, (id, codes)) plus its
+    ``bounds`` and the corpus is DEQUANTIZED inside this kernel
+    (``sq8_decode``, map-only) before hashing — ¼ the bytes scanned
+    off storage AND sub-linear candidate generation, composing the
+    SQ8 lake with the multi-probe search path instead of the brute
+    ``sq8_topk`` scanner. ``df``/``id_col``/``vec_col`` are ignored
+    in that regime (``df`` may be None — the floats are gone);
+    ``dim`` is ``len(bounds)``. Recall vs the float corpus is
+    property-tested (the 255-step grid moves near-tie ranks only).
+
     Scale shape: corpus side is ONE bucket row per vector (no
     posexplode ×tables) and the persisted relation carries ONLY
     (id, v, norm, b) — plane dots are never cached; the probe set
@@ -994,10 +1026,21 @@ def ann_multiprobe_topk(
         )
     from hdk_spark.operators.dedup import _vec_dim, rademacher_planes
 
+    if codes is not None:
+        if bounds is None:
+            raise ValueError("codes= requires the bounds it was trained on")
+        df, id_col, vec_col, dim = sq8_decode(codes, bounds), "id", "v", len(bounds)
     d = dim if dim is not None else _vec_dim(df, vec_col)
     planes = rademacher_planes(n_planes, d, seed)
     dots = _fold_plane_dots(planes)
     bucket = _bucket_from_dots(n_planes)
+    # dimension gate (same explicit policy as bitext_mine/sq8_encode):
+    # a wrong-width vector would zip_with into NULL plane dots and
+    # silently land in bucket 0 with NULL cosines in deterministic
+    # mode, and would make the Arrow batch ragged (np.array of lists
+    # of unequal length → object dtype → matmul error) in the numpy
+    # kernel — drop mismatched rows instead
+    df = df.filter(F.size(vec_col) == d)
     if deterministic:
         # fold-based JVM plane dots: bit-reproducible in a SQL oracle
         corpus = (
@@ -1176,6 +1219,33 @@ def sq8_encode(
     return out.filter(F.col("codes").isNotNull())
 
 
+def sq8_decode(
+    coded: DataFrame,
+    bounds: "list[tuple[float, float]]",
+    id_col: str = "id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Dequantize an SQ8-coded relation back to float vectors:
+    (id, v) with v[i] = lo_i + (code_i + 128) · (hi_i − lo_i)/255
+    (constant dims — hi == lo — reconstruct to lo exactly). Map-only,
+    one codegen projection, SQL-replayable — the shared reconstruction
+    kernel of ``sq8_topk`` and the coded-corpus ANN entrances
+    (``ann_multiprobe_topk(codes=...)`` / ``ann_lsh_topk(codes=...)``),
+    so the affine inverse cannot drift between the brute and the
+    sub-linear search paths."""
+    los = F.array(*[F.lit(lo) for lo, _ in bounds])
+    scales = F.array(*[
+        F.lit(((hi - lo) / 255.0) if hi > lo else 0.0)
+        for lo, hi in bounds
+    ])
+    deq = F.transform(
+        F.col(codes_col),
+        lambda c, i: F.element_at(los, i + 1)
+        + (c.cast("double") + F.lit(128.0)) * F.element_at(scales, i + 1),
+    )
+    return coded.select(F.col(id_col).alias("id"), deq.alias("v"))
+
+
 def sq8_topk(
     df: DataFrame,
     query_ids: "list[int]",
@@ -1193,23 +1263,14 @@ def sq8_topk(
     regime: floats are gone). Pass ``codes`` to reuse an encoded
     relation; otherwise encodes in-flight. Returns (qid, neighbor_id,
     rank, cosine) like the other ANN ops; cosine is the dequantized
-    estimate through round6."""
+    estimate through round6.
+
+    This is the deliberate EXACT scanner over ¼-width codes; the
+    sub-linear coded-lake configuration is the same codes fed to
+    ``ann_multiprobe_topk(codes=..., bounds=...)``."""
     coded = codes if codes is not None else sq8_encode(
         df, bounds, id_col, vec_col)
-    los = F.array(*[F.lit(lo) for lo, _ in bounds])
-    scales = F.array(*[
-        F.lit(((hi - lo) / 255.0) if hi > lo else 0.0)
-        for lo, hi in bounds
-    ])
-    deq = F.transform(
-        F.col("codes"),
-        lambda c, i: F.element_at(los, i + 1)
-        + (c.cast("double") + F.lit(128.0)) * F.element_at(scales, i + 1),
-    )
-    base = coded.select(
-        "id",
-        deq.alias("v"),
-    ).select(
+    base = sq8_decode(coded, bounds).select(
         "id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
     )
     queries = base.filter(F.col("id").isin(query_ids)).select(
@@ -1247,7 +1308,7 @@ def bitext_mine(
 
     where avgₖNN is the mean cosine of a side's top-k candidate
     neighborhood — the correction that separates true translations
-    from hubs (a vector близко to everything scores high raw cosine
+    from hubs (a vector close to everything scores high raw cosine
     but its dense neighborhood deflates the margin). Emits the
     margin-best target per source with margin ≥ threshold:
     (src_id, tgt_id, cosine, margin).

@@ -926,3 +926,32 @@ def test_round10_operator_plan_shapes(spark):
     # the pack's own Window nodes, no re-pack, no stats window
     # (formatted plans print each node twice: tree + detail section)
     assert p3.count("Window") == plan(packed).count("Window")
+
+
+def test_sq8_ann_composition_plan_shape(spark):
+    """The coded-lake entrance stays map-only up to the bucket join:
+    sq8_decode is a projection (no Exchange/Join of its own), and the
+    composed ann_multiprobe_topk(codes=) plan has the SAME join/
+    exchange inventory as the float-corpus plan — dequantization must
+    not add a shuffle, a join, or a cartesian path."""
+    from hdk_spark.operators.similarity import (
+        ann_multiprobe_topk,
+        sq8_decode,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = spark.table("embeddings")
+    bounds = sq8_train(emb)
+    coded = sq8_encode(emb, bounds)
+    p = plan(sq8_decode(coded, bounds))
+    assert "Exchange" not in p and "Join" not in p
+
+    kw = dict(k=3, n_planes=4, n_probes=3)
+    pc = plan(ann_multiprobe_topk(None, [0, 1], codes=coded,
+                                  bounds=bounds, **kw))
+    pf = plan(ann_multiprobe_topk(emb, [0, 1], **kw))
+    assert "CartesianProduct" not in pc
+    assert "BroadcastNestedLoopJoin" not in pc
+    for node in ("Join", "Exchange"):
+        assert pc.count(node) == pf.count(node), node

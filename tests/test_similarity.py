@@ -376,6 +376,33 @@ def test_ann_multiprobe_numpy_mode_exact_duplicate_at_one_probe(spark):
     assert got[(5, 1)] == (900, 1.0)
 
 
+def test_ann_multiprobe_drops_wrong_width_vectors(spark):
+    """The dimension gate (ADVICE r10): a truncated/corrupt vector is
+    DROPPED in both kernels instead of silently landing in bucket 0
+    with NULL cosines (deterministic fold) or breaking the Arrow
+    batch into an object-dtype matmul (numpy). Results with the
+    ragged row present must equal results on the clean corpus, in
+    BOTH modes."""
+    from hdk_spark.operators.similarity import ann_multiprobe_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+            for i in range(120)]
+    clean = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+    ragged = spark.createDataFrame(
+        rows + [(700, [1.0, 2.0]), (701, None)],
+        "vec_id: long, embedding: array<double>")
+    qids = [0, 3]
+    for det in (True, False):
+        want = sorted(map(tuple, ann_multiprobe_topk(
+            clean, qids, k=5, n_planes=4, n_probes=3, dim=16,
+            deterministic=det).collect()))
+        got = sorted(map(tuple, ann_multiprobe_topk(
+            ragged, qids, k=5, n_planes=4, n_probes=3, dim=16,
+            deterministic=det).collect()))
+        assert got == want and len(got) == 10, f"deterministic={det}"
+
+
 def test_sq8_reconstruction_and_recall(spark):
     """SQ8 scalar quantization: (a) exact-bounds train is deterministic
     and d-sized; (b) per-dim reconstruction error <= (hi-lo)/510 + eps
@@ -434,6 +461,76 @@ def test_sq8_reconstruction_and_recall(spark):
         e = {v for (qq, _), v in exact.items() if qq == q}
         a = {v for (qq, _), v in approx.items() if qq == q}
         assert len(e & a) >= 4, (q, e, a)
+
+
+def test_sq8_coded_corpus_composes_with_ann(spark):
+    """The coded-lake × sub-linear-search composition (VERDICT r10
+    item #6): an sq8_encode relation + bounds fed straight into
+    ann_multiprobe_topk / ann_lsh_topk must (a) equal running the
+    same kernel over the explicitly-decoded floats (the composition
+    is sq8_decode inside, nothing else), (b) keep high set-recall vs
+    the float-corpus kernel at the same params (the 255-step grid
+    moves near-tie ranks only), (c) reject codes without bounds, and
+    (d) be repartition-deterministic."""
+    import math
+
+    import pytest
+
+    from hdk_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_multiprobe_topk,
+        sq8_decode,
+        sq8_encode,
+        sq8_train,
+    )
+
+    rows = [
+        (i, [math.sin((i % 16) * 0.9 + j * 0.31) * (1 + j % 3)
+             for j in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    bounds = sq8_train(df)
+    coded = sq8_encode(df, bounds)
+    qids = [0, 1, 2]
+    kw = dict(k=5, n_planes=4, n_probes=4)
+
+    composed = sorted(map(tuple, ann_multiprobe_topk(
+        None, qids, codes=coded, bounds=bounds, **kw).collect()))
+    explicit = sorted(map(tuple, ann_multiprobe_topk(
+        sq8_decode(coded, bounds), qids, id_col="id", vec_col="v",
+        **kw).collect()))
+    assert composed == explicit and len(composed) == 15
+
+    again = sorted(map(tuple, ann_multiprobe_topk(
+        None, qids, codes=coded.repartition(7), bounds=bounds,
+        **kw).collect()))
+    assert again == composed
+
+    # set-recall vs the float corpus through the SAME kernel/params
+    flt = {q: set() for q in qids}
+    for r in ann_multiprobe_topk(df, qids, **kw).collect():
+        flt[r["qid"]].add(r["neighbor_id"])
+    cod = {q: set() for q in qids}
+    for q, n, _, _ in composed:
+        cod[q].add(n)
+    for q in qids:
+        assert len(flt[q] & cod[q]) >= 4, (q, flt[q], cod[q])
+
+    # the L-tables kernel takes the same entrance (deterministic mode
+    # so near-zero fold-vs-numpy sign flips can't shift buckets)
+    lsh = sorted(map(tuple, ann_lsh_topk(
+        None, qids, k=5, n_planes=4, n_tables=4, deterministic=True,
+        codes=coded, bounds=bounds).collect()))
+    lsh_explicit = sorted(map(tuple, ann_lsh_topk(
+        sq8_decode(coded, bounds), qids, k=5, n_planes=4, n_tables=4,
+        deterministic=True, id_col="id", vec_col="v").collect()))
+    assert lsh == lsh_explicit and len(lsh) > 0
+
+    with pytest.raises(ValueError, match="bounds"):
+        ann_multiprobe_topk(None, qids, codes=coded)
+    with pytest.raises(ValueError, match="bounds"):
+        ann_lsh_topk(None, qids, codes=coded)
 
 
 def test_bitext_mine_planted_alignment(spark):
