@@ -12579,6 +12579,68 @@ ORACLES["streaming_ndv_rollup"] = _STREAM_NDV_ORACLE
 
 
 # ---------------------------------------------------------------------------
+# round 11: streaming Misra-Gries heavy-hitter state — completes the
+# mergeable-sketch trio (CMS linear add r10, HLL register max r10, MG
+# counter-add + trim). State bounded at n_shards·k counters; the
+# single-file availableNow source makes the run ONE micro-batch, so
+# the emission == the batch mg_summary relation, which the oracle
+# replays in full (md5 shards, exact counts, the rank-(k+1) median
+# subtraction, the positive filter).
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_frequent_items (streaming.py
+    — sharded Misra-Gries summaries as applyInPandasWithState state,
+    ≤ n_shards·k counters total for an unbounded stream). Planted item
+    = lang '-' doc_id%7 (≈35 distinct over 4 shards >> k=5, so every
+    shard's trim fires and trimmed counts are value-checked, not just
+    survivors)."""
+    from hdk_spark.streaming import stream_frequent_items
+
+    _tables(spark, sf_dir)
+    item = F.concat(F.col("lang"), F.lit("-"),
+                    (F.col("doc_id") % 7).cast("string"))
+    stream = _documents_stream(spark, sf_dir).select(item.alias("v"))
+    name = _run_stream(
+        stream_frequent_items(stream, "v", k=5, n_shards=4,
+                              hash_basis="md5"),
+        "update",
+    )
+    return spark.table(name).orderBy("shard", "item")
+
+
+_STREAM_MG_ORACLE = """
+WITH src AS (
+  SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item FROM documents
+), h AS (
+  SELECT item,
+         CAST(CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % 4 AS INT)
+           AS shard
+  FROM src
+), cnt AS (
+  SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+), rk AS (
+  SELECT shard, item, c,
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, item) AS rn,
+         SUM(c) OVER (PARTITION BY shard) AS n_shard
+  FROM cnt
+), med AS (
+  SELECT shard, MAX(CASE WHEN rn = 6 THEN c END) AS m FROM rk GROUP BY shard
+)
+SELECT r.shard, r.item,
+       CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt,
+       CAST(r.n_shard AS BIGINT) AS n_shard
+FROM rk r JOIN med m USING (shard)
+WHERE r.c - COALESCE(m.m, 0) > 0
+ORDER BY shard, item
+"""
+
+SPARK_IMPLS["streaming_frequent_items"] = q_streaming_frequent_items
+ORACLES["streaming_frequent_items"] = _STREAM_MG_ORACLE
+
+
+# ---------------------------------------------------------------------------
 # round 10: labeling-reliability + summarization-eval completions —
 # krippendorff_alpha (the varying-raters/missing-data coefficient
 # fleiss_kappa deliberately abstains on) and rouge_n (the recall side

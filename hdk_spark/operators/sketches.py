@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
-           "frequent_items", "cms_build", "cms_merge", "cms_query",
+           "frequent_items", "mg_summary", "cms_build", "cms_merge",
+           "cms_query",
 ]
 
 
@@ -158,6 +159,75 @@ def frequent_items(
     return counted.select(
         "item", "cnt", F.lit(int(n_total)).cast("long").alias("n_total")
     ).orderBy(F.desc("cnt"), "item")
+
+
+def mg_summary(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    n_shards: int = 8,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """ONE-ROUND sharded Misra-Gries summary as a relation — the
+    deterministic batch REFERENCE for ``streaming.stream_frequent_
+    items``: items hash-shard on ``pmod(hash(item), n_shards)``; per
+    shard the EXACT counts take one MG trim (subtract the (k+1)-th
+    largest count value, drop non-positives — no trim when the shard
+    holds ≤ k items). Because counting is exact before the single
+    trim, the result is a pure function of the multiset — order- and
+    partitioning-independent, and (on the 'md5' basis) fully
+    SQL-replayable: counts, the rank-(k+1) median, the subtraction.
+    Returns (shard, item, cnt, n_shard) with cnt > 0, ≤ k rows/shard.
+
+    MG guarantees carried (Misra-Gries 1982; Agarwal et al. 2012
+    "Mergeable Summaries" §3): cnt never exceeds the true shard
+    count; undercount ≤ (n_shard − Σcnt)/(k+1); every item with true
+    count > n_shard/(k+1) survives. Sharding by item TIGHTENS the
+    bound (each shard sees ~n/n_shards rows) and is what lets the
+    streaming twin hold ≤ n_shards·k counters of state.
+
+    Scale note: this batch form windows over the per-shard distinct-
+    item counts, so it suits summary-building over slices; the
+    unbounded-ingest path is the streaming twin, and the EXACT
+    heavy-hitter query is ``frequent_items`` (which recounts)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    src = df.select(F.col(value_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    cnt = (
+        src.withColumn(
+            "shard",
+            F.pmod(
+                _cms_base_hash(F.col("item"), hash_basis), F.lit(n_shards)
+            ).cast("int"),
+        )
+        .groupBy("shard", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # the (k+1)-th largest count VALUE per shard (ties collapse — any
+    # rank-(k+1) row carries the same c, so the row_number tie-break
+    # on item only picks WHICH row reports it, never the value)
+    w_rank = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("item"))
+    w_shard = Window.partitionBy("shard")
+    ranked = cnt.select(
+        "shard", "item", "c",
+        F.row_number().over(w_rank).alias("__rn"),
+    )
+    med = F.max(F.when(F.col("__rn") == k + 1, F.col("c"))).over(w_shard)
+    n_shard = F.sum("c").over(w_shard)
+    return (
+        ranked.select(
+            "shard", "item",
+            (F.col("c") - F.coalesce(med, F.lit(0))).cast("long").alias("cnt"),
+            n_shard.cast("long").alias("n_shard"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
 
 
 def _cms_base_hash(col, hash_basis: str):

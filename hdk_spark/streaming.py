@@ -490,6 +490,117 @@ def stream_cms(
     return cms_build(stream_df, value_col, depth, width, seed, hash_basis)
 
 
+def stream_frequent_items(
+    stream_df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    n_shards: int = 8,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming heavy-hitter candidates via sharded MISRA-GRIES
+    state (the bounded-state frequency-TOP companion of stream_cms's
+    point-frequency cells): items hash-shard on pmod(hash(item),
+    n_shards); each shard's state is one MG summary of ≤ k counters,
+    so TOTAL state is ≤ n_shards·k (item, count) pairs for an
+    unbounded stream — vs streaming groupBy(item).count(), which
+    holds every distinct item ever seen. Completes the mergeable-
+    sketch trio: CMS (linear cell add), HLL (register max), MG
+    (counter add + trim — Agarwal et al. 2012 "Mergeable Summaries"
+    §3, which is exactly what each micro-batch update performs:
+    absorb the batch's EXACT per-shard counts, then ONE trim).
+
+    Emission (update mode — applyInPandasWithState has no complete
+    mode): every updated shard re-emits its FULL current summary
+    (shard, item, cnt, n_shard), so the latest emission per shard IS
+    the complete table; a memory-sink consumer takes the last batch's
+    rows per shard. When the whole history arrives in one micro-batch
+    (availableNow over a single file), the emission equals the batch
+    ``sketches.mg_summary`` relation BIT-FOR-BIT — the contract row's
+    oracle replays that (md5 basis). Across arbitrary micro-batch
+    splits the counter VALUES are split-dependent (trim is not
+    linear) but the mergeable-summaries guarantees are not: cnt never
+    exceeds the true shard count, undercount ≤ (n_shard − Σcnt)/(k+1),
+    and every item with true count > n_shard/(k+1) survives —
+    property-pinned in test_streaming over a forced multi-batch run.
+
+    NULL items are excluded (not an item); replayed rows double-count
+    exactly like stream_ndv_rollup's n_rows caveat (MG adds — only
+    exactly-once sinks see multiset-true summaries).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hdk_spark.operators.sketches import _cms_base_hash, _mg_trim
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("n_shard", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            st_items, st_cnts, n = state.get
+            counters = {i: int(c) for i, c in zip(st_items, st_cnts)}
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            # EXACT batch counts absorbed before the single trim —
+            # deterministic for the micro-batch's multiset, so the
+            # one-batch case replays mg_summary bit-for-bit
+            for v, c in pdf["item"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+        _mg_trim(counters, k)
+        items = sorted(counters)
+        state.update((items, [counters[i] for i in items], n))
+        if items:  # an all-trimmed shard has nothing to re-emit
+            yield pd.DataFrame(
+                {
+                    "shard": pd.array(
+                        [int(key[0])] * len(items), dtype="int32"),
+                    "item": pd.array(items, dtype="string"),
+                    "cnt": pd.array(
+                        [counters[i] for i in items], dtype="int64"),
+                    "n_shard": pd.array([n] * len(items), dtype="int64"),
+                }
+            )
+
+    sharded = (
+        stream_df.select(F.col(value_col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .withColumn(
+            "shard",
+            F.pmod(
+                _cms_base_hash(F.col("item"), hash_basis), F.lit(n_shards)
+            ).cast("int"),
+        )
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_ndv_rollup(
     stream_df: DataFrame,
     group_col: str,

@@ -84,6 +84,73 @@ def test_frequent_items_exact_vs_brute_force(spark):
         frequent_items(df, "v", 0)
 
 
+def test_mg_summary_matches_python_reference(spark):
+    """mg_summary == pure-Python one-round sharded MG (exact counts →
+    single (k+1)-th-largest-value trim → drop non-positives), md5
+    sharding replicated byte-for-byte; order/partitioning
+    independence; no-trim shards pass counts through exactly; ≤ k
+    rows per shard; guards."""
+    import hashlib
+    from collections import Counter
+
+    import pytest
+
+    from hdk_spark.operators.sketches import mg_summary
+
+    rows = []
+    for i in range(2000):
+        if i % 3 != 2:
+            rows.append((i, f"hot{i % 2}"))
+        elif i % 9 == 2:
+            rows.append((i, f"mid{i % 27}"))
+        else:
+            rows.append((i, f"tail{i}"))
+    rows += [(90000 + j, None) for j in range(5)]
+    df = spark.createDataFrame(rows, "id: long, v: string")
+
+    def shard_of(v, n_shards):
+        return int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % n_shards
+
+    def reference(k, n_shards):
+        per = {}
+        for _, v in rows:
+            if v is not None:
+                per.setdefault(shard_of(v, n_shards), []).append(v)
+        out = set()
+        for s, items in per.items():
+            counters = dict(Counter(items))
+            n_shard = len(items)
+            if len(counters) > k:
+                med = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - med for v, c in counters.items()
+                            if c - med > 0}
+            out |= {(s, v, c, n_shard) for v, c in counters.items()}
+        return out
+
+    for k, n_shards in ((3, 4), (5, 2), (1000, 4)):
+        expect = reference(k, n_shards)
+        for parts in (1, 7):
+            got = {
+                (r["shard"], r["item"], r["cnt"], r["n_shard"])
+                for r in mg_summary(
+                    df.repartition(parts), "v", k=k, n_shards=n_shards,
+                    hash_basis="md5",
+                ).collect()
+            }
+            assert got == expect, (k, n_shards, parts)
+        per_shard = Counter(s for s, *_ in expect)
+        assert all(c <= k for c in per_shard.values())
+    # k=1000 >> distinct: no trim anywhere -> summary is exact counts
+    exact = Counter(v for _, v in rows if v is not None)
+    big = mg_summary(df, "v", k=1000, n_shards=4, hash_basis="md5")
+    assert {(r["item"], r["cnt"]) for r in big.collect()} == set(exact.items())
+
+    with pytest.raises(ValueError, match="k"):
+        mg_summary(df, "v", k=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        mg_summary(df, "v", k=5, n_shards=0)
+
+
 def test_mg_trim_bound():
     """The trim keeps at most k counters and undercounts any item by
     at most (N - sum(counters)) / (k+1) — the Misra-Gries invariant,

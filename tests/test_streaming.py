@@ -368,6 +368,100 @@ def test_stream_cms_equals_batch_bit_for_bit(spark, events_dir, events_schema):
     assert got.count() <= 3 * 16
 
 
+def test_stream_frequent_items_single_batch_equals_mg_summary(
+    spark, tmp_path,
+):
+    """stream_frequent_items over a SINGLE-file source (availableNow
+    → one micro-batch): the emission equals the batch mg_summary
+    relation bit-for-bit — the state update absorbed the whole
+    history's exact counts and performed the same single trim."""
+    from hdk_spark.operators.sketches import mg_summary
+
+    rows = [(i, f"item{(i * i) % 23}") for i in range(1500)]
+    src = str(tmp_path / "mg_single")
+    spark.createDataFrame(rows, "id: long, v: string") \
+        .coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    st = streaming.stream_parquet(spark, src, schema)
+    kw = dict(k=4, n_shards=3, hash_basis="md5")
+    got = _collect(
+        spark, streaming.stream_frequent_items(st, "v", **kw),
+        "t_mg_single", "update",
+    )
+    batch = mg_summary(spark.read.parquet(src), "v", **kw)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, batch.collect()))
+    # trims actually happened (23 distinct over 3 shards >> k=4)
+    assert all(r["cnt"] < 1500 for r in got.collect())
+
+
+def test_stream_frequent_items_multibatch_mg_invariants(spark, tmp_path):
+    """Forced multi-batch run (3 files × maxFilesPerTrigger=1): the
+    per-batch update is the Agarwal et al. 2012 mergeable-summaries
+    merge (counter add + trim), so counter VALUES are split-dependent
+    but the MG guarantees are not — per shard's LATEST emission (max
+    n_shard — n strictly grows per update): (a) ≤ k counters of state,
+    (b) never over the true shard count, (c) undercount ≤ (n_shard −
+    Σcnt)/(k+1), (d) every item with true count > n_shard/(k+1)
+    survives, (e) Σ latest n_shard == history rows."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql.window import Window
+
+    k, n_shards = 3, 2
+    rows = [(i, f"v{(i * 7) % 19}" if i % 4 else "heavy")
+            for i in range(1200)]
+    src = str(tmp_path / "mg_multi")
+    spark.createDataFrame(rows, "id: long, v: string") \
+        .repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 3
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = _collect(
+        spark,
+        streaming.stream_frequent_items(
+            st, "v", k=k, n_shards=n_shards, hash_basis="md5"),
+        "t_mg_multi", "update",
+    )
+    latest = (
+        sink.withColumn(
+            "__m", F.max("n_shard").over(Window.partitionBy("shard")))
+        .filter(F.col("n_shard") == F.col("__m"))
+        .drop("__m")
+    )
+    got = latest.collect()
+
+    def shard_of(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % n_shards
+
+    true = Counter((shard_of(v), v) for _, v in rows)
+    n_per_shard = Counter(shard_of(v) for _, v in rows)
+    by_shard: dict = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], {})[r["item"]] = r["cnt"]
+        assert r["n_shard"] == n_per_shard[r["shard"]]
+    assert sum(n_per_shard[s] for s in by_shard) == len(rows)
+    for s, counters in by_shard.items():
+        assert len(counters) <= k
+        err = (n_per_shard[s] - sum(counters.values())) / (k + 1)
+        for item, cnt in counters.items():
+            assert cnt <= true[(s, item)], (s, item)
+            assert true[(s, item)] - cnt <= err + 1e-9, (s, item)
+        for (ts, item), c in true.items():
+            if ts == s and c > n_per_shard[s] / (k + 1):
+                assert item in counters, (s, item, c)
+    # 'heavy' (300 of 1200 rows) clears its shard's n/(k+1) bound
+    hs = shard_of("heavy")
+    assert "heavy" in by_shard[hs]
+
+
 def test_stream_ndv_rollup_equals_batch(spark, events_dir, events_schema):
     """stream_ndv_rollup in complete mode: ndv_estimate over the
     completed table equals the batch rollup's estimates exactly (the
