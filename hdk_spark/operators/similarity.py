@@ -199,6 +199,8 @@ def ann_ivf_topk(
     train_sample: int = 4096,
     seed: int = 42,
     centroids: "dict[int, list[float]] | None" = None,
+    codes: "DataFrame | None" = None,
+    bounds: "list[tuple[float, float]] | None" = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted file): corpus vectors are
     assigned to their nearest of ``n_lists`` k-means centroids; each
@@ -218,7 +220,19 @@ def ann_ivf_topk(
     is an equi-join on list id — candidates shrink by ~n_lists/nprobe
     vs a full scan, and precision stays 1 because scoring is exact.
     This is the standard IVF-Flat layout (FAISS-style) expressed as
-    DataFrame ops."""
+    DataFrame ops.
+
+    Coded-lake entrance: ``codes=`` + ``bounds=`` dequantize an
+    ``sq8_encode`` relation inside the kernel (``sq8_decode``) —
+    IVF over ¼-width storage, the same composition as
+    ``ann_multiprobe_topk(codes=...)``. SCALE.md already prefers IVF
+    above ~100k corpus vectors, so this is the preferred coded-lake
+    search path. ``df``/``id_col``/``vec_col`` ignored in that
+    regime (``df`` may be None)."""
+    if codes is not None:
+        if bounds is None:
+            raise ValueError("codes= requires the bounds it was trained on")
+        df, id_col, vec_col = sq8_decode(codes, bounds), "id", "v"
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -1296,7 +1310,7 @@ def bitext_mine(
     threshold: float = 1.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: "int | None" = 8,
     n_probes: int = 4,
     seed: int = 7,
     dim: "int | None" = None,
@@ -1327,11 +1341,25 @@ def bitext_mine(
     Scale shape: two map-only bucket projections (each corpus hashed
     ONCE, persisted), one equi-join on bucket id, two windows over the
     candidate relation sharing its (qid)/(tid) partitionings, one
-    filter. At 100 TB raise n_planes ≈ log₂(n) so buckets stay small;
-    recall follows the multi-probe law (SCALE.md).
+    filter. At 100 TB raise n_planes ≈ log₂(n) so buckets stay small —
+    ``n_planes=None`` derives exactly that, max(8, ⌈log₂(max(|src|,
+    |tgt|))⌉), from two corpus counts (a bounded driver action, the
+    same opt-in discipline as the trainers). The literal default stays
+    8 because (a) plane literals are baked into contract-row oracle
+    SQL, so an implicit size-dependent default would make the query
+    non-reproducible across scale factors, and (b) a library call
+    should not silently scan the corpus twice unless asked. The
+    candidate-volume/recall trade is measured in SCALE.md (the r11
+    n_planes sweep: volume ~ |src|·|tgt|·n_probes/2^n_planes while
+    planted-twin recall degrades gently).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if n_planes is None:
+        import math
+
+        n_biggest = max(src.count(), tgt.count())
+        n_planes = max(8, math.ceil(math.log2(max(n_biggest, 2))))
     if n_probes < 1 or n_probes > n_planes + 1:
         raise ValueError(
             f"n_probes must be in [1, n_planes + 1], got {n_probes}"

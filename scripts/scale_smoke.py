@@ -638,9 +638,12 @@ def main() -> None:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(9)),
+                    # ((d + r) % 3) % 5 — per-rater label variation
+                    # spanning 3 values (ADVICE r10: the original
+                    # unparenthesized form bound as d + (r % 3))
                     lambda r: F.concat(
                         F.lit("l"),
-                        ((d + r.cast("long") % 3) % 5).cast("string"),
+                        (((d + r.cast("long")) % 3) % 5).cast("string"),
                     ),
                 )
             ).alias("label"),
@@ -698,6 +701,88 @@ def main() -> None:
         ).count()
         print("bitext_100k_x_100k:", round(time.perf_counter() - t0, 2),
               " mined:", n_mined)
+        return
+
+    if "--r11" in sys.argv:
+        # bitext n_planes sweep at a FIXED 50k × 50k corpus: pins the
+        # docstring's scaling law — candidate volume ~ |src|·|tgt|·
+        # n_probes/2^n_planes while planted-twin recall degrades
+        # gently (each tgt is its src twin + ~10%-of-norm hash noise
+        # ≈ 0.1 rad, so the twin is the true top-1 whenever it's a
+        # candidate and per-plane split probability is ~0.032).
+        # The auto default (n_planes=None) would pick
+        # ceil(log2(50k)) = 16 here — the sweep brackets it.
+        from hdk_spark.operators.dedup import rademacher_planes
+        from hdk_spark.operators.similarity import (
+            _bucket_from_dots,
+            _fold_plane_dots,
+            _multiprobe_probes,
+            bitext_mine,
+        )
+
+        path = "/tmp/bitext100k.parquet"
+        if not os.path.exists(path):
+            # UNIFORM hash vectors (not the clustered ann synth):
+            # random 64-d points are near-orthogonal, so the noisy
+            # twin is unambiguously the true match and recall
+            # isolates the BUCKETING loss, not ranking ambiguity
+            spark.range(50_000).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: (F.hash(F.col("id"), j) % 1000)
+                    .cast("double") / 500.0,
+                ).alias("embedding"),
+            ).write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        tgt = src.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x + (F.hash(F.col("vec_id"), x) % 21)
+                .cast("double") * 0.01,
+            ).alias("embedding"),
+        )
+        n_src = src.count()
+        print("bitext sweep sides:", n_src, tgt.count())
+        for p in (8, 14, 20):
+            planes = rademacher_planes(p, 64, 7)
+            dots = _fold_plane_dots(planes)
+            bucket = _bucket_from_dots(p)
+
+            def hashed(df):
+                return (
+                    df.select(
+                        F.col("vec_id").alias("id"),
+                        F.col("embedding").alias("v"),
+                    )
+                    .withColumn("__dots", dots)
+                    .withColumn("b", bucket)
+                )
+
+            sp = (
+                hashed(src)
+                .select(F.explode(_multiprobe_probes(p, 2)).alias("pb"))
+                .groupBy("pb").agg(F.count(F.lit(1)).alias("cs"))
+            )
+            tb = hashed(tgt).groupBy("b").agg(
+                F.count(F.lit(1)).alias("ct"))
+            volume = sp.join(tb, sp.pb == tb.b).agg(
+                F.sum(F.col("cs") * F.col("ct"))).first()[0] or 0
+            t0 = time.perf_counter()
+            mined = bitext_mine(
+                src, tgt, k=4, threshold=1.0,
+                n_planes=p, n_probes=2, dim=64,
+            ).persist()
+            n_mined = mined.count()
+            hits = mined.filter(
+                F.col("tgt_id") == F.col("src_id") + 1_000_000).count()
+            wall = round(time.perf_counter() - t0, 2)
+            mined.unpersist()
+            print(f"bitext_planes_{p}:", wall,
+                  " cand_volume:", int(volume),
+                  " mined:", n_mined,
+                  " twin_recall:", round(hits / n_src, 4))
         return
 
     if "--r9b" in sys.argv:

@@ -798,3 +798,86 @@ def test_random_framed_window_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# join-CONDITION grammar (r11): mixed equi + theta + null-safe ON
+# clauses over the FK tables — the one §2.4 shape the fixed join
+# grammars above don't fuzz (they vary shapes/aggregates over fixed
+# equi conditions; this varies the CONDITION). The FK equi conjunct
+# is always present so the plan stays a hash join at any draw (a
+# drawn pure-theta ON would BNLJ and the 60k×15k worst case would
+# dominate the suite's runtime); theta/null-safe conjuncts attach on
+# top. `IS [NOT] DISTINCT FROM` parses identically in Spark and
+# DuckDB (checked), and the NULL-injecting CASE operands make the
+# null-safe semantics actually bite instead of degenerating to `=`.
+# ---------------------------------------------------------------------------
+
+_JC_SHAPES = [
+    # (tables-clause left/right, equi conjunct, extra-conjunct pool,
+    #  group key, right probe col for matched/unmatched accounting)
+    ("orders", "customer", "o_custkey = c_custkey",
+     ["o_totalprice < c_acctbal * 50.0",
+      "o_orderkey % 7 >= c_custkey % 5",
+      "c_acctbal <= o_totalprice",
+      ("CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 3 END "
+       "IS NOT DISTINCT FROM "
+       "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_custkey % 3 END"),
+      ("CASE WHEN o_custkey % 2 = 0 THEN NULL ELSE 1 END "
+       "IS DISTINCT FROM CASE WHEN c_nationkey % 2 = 0 THEN NULL "
+       "ELSE 1 END")],
+     "o_orderstatus", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey",
+     ["l_quantity < o_totalprice / 3000.0",
+      "l_linenumber + 1 >= o_orderkey % 5",
+      "l_partkey % 11 > o_custkey % 11",
+      ("CASE WHEN l_suppkey % 4 = 0 THEN NULL ELSE l_suppkey % 4 END "
+       "IS NOT DISTINCT FROM "
+       "CASE WHEN o_custkey % 4 = 0 THEN NULL ELSE o_custkey % 4 END")],
+     "l_returnflag", "o_orderkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey",
+     ["s_acctbal > n_nationkey * 100.0",
+      "s_suppkey % 3 <= n_regionkey",
+      ("CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_suppkey % 5 END "
+       "IS DISTINCT FROM "
+       "CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END")],
+     "s_nationkey", "n_nationkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey",
+     ["c_acctbal * 2.0 >= n_nationkey * 300.0",
+      "c_custkey % 6 > n_regionkey",
+      ("CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END "
+       "IS NOT DISTINCT FROM CASE WHEN n_regionkey % 2 = 0 "
+       "THEN NULL ELSE c_mktsegment END")],
+     "c_mktsegment", "n_nationkey"),
+]
+
+
+@st.composite
+def join_condition_queries(draw):
+    left, right, equi, pool, key, probe = draw(st.sampled_from(_JC_SHAPES))
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    extras = draw(st.lists(st.sampled_from(pool), min_size=1, max_size=2,
+                           unique=True))
+    on = " AND ".join([equi] + extras)
+    return (
+        f"SELECT {key}, COUNT(*) AS n, COUNT({probe}) AS n_matched, "
+        f"CAST(SUM(CASE WHEN {probe} IS NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_unmatched, "
+        f"CAST(MIN({probe}) AS BIGINT) AS min_probe, "
+        f"CAST(MAX({probe}) AS BIGINT) AS max_probe "
+        f"FROM {left} {how} {right} ON {on} "
+        f"GROUP BY {key} ORDER BY {key}"
+    )
+
+
+@given(sql=join_condition_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_join_condition_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)

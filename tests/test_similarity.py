@@ -527,10 +527,62 @@ def test_sq8_coded_corpus_composes_with_ann(spark):
         deterministic=True, id_col="id", vec_col="v").collect()))
     assert lsh == lsh_explicit and len(lsh) > 0
 
+    # IVF — SCALE.md's preferred path above ~100k vectors — takes the
+    # same entrance (explicit centroids = the oracle-checkable mode)
+    from hdk_spark.operators.clustering import kmeans_centroids
+    from hdk_spark.operators.similarity import ann_ivf_topk
+
+    cents = kmeans_centroids(
+        sq8_decode(coded, bounds), k=4, iters=1, seed=0,
+        id_col="id", vec_col="v")
+    ivf = sorted(map(tuple, ann_ivf_topk(
+        None, qids, k=5, n_lists=4, nprobe=2, centroids=cents,
+        codes=coded, bounds=bounds).collect()))
+    ivf_explicit = sorted(map(tuple, ann_ivf_topk(
+        sq8_decode(coded, bounds), qids, k=5, n_lists=4, nprobe=2,
+        centroids=cents, id_col="id", vec_col="v").collect()))
+    assert ivf == ivf_explicit and len(ivf) > 0
+
     with pytest.raises(ValueError, match="bounds"):
         ann_multiprobe_topk(None, qids, codes=coded)
     with pytest.raises(ValueError, match="bounds"):
         ann_lsh_topk(None, qids, codes=coded)
+    with pytest.raises(ValueError, match="bounds"):
+        ann_ivf_topk(None, qids, codes=coded)
+
+
+def test_bitext_auto_plane_count(spark):
+    """n_planes=None derives max(8, ceil(log2(max(|src|, |tgt|))))
+    from two corpus counts: at ≤256 rows per side the floor (8)
+    applies and the result equals an explicit n_planes=8 run; at a
+    600-row side it equals explicit n_planes=10 — the docstring's
+    raise-planes-with-n law as an opt-in instead of a human step."""
+    from hdk_spark.operators.similarity import bitext_mine
+
+    def vec(i):
+        return [float((i * 13 + j * 5) % 17 - 8) for j in range(16)]
+
+    small_src = spark.createDataFrame(
+        [(i, vec(i)) for i in range(0, 40, 2)],
+        "vec_id: long, embedding: array<double>")
+    small_tgt = spark.createDataFrame(
+        [(i, vec(i - 1)) for i in range(1, 41, 2)],
+        "vec_id: long, embedding: array<double>")
+    kw = dict(k=2, threshold=1.0, n_probes=2, dim=16)
+    auto = sorted(map(tuple, bitext_mine(
+        small_src, small_tgt, n_planes=None, **kw).collect()))
+    explicit = sorted(map(tuple, bitext_mine(
+        small_src, small_tgt, n_planes=8, **kw).collect()))
+    assert auto == explicit and len(auto) > 0
+
+    big_src = spark.createDataFrame(
+        [(i, vec(i)) for i in range(600)],
+        "vec_id: long, embedding: array<double>")
+    auto_big = sorted(map(tuple, bitext_mine(
+        big_src, small_tgt, n_planes=None, **kw).collect()))
+    explicit_10 = sorted(map(tuple, bitext_mine(
+        big_src, small_tgt, n_planes=10, **kw).collect()))
+    assert auto_big == explicit_10
 
 
 def test_bitext_mine_planted_alignment(spark):
