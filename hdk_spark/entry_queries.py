@@ -12620,24 +12620,115 @@ WITH src AS (
   FROM src
 ), cnt AS (
   SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+), totals AS (
+  SELECT shard, CAST(SUM(c) AS BIGINT) AS n_shard FROM cnt GROUP BY shard
 ), rk AS (
   SELECT shard, item, c,
-         row_number() OVER (PARTITION BY shard ORDER BY c DESC, item) AS rn,
-         SUM(c) OVER (PARTITION BY shard) AS n_shard
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, item) AS rn
   FROM cnt
 ), med AS (
   SELECT shard, MAX(CASE WHEN rn = 6 THEN c END) AS m FROM rk GROUP BY shard
+), surv AS (
+  SELECT r.shard, r.item, CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
+  FROM rk r JOIN med m USING (shard)
+  WHERE r.c - COALESCE(m.m, 0) > 0
 )
-SELECT r.shard, r.item,
-       CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt,
-       CAST(r.n_shard AS BIGINT) AS n_shard
-FROM rk r JOIN med m USING (shard)
-WHERE r.c - COALESCE(m.m, 0) > 0
+SELECT t.shard, s.item, s.cnt, t.n_shard
+FROM totals t LEFT JOIN surv s USING (shard)
 ORDER BY shard, item
 """
 
 SPARK_IMPLS["streaming_frequent_items"] = q_streaming_frequent_items
 ORACLES["streaming_frequent_items"] = _STREAM_MG_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 11: MG merge — the merge-not-rescan member for frequency TOPs
+# (cms_merge = cell sums, merge_ndv_rollups = register maxima,
+# mg_merge = counter add + one trim). The oracle builds BOTH halves'
+# one-round summaries, adds their counters, replays the merged trim
+# and the summed n_shard accounting — including the NULL-item
+# accounting rows that keep an all-trimmed shard's volume.
+# ---------------------------------------------------------------------------
+
+
+def q_stats_mg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mg_merge over the even/odd-doc_id halves' mg_summary relations
+    (operators/sketches.py — the slice-merge path: answer 'top items
+    so far' from stored per-slice summaries, never re-scanning the
+    slices). k=5, 4 md5 shards, item = lang '-' doc_id%7: both
+    halves' trims fire, so merged counters are sums of TRIMMED
+    values, value-checked end-to-end."""
+    from hdk_spark.operators.sketches import mg_merge, mg_summary
+
+    _tables(spark, sf_dir)
+    item = F.concat(F.col("lang"), F.lit("-"),
+                    (F.col("doc_id") % 7).cast("string"))
+    docs = spark.table("documents").select(item.alias("v"), "doc_id")
+    kw = dict(k=5, n_shards=4, hash_basis="md5")
+    a = mg_summary(docs.filter(F.col("doc_id") % 2 == 0), "v", **kw)
+    b = mg_summary(docs.filter(F.col("doc_id") % 2 == 1), "v", **kw)
+    return mg_merge(a, b, k=5).orderBy("shard", "item")
+
+
+def _mg_half_sql(tag: str, parity: int) -> str:
+    """One half's one-round MG summary CTE chain (k=5, 4 md5 shards),
+    ending in s{tag} = (shard, item, cnt) survivors + t{tag} =
+    (shard, n_shard) totals."""
+    return f"""c{tag} AS (
+  SELECT CAST(CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % 4 AS INT)
+           AS shard,
+         item, CAST(COUNT(*) AS BIGINT) AS c
+  FROM srcm WHERE doc_id % 2 = {parity} GROUP BY 1, 2
+), t{tag} AS (
+  SELECT shard, CAST(SUM(c) AS BIGINT) AS n_shard FROM c{tag}
+  GROUP BY shard
+), r{tag} AS (
+  SELECT shard, item, c,
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, item) AS rn
+  FROM c{tag}
+), m{tag} AS (
+  SELECT shard, MAX(CASE WHEN rn = 6 THEN c END) AS m FROM r{tag}
+  GROUP BY shard
+), s{tag} AS (
+  SELECT r.shard, r.item, CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
+  FROM r{tag} r JOIN m{tag} m USING (shard)
+  WHERE r.c - COALESCE(m.m, 0) > 0
+)"""
+
+
+_MG_MERGE_ORACLE = f"""
+WITH srcm AS (
+  SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item, doc_id
+  FROM documents
+), {_mg_half_sql('a', 0)}, {_mg_half_sql('b', 1)}, u AS (
+  SELECT shard, item, cnt FROM sa
+  UNION ALL SELECT shard, item, cnt FROM sb
+), mc AS (
+  SELECT shard, item, CAST(SUM(cnt) AS BIGINT) AS c FROM u GROUP BY 1, 2
+), nacc AS (
+  SELECT shard, CAST(SUM(n_shard) AS BIGINT) AS n_shard
+  FROM (SELECT shard, n_shard FROM ta
+        UNION ALL SELECT shard, n_shard FROM tb)
+  GROUP BY shard
+), rm AS (
+  SELECT shard, item, c,
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, item) AS rn
+  FROM mc
+), mm AS (
+  SELECT shard, MAX(CASE WHEN rn = 6 THEN c END) AS m FROM rm GROUP BY shard
+), sm AS (
+  SELECT r.shard, r.item, CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
+  FROM rm r JOIN mm m USING (shard)
+  WHERE r.c - COALESCE(m.m, 0) > 0
+)
+SELECT n.shard, s.item, s.cnt, n.n_shard
+FROM nacc n LEFT JOIN sm s USING (shard)
+ORDER BY shard, item
+"""
+
+SPARK_IMPLS["stats_mg_merge"] = q_stats_mg_merge
+ORACLES["stats_mg_merge"] = _MG_MERGE_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
-           "frequent_items", "mg_summary", "cms_build", "cms_merge",
-           "cms_query",
+           "frequent_items", "mg_summary", "mg_merge", "cms_build",
+           "cms_merge", "cms_query",
 ]
 
 
@@ -186,6 +186,13 @@ def mg_summary(
     bound (each shard sees ~n/n_shards rows) and is what lets the
     streaming twin hold ≤ n_shards·k counters of state.
 
+    A shard whose trim drops EVERY item (all counts tie at ≤ the
+    (k+1)-th value — flat distributions) still emits one ACCOUNTING
+    row (item NULL, cnt NULL, n_shard) so shard volume is never lost:
+    mg_merge's n_shard accounting and error bounds stay true even
+    when an input slice's shard summarized to nothing. Consumers
+    reading items should filter ``cnt IS NOT NULL``.
+
     Scale note: this batch form windows over the per-shard distinct-
     item counts, so it suits summary-building over slices; the
     unbounded-ingest path is the streaming twin, and the EXACT
@@ -194,8 +201,6 @@ def mg_summary(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    from pyspark.sql.window import Window
-
     src = df.select(F.col(value_col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
@@ -209,9 +214,28 @@ def mg_summary(
         .groupBy("shard", "item")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    # the (k+1)-th largest count VALUE per shard (ties collapse — any
-    # rank-(k+1) row carries the same c, so the row_number tie-break
-    # on item only picks WHICH row reports it, never the value)
+    n_rel = cnt.groupBy("shard").agg(
+        F.sum("c").cast("long").alias("n_shard"))
+    # LEFT join from the totals: an all-trimmed shard keeps its
+    # accounting row (item NULL, cnt NULL, n_shard)
+    return F.broadcast(n_rel).join(
+        _mg_trim_relation(cnt, k), "shard", "left"
+    ).select("shard", "item", "cnt", "n_shard")
+
+
+def _mg_trim_relation(cnt: DataFrame, k: int) -> DataFrame:
+    """One MG trim over a (shard, item, c) count relation — the shared
+    tail of mg_summary and mg_merge (one fix reaches both, and both
+    stay textually aligned with the contract oracles). Subtracts the
+    (k+1)-th largest count VALUE per shard (ties collapse — any
+    rank-(k+1) row carries the same c, so the row_number tie-break on
+    item only picks WHICH row reports it, never the value) and drops
+    non-positives; callers attach their own n_shard accounting (exact
+    Σc for mg_summary, the summed input n_shards for mg_merge — the
+    merged counters are already undercounts, so Σc would lie there).
+    Returns (shard, item, cnt)."""
+    from pyspark.sql.window import Window
+
     w_rank = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("item"))
     w_shard = Window.partitionBy("shard")
     ranked = cnt.select(
@@ -219,15 +243,59 @@ def mg_summary(
         F.row_number().over(w_rank).alias("__rn"),
     )
     med = F.max(F.when(F.col("__rn") == k + 1, F.col("c"))).over(w_shard)
-    n_shard = F.sum("c").over(w_shard)
     return (
         ranked.select(
             "shard", "item",
             (F.col("c") - F.coalesce(med, F.lit(0))).cast("long").alias("cnt"),
-            n_shard.cast("long").alias("n_shard"),
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
+    """Combine :func:`mg_summary` relations from corpus SLICES into a
+    summary of the union WITHOUT re-reading any rows — the MG member
+    of the repo's merge-not-rescan family (``cms_merge`` cell sums,
+    ``merge_ndv_rollups`` register maxima; here: per-(shard, item)
+    counter ADD over the ≤ inputs·k-rows-per-shard union, then ONE
+    trim — Agarwal et al. 2012 "Mergeable Summaries" §3). n_shard
+    accounting sums each input's per-shard total (taken DISTINCT from
+    its repeated column); inputs' NULL-item accounting rows carry an
+    all-trimmed shard's volume, so no mass is ever lost, and the
+    merged relation emits the same accounting row for shards that
+    end up empty.
+
+    Merged guarantees (property-tested, and value-checked by the
+    stats_mg_merge contract row): cnt never exceeds the true union
+    count; undercount ≤ (n_shard − Σcnt)/(k+1); every item with true
+    union count > n_shard/(k+1) survives. When no trim fired anywhere
+    (k ≥ every distinct-per-shard), merge(mg(A), mg(B)) ==
+    mg_summary(A ∪ B) exactly.
+
+    All inputs must share the hash basis and n_shards they were built
+    with (shard ids are only comparable under the same sharding) and
+    the SAME k should be passed here — a larger k cannot recover
+    already-trimmed mass, a smaller one tightens the summary."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not summaries:
+        raise ValueError("mg_merge needs at least one input")
+    counters = summaries[0].select("shard", "item", "cnt")
+    totals = summaries[0].select("shard", "n_shard").distinct()
+    for s in summaries[1:]:
+        counters = counters.unionByName(s.select("shard", "item", "cnt"))
+        totals = totals.unionByName(
+            s.select("shard", "n_shard").distinct())
+    merged = (
+        counters.filter(F.col("item").isNotNull())  # accounting rows
+        .groupBy("shard", "item")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    n_rel = totals.groupBy("shard").agg(
+        F.sum("n_shard").cast("long").alias("n_shard"))
+    return F.broadcast(n_rel).join(
+        _mg_trim_relation(merged, k), "shard", "left"
+    ).select("shard", "item", "cnt", "n_shard")
 
 
 def _cms_base_hash(col, hash_basis: str):

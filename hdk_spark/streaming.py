@@ -513,7 +513,9 @@ def stream_frequent_items(
     mode): every updated shard re-emits its FULL current summary
     (shard, item, cnt, n_shard), so the latest emission per shard IS
     the complete table; a memory-sink consumer takes the last batch's
-    rows per shard. When the whole history arrives in one micro-batch
+    rows per shard. An all-trimmed shard emits one accounting row
+    (item NULL, cnt NULL, n_shard) — the batch mg_summary convention,
+    so shard volume is never lost. When the whole history arrives in one micro-batch
     (availableNow over a single file), the emission equals the batch
     ``sketches.mg_summary`` relation BIT-FOR-BIT — the contract row's
     oracle replays that (md5 basis). Across arbitrary micro-batch
@@ -570,17 +572,19 @@ def stream_frequent_items(
         _mg_trim(counters, k)
         items = sorted(counters)
         state.update((items, [counters[i] for i in items], n))
-        if items:  # an all-trimmed shard has nothing to re-emit
-            yield pd.DataFrame(
-                {
-                    "shard": pd.array(
-                        [int(key[0])] * len(items), dtype="int32"),
-                    "item": pd.array(items, dtype="string"),
-                    "cnt": pd.array(
-                        [counters[i] for i in items], dtype="int64"),
-                    "n_shard": pd.array([n] * len(items), dtype="int64"),
-                }
-            )
+        # an all-trimmed shard still emits ONE accounting row
+        # (item NULL, cnt NULL, n_shard) — same convention as the
+        # batch mg_summary, so shard volume is never lost
+        n_rows = max(len(items), 1)
+        yield pd.DataFrame(
+            {
+                "shard": pd.array([int(key[0])] * n_rows, dtype="int32"),
+                "item": pd.array(items or [None], dtype="string"),
+                "cnt": pd.array(
+                    [counters[i] for i in items] or [None], dtype="Int64"),
+                "n_shard": pd.array([n] * n_rows, dtype="int64"),
+            }
+        )
 
     sharded = (
         stream_df.select(F.col(value_col).cast("string").alias("item"))

@@ -124,7 +124,10 @@ def test_mg_summary_matches_python_reference(spark):
                 med = sorted(counters.values(), reverse=True)[k]
                 counters = {v: c - med for v, c in counters.items()
                             if c - med > 0}
-            out |= {(s, v, c, n_shard) for v, c in counters.items()}
+            if counters:
+                out |= {(s, v, c, n_shard) for v, c in counters.items()}
+            else:  # all-trimmed shard keeps its accounting row
+                out.add((s, None, None, n_shard))
         return out
 
     for k, n_shards in ((3, 4), (5, 2), (1000, 4)):
@@ -138,7 +141,7 @@ def test_mg_summary_matches_python_reference(spark):
                 ).collect()
             }
             assert got == expect, (k, n_shards, parts)
-        per_shard = Counter(s for s, *_ in expect)
+        per_shard = Counter(s for s, it, *_ in expect if it is not None)
         assert all(c <= k for c in per_shard.values())
     # k=1000 >> distinct: no trim anywhere -> summary is exact counts
     exact = Counter(v for _, v in rows if v is not None)
@@ -149,6 +152,71 @@ def test_mg_summary_matches_python_reference(spark):
         mg_summary(df, "v", k=0)
     with pytest.raises(ValueError, match="n_shards"):
         mg_summary(df, "v", k=5, n_shards=0)
+
+
+def test_mg_merge_guarantees_and_exact_case(spark):
+    """mg_merge(mg(A), mg(B)) vs exact counts of A ∪ B: (a) never
+    over, (b) undercount ≤ (n_shard − Σcnt)/(k+1) — the Agarwal et
+    al. merged-summary bound, (c) every item with union count >
+    n_shard/(k+1) survives, (d) ≤ k rows/shard, (e) n_shard equals
+    the true union shard volume, (f) when no trim fires anywhere
+    (huge k) merge == mg_summary(A ∪ B) bit-for-bit, (g) guards."""
+    import hashlib
+    from collections import Counter
+
+    import pytest
+
+    from hdk_spark.operators.sketches import mg_merge, mg_summary
+
+    k, n_shards = 3, 2
+    rows_a = [(i, "heavy" if i % 3 == 0 else f"a{i % 13}")
+              for i in range(900)]
+    rows_b = [(i, "heavy" if i % 4 == 0 else f"b{i % 11}")
+              for i in range(900, 1800)]
+    df_a = spark.createDataFrame(rows_a, "id: long, v: string")
+    df_b = spark.createDataFrame(rows_b, "id: long, v: string")
+    kw = dict(k=k, n_shards=n_shards, hash_basis="md5")
+    sa, sb = mg_summary(df_a, "v", **kw), mg_summary(df_b, "v", **kw)
+    # slice B's b-items all tie (uniform i % 11), so one of its shards
+    # trims to nothing — it must still carry its volume as an
+    # accounting row (item NULL), or the merged n_shard would lie
+    assert any(r["item"] is None for r in sb.collect())
+    merged = mg_merge(sa, sb, k=k).collect()
+
+    def shard_of(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % n_shards
+
+    union = rows_a + rows_b
+    true = Counter((shard_of(v), v) for _, v in union)
+    n_true = Counter(shard_of(v) for _, v in union)
+    by_shard: dict = {}
+    for r in merged:
+        if r["item"] is not None:
+            by_shard.setdefault(r["shard"], {})[r["item"]] = r["cnt"]
+        assert r["n_shard"] == n_true[r["shard"]]
+    for s, counters in by_shard.items():
+        assert len(counters) <= k
+        err = (n_true[s] - sum(counters.values())) / (k + 1)
+        for item, cnt in counters.items():
+            assert cnt <= true[(s, item)], (s, item)
+            assert true[(s, item)] - cnt <= err + 1e-9, (s, item)
+        for (ts, item), c in true.items():
+            if ts == s and c > n_true[s] / (k + 1):
+                assert item in counters, (s, item, c)
+    assert "heavy" in by_shard[shard_of("heavy")]
+
+    big = dict(k=1000, n_shards=n_shards, hash_basis="md5")
+    exact_merge = sorted(map(tuple, mg_merge(
+        mg_summary(df_a, "v", **big), mg_summary(df_b, "v", **big),
+        k=1000).collect()))
+    exact_union = sorted(map(tuple, mg_summary(
+        df_a.unionByName(df_b), "v", **big).collect()))
+    assert exact_merge == exact_union
+
+    with pytest.raises(ValueError, match="k"):
+        mg_merge(mg_summary(df_a, "v", **kw), k=0)
+    with pytest.raises(ValueError, match="input"):
+        mg_merge(k=3)
 
 
 def test_mg_trim_bound():

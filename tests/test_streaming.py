@@ -445,7 +445,8 @@ def test_stream_frequent_items_multibatch_mg_invariants(spark, tmp_path):
     n_per_shard = Counter(shard_of(v) for _, v in rows)
     by_shard: dict = {}
     for r in got:
-        by_shard.setdefault(r["shard"], {})[r["item"]] = r["cnt"]
+        if r["item"] is not None:
+            by_shard.setdefault(r["shard"], {})[r["item"]] = r["cnt"]
         assert r["n_shard"] == n_per_shard[r["shard"]]
     assert sum(n_per_shard[s] for s in by_shard) == len(rows)
     for s, counters in by_shard.items():
