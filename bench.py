@@ -299,16 +299,17 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r10: consolidation round, no headline-path "
-                "changes (CMS verification closure, streaming sketch "
-                "rows, KS/AUC quantize grid, and the multiprobe-LSH "
-                "numpy production path — q9 uses ann_lsh_topk, whose "
-                "code is untouched; ann_multiprobe_topk is a separate "
-                "function). The uniform-ambient-drift gate (shipped "
-                "r9) stays: >15% total move with zero per-query "
-                "anomalies re-probes the 3 cheapest queries and "
-                "records ambient_drift_suspected + probes; defaults "
-                "remain crc32/xxhash64/vectorized, oracle bases "
+                "notes": "r11: no headline-path changes (SQ8×ANN "
+                "coded-lake entrances, streaming/batch Misra-Gries, "
+                "bitext plane sweep + auto n_planes, join-condition "
+                "fuzz — q7/q8/q9 source files dedup.py/text.py/"
+                "ann_lsh_topk untouched except ann_lsh_topk's "
+                "codes=None preamble, a no-op when codes is absent). "
+                "The uniform-ambient-drift gate (shipped r9) stays: "
+                ">15% total move with zero per-query anomalies "
+                "re-probes the 3 cheapest queries and records "
+                "ambient_drift_suspected + probes; defaults remain "
+                "crc32/xxhash64/vectorized, oracle bases "
                 "contract-side",
             }
         )

@@ -785,6 +785,84 @@ def main() -> None:
                   " twin_recall:", round(hits / n_src, 4))
         return
 
+    if "--r11b" in sys.argv:
+        # SQ8 × multiprobe composition at 200k×64d — the coded-lake
+        # configuration: LAKE bytes shrink ~×4 (what codes= buys off
+        # storage/scan); the in-flight CACHE does NOT (the kernel
+        # persists decoded float64 vectors either way — measured and
+        # documented, not hand-waved); recall/wall vs the float path
+        # at identical params isolates the quantization cost.
+        from hdk_spark.operators.similarity import (
+            ann_multiprobe_topk,
+            cosine_topk,
+            sq8_encode,
+            sq8_train,
+        )
+
+        path = "/tmp/ann200k.parquet"
+        if not os.path.exists(path):
+            spark.range(200_000).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: (
+                        (F.hash(F.col("id") % 256, j) % 1000).cast("double")
+                        / 500.0
+                        + (F.hash(F.col("id"), j) % 100).cast("double")
+                        / 5000.0 * 3.0
+                    ),
+                ).alias("embedding"),
+            ).write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+        print("ann corpus rows:", emb.count())
+        qids = list(range(16))
+
+        def cached_mb() -> float:
+            infos = spark._jsc.sc().getRDDStorageInfo()
+            return round(sum(i.memSize() for i in infos) / 1e6, 1)
+
+        def dir_mb(p: str) -> float:
+            total = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if not f.startswith(("_", "."))
+            )
+            return round(total / 1e6, 1)
+
+        def run(make):
+            b, mb, res = 1e9, 0.0, None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = make().collect()
+                b = min(b, time.perf_counter() - t0)
+                mb = cached_mb()
+                res = {r["qid"]: set() for r in rows}
+                for r in rows:
+                    res[r["qid"]].add(r["neighbor_id"])
+            return round(b, 2), mb, res
+
+        _, _, exact = run(lambda: cosine_topk(emb, qids, k=10))
+
+        def recall(res) -> float:
+            hits = sum(len(res.get(q, set()) & exact[q]) for q in exact)
+            return round(hits / sum(len(v) for v in exact.values()), 3)
+
+        bounds = sq8_train(emb)
+        cpath = "/tmp/sq8codes200k.parquet"
+        sq8_encode(emb, bounds).write.mode("overwrite").parquet(cpath)
+        coded = spark.read.parquet(cpath)
+        print(f"lake bytes: float={dir_mb(path)}MB coded={dir_mb(cpath)}MB")
+        kw = dict(k=10, n_planes=8, n_probes=4, deterministic=False)
+        t_f, mb_f, res_f = run(lambda: ann_multiprobe_topk(
+            emb, qids, **kw))
+        t_c, mb_c, res_c = run(lambda: ann_multiprobe_topk(
+            None, qids, codes=coded, bounds=bounds, **kw))
+        print(f"multiprobe float: {t_f}s cache={mb_f}MB "
+              f"recall@10={recall(res_f)}")
+        print(f"multiprobe sq8-coded: {t_c}s cache={mb_c}MB "
+              f"recall@10={recall(res_c)}")
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)

@@ -141,6 +141,40 @@ def main() -> None:
         assert r2["state_rows_total"] <= 64, r2
         return
 
+    if "--mg" in sys.argv:
+        # round-11 Misra-Gries heavy-hitter state: one state row per
+        # SHARD (each holding <= k counters), no matter how many
+        # distinct items stream past — the skewed item column has a
+        # planted hot third + ~100k-distinct tail.
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate * 8)
+            .option("numPartitions", 4)
+            .load()
+        )
+        items = src.select(
+            F.when(F.col("value") % 3 == 0, F.lit("hot"))
+            .otherwise(
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("value"), F.lit(99_991)).cast("string"),
+                )
+            )
+            .alias("v")
+        )
+        out = streaming.stream_frequent_items(
+            items, "v", k=64, n_shards=8)
+        q = (
+            out.writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation",
+                    f"/tmp/stream_bench_ckpt_mg_{time.time_ns()}")
+            .start()
+        )
+        r = drive(q, secs)
+        print("stream_frequent_items:", json.dumps(r))
+        assert r["state_rows_total"] <= 8, r
+        return
+
     docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
     print("corpus docs:", docs.count())
 
