@@ -216,10 +216,13 @@ def mg_summary(
     )
     n_rel = cnt.groupBy("shard").agg(
         F.sum("c").cast("long").alias("n_shard"))
-    # LEFT join from the totals: an all-trimmed shard keeps its
-    # accounting row (item NULL, cnt NULL, n_shard)
-    return F.broadcast(n_rel).join(
-        _mg_trim_relation(cnt, k), "shard", "left"
+    # outer toward the totals: an all-trimmed shard keeps its
+    # accounting row (item NULL, cnt NULL, n_shard). RIGHT outer with
+    # the broadcast hint on the LEFT (non-preserved) side — hinting
+    # the preserved side of an outer join is silently ignored and
+    # degrades to a sort-merge join with two extra exchanges
+    return F.broadcast(_mg_trim_relation(cnt, k)).join(
+        n_rel, "shard", "right"
     ).select("shard", "item", "cnt", "n_shard")
 
 
@@ -293,8 +296,9 @@ def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
     )
     n_rel = totals.groupBy("shard").agg(
         F.sum("n_shard").cast("long").alias("n_shard"))
-    return F.broadcast(n_rel).join(
-        _mg_trim_relation(merged, k), "shard", "left"
+    # same right-outer + build-left broadcast as mg_summary
+    return F.broadcast(_mg_trim_relation(merged, k)).join(
+        n_rel, "shard", "right"
     ).select("shard", "item", "cnt", "n_shard")
 
 
