@@ -1,17 +1,24 @@
-"""Mergeable distinct-count sketches — incremental NDV maintenance
-for catalog statistics and dataset profiling at 100 TB: sketch each
-ingest slice ONCE, store the sketch bytes beside the slice, and answer
-"how many distinct users/urls/keys so far" by merging sketches —
-never by re-scanning history. Built on Spark's Apache DataSketches
-HLL functions (hll_sketch_agg / hll_union_agg, Spark ≥ 3.5), the same
-sketch family the reference's approx_count_distinct maps to
-(SURVEY.md §2.5).
+"""Mergeable sketches — sketch each ingest slice ONCE, store the
+summary beside the slice, and answer rollup questions by MERGING
+summaries, never by re-scanning history (the only maintenance model
+that survives 100 TB). Three families, one merge law each:
 
-Mergeability is EXACT by construction: an HLL union takes the
-register-wise maximum, and registers are per-hash maxima, so
-sketch(A) ∪ sketch(B) has byte-for-byte the registers of sketch(A∪B)
-at the same lgConfigK — estimates agree exactly, not just within
-error (property-tested)."""
+- distinct counts: HLL (ndv_rollup / merge_ndv_rollups /
+  ndv_estimate) — merge = register-wise max, idempotent. Built on
+  Spark's Apache DataSketches functions (hll_sketch_agg /
+  hll_union_agg, Spark ≥ 3.5), the family the reference's
+  approx_count_distinct maps to (SURVEY.md §2.5). HLL mergeability
+  is EXACT by construction: registers are per-hash maxima, so
+  sketch(A) ∪ sketch(B) has byte-for-byte the registers of
+  sketch(A∪B) at the same lgConfigK (property-tested).
+- point frequencies: Count-Min (cms_build / cms_merge / cms_query)
+  — merge = linear cell sum.
+- frequency tops: Misra-Gries (mg_summary / mg_merge; exact-recount
+  heavy hitters via frequent_items) — merge = counter add + one
+  trim (Agarwal et al. 2012 "Mergeable Summaries" §3).
+
+Each family has a bounded-state streaming twin in hdk_spark.streaming
+(stream_ndv_rollup / stream_cms / stream_frequent_items)."""
 
 from __future__ import annotations
 

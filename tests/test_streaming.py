@@ -393,7 +393,15 @@ def test_stream_frequent_items_single_batch_equals_mg_summary(
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, batch.collect()))
     # trims actually happened (23 distinct over 3 shards >> k=4)
-    assert all(r["cnt"] < 1500 for r in got.collect())
+    assert all(r["cnt"] < 1500 for r in got.collect()
+               if r["cnt"] is not None)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k"):
+        streaming.stream_frequent_items(st, "v", k=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        streaming.stream_frequent_items(st, "v", k=4, n_shards=0)
 
 
 def test_stream_frequent_items_multibatch_mg_invariants(spark, tmp_path):
