@@ -12731,6 +12731,64 @@ SPARK_IMPLS["stats_mg_merge"] = q_stats_mg_merge
 ORACLES["stats_mg_merge"] = _MG_MERGE_ORACLE
 
 
+def q_stats_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mg_heavy_hitters over the documents MG summary (k=5 so trims
+    fire and the per-shard slack is non-zero): φ=0.02 candidates with
+    their lower/upper count brackets and the certain/possible split —
+    thresholds, slack arithmetic and the certainty predicate all
+    replayed in SQL."""
+    from hdk_spark.operators.sketches import mg_heavy_hitters, mg_summary
+
+    _tables(spark, sf_dir)
+    item = F.concat(F.col("lang"), F.lit("-"),
+                    (F.col("doc_id") % 7).cast("string"))
+    docs = spark.table("documents").select(item.alias("v"))
+    summ = mg_summary(docs, "v", k=5, n_shards=4, hash_basis="md5")
+    return mg_heavy_hitters(summ, phi=0.02, k=5)
+
+
+_MG_HH_ORACLE = """
+WITH src AS (
+  SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item FROM documents
+), h AS (
+  SELECT item,
+         CAST(CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % 4 AS INT)
+           AS shard
+  FROM src
+), cnt AS (
+  SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+), totals AS (
+  SELECT shard, CAST(SUM(c) AS BIGINT) AS n_shard FROM cnt GROUP BY shard
+), rk AS (
+  SELECT shard, item, c,
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, item) AS rn
+  FROM cnt
+), med AS (
+  SELECT shard, MAX(CASE WHEN rn = 6 THEN c END) AS m FROM rk GROUP BY shard
+), surv AS (
+  SELECT r.shard, r.item, CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
+  FROM rk r JOIN med m USING (shard)
+  WHERE r.c - COALESCE(m.m, 0) > 0
+), slack AS (
+  SELECT t.shard,
+         CAST(floor((t.n_shard - COALESCE(s.sc, 0)) / 6.0) AS BIGINT) AS sl
+  FROM totals t LEFT JOIN (
+    SELECT shard, SUM(cnt) AS sc FROM surv GROUP BY shard
+  ) s USING (shard)
+), n AS (SELECT CAST(SUM(n_shard) AS BIGINT) AS n FROM totals)
+SELECT s.item,
+       CAST(s.cnt AS BIGINT) AS cnt_lower,
+       CAST(s.cnt + k.sl AS BIGINT) AS cnt_upper,
+       CAST(s.cnt AS DOUBLE) >= 0.02 * n.n AS certain
+FROM surv s JOIN slack k USING (shard) CROSS JOIN n
+WHERE CAST(s.cnt + k.sl AS DOUBLE) >= 0.02 * n.n
+ORDER BY cnt_lower DESC, item
+"""
+
+SPARK_IMPLS["stats_mg_heavy_hitters"] = q_stats_mg_heavy_hitters
+ORACLES["stats_mg_heavy_hitters"] = _MG_HH_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # round 10: labeling-reliability + summarization-eval completions —
 # krippendorff_alpha (the varying-raters/missing-data coefficient

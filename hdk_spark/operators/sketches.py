@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
-           "frequent_items", "mg_summary", "mg_merge", "cms_build",
-           "cms_merge", "cms_query",
+           "frequent_items", "mg_summary", "mg_merge",
+           "mg_heavy_hitters", "cms_build", "cms_merge", "cms_query",
 ]
 
 
@@ -184,7 +184,8 @@ def mg_summary(
     trim, the result is a pure function of the multiset — order- and
     partitioning-independent, and (on the 'md5' basis) fully
     SQL-replayable: counts, the rank-(k+1) median, the subtraction.
-    Returns (shard, item, cnt, n_shard) with cnt > 0, ≤ k rows/shard.
+    Returns (shard, item, cnt, n_shard): ≤ k item rows per shard, each
+    with cnt > 0, plus NULL-item accounting rows (below).
 
     MG guarantees carried (Misra-Gries 1982; Agarwal et al. 2012
     "Mergeable Summaries" §3): cnt never exceeds the true shard
@@ -307,6 +308,68 @@ def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
     return F.broadcast(_mg_trim_relation(merged, k)).join(
         n_rel, "shard", "right"
     ).select("shard", "item", "cnt", "n_shard")
+
+
+def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
+    """φ-heavy-hitter QUERY over an MG summary relation — the
+    consumer that completes the family (CMS has cms_query; this is
+    the MG analog): every item whose true global count COULD reach
+    φ·N, split into certain and possible. Because items shard BY
+    item hash, an item's entire count lives in one shard, so the
+    global question decomposes per shard exactly:
+
+    - lower bound = cnt (MG counters never overcount),
+    - upper bound = cnt + shard slack, slack = ⌊(n_shard − Σcnt_shard)
+      /(k+1)⌋ (the Misra-Gries undercount bound; an UNLISTED item is
+      bounded by the slack alone, which is why items below it can
+      never be certified absent — the summary's honest limit),
+    - ``certain`` = lower ≥ φ·N; emitted rows are upper ≥ φ·N.
+
+    N = Σ per-shard n_shard — TOTAL volume, which the NULL-item
+    accounting rows keep exact even for all-trimmed shards. Pass the
+    SAME k the summary was built/merged with (it is not stored in the
+    relation). Pure shards-sized arithmetic: one totals distinct, one
+    per-shard Σcnt aggregate, two broadcast joins, no window, no
+    corpus access. Returns (item, cnt_lower, cnt_upper, certain),
+    filterable fully in SQL (contract row stats_mg_heavy_hitters)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    totals = summary.select("shard", "n_shard").distinct()
+    n_total = totals.agg(
+        F.sum("n_shard").cast("long").alias("n")).select(
+        F.lit(1).alias("__one"), "n")
+    slack = (
+        summary.groupBy("shard")
+        .agg(
+            F.floor(
+                (F.max("n_shard") - F.coalesce(F.sum("cnt"), F.lit(0)))
+                / F.lit(k + 1)
+            ).cast("long").alias("__slack")
+        )
+    )
+    items = summary.filter(F.col("item").isNotNull())
+    scored = (
+        items.join(F.broadcast(slack), "shard")
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(n_total), "__one")
+        .select(
+            "item",
+            F.col("cnt").alias("cnt_lower"),
+            (F.col("cnt") + F.col("__slack")).alias("cnt_upper"),
+            (F.col("cnt").cast("double") >= F.lit(phi) * F.col("n"))
+            .alias("certain"),
+            (F.col("cnt") + F.col("__slack")).cast("double")
+            .alias("__up"),
+            (F.lit(phi) * F.col("n")).alias("__thr"),
+        )
+    )
+    return (
+        scored.filter(F.col("__up") >= F.col("__thr"))
+        .select("item", "cnt_lower", "cnt_upper", "certain")
+        .orderBy(F.desc("cnt_lower"), "item")
+    )
 
 
 def _cms_base_hash(col, hash_basis: str):

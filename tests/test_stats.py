@@ -219,6 +219,50 @@ def test_mg_merge_guarantees_and_exact_case(spark):
         mg_merge(k=3)
 
 
+def test_mg_heavy_hitters_bounds_and_certainty(spark):
+    """mg_heavy_hitters vs brute truth on a skewed corpus: (a) every
+    emitted lower/upper bound actually brackets the item's true
+    count; (b) 'certain' items truly clear φ·N; (c) NO true φ-heavy
+    item is missed (the MG candidate guarantee through the query);
+    (d) with k ≥ distinct (no trim, zero slack) the output is exact
+    counts with certain == (cnt ≥ φN); (e) guards."""
+    from collections import Counter
+
+    import pytest
+
+    from hdk_spark.operators.sketches import mg_heavy_hitters, mg_summary
+
+    rows = [(i, "hot" if i % 4 == 0 else
+             ("warm" if i % 4 == 1 else f"cold{i % 97}"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: long, v: string")
+    true = Counter(v for _, v in rows)
+    n = len(rows)
+
+    for k in (5, 1000):
+        summ = mg_summary(df, "v", k=k, n_shards=4, hash_basis="md5")
+        got = mg_heavy_hitters(summ, phi=0.1, k=k).collect()
+        emitted = {r["item"] for r in got}
+        for r in got:
+            assert r["cnt_lower"] <= true[r["item"]] <= r["cnt_upper"], r
+            if r["certain"]:
+                assert true[r["item"]] >= 0.1 * n, r
+        for item, c in true.items():
+            if c >= 0.1 * n:
+                assert item in emitted, (k, item, c)
+        if k == 1000:  # no trim -> exact, and certainty is exact too
+            for r in got:
+                assert r["cnt_lower"] == r["cnt_upper"] == true[r["item"]]
+                assert r["certain"] == (true[r["item"]] >= 0.1 * n)
+            assert emitted == {i for i, c in true.items() if c >= 0.1 * n}
+
+    summ = mg_summary(df, "v", k=5, n_shards=4, hash_basis="md5")
+    with pytest.raises(ValueError, match="phi"):
+        mg_heavy_hitters(summ, phi=0.0, k=5)
+    with pytest.raises(ValueError, match="k"):
+        mg_heavy_hitters(summ, phi=0.1, k=0)
+
+
 def test_mg_trim_bound():
     """The trim keeps at most k counters and undercounts any item by
     at most (N - sum(counters)) / (k+1) — the Misra-Gries invariant,
