@@ -329,17 +329,19 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
     accounting rows keep exact even for all-trimmed shards. Pass the
     SAME k the summary was built/merged with (it is not stored in the
     relation). Pure shards-sized arithmetic: one totals distinct, one
-    per-shard Σcnt aggregate, two broadcast joins, no window, no
-    corpus access. Returns (item, cnt_lower, cnt_upper, certain),
-    filterable fully in SQL (contract row stats_mg_heavy_hitters)."""
+    per-shard Σcnt aggregate, one broadcast hash join for the slack
+    and a ONE-ROW broadcast nested-loop for the global N (the
+    Krippendorff 1-row-aggregate-attach pattern — the build side is a
+    single row by construction, so the 'nested loop' is a constant);
+    no window, no corpus access. Returns (item, cnt_lower, cnt_upper,
+    certain), filterable fully in SQL (contract row
+    stats_mg_heavy_hitters)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"phi must be in (0, 1], got {phi}")
     totals = summary.select("shard", "n_shard").distinct()
-    n_total = totals.agg(
-        F.sum("n_shard").cast("long").alias("n")).select(
-        F.lit(1).alias("__one"), "n")
+    n_total = totals.agg(F.sum("n_shard").cast("long").alias("n"))
     slack = (
         summary.groupBy("shard")
         .agg(
@@ -352,8 +354,7 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
     items = summary.filter(F.col("item").isNotNull())
     scored = (
         items.join(F.broadcast(slack), "shard")
-        .withColumn("__one", F.lit(1))
-        .join(F.broadcast(n_total), "__one")
+        .crossJoin(F.broadcast(n_total))
         .select(
             "item",
             F.col("cnt").alias("cnt_lower"),
