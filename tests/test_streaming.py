@@ -470,6 +470,24 @@ def test_stream_frequent_items_multibatch_mg_invariants(spark, tmp_path):
     hs = shard_of("heavy")
     assert "heavy" in by_shard[hs]
 
+    # the batch consumer composes with the streaming summary: the
+    # latest emission per shard IS a summary relation, so
+    # mg_heavy_hitters runs on it unchanged — 'heavy' (25% of rows)
+    # must be emitted with bounds that bracket its true count.
+    # (Rebuilt from the collected rows: the memory-sink table's
+    # window-filtered lineage trips Spark's conflicting-reference
+    # resolution when self-joined — a sink-lineage quirk, not an
+    # operator one; the same window-over-filter shape built from a
+    # plain relation self-joins fine.)
+    from hdk_spark.operators.sketches import mg_heavy_hitters
+
+    latest_rel = spark.createDataFrame(got, latest.schema)
+    hh = {r["item"]: r for r in
+          mg_heavy_hitters(latest_rel, phi=0.2, k=k).collect()}
+    assert "heavy" in hh
+    assert hh["heavy"]["cnt_lower"] <= true[(hs, "heavy")] \
+        <= hh["heavy"]["cnt_upper"]
+
 
 def test_stream_ndv_rollup_equals_batch(spark, events_dir, events_schema):
     """stream_ndv_rollup in complete mode: ndv_estimate over the
