@@ -13256,3 +13256,203 @@ ORDER BY src_id
 
 SPARK_IMPLS["similarity_bitext_mine"] = q_similarity_bitext
 ORACLES["similarity_bitext_mine"] = _bitext_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11: DDSketch + KMV — the two sketch families that complete the
+# merge-not-rescan set (quantiles; distinct samples / set operations).
+# DDSketch's binary-interpolated mapping is exact IEEE arithmetic after
+# a log2 seed whose ±1-ulp platform wiggle is repaired by power-of-two
+# comparisons, so the oracle replays every bucket cell bit-for-bit; the
+# KMV rows ride the md5 base-hash discipline (same as CMS/minhash).
+# ---------------------------------------------------------------------------
+
+
+def q_stats_dds_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch build + quantile query (operators/sketches.py::
+    dds_build/dds_quantile, m=64 → relative error ≤ 1/128) over
+    lineitem.l_extendedprice; emits (q, est, n) for six quantiles.
+    The oracle re-derives the full pipeline in SQL: corrected binary
+    exponent, sub-bucket, bucket counts, the cumulative walk and the
+    rank-⌊q·(n−1)⌋+1 bucket midpoint — no fixture constants."""
+    from hdk_spark.operators.sketches import dds_build, dds_quantile
+
+    _tables(spark, sf_dir)
+    sk = dds_build(spark.table("lineitem"), "l_extendedprice", m=64)
+    return dds_quantile(sk, [0.01, 0.25, 0.5, 0.75, 0.9, 0.99], m=64)
+
+
+_DDS_CELLS_SQL = """
+seed AS (SELECT x, CAST(floor(log2(x)) AS BIGINT) AS b0 FROM src),
+fixed AS (
+  SELECT x, CASE WHEN pow(2.0, b0 + 1) <= x THEN b0 + 1
+                 WHEN pow(2.0, b0) > x THEN b0 - 1
+                 ELSE b0 END AS b
+  FROM seed),
+cells AS (
+  SELECT b, CAST(floor((x / pow(2.0, b) - 1.0) * 64.0) AS BIGINT) AS j,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM fixed GROUP BY 1, 2)
+"""
+
+_DDS_QUANTILE_ORACLE = f"""
+WITH src AS (SELECT l_extendedprice AS x FROM lineitem),
+{_DDS_CELLS_SQL},
+cum AS (SELECT b, j, c,
+               SUM(c) OVER (ORDER BY b, j ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cells),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+qs AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+tgt AS (SELECT q, n, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS t
+        FROM qs CROSS JOIN n)
+SELECT q, round(pow(2.0, b) * (1.0 + (j + 0.5) / 64.0), 6) + 0 AS est, n
+FROM tgt JOIN cum ON cum.cum >= tgt.t AND cum.cum - cum.c < tgt.t
+ORDER BY q
+"""
+
+SPARK_IMPLS["stats_dds_quantile"] = q_stats_dds_quantile
+ORACLES["stats_dds_quantile"] = _DDS_QUANTILE_ORACLE
+
+
+def q_stats_dds_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch mergeability, cross-engine: Spark builds TWO sketches
+    on l_orderkey-parity slices of lineitem and dds_merge's them; the
+    oracle builds ONE sketch over the whole table in SQL. They must
+    agree cell-for-cell (counter sums are linear — the 'fully
+    mergeable' law of Masson et al. 2019), so the value hash pins the
+    merge path itself, not just its consumers. Emits every (store, b,
+    j, c) bucket, ordered."""
+    from hdk_spark.operators.sketches import dds_build, dds_merge
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    merged = dds_merge(
+        dds_build(li.filter("l_orderkey % 2 = 0"), "l_extendedprice", m=64),
+        dds_build(li.filter("l_orderkey % 2 = 1"), "l_extendedprice", m=64),
+    )
+    return merged.orderBy("store", "b", "j")
+
+
+_DDS_MERGE_ORACLE = f"""
+WITH src AS (SELECT l_extendedprice AS x FROM lineitem),
+{_DDS_CELLS_SQL}
+SELECT CAST(1 AS INT) AS store, b, j, c
+FROM cells ORDER BY store, b, j
+"""
+
+SPARK_IMPLS["stats_dds_merge"] = q_stats_dds_merge
+ORACLES["stats_dds_merge"] = _DDS_MERGE_ORACLE
+
+
+_KMV_H = "CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT)"
+
+
+def q_stats_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count pipeline (operators/sketches.py::
+    kmv_summary/kmv_merge/kmv_ndv, k=128, hash_basis='md5'): two
+    l_orderkey-parity slice summaries of a planted ~4096-distinct
+    column, merged, then the Beyer et al. 2007 (k−1)/u_k estimate —
+    alongside the EXACT distinct count so the error band is visible
+    in the row itself. The oracle replays distinct → md5 bottom-k per
+    slice → bottom-k of the union → the estimator division."""
+    from hdk_spark.operators.sketches import kmv_merge, kmv_ndv, kmv_summary
+
+    _tables(spark, sf_dir)
+    src = spark.table("lineitem").select(
+        F.concat(F.lit("u"), (F.col("l_orderkey") % 4096).cast("string"))
+        .alias("v"),
+        (F.col("l_orderkey") % 2).alias("p"),
+    )
+    kw = dict(k=128, hash_basis="md5")
+    merged = kmv_merge(
+        kmv_summary(src.filter("p = 0"), "v", **kw),
+        kmv_summary(src.filter("p = 1"), "v", **kw),
+        k=128,
+    )
+    truth = src.agg(F.countDistinct("v").cast("long").alias("ndv_true"))
+    return kmv_ndv(merged, **kw).crossJoin(F.broadcast(truth))
+
+
+_KMV_NDV_ORACLE = f"""
+WITH src AS (SELECT 'u' || CAST(l_orderkey % 4096 AS VARCHAR) AS item,
+                    l_orderkey % 2 AS p
+             FROM lineitem),
+s0 AS (SELECT h, MIN(item) AS item FROM (
+         SELECT {_KMV_H.format(v='item')} AS h, item
+         FROM (SELECT DISTINCT item FROM src WHERE p = 0)) GROUP BY h
+       ORDER BY h LIMIT 128),
+s1 AS (SELECT h, MIN(item) AS item FROM (
+         SELECT {_KMV_H.format(v='item')} AS h, item
+         FROM (SELECT DISTINCT item FROM src WHERE p = 1)) GROUP BY h
+       ORDER BY h LIMIT 128),
+m AS (SELECT h, MIN(item) AS item
+      FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+      GROUP BY h ORDER BY h LIMIT 128)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       round(CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE 127.0 / MAX(h / 4294967296.0) END, 4) + 0 AS ndv_est,
+       (SELECT CAST(COUNT(DISTINCT item) AS BIGINT) FROM src) AS ndv_true
+FROM m
+"""
+
+SPARK_IMPLS["stats_kmv_ndv"] = q_stats_kmv_ndv
+ORACLES["stats_kmv_ndv"] = _KMV_NDV_ORACLE
+
+
+def q_stats_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-Jaccard from KMV summaries ALONE (Beyer et al. 2007 §5 —
+    bottom-k sketches are closed under set ops): two planted value
+    sets with true overlap |A∩B|/|A∪B| = 1/3, compared via their
+    k=128 summaries; the exact Jaccard rides along so the estimate's
+    error is visible. The oracle replays both summaries, the bottom-k
+    of their union, the two membership probes and the division."""
+    from hdk_spark.operators.sketches import kmv_jaccard, kmv_summary
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    a = li.select(
+        F.concat(F.lit("x"), (F.col("l_orderkey") % 2400).cast("string"))
+        .alias("v"))
+    b = li.select(
+        F.concat(F.lit("x"),
+                 (F.lit(1200) + F.col("l_orderkey") % 2400).cast("string"))
+        .alias("v"))
+    kw = dict(k=128, hash_basis="md5")
+    est = kmv_jaccard(kmv_summary(a, "v", **kw), kmv_summary(b, "v", **kw),
+                      k=128)
+    truth = (
+        a.intersect(b).agg(F.count(F.lit(1)).alias("__ni"))
+        .crossJoin(
+            a.union(b).distinct().agg(F.count(F.lit(1)).alias("__nu")))
+        .select(F.round(F.col("__ni") / F.col("__nu"), 4)
+                .alias("jaccard_true"))
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_k", "n_inter", "jaccard_est", "jaccard_true")
+
+
+_KMV_JACCARD_ORACLE = f"""
+WITH a AS (SELECT DISTINCT 'x' || CAST(l_orderkey % 2400 AS VARCHAR) AS item
+           FROM lineitem),
+b AS (SELECT DISTINCT 'x' || CAST(1200 + l_orderkey % 2400 AS VARCHAR) AS item
+      FROM lineitem),
+sa AS (SELECT h FROM (SELECT {_KMV_H.format(v='item')} AS h, MIN(item)
+       FROM a GROUP BY h) ORDER BY h LIMIT 128),
+sb AS (SELECT h FROM (SELECT {_KMV_H.format(v='item')} AS h, MIN(item)
+       FROM b GROUP BY h) ORDER BY h LIMIT 128),
+kk AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+       ORDER BY h LIMIT 128),
+i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter FROM kk
+      WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+tru AS (SELECT round(
+          (SELECT COUNT(*) FROM a WHERE item IN (SELECT item FROM b))
+          / (SELECT COUNT(*) FROM (SELECT item FROM a UNION SELECT item FROM b)),
+          4) + 0 AS jaccard_true)
+SELECT CAST((SELECT COUNT(*) FROM kk) AS BIGINT) AS n_k, n_inter,
+       round(n_inter / (SELECT COUNT(*) FROM kk), 4) + 0 AS jaccard_est,
+       jaccard_true
+FROM i CROSS JOIN tru
+"""
+
+SPARK_IMPLS["stats_kmv_jaccard"] = q_stats_kmv_jaccard
+ORACLES["stats_kmv_jaccard"] = _KMV_JACCARD_ORACLE

@@ -16,8 +16,15 @@ that survives 100 TB). Three families, one merge law each:
 - frequency tops: Misra-Gries (mg_summary / mg_merge; exact-recount
   heavy hitters via frequent_items) — merge = counter add + one
   trim (Agarwal et al. 2012 "Mergeable Summaries" §3).
+- quantiles: DDSketch (dds_build / dds_merge / dds_quantile) —
+  merge = linear cell sum like CMS (bucket counters add), with the
+  relative-error guarantee of Masson, Rim & Lee 2019.
+- distinct samples: KMV / bottom-k (kmv_summary / kmv_merge /
+  kmv_ndv / kmv_jaccard) — merge = bottom-k of the summary union
+  (Bar-Yossef et al. 2002; Beyer et al. 2007), which also answers
+  set-operation questions (Jaccard) no other family can.
 
-Each family has a bounded-state streaming twin in hdk_spark.streaming
+CMS/HLL/MG have bounded-state streaming twins in hdk_spark.streaming
 (stream_ndv_rollup / stream_cms / stream_frequent_items)."""
 
 from __future__ import annotations
@@ -27,6 +34,8 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "frequent_items", "mg_summary", "mg_merge",
            "mg_heavy_hitters", "cms_build", "cms_merge", "cms_query",
+           "dds_build", "dds_merge", "dds_quantile",
+           "kmv_summary", "kmv_merge", "kmv_ndv", "kmv_jaccard",
 ]
 
 
@@ -497,4 +506,267 @@ def cms_query(
     )
     return joined.groupBy("item").agg(
         F.min("c").cast("long").alias("est")
+    )
+
+
+def _dds_cells(x, m: int):
+    """(b, j) bucket coordinates of a POSITIVE double under the
+    binary-interpolated DDSketch mapping: b is the exact binary
+    exponent (2^b ≤ x < 2^(b+1)), j = ⌊(x/2^b − 1)·m⌋ subdivides the
+    binade into m linear sub-buckets. Every step after the log2 seed
+    is EXACT IEEE-double arithmetic when m is a power of two
+    (division by 2^b, subtract-1 inside [1,2), multiply by m), and
+    the log2 seed's ±1-ulp platform wiggle is repaired by exact
+    power-of-two comparisons — so the cell is a pure function of the
+    input BITS, identical in Spark and DuckDB (the determinism that
+    lets contract oracles replay the sketch cell-for-cell, where the
+    paper's γ-logarithm mapping would disagree across libm builds).
+    Max relative bucket half-width: 1/(2m + 2j) ≤ 1/(2m)."""
+    b0 = F.floor(F.log2(x))
+    b = (
+        F.when(F.pow(F.lit(2.0), b0 + 1) <= x, b0 + 1)
+        .when(F.pow(F.lit(2.0), b0) > x, b0 - 1)
+        .otherwise(b0)
+    ).cast("long")
+    j = F.floor((x / F.pow(F.lit(2.0), b) - F.lit(1.0)) * F.lit(float(m)))
+    return b, j.cast("long")
+
+
+def dds_build(df: DataFrame, value_col: str, m: int = 64) -> DataFrame:
+    """DDSketch (Masson, Rim & Lee 2019, "DDSketch: a fast and
+    fully-mergeable quantile sketch with relative-error guarantees")
+    of a numeric column as a RELATION: (store, b, j, c) bucket
+    counters — the mergeable QUANTILE summary completing the repo's
+    merge-not-rescan family (HLL distincts, CMS frequencies, MG tops;
+    store one per ingest slice, answer percentile questions over any
+    slice union without re-reading rows). Build is ONE map-only
+    projection + ONE partial-agg groupBy — no join, no window.
+
+    Mapping: the paper's log-γ index is replaced by the
+    binary-interpolated variant (binade exponent + m linear
+    sub-buckets, see _dds_cells) so the cell is bit-deterministic
+    across engines; relative error ≤ 1/(2m) (~0.78% at the default
+    m=64), property-tested. store ∈ {-1, 0, 1} routes negatives to a
+    mirrored store and zeros to a dedicated bucket (the paper's
+    two-store extension); NULLs are excluded. m must be a power of
+    two — that is what makes the sub-bucket arithmetic exact."""
+    if m < 1 or (m & (m - 1)) != 0:
+        raise ValueError(f"m must be a power of two >= 1, got {m}")
+    x = F.col(value_col).cast("double")
+    ax = F.abs(x)
+    b, j = _dds_cells(ax, m)
+    src = df.filter(x.isNotNull()).select(
+        F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
+        .cast("int").alias("store"),
+        F.when(x == 0, F.lit(0)).otherwise(b).cast("long").alias("b"),
+        F.when(x == 0, F.lit(0)).otherwise(j).cast("long").alias("j"),
+    )
+    return src.groupBy("store", "b", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def dds_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge DDSketches built with the SAME m: element-wise bucket
+    sum — EXACTLY the sketch of the concatenated multisets (the
+    counters are plain counts, so like cms_merge this is linear and
+    the merged sketch is bit-for-bit the single-pass build;
+    property-tested). The error bound never degrades under merging —
+    the 'fully mergeable' property of the paper's title."""
+    if not sketches:
+        raise ValueError("dds_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("store", "b", "j").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def dds_quantile(
+    sketch: DataFrame, qs: "list[float]", m: int = 64
+) -> DataFrame:
+    """Quantile QUERY over a DDSketch relation: for each q the bucket
+    holding global rank ⌊q·(n−1)⌋+1 in value order (negative store
+    descending-magnitude first, then zeros, then positive ascending),
+    answered with the bucket midpoint — relative error ≤ 1/(2m) for
+    any q, any merge history. Pure sketch-sized arithmetic: one
+    cumulative window and one theta join of the |qs|-row literal
+    relation against the bounded bucket relation (≤ stores·binades·m
+    rows regardless of data volume — THIS is why it scales; the
+    corpus is never touched). Returns (q, est, n), ordered by q."""
+    if m < 1 or (m & (m - 1)) != 0:
+        raise ValueError(f"m must be a power of two >= 1, got {m}")
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    from pyspark.sql.window import Window
+
+    ordered = sketch.select(
+        "store", "b", "j", "c",
+        F.when(F.col("store") == -1, -F.col("b")).otherwise(F.col("b"))
+        .alias("__kb"),
+        F.when(F.col("store") == -1, -F.col("j")).otherwise(F.col("j"))
+        .alias("__kj"),
+    )
+    w = (
+        Window.orderBy("store", "__kb", "__kj")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ordered.select(
+        "store", "b", "j", "c", F.sum("c").over(w).alias("__cum")
+    )
+    n_total = sketch.agg(F.sum("c").cast("long").alias("n"))
+    qrel = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q: double"
+    )
+    targets = qrel.crossJoin(F.broadcast(n_total)).select(
+        "q", "n",
+        (F.floor(F.col("q") * (F.col("n") - 1)) + 1).alias("__tgt"),
+    )
+    est = (
+        F.when(F.col("store") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("store")
+            * F.pow(F.lit(2.0), F.col("b"))
+            * (F.lit(1.0) + (F.col("j") + F.lit(0.5)) / F.lit(float(m)))
+        )
+    )
+    hit = targets.join(
+        F.broadcast(cum),
+        (F.col("__cum") >= F.col("__tgt"))
+        & (F.col("__cum") - F.col("c") < F.col("__tgt")),
+        "left",
+    )
+    return hit.select(
+        "q", F.round(est, 6).alias("est"), F.col("n").cast("long").alias("n")
+    ).orderBy("q")
+
+
+def _kmv_unit(hcol, hash_basis: str):
+    """Map a base hash to a unit-interval double for the KMV
+    estimator: md5-basis hashes live in [0, 2^32) (divide), xxhash64
+    spans the full signed-long range (affine shift). Exact IEEE
+    division/addition — identical bits in Spark and DuckDB."""
+    if hash_basis == "md5":
+        return hcol.cast("double") / F.lit(4294967296.0)
+    if hash_basis == "xxhash64":
+        return hcol.cast("double") / F.lit(1.8446744073709552e19) + F.lit(0.5)
+    raise ValueError(f"unknown hash_basis {hash_basis!r}")
+
+
+def kmv_summary(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al.
+    2007 "On synopses for distinct-value estimation under multiset
+    operations"): the k smallest DISTINCT base-hash values of the
+    column, each with a representative item — a mergeable uniform
+    sample of the column's DISTINCT values. The family member no
+    other sketch covers: it answers NDV (kmv_ndv), set Jaccard
+    (kmv_jaccard), and "show me ~k random distinct examples" from
+    one k-row relation per slice.
+
+    Scale shape: one distinct-keyed partial-agg groupBy then
+    orderBy(h).limit(k) — Spark compiles the latter to
+    TakeOrderedAndProject (per-partition bottom-k, k-sized merge),
+    NOT a global sort or window; the full distinct relation never
+    funnels through one partition (plan-pinned). Hash collisions
+    keep the smallest item so the summary is a pure function of the
+    value set. NULLs excluded. ``hash_basis='md5'`` pins the
+    DuckDB-computable base hash (contract rows); production default
+    xxhash64. Returns (h, item), ≤ k rows."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = df.select(F.col(value_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    hashed = (
+        src.distinct()
+        .select(
+            _cms_base_hash(F.col("item"), hash_basis).alias("h"), "item"
+        )
+        .groupBy("h")
+        .agg(F.min("item").alias("item"))
+    )
+    return hashed.orderBy("h").limit(k)
+
+
+def kmv_merge(*summaries: DataFrame, k: int = 256) -> DataFrame:
+    """Combine :func:`kmv_summary` relations into the summary of the
+    UNION without touching any rows: bottom-k of the k-row summary
+    union. Exact by the bottom-k closure property: any of the k
+    smallest distinct hashes of A ∪ B is among the k smallest of
+    whichever side contains it, so merge(kmv(A), kmv(B)) ==
+    kmv_summary(A ∪ B) bit-for-bit (property-tested; overlapping
+    slices are idempotent for the same reason — it is a SET union).
+    Same k and hash basis as the inputs, or smaller k to tighten."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not summaries:
+        raise ValueError("kmv_merge needs at least one input")
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy("h").agg(F.min("item").alias("item"))
+        .orderBy("h").limit(k)
+    )
+
+
+def kmv_ndv(
+    summary: DataFrame, k: int = 256, hash_basis: str = "xxhash64"
+) -> DataFrame:
+    """Distinct-value estimate from a KMV summary: with fewer than k
+    hashes kept the summary IS the distinct set (exact count);
+    otherwise the Beyer et al. 2007 unbiased estimator (k−1)/u_k,
+    where u_k is the k-th smallest hash mapped to the unit interval —
+    standard error ~1/√(k−2). One k-row aggregate; returns a single
+    row (n_kept, ndv_est)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    agg = summary.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__uk"),
+    )
+    return agg.select(
+        "n_kept",
+        F.round(
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("__uk")),
+            4,
+        ).alias("ndv_est"),
+    )
+
+
+def kmv_jaccard(
+    summary_a: DataFrame, summary_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Jaccard similarity of two VALUE SETS from their KMV summaries
+    alone (Beyer et al. 2007 §5: bottom-k sketches are closed under
+    set operations): K = the k smallest hashes of the summary union
+    is a uniform sample of A ∪ B's distinct hashes, so |K ∩ A ∩ B| /
+    |K| estimates |A∩B| / |A∪B|. Pure k-row arithmetic — two
+    broadcast semi-joins of k-sized relations, no corpus access
+    (THE way to compare column domains across 100 TB slices: ship
+    two k-row summaries, not two scans). Returns one row (n_k,
+    n_inter, jaccard_est)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ha = summary_a.select("h")
+    hb = summary_b.select("h")
+    kk = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    inter = (
+        kk.join(F.broadcast(ha), "h", "left_semi")
+        .join(F.broadcast(hb), "h", "left_semi")
+    )
+    n_k = kk.agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    n_i = inter.agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    return n_k.crossJoin(F.broadcast(n_i)).select(
+        "n_k", "n_inter",
+        F.round(F.col("n_inter") / F.col("n_k"), 4).alias("jaccard_est"),
     )

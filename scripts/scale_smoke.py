@@ -863,6 +863,101 @@ def main() -> None:
               f"recall@10={recall(res_c)}")
         return
 
+    if "--r11c" in sys.argv:
+        # round-11 sketch-lake measurement: the merge-not-rescan
+        # argument QUANTIFIED for the two new families. 6M rows /
+        # ~500k distinct: (a) DDSketch build wall + stored-cell count,
+        # then quantile answers from the STORED relation vs re-scanning
+        # the corpus with percentile_approx; (b) 10-slice dds_merge ==
+        # single build (asserted) — the lake maintenance model;
+        # (c) KMV build wall + NDV error vs exact countDistinct, and
+        # column-overlap Jaccard from two 256-row summaries vs the
+        # exact intersect/union scans.
+        from hdk_spark.operators.sketches import (
+            dds_build, dds_merge, dds_quantile,
+            kmv_jaccard, kmv_merge, kmv_ndv, kmv_summary,
+        )
+
+        n = 6_000_000
+        base = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 10).alias("sl"),
+            # heavy-tailed positive measure, deterministic
+            (F.exp((F.pmod(F.hash("id"), F.lit(10_000)).cast("double")
+                    / F.lit(1000.0)))
+             * (F.lit(1.0) + F.pmod(F.hash("id", F.lit(7)), F.lit(997))
+                .cast("double") / F.lit(997.0))).alias("x"),
+            F.concat(F.lit("u"), F.pmod(F.hash("id", F.lit(13)),
+                                        F.lit(500_000)).cast("string"))
+            .alias("va"),
+            F.concat(F.lit("u"), (F.pmod(F.hash("id", F.lit(13)),
+                                         F.lit(500_000))
+                                  + F.lit(250_000)).cast("string"))
+            .alias("vb"),
+        ).persist()
+        print("rows:", base.count())
+
+        t0 = time.perf_counter()
+        sk = dds_build(base, "x").persist()
+        n_cells = sk.count()
+        t_build = round(time.perf_counter() - t0, 2)
+        qs = [0.01, 0.25, 0.5, 0.9, 0.99, 0.999]
+        t0 = time.perf_counter()
+        est = {r["q"]: r["est"] for r in dds_quantile(sk, qs).collect()}
+        t_q = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        exact = base.agg(
+            F.expr(f"percentile_approx(x, array({','.join(map(str, qs))}),"
+                   " 10000)")).collect()[0][0]
+        t_scan = round(time.perf_counter() - t0, 2)
+        worst = max(abs(est[q] - e) / e for q, e in zip(qs, exact))
+        print(f"dds_build(6M): {t_build}s cells={n_cells} "
+              f"quantiles-from-STORED-sketch: {t_q}s "
+              f"vs corpus percentile_approx rescan: {t_scan}s "
+              f"worst-rel-vs-exact={worst:.5f}")
+
+        t0 = time.perf_counter()
+        merged = dds_merge(
+            *[dds_build(base.filter(F.col("sl") == i), "x")
+              for i in range(10)])
+        mcells = {(r["store"], r["b"], r["j"]): r["c"]
+                  for r in merged.collect()}
+        t_m = round(time.perf_counter() - t0, 2)
+        wcells = {(r["store"], r["b"], r["j"]): r["c"]
+                  for r in sk.collect()}
+        assert mcells == wcells, "10-slice merge != single build"
+        print(f"dds_merge(10 slices of 600k): {t_m}s == single build "
+              f"cell-for-cell ({len(mcells)} cells)")
+
+        t0 = time.perf_counter()
+        ka = kmv_summary(base, "va", k=256).persist()
+        ka.count()
+        t_kmv = round(time.perf_counter() - t0, 2)
+        ndv = kmv_ndv(ka, k=256).collect()[0]["ndv_est"]
+        t0 = time.perf_counter()
+        true_ndv = base.select("va").distinct().count()
+        t_cd = round(time.perf_counter() - t0, 2)
+        print(f"kmv_summary(6M rows, {true_ndv} distinct, k=256): "
+              f"{t_kmv}s ndv_est={ndv:.0f} "
+              f"err={abs(ndv - true_ndv) / true_ndv:.4f} "
+              f"(exact countDistinct scan: {t_cd}s)")
+
+        kb = kmv_summary(base, "vb", k=256)
+        t0 = time.perf_counter()
+        j = kmv_jaccard(ka, kb, k=256).collect()[0]
+        t_j = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        a_ = base.select(F.col("va").alias("v"))
+        b_ = base.select(F.col("vb").alias("v"))
+        ji = a_.intersect(b_).count()
+        ju = a_.union(b_).distinct().count()
+        t_jx = round(time.perf_counter() - t0, 2)
+        print(f"kmv_jaccard(two 256-row summaries): {t_j}s "
+              f"est={j['jaccard_est']} vs exact {ji / ju:.4f} "
+              f"(intersect+union scans: {t_jx}s)")
+        base.unpersist()
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)

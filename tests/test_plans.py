@@ -955,3 +955,31 @@ def test_sq8_ann_composition_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in pc
     for node in ("Join", "Exchange"):
         assert pc.count(node) == pf.count(node), node
+
+
+def test_round11_sketch_plan_shapes(spark):
+    """Round-11 sketch families keep the plan discipline that makes
+    them 100 TB-safe: dds_build is one map-only projection + one
+    partial-agg groupBy (no Join, no Window — the corpus is touched
+    exactly once); kmv_summary's bottom-k compiles to
+    TakeOrderedAndProject (per-partition top-k + k-sized merge),
+    never a global Sort or Window over the distinct relation."""
+    from hdk_spark.operators.sketches import dds_build, kmv_summary
+
+    li = spark.table("lineitem")
+    p = plan(dds_build(li, "l_extendedprice"))
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
+
+    p2 = plan(kmv_summary(li, "l_orderkey", k=64))
+    assert "TakeOrderedAndProject" in p2
+    assert "Window" not in p2
+    # no global all-rows sort: a true ORDER BY materializes as a
+    # rangepartitioning Exchange; the only Sorts here are the LOCAL
+    # (global=false) sorts inside SortAggregate, and the only Exchange
+    # is the single hash shuffle of the distinct-hash aggregate —
+    # Catalyst's RemoveRedundantAggregates even folds the .distinct()
+    # into the min-by-hash aggregate (min is duplicate-insensitive),
+    # so the whole summary costs ONE shuffle
+    assert "rangepartitioning" not in p2
+    assert p2.count("+- Exchange") == 1

@@ -703,3 +703,190 @@ def test_krippendorff_alpha_reference_equality(spark):
     # repartition determinism (quantized order-independent sums)
     again = krippendorff_alpha(df.repartition(7), "item", "label").collect()
     assert again[0] == got
+
+
+def test_dds_quantile_relative_error_bound(spark):
+    """The DDSketch guarantee (Masson, Rim & Lee 2019) under the
+    binary-interpolated mapping: every quantile estimate is within
+    relative 1/(2m) of the TRUE rank-⌊q·(n−1)⌋ order statistic, for
+    positive, negative and zero values alike (zero answers exactly
+    0.0). Checked at two m values over a heavy-tailed mixed-sign
+    sample — the workload quantile sketches exist for."""
+    import numpy as np
+
+    from hdk_spark.operators.sketches import dds_build, dds_quantile
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.lognormal(6, 2.5, 4000), -rng.lognormal(3, 1.5, 800),
+         np.zeros(137)]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "x: double")
+    true = np.sort(vals)
+    qs = [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    for m in (16, 64):
+        sk = dds_build(df, "x", m=m)
+        got = dds_quantile(sk, qs, m=m).collect()
+        assert [r["q"] for r in got] == qs
+        for r in got:
+            assert r["n"] == len(vals)
+            tv = true[int(np.floor(r["q"] * (len(vals) - 1)))]
+            if tv == 0.0:
+                assert r["est"] == 0.0, (m, r["q"], r["est"])
+            else:
+                rel = abs(r["est"] - tv) / abs(tv)
+                # 1/(2m) + rounding slack from the 6-decimal emit
+                assert rel <= 1 / (2 * m) + 1e-6, (m, r["q"], r["est"], tv)
+
+
+def test_dds_binade_boundaries_and_guards(spark):
+    """Exact powers of two land in sub-bucket 0 of their OWN binade
+    (2^b ≤ x < 2^(b+1) with the log2-seed correction — the boundary
+    where raw libm ceil/floor(log2) is platform-unstable), and a
+    value just under a power of two lands in the LAST sub-bucket of
+    the binade below; ValueError guards on non-power-of-two m, empty
+    qs, and out-of-range q."""
+    import pytest
+
+    from hdk_spark.operators.sketches import (
+        dds_build,
+        dds_merge,
+        dds_quantile,
+    )
+
+    pows = [0.5, 1.0, 2.0, 32.0, 1024.0, 2.0 ** 40]
+    below = 2.0 - 2.0 ** -40  # frac → 2−ε: last sub-bucket of b=0
+    df = spark.createDataFrame(
+        [(v,) for v in pows + [below]], "x: double")
+    cells = {(r["b"], r["j"]): r["c"]
+             for r in dds_build(df, "x", m=64).collect()}
+    import math
+
+    for v in pows:
+        assert cells.get((int(math.log2(v)), 0), 0) >= 1, v
+    assert (0, 63) in cells
+
+    with pytest.raises(ValueError, match="power of two"):
+        dds_build(df, "x", m=48)
+    sk = dds_build(df, "x", m=64)
+    with pytest.raises(ValueError, match="non-empty"):
+        dds_quantile(sk, [], m=64)
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        dds_quantile(sk, [1.5], m=64)
+    with pytest.raises(ValueError, match="at least one"):
+        dds_merge()
+
+
+def test_dds_merge_equals_build_bit_for_bit(spark):
+    """DDSketch is FULLY mergeable: bucket counters are plain counts,
+    so the merge of three slice sketches is cell-for-cell the sketch
+    of the concatenation — the error bound never degrades with merge
+    history (the property that lets 100 TB ingest keep one sketch per
+    slice and answer global percentiles without any re-scan)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import (
+        dds_build,
+        dds_merge,
+        dds_quantile,
+    )
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([rng.lognormal(4, 2, 3000), -rng.gamma(2, 9, 500)])
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i: long, x: double")
+    slices = [df.filter(F.col("i") % 3 == r) for r in range(3)]
+    merged = dds_merge(*[dds_build(s, "x") for s in slices])
+    whole = dds_build(df, "x")
+    key = lambda rows: {(r["store"], r["b"], r["j"]): r["c"] for r in rows}
+    assert key(merged.collect()) == key(whole.collect())
+    qs = [0.05, 0.5, 0.95]
+    assert (dds_quantile(merged, qs).collect()
+            == dds_quantile(whole, qs).collect())
+
+
+def test_kmv_merge_equals_build_and_idempotent(spark):
+    """Bottom-k closure (Beyer et al. 2007): the k smallest distinct
+    hashes of A ∪ B are all present in bottom-k(A) ∪ bottom-k(B), so
+    kmv_merge of slice summaries equals kmv_summary of the union
+    ROW-FOR-ROW — and overlapping slices are idempotent (it is a SET
+    union). Both hash bases; k guards."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_merge, kmv_summary
+
+    src = spark.range(20_000).select(
+        (F.col("id") % 3517).cast("string").alias("v"), F.col("id"))
+    a, b = src.filter("id % 2 = 0"), src.filter("id % 2 = 1")
+    for basis in ("xxhash64", "md5"):
+        whole = kmv_summary(src, "v", k=64, hash_basis=basis).collect()
+        merged = kmv_merge(
+            kmv_summary(a, "v", k=64, hash_basis=basis),
+            kmv_summary(b, "v", k=64, hash_basis=basis),
+            k=64,
+        ).collect()
+        assert sorted(merged) == sorted(whole), basis
+        over = kmv_merge(
+            kmv_summary(src, "v", k=64, hash_basis=basis),
+            kmv_summary(src.filter("id < 9999"), "v", k=64,
+                        hash_basis=basis),
+            k=64,
+        ).collect()
+        assert sorted(over) == sorted(whole), basis
+
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_summary(src, "v", k=1)
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_merge(k=8)
+
+
+def test_kmv_ndv_exact_small_and_banded_large(spark):
+    """kmv_ndv is EXACT below k (the summary IS the distinct set) and
+    lands inside a 4σ band of the true cardinality above it (σ ≈
+    1/√(k−2) for the (k−1)/u_k estimator — deterministic here, the
+    band just pins the estimator is wired right, not luck)."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_ndv, kmv_summary
+
+    small = spark.range(1000).select((F.col("id") % 37).cast("string")
+                                     .alias("v"))
+    row = kmv_ndv(kmv_summary(small, "v", k=256), k=256).collect()[0]
+    assert (row["n_kept"], row["ndv_est"]) == (37, 37.0)
+
+    big = spark.range(60_000).select((F.col("id") % 10_000).cast("string")
+                                     .alias("v"))
+    row = kmv_ndv(kmv_summary(big, "v", k=256), k=256).collect()[0]
+    assert row["n_kept"] == 256
+    assert abs(row["ndv_est"] - 10_000) / 10_000 < 4 / (254 ** 0.5)
+
+
+def test_kmv_jaccard_extremes_and_band(spark):
+    """Set-Jaccard from summaries alone: identical sets → exactly
+    1.0, disjoint sets → exactly 0.0 (64-bit basis: no cross-set hash
+    collisions at this size), and a planted 1/3 overlap lands within
+    the ±4σ sampling band of k=256 — all without ever comparing the
+    underlying sets."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_jaccard, kmv_summary
+
+    ids = spark.range(3600)
+    a = ids.filter("id < 2400").select(F.col("id").cast("string").alias("v"))
+    b = ids.filter("id >= 1200").select(F.col("id").cast("string").alias("v"))
+    dis = ids.select((F.col("id") + 900_000).cast("string").alias("v"))
+
+    ka = kmv_summary(a, "v", k=256)
+    row = kmv_jaccard(ka, kmv_summary(a, "v", k=256), k=256).collect()[0]
+    assert row["jaccard_est"] == 1.0
+
+    row = kmv_jaccard(ka, kmv_summary(dis, "v", k=256), k=256).collect()[0]
+    assert row["jaccard_est"] == 0.0 and row["n_inter"] == 0
+
+    row = kmv_jaccard(ka, kmv_summary(b, "v", k=256), k=256).collect()[0]
+    sigma = (1 / 3 * 2 / 3 / 256) ** 0.5
+    assert abs(row["jaccard_est"] - 1 / 3) < 4 * sigma
