@@ -548,14 +548,24 @@ def dds_build(df: DataFrame, value_col: str, m: int = 64) -> DataFrame:
     across engines; relative error ≤ 1/(2m) (~0.78% at the default
     m=64), property-tested. store ∈ {-1, 0, 1} routes negatives to a
     mirrored store and zeros to a dedicated bucket (the paper's
-    two-store extension); NULLs are excluded. m must be a power of
+    two-store extension); NULLs are excluded. NaN and ±Infinity are
+    DROPPED explicitly (the same stated-drop policy as the similarity
+    kernels' wrong-width vectors): NaN fails every sign comparison and
+    would silently land in the ZERO bucket, ±Inf would floor an
+    infinite log2 seed into a garbage binade — neither has a
+    meaningful quantile rank, and a lake column with sensor glitches
+    must not corrupt the summary (test-pinned). m must be a power of
     two — that is what makes the sub-bucket arithmetic exact."""
     if m < 1 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 1, got {m}")
     x = F.col(value_col).cast("double")
     ax = F.abs(x)
     b, j = _dds_cells(ax, m)
-    src = df.filter(x.isNotNull()).select(
+    finite = (
+        x.isNotNull() & ~F.isnan(x)
+        & (ax != F.lit(float("inf")))
+    )
+    src = df.filter(finite).select(
         F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
         .cast("int").alias("store"),
         F.when(x == 0, F.lit(0)).otherwise(b).cast("long").alias("b"),
@@ -594,7 +604,9 @@ def dds_quantile(
     cumulative window and one theta join of the |qs|-row literal
     relation against the bounded bucket relation (≤ stores·binades·m
     rows regardless of data volume — THIS is why it scales; the
-    corpus is never touched). Returns (q, est, n), ordered by q."""
+    corpus is never touched). Returns (q, est, n), ordered by q; an
+    EMPTY sketch answers (q, NULL, 0) — no data has no quantiles,
+    but the row shape stays stable (test-pinned)."""
     if m < 1 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 1, got {m}")
     if not qs:
@@ -617,7 +629,8 @@ def dds_quantile(
     cum = ordered.select(
         "store", "b", "j", "c", F.sum("c").over(w).alias("__cum")
     )
-    n_total = sketch.agg(F.sum("c").cast("long").alias("n"))
+    n_total = sketch.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"))
     qrel = sketch.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q: double"
     )

@@ -890,3 +890,28 @@ def test_kmv_jaccard_extremes_and_band(spark):
     row = kmv_jaccard(ka, kmv_summary(b, "v", k=256), k=256).collect()[0]
     sigma = (1 / 3 * 2 / 3 / 256) ** 0.5
     assert abs(row["jaccard_est"] - 1 / 3) < 4 * sigma
+
+
+def test_dds_nonfinite_dropped_and_empty_stable(spark):
+    """The DDSketch drop gate: NaN / ±Inf rows never reach a bucket
+    (NaN would silently count as ZERO — it fails every sign
+    comparison; ±Inf would floor an infinite log2 into a garbage
+    binade), so a column with planted sensor glitches sketches
+    identically to its clean subset; an EMPTY sketch keeps the
+    (q, NULL est, n=0) row shape instead of NULL-ing n."""
+    from hdk_spark.operators.sketches import dds_build, dds_quantile
+
+    clean = [(1.5,), (-2.25,), (0.0,), (300.0,)]
+    dirty = clean + [(float("nan"),), (float("inf"),), (float("-inf"),),
+                     (None,)]
+    key = lambda df: sorted(
+        (r["store"], r["b"], r["j"], r["c"])
+        for r in dds_build(df, "x", m=64).collect())
+    assert key(spark.createDataFrame(dirty, "x: double")) == key(
+        spark.createDataFrame(clean, "x: double"))
+
+    empty = dds_build(
+        spark.createDataFrame([], "x: double"), "x", m=64)
+    rows = dds_quantile(empty, [0.5, 0.9], m=64).collect()
+    assert [(r["q"], r["est"], r["n"]) for r in rows] == [
+        (0.5, None, 0), (0.9, None, 0)]
