@@ -881,3 +881,71 @@ def test_random_join_condition_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k grammar (round 11: SURVEY §2.7 differentially) — mixed
+# ASC/DESC with EXPLICIT NULLS FIRST/LAST on NULL-injecting sort
+# expressions, composed with LIMIT/OFFSET. The engines' DEFAULT null
+# placement differs (Spark: NULLS FIRST for ASC; DuckDB: NULLS LAST),
+# so every key pins placement explicitly — which is exactly the
+# reference's collation surface. The trailing (l_orderkey,
+# l_linenumber) tie-breaker makes the total order unique, so the
+# LIMIT/OFFSET row SELECTION is deterministic and the bit-exact
+# compare checks precisely which rows the collation admits.
+# ---------------------------------------------------------------------------
+
+_SORT_EXPRS = [
+    "CASE WHEN l_partkey % 7 = 0 THEN NULL ELSE l_discount END",
+    "CASE WHEN l_suppkey % 5 = 2 THEN NULL ELSE l_returnflag END",
+    "l_extendedprice * (1.0 - l_discount)",
+    # ISO date STRING (both engines accept the STRING alias; Spark
+    # rejects bare VARCHAR): collates identically to the date itself,
+    # and sidesteps the date-vs-timestamp pandas dtype mismatch
+    "CAST(CAST(l_shipdate AS DATE) AS STRING)",
+    "l_quantity",
+]
+
+_SORT_PREDS = [
+    "l_linenumber <= 4",
+    "l_quantity >= 10.0",
+    "l_returnflag <> 'R'",
+]
+
+
+@st.composite
+def sort_limit_queries(draw):
+    n_keys = draw(st.integers(min_value=1, max_value=3))
+    exprs = draw(st.lists(st.sampled_from(_SORT_EXPRS), min_size=n_keys,
+                          max_size=n_keys, unique=True))
+    keys = []
+    for i, e in enumerate(exprs):
+        d = draw(st.sampled_from(["ASC", "DESC"]))
+        p = draw(st.sampled_from(["NULLS FIRST", "NULLS LAST"]))
+        keys.append((f"{e} AS k{i}", f"k{i} {d} {p}"))
+    where = draw(st.lists(st.sampled_from(_SORT_PREDS), min_size=0,
+                          max_size=2, unique=True))
+    limit = draw(st.integers(min_value=1, max_value=40))
+    offset = draw(st.sampled_from([0, 1, 7, 50, 200]))
+    sel = ", ".join([k for k, _ in keys] + ["l_orderkey", "l_linenumber"])
+    order = ", ".join([o for _, o in keys] + ["l_orderkey", "l_linenumber"])
+    sql = f"SELECT {sel} FROM lineitem"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    sql += f" ORDER BY {order} LIMIT {limit}"
+    if offset:
+        sql += f" OFFSET {offset}"
+    return sql
+
+
+@given(sql=sort_limit_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_sort_limit_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
