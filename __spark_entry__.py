@@ -298,7 +298,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r10; failed last check: 0, never checked: 8, green: 277  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r10; failed last check: 0, never checked: 9, green: 277  (window ~50).
 _PRIORITY: list[str] = [
     # never checked
     "similarity_sq8_ann",
@@ -309,6 +309,7 @@ _PRIORITY: list[str] = [
     "stats_dds_merge",
     "stats_kmv_ndv",
     "stats_kmv_jaccard",
+    "streaming_dds_quantile",
     # stable greens
     "similarity_ann_ivf",
     "similarity_ann_lsh",

@@ -13456,3 +13456,87 @@ FROM i CROSS JOIN tru
 
 SPARK_IMPLS["stats_kmv_jaccard"] = q_stats_kmv_jaccard
 ORACLES["stats_kmv_jaccard"] = _KMV_JACCARD_ORACLE
+
+
+def q_streaming_dds_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_dds (streaming.py — the
+    batch DDSketch bucket relation as a streaming aggregation, state
+    bounded at the bucket count) in complete mode, then quantile-
+    queried from the COMPLETED table. The planted measure exercises
+    all three stores (positive n_chars-derived magnitudes, a
+    doc_id%11 negative stripe, a doc_id%13 zero stripe); the oracle
+    replays the full-history build — sign routing, corrected binary
+    exponent, sub-buckets, the value-ordered cumulative walk and the
+    rank-⌊q·(n−1)⌋+1 midpoints — which is exactly the streaming-
+    state-update == dds_merge property this row pins."""
+    from hdk_spark.operators.sketches import dds_quantile
+    from hdk_spark.streaming import stream_dds
+
+    _tables(spark, sf_dir)
+    mag = F.col("n_chars").cast("double") * (
+        F.lit(1.0) + (F.col("doc_id") % 7).cast("double") / F.lit(8.0))
+    x = (
+        F.when(F.col("doc_id") % 13 == 7, F.lit(0.0))
+        .when(F.col("doc_id") % 11 == 3, -mag)
+        .otherwise(mag)
+    )
+    stream = _documents_stream(spark, sf_dir).select(x.alias("x"))
+    name = _run_stream(stream_dds(stream, "x", m=64), "complete")
+    return dds_quantile(spark.table(name), [0.1, 0.25, 0.5, 0.75, 0.9],
+                        m=64)
+
+
+_STREAM_DDS_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN doc_id % 13 = 7 THEN 0.0
+              WHEN doc_id % 11 = 3
+                THEN -(CAST(n_chars AS DOUBLE)
+                       * (1.0 + CAST(doc_id % 7 AS DOUBLE) / 8.0))
+              ELSE CAST(n_chars AS DOUBLE)
+                   * (1.0 + CAST(doc_id % 7 AS DOUBLE) / 8.0)
+         END AS x
+  FROM documents
+), routed AS (
+  SELECT CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS store,
+         ABS(x) AS ax
+  FROM src
+), seed AS (
+  SELECT store, ax, CAST(floor(log2(ax)) AS BIGINT) AS b0
+  FROM routed WHERE store <> 0
+), fixed AS (
+  SELECT store, ax,
+         CASE WHEN pow(2.0, b0 + 1) <= ax THEN b0 + 1
+              WHEN pow(2.0, b0) > ax THEN b0 - 1
+              ELSE b0 END AS b
+  FROM seed
+), cells AS (
+  SELECT store, b,
+         CAST(floor((ax / pow(2.0, b) - 1.0) * 64.0) AS BIGINT) AS j,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM fixed GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 0, 0, 0, CAST(COUNT(*) AS BIGINT)
+  FROM routed WHERE store = 0 HAVING COUNT(*) > 0
+), cum AS (
+  SELECT store, b, j, c,
+         SUM(c) OVER (
+           ORDER BY store,
+                    CASE WHEN store = -1 THEN -b ELSE b END,
+                    CASE WHEN store = -1 THEN -j ELSE j END
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cells
+), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
+tgt AS (SELECT q, n, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS t
+        FROM qs CROSS JOIN n)
+SELECT q,
+       round(CASE WHEN store = 0 THEN 0.0
+                  ELSE store * pow(2.0, b) * (1.0 + (j + 0.5) / 64.0)
+             END, 6) + 0 AS est,
+       n
+FROM tgt JOIN cum ON cum.cum >= tgt.t AND cum.cum - cum.c < tgt.t
+ORDER BY q
+"""
+
+SPARK_IMPLS["streaming_dds_quantile"] = q_streaming_dds_quantile
+ORACLES["streaming_dds_quantile"] = _STREAM_DDS_ORACLE

@@ -24,8 +24,10 @@ that survives 100 TB). Three families, one merge law each:
   (Bar-Yossef et al. 2002; Beyer et al. 2007), which also answers
   set-operation questions (Jaccard) no other family can.
 
-CMS/HLL/MG have bounded-state streaming twins in hdk_spark.streaming
-(stream_ndv_rollup / stream_cms / stream_frequent_items)."""
+CMS/HLL/MG/DDSketch have bounded-state streaming twins in
+hdk_spark.streaming (stream_ndv_rollup / stream_cms /
+stream_frequent_items / stream_dds); KMV's streaming form (bounded
+bottom-k state) is future work."""
 
 from __future__ import annotations
 

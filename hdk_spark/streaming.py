@@ -605,6 +605,28 @@ def stream_frequent_items(
     )
 
 
+def stream_dds(
+    stream_df: DataFrame,
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Streaming DDSketch: the batch ``dds_build`` bucket relation as
+    a streaming aggregation — Spark maintains the (store, b, j)
+    counters as streaming state, bounded at the bucket count
+    (≤ stores·binades·m cells) for an UNBOUNDED stream; the per-batch
+    state update IS ``dds_merge`` (linear counter add), so order
+    never matters and complete mode equals ``dds_build`` over the
+    full history BIT-FOR-BIT (property-pinned in test_streaming) —
+    the bounded-state streaming percentile, where a streaming exact
+    quantile would have to hold every row. Query the completed/
+    stored buckets with ``dds_quantile`` as usual. Counters add, so
+    replayed rows double-count (the stream_cms caveat: only
+    exactly-once sinks see multiset-true sketches)."""
+    from hdk_spark.operators.sketches import dds_build
+
+    return dds_build(stream_df, value_col, m)
+
+
 def stream_ndv_rollup(
     stream_df: DataFrame,
     group_col: str,

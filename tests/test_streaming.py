@@ -509,3 +509,29 @@ def test_stream_ndv_rollup_equals_batch(spark, events_dir, events_schema):
         ndv_rollup(spark.read.parquet(events_dir), "event_type", "user_id")
     )
     assert sorted(got.collect()) == sorted(batch.collect())
+
+
+def test_stream_dds_equals_batch_bit_for_bit(spark, events_dir, events_schema):
+    """stream_dds in complete mode == dds_build over the full history,
+    bucket-for-bucket: the streaming state update IS dds_merge
+    (linear counter add), and the 2-file source forces >1 micro-batch
+    so real merging happens; quantiles from the streamed table equal
+    the batch sketch's. State bounded at the bucket count."""
+    from hdk_spark.operators.sketches import dds_build, dds_quantile
+
+    st = streaming.stream_parquet(spark, events_dir, events_schema)
+    got = _collect(
+        spark,
+        streaming.stream_dds(st.selectExpr("CAST(value AS DOUBLE) AS x"),
+                             "x", m=32),
+        "t_dds", "complete",
+    )
+    batch = dds_build(
+        spark.read.parquet(events_dir).selectExpr(
+            "CAST(value AS DOUBLE) AS x"),
+        "x", m=32,
+    )
+    assert sorted(got.collect()) == sorted(batch.collect())
+    qs = [0.1, 0.5, 0.9]
+    assert (dds_quantile(got, qs, m=32).collect()
+            == dds_quantile(batch, qs, m=32).collect())
