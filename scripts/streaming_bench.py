@@ -141,6 +141,37 @@ def main() -> None:
         assert r2["state_rows_total"] <= 64, r2
         return
 
+    if "--dds" in sys.argv:
+        # round-11 streaming DDSketch: heavy-tailed doubles at high
+        # rate — state rows ARE the bucket count, bounded by the
+        # value-RANGE (stores*binades*m), not by volume; vs a
+        # streaming exact quantile that must hold every row.
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate * 8)
+            .option("numPartitions", 4)
+            .load()
+        )
+        xs = src.select(
+            (F.exp(F.pmod(F.hash("value"), F.lit(12_000)).cast("double")
+                   / F.lit(1000.0))
+             * (F.lit(1.0)
+                + F.pmod(F.hash("value", F.lit(3)), F.lit(997))
+                .cast("double") / F.lit(997.0))).alias("x")
+        )
+        out = streaming.stream_dds(xs, "x", m=64)
+        q = (
+            out.writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation",
+                    f"/tmp/stream_bench_ckpt_dds_{time.time_ns()}")
+            .start()
+        )
+        r = drive(q, secs)
+        print("stream_dds:", json.dumps(r))
+        # positive store only: binades of exp([0,12)) ~ 18, x64 cells
+        assert r["state_rows_total"] <= 20 * 64, r
+        return
+
     if "--mg" in sys.argv:
         # round-11 Misra-Gries heavy-hitter state: one state row per
         # SHARD (each holding <= k counters), no matter how many
