@@ -12516,7 +12516,9 @@ _STREAM_CMS_CELL = (
 
 _STREAM_CMS_ORACLE = f"""
 WITH src AS (
-  SELECT lang || '-' || CAST(doc_id % 5 AS VARCHAR) AS v FROM documents
+  SELECT v FROM (
+    SELECT lang || '-' || CAST(doc_id % 5 AS VARCHAR) AS v FROM documents
+  ) WHERE v IS NOT NULL
 ), rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
 vals AS (
   SELECT unnest(['en-0','en-3','zh-1','es-2','de-4','fr-0','xx-9']) AS item
@@ -12610,10 +12612,13 @@ def q_streaming_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("shard", "item")
 
 
-_STREAM_MG_ORACLE = """
-WITH src AS (
-  SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item FROM documents
-), h AS (
+# One-round sharded MG summary chain over a CTE named `src(item)`
+# (k=5, 4 md5 shards): ends in surv = (shard, item, cnt) survivors +
+# totals = (shard, n_shard). Shared by the streaming-MG and
+# heavy-hitter oracles so the trim convention cannot drift between
+# them (the parity-sliced cousin for the merge oracle is
+# _mg_half_sql below — same chain, per-half tags).
+_MG_ONE_ROUND_SQL = """h AS (
   SELECT item,
          CAST(CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % 4 AS INT)
            AS shard
@@ -12632,7 +12637,15 @@ WITH src AS (
   SELECT r.shard, r.item, CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
   FROM rk r JOIN med m USING (shard)
   WHERE r.c - COALESCE(m.m, 0) > 0
-)
+)"""
+
+
+_STREAM_MG_ORACLE = f"""
+WITH src AS (
+  SELECT item FROM (
+    SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item FROM documents
+  ) WHERE item IS NOT NULL
+), {_MG_ONE_ROUND_SQL}
 SELECT t.shard, s.item, s.cnt, t.n_shard
 FROM totals t LEFT JOIN surv s USING (shard)
 ORDER BY shard, item
@@ -12699,8 +12712,10 @@ def _mg_half_sql(tag: str, parity: int) -> str:
 
 _MG_MERGE_ORACLE = f"""
 WITH srcm AS (
-  SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item, doc_id
-  FROM documents
+  SELECT item, doc_id FROM (
+    SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item, doc_id
+    FROM documents
+  ) WHERE item IS NOT NULL
 ), {_mg_half_sql('a', 0)}, {_mg_half_sql('b', 1)}, u AS (
   SELECT shard, item, cnt FROM sa
   UNION ALL SELECT shard, item, cnt FROM sb
@@ -12747,29 +12762,12 @@ def q_stats_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_heavy_hitters(summ, phi=0.02, k=5)
 
 
-_MG_HH_ORACLE = """
+_MG_HH_ORACLE = f"""
 WITH src AS (
-  SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item FROM documents
-), h AS (
-  SELECT item,
-         CAST(CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % 4 AS INT)
-           AS shard
-  FROM src
-), cnt AS (
-  SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
-), totals AS (
-  SELECT shard, CAST(SUM(c) AS BIGINT) AS n_shard FROM cnt GROUP BY shard
-), rk AS (
-  SELECT shard, item, c,
-         row_number() OVER (PARTITION BY shard ORDER BY c DESC, item) AS rn
-  FROM cnt
-), med AS (
-  SELECT shard, MAX(CASE WHEN rn = 6 THEN c END) AS m FROM rk GROUP BY shard
-), surv AS (
-  SELECT r.shard, r.item, CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
-  FROM rk r JOIN med m USING (shard)
-  WHERE r.c - COALESCE(m.m, 0) > 0
-), slack AS (
+  SELECT item FROM (
+    SELECT lang || '-' || CAST(doc_id % 7 AS VARCHAR) AS item FROM documents
+  ) WHERE item IS NOT NULL
+), {_MG_ONE_ROUND_SQL}, slack AS (
   SELECT t.shard,
          CAST(floor((t.n_shard - COALESCE(s.sc, 0)) / 6.0) AS BIGINT) AS sl
   FROM totals t LEFT JOIN (
@@ -13499,7 +13497,7 @@ WITH src AS (
 ), routed AS (
   SELECT CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS store,
          ABS(x) AS ax
-  FROM src
+  FROM src WHERE x IS NOT NULL
 ), seed AS (
   SELECT store, ax, CAST(floor(log2(ax)) AS BIGINT) AS b0
   FROM routed WHERE store <> 0

@@ -962,9 +962,25 @@ def semantic_dedup(
     )
 
 
-def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(vec_col).alias("d")).first()
-    return int(row["d"]) if row else 0
+def _vec_dim(df: DataFrame, vec_col: str, sample: int = 101) -> int:
+    """Infer the embedding dimension as the MAJORITY size among the
+    first ``sample`` rows — not the first row's size: with the
+    wrong-width drop gates downstream (ann_*_topk, bitext_mine), a
+    single truncated vector that happened to land first would
+    otherwise set d to the corrupt width and the gate would drop the
+    entire well-formed corpus (r11 review finding). A majority vote
+    over a bounded sample makes a lone glitch row harmless; callers
+    that know d should still pass dim= explicitly."""
+    rows = (
+        df.select(F.size(vec_col).alias("d"))
+        .filter(F.col("d") > 0)
+        .limit(sample)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "d")
+        .first()
+    )
+    return int(rows["d"]) if rows else 0
 
 
 # ---------------------------------------------------------------------------

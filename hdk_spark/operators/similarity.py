@@ -228,11 +228,26 @@ def ann_ivf_topk(
     ``ann_multiprobe_topk(codes=...)``. SCALE.md already prefers IVF
     above ~100k corpus vectors, so this is the preferred coded-lake
     search path. ``df``/``id_col``/``vec_col`` ignored in that
-    regime (``df`` may be None)."""
+    regime (``df`` may be None).
+
+    Wrong-width vectors are DROPPED (the ann_multiprobe_topk /
+    ann_lsh_topk policy): un-gated, a ragged row NULLs the fold
+    distances in centroid mode and breaks the training/assignment
+    Arrow batches (ragged np.array → object dtype) in the default
+    mode. d comes from ``bounds`` (coded), the given ``centroids``,
+    or the majority-of-sample ``_vec_dim`` — never a single row."""
     if codes is not None:
         if bounds is None:
             raise ValueError("codes= requires the bounds it was trained on")
         df, id_col, vec_col = sq8_decode(codes, bounds), "id", "v"
+        gate_d = len(bounds)
+    elif centroids is not None:
+        gate_d = len(next(iter(centroids.values())))
+    else:
+        from hdk_spark.operators.dedup import _vec_dim
+
+        gate_d = _vec_dim(df, vec_col)
+    df = df.filter(F.size(vec_col) == gate_d)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -367,15 +382,27 @@ def ann_lsh_topk(
     Coded-lake entrance: ``codes=`` + ``bounds=`` dequantize an
     ``sq8_encode`` relation inside the kernel (``sq8_decode``) exactly
     like ``ann_multiprobe_topk(codes=...)`` — ¼ the bytes scanned,
-    ``df``/``id_col``/``vec_col`` ignored (``df`` may be None)."""
+    ``df``/``id_col``/``vec_col`` ignored (``df`` may be None).
+
+    Wrong-width vectors (including ragged rows arriving through a
+    user-supplied ``codes=`` relation) are DROPPED — the same
+    explicit policy as ann_multiprobe_topk/bitext_mine/sq8_encode:
+    un-gated they zip_with into NULL dots and land in bucket 0 with
+    NULL cosines in deterministic mode, and break the Arrow batch
+    (ragged np.array → object dtype) in the numpy kernel. The
+    float-path dimension, when not obvious, is the MAJORITY size of
+    a bounded sample (_vec_dim), so a lone corrupt first row cannot
+    set d and gate out the whole corpus."""
     if codes is not None:
         if bounds is None:
             raise ValueError("codes= requires the bounds it was trained on")
         df, id_col, vec_col = sq8_decode(codes, bounds), "id", "v"
         dim = len(bounds)
     else:
-        dim_row = df.select(F.size(vec_col).alias("d")).first()
-        dim = int(dim_row["d"])
+        from hdk_spark.operators.dedup import _vec_dim
+
+        dim = _vec_dim(df, vec_col)
+    df = df.filter(F.size(vec_col) == dim)
     tables = [
         _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
     ]

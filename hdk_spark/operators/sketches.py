@@ -1,7 +1,7 @@
 """Mergeable sketches — sketch each ingest slice ONCE, store the
 summary beside the slice, and answer rollup questions by MERGING
 summaries, never by re-scanning history (the only maintenance model
-that survives 100 TB). Three families, one merge law each:
+that survives 100 TB). Five families, one merge law each:
 
 - distinct counts: HLL (ndv_rollup / merge_ndv_rollups /
   ndv_estimate) — merge = register-wise max, idempotent. Built on
@@ -335,6 +335,16 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
       bounded by the slack alone, which is why items below it can
       never be certified absent — the summary's honest limit),
     - ``certain`` = lower ≥ φ·N; emitted rows are upper ≥ φ·N.
+
+    COMPLETENESS PRECONDITION (r11 review): only LISTED items are
+    scored, and MG guarantees an item survives its shard's trim only
+    when its true count > n_shard/(k+1) — so "no true φ-heavy item is
+    missed" holds iff φ·N > n_s/(k+1) for every shard s (pick k ≥
+    max_s n_s/(φ·N); with even hash sharding n_s ≈ N/n_shards, i.e.
+    k ≥ 1/(φ·n_shards) suffices with margin). Below that, a fully-
+    trimmed item whose slack-only upper bound clears φ·N is silently
+    absent — the summary's honest limit (test-pinned both ways:
+    guarantee above the threshold, documented miss below it).
 
     N = Σ per-shard n_shard — TOTAL volume, which the NULL-item
     accounting rows keep exact even for all-trimmed shards. Pass the

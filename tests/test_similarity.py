@@ -643,3 +643,83 @@ def test_bitext_mine_planted_alignment(spark):
         bitext_mine(src, tgt, k=0)
     with pytest.raises(ValueError, match="n_probes"):
         bitext_mine(src, tgt, n_planes=4, n_probes=9)
+
+
+def test_ann_lsh_and_ivf_drop_wrong_width_vectors(spark):
+    """r11 review finding: the wrong-width drop gate multiprobe got in
+    r10 was missing from ann_lsh_topk and ann_ivf_topk — including
+    their new codes= entrances, where a user-supplied ragged codes
+    relation decodes to a short vector. Ragged/NULL rows must change
+    NOTHING vs the clean corpus in every mode of both kernels."""
+    from hdk_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        sq8_encode,
+        sq8_train,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+            for i in range(120)]
+    clean = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+    ragged = spark.createDataFrame(
+        rows + [(700, [1.0, 2.0]), (701, None)],
+        "vec_id: long, embedding: array<double>")
+    qids = [0, 3]
+
+    for det in (True, False):
+        want = sorted(map(tuple, ann_lsh_topk(
+            clean, qids, k=5, n_planes=4, n_tables=4,
+            deterministic=det).collect()))
+        got = sorted(map(tuple, ann_lsh_topk(
+            ragged, qids, k=5, n_planes=4, n_tables=4,
+            deterministic=det).collect()))
+        assert got == want and len(got) == 10, f"lsh det={det}"
+
+    cents = {0: [1.0] * 16, 1: [-1.0] * 16, 2: [0.5] * 8 + [-0.5] * 8}
+    for kw in (dict(centroids=cents), dict(train_sample=64)):
+        want = sorted(map(tuple, ann_ivf_topk(
+            clean, qids, k=5, n_lists=3, nprobe=2, **kw).collect()))
+        got = sorted(map(tuple, ann_ivf_topk(
+            ragged, qids, k=5, n_lists=3, nprobe=2, **kw).collect()))
+        assert got == want and len(got) == 10, f"ivf {kw.keys()}"
+
+    # ragged row smuggled through a codes= relation: decoded short
+    # vector must be dropped inside both kernels
+    bounds = sq8_train(clean)
+    codes_clean = sq8_encode(clean, bounds)
+    bad = spark.createDataFrame(
+        [(700, [1, 2])], "id: long, codes: array<tinyint>")
+    codes_ragged = codes_clean.unionByName(bad)
+    want = sorted(map(tuple, ann_lsh_topk(
+        None, qids, k=5, n_planes=4, n_tables=4, deterministic=True,
+        codes=codes_clean, bounds=bounds).collect()))
+    got = sorted(map(tuple, ann_lsh_topk(
+        None, qids, k=5, n_planes=4, n_tables=4, deterministic=True,
+        codes=codes_ragged, bounds=bounds).collect()))
+    assert got == want and len(got) == 10
+    want = sorted(map(tuple, ann_ivf_topk(
+        None, qids, k=5, n_lists=3, nprobe=2, centroids=cents,
+        codes=codes_clean, bounds=bounds).collect()))
+    got = sorted(map(tuple, ann_ivf_topk(
+        None, qids, k=5, n_lists=3, nprobe=2, centroids=cents,
+        codes=codes_ragged, bounds=bounds).collect()))
+    assert got == want and len(got) == 10
+
+
+def test_vec_dim_majority_not_first_row(spark):
+    """_vec_dim infers the MAJORITY width of a bounded sample, so a
+    corrupt vector in row-1 position cannot set d and make the drop
+    gates empty the corpus (r11 review finding — first() + gate
+    silently dropped every well-formed vector)."""
+    from hdk_spark.operators.dedup import _vec_dim
+    from hdk_spark.operators.similarity import ann_lsh_topk
+
+    rows = [(0, [9.9, 9.9])] + [
+        (i, [float(i + j) for j in range(16)]) for i in range(1, 80)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>").coalesce(1)
+    assert _vec_dim(df, "embedding") == 16
+    out = ann_lsh_topk(df, [1, 2], k=3, n_planes=4, n_tables=4,
+                       deterministic=True)
+    assert len(out.collect()) == 6  # corpus survived; glitch dropped

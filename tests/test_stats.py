@@ -223,9 +223,13 @@ def test_mg_heavy_hitters_bounds_and_certainty(spark):
     """mg_heavy_hitters vs brute truth on a skewed corpus: (a) every
     emitted lower/upper bound actually brackets the item's true
     count; (b) 'certain' items truly clear φ·N; (c) NO true φ-heavy
-    item is missed (the MG candidate guarantee through the query);
-    (d) with k ≥ distinct (no trim, zero slack) the output is exact
-    counts with certain == (cnt ≥ φN); (e) guards."""
+    item is missed — valid here because the parameters satisfy the
+    documented completeness precondition φ·N > n_s/(k+1) (φ·N = 200
+    vs max shard threshold ≈ 2000/4/6 ≈ 84 at k=5); (d) with k ≥
+    distinct (no trim, zero slack) the output is exact counts with
+    certain == (cnt ≥ φN); (e) guards; (f) BELOW the precondition a
+    fully-trimmed φ-heavy item is genuinely absent — the docstring's
+    honest limit, pinned as behavior rather than left as prose."""
     from collections import Counter
 
     import pytest
@@ -261,6 +265,29 @@ def test_mg_heavy_hitters_bounds_and_certainty(spark):
         mg_heavy_hitters(summ, phi=0.0, k=5)
     with pytest.raises(ValueError, match="k"):
         mg_heavy_hitters(summ, phi=0.1, k=0)
+
+    # (f) the documented completeness LIMIT: below the precondition
+    # phi*N > n_s/(k+1), a fully-trimmed phi-heavy item is absent.
+    # 10 big items (31..40) push the rank-6 trim value to 35, which
+    # wipes the 25-count victim; phi=0.036 makes it phi-heavy
+    # (phi*N = 24.48 <= 25) while n_s/(k+1) = 113 >> phi*N.
+    rows2 = []
+    rid = 0
+    for b, c in enumerate(range(31, 41)):
+        rows2 += [(rid + j, f"big{b}") for j in range(c)]
+        rid += c
+    rows2 += [(10_000 + j, "victim") for j in range(25)]
+    rows2 += [(20_000 + j, f"tail{j}") for j in range(300)]
+    df2 = spark.createDataFrame(rows2, "id: long, v: string")
+    summ2 = mg_summary(df2, "v", k=5, n_shards=1, hash_basis="md5")
+    got2 = mg_heavy_hitters(summ2, phi=0.036, k=5).collect()
+    emitted2 = {r["item"] for r in got2}
+    truth2 = Counter(v for _, v in rows2)
+    assert truth2["victim"] >= 0.036 * len(rows2)  # truly phi-heavy
+    assert "victim" not in emitted2  # ...and genuinely missed
+    # the survivors' slack-widened upper bounds still bracket truth
+    for r in got2:
+        assert r["cnt_lower"] <= truth2[r["item"]] <= r["cnt_upper"], r
 
 
 def test_mg_trim_bound():
