@@ -949,3 +949,63 @@ def test_random_sort_limit_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# scalar correlated-subquery grammar (round 11: the projection-side
+# decorrelation path — the quantified forms above go through IN/EXISTS
+# rewrites, but a scalar subquery in the SELECT list exercises
+# Spark's scalar-subquery decorrelation against DuckDB's flattening,
+# including the empty-group semantics split: COUNT over an empty
+# correlated group is 0, while MAX/MIN/SUM are NULL).
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUB_INNER = [
+    "l_quantity > 30.0",
+    "l_returnflag = 'A'",
+    "l_discount < 0.03",
+    "l_linenumber <= 2",
+]
+
+_SCALAR_SUB_AGGS = [
+    ("CAST(COUNT(*) AS BIGINT)", "sub_n"),
+    ("MAX(l_quantity)", "sub_max"),
+    ("MIN(l_discount)", "sub_min"),
+    ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)",
+     "sub_sum"),
+]
+
+
+@st.composite
+def scalar_subquery_queries(draw):
+    outer_pred = draw(st.sampled_from(
+        ["o_totalprice > 150000", "o_orderstatus = 'F'",
+         "o_custkey % 5 = 2"]))
+    picks = draw(st.lists(st.sampled_from(_SCALAR_SUB_AGGS), min_size=1,
+                          max_size=2, unique=True))
+    subs = []
+    for agg, alias in picks:
+        inner = draw(st.sampled_from(_SCALAR_SUB_INNER))
+        subs.append(
+            f"(SELECT {agg} FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey AND {inner}) AS {alias}")
+    return (
+        "SELECT o_orderkey, "
+        "CAST(o_totalprice AS DOUBLE) AS o_total, "
+        + ", ".join(subs)
+        + f" FROM orders WHERE {outer_pred}"
+        " ORDER BY o_orderkey LIMIT 400"
+    )
+
+
+@given(sql=scalar_subquery_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_scalar_subquery_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
