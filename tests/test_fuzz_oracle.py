@@ -1009,3 +1009,62 @@ def test_random_scalar_subquery_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# aggregate FILTER-clause grammar (round 11: conditional aggregation —
+# the SQL:2003 FILTER (WHERE ...) path is a distinct Catalyst rewrite
+# from plain aggregates and from CASE-WHEN folding, and composes with
+# GROUP BY + HAVING; NULL discipline matters because a fully filtered-
+# out group yields 0 for COUNT but NULL for SUM/MIN/MAX, which the
+# grammar reaches via selective filter predicates).
+# ---------------------------------------------------------------------------
+
+_FILTER_PREDS = [
+    "l_quantity > 45.0",
+    "l_returnflag = 'R'",
+    "l_linenumber = 7",
+    "l_discount < 0.01",
+]
+
+# templates with the filter INSIDE any cast — FILTER binds to the
+# aggregate function, so `CAST(SUM(x) AS T) FILTER (...)` is a parse
+# error in Spark. No DISTINCT aggregates: Spark rejects DISTINCT +
+# FILTER (PARSE_SYNTAX_ERROR) while DuckDB accepts it — no shared text.
+_FILTER_AGGS = [
+    "COUNT(*) FILTER (WHERE {p})",
+    "CAST(SUM(l_linenumber) FILTER (WHERE {p}) AS BIGINT)",
+    "MAX(l_quantity) FILTER (WHERE {p})",
+    "MIN(l_quantity) FILTER (WHERE {p})",
+]
+
+
+@st.composite
+def filter_agg_queries(draw):
+    n = draw(st.integers(min_value=1, max_value=3))
+    cols = []
+    for i in range(n):
+        agg = draw(st.sampled_from(_FILTER_AGGS))
+        fp = draw(st.sampled_from(_FILTER_PREDS))
+        cols.append(f"{agg.format(p=fp)} AS f{i}")
+    key = draw(st.sampled_from(KEY_COLS))
+    having = draw(st.sampled_from(
+        [None, "COUNT(*) > 100", "MAX(l_quantity) >= 10.0"]))
+    sql = (f"SELECT {key}, COUNT(*) AS n_all, " + ", ".join(cols)
+           + f" FROM lineitem GROUP BY {key}")
+    if having:
+        sql += f" HAVING {having}"
+    return sql + f" ORDER BY {key}"
+
+
+@given(sql=filter_agg_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_filter_agg_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
