@@ -108,6 +108,32 @@ class HDK:
         name = name or _table_name_from_path(path)
         return self._register(name, self.spark.read.orc(path))
 
+    def import_binary(
+        self,
+        path: str,
+        name: str | None = None,
+        glob: str | None = None,
+        recursive: bool = False,
+    ) -> "Table":
+        """Raw-file import via Spark's ``binaryFile`` source (beyond-
+        reference): each matching file becomes one row (path,
+        modificationTime, length, content) with ``content`` the opaque
+        BINARY column the multimodal operator family (operators/
+        jpeg.py / png.py / exif.py / avi.py / multimodal.py) consumes —
+        the lake entrance for image/audio/video blobs. Distributed
+        read, one task per file group; pair with ``glob`` (e.g.
+        ``*.jpg``) so partition pruning happens at listing time, and
+        keep blobs ≤ a few hundred MB (a row must fit in executor
+        memory — binaryFile is for corpus files, not giant archives;
+        WARC/streams have their own readers)."""
+        reader = self.spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        if recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+        name = name or _table_name_from_path(path)
+        return self._register(name, reader.load(path))
+
     def append_json(
         self, path: str, name: str, multiline: bool = False
     ) -> "Table":

@@ -346,3 +346,38 @@ def test_ensure_shipped_content_addressed_zip(spark):
     # no stray .tmp files left behind by the atomic write
     assert not glob.glob(
         os.path.join(cache_dir, "hdk_spark_pkg_*.tmp"))
+
+
+def test_import_binary_feeds_multimodal_family(hdk, tmp_path):
+    """import_binary (binaryFile source): each matching file becomes
+    one (path, modificationTime, length, content) row — the lake
+    entrance for the multimodal blob family. The glob prunes at
+    listing time, and the content column composes directly with
+    exif_extract (header-only parse of planted JPEGs)."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.exif import build_exif_app1, exif_extract
+
+    blobs = {
+        "a.jpg": b"\xff\xd8" + build_exif_app1(
+            orientation=6, make="CamA") + b"\xff\xd9",
+        "b.jpg": b"\xff\xd8" + build_exif_app1(
+            orientation=1, make="CamB", gps=True) + b"\xff\xd9",
+        "noise.txt": b"not an image",
+    }
+    for fn, data in blobs.items():
+        (tmp_path / fn).write_bytes(data)
+
+    t = hdk.import_binary(str(tmp_path), name="blobs", glob="*.jpg")
+    assert t.row_count == 2  # the glob excluded noise.txt at listing
+    cols = [f.name for f in t.schema.fields]
+    assert {"path", "content", "length"} <= set(cols)
+
+    rows = exif_extract(
+        t.df.select(
+            F.xxhash64("path").alias("doc_id"), F.col("content").alias("data")
+        ),
+        data_col="data",
+    ).collect()
+    got = {r["make"]: (r["orientation"], r["has_gps"]) for r in rows}
+    assert got == {"CamA": (6, False), "CamB": (1, True)}
