@@ -1068,3 +1068,49 @@ def test_random_filter_agg_matches_duckdb(spark, duck, sql):
 
     load_tables(spark, SF_CORRECT)
     assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# CTE-reuse grammar (round 11: WITH clauses referenced more than once —
+# Spark's CTE inlining/reuse decisions vs DuckDB's materialization are
+# independent optimizer paths over the same semantics; the grammar
+# self-joins one aggregate CTE on adjacent group keys so a wrong
+# dedup/inline shows up as row-count or value drift).
+# ---------------------------------------------------------------------------
+
+_CTE_KEYS = ["l_linenumber", "l_suppkey % 50", "l_partkey % 100"]
+
+_CTE_AGGS = [
+    "CAST(SUM(l_orderkey) AS BIGINT)",
+    "MAX(l_quantity)",
+    "COUNT(*)",
+]
+
+
+@st.composite
+def cte_reuse_queries(draw):
+    key = draw(st.sampled_from(_CTE_KEYS))
+    agg = draw(st.sampled_from(_CTE_AGGS))
+    pred = draw(preds)
+    shift = draw(st.integers(min_value=1, max_value=3))
+    return (
+        f"WITH g AS (SELECT {key} AS k, {agg} AS v, COUNT(*) AS n"
+        f" FROM lineitem WHERE {pred} GROUP BY {key})"
+        " SELECT a.k AS k, a.v AS v_here, b.v AS v_next,"
+        " CAST(a.n + b.n AS BIGINT) AS n_pair"
+        f" FROM g a JOIN g b ON b.k = a.k + {shift}"
+        " ORDER BY a.k"
+    )
+
+
+@given(sql=cte_reuse_queries())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_cte_reuse_matches_duckdb(spark, duck, sql):
+    from __spark_entry__ import load_tables
+
+    load_tables(spark, SF_CORRECT)
+    assert_frames_match(spark.sql(sql), duck.sql(sql), sql)
