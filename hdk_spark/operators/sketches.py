@@ -616,9 +616,15 @@ def dds_quantile(
     cumulative window and one theta join of the |qs|-row literal
     relation against the bounded bucket relation (≤ stores·binades·m
     rows regardless of data volume — THIS is why it scales; the
-    corpus is never touched). Returns (q, est, n), ordered by q; an
-    EMPTY sketch answers (q, NULL, 0) — no data has no quantiles,
-    but the row shape stays stable (test-pinned)."""
+    corpus is never touched). The sketch relation is consumed by
+    THREE subtrees (cumulative walk, total count, rank targets), so
+    it is persisted here — bounded rows, and without it an IN-LINEAGE
+    sketch re-derives its corpus aggregation once per subtree (the
+    un-persisted static plan carried FOUR corpus scans, plan-pinned
+    down to one; stored/parquet sketches only re-read kilobytes, but
+    the persist is still strictly cheaper). Returns (q, est, n),
+    ordered by q; an EMPTY sketch answers (q, NULL, 0) — no data has
+    no quantiles, but the row shape stays stable (test-pinned)."""
     if m < 1 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 1, got {m}")
     if not qs:
@@ -627,6 +633,7 @@ def dds_quantile(
         raise ValueError(f"quantiles must be in [0, 1], got {qs}")
     from pyspark.sql.window import Window
 
+    sketch = sketch.persist()
     ordered = sketch.select(
         "store", "b", "j", "c",
         F.when(F.col("store") == -1, -F.col("b")).otherwise(F.col("b"))

@@ -971,6 +971,16 @@ def test_round11_sketch_plan_shapes(spark):
     assert "Join" not in p and "Window" not in p
     assert "HashAggregate" in p
 
+    # dds_quantile consumes the sketch from three subtrees (cumulative
+    # walk, total, rank targets) — the operator persists it, so every
+    # subtree reads the cache (InMemoryTableScan) instead of
+    # re-deriving the corpus aggregation per subtree (the un-persisted
+    # plan carried FOUR parquet scans)
+    from hdk_spark.operators.sketches import dds_quantile
+
+    pq = plan(dds_quantile(dds_build(li, "l_extendedprice"), [0.25, 0.5]))
+    assert pq.count("InMemoryTableScan") >= 3
+
     p2 = plan(kmv_summary(li, "l_orderkey", k=64))
     assert "TakeOrderedAndProject" in p2
     assert "Window" not in p2
