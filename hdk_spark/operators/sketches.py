@@ -223,6 +223,13 @@ def mg_summary(
     src = df.select(F.col(value_col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
+    # persisted: cnt feeds BOTH the trim relation and the per-shard
+    # totals, and Spark's exchange reuse does not bridge the two
+    # subtrees — un-persisted, building one summary scanned the corpus
+    # twice (executed-plan-verified, 0 ReusedExchange). cnt is
+    # distinct-(shard, item)-sized; persist() is MEMORY_AND_DISK, so a
+    # huge vocabulary spills rather than OOMs, and one spilled pass
+    # still beats two corpus scans + two identical shuffles.
     cnt = (
         src.withColumn(
             "shard",
@@ -232,6 +239,7 @@ def mg_summary(
         )
         .groupBy("shard", "item")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
     n_rel = cnt.groupBy("shard").agg(
         F.sum("c").cast("long").alias("n_shard"))
@@ -302,19 +310,29 @@ def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
         raise ValueError(f"k must be >= 1, got {k}")
     if not summaries:
         raise ValueError("mg_merge needs at least one input")
-    counters = summaries[0].select("shard", "item", "cnt")
-    totals = summaries[0].select("shard", "n_shard").distinct()
-    for s in summaries[1:]:
-        counters = counters.unionByName(s.select("shard", "item", "cnt"))
-        totals = totals.unionByName(
-            s.select("shard", "n_shard").distinct())
+    # each input is consumed by BOTH the counter union and the totals
+    # union; tagging rows with their input index and persisting the
+    # single tagged union makes every input's lineage run ONCE (an
+    # in-lineage mg_summary input would otherwise re-scan its corpus
+    # per consumer). The tag also keeps per-input totals distinct
+    # BEFORE summing — two inputs whose shard happens to carry the
+    # same n_shard value must contribute it twice.
+    u = summaries[0].select(
+        "shard", "item", "cnt", "n_shard", F.lit(0).alias("__src"))
+    for i, s in enumerate(summaries[1:], start=1):
+        u = u.unionByName(s.select(
+            "shard", "item", "cnt", "n_shard", F.lit(i).alias("__src")))
+    u = u.persist()  # bounded: ≤ inputs·(k+1) rows per shard
     merged = (
-        counters.filter(F.col("item").isNotNull())  # accounting rows
+        u.filter(F.col("item").isNotNull())  # accounting rows
         .groupBy("shard", "item")
         .agg(F.sum("cnt").cast("long").alias("c"))
     )
-    n_rel = totals.groupBy("shard").agg(
-        F.sum("n_shard").cast("long").alias("n_shard"))
+    n_rel = (
+        u.select("shard", "n_shard", "__src").distinct()
+        .groupBy("shard")
+        .agg(F.sum("n_shard").cast("long").alias("n_shard"))
+    )
     # same right-outer + build-left broadcast as mg_summary
     return F.broadcast(_mg_trim_relation(merged, k)).join(
         n_rel, "shard", "right"
@@ -361,6 +379,9 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"phi must be in (0, 1], got {phi}")
+    # three consumers (totals, slack, items) — persist the bounded
+    # summary so an in-lineage input's corpus derivation runs once
+    summary = summary.persist()
     totals = summary.select("shard", "n_shard").distinct()
     n_total = totals.agg(F.sum("n_shard").cast("long").alias("n"))
     slack = (
@@ -789,8 +810,12 @@ def kmv_jaccard(
     n_inter, jaccard_est)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    ha = summary_a.select("h")
-    hb = summary_b.select("h")
+    # each ≤ k-row summary feeds the union AND a membership probe, and
+    # the bottom-k TakeOrdered cannot be exchange-reused — un-persisted,
+    # in-lineage summaries re-ran their corpus distinct+bottom-k per
+    # consumer (executed-plan-verified)
+    ha = summary_a.select("h").persist()
+    hb = summary_b.select("h").persist()
     kk = ha.unionByName(hb).distinct().orderBy("h").limit(k)
     inter = (
         kk.join(F.broadcast(ha), "h", "left_semi")
