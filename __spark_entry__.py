@@ -310,6 +310,7 @@ _PRIORITY: list[str] = [
     "stats_kmv_ndv",
     "stats_kmv_jaccard",
     "streaming_dds_quantile",
+    "streaming_kmv_ndv",
     # stable greens
     "similarity_ann_ivf",
     "similarity_ann_lsh",

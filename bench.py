@@ -301,9 +301,12 @@ def main() -> None:
                 # contract queries pin md5/deterministic explicitly.
                 "notes": "r11: no headline-path changes (SQ8×ANN "
                 "coded-lake entrances, streaming/batch Misra-Gries, "
-                "DDSketch + KMV mergeable summaries + streaming DDS, "
-                "bitext plane sweep + auto n_planes, join-condition + "
-                "sort/top-k fuzz — q7/q8/q9 source files dedup.py/text.py/"
+                "DDSketch + KMV mergeable summaries + streaming "
+                "DDS/KMV (every sketch family now has a bounded-state "
+                "streaming twin), sketch persist hygiene, "
+                "import_binary, bitext plane sweep + auto n_planes, "
+                "join-condition + sort/top-k + FILTER + scalar-"
+                "subquery + CTE-reuse fuzz — q7/q8/q9 source files dedup.py/text.py/"
                 "ann_lsh_topk untouched except ann_lsh_topk's "
                 "codes=None preamble, a no-op when codes is absent). "
                 "The uniform-ambient-drift gate (shipped r9) stays: "

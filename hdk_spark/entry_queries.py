@@ -13538,3 +13538,59 @@ ORDER BY q
 
 SPARK_IMPLS["streaming_dds_quantile"] = q_streaming_dds_quantile
 ORACLES["streaming_dds_quantile"] = _STREAM_DDS_ORACLE
+
+
+def q_streaming_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_kmv (streaming.py — sharded
+    bottom-k KMV state, ≤ n_shards·k (h, item) pairs for an unbounded
+    stream; the LAST streaming twin in the mergeable-sketch set),
+    shards' latest emissions merged with kmv_merge, then the Beyer
+    et al. 2007 (k−1)/u_k estimate beside the exact distinct count.
+    Planted ~997-distinct value >> k=64 so the estimator branch (not
+    the exact-below-k branch) is what's value-checked at every SF.
+    The oracle replays the GLOBAL distinct → md5 bottom-64 → estimator
+    chain directly — valid precisely because merged per-shard bottom-k
+    == global bottom-k exactly (the closure property the operator's
+    multi-batch test pins), with no dependence on micro-batch splits."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import kmv_merge, kmv_ndv
+    from hdk_spark.streaming import stream_kmv
+
+    _tables(spark, sf_dir)
+    v = F.concat(F.lit("u"), (F.col("doc_id") % 997).cast("string"))
+    stream = _documents_stream(spark, sf_dir).select(v.alias("v"))
+    name = _run_stream(
+        stream_kmv(stream, "v", k=64, n_shards=4, hash_basis="md5"),
+        "update",
+    )
+    latest = (
+        spark.table(name)
+        .withColumn("__m", F.max("n_seen").over(Window.partitionBy("shard")))
+        .filter(F.col("n_seen") == F.col("__m"))
+    )
+    merged = kmv_merge(latest.select("h", "item"), k=64)
+    truth = spark.table("documents").agg(
+        F.countDistinct(F.col("doc_id") % 997).cast("long")
+        .alias("ndv_true"))
+    return kmv_ndv(merged, k=64, hash_basis="md5").crossJoin(
+        F.broadcast(truth))
+
+
+_STREAM_KMV_ORACLE = f"""
+WITH src AS (SELECT 'u' || CAST(doc_id % 997 AS VARCHAR) AS item
+             FROM documents WHERE doc_id IS NOT NULL),
+m AS (SELECT h, MIN(item) AS item FROM (
+        SELECT {_KMV_H.format(v='item')} AS h, item
+        FROM (SELECT DISTINCT item FROM src)) GROUP BY h
+      ORDER BY h LIMIT 64)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       round(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE 63.0 / MAX(h / 4294967296.0) END, 4) + 0 AS ndv_est,
+       (SELECT CAST(COUNT(DISTINCT doc_id % 997) AS BIGINT)
+        FROM documents WHERE doc_id IS NOT NULL) AS ndv_true
+FROM m
+"""
+
+SPARK_IMPLS["streaming_kmv_ndv"] = q_streaming_kmv_ndv
+ORACLES["streaming_kmv_ndv"] = _STREAM_KMV_ORACLE

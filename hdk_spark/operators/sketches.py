@@ -24,10 +24,11 @@ that survives 100 TB). Five families, one merge law each:
   (Bar-Yossef et al. 2002; Beyer et al. 2007), which also answers
   set-operation questions (Jaccard) no other family can.
 
-CMS/HLL/MG/DDSketch have bounded-state streaming twins in
-hdk_spark.streaming (stream_ndv_rollup / stream_cms /
-stream_frequent_items / stream_dds); KMV's streaming form (bounded
-bottom-k state) is future work."""
+Every family has a bounded-state streaming twin in
+hdk_spark.streaming: stream_ndv_rollup / stream_cms /
+stream_frequent_items / stream_dds / stream_kmv (sharded bottom-k
+state, exact vs the batch summary regardless of micro-batch
+splits)."""
 
 from __future__ import annotations
 

@@ -627,6 +627,113 @@ def stream_dds(
     return dds_build(stream_df, value_col, m)
 
 
+def stream_kmv(
+    stream_df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    n_shards: int = 8,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming KMV / bottom-k sketch — the LAST streaming twin in
+    the mergeable-sketch set (CMS linear add, HLL register max, MG
+    counter-add + trim, DDSketch bucket add, now KMV bottom-k union):
+    maintains the k smallest distinct base hashes of ``value_col``
+    (with a representative item each) as sharded
+    applyInPandasWithState state. Values shard on pmod(hash, n_shards)
+    and each shard keeps ITS bottom-k, so TOTAL state is ≤ n_shards·k
+    (h, item) pairs for an unbounded stream — vs streaming
+    ``dropDuplicates``/COUNT DISTINCT, which holds every key ever
+    seen. Merging the shards' latest emissions with
+    ``sketches.kmv_merge`` yields the batch ``kmv_summary`` of the
+    full history BIT-FOR-BIT regardless of micro-batch splits: each
+    global bottom-k hash lands in some shard, where at most k hashes
+    can be smaller, so the shard's bottom-k retains it — the same
+    bottom-k closure property that makes kmv_merge exact (Beyer et
+    al. 2007), and each micro-batch update IS that merge
+    (property-pinned across a forced multi-batch run).
+
+    Unlike the counter sketches, KMV is a pure function of the value
+    SET, so replayed/duplicate rows leave the summary UNCHANGED —
+    at-least-once sources still converge to the exact bottom-k; only
+    the companion ``n_seen`` row counter double-counts replays (the
+    stream_ndv_rollup n_rows caveat).
+
+    Emission (update mode): every updated shard re-emits its full
+    current summary (shard, h, item, n_seen); n_seen strictly grows
+    per update, so the latest emission per shard is the max-n_seen
+    one. NULLs excluded. Feed the merged summary to ``kmv_ndv`` /
+    ``kmv_jaccard`` as usual. Hash collisions keep the smallest item,
+    compared as Python str — code-point order, identical to the batch
+    ``F.min`` for the ASCII/BMP items the repo plants."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hdk_spark.operators.sketches import _cms_base_hash
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            st_hs, st_items, n = state.get
+            summ = dict(zip((int(h) for h in st_hs), st_items))
+            n = int(n)
+        else:
+            summ, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for h, it in zip(pdf["h"], pdf["item"]):
+                h = int(h)
+                prev = summ.get(h)
+                if prev is None or it < prev:
+                    summ[h] = it
+        if len(summ) > k:
+            summ = {h: summ[h] for h in sorted(summ)[:k]}
+        hs = sorted(summ)
+        state.update((hs, [summ[h] for h in hs], n))
+        yield pd.DataFrame(
+            {
+                "shard": pd.array([int(key[0])] * len(hs), dtype="int32"),
+                "h": pd.array(hs, dtype="int64"),
+                "item": pd.array([summ[h] for h in hs], dtype="string"),
+                "n_seen": pd.array([n] * len(hs), dtype="int64"),
+            }
+        )
+
+    sharded = (
+        stream_df.select(F.col(value_col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .withColumn("h", _cms_base_hash(F.col("item"), hash_basis))
+        .withColumn("shard",
+                    F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_ndv_rollup(
     stream_df: DataFrame,
     group_col: str,

@@ -88,8 +88,9 @@ def main() -> None:
         secs = float(sys.argv[sys.argv.index("--secs") + 1])
 
     spark = get_spark("streaming_bench")
-    if not os.path.exists(DST):
-        raise SystemExit("run scripts/scale_smoke.py --regen first")
+    # the sketch modes (--sketch/--dds/--mg/--kmv) are rate-source
+    # driven and never touch the synthetic corpus; only the default
+    # stream-static modes need DST (checked below, where it's read)
 
     if "--sketch" in sys.argv:
         # round-10 bounded-state sketch pair: the state-row counts
@@ -206,6 +207,37 @@ def main() -> None:
         assert r["state_rows_total"] <= 8, r
         return
 
+    if "--kmv" in sys.argv:
+        # round-11 streaming KMV bottom-k: one state row per SHARD
+        # (each holding <= k (h, item) pairs) against a ~1M-distinct
+        # item stream — the bounded-state distinct SAMPLE, where a
+        # streaming dropDuplicates would hold every key ever seen.
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate * 8)
+            .option("numPartitions", 4)
+            .load()
+        )
+        items = src.select(
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.col("value"), F.lit(999_983)).cast("string"),
+            ).alias("v")
+        )
+        out = streaming.stream_kmv(items, "v", k=256, n_shards=8)
+        q = (
+            out.writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation",
+                    f"/tmp/stream_bench_ckpt_kmv_{time.time_ns()}")
+            .start()
+        )
+        r = drive(q, secs)
+        print("stream_kmv:", json.dumps(r))
+        assert r["state_rows_total"] <= 8, r
+        return
+
+    if not os.path.exists(DST):
+        raise SystemExit("run scripts/scale_smoke.py --regen first")
     docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
     print("corpus docs:", docs.count())
 

@@ -489,6 +489,74 @@ def test_stream_frequent_items_multibatch_mg_invariants(spark, tmp_path):
         <= hh["heavy"]["cnt_upper"]
 
 
+def test_stream_kmv_multibatch_equals_batch_bit_for_bit(spark, tmp_path):
+    """stream_kmv across a FORCED multi-batch run (3 files ×
+    maxFilesPerTrigger=1, the third a byte-duplicate of the second):
+    kmv_merge of the shards' latest emissions == batch kmv_summary of
+    the full history BIT-FOR-BIT — the per-batch update is the exact
+    bottom-k-union merge, so unlike MG the counter values are NOT
+    split-dependent; and KMV is a pure set function, so the duplicate
+    file (at-least-once delivery) changes nothing but n_seen. State
+    bound: each shard's latest emission ≤ k rows."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import kmv_merge, kmv_summary
+
+    k, n_shards = 8, 3
+    src = str(tmp_path / "kmv_multi")
+    os.makedirs(src)
+    f1 = spark.createDataFrame(
+        [(i, f"a{(i * 13) % 101}") for i in range(400)],
+        "id: long, v: string")
+    f2 = spark.createDataFrame(
+        [(i, f"b{(i * 7) % 67}") for i in range(300)],
+        "id: long, v: string")
+    f1.coalesce(1).write.parquet(src + "/p1")
+    f2.coalesce(1).write.parquet(src + "/p2")
+    f2.coalesce(1).write.parquet(src + "/p3")  # replayed slice
+    schema = f1.schema
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = _collect(
+        spark,
+        streaming.stream_kmv(st, "v", k=k, n_shards=n_shards,
+                             hash_basis="md5"),
+        "t_kmv_multi", "update",
+    )
+    latest = (
+        sink.withColumn(
+            "__m", F.max("n_seen").over(Window.partitionBy("shard")))
+        .filter(F.col("n_seen") == F.col("__m"))
+    )
+    rows = latest.collect()
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r)
+    assert all(len(v) <= k for v in per_shard.values())
+    # n_seen counts ROWS (the duplicate file double-counts): 400+600
+    assert sum({r["shard"]: r["n_seen"] for r in rows}.values()) == 1000
+
+    merged = kmv_merge(
+        spark.createDataFrame(rows, latest.schema).select("h", "item"),
+        k=k,
+    )
+    batch = kmv_summary(
+        f1.unionByName(f2), "v", k=k, hash_basis="md5")
+    assert merged.collect() == batch.collect()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k"):
+        streaming.stream_kmv(st, "v", k=1)
+    with pytest.raises(ValueError, match="n_shards"):
+        streaming.stream_kmv(st, "v", k=4, n_shards=0)
+
+
 def test_stream_ndv_rollup_equals_batch(spark, events_dir, events_schema):
     """stream_ndv_rollup in complete mode: ndv_estimate over the
     completed table equals the batch rollup's estimates exactly (the
