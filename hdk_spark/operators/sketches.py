@@ -216,7 +216,11 @@ def mg_summary(
     Scale note: this batch form windows over the per-shard distinct-
     item counts, so it suits summary-building over slices; the
     unbounded-ingest path is the streaming twin, and the EXACT
-    heavy-hitter query is ``frequent_items`` (which recounts)."""
+    heavy-hitter query is ``frequent_items`` (which recounts). The
+    build is EAGER (one bounded count() action): the corpus is
+    scanned once, the ≤ n_shards·(k+1)-row summary is cached, and the
+    vocabulary-sized intermediate is released — repeated builds in a
+    long-lived session retain only k-sized caches."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_shards < 1:
@@ -230,7 +234,12 @@ def mg_summary(
     # twice (executed-plan-verified, 0 ReusedExchange). cnt is
     # distinct-(shard, item)-sized; persist() is MEMORY_AND_DISK, so a
     # huge vocabulary spills rather than OOMs, and one spilled pass
-    # still beats two corpus scans + two identical shuffles.
+    # still beats two corpus scans + two identical shuffles. The cnt
+    # cache is SCOPED TO THE BUILD: the summary (bounded, ≤
+    # n_shards·(k+1) rows) is persisted and forced with one count() —
+    # a bounded driver action, the trainer convention — then cnt is
+    # released, so a session building summaries over many slices
+    # retains only k-sized caches, never the vocabularies.
     cnt = (
         src.withColumn(
             "shard",
@@ -249,9 +258,12 @@ def mg_summary(
     # the broadcast hint on the LEFT (non-preserved) side — hinting
     # the preserved side of an outer join is silently ignored and
     # degrades to a sort-merge join with two extra exchanges
-    return F.broadcast(_mg_trim_relation(cnt, k)).join(
+    summary = F.broadcast(_mg_trim_relation(cnt, k)).join(
         n_rel, "shard", "right"
-    ).select("shard", "item", "cnt", "n_shard")
+    ).select("shard", "item", "cnt", "n_shard").persist()
+    summary.count()
+    cnt.unpersist()
+    return summary
 
 
 def _mg_trim_relation(cnt: DataFrame, k: int) -> DataFrame:

@@ -698,15 +698,24 @@ def stream_kmv(
             n = int(n)
         else:
             summ, n = {}, 0
+        # trim to k after every Arrow CHUNK, not once per micro-batch:
+        # bottom-k is associative, so the result is identical while
+        # worker memory stays O(k + chunk) instead of O(batch
+        # distinct) — an availableNow catch-up batch with millions of
+        # distinct values would otherwise hold them all in the dict.
+        # The threshold skip keeps steady-state inserts cheap.
         for pdf in pdfs:
             n += len(pdf)
+            thresh = max(summ) if len(summ) >= k else None
             for h, it in zip(pdf["h"], pdf["item"]):
                 h = int(h)
+                if thresh is not None and h > thresh:
+                    continue
                 prev = summ.get(h)
                 if prev is None or it < prev:
                     summ[h] = it
-        if len(summ) > k:
-            summ = {h: summ[h] for h in sorted(summ)[:k]}
+            if len(summ) > k:
+                summ = {h: summ[h] for h in sorted(summ)[:k]}
         hs = sorted(summ)
         state.update((hs, [summ[h] for h in hs], n))
         yield pd.DataFrame(
