@@ -154,6 +154,33 @@ def test_mg_summary_matches_python_reference(spark):
         mg_summary(df, "v", k=5, n_shards=0)
 
 
+def test_mg_summary_retains_only_bounded_cache(spark):
+    """mg_summary's build-scoped persist: after the (eager) build,
+    the vocabulary-sized count intermediate is RELEASED — the session
+    retains only summary-sized cached relations, so repeated builds
+    over many slices cannot accumulate vocabulary-scale storage.
+    Pinned via the JVM's persistent-RDD registry: every cache entry
+    alive after N builds is small (snapshot-count bounded), none is
+    the ~2000-distinct-item count relation."""
+    from hdk_spark.operators.sketches import mg_summary
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    rows = [(i, f"v{(i * 17) % 2003}") for i in range(6000)]
+    df = spark.createDataFrame(rows, "id: long, v: string")
+    for _ in range(2):
+        mg_summary(df, "v", k=8, n_shards=4, hash_basis="md5")
+    jmap = sc._jsc.getPersistentRDDs()
+    new_ids = [i for i in jmap.keySet().toArray() if i not in before]
+    # the two builds share a logical plan, so Spark's cache manager
+    # dedupes them into ONE summary-sized entry; the vocabulary-sized
+    # cnt caches (~2003 distinct items) must all be gone
+    assert len(new_ids) <= 2, new_ids
+    for i in new_ids:
+        n = jmap.get(i).count()
+        assert n <= 4 * (8 + 1), (i, n)
+
+
 def test_mg_merge_guarantees_and_exact_case(spark):
     """mg_merge(mg(A), mg(B)) vs exact counts of A ∪ B: (a) never
     over, (b) undercount ≤ (n_shard − Σcnt)/(k+1) — the Agarwal et
