@@ -958,6 +958,48 @@ def main() -> None:
         base.unpersist()
         return
 
+    if "--r11d" in sys.argv:
+        # round-11 follow-up: mg_summary's build-scoped cache at
+        # lake-ish scale — 6M rows / ~500k distinct + a planted hot
+        # fifth: build wall (ONE corpus scan, eager), then what the
+        # session RETAINS after the build — the vocabulary-sized
+        # (shard, item, c) intermediate must be released, leaving only
+        # the ≤ n_shards·(k+1)-row summary in storage.
+        from pyspark.sql import functions as F
+
+        from hdk_spark.operators.sketches import (
+            mg_heavy_hitters, mg_summary,
+        )
+
+        n = 6_000_000
+        base = spark.range(n).select(
+            F.when(F.col("id") % 5 == 0, F.lit("hot"))
+            .otherwise(
+                F.concat(
+                    F.lit("u"),
+                    F.pmod(F.hash("id", F.lit(13)), F.lit(500_000))
+                    .cast("string"),
+                )
+            )
+            .alias("v")
+        )
+        t0 = time.perf_counter()
+        summ = mg_summary(base, "v", k=64, n_shards=8)
+        t_build = round(time.perf_counter() - t0, 2)
+        infos = spark._jsc.sc().getRDDStorageInfo()
+        retained_kb = round(
+            sum(i.memSize() + i.diskSize() for i in infos) / 1e3, 1)
+        n_rows = summ.count()
+        hh = {r["item"]
+              for r in mg_heavy_hitters(summ, phi=0.15, k=64).collect()}
+        print(f"mg_summary(6M rows, ~500k distinct, k=64, 8 shards): "
+              f"{t_build}s summary_rows={n_rows} "
+              f"retained_cached_kb={retained_kb} "
+              f"hot_in_heavy_hitters={'hot' in hh}")
+        assert "hot" in hh
+        assert n_rows <= 8 * 65
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
