@@ -557,6 +557,49 @@ def test_stream_kmv_multibatch_equals_batch_bit_for_bit(spark, tmp_path):
         streaming.stream_kmv(st, "v", k=4, n_shards=0)
 
 
+def test_stream_kmv_feeds_batch_jaccard(spark, tmp_path):
+    """Streaming-to-batch composition for the KMV twin (the
+    stream_frequent_items → mg_heavy_hitters cousin): two streams'
+    stream_kmv emissions, merged per side, feed kmv_jaccard unchanged
+    and give BIT-FOR-BIT the estimate the batch kmv_summary pipeline
+    produces — because streamed summaries == batch summaries exactly.
+    (Summaries rebuilt from collected rows: the memory-sink table's
+    lineage trips Spark's conflicting-reference resolution when two
+    sink-derived relations meet in one plan — the known sink quirk.)"""
+    from hdk_spark.operators.sketches import kmv_jaccard, kmv_merge, kmv_summary
+
+    k = 32
+    a = spark.createDataFrame(
+        [(i, f"x{i % 600}") for i in range(1200)], "id: long, v: string")
+    b = spark.createDataFrame(
+        [(i, f"x{300 + i % 600}") for i in range(1200)],
+        "id: long, v: string")  # |A∩B|/|A∪B| = 300/900 = 1/3
+
+    def streamed_summary(df, name):
+        src = str(tmp_path / name)
+        df.coalesce(1).write.parquet(src)
+        st = streaming.stream_parquet(spark, src, df.schema)
+        sink = _collect(
+            spark,
+            streaming.stream_kmv(st, "v", k=k, n_shards=3,
+                                 hash_basis="md5"),
+            f"t_kmv_{name}", "update",
+        )
+        rows = sink.collect()  # single batch → every emission is latest
+        return kmv_merge(
+            spark.createDataFrame(rows, sink.schema).select("h", "item"),
+            k=k,
+        )
+
+    est = kmv_jaccard(streamed_summary(a, "ja"), streamed_summary(b, "jb"),
+                      k=k).collect()
+    kw = dict(k=k, hash_basis="md5")
+    batch = kmv_jaccard(kmv_summary(a, "v", **kw),
+                        kmv_summary(b, "v", **kw), k=k).collect()
+    assert est == batch
+    assert abs(est[0]["jaccard_est"] - 1 / 3) < 0.25  # ~1.8σ at k=32
+
+
 def test_stream_ndv_rollup_equals_batch(spark, events_dir, events_schema):
     """stream_ndv_rollup in complete mode: ndv_estimate over the
     completed table equals the batch rollup's estimates exactly (the
