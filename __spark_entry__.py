@@ -298,60 +298,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r10; failed last check: 0, never checked: 9, green: 277  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r11; failed last check: 0, never checked: 0, green: 287  (window ~50).
 _PRIORITY: list[str] = [
-    # never checked
-    "similarity_sq8_ann",
-    "streaming_frequent_items",
-    "stats_mg_merge",
-    "stats_mg_heavy_hitters",
-    "stats_dds_quantile",
-    "stats_dds_merge",
-    "stats_kmv_ndv",
-    "stats_kmv_jaccard",
-    "streaming_dds_quantile",
-    "streaming_kmv_ndv",
     # stable greens
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "stats_mad",
-    "stats_mode",
-    "stats_quantile_normalize",
-    "stats_winsorize",
-    "stats_zscore",
-    "streaming_incremental_dedup",
-    "temporal_gaps",
-    "temporal_resample_fill",
-    "temporal_rolling_zscore",
-    "temporal_rollup_grains",
-    "text_bigram_cross",
-    "text_bigram_logprob",
-    "text_bigram_unk",
-    "text_hashed_score",
-    "text_lm_cross_score",
-    "text_redact_pii",
-    "text_source_kl",
-    "text_unigram_logprob",
-    "text_unigram_unk",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_classes",
-    "tpch_q16_supplier_counts",
-    "tpch_q2_min_cost_supplier",
-    "web_domain_stats",
-    "web_url_features",
-    "agg_basic_stats",
-    "agg_conditional_promo",
-    "agg_decimal",
-    "agg_empty_input",
-    "agg_expr_group_keys",
-    "agg_having",
-    "cube_lineitem_status",
-    "dedup_bloom_decontam",
-    "dedup_clusters_star",
-    "dedup_duplicate_spans",
-    "dedup_remove_spans",
-    "dedup_sketch_pr",
-    "distinct_projection",
     "embedding_covariance",
     "events_tumbling_hour",
     "groupby_bool_empty_string",
@@ -589,6 +538,56 @@ _PRIORITY: list[str] = [
     "text_top_terms",
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
+    "agg_basic_stats",
+    "agg_conditional_promo",
+    "agg_decimal",
+    "agg_empty_input",
+    "agg_expr_group_keys",
+    "agg_having",
+    "cube_lineitem_status",
+    "dedup_bloom_decontam",
+    "dedup_clusters_star",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "dedup_sketch_pr",
+    "distinct_projection",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_sq8_ann",
+    "stats_dds_merge",
+    "stats_dds_quantile",
+    "stats_kmv_jaccard",
+    "stats_kmv_ndv",
+    "stats_mad",
+    "stats_mg_heavy_hitters",
+    "stats_mg_merge",
+    "stats_mode",
+    "stats_quantile_normalize",
+    "stats_winsorize",
+    "stats_zscore",
+    "streaming_dds_quantile",
+    "streaming_frequent_items",
+    "streaming_incremental_dedup",
+    "streaming_kmv_ndv",
+    "temporal_gaps",
+    "temporal_resample_fill",
+    "temporal_rolling_zscore",
+    "temporal_rollup_grains",
+    "text_bigram_cross",
+    "text_bigram_logprob",
+    "text_bigram_unk",
+    "text_hashed_score",
+    "text_lm_cross_score",
+    "text_redact_pii",
+    "text_source_kl",
+    "text_unigram_logprob",
+    "text_unigram_unk",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_classes",
+    "tpch_q16_supplier_counts",
+    "tpch_q2_min_cost_supplier",
+    "web_domain_stats",
+    "web_url_features",
 ]
 
 
