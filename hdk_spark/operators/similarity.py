@@ -199,6 +199,7 @@ def ann_ivf_topk(
     train_sample: int = 4096,
     seed: int = 42,
     centroids: "dict[int, list[float]] | None" = None,
+    dim: "int | None" = None,
     codes: "DataFrame | None" = None,
     bounds: "list[tuple[float, float]] | None" = None,
 ) -> DataFrame:
@@ -235,7 +236,9 @@ def ann_ivf_topk(
     distances in centroid mode and breaks the training/assignment
     Arrow batches (ragged np.array → object dtype) in the default
     mode. d comes from ``bounds`` (coded), the given ``centroids``,
-    or the majority-of-sample ``_vec_dim`` — never a single row."""
+    an explicit ``dim=`` (callers that know the lake's width skip
+    the inference job), or the majority-of-sample ``_vec_dim`` —
+    never a single row."""
     if codes is not None:
         if bounds is None:
             raise ValueError("codes= requires the bounds it was trained on")
@@ -243,6 +246,8 @@ def ann_ivf_topk(
         gate_d = len(bounds)
     elif centroids is not None:
         gate_d = len(next(iter(centroids.values())))
+    elif dim is not None:
+        gate_d = dim
     else:
         from hdk_spark.operators.dedup import _vec_dim
 
@@ -283,6 +288,12 @@ def ann_ivf_topk(
         sample_rows = (
             df.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
         )
+        if not sample_rows:
+            # every row gated out (e.g. wrong explicit dim=): empty
+            # contract-shaped result, not a k-means crash on 0 samples
+            return df.sparkSession.createDataFrame(
+                [], "qid long, neighbor_id long, rank int, cosine double"
+            )
         trained = _kmeans_fit(
             np.array(sample_rows, dtype=np.float64), n_lists, seed=seed
         )
@@ -337,6 +348,7 @@ def ann_lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
     deterministic: bool = False,
+    dim: "int | None" = None,
     codes: "DataFrame | None" = None,
     bounds: "list[tuple[float, float]] | None" = None,
 ) -> DataFrame:
@@ -390,15 +402,19 @@ def ann_lsh_topk(
     un-gated they zip_with into NULL dots and land in bucket 0 with
     NULL cosines in deterministic mode, and break the Arrow batch
     (ragged np.array → object dtype) in the numpy kernel. The
-    float-path dimension, when not obvious, is the MAJORITY size of
-    a bounded sample (_vec_dim), so a lone corrupt first row cannot
-    set d and gate out the whole corpus."""
+    float-path dimension comes from ``dim=`` when the caller knows
+    the lake's width (skips the inference job — use it in
+    production loops), else the MAJORITY size of a bounded sample
+    (_vec_dim), so a lone corrupt first row cannot set d and gate
+    out the whole corpus. The width-gate filter itself always runs:
+    it is one cheap JVM comparison per row and is what buys the
+    ragged-corpus safety."""
     if codes is not None:
         if bounds is None:
             raise ValueError("codes= requires the bounds it was trained on")
         df, id_col, vec_col = sq8_decode(codes, bounds), "id", "v"
         dim = len(bounds)
-    else:
+    elif dim is None:
         from hdk_spark.operators.dedup import _vec_dim
 
         dim = _vec_dim(df, vec_col)

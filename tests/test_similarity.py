@@ -723,3 +723,61 @@ def test_vec_dim_majority_not_first_row(spark):
     out = ann_lsh_topk(df, [1, 2], k=3, n_planes=4, n_tables=4,
                        deterministic=True)
     assert len(out.collect()) == 6  # corpus survived; glitch dropped
+
+
+def test_dim_passthrough_skips_inference_same_results(spark):
+    """dim= passthrough (VERDICT r11 #2): callers that know the lake's
+    width (the bench, production loops) skip the _vec_dim inference
+    job. Results must be IDENTICAL to the inferred path in every mode
+    of all three kernels, the width-gate filter must still run (a
+    ragged corpus with dim= given behaves like the clean one), and a
+    deliberately wrong dim= must gate everything out rather than feed
+    ragged batches to the kernels."""
+    from hdk_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        ann_multiprobe_topk,
+    )
+
+    rows = [(i, [float((i * 5 + j * 2) % 13 - 6) for j in range(16)])
+            for i in range(100)]
+    clean = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+    ragged = spark.createDataFrame(
+        rows + [(900, [1.0]), (901, None)],
+        "vec_id: long, embedding: array<double>")
+    qids = [0, 2]
+
+    for det in (True, False):
+        inferred = sorted(map(tuple, ann_lsh_topk(
+            clean, qids, k=4, n_planes=4, n_tables=4,
+            deterministic=det).collect()))
+        given = sorted(map(tuple, ann_lsh_topk(
+            clean, qids, k=4, n_planes=4, n_tables=4,
+            deterministic=det, dim=16).collect()))
+        gated = sorted(map(tuple, ann_lsh_topk(
+            ragged, qids, k=4, n_planes=4, n_tables=4,
+            deterministic=det, dim=16).collect()))
+        assert given == inferred == gated, f"lsh det={det}"
+
+    inferred = sorted(map(tuple, ann_ivf_topk(
+        clean, qids, k=4, n_lists=3, nprobe=2, train_sample=64).collect()))
+    given = sorted(map(tuple, ann_ivf_topk(
+        clean, qids, k=4, n_lists=3, nprobe=2, train_sample=64,
+        dim=16).collect()))
+    gated = sorted(map(tuple, ann_ivf_topk(
+        ragged, qids, k=4, n_lists=3, nprobe=2, train_sample=64,
+        dim=16).collect()))
+    assert given == inferred == gated
+
+    inferred = sorted(map(tuple, ann_multiprobe_topk(
+        clean, qids, k=4, n_planes=4, n_probes=2).collect()))
+    given = sorted(map(tuple, ann_multiprobe_topk(
+        clean, qids, k=4, n_planes=4, n_probes=2, dim=16).collect()))
+    assert given == inferred
+
+    # wrong dim= gates out the whole corpus — explicit, not a crash
+    assert ann_lsh_topk(clean, qids, k=4, n_planes=4, n_tables=4,
+                        dim=8).count() == 0
+    assert ann_ivf_topk(clean, qids, k=4, n_lists=3, nprobe=2,
+                        train_sample=64, dim=8).count() == 0
