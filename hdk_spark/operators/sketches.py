@@ -266,30 +266,67 @@ def mg_summary(
     return summary
 
 
-def _mg_trim_relation(cnt: DataFrame, k: int) -> DataFrame:
+#: salt fan-out for the two-phase per-shard top-(k+1): each phase-1
+#: group holds ~distinct/(n_shards·salts) items, so no single task
+#: ever sorts a whole shard's vocabulary (VERDICT r11 #3)
+_MG_TRIM_SALTS = 64
+
+
+def _mg_trim_relation(
+    cnt: DataFrame, k: int, n_salts: int = _MG_TRIM_SALTS
+) -> DataFrame:
     """One MG trim over a (shard, item, c) count relation — the shared
     tail of mg_summary and mg_merge (one fix reaches both, and both
     stay textually aligned with the contract oracles). Subtracts the
-    (k+1)-th largest count VALUE per shard (ties collapse — any
-    rank-(k+1) row carries the same c, so the row_number tie-break on
-    item only picks WHICH row reports it, never the value) and drops
-    non-positives; callers attach their own n_shard accounting (exact
-    Σc for mg_summary, the summed input n_shards for mg_merge — the
-    merged counters are already undercounts, so Σc would lie there).
-    Returns (shard, item, cnt)."""
-    from pyspark.sql.window import Window
+    (k+1)-th largest count VALUE per shard under the total order
+    (c desc, item asc) and drops non-positives; callers attach their
+    own n_shard accounting (exact Σc for mg_summary, the summed input
+    n_shards for mg_merge — the merged counters are already
+    undercounts, so Σc would lie there). Returns (shard, item, cnt).
 
-    w_rank = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("item"))
-    w_shard = Window.partitionBy("shard")
-    ranked = cnt.select(
-        "shard", "item", "c",
-        F.row_number().over(w_rank).alias("__rn"),
+    The rank-(k+1) value is found WITHOUT any Window over the count
+    relation (the r11 version row_numbered each whole shard through
+    one window partition — a vocabulary-sized single-task sort at
+    lake scale). Two-phase instead, the kmv_summary partial-then-
+    merge shape: items salt into ``n_salts`` sub-groups per shard and
+    each (shard, salt) group keeps only its top-(k+1) structs
+    (bounded aggregation: the global rank-(k+1) row is necessarily
+    within its own sub-group's top-(k+1), since fewer than k+1 rows
+    can precede it anywhere); the ≤ n_salts·(k+1) survivors per shard
+    merge in one tiny aggregation to the exact median value. The
+    resulting ≤ n_shards-row relation broadcast-joins back for the
+    subtraction — the corpus-sized side never sorts, never windows.
+    Phase-1 buffers hold ~distinct/(n_shards·n_salts) items; raise
+    ``n_salts`` for billion-item vocabularies."""
+    kp1 = k + 1
+    # ascending struct order on (-c, item) == (c desc, item asc) —
+    # the same total order the r11 row_number used, so the rank-(k+1)
+    # value (and therefore every output row) is bit-identical
+    entry = F.struct((-F.col("c")).alias("nc"), F.col("item").alias("i"))
+    part = (
+        cnt.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("item")), F.lit(n_salts)).cast("int"),
+        )
+        .groupBy("shard", "__salt")
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, kp1).alias("tops"))
     )
-    med = F.max(F.when(F.col("__rn") == k + 1, F.col("c"))).over(w_shard)
+    med_rel = (
+        part.select("shard", F.explode("tops").alias("t"))
+        .groupBy("shard")
+        .agg(F.array_sort(F.collect_list("t")).alias("tops"))
+        .filter(F.size("tops") >= kp1)
+        .select(
+            "shard",
+            (-F.element_at("tops", kp1)["nc"]).cast("long").alias("__med"),
+        )
+    )
     return (
-        ranked.select(
+        cnt.join(F.broadcast(med_rel), "shard", "left")
+        .select(
             "shard", "item",
-            (F.col("c") - F.coalesce(med, F.lit(0))).cast("long").alias("cnt"),
+            (F.col("c") - F.coalesce(F.col("__med"), F.lit(0)))
+            .cast("long").alias("cnt"),
         )
         .filter(F.col("cnt") > 0)
     )

@@ -993,3 +993,26 @@ def test_round11_sketch_plan_shapes(spark):
     # so the whole summary costs ONE shuffle
     assert "rangepartitioning" not in p2
     assert p2.count("+- Exchange") == 1
+
+
+def test_mg_trim_has_no_window_over_count_relation(spark):
+    """VERDICT r11 #3: _mg_trim_relation's rank-(k+1) median must not
+    row_number whole shards through window partitions (a vocabulary-
+    sized single-task sort at lake scale). The windowless two-phase
+    form pins here: NO Window anywhere in mg_summary's plan — the
+    median comes from salted bounded top-(k+1) aggregations — and the
+    ≤ n_shards-row median relation joins back as a broadcast, never a
+    shuffle of the count relation toward a sort."""
+    from hdk_spark.operators.sketches import mg_summary
+
+    li = spark.table("lineitem")
+    summ = mg_summary(li, "l_orderkey", k=16, n_shards=4)
+    p = plan(summ)  # executed (mg_summary is eager; plan is resolved)
+    assert "Window" not in p
+    assert "rangepartitioning" not in p
+    # both joins broadcast their bounded side: the ≤ n_shards-row
+    # median relation into the subtraction, the trimmed summary into
+    # the n_shard accounting — the count relation itself never ships
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    summ.unpersist()
