@@ -13456,6 +13456,97 @@ SPARK_IMPLS["stats_kmv_jaccard"] = q_stats_kmv_jaccard
 ORACLES["stats_kmv_jaccard"] = _KMV_JACCARD_ORACLE
 
 
+def q_stats_kmv_set_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multiset algebra from two KMV summaries ALONE (operators/
+    sketches.py::kmv_set_stats — Beyer et al. 2007 §5): union NDV,
+    intersection NDV, per-side NDVs and BOTH containments from two
+    k=128 relations, no corpus access. The planted sets are
+    asymmetric (|A|=2400-domain, |B|=1800-domain shifted by 1200) so
+    the two containments genuinely differ — the directional question
+    Jaccard can't answer. Exact containment truths ride along. The
+    oracle replays both summaries, the bottom-k union, the membership
+    flags, every (k−1)/u_k estimator, the ρ·D̂_union intersection and
+    both divisions."""
+    from hdk_spark.operators.sketches import kmv_set_stats, kmv_summary
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    a = li.select(
+        F.concat(F.lit("x"), (F.col("l_orderkey") % 2400).cast("string"))
+        .alias("v"))
+    b = li.select(
+        F.concat(F.lit("x"),
+                 (F.lit(1200) + F.col("l_orderkey") % 1800).cast("string"))
+        .alias("v"))
+    kw = dict(k=128, hash_basis="md5")
+    est = kmv_set_stats(kmv_summary(a, "v", **kw), kmv_summary(b, "v", **kw),
+                        **kw)
+    ni = a.intersect(b).agg(F.count(F.lit(1)).alias("__ni"))
+    na = a.distinct().agg(F.count(F.lit(1)).alias("__na"))
+    nb = b.distinct().agg(F.count(F.lit(1)).alias("__nb"))
+    truth = ni.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).select(
+        F.round(F.col("__ni") / F.col("__na"), 4).alias("cont_a_true"),
+        F.round(F.col("__ni") / F.col("__nb"), 4).alias("cont_b_true"),
+    )
+    return est.crossJoin(F.broadcast(truth))
+
+
+_KMV_SET_STATS_ORACLE = f"""
+WITH a AS (SELECT DISTINCT 'x' || CAST(l_orderkey % 2400 AS VARCHAR) AS item
+           FROM lineitem),
+b AS (SELECT DISTINCT 'x' || CAST(1200 + l_orderkey % 1800 AS VARCHAR) AS item
+      FROM lineitem),
+sa AS (SELECT h FROM (SELECT {_KMV_H.format(v='item')} AS h, MIN(item)
+       FROM a GROUP BY h) ORDER BY h LIMIT 128),
+sb AS (SELECT h FROM (SELECT {_KMV_H.format(v='item')} AS h, MIN(item)
+       FROM b GROUP BY h) ORDER BY h LIMIT 128),
+kk AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+       ORDER BY h LIMIT 128),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(CASE WHEN h IN (SELECT h FROM sa)
+                               AND h IN (SELECT h FROM sb)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+                 MAX(h / 4294967296.0) AS uk
+          FROM kk),
+pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a, MAX(h / 4294967296.0) AS uka
+       FROM sa),
+pb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b, MAX(h / 4294967296.0) AS ukb
+       FROM sb),
+est AS (SELECT n_k, n_inter,
+               CASE WHEN n_k < 128 THEN CAST(n_k AS DOUBLE)
+                    ELSE 127.0 / uk END AS eu,
+               CASE WHEN n_a < 128 THEN CAST(n_a AS DOUBLE)
+                    ELSE 127.0 / uka END AS ea,
+               CASE WHEN n_b < 128 THEN CAST(n_b AS DOUBLE)
+                    ELSE 127.0 / ukb END AS eb,
+               n_a, n_b
+        FROM stats CROSS JOIN pa CROSS JOIN pb),
+tru AS (SELECT round(
+          (SELECT COUNT(*) FROM a WHERE item IN (SELECT item FROM b))
+          / (SELECT COUNT(*) FROM a), 4) + 0 AS cont_a_true,
+        round(
+          (SELECT COUNT(*) FROM a WHERE item IN (SELECT item FROM b))
+          / (SELECT COUNT(*) FROM b), 4) + 0 AS cont_b_true)
+SELECT n_k, n_inter,
+       round(eu, 4) + 0 AS ndv_union,
+       round((n_inter / n_k) * eu, 4) + 0 AS ndv_inter,
+       round(ea, 4) + 0 AS ndv_a,
+       round(eb, 4) + 0 AS ndv_b,
+       CASE WHEN n_a > 0
+            THEN round(((n_inter / n_k) * eu) / ea, 4) + 0 END
+         AS containment_a_in_b,
+       CASE WHEN n_b > 0
+            THEN round(((n_inter / n_k) * eu) / eb, 4) + 0 END
+         AS containment_b_in_a,
+       round(n_inter / n_k, 4) + 0 AS jaccard_est,
+       cont_a_true, cont_b_true
+FROM est CROSS JOIN tru
+"""
+
+SPARK_IMPLS["stats_kmv_set_stats"] = q_stats_kmv_set_stats
+ORACLES["stats_kmv_set_stats"] = _KMV_SET_STATS_ORACLE
+
+
 def q_streaming_dds_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents streamed through stream_dds (streaming.py — the
     batch DDSketch bucket relation as a streaming aggregation, state

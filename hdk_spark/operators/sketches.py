@@ -220,7 +220,15 @@ def mg_summary(
     build is EAGER (one bounded count() action): the corpus is
     scanned once, the ≤ n_shards·(k+1)-row summary is cached, and the
     vocabulary-sized intermediate is released — repeated builds in a
-    long-lived session retain only k-sized caches."""
+    long-lived session retain only k-sized caches.
+
+    Cache lifetime: the RETURNED summary stays persisted (its
+    consumers — mg_merge, mg_heavy_hitters, the oracle replays — read
+    it repeatedly), and distinct slices produce distinct plans, so
+    the cache manager never dedupes them. A long-lived session
+    building summaries over MANY slices should ``.unpersist()`` each
+    returned summary once done with it; each entry is tiny
+    (≤ n_shards·(k+1) rows) but the count is otherwise unbounded."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_shards < 1:
@@ -876,4 +884,88 @@ def kmv_jaccard(
     return n_k.crossJoin(F.broadcast(n_i)).select(
         "n_k", "n_inter",
         F.round(F.col("n_inter") / F.col("n_k"), 4).alias("jaccard_est"),
+    )
+
+
+def kmv_set_stats(
+    summary_a: DataFrame,
+    summary_b: DataFrame,
+    k: int = 256,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Full multiset algebra over two KMV summaries (Beyer et al.
+    2007 §5, "On synopses for distinct-value estimation under
+    multiset operations"): union NDV, intersection NDV, per-side NDV
+    and both containments |A∩B|/|A| and |A∩B|/|B| — from the two
+    k-row relations ALONE, no corpus access. The estimators:
+
+    - K = bottom-k of the summary union is itself the KMV summary of
+      A ∪ B (closure), so union NDV is the standard (k−1)/u_k —
+      EXACT (= |K|) while |K| < k;
+    - ρ = |K ∩ A ∩ B| / |K| estimates |A∩B| / |A∪B| (K is a uniform
+      sample of A ∪ B's distinct hashes — the kmv_jaccard estimator);
+    - intersection NDV = ρ · D̂_union (§5's compound estimator);
+    - containment(A in B) = D̂_inter / D̂_A, the directional overlap
+      question Jaccard can't answer (is slice A inside slice B, or
+      merely similar-sized?). NULL when a side's summary is empty.
+
+    All of it is k-row arithmetic — the 100 TB shape is "ship two
+    k-row summaries, not two scans": one pass over the ≤ k-row K with
+    two broadcast flag joins, one bounded aggregate per side, a
+    broadcast crossJoin of three 1-row relations. In the exact regime
+    (both true NDVs < k) every output equals the true value. Returns
+    one row (n_k, n_inter, ndv_union, ndv_inter, ndv_a, ndv_b,
+    containment_a_in_b, containment_b_in_a, jaccard_est)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    # same persist rationale as kmv_jaccard: each summary feeds the
+    # union AND a membership flag join, and TakeOrdered subtrees
+    # don't exchange-reuse — in-lineage summaries would re-run their
+    # corpus distinct+bottom-k per consumer
+    ha = summary_a.select("h").persist()
+    hb = summary_b.select("h").persist()
+    kk = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    flagged = kk.join(
+        F.broadcast(ha.select("h", F.lit(1).alias("__ina"))), "h", "left"
+    ).join(F.broadcast(hb.select("h", F.lit(1).alias("__inb"))), "h", "left")
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum(
+            F.when(F.col("__ina").isNotNull() & F.col("__inb").isNotNull(),
+                   1).otherwise(0)
+        ).cast("long").alias("n_inter"),
+        F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__uk"),
+    )
+    side_a = ha.agg(
+        F.count(F.lit(1)).cast("long").alias("__na"),
+        F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__uka"),
+    )
+    side_b = hb.agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__ukb"),
+    )
+    joined = stats.crossJoin(F.broadcast(side_a)).crossJoin(
+        F.broadcast(side_b))
+    km1 = F.lit(float(k - 1))
+    # raw (un-rounded) estimates: every derived column reuses the SAME
+    # expression shapes so the SQL oracle replays bit-for-bit
+    eu = F.when(F.col("n_k") < k, F.col("n_k").cast("double")).otherwise(
+        km1 / F.col("__uk"))
+    ea = F.when(F.col("__na") < k, F.col("__na").cast("double")).otherwise(
+        km1 / F.col("__uka"))
+    eb = F.when(F.col("__nb") < k, F.col("__nb").cast("double")).otherwise(
+        km1 / F.col("__ukb"))
+    rho = F.col("n_inter") / F.col("n_k")
+    ei = rho * eu
+    return joined.select(
+        "n_k", "n_inter",
+        F.round(eu, 4).alias("ndv_union"),
+        F.round(ei, 4).alias("ndv_inter"),
+        F.round(ea, 4).alias("ndv_a"),
+        F.round(eb, 4).alias("ndv_b"),
+        F.when(F.col("__na") > 0, F.round(ei / ea, 4))
+        .alias("containment_a_in_b"),
+        F.when(F.col("__nb") > 0, F.round(ei / eb, 4))
+        .alias("containment_b_in_a"),
+        F.round(rho, 4).alias("jaccard_est"),
     )

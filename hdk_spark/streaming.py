@@ -706,6 +706,15 @@ def stream_kmv(
         # The threshold skip keeps steady-state inserts cheap.
         for pdf in pdfs:
             n += len(pdf)
+            # thresh is CHUNK-START-STALE by design: it is not
+            # refreshed as smaller hashes arrive mid-chunk, so inserts
+            # above the true current k-th-smallest can still land
+            # until the end-of-chunk trim restores exact bottom-k.
+            # Correctness is unaffected (the trim is exact); the cost
+            # is extra dict work only on chunks skewed toward
+            # descending hashes — uniform hash order makes that rare,
+            # and one max() per chunk beats re-deriving the threshold
+            # on every accepted insert.
             thresh = max(summ) if len(summ) >= k else None
             for h, it in zip(pdf["h"], pdf["item"]):
                 h = int(h)

@@ -969,3 +969,77 @@ def test_dds_nonfinite_dropped_and_empty_stable(spark):
     rows = dds_quantile(empty, [0.5, 0.9], m=64).collect()
     assert [(r["q"], r["est"], r["n"]) for r in rows] == [
         (0.5, None, 0), (0.9, None, 0)]
+
+
+def test_kmv_set_stats_exact_regime(spark):
+    """kmv_set_stats in the exact regime (both true NDVs < k): every
+    output equals the true set-algebra value — union/intersection
+    NDV, per-side NDV, both containments (which differ on the planted
+    asymmetric sets — the question Jaccard can't answer) and
+    jaccard_est."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_set_stats, kmv_summary
+
+    ids = spark.range(3000)
+    a = ids.filter("id < 2400").select(F.col("id").cast("string").alias("v"))
+    b = ids.filter("id >= 1200").select(F.col("id").cast("string").alias("v"))
+    # |A|=2400, |B|=1800, inter=1200, union=3000
+    row = kmv_set_stats(
+        kmv_summary(a, "v", k=4096), kmv_summary(b, "v", k=4096),
+        k=4096).collect()[0]
+    assert (row["n_k"], row["n_inter"]) == (3000, 1200)
+    assert row["ndv_union"] == 3000.0 and row["ndv_inter"] == 1200.0
+    assert row["ndv_a"] == 2400.0 and row["ndv_b"] == 1800.0
+    assert row["containment_a_in_b"] == 0.5
+    assert row["containment_b_in_a"] == round(1200 / 1800, 4)
+    assert row["jaccard_est"] == 0.4
+
+
+def test_kmv_set_stats_estimation_band_and_edges(spark):
+    """Estimation regime (true NDVs >> k): every estimate inside a 5σ
+    band of the truth (σ ≈ 1/√(k−2) on NDVs, binomial on ρ — the
+    bands pin wiring, not luck: the pipeline is deterministic).
+    Edges: identical sets → containments exactly 1.0; disjoint sets →
+    intersection 0 and containments 0.0; an EMPTY side → NULL
+    containments (0-NDV division guarded), never a crash; k guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_set_stats, kmv_summary
+
+    k, sig = 256, 1 / (254 ** 0.5)
+    ids = spark.range(80_000)
+    a = ids.filter("id < 48000").select(F.col("id").cast("string").alias("v"))
+    b = ids.filter("id >= 24000").select(F.col("id").cast("string").alias("v"))
+    # |A|=48k, |B|=56k, inter=24k, union=80k
+    row = kmv_set_stats(kmv_summary(a, "v", k=k), kmv_summary(b, "v", k=k),
+                        k=k).collect()[0]
+    assert abs(row["ndv_union"] - 80_000) / 80_000 < 5 * sig
+    assert abs(row["ndv_a"] - 48_000) / 48_000 < 5 * sig
+    assert abs(row["ndv_b"] - 56_000) / 56_000 < 5 * sig
+    rho_sig = (0.3 * 0.7 / k) ** 0.5  # true rho = 24k/80k
+    assert abs(row["ndv_inter"] - 24_000) / 80_000 < 5 * (rho_sig + sig)
+    assert abs(row["containment_a_in_b"] - 0.5) < 5 * (rho_sig + 2 * sig)
+    assert abs(row["containment_b_in_a"] - 24 / 56) < 5 * (rho_sig + 2 * sig)
+
+    sa = kmv_summary(a, "v", k=k)
+    same = kmv_set_stats(sa, kmv_summary(a, "v", k=k), k=k).collect()[0]
+    assert same["containment_a_in_b"] == 1.0
+    assert same["containment_b_in_a"] == 1.0
+    assert same["jaccard_est"] == 1.0
+
+    dis = ids.select((F.col("id") + 5_000_000).cast("string").alias("v"))
+    dj = kmv_set_stats(sa, kmv_summary(dis, "v", k=k), k=k).collect()[0]
+    assert dj["n_inter"] == 0 and dj["ndv_inter"] == 0.0
+    assert dj["containment_a_in_b"] == 0.0 and dj["containment_b_in_a"] == 0.0
+
+    empty = kmv_summary(
+        spark.createDataFrame([], "v: string"), "v", k=k)
+    er = kmv_set_stats(sa, empty, k=k).collect()[0]
+    assert er["ndv_b"] == 0.0 and er["n_inter"] == 0
+    assert er["containment_b_in_a"] is None  # 0-NDV side: undefined
+    assert er["containment_a_in_b"] == 0.0   # inter/ndv_a = 0/positive
+
+    with pytest.raises(ValueError, match="k must"):
+        kmv_set_stats(sa, sa, k=1)
