@@ -646,3 +646,148 @@ def test_stream_dds_equals_batch_bit_for_bit(spark, events_dir, events_schema):
     qs = [0.1, 0.5, 0.9]
     assert (dds_quantile(got, qs, m=32).collect()
             == dds_quantile(batch, qs, m=32).collect())
+
+
+def _run_checkpointed(stream_df, out_dir, cp_dir):
+    """availableNow run with a DURABLE checkpoint — the restart-story
+    harness (run_to_memory keeps no checkpoint, so every call starts
+    from scratch; here a second call with the same cp_dir recovers
+    offsets + state store and processes only new files). The memory
+    sink REFUSES checkpoint recovery (not fault-tolerant), so
+    emissions append to parquet via foreachBatch — the recoverable
+    sink a production stream would use."""
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_stream_kmv_checkpoint_restart_equals_batch(spark, tmp_path):
+    """The restart story a production stream actually relies on
+    (VERDICT r11 #7): kill the KMV twin after batch 1, add data,
+    restart from the SAME checkpoint — the recovered state store must
+    carry the bottom-k forward so the post-restart merge STILL equals
+    batch kmv_summary of the full history bit-for-bit. Also pins that
+    the restarted run processes ONLY the new file (offsets recovered,
+    nothing re-read → n_seen counts each row once)."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import kmv_merge, kmv_summary
+
+    k, n_shards = 8, 2
+    src, cp = str(tmp_path / "kmv_src"), str(tmp_path / "kmv_cp")
+    out = str(tmp_path / "kmv_out")
+    os.makedirs(src)
+    f1 = spark.createDataFrame(
+        [(i, f"a{(i * 13) % 101}") for i in range(400)],
+        "id: long, v: string")
+    f2 = spark.createDataFrame(
+        [(i, f"b{(i * 7) % 67}") for i in range(300)],
+        "id: long, v: string")
+    f1.coalesce(1).write.parquet(src + "/p1")
+
+    def stream():
+        return (
+            spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    _run_checkpointed(
+        streaming.stream_kmv(stream(), "v", k=k, n_shards=n_shards,
+                             hash_basis="md5"),
+        out, cp)  # batch 1 processed, query STOPPED
+
+    f2.coalesce(1).write.parquet(src + "/p2")
+    _run_checkpointed(
+        streaming.stream_kmv(stream(), "v", k=k, n_shards=n_shards,
+                             hash_basis="md5"),
+        out, cp)  # restart: recovers state, reads ONLY p2
+
+    both = spark.read.parquet(out)
+    latest = (
+        both.withColumn(
+            "__m", F.max("n_seen").over(Window.partitionBy("shard")))
+        .filter(F.col("n_seen") == F.col("__m"))
+    )
+    rows = latest.collect()
+    # offsets recovered: every row counted exactly once across the kill
+    assert sum({r["shard"]: r["n_seen"] for r in rows}.values()) == 700
+    merged = kmv_merge(
+        spark.createDataFrame(rows, latest.schema).select("h", "item"), k=k)
+    batch = kmv_summary(f1.unionByName(f2), "v", k=k, hash_basis="md5")
+    assert merged.collect() == batch.collect()
+
+
+def test_stream_mg_checkpoint_restart_transparent(spark, tmp_path):
+    """MG twin restart transparency: counter values are split-
+    dependent (each update is a merge+trim), so the restart claim is
+    NOT batch equality — it is that kill-after-batch-1 + restart is
+    INDISTINGUISHABLE from one uninterrupted run over the same
+    micro-batch splits: identical latest emissions per shard, row for
+    row. The recovered state store must carry counters AND the n
+    accumulator forward exactly."""
+    from pyspark.sql.window import Window
+
+    k, n_shards = 3, 2
+    rows1 = [(i, f"v{(i * 7) % 19}" if i % 4 else "heavy")
+             for i in range(800)]
+    rows2 = [(i, f"w{(i * 11) % 23}" if i % 5 else "heavy")
+             for i in range(400)]
+    df1 = spark.createDataFrame(rows1, "id: long, v: string")
+    df2 = spark.createDataFrame(rows2, "id: long, v: string")
+
+    def build(base):
+        src, cp, out = str(base / "src"), str(base / "cp"), str(base / "out")
+        os.makedirs(src)
+        df1.coalesce(1).write.parquet(src + "/p1")
+
+        def stream():
+            return (
+                spark.readStream.schema(df1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+
+        return src, cp, out, stream
+
+    # interrupted: batch 1, STOP, add p2, restart from the checkpoint
+    srci, cpi, outi, stream_i = build(tmp_path / "interrupted")
+    _run_checkpointed(
+        streaming.stream_frequent_items(
+            stream_i(), "v", k=k, n_shards=n_shards, hash_basis="md5"),
+        outi, cpi)
+    df2.coalesce(1).write.parquet(srci + "/p2")
+    _run_checkpointed(
+        streaming.stream_frequent_items(
+            stream_i(), "v", k=k, n_shards=n_shards, hash_basis="md5"),
+        outi, cpi)
+
+    # uninterrupted reference: both files upfront, same 1-file batches
+    srcu, cpu, outu, stream_u = build(tmp_path / "uninterrupted")
+    df2.coalesce(1).write.parquet(srcu + "/p2")
+    _run_checkpointed(
+        streaming.stream_frequent_items(
+            stream_u(), "v", k=k, n_shards=n_shards, hash_basis="md5"),
+        outu, cpu)
+
+    def latest_rows(out_dir):
+        w = Window.partitionBy("shard")
+        return sorted(
+            map(tuple, spark.read.parquet(out_dir)
+                .withColumn("__m", F.max("n_shard").over(w))
+                .filter(F.col("n_shard") == F.col("__m")).drop("__m")
+                .collect()))
+
+    assert latest_rows(outi) == latest_rows(outu)
