@@ -1000,6 +1000,63 @@ def main() -> None:
         assert n_rows <= 8 * 65
         return
 
+    if "--r12" in sys.argv:
+        # round-12 one-off (VERDICT r11 #6): the 9 headline bench
+        # queries ONCE at sf1-synth (~6M lineitem, 10× the bench's
+        # sf0.1) — wall per query plus a plan-shape diff vs sf0.1 for
+        # the SQL queries (post-AQE executed plans: join strategy
+        # flips, AQE shuffle coalescing) to catch scale cliffs the
+        # 2×-bar's sf0.1 point cannot (e.g. a dimension outgrowing
+        # the broadcast threshold). Results → SCALE.md.
+        import bench as bench_mod
+
+        from hdk_spark.operators.dedup import minhash_lsh_dedup
+        from hdk_spark.operators.similarity import ann_lsh_topk
+        from hdk_spark.operators.text import analyze
+
+        marks = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "AQEShuffleRead", "Exchange")
+
+        def plan_markers(df) -> dict:
+            # action on the SAME Dataset so its QueryExecution holds
+            # the FINAL adaptive plan, not isFinalPlan=false
+            df.write.format("noop").mode("overwrite").save()
+            df.collect()
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return {m: p.count(m) for m in marks}
+
+        # tables currently loaded from DST (sf1_synth) by main()
+        docs, emb = spark.table("documents"), spark.table("embeddings")
+        ops = {
+            "q7_minhash_dedup": lambda: minhash_lsh_dedup(
+                docs, threshold=0.5),
+            "q8_text_profile": lambda: analyze(docs),
+            "q9_ann_topk": lambda: ann_lsh_topk(
+                emb, [0, 1, 2, 3, 4], k=10, dim=64),
+        }
+        best(lambda: spark.sql(bench_mod.BENCH_SQL["q1_groupby_count"]))
+        walls, marks_sf1 = {}, {}
+        for name, sql in bench_mod.BENCH_SQL.items():
+            walls[name] = best(lambda s=sql: spark.sql(s))
+            marks_sf1[name] = plan_markers(spark.sql(sql))
+        for name, mk in ops.items():
+            walls[name] = best(mk)
+        total = round(sum(walls.values()), 2)
+
+        load_tables(spark, SRC)  # re-point views at sf0.1 for the diff
+        diffs = {}
+        for name, sql in bench_mod.BENCH_SQL.items():
+            m01 = plan_markers(spark.sql(sql))
+            delta = {k: (m01[k], marks_sf1[name][k]) for k in marks
+                     if m01[k] != marks_sf1[name][k]}
+            if delta:
+                diffs[name] = delta
+        print(f"sf1_synth headline walls (best-of-2, noop sink): "
+              f"{walls} total={total}s")
+        print(f"plan shape sf0.1 -> sf1 (marker: (sf0.1, sf1)): "
+              f"{diffs if diffs else 'IDENTICAL for q1-q6'}")
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
