@@ -259,17 +259,43 @@ def mg_summary(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .persist()
     )
-    n_rel = cnt.groupBy("shard").agg(
-        F.sum("c").cast("long").alias("n_shard"))
+    # ONE phase-1 pass computes BOTH trim ingredients: the salted
+    # per-(shard, salt) top-(k+1) count lists for the rank-(k+1)
+    # median (see _mg_trim_relation for the windowless argument) AND
+    # the per-(shard, salt) partial totals for n_shard — so the build
+    # keeps exactly two passes over the cached count relation (this
+    # aggregation + the subtraction join), the same count the r11
+    # window version had. phase1 is tiny (≤ n_shards·n_salts rows)
+    # and build-scoped like cnt.
+    kp1 = k + 1
+    phase1 = (
+        cnt.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("item")), F.lit(_MG_TRIM_SALTS))
+            .cast("int"),
+        )
+        .groupBy("shard", "__salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(-F.col("c"))), 1, kp1)
+            .alias("tops"),
+            F.sum("c").cast("long").alias("__s"),
+        )
+        .persist()
+    )
+    med_rel = _mg_median_from_tops(phase1, k)
+    n_rel = phase1.groupBy("shard").agg(
+        F.sum("__s").cast("long").alias("n_shard"))
+    trimmed = _mg_subtract(cnt, med_rel)
     # outer toward the totals: an all-trimmed shard keeps its
     # accounting row (item NULL, cnt NULL, n_shard). RIGHT outer with
     # the broadcast hint on the LEFT (non-preserved) side — hinting
     # the preserved side of an outer join is silently ignored and
     # degrades to a sort-merge join with two extra exchanges
-    summary = F.broadcast(_mg_trim_relation(cnt, k)).join(
+    summary = F.broadcast(trimmed).join(
         n_rel, "shard", "right"
     ).select("shard", "item", "cnt", "n_shard").persist()
     summary.count()
+    phase1.unpersist()
     cnt.unpersist()
     return summary
 
@@ -305,30 +331,55 @@ def _mg_trim_relation(
     resulting ≤ n_shards-row relation broadcast-joins back for the
     subtraction — the corpus-sized side never sorts, never windows.
     Phase-1 buffers hold ~distinct/(n_shards·n_salts) items; raise
-    ``n_salts`` for billion-item vocabularies."""
+    ``n_salts`` for billion-item vocabularies. (mg_summary inlines
+    this same pipeline to fold its n_shard totals into the phase-1
+    pass — one fewer traversal of its cached count relation; the
+    pieces are shared as _mg_median_from_tops/_mg_subtract so the
+    arithmetic cannot drift apart.)"""
     kp1 = k + 1
-    # ascending struct order on (-c, item) == (c desc, item asc) —
-    # the same total order the r11 row_number used, so the rank-(k+1)
-    # value (and therefore every output row) is bit-identical
-    entry = F.struct((-F.col("c")).alias("nc"), F.col("item").alias("i"))
+    # bare negated counts, not (c, item) structs: the rank-(k+1)
+    # VALUE depends only on the MULTISET of counts (any tie-break
+    # permutes equal values without moving the value at a rank), so
+    # the r11 row_number's (c desc, item asc) order and this
+    # ascending-(-c) order put the same c at rank k+1 — bit-identical
+    # output, and the aggregation ships longs instead of structs
     part = (
         cnt.withColumn(
             "__salt",
             F.pmod(F.xxhash64(F.col("item")), F.lit(n_salts)).cast("int"),
         )
         .groupBy("shard", "__salt")
-        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, kp1).alias("tops"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list(-F.col("c"))), 1, kp1)
+            .alias("tops")
+        )
     )
-    med_rel = (
-        part.select("shard", F.explode("tops").alias("t"))
+    return _mg_subtract(cnt, _mg_median_from_tops(part, k))
+
+
+def _mg_median_from_tops(part: DataFrame, k: int) -> DataFrame:
+    """Merge per-(shard, salt) negated top-(k+1) count lists to the
+    exact per-shard rank-(k+1) value: explode the ≤ n_salts·(k+1)
+    survivors, one tiny aggregation, pick element k+1. Returns
+    (shard, __med), ≤ n_shards rows — shards with < k+1 distinct
+    items emit no row (their trim subtracts 0)."""
+    kp1 = k + 1
+    return (
+        part.select("shard", F.explode("tops").alias("nc"))
         .groupBy("shard")
-        .agg(F.array_sort(F.collect_list("t")).alias("tops"))
+        .agg(F.array_sort(F.collect_list("nc")).alias("tops"))
         .filter(F.size("tops") >= kp1)
         .select(
             "shard",
-            (-F.element_at("tops", kp1)["nc"]).cast("long").alias("__med"),
+            (-F.element_at("tops", kp1)).cast("long").alias("__med"),
         )
     )
+
+
+def _mg_subtract(cnt: DataFrame, med_rel: DataFrame) -> DataFrame:
+    """The MG trim's subtraction: broadcast the ≤ n_shards-row median
+    relation onto the count relation, subtract, drop non-positives —
+    the corpus-sized side never sorts, never shuffles for this."""
     return (
         cnt.join(F.broadcast(med_rel), "shard", "left")
         .select(
