@@ -13547,6 +13547,69 @@ SPARK_IMPLS["stats_kmv_set_stats"] = q_stats_kmv_set_stats
 ORACLES["stats_kmv_set_stats"] = _KMV_SET_STATS_ORACLE
 
 
+def q_stats_kmv_group_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct-count pipeline (operators/sketches.py::
+    kmv_by_group → kmv_ndv_by_group, k=128, md5): "distinct values
+    per group" sketched in ONE corpus pass with k rows of state per
+    group — no per-group TakeOrdered jobs, no Window over the
+    distinct relation (the salted two-phase bottom-k). The planted
+    value domain is returnflag-dependent (90 for 'A', 3000
+    otherwise), so group A exercises the exact below-k branch while
+    N/R exercise the (k−1)/u_k estimator in the same relation; exact
+    per-group NDV rides along. The oracle replays per-group distinct
+    → md5 bottom-k (a row_number window is FINE in the oracle — it
+    states semantics, not the execution strategy) → the estimator."""
+    from hdk_spark.operators.sketches import kmv_by_group, kmv_ndv_by_group
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    dom = F.when(F.col("l_returnflag") == "A", F.lit(90)).otherwise(
+        F.lit(3000))
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.concat(
+            F.lit("u"),
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % dom)
+            .cast("string"),
+        ).alias("v"),
+    )
+    kw = dict(k=128, hash_basis="md5")
+    est = kmv_ndv_by_group(kmv_by_group(src, "g", "v", **kw), **kw)
+    truth = src.groupBy(F.col("g").alias("grp")).agg(
+        F.countDistinct("v").cast("long").alias("ndv_true"))
+    return est.join(truth, "grp")
+
+
+_KMV_GROUP_NDV_ORACLE = f"""
+WITH src AS (SELECT l_returnflag AS grp,
+                    'u' || CAST((l_orderkey * 7 + l_linenumber) %
+                      (CASE WHEN l_returnflag = 'A' THEN 90 ELSE 3000 END)
+                      AS VARCHAR) AS item
+             FROM lineitem),
+d AS (SELECT grp, h, MIN(item) AS item FROM (
+        SELECT grp, {_KMV_H.format(v='item')} AS h, item
+        FROM (SELECT DISTINCT grp, item FROM src)) GROUP BY grp, h),
+s AS (SELECT grp, h FROM (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM d)
+      WHERE rn <= 128),
+est AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               round(CASE WHEN COUNT(*) < 128
+                          THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE 127.0 / MAX(h / 4294967296.0) END, 4) + 0
+                 AS ndv_est
+        FROM s GROUP BY grp),
+tru AS (SELECT grp, CAST(COUNT(DISTINCT item) AS BIGINT) AS ndv_true
+        FROM src GROUP BY grp)
+SELECT est.grp, n_kept, ndv_est, ndv_true
+FROM est JOIN tru USING (grp)
+"""
+
+SPARK_IMPLS["stats_kmv_group_ndv"] = q_stats_kmv_group_ndv
+ORACLES["stats_kmv_group_ndv"] = _KMV_GROUP_NDV_ORACLE
+
+
 def q_streaming_dds_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents streamed through stream_dds (streaming.py — the
     batch DDSketch bucket relation as a streaming aggregation, state

@@ -20,9 +20,11 @@ that survives 100 TB). Five families, one merge law each:
   merge = linear cell sum like CMS (bucket counters add), with the
   relative-error guarantee of Masson, Rim & Lee 2019.
 - distinct samples: KMV / bottom-k (kmv_summary / kmv_merge /
-  kmv_ndv / kmv_jaccard) — merge = bottom-k of the summary union
+  kmv_ndv / kmv_jaccard / kmv_set_stats; per-group: kmv_by_group /
+  kmv_ndv_by_group) — merge = bottom-k of the summary union
   (Bar-Yossef et al. 2002; Beyer et al. 2007), which also answers
-  set-operation questions (Jaccard) no other family can.
+  set-operation questions (Jaccard, union/intersection NDV, both
+  containments) no other family can.
 
 Every family has a bounded-state streaming twin in
 hdk_spark.streaming: stream_ndv_rollup / stream_cms /
@@ -39,6 +41,7 @@ __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "mg_heavy_hitters", "cms_build", "cms_merge", "cms_query",
            "dds_build", "dds_merge", "dds_quantile",
            "kmv_summary", "kmv_merge", "kmv_ndv", "kmv_jaccard",
+           "kmv_set_stats", "kmv_by_group", "kmv_ndv_by_group",
 ]
 
 
@@ -1019,4 +1022,97 @@ def kmv_set_stats(
         F.when(F.col("__nb") > 0, F.round(ei / eb, 4))
         .alias("containment_b_in_a"),
         F.round(rho, 4).alias("jaccard_est"),
+    )
+
+
+def kmv_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    hash_basis: str = "xxhash64",
+    n_salts: int = _MG_TRIM_SALTS,
+) -> DataFrame:
+    """Per-GROUP KMV bottom-k summaries in ONE pass over the corpus —
+    the sketched form of "distinct X per Y" (users per domain, vocab
+    per source, orders per segment), the group-by companion to the
+    global :func:`kmv_summary`. Exact distinct-count-per-group
+    shuffles every (group, value) pair and holds each group's whole
+    value set; this keeps k rows per group, and each group's rows ARE
+    a kmv_summary of that group's values (same hash, same bottom-k),
+    so kmv_ndv arithmetic, kmv_merge across slices and kmv_set_stats
+    between two groups' summaries all apply unchanged.
+
+    Scale shape: one distinct-(group, hash) aggregation (map-side
+    partial combine), then the salted two-phase bottom-k the MG trim
+    uses (_mg_trim_relation's argument, flipped to ascending): each
+    (group, salt) sub-group keeps its k smallest (h, item) structs in
+    a bounded aggregation — any of a group's true bottom-k is
+    necessarily inside its own sub-group's bottom-k — and the
+    ≤ n_salts·k survivors per group merge in one tiny aggregation.
+    NO Window over the distinct relation (a row_number per group
+    sorts whole groups through single tasks — the r11 MG defect), NO
+    per-group TakeOrdered jobs (one job total, however many groups).
+    Phase-1 buffers hold ~group_distinct/n_salts entries; raise
+    ``n_salts`` for billion-distinct groups.
+
+    NULL values are excluded (kmv_summary's rule); NULL GROUPS are
+    KEPT as their own group (matching SQL GROUP BY). Hash collisions
+    keep the smallest item — each group's summary is a pure function
+    of its value set. Returns (grp, h, item), ≤ k rows per group."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("string").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    hashed = (
+        src.select(
+            "grp", _cms_base_hash(F.col("item"), hash_basis).alias("h"),
+            "item",
+        )
+        .groupBy("grp", "h")
+        .agg(F.min("item").alias("item"))
+    )
+    entry = F.struct(F.col("h").alias("h"), F.col("item").alias("item"))
+    part = (
+        hashed.withColumn(
+            "__salt", F.pmod(F.col("h"), F.lit(n_salts)).cast("int")
+        )
+        .groupBy("grp", "__salt")
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k)
+             .alias("tops"))
+    )
+    return (
+        part.select("grp", F.explode("tops").alias("t"))
+        .groupBy("grp")
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("tops"))
+        .select("grp", F.explode("tops").alias("t"))
+        .select("grp", F.col("t.h").alias("h"), F.col("t.item").alias("item"))
+    )
+
+
+def kmv_ndv_by_group(
+    summary: DataFrame, k: int = 256, hash_basis: str = "xxhash64"
+) -> DataFrame:
+    """Per-group distinct-value estimates from a :func:`kmv_by_group`
+    relation: each group applies the kmv_ndv rule independently —
+    exact count below k (the group's summary IS its distinct set),
+    else the Beyer et al. 2007 (k−1)/u_k estimator. One bounded
+    aggregate over the ≤ groups·k-row relation; returns (grp, n_kept,
+    ndv_est) — the lake-scale "distinct per group" answer at k rows
+    of state per group."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    agg = summary.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__uk"),
+    )
+    return agg.select(
+        "grp", "n_kept",
+        F.round(
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("__uk")),
+            4,
+        ).alias("ndv_est"),
     )

@@ -1016,3 +1016,21 @@ def test_mg_trim_has_no_window_over_count_relation(spark):
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
     summ.unpersist()
+
+
+def test_kmv_by_group_plan_no_window_no_per_group_jobs(spark):
+    """kmv_by_group's per-group bottom-k must come from the salted
+    two-phase aggregation: NO Window over the distinct relation (a
+    per-group row_number sorts whole groups through single tasks), NO
+    rangepartitioning (no global sort), no Join anywhere — one
+    distinct aggregation + two bounded ObjectHashAggregates, however
+    many groups."""
+    from hdk_spark.operators.sketches import kmv_by_group
+
+    li = spark.table("lineitem")
+    p = plan(kmv_by_group(li, "l_returnflag", "l_orderkey", k=64))
+    assert "Window" not in p
+    assert "rangepartitioning" not in p
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" not in p  # that is the GLOBAL path
+    assert "ObjectHashAggregate" in p

@@ -1043,3 +1043,73 @@ def test_kmv_set_stats_estimation_band_and_edges(spark):
 
     with pytest.raises(ValueError, match="k must"):
         kmv_set_stats(sa, sa, k=1)
+
+
+def test_kmv_by_group_equals_per_group_summary(spark):
+    """The defining law: each group's rows in kmv_by_group ARE the
+    kmv_summary of that group's values (same hash, same bottom-k,
+    collision rule included) — so the whole kmv_* consumer family
+    (ndv, merge, jaccard, set_stats) applies per group unchanged.
+    Checked row-for-row on groups of very different cardinalities,
+    both hash bases; NULL values excluded, NULL GROUPS kept."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_by_group, kmv_summary
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 10 == 9, None)
+        .when(F.col("id") % 3 == 0, F.lit("big"))
+        .when(F.col("id") % 3 == 1, F.lit("mid"))
+        .otherwise(F.lit("tiny")).alias("g"),
+        F.when(F.col("id") % 17 == 0, None)  # NULL values: excluded
+        .otherwise(
+            F.concat(F.lit("v"), (F.col("id") % F.when(
+                F.col("id") % 3 == 0, 900).otherwise(
+                F.when(F.col("id") % 3 == 1, 60).otherwise(7)))
+                .cast("string"))).alias("v"),
+    )
+    for basis in ("xxhash64", "md5"):
+        got = kmv_by_group(df, "g", "v", k=32, hash_basis=basis).collect()
+        by_grp: dict = {}
+        for r in got:
+            by_grp.setdefault(r["grp"], []).append((r["h"], r["item"]))
+        assert None in by_grp  # NULL group kept (SQL GROUP BY rule)
+        for grp, rows in by_grp.items():
+            cond = F.col("g").isNull() if grp is None else (F.col("g") == grp)
+            want = [(r["h"], r["item"]) for r in kmv_summary(
+                df.filter(cond), "v", k=32, hash_basis=basis).collect()]
+            assert sorted(rows) == sorted(want), (basis, grp)
+            assert len(rows) <= 32
+
+
+def test_kmv_ndv_by_group_exact_and_banded(spark):
+    """kmv_ndv_by_group: exact below k per group, banded estimate
+    above it — groups in BOTH regimes in one relation, estimated
+    independently (a huge group cannot bias a small one)."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_by_group, kmv_ndv_by_group
+
+    k = 128
+    df = spark.range(120_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("huge"))
+        .otherwise(F.lit("small")).alias("g"),
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("h"), (F.col("id") % 20_000).cast("string")))
+        .otherwise(
+            F.concat(F.lit("s"), (F.col("id") % 37).cast("string")))
+        .alias("v"),
+    )
+    rows = {r["grp"]: r for r in kmv_ndv_by_group(
+        kmv_by_group(df, "g", "v", k=k), k=k).collect()}
+    assert rows["small"]["n_kept"] == 37
+    assert rows["small"]["ndv_est"] == 37.0          # exact regime
+    assert rows["huge"]["n_kept"] == k
+    assert abs(rows["huge"]["ndv_est"] - 10_000) / 10_000 < 5 / (126 ** 0.5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        kmv_by_group(df, "g", "v", k=1)
+    with pytest.raises(ValueError, match="k must"):
+        kmv_ndv_by_group(kmv_by_group(df, "g", "v", k=4), k=1)
