@@ -1057,6 +1057,59 @@ def main() -> None:
               f"{diffs if diffs else 'IDENTICAL for q1-q6'}")
         return
 
+    if "--r12b" in sys.argv:
+        # round-12: kmv_by_group at lake-ish scale — 6M rows, 3 groups
+        # of very different cardinality (~1M / ~50k / 37 distinct), one
+        # group in the exact below-k regime. Wall + per-group error vs
+        # exact countDistinct, and the state honesty: the sketch holds
+        # ≤ groups·k rows vs the exact path's full per-group value sets.
+        from pyspark.sql import functions as F
+
+        from hdk_spark.operators.sketches import (
+            kmv_by_group, kmv_ndv_by_group,
+        )
+
+        n, k = 6_000_000, 256
+        base = spark.range(n).select(
+            F.when(F.col("id") % 3 == 0, F.lit("web"))
+            .when(F.col("id") % 3 == 1, F.lit("code"))
+            .otherwise(F.lit("lang")).alias("g"),
+            F.when(
+                F.col("id") % 3 == 0,
+                F.concat(F.lit("w"), F.pmod(
+                    F.hash("id", F.lit(3)), F.lit(1_000_000))
+                    .cast("string")),
+            )
+            .when(
+                F.col("id") % 3 == 1,
+                F.concat(F.lit("c"), F.pmod(
+                    F.hash("id", F.lit(5)), F.lit(50_000)).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("l"), (F.col("id") % 37).cast("string")))
+            .alias("v"),
+        )
+        t0 = time.perf_counter()
+        est = {r["grp"]: r for r in kmv_ndv_by_group(
+            kmv_by_group(base, "g", "v", k=k), k=k).collect()}
+        t_sketch = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        exact = {r["g"]: r["ndv"] for r in base.groupBy("g").agg(
+            F.countDistinct("v").alias("ndv")).collect()}
+        t_exact = round(time.perf_counter() - t0, 2)
+        errs = {
+            g: round(abs(est[g]["ndv_est"] - exact[g]) / exact[g] * 100, 2)
+            for g in exact
+        }
+        state_rows = sum(est[g]["n_kept"] for g in est)
+        print(f"kmv_by_group(6M rows, 3 groups ~1M/50k/37 distinct, "
+              f"k={k}): sketch {t_sketch}s vs exact countDistinct "
+              f"{t_exact}s; err% per group {errs}; summary rows "
+              f"{state_rows} (exact path holds the full per-group "
+              f"value sets)")
+        assert est["lang"]["ndv_est"] == 37.0  # exact below-k branch
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
