@@ -13610,6 +13610,56 @@ SPARK_IMPLS["stats_kmv_group_ndv"] = q_stats_kmv_group_ndv
 ORACLES["stats_kmv_group_ndv"] = _KMV_GROUP_NDV_ORACLE
 
 
+def q_stats_kmv_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV mergeability, cross-engine (operators/sketches.py
+    ::kmv_merge_by_group): Spark builds kmv_by_group on l_orderkey-
+    parity SLICES of lineitem and merges them; the oracle builds ONE
+    per-group bottom-k over the whole table. By the bottom-k closure
+    property (within each group, any of the union's k smallest
+    distinct hashes is among the k smallest of whichever slice holds
+    it) they must agree ROW-FOR-ROW — the value hash pins the
+    per-group merge law itself, not just its consumers. Emits every
+    (grp, h, item), ordered."""
+    from hdk_spark.operators.sketches import kmv_by_group, kmv_merge_by_group
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.concat(F.lit("m"),
+                 ((F.col("l_orderkey") * 11 + F.col("l_linenumber")) % 2000)
+                 .cast("string")).alias("v"),
+        (F.col("l_orderkey") % 2).alias("p"),
+    )
+    kw = dict(k=96, hash_basis="md5")
+    merged = kmv_merge_by_group(
+        kmv_by_group(src.filter("p = 0"), "g", "v", **kw),
+        kmv_by_group(src.filter("p = 1"), "g", "v", **kw),
+        k=96,
+    )
+    return merged.orderBy("grp", "h")
+
+
+_KMV_GROUP_MERGE_ORACLE = f"""
+WITH src AS (SELECT l_returnflag AS grp,
+                    'm' || CAST((l_orderkey * 11 + l_linenumber) % 2000
+                                AS VARCHAR) AS item
+             FROM lineitem),
+d AS (SELECT grp, h, MIN(item) AS item FROM (
+        SELECT grp, {_KMV_H.format(v='item')} AS h, item
+        FROM (SELECT DISTINCT grp, item FROM src)) GROUP BY grp, h)
+SELECT grp, h, item FROM (
+  SELECT grp, h, item,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM d)
+WHERE rn <= 96
+ORDER BY grp, h
+"""
+
+SPARK_IMPLS["stats_kmv_group_merge"] = q_stats_kmv_group_merge
+ORACLES["stats_kmv_group_merge"] = _KMV_GROUP_MERGE_ORACLE
+
+
 def q_streaming_dds_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents streamed through stream_dds (streaming.py — the
     batch DDSketch bucket relation as a streaming aggregation, state

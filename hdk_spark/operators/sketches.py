@@ -21,7 +21,7 @@ that survives 100 TB). Five families, one merge law each:
   relative-error guarantee of Masson, Rim & Lee 2019.
 - distinct samples: KMV / bottom-k (kmv_summary / kmv_merge /
   kmv_ndv / kmv_jaccard / kmv_set_stats; per-group: kmv_by_group /
-  kmv_ndv_by_group) — merge = bottom-k of the summary union
+  kmv_ndv_by_group / kmv_merge_by_group) — merge = bottom-k of the summary union
   (Bar-Yossef et al. 2002; Beyer et al. 2007), which also answers
   set-operation questions (Jaccard, union/intersection NDV, both
   containments) no other family can.
@@ -42,6 +42,7 @@ __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "dds_build", "dds_merge", "dds_quantile",
            "kmv_summary", "kmv_merge", "kmv_ndv", "kmv_jaccard",
            "kmv_set_stats", "kmv_by_group", "kmv_ndv_by_group",
+           "kmv_merge_by_group",
 ]
 
 
@@ -1074,9 +1075,19 @@ def kmv_by_group(
         .groupBy("grp", "h")
         .agg(F.min("item").alias("item"))
     )
+    return _group_bottom_k(hashed, k, n_salts)
+
+
+def _group_bottom_k(rel: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """Per-group bottom-k of a (grp, h, item) relation with h distinct
+    within each group — the salted two-phase shape shared by
+    kmv_by_group (over the corpus-distinct relation) and
+    kmv_merge_by_group (over a summary union): bounded per-(grp,
+    salt) bottom-k lists, tiny per-group merge, never a Window or a
+    per-group job. Returns (grp, h, item), ≤ k rows per group."""
     entry = F.struct(F.col("h").alias("h"), F.col("item").alias("item"))
     part = (
-        hashed.withColumn(
+        rel.withColumn(
             "__salt", F.pmod(F.col("h"), F.lit(n_salts)).cast("int")
         )
         .groupBy("grp", "__salt")
@@ -1090,6 +1101,33 @@ def kmv_by_group(
         .select("grp", F.explode("tops").alias("t"))
         .select("grp", F.col("t.h").alias("h"), F.col("t.item").alias("item"))
     )
+
+
+def kmv_merge_by_group(
+    *summaries: DataFrame, k: int = 256, n_salts: int = _MG_TRIM_SALTS
+) -> DataFrame:
+    """Combine :func:`kmv_by_group` relations from corpus SLICES into
+    the per-group summary of the union WITHOUT touching any rows —
+    the per-group form of :func:`kmv_merge`, and the missing piece of
+    the per-group maintenance model ("k rows per group per slice,
+    merge forever"). Exact per group by the same bottom-k closure:
+    within a group, any of the k smallest distinct hashes of A ∪ B is
+    among the k smallest of whichever slice contains it, so
+    merge(kmv_by_group(A), kmv_by_group(B)) == kmv_by_group(A ∪ B)
+    row-for-row (property-tested; overlapping slices idempotent —
+    SET union per group). Groups missing from one slice pass through
+    from the other. Inputs are ≤ groups·k rows each, so every step is
+    summary-sized. Same k and hash basis as the inputs, or smaller k
+    to tighten."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not summaries:
+        raise ValueError("kmv_merge_by_group needs at least one input")
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    merged = out.groupBy("grp", "h").agg(F.min("item").alias("item"))
+    return _group_bottom_k(merged, k, n_salts)
 
 
 def kmv_ndv_by_group(

@@ -1113,3 +1113,50 @@ def test_kmv_ndv_by_group_exact_and_banded(spark):
         kmv_by_group(df, "g", "v", k=1)
     with pytest.raises(ValueError, match="k must"):
         kmv_ndv_by_group(kmv_by_group(df, "g", "v", k=4), k=1)
+
+
+def test_kmv_merge_by_group_equals_union_build(spark):
+    """Per-group merge law: kmv_merge_by_group(kmv_by_group(A),
+    kmv_by_group(B)) == kmv_by_group(A ∪ B) row-for-row (bottom-k
+    closure holds within each group), overlapping slices idempotent,
+    and a group present in only ONE slice passes through intact."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import kmv_by_group, kmv_merge_by_group
+
+    def mk(lo, hi, grps):
+        return (spark.range(lo, hi).select(
+            F.element_at(
+                F.array(*[F.lit(g) for g in grps]),
+                (F.col("id") % len(grps) + 1).cast("int")).alias("g"),
+            F.concat(F.lit("v"), (F.col("id") % 700).cast("string"))
+            .alias("v")))
+
+    a = mk(0, 2000, ["web", "code"])          # no 'lang' in slice A
+    b = mk(1500, 3500, ["web", "code", "lang"])  # overlaps A's rows
+
+    kw = dict(k=64)
+    key = lambda df: sorted((r["grp"], r["h"], r["item"])
+                            for r in df.collect())
+    merged = kmv_merge_by_group(
+        kmv_by_group(a, "g", "v", **kw), kmv_by_group(b, "g", "v", **kw),
+        k=64)
+    union = kmv_by_group(a.unionByName(b), "g", "v", **kw)
+    assert key(merged) == key(union)
+
+    # idempotence: merging a slice with itself changes nothing
+    sa = kmv_by_group(a, "g", "v", **kw)
+    assert key(kmv_merge_by_group(sa, sa, k=64)) == key(sa)
+
+    # single-slice group passes through: 'lang' rows == B's 'lang' rows
+    lang_m = [(h, i) for (g, h, i) in key(merged) if g == "lang"]
+    lang_b = [(r["h"], r["item"]) for r in kmv_by_group(
+        b, "g", "v", **kw).filter("grp = 'lang'").collect()]
+    assert lang_m == sorted(lang_b)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        kmv_merge_by_group(sa, k=1)
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_merge_by_group(k=64)
