@@ -13798,3 +13798,74 @@ FROM m
 
 SPARK_IMPLS["streaming_kmv_ndv"] = q_streaming_kmv_ndv
 ORACLES["streaming_kmv_ndv"] = _STREAM_KMV_ORACLE
+
+
+def q_streaming_kmv_group_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_kmv_by_group (streaming.py —
+    per-GROUP bottom-k KMV state, ≤ k (h, item) pairs per group; the
+    streaming twin of this round's kmv_by_group), the groups' latest
+    emissions fed to kmv_ndv_by_group UNCHANGED (each group's
+    emission IS a kmv_by_group relation), beside exact per-group
+    distinct counts. Groups = the documents lang column; planted
+    value doc_id % 211 keeps every lang group above k=48 at every SF,
+    so the estimator branch is what's value-checked. The oracle
+    replays per-group distinct → md5 bottom-48 → (k−1)/u_k directly —
+    valid because each group's streamed bottom-k equals its history
+    bottom-k exactly (per-group closure, pinned by the operator's
+    forced multi-batch test), independent of micro-batch splits."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import kmv_ndv_by_group
+    from hdk_spark.streaming import stream_kmv_by_group
+
+    _tables(spark, sf_dir)
+    stream = _documents_stream(spark, sf_dir).select(
+        F.col("lang").alias("g"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 211).cast("string"))
+        .alias("v"),
+    )
+    name = _run_stream(
+        stream_kmv_by_group(stream, "g", "v", k=48, hash_basis="md5"),
+        "update",
+    )
+    latest = (
+        spark.table(name)
+        .withColumn("__m", F.max("n_seen").over(Window.partitionBy("grp")))
+        .filter(F.col("n_seen") == F.col("__m"))
+        .select("grp", "h", "item")
+    )
+    truth = spark.table("documents").groupBy(
+        F.col("lang").alias("grp")).agg(
+        F.countDistinct(F.col("doc_id") % 211).cast("long")
+        .alias("ndv_true"))
+    return kmv_ndv_by_group(latest, k=48, hash_basis="md5").join(
+        truth, "grp")
+
+
+_STREAM_KMV_GROUP_ORACLE = f"""
+WITH src AS (SELECT lang AS grp,
+                    'u' || CAST(doc_id % 211 AS VARCHAR) AS item
+             FROM documents
+             WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+d AS (SELECT grp, h, MIN(item) AS item FROM (
+        SELECT grp, {_KMV_H.format(v='item')} AS h, item
+        FROM (SELECT DISTINCT grp, item FROM src)) GROUP BY grp, h),
+s AS (SELECT grp, h FROM (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM d)
+      WHERE rn <= 48),
+est AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               round(CASE WHEN COUNT(*) < 48
+                          THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE 47.0 / MAX(h / 4294967296.0) END, 4) + 0
+                 AS ndv_est
+        FROM s GROUP BY grp),
+tru AS (SELECT grp, CAST(COUNT(DISTINCT item) AS BIGINT) AS ndv_true
+        FROM src GROUP BY grp)
+SELECT est.grp, n_kept, ndv_est, ndv_true
+FROM est JOIN tru USING (grp)
+"""
+
+SPARK_IMPLS["streaming_kmv_group_ndv"] = q_streaming_kmv_group_ndv
+ORACLES["streaming_kmv_group_ndv"] = _STREAM_KMV_GROUP_ORACLE

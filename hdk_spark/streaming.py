@@ -752,6 +752,109 @@ def stream_kmv(
     )
 
 
+def stream_kmv_by_group(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming per-GROUP KMV bottom-k — the streaming twin of
+    ``sketches.kmv_by_group`` (this round's per-group family: build /
+    merge / NDV / now stream): state keyed by GROUP holds that
+    group's k smallest distinct (h, item) pairs plus a row counter,
+    so each group's latest emission equals ``kmv_by_group`` of the
+    full history for that group BIT-FOR-BIT regardless of micro-batch
+    splits (pure set function per group; the bottom-k closure). Where
+    ``stream_ndv_rollup`` (HLL) answers only per-group NDV, this
+    keeps a mergeable uniform SAMPLE per group: emissions feed
+    kmv_ndv_by_group unchanged, kmv_merge_by_group composes them with
+    batch slice summaries, and two groups' emissions feed
+    kmv_set_stats (per-group jaccard / containment, live).
+
+    State: ≤ k (h, item) pairs PER GROUP — bounded per group, but the
+    GROUP COUNT is data-dependent (any per-group statistic shares
+    this; cap or bucket unbounded group domains upstream). Replays
+    converge to the exact bottom-k (set function); only n_seen
+    double-counts, like stream_kmv. NULL values excluded; NULL GROUPS
+    are DROPPED here (the batch form keeps them per SQL GROUP BY —
+    coalesce to a sentinel upstream if a NULL group must stream).
+    Emission (update mode): every updated group re-emits its full
+    summary (grp, h, item, n_seen); n_seen strictly grows, so the
+    latest emission per group is the max-n_seen one."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hdk_spark.operators.sketches import _cms_base_hash
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            st_hs, st_items, n = state.get
+            summ = dict(zip((int(h) for h in st_hs), st_items))
+            n = int(n)
+        else:
+            summ, n = {}, 0
+        # per-chunk trim + chunk-start-stale threshold: stream_kmv's
+        # bounded-memory discipline, unchanged (bottom-k associative)
+        for pdf in pdfs:
+            n += len(pdf)
+            thresh = max(summ) if len(summ) >= k else None
+            for h, it in zip(pdf["h"], pdf["item"]):
+                h = int(h)
+                if thresh is not None and h > thresh:
+                    continue
+                prev = summ.get(h)
+                if prev is None or it < prev:
+                    summ[h] = it
+            if len(summ) > k:
+                summ = {h: summ[h] for h in sorted(summ)[:k]}
+        hs = sorted(summ)
+        state.update((hs, [summ[h] for h in hs], n))
+        yield pd.DataFrame(
+            {
+                "grp": pd.array([str(key[0])] * len(hs), dtype="string"),
+                "h": pd.array(hs, dtype="int64"),
+                "item": pd.array([summ[h] for h in hs], dtype="string"),
+                "n_seen": pd.array([n] * len(hs), dtype="int64"),
+            }
+        )
+
+    grouped = (
+        stream_df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("string").alias("item"),
+        )
+        .filter(F.col("item").isNotNull() & F.col("grp").isNotNull())
+        .withColumn("h", _cms_base_hash(F.col("item"), hash_basis))
+    )
+    return grouped.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_ndv_rollup(
     stream_df: DataFrame,
     group_col: str,

@@ -791,3 +791,83 @@ def test_stream_mg_checkpoint_restart_transparent(spark, tmp_path):
                 .collect()))
 
     assert latest_rows(outi) == latest_rows(outu)
+
+
+def test_stream_kmv_by_group_multibatch_equals_batch(spark, tmp_path):
+    """stream_kmv_by_group across a FORCED multi-batch run (3 files ×
+    maxFilesPerTrigger=1, the third a byte-duplicate): the latest
+    emissions per GROUP equal kmv_by_group of the full history
+    BIT-FOR-BIT (pure set function per group, bottom-k closure) —
+    including a group absent from the first file; the duplicate file
+    changes nothing but n_seen; per-group state ≤ k rows; emissions
+    feed kmv_ndv_by_group / kmv_merge_by_group unchanged."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import (
+        kmv_by_group, kmv_merge_by_group, kmv_ndv_by_group,
+    )
+
+    k = 8
+    src = str(tmp_path / "kmvg_multi")
+    os.makedirs(src)
+    f1 = spark.createDataFrame(
+        [(i, "web", f"a{(i * 13) % 101}") for i in range(300)],
+        "id: long, g: string, v: string")
+    f2 = spark.createDataFrame(
+        [(i, "web" if i % 2 else "code", f"b{(i * 7) % 67}")
+         for i in range(200)],
+        "id: long, g: string, v: string")  # 'code' first appears here
+    f1.coalesce(1).write.parquet(src + "/p1")
+    f2.coalesce(1).write.parquet(src + "/p2")
+    f2.coalesce(1).write.parquet(src + "/p3")  # replayed slice
+
+    st = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = _collect(
+        spark,
+        streaming.stream_kmv_by_group(st, "g", "v", k=k, hash_basis="md5"),
+        "t_kmvg_multi", "update",
+    )
+    latest = (
+        sink.withColumn(
+            "__m", F.max("n_seen").over(Window.partitionBy("grp")))
+        .filter(F.col("n_seen") == F.col("__m"))
+    )
+    rows = latest.collect()
+    per_grp: dict = {}
+    for r in rows:
+        per_grp.setdefault(r["grp"], []).append((r["h"], r["item"]))
+    assert set(per_grp) == {"web", "code"}
+    assert all(len(v) <= k for v in per_grp.values())
+    # n_seen counts ROWS incl. the replayed file: web 300+100+100,
+    # code 100+100
+    n_by_grp = {r["grp"]: r["n_seen"] for r in rows}
+    assert n_by_grp == {"web": 500, "code": 200}
+
+    batch = kmv_by_group(
+        f1.unionByName(f2).select("g", "v"), "g", "v", k=k,
+        hash_basis="md5")
+    want: dict = {}
+    for r in batch.collect():
+        want.setdefault(r["grp"], []).append((r["h"], r["item"]))
+    assert {g: sorted(v) for g, v in per_grp.items()} == \
+           {g: sorted(v) for g, v in want.items()}
+
+    # downstream composition: emissions ARE kmv_by_group relations
+    latest_rel = spark.createDataFrame(rows, latest.schema) \
+        .select("grp", "h", "item")
+    est = {r["grp"]: r for r in kmv_ndv_by_group(
+        latest_rel, k=k, hash_basis="md5").collect()}
+    assert est["code"]["n_kept"] == k  # 67 distinct >> k=8: estimator
+    merged = kmv_merge_by_group(latest_rel, latest_rel, k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, latest_rel.collect()))  # idempotent set union
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        streaming.stream_kmv_by_group(st, "g", "v", k=1)
