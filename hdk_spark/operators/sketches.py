@@ -30,7 +30,8 @@ Every family has a bounded-state streaming twin in
 hdk_spark.streaming: stream_ndv_rollup / stream_cms /
 stream_frequent_items / stream_dds / stream_kmv (sharded bottom-k
 state, exact vs the batch summary regardless of micro-batch
-splits)."""
+splits) / stream_kmv_by_group (per-group bottom-k, the kmv_by_group
+twin)."""
 
 from __future__ import annotations
 
