@@ -298,13 +298,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r11; failed last check: 0, never checked: 4, green: 287  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r11; failed last check: 0, never checked: 5, green: 287  (window ~50).
 _PRIORITY: list[str] = [
     # never checked
     "stats_kmv_set_stats",
     "stats_kmv_group_ndv",
     "stats_kmv_group_merge",
     "streaming_kmv_group_ndv",
+    "stats_dds_group_quantile",
     # stable greens
     "embedding_covariance",
     "events_tumbling_hour",

@@ -13345,6 +13345,90 @@ ORACLES["stats_dds_merge"] = _DDS_MERGE_ORACLE
 _KMV_H = "CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT)"
 
 
+def q_stats_dds_group_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DDSketch quantiles (operators/sketches.py::
+    dds_build_by_group → dds_quantile_by_group, m=64): MERGEABLE
+    per-group percentiles — approx_percentile's GROUP BY digests are
+    per-query, these bucket relations are stored per ingest slice and
+    merged per (grp, store, b, j) without re-reading rows. The
+    planted measure exercises all three stores in EVERY returnflag
+    group (l_extendedprice magnitudes, an orderkey%11 negative
+    stripe, an orderkey%13 zero stripe). The oracle replays the whole
+    per-group machinery: sign routing, the corrected binary exponent,
+    sub-buckets, the value-ordered cumulative walk PARTITIONED BY
+    GROUP and each group's rank-⌊q·(n−1)⌋+1 midpoint."""
+    from hdk_spark.operators.sketches import (
+        dds_build_by_group, dds_quantile_by_group,
+    )
+
+    _tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    x = (
+        F.when(F.col("l_orderkey") % 13 == 7, F.lit(0.0))
+        .when(F.col("l_orderkey") % 11 == 3, -F.col("l_extendedprice"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    src = li.select(F.col("l_returnflag").alias("g"), x.alias("x"))
+    sk = dds_build_by_group(src, "g", "x", m=64)
+    return dds_quantile_by_group(sk, [0.1, 0.5, 0.9], m=64)
+
+
+_DDS_GROUP_QUANTILE_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS grp,
+         CASE WHEN l_orderkey % 13 = 7 THEN 0.0
+              WHEN l_orderkey % 11 = 3 THEN -l_extendedprice
+              ELSE l_extendedprice END AS x
+  FROM lineitem
+), routed AS (
+  SELECT grp,
+         CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS store,
+         ABS(x) AS ax
+  FROM src WHERE x IS NOT NULL
+), seed AS (
+  SELECT grp, store, ax, CAST(floor(log2(ax)) AS BIGINT) AS b0
+  FROM routed WHERE store <> 0
+), fixed AS (
+  SELECT grp, store, ax,
+         CASE WHEN pow(2.0, b0 + 1) <= ax THEN b0 + 1
+              WHEN pow(2.0, b0) > ax THEN b0 - 1
+              ELSE b0 END AS b
+  FROM seed
+), cells AS (
+  SELECT grp, store, b,
+         CAST(floor((ax / pow(2.0, b) - 1.0) * 64.0) AS BIGINT) AS j,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM fixed GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT grp, 0, 0, 0, CAST(COUNT(*) AS BIGINT)
+  FROM routed WHERE store = 0 GROUP BY grp HAVING COUNT(*) > 0
+), cum AS (
+  SELECT grp, store, b, j, c,
+         SUM(c) OVER (
+           PARTITION BY grp
+           ORDER BY store,
+                    CASE WHEN store = -1 THEN -b ELSE b END,
+                    CASE WHEN store = -1 THEN -j ELSE j END
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cells
+), n AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY grp),
+qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS q),
+tgt AS (SELECT grp, q, n, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS t
+        FROM n CROSS JOIN qs)
+SELECT tgt.grp, q,
+       round(CASE WHEN store = 0 THEN 0.0
+                  ELSE store * pow(2.0, b) * (1.0 + (j + 0.5) / 64.0)
+             END, 6) + 0 AS est,
+       n
+FROM tgt JOIN cum ON cum.grp = tgt.grp
+                 AND cum.cum >= tgt.t AND cum.cum - cum.c < tgt.t
+ORDER BY tgt.grp, q
+"""
+
+SPARK_IMPLS["stats_dds_group_quantile"] = q_stats_dds_group_quantile
+ORACLES["stats_dds_group_quantile"] = _DDS_GROUP_QUANTILE_ORACLE
+
+
 def q_stats_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k distinct-count pipeline (operators/sketches.py::
     kmv_summary/kmv_merge/kmv_ndv, k=128, hash_basis='md5'): two

@@ -16,9 +16,11 @@ that survives 100 TB). Five families, one merge law each:
 - frequency tops: Misra-Gries (mg_summary / mg_merge; exact-recount
   heavy hitters via frequent_items) — merge = counter add + one
   trim (Agarwal et al. 2012 "Mergeable Summaries" §3).
-- quantiles: DDSketch (dds_build / dds_merge / dds_quantile) —
-  merge = linear cell sum like CMS (bucket counters add), with the
-  relative-error guarantee of Masson, Rim & Lee 2019.
+- quantiles: DDSketch (dds_build / dds_merge / dds_quantile;
+  per-group: dds_build_by_group / dds_merge_by_group /
+  dds_quantile_by_group) — merge = linear cell sum like CMS (bucket
+  counters add), with the relative-error guarantee of Masson, Rim &
+  Lee 2019.
 - distinct samples: KMV / bottom-k (kmv_summary / kmv_merge /
   kmv_ndv / kmv_jaccard / kmv_set_stats; per-group: kmv_by_group /
   kmv_ndv_by_group / kmv_merge_by_group) — merge = bottom-k of the summary union
@@ -41,6 +43,8 @@ __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "frequent_items", "mg_summary", "mg_merge",
            "mg_heavy_hitters", "cms_build", "cms_merge", "cms_query",
            "dds_build", "dds_merge", "dds_quantile",
+           "dds_build_by_group", "dds_merge_by_group",
+           "dds_quantile_by_group",
            "kmv_summary", "kmv_merge", "kmv_ndv", "kmv_jaccard",
            "kmv_set_stats", "kmv_by_group", "kmv_ndv_by_group",
            "kmv_merge_by_group",
@@ -809,6 +813,129 @@ def dds_quantile(
     return hit.select(
         "q", F.round(est, 6).alias("est"), F.col("n").cast("long").alias("n")
     ).orderBy("q")
+
+
+def dds_build_by_group(
+    df: DataFrame, group_col: str, value_col: str, m: int = 64
+) -> DataFrame:
+    """Per-GROUP DDSketch: (grp, store, b, j, c) bucket counters —
+    MERGEABLE per-group quantiles, which ``approx_percentile`` with a
+    GROUP BY cannot give you (its digests are per-query; these
+    relations are stored per ingest slice and merged with
+    ``dds_merge_by_group`` without re-reading rows — the per-group
+    member of the merge-not-rescan family, joining kmv_by_group).
+    Same build shape as :func:`dds_build` (ONE map-only projection +
+    ONE partial-agg groupBy, no join, no window), same
+    bit-deterministic binary-interpolated mapping, same NaN/±Inf drop
+    gate and relative-error bound ≤ 1/(2m) per group. Each group's
+    rows ARE the dds_build of that group's values with grp attached
+    (row-for-row law, property-tested). NULL values excluded; NULL
+    GROUPS kept (SQL GROUP BY), like kmv_by_group."""
+    if m < 1 or (m & (m - 1)) != 0:
+        raise ValueError(f"m must be a power of two >= 1, got {m}")
+    x = F.col(value_col).cast("double")
+    ax = F.abs(x)
+    b, j = _dds_cells(ax, m)
+    finite = (
+        x.isNotNull() & ~F.isnan(x)
+        & (ax != F.lit(float("inf")))
+    )
+    src = df.filter(finite).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
+        .cast("int").alias("store"),
+        F.when(x == 0, F.lit(0)).otherwise(b).cast("long").alias("b"),
+        F.when(x == 0, F.lit(0)).otherwise(j).cast("long").alias("j"),
+    )
+    return src.groupBy("grp", "store", "b", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def dds_merge_by_group(*sketches: DataFrame) -> DataFrame:
+    """Merge :func:`dds_build_by_group` relations built with the SAME
+    m: element-wise bucket sum per (grp, store, b, j) — exactly the
+    per-group sketch of the concatenated multisets (linear counters,
+    the paper's fully-mergeable property, per group). Groups missing
+    from one slice pass through from the other."""
+    if not sketches:
+        raise ValueError("dds_merge_by_group needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "store", "b", "j").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def dds_quantile_by_group(
+    sketch: DataFrame, qs: "list[float]", m: int = 64
+) -> DataFrame:
+    """Per-group quantile QUERY over a :func:`dds_build_by_group`
+    relation: dds_quantile's value-ordered cumulative walk and
+    rank-⌊q·(n−1)⌋+1 bucket pick, PARTITIONED BY GROUP. Every
+    relation here is sketch-sized — each group's walk covers
+    ≤ stores·binades·m rows (bounded by the value RANGE, never the
+    volume), and the targets⋈cum join carries the grp equi-key, so
+    unlike the global form nothing is force-broadcast: with many
+    groups both sides are groups-scaled and the equi-key hash join is
+    the scale-safe shape (AQE may still broadcast small ones).
+    Returns (grp, q, est, n) ordered; groups absent from the sketch
+    produce no rows (an all-NULL/empty group has no quantiles)."""
+    if m < 1 or (m & (m - 1)) != 0:
+        raise ValueError(f"m must be a power of two >= 1, got {m}")
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    from pyspark.sql.window import Window
+
+    # consumed by the cumulative walk AND the per-group totals —
+    # bounded (groups·stores·binades·m rows), the family's persist rule
+    sketch = sketch.persist()
+    ordered = sketch.select(
+        "grp", "store", "b", "j", "c",
+        F.when(F.col("store") == -1, -F.col("b")).otherwise(F.col("b"))
+        .alias("__kb"),
+        F.when(F.col("store") == -1, -F.col("j")).otherwise(F.col("j"))
+        .alias("__kj"),
+    )
+    w = (
+        Window.partitionBy("grp").orderBy("store", "__kb", "__kj")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ordered.select(
+        F.col("grp").alias("__cg"), "store", "b", "j", "c",
+        F.sum("c").over(w).alias("__cum"),
+    )
+    n_total = sketch.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"))
+    qrel = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q: double"
+    )
+    targets = n_total.crossJoin(F.broadcast(qrel)).select(
+        "grp", "q", "n",
+        (F.floor(F.col("q") * (F.col("n") - 1)) + 1).alias("__tgt"),
+    )
+    est = (
+        F.when(F.col("store") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("store")
+            * F.pow(F.lit(2.0), F.col("b"))
+            * (F.lit(1.0) + (F.col("j") + F.lit(0.5)) / F.lit(float(m)))
+        )
+    )
+    hit = targets.join(
+        cum,
+        (F.col("grp") == F.col("__cg"))
+        & (F.col("__cum") >= F.col("__tgt"))
+        & (F.col("__cum") - F.col("c") < F.col("__tgt")),
+        "left",
+    )
+    return hit.select(
+        "grp", "q", F.round(est, 6).alias("est"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("grp", "q")
 
 
 def _kmv_unit(hcol, hash_basis: str):

@@ -1160,3 +1160,109 @@ def test_kmv_merge_by_group_equals_union_build(spark):
         kmv_merge_by_group(sa, k=1)
     with pytest.raises(ValueError, match="at least one"):
         kmv_merge_by_group(k=64)
+
+
+def test_dds_by_group_equals_per_group_build_and_merge(spark):
+    """Per-group DDS laws: (a) each group's rows in dds_build_by_group
+    == dds_build of that group's values cell-for-cell (so the error
+    bound and drop gates carry per group); (b) dds_merge_by_group of
+    parity slices == the single build bit-for-bit (linear counters per
+    group, groups missing from one slice pass through); (c) NaN/±Inf
+    rows change nothing; (d) NULL groups kept."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import (
+        dds_build, dds_build_by_group, dds_merge_by_group,
+    )
+
+    x = (
+        F.when(F.col("id") % 13 == 7, F.lit(0.0))
+        .when(F.col("id") % 11 == 3, -(F.col("id") % 97 + 1).cast("double"))
+        .otherwise((F.col("id") % 97 + 1).cast("double") * 1.25)
+    )
+    g = (
+        F.when(F.col("id") % 10 == 9, None)
+        .when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    )
+    df = spark.range(4000).select(g.alias("g"), x.alias("x"))
+
+    got = dds_build_by_group(df, "g", "x", m=64).collect()
+    by_grp: dict = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(
+            (r["store"], r["b"], r["j"], r["c"]))
+    assert None in by_grp  # NULL group kept
+    for grp, rows in by_grp.items():
+        cond = F.col("g").isNull() if grp is None else (F.col("g") == grp)
+        want = [(r["store"], r["b"], r["j"], r["c"]) for r in dds_build(
+            df.filter(cond), "x", m=64).collect()]
+        assert sorted(rows) == sorted(want), grp
+
+    key = lambda rel: sorted(
+        ((r["grp"] is None, r["grp"] or ""), r["store"], r["b"], r["j"],
+         r["c"]) for r in rel.collect())
+    # parity slices; 'b' rows only in the odd slice at id%4==1... both
+    # slices hold both groups, so ALSO plant a group unique to one side
+    extra = spark.createDataFrame([("only_even", 5.0)], "g: string, x: double")
+    even = df.filter("id % 2 = 0").unionByName(extra)
+    odd = df.filter("id % 2 = 1")
+    merged = dds_merge_by_group(
+        dds_build_by_group(even, "g", "x", m=64),
+        dds_build_by_group(odd, "g", "x", m=64))
+    single = dds_build_by_group(
+        even.unionByName(odd), "g", "x", m=64)
+    assert key(merged) == key(single)
+    assert ((False, "only_even"), 1, 2, 16, 1) in key(merged)  # pass-through
+
+    dirty = df.unionByName(spark.createDataFrame(
+        [("a", float("nan")), ("b", float("inf")), ("a", None)],
+        "g: string, x: double"))
+    assert key(dds_build_by_group(dirty, "g", "x", m=64)) == key(
+        dds_build_by_group(df, "g", "x", m=64))
+
+
+def test_dds_quantile_by_group_matches_global_per_group(spark):
+    """dds_quantile_by_group == running the GLOBAL dds_quantile on
+    each group's sketch slice independently (same walk, same rank
+    arithmetic, same midpoints) — at three stores, both groups, five
+    quantiles; empty sketch → zero rows; guards."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import (
+        dds_build_by_group, dds_quantile, dds_quantile_by_group,
+    )
+
+    x = (
+        F.when(F.col("id") % 17 == 5, F.lit(0.0))
+        .when(F.col("id") % 7 == 3, -(F.col("id") % 53 + 2).cast("double"))
+        .otherwise((F.col("id") % 211 + 1).cast("double") / 3.0)
+    )
+    g = F.when(F.col("id") % 3 == 0, F.lit("p")).otherwise(F.lit("q"))
+    df = spark.range(3000).select(g.alias("g"), x.alias("x"))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+    sk = dds_build_by_group(df, "g", "x", m=64)
+    got = sorted(
+        (r["grp"], r["q"], r["est"], r["n"])
+        for r in dds_quantile_by_group(sk, qs, m=64).collect())
+    want = []
+    for grp in ("p", "q"):
+        for r in dds_quantile(
+                sk.filter(F.col("grp") == grp).select(
+                    "store", "b", "j", "c"), qs, m=64).collect():
+            want.append((grp, r["q"], r["est"], r["n"]))
+    assert got == sorted(want)
+
+    empty = dds_build_by_group(
+        spark.createDataFrame([], "g: string, x: double"), "g", "x", m=64)
+    assert dds_quantile_by_group(empty, [0.5], m=64).count() == 0
+
+    with pytest.raises(ValueError, match="power of two"):
+        dds_quantile_by_group(sk, [0.5], m=63)
+    with pytest.raises(ValueError, match="non-empty"):
+        dds_quantile_by_group(sk, [], m=64)
+    with pytest.raises(ValueError, match="quantiles"):
+        dds_quantile_by_group(sk, [1.5], m=64)
+    with pytest.raises(ValueError, match="power of two"):
+        dds_build_by_group(df, "g", "x", m=0)
