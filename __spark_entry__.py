@@ -298,7 +298,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r11; failed last check: 0, never checked: 5, green: 287  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r11; failed last check: 0, never checked: 6, green: 287  (window ~50).
 _PRIORITY: list[str] = [
     # never checked
     "stats_kmv_set_stats",
@@ -306,6 +306,7 @@ _PRIORITY: list[str] = [
     "stats_kmv_group_merge",
     "streaming_kmv_group_ndv",
     "stats_dds_group_quantile",
+    "stats_mg_group_hh",
     # stable greens
     "embedding_covariance",
     "events_tumbling_hour",

@@ -12787,6 +12787,119 @@ SPARK_IMPLS["stats_mg_heavy_hitters"] = q_stats_mg_heavy_hitters
 ORACLES["stats_mg_heavy_hitters"] = _MG_HH_ORACLE
 
 
+def q_stats_mg_group_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group Misra-Gries pipeline end-to-end (operators/
+    sketches.py::mg_summary_by_group → mg_merge_by_group →
+    mg_heavy_hitters_by_group — "hot items per domain", the frequency
+    member of the per-group sketch trilogy): per-group summaries
+    built on doc_id-parity SLICES, merged per group, then φ=0.1
+    heavy hitters where N is each GROUP's volume. k=3 with 2 md5
+    shards so trims fire per (grp, shard) in the halves AND in the
+    merge. The oracle replays the whole chain in SQL — per-(grp,
+    shard) exact counts, both halves' rank-4 medians and
+    subtractions, the counter-add merge, its own median/trim, the
+    per-(grp, shard) slack and each group's φ·N_grp thresholds."""
+    from hdk_spark.operators.sketches import (
+        mg_heavy_hitters_by_group, mg_merge_by_group, mg_summary_by_group,
+    )
+
+    _tables(spark, sf_dir)
+    docs = spark.table("documents").filter(
+        F.col("lang").isNotNull() & F.col("doc_id").isNotNull()
+    ).select(
+        F.col("lang").alias("g"),
+        F.concat(F.lit("i"), (F.col("doc_id") % 7).cast("string"))
+        .alias("v"),
+        (F.col("doc_id") % 2).alias("p"),
+    )
+    kw = dict(k=3, n_shards=2, hash_basis="md5")
+    merged = mg_merge_by_group(
+        mg_summary_by_group(docs.filter("p = 0"), "g", "v", **kw),
+        mg_summary_by_group(docs.filter("p = 1"), "g", "v", **kw),
+        k=3,
+    )
+    return mg_heavy_hitters_by_group(merged, phi=0.1, k=3)
+
+
+def _mg_group_half_sql(tag: str, parity: int) -> str:
+    """One half's per-group one-round MG summary CTE chain (k=3, 2
+    md5 shards, PARTITION BY (grp, shard)): s{tag} survivors +
+    t{tag} totals."""
+    return f"""c{tag} AS (
+  SELECT grp,
+         CAST(CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % 2 AS INT)
+           AS shard,
+         item, CAST(COUNT(*) AS BIGINT) AS c
+  FROM srcg WHERE doc_id % 2 = {parity} GROUP BY 1, 2, 3
+), t{tag} AS (
+  SELECT grp, shard, CAST(SUM(c) AS BIGINT) AS n_shard FROM c{tag}
+  GROUP BY 1, 2
+), r{tag} AS (
+  SELECT grp, shard, item, c,
+         row_number() OVER (PARTITION BY grp, shard
+                            ORDER BY c DESC, item) AS rn
+  FROM c{tag}
+), m{tag} AS (
+  SELECT grp, shard, MAX(CASE WHEN rn = 4 THEN c END) AS m FROM r{tag}
+  GROUP BY 1, 2
+), s{tag} AS (
+  SELECT r.grp, r.shard, r.item,
+         CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
+  FROM r{tag} r JOIN m{tag} m USING (grp, shard)
+  WHERE r.c - COALESCE(m.m, 0) > 0
+)"""
+
+
+_MG_GROUP_HH_ORACLE = f"""
+WITH srcg AS (
+  SELECT lang AS grp, 'i' || CAST(doc_id % 7 AS VARCHAR) AS item, doc_id
+  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+), {_mg_group_half_sql('a', 0)}, {_mg_group_half_sql('b', 1)}, u AS (
+  SELECT grp, shard, item, cnt FROM sa
+  UNION ALL SELECT grp, shard, item, cnt FROM sb
+), mc AS (
+  SELECT grp, shard, item, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM u GROUP BY 1, 2, 3
+), nacc AS (
+  SELECT grp, shard, CAST(SUM(n_shard) AS BIGINT) AS n_shard
+  FROM (SELECT grp, shard, n_shard FROM ta
+        UNION ALL SELECT grp, shard, n_shard FROM tb)
+  GROUP BY 1, 2
+), rm AS (
+  SELECT grp, shard, item, c,
+         row_number() OVER (PARTITION BY grp, shard
+                            ORDER BY c DESC, item) AS rn
+  FROM mc
+), mm AS (
+  SELECT grp, shard, MAX(CASE WHEN rn = 4 THEN c END) AS m FROM rm
+  GROUP BY 1, 2
+), sm AS (
+  SELECT r.grp, r.shard, r.item,
+         CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
+  FROM rm r JOIN mm m USING (grp, shard)
+  WHERE r.c - COALESCE(m.m, 0) > 0
+), slack AS (
+  SELECT n.grp, n.shard,
+         CAST(floor((n.n_shard - COALESCE(s.sc, 0)) / 4.0) AS BIGINT) AS sl
+  FROM nacc n LEFT JOIN (
+    SELECT grp, shard, SUM(cnt) AS sc FROM sm GROUP BY 1, 2
+  ) s USING (grp, shard)
+), ng AS (
+  SELECT grp, CAST(SUM(n_shard) AS BIGINT) AS n FROM nacc GROUP BY grp
+)
+SELECT s.grp, s.item,
+       CAST(s.cnt AS BIGINT) AS cnt_lower,
+       CAST(s.cnt + k.sl AS BIGINT) AS cnt_upper,
+       CAST(s.cnt AS DOUBLE) >= 0.1 * g.n AS certain
+FROM sm s JOIN slack k USING (grp, shard) JOIN ng g USING (grp)
+WHERE CAST(s.cnt + k.sl AS DOUBLE) >= 0.1 * g.n
+ORDER BY s.grp, cnt_lower DESC, s.item
+"""
+
+SPARK_IMPLS["stats_mg_group_hh"] = q_stats_mg_group_hh
+ORACLES["stats_mg_group_hh"] = _MG_GROUP_HH_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # round 10: labeling-reliability + summarization-eval completions —
 # krippendorff_alpha (the varying-raters/missing-data coefficient

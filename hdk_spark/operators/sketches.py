@@ -14,8 +14,9 @@ that survives 100 TB). Five families, one merge law each:
 - point frequencies: Count-Min (cms_build / cms_merge / cms_query)
   — merge = linear cell sum.
 - frequency tops: Misra-Gries (mg_summary / mg_merge; exact-recount
-  heavy hitters via frequent_items) — merge = counter add + one
-  trim (Agarwal et al. 2012 "Mergeable Summaries" §3).
+  heavy hitters via frequent_items; per-group: mg_summary_by_group /
+  mg_merge_by_group / mg_heavy_hitters_by_group) — merge = counter
+  add + one trim (Agarwal et al. 2012 "Mergeable Summaries" §3).
 - quantiles: DDSketch (dds_build / dds_merge / dds_quantile;
   per-group: dds_build_by_group / dds_merge_by_group /
   dds_quantile_by_group) — merge = linear cell sum like CMS (bucket
@@ -41,7 +42,9 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "frequent_items", "mg_summary", "mg_merge",
-           "mg_heavy_hitters", "cms_build", "cms_merge", "cms_query",
+           "mg_heavy_hitters", "mg_summary_by_group", "mg_merge_by_group",
+           "mg_heavy_hitters_by_group",
+           "cms_build", "cms_merge", "cms_query",
            "dds_build", "dds_merge", "dds_quantile",
            "dds_build_by_group", "dds_merge_by_group",
            "dds_quantile_by_group",
@@ -533,6 +536,238 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
     )
 
 
+def _grp_key(grp_col):
+    """Injective NOT-NULL join key for a nullable group column: SQL
+    equi-joins never match NULL = NULL, so any per-group operator
+    that JOINS its derived relations back on grp would silently drop
+    the NULL group's rows (the kept-per-SQL-GROUP-BY group). "n" for
+    the NULL group, "v:" + value otherwise — prefixes disjoint, so no
+    value collides with the NULL marker."""
+    return F.when(grp_col.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v:"), grp_col))
+
+
+def mg_summary_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 100,
+    n_shards: int = 8,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Per-GROUP one-round Misra-Gries summary — "top terms per
+    domain / hot items per source" as a stored, mergeable relation,
+    completing the per-group sketch trilogy (kmv_by_group distincts,
+    dds_*_by_group quantiles, now frequency tops). Each group's rows
+    ARE :func:`mg_summary` of that group's values with grp attached —
+    identical sharding (by ITEM hash; grp does not enter the shard),
+    exact per-(grp, shard) counts, ONE trim via the salted windowless
+    two-phase median, the same NULL-item accounting rows per (grp,
+    shard), and the same MG guarantees per group. NULL values
+    excluded; NULL GROUPS kept (SQL GROUP BY). Returns (grp, shard,
+    item, cnt, n_shard), ≤ k item rows per (grp, shard); eager build
+    with the mg_summary cache discipline (count intermediates
+    released, only the bounded summary retained — unpersist() it per
+    slice in long-lived sessions).
+
+    Scale note vs the global form: every derived relation here is
+    groups-scaled, so the median/accounting joins keep their
+    (grp, shard) equi-keys WITHOUT forced broadcasts (the
+    dds_quantile_by_group precedent) — AQE may still broadcast small
+    ones."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    src = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("string").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    # __gk: injective not-null group key — every derived relation
+    # joins back on it so the NULL group (kept per SQL GROUP BY)
+    # survives the equi-joins; grp rides along for output
+    cnt = (
+        src.withColumn(
+            "shard",
+            F.pmod(
+                _cms_base_hash(F.col("item"), hash_basis), F.lit(n_shards)
+            ).cast("int"),
+        )
+        .withColumn("__gk", _grp_key(F.col("grp")))
+        .groupBy("__gk", "grp", "shard", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    # fused phase 1 (the mg_summary shape, keyed by (group, shard,
+    # salt)): top-(k+1) negated count lists AND partial totals in one
+    # pass over the cached count relation
+    kp1 = k + 1
+    phase1 = (
+        cnt.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("item")), F.lit(_MG_TRIM_SALTS))
+            .cast("int"),
+        )
+        .groupBy("__gk", "grp", "shard", "__salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(-F.col("c"))), 1, kp1)
+            .alias("tops"),
+            F.sum("c").cast("long").alias("__s"),
+        )
+        .persist()
+    )
+    med_rel = (
+        phase1.select("__gk", "shard", F.explode("tops").alias("nc"))
+        .groupBy("__gk", "shard")
+        .agg(F.array_sort(F.collect_list("nc")).alias("tops"))
+        .filter(F.size("tops") >= kp1)
+        .select(
+            "__gk", "shard",
+            (-F.element_at("tops", kp1)).cast("long").alias("__med"),
+        )
+    )
+    n_rel = phase1.groupBy("__gk", "grp", "shard").agg(
+        F.sum("__s").cast("long").alias("n_shard"))
+    trimmed = (
+        cnt.join(med_rel, ["__gk", "shard"], "left")
+        .select(
+            "__gk", "shard", "item",
+            (F.col("c") - F.coalesce(F.col("__med"), F.lit(0)))
+            .cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    summary = trimmed.join(n_rel, ["__gk", "shard"], "right").select(
+        "grp", "shard", "item", "cnt", "n_shard").persist()
+    summary.count()
+    phase1.unpersist()
+    cnt.unpersist()
+    return summary
+
+
+def mg_merge_by_group(*summaries: DataFrame, k: int = 100) -> DataFrame:
+    """Combine :func:`mg_summary_by_group` relations from corpus
+    SLICES into per-group summaries of the union without re-reading
+    rows — :func:`mg_merge`'s arithmetic with grp carried through
+    every key: per-(grp, shard, item) counter ADD over the bounded
+    tagged union, ONE trim per (grp, shard) (the same windowless
+    two-phase median), n_shard accounting summed per input via the
+    __src tag, NULL-item accounting rows preserved so all-trimmed
+    (grp, shard) cells keep their volume. Groups missing from one
+    slice pass through. Same per-group guarantees as mg_merge's
+    global ones; same k/basis discipline."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not summaries:
+        raise ValueError("mg_merge_by_group needs at least one input")
+    u = summaries[0].select(
+        "grp", "shard", "item", "cnt", "n_shard", F.lit(0).alias("__src"))
+    for i, s in enumerate(summaries[1:], start=1):
+        u = u.unionByName(s.select(
+            "grp", "shard", "item", "cnt", "n_shard",
+            F.lit(i).alias("__src")))
+    # bounded: ≤ inputs·(k+1) rows per (grp, shard); __gk for the
+    # NULL-group-safe joins (see _grp_key)
+    u = u.withColumn("__gk", _grp_key(F.col("grp"))).persist()
+    merged = (
+        u.filter(F.col("item").isNotNull())
+        .groupBy("__gk", "shard", "item")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    n_rel = (
+        u.select("__gk", "grp", "shard", "n_shard", "__src").distinct()
+        .groupBy("__gk", "grp", "shard")
+        .agg(F.sum("n_shard").cast("long").alias("n_shard"))
+    )
+    kp1 = k + 1
+    part = (
+        merged.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("item")), F.lit(_MG_TRIM_SALTS))
+            .cast("int"),
+        )
+        .groupBy("__gk", "shard", "__salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(-F.col("c"))), 1, kp1)
+            .alias("tops")
+        )
+    )
+    med_rel = (
+        part.select("__gk", "shard", F.explode("tops").alias("nc"))
+        .groupBy("__gk", "shard")
+        .agg(F.array_sort(F.collect_list("nc")).alias("tops"))
+        .filter(F.size("tops") >= kp1)
+        .select(
+            "__gk", "shard",
+            (-F.element_at("tops", kp1)).cast("long").alias("__med"),
+        )
+    )
+    trimmed = (
+        merged.join(med_rel, ["__gk", "shard"], "left")
+        .select(
+            "__gk", "shard", "item",
+            (F.col("c") - F.coalesce(F.col("__med"), F.lit(0)))
+            .cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    return trimmed.join(n_rel, ["__gk", "shard"], "right").select(
+        "grp", "shard", "item", "cnt", "n_shard")
+
+
+def mg_heavy_hitters_by_group(
+    summary: DataFrame, phi: float, k: int
+) -> DataFrame:
+    """φ-heavy-hitter QUERY per group over an
+    :func:`mg_summary_by_group` relation — :func:`mg_heavy_hitters`'
+    bounds with every aggregate scoped to the group: N becomes each
+    GROUP's total volume (Σ its shards' n_shard, exact via the
+    accounting rows), slack is per (grp, shard), and the φ·N_grp
+    thresholds ask "heavy within its group" — hot items per domain,
+    not hot globally. Same completeness precondition per group
+    (φ·N_grp > n_{grp,shard}/(k+1)); pass the SAME k the summaries
+    were built/merged with. Summary-sized arithmetic only; no forced
+    broadcasts (groups-scaled sides). Returns (grp, item, cnt_lower,
+    cnt_upper, certain) ordered per group."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    # __gk: NULL-group-safe join key (see _grp_key)
+    summary = summary.withColumn("__gk", _grp_key(F.col("grp"))).persist()
+    totals = summary.select("__gk", "shard", "n_shard").distinct()
+    n_grp = totals.groupBy("__gk").agg(
+        F.sum("n_shard").cast("long").alias("n"))
+    slack = (
+        summary.groupBy("__gk", "shard")
+        .agg(
+            F.floor(
+                (F.max("n_shard") - F.coalesce(F.sum("cnt"), F.lit(0)))
+                / F.lit(k + 1)
+            ).cast("long").alias("__slack")
+        )
+    )
+    items = summary.filter(F.col("item").isNotNull())
+    scored = (
+        items.join(slack, ["__gk", "shard"])
+        .join(n_grp, "__gk")
+        .select(
+            "grp", "item",
+            F.col("cnt").alias("cnt_lower"),
+            (F.col("cnt") + F.col("__slack")).alias("cnt_upper"),
+            (F.col("cnt").cast("double") >= F.lit(phi) * F.col("n"))
+            .alias("certain"),
+            (F.col("cnt") + F.col("__slack")).cast("double").alias("__up"),
+            (F.lit(phi) * F.col("n")).alias("__thr"),
+        )
+    )
+    return (
+        scored.filter(F.col("__up") >= F.col("__thr"))
+        .select("grp", "item", "cnt_lower", "cnt_upper", "certain")
+        .orderBy("grp", F.desc("cnt_lower"), "item")
+    )
+
+
 def _cms_base_hash(col, hash_basis: str):
     """64-bit base hash of a value for the CMS Knuth-cell family.
 
@@ -891,30 +1126,32 @@ def dds_quantile_by_group(
     from pyspark.sql.window import Window
 
     # consumed by the cumulative walk AND the per-group totals —
-    # bounded (groups·stores·binades·m rows), the family's persist rule
-    sketch = sketch.persist()
+    # bounded (groups·stores·binades·m rows), the family's persist
+    # rule. __gk: NULL-group-safe join key (see _grp_key) — a plain
+    # grp equi-join would silently drop the NULL group's quantiles.
+    sketch = sketch.withColumn("__gk", _grp_key(F.col("grp"))).persist()
     ordered = sketch.select(
-        "grp", "store", "b", "j", "c",
+        "__gk", "store", "b", "j", "c",
         F.when(F.col("store") == -1, -F.col("b")).otherwise(F.col("b"))
         .alias("__kb"),
         F.when(F.col("store") == -1, -F.col("j")).otherwise(F.col("j"))
         .alias("__kj"),
     )
     w = (
-        Window.partitionBy("grp").orderBy("store", "__kb", "__kj")
+        Window.partitionBy("__gk").orderBy("store", "__kb", "__kj")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = ordered.select(
-        F.col("grp").alias("__cg"), "store", "b", "j", "c",
+        F.col("__gk").alias("__cg"), "store", "b", "j", "c",
         F.sum("c").over(w).alias("__cum"),
     )
-    n_total = sketch.groupBy("grp").agg(
+    n_total = sketch.groupBy("__gk", "grp").agg(
         F.sum("c").cast("long").alias("n"))
     qrel = sketch.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q: double"
     )
     targets = n_total.crossJoin(F.broadcast(qrel)).select(
-        "grp", "q", "n",
+        "__gk", "grp", "q", "n",
         (F.floor(F.col("q") * (F.col("n") - 1)) + 1).alias("__tgt"),
     )
     est = (
@@ -927,7 +1164,7 @@ def dds_quantile_by_group(
     )
     hit = targets.join(
         cum,
-        (F.col("grp") == F.col("__cg"))
+        (F.col("__gk") == F.col("__cg"))
         & (F.col("__cum") >= F.col("__tgt"))
         & (F.col("__cum") - F.col("c") < F.col("__tgt")),
         "left",

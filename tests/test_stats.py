@@ -1238,21 +1238,28 @@ def test_dds_quantile_by_group_matches_global_per_group(spark):
         .when(F.col("id") % 7 == 3, -(F.col("id") % 53 + 2).cast("double"))
         .otherwise((F.col("id") % 211 + 1).cast("double") / 3.0)
     )
-    g = F.when(F.col("id") % 3 == 0, F.lit("p")).otherwise(F.lit("q"))
+    g = (
+        F.when(F.col("id") % 10 == 9, None)  # NULL group: kept, and its
+        .when(F.col("id") % 3 == 0, F.lit("p"))  # quantiles must survive
+        .otherwise(F.lit("q"))  # the operator's internal joins
+    )
     df = spark.range(3000).select(g.alias("g"), x.alias("x"))
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
 
     sk = dds_build_by_group(df, "g", "x", m=64)
+    key = lambda t: ((t[0] is None, t[0] or ""),) + t[1:]
     got = sorted(
-        (r["grp"], r["q"], r["est"], r["n"])
-        for r in dds_quantile_by_group(sk, qs, m=64).collect())
+        ((r["grp"], r["q"], r["est"], r["n"])
+         for r in dds_quantile_by_group(sk, qs, m=64).collect()), key=key)
     want = []
-    for grp in ("p", "q"):
+    for grp in ("p", "q", None):
+        cond = (F.col("grp").isNull() if grp is None
+                else (F.col("grp") == grp))
         for r in dds_quantile(
-                sk.filter(F.col("grp") == grp).select(
-                    "store", "b", "j", "c"), qs, m=64).collect():
+                sk.filter(cond).select("store", "b", "j", "c"),
+                qs, m=64).collect():
             want.append((grp, r["q"], r["est"], r["n"]))
-    assert got == sorted(want)
+    assert got == sorted(want, key=key)
 
     empty = dds_build_by_group(
         spark.createDataFrame([], "g: string, x: double"), "g", "x", m=64)
@@ -1266,3 +1273,89 @@ def test_dds_quantile_by_group_matches_global_per_group(spark):
         dds_quantile_by_group(sk, [1.5], m=64)
     with pytest.raises(ValueError, match="power of two"):
         dds_build_by_group(df, "g", "x", m=0)
+
+
+def test_mg_by_group_equals_per_group_global(spark):
+    """Per-group MG laws, all reduced to 'grouped == the global
+    operator run on each group's slice': (a) mg_summary_by_group rows
+    per group == mg_summary of that group's values row-for-row (same
+    item-hash sharding, counts, trim, accounting rows); (b)
+    mg_merge_by_group per group == mg_merge of the groups' slice
+    summaries; (c) mg_heavy_hitters_by_group per group ==
+    mg_heavy_hitters on that group's summary with its own N; NULL
+    groups kept; guards."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import (
+        mg_heavy_hitters, mg_heavy_hitters_by_group, mg_merge,
+        mg_merge_by_group, mg_summary, mg_summary_by_group,
+    )
+
+    g = (
+        F.when(F.col("id") % 10 == 9, None)
+        .when(F.col("id") % 2 == 0, F.lit("web")).otherwise(F.lit("code"))
+    )
+    v = F.when(F.col("id") % 4 == 0, F.lit("hot")).otherwise(
+        F.concat(F.lit("t"), (F.col("id") % 23).cast("string")))
+    df = spark.range(2400).select(
+        g.alias("g"), v.alias("v"), (F.col("id") % 2).alias("p"))
+    kw = dict(k=4, n_shards=3, hash_basis="md5")
+
+    def rows_of(rel, with_grp=True):
+        cols = (lambda r: (r["shard"], r["item"], r["cnt"], r["n_shard"]))
+        out: dict = {}
+        for r in rel.collect():
+            out.setdefault(r["grp"] if with_grp else None, []).append(
+                cols(r))
+        return {grp: sorted(rs, key=repr) for grp, rs in out.items()}
+
+    summ = mg_summary_by_group(df, "g", "v", **kw)
+    got = rows_of(summ)
+    assert None in got  # NULL group kept
+    for grp in got:
+        cond = F.col("g").isNull() if grp is None else (F.col("g") == grp)
+        want = sorted(
+            ((r["shard"], r["item"], r["cnt"], r["n_shard"])
+             for r in mg_summary(df.filter(cond), "v", **kw).collect()),
+            key=repr)
+        assert got[grp] == want, grp
+
+    sa = mg_summary_by_group(df.filter("p = 0"), "g", "v", **kw)
+    sb = mg_summary_by_group(df.filter("p = 1"), "g", "v", **kw)
+    merged = mg_merge_by_group(sa, sb, k=4)
+    gm = rows_of(merged)
+    for grp in gm:
+        cond = F.col("g").isNull() if grp is None else (F.col("g") == grp)
+        want = sorted(
+            ((r["shard"], r["item"], r["cnt"], r["n_shard"])
+             for r in mg_merge(
+                 mg_summary(df.filter(cond & (F.col("p") == 0)), "v", **kw),
+                 mg_summary(df.filter(cond & (F.col("p") == 1)), "v", **kw),
+                 k=4).collect()),
+            key=repr)
+        assert gm[grp] == want, grp
+
+    hh = mg_heavy_hitters_by_group(summ, phi=0.2, k=4)
+    gh: dict = {}
+    for r in hh.collect():
+        gh.setdefault(r["grp"], []).append(
+            (r["item"], r["cnt_lower"], r["cnt_upper"], r["certain"]))
+    for grp in got:
+        cond = F.col("g").isNull() if grp is None else (F.col("g") == grp)
+        want = [(r["item"], r["cnt_lower"], r["cnt_upper"], r["certain"])
+                for r in mg_heavy_hitters(
+                    mg_summary(df.filter(cond), "v", **kw),
+                    phi=0.2, k=4).collect()]
+        assert sorted(gh.get(grp, []), key=repr) == sorted(want, key=repr), \
+            grp
+    assert any("hot" in {i for i, *_ in rs} for rs in gh.values())
+
+    with pytest.raises(ValueError, match="k must"):
+        mg_summary_by_group(df, "g", "v", k=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        mg_summary_by_group(df, "g", "v", k=2, n_shards=0)
+    with pytest.raises(ValueError, match="at least one"):
+        mg_merge_by_group(k=4)
+    with pytest.raises(ValueError, match="phi"):
+        mg_heavy_hitters_by_group(summ, phi=0.0, k=4)
