@@ -298,60 +298,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r11; failed last check: 0, never checked: 6, green: 287  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r12; failed last check: 0, never checked: 0, green: 293  (window ~50).
 _PRIORITY: list[str] = [
-    # never checked
-    "stats_kmv_set_stats",
-    "stats_kmv_group_ndv",
-    "stats_kmv_group_merge",
-    "streaming_kmv_group_ndv",
-    "stats_dds_group_quantile",
-    "stats_mg_group_hh",
     # stable greens
-    "embedding_covariance",
-    "events_tumbling_hour",
-    "groupby_bool_empty_string",
-    "groupby_null_keys",
-    "grouping_sets_orders",
-    "join_anti_customers",
-    "join_exists",
-    "join_semi_in_subquery",
-    "join_theta_loop",
-    "linkage_fuzzy_join",
-    "rollup_lineitem_status",
-    "scalar_subquery_above_avg",
-    "sort_nulls_offset",
-    "streaming_span_flags",
-    "string_funcs",
-    "string_funcs_extended",
-    "subquery_correlated_min",
-    "subquery_correlated_scalar",
-    "temporal_rollup_merge",
-    "text_c4_lines",
-    "text_code_flags",
-    "text_gopher_flags",
-    "text_ngram_repetition",
-    "text_vocab_coverage",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q22_idle_customers",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "union_all_nary",
-    "agg_moments",
-    "agg_quantile_modes",
-    "agg_sample_single_value",
-    "array_item_cardinality",
-    "array_unnest",
-    "case_in_bucketize",
-    "cast_matrix",
     "chat_lint",
     "chat_preference_lint",
     "dedup_embedding_cosine",
@@ -595,6 +544,56 @@ _PRIORITY: list[str] = [
     "tpch_q2_min_cost_supplier",
     "web_domain_stats",
     "web_url_features",
+    "agg_moments",
+    "agg_quantile_modes",
+    "agg_sample_single_value",
+    "array_item_cardinality",
+    "array_unnest",
+    "case_in_bucketize",
+    "cast_matrix",
+    "embedding_covariance",
+    "events_tumbling_hour",
+    "groupby_bool_empty_string",
+    "groupby_null_keys",
+    "grouping_sets_orders",
+    "join_anti_customers",
+    "join_exists",
+    "join_semi_in_subquery",
+    "join_theta_loop",
+    "linkage_fuzzy_join",
+    "rollup_lineitem_status",
+    "scalar_subquery_above_avg",
+    "sort_nulls_offset",
+    "stats_dds_group_quantile",
+    "stats_kmv_group_merge",
+    "stats_kmv_group_ndv",
+    "stats_kmv_set_stats",
+    "stats_mg_group_hh",
+    "streaming_kmv_group_ndv",
+    "streaming_span_flags",
+    "string_funcs",
+    "string_funcs_extended",
+    "subquery_correlated_min",
+    "subquery_correlated_scalar",
+    "temporal_rollup_merge",
+    "text_c4_lines",
+    "text_code_flags",
+    "text_gopher_flags",
+    "text_ngram_repetition",
+    "text_vocab_coverage",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q22_idle_customers",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "union_all_nary",
 ]
 
 
