@@ -1,0 +1,112 @@
+"""Unit tests for bench.py's ambient-drift gate trigger logic.
+
+The gate decision is pure (drift_probe_names) so it can be pinned
+without running Spark. The scenarios mirror the two real incidents the
+gate exists for:
+
+- r8: every query drifted ~20-30% uniformly — under the 2× per-query
+  anomaly threshold, but the total moved +26% (total trigger).
+- r12: q1 drifted +46% while q9 genuinely improved −16%, holding the
+  total at +14.8% — under the old total-only trigger, which therefore
+  stayed silent (per-query trigger, VERDICT r12 #1).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import drift_probe_names  # noqa: E402
+
+
+PREV = {
+    "q1": 0.10,
+    "q2": 0.10,
+    "q3": 0.20,
+    "q4": 0.25,
+    "q5": 0.35,
+    "q9": 0.60,
+}
+PREV_TOTAL = sum(PREV.values())
+
+
+def test_in_band_no_probe():
+    timings = {n: v * 1.05 for n, v in PREV.items()}
+    total = sum(timings.values())
+    assert drift_probe_names(timings, PREV, PREV_TOTAL, total, {}) == []
+
+
+def test_no_previous_round_no_probe():
+    timings = dict(PREV)
+    assert drift_probe_names(timings, {}, None, sum(timings.values()), {}) == []
+
+
+def test_uniform_drift_fires_total_trigger():
+    # the r8 pattern: everything +22%, no single query past the
+    # per-query 25% bar, total way out of band
+    timings = {n: v * 1.22 for n, v in PREV.items()}
+    total = sum(timings.values())
+    names = drift_probe_names(timings, PREV, PREV_TOTAL, total, {})
+    assert len(names) == 3
+
+
+def test_masked_per_query_drift_fires_new_trigger():
+    # the r12 masking pattern: q1 +46%, q2 +34% while q9 improves −16%
+    # and drags the total back under +15% — the OLD total-only gate
+    # stayed silent here; the new per-query trigger must fire and the
+    # probe set must lead with the drifted queries themselves.
+    timings = dict(PREV)
+    timings["q1"] = PREV["q1"] * 1.46
+    timings["q2"] = PREV["q2"] * 1.34
+    timings["q9"] = PREV["q9"] * 0.84
+    total = sum(timings.values())
+    assert 0.85 <= total / PREV_TOTAL <= 1.15  # the mask is real
+    names = drift_probe_names(timings, PREV, PREV_TOTAL, total, {})
+    assert set(names[:2]) == {"q1", "q2"}  # drifted queries probed first
+    assert len(names) == 3  # padded with the cheapest remaining query
+
+
+def test_anomaly_reruns_suppress_total_trigger_but_not_listing():
+    # a query already re-measured by the 2× anomaly gate carries its
+    # own first/rerun evidence: it must not appear in the probe set,
+    # and the total trigger (which requires anomalies == {}) stays off.
+    timings = {n: v * 1.20 for n, v in PREV.items()}
+    total = sum(timings.values())
+    anomalies = {"q1": {"prev": PREV["q1"], "first": 0.3, "rerun": 0.1}}
+    names = drift_probe_names(timings, PREV, PREV_TOTAL, total, anomalies)
+    assert names == []  # no >25% drifted rows outside the anomaly
+
+
+def test_single_large_drift_probes_that_query():
+    # one expensive query moves +30% with the rest flat: the total
+    # stays in band, the per-query trigger fires, and the probe set
+    # contains the drifted query (the old gate probed only the 3
+    # cheapest, which would have missed it).
+    timings = dict(PREV)
+    timings["q9"] = PREV["q9"] * 1.30
+    total = sum(timings.values())
+    assert 0.85 <= total / PREV_TOTAL <= 1.15
+    names = drift_probe_names(timings, PREV, PREV_TOTAL, total, {})
+    assert "q9" in names
+    assert len(names) == 3
+
+
+def test_improvement_drift_also_probes():
+    # a query 30% FASTER with no code change is the same ambient
+    # signature in the other direction — the gate is symmetric.
+    timings = dict(PREV)
+    timings["q5"] = PREV["q5"] * 0.70
+    total = sum(timings.values())
+    names = drift_probe_names(timings, PREV, PREV_TOTAL, total, {})
+    assert "q5" in names
+
+
+def test_query_missing_from_prev_is_ignored():
+    # a brand-new query has no previous-round figure to drift from
+    timings = dict(PREV)
+    timings["q_new"] = 5.0
+    total = sum(timings.values())
+    names = drift_probe_names(timings, PREV, PREV_TOTAL, total, {})
+    assert names == []
