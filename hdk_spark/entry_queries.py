@@ -14066,3 +14066,80 @@ FROM est JOIN tru USING (grp)
 
 SPARK_IMPLS["streaming_kmv_group_ndv"] = q_streaming_kmv_group_ndv
 ORACLES["streaming_kmv_group_ndv"] = _STREAM_KMV_GROUP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 13: per-group streaming Misra-Gries — "hot items per domain,
+# live". stream_frequent_items_by_group keeps ONE MG summary of ≤ k
+# counters per (grp, shard) as applyInPandasWithState state (total
+# state ≤ groups·n_shards·k), the streaming twin of
+# mg_summary_by_group, completing the per-group streaming pair beside
+# stream_kmv_by_group. The single-file availableNow source makes the
+# run ONE micro-batch, so the emission equals the batch
+# mg_summary_by_group relation bit-for-bit for non-NULL groups (the
+# stream drops NULL groups — the documented divergence; the oracle
+# filters to match), which the oracle replays per (grp, shard): md5
+# shards, exact per-cell counts, the rank-(k+1) median subtraction,
+# the positive filter, NULL-item accounting rows via the right join.
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_mg_group_tops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_frequent_items_by_group
+    (streaming.py — per-(grp, shard) MG state): groups = lang, planted
+    item = doc_id % 29 (29 distinct per group over 4 shards ≈ 7 per
+    cell >> k=3, so trims fire in every group and trimmed counts are
+    value-checked, not just survivors)."""
+    from hdk_spark.streaming import stream_frequent_items_by_group
+
+    _tables(spark, sf_dir)
+    stream = _documents_stream(spark, sf_dir).select(
+        F.col("lang").alias("g"),
+        F.concat(F.lit("i"), (F.col("doc_id") % 29).cast("string"))
+        .alias("v"),
+    )
+    name = _run_stream(
+        stream_frequent_items_by_group(stream, "g", "v", k=3, n_shards=4,
+                                       hash_basis="md5"),
+        "update",
+    )
+    return spark.table(name).orderBy("grp", "shard", "item")
+
+
+_STREAM_MG_GROUP_ORACLE = """
+WITH src AS (
+  SELECT lang AS grp, 'i' || CAST(doc_id % 29 AS VARCHAR) AS item
+  FROM documents
+  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+), h AS (
+  SELECT grp, item,
+         CAST(CAST(('0x' || substr(md5(item), 1, 8)) AS BIGINT) % 4 AS INT)
+           AS shard
+  FROM src
+), cnt AS (
+  SELECT grp, shard, item, CAST(COUNT(*) AS BIGINT) AS c
+  FROM h GROUP BY 1, 2, 3
+), totals AS (
+  SELECT grp, shard, CAST(SUM(c) AS BIGINT) AS n_shard
+  FROM cnt GROUP BY 1, 2
+), rk AS (
+  SELECT grp, shard, item, c,
+         row_number()
+           OVER (PARTITION BY grp, shard ORDER BY c DESC, item) AS rn
+  FROM cnt
+), med AS (
+  SELECT grp, shard, MAX(CASE WHEN rn = 4 THEN c END) AS m
+  FROM rk GROUP BY 1, 2
+), surv AS (
+  SELECT r.grp, r.shard, r.item,
+         CAST(r.c - COALESCE(m.m, 0) AS BIGINT) AS cnt
+  FROM rk r JOIN med m USING (grp, shard)
+  WHERE r.c - COALESCE(m.m, 0) > 0
+)
+SELECT t.grp, t.shard, s.item, s.cnt, t.n_shard
+FROM totals t LEFT JOIN surv s USING (grp, shard)
+ORDER BY grp, shard, item
+"""
+
+SPARK_IMPLS["streaming_mg_group_tops"] = q_streaming_mg_group_tops
+ORACLES["streaming_mg_group_tops"] = _STREAM_MG_GROUP_ORACLE

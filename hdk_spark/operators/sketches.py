@@ -34,7 +34,8 @@ hdk_spark.streaming: stream_ndv_rollup / stream_cms /
 stream_frequent_items / stream_dds / stream_kmv (sharded bottom-k
 state, exact vs the batch summary regardless of micro-batch
 splits) / stream_kmv_by_group (per-group bottom-k, the kmv_by_group
-twin)."""
+twin) / stream_frequent_items_by_group (per-(grp, shard) MG state,
+the mg_summary_by_group twin)."""
 
 from __future__ import annotations
 

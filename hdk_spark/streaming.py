@@ -605,6 +605,128 @@ def stream_frequent_items(
     )
 
 
+def stream_frequent_items_by_group(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 100,
+    n_shards: int = 8,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming per-GROUP Misra-Gries — "hot items per domain, live":
+    the streaming twin of ``sketches.mg_summary_by_group``, completing
+    the per-group streaming pair beside ``stream_kmv_by_group`` (the
+    batch per-group family KMV/DDS/MG all merge; KMV and now MG also
+    stream). State is keyed by (GROUP, shard): each key holds ONE MG
+    summary of ≤ k counters plus that cell's row count, so total state
+    is ≤ groups·n_shards·k (item, cnt) pairs for an unbounded stream —
+    the group count is data-dependent (cap or bucket unbounded group
+    domains upstream, the stream_kmv_by_group caveat). Sharding is by
+    ITEM hash exactly like the batch form (grp does not enter the
+    shard), so each (grp, shard) cell's update IS stream_frequent_
+    items' update for that group's sub-stream: absorb the micro-
+    batch's EXACT per-cell counts, then ONE trim (Agarwal et al. 2012
+    "Mergeable Summaries" §3).
+
+    When the whole history arrives in one micro-batch (availableNow
+    over a single file) the emission equals the batch
+    ``mg_summary_by_group`` relation BIT-FOR-BIT for non-NULL groups —
+    the contract row's oracle replays that per (grp, shard). Across
+    arbitrary splits counter VALUES are split-dependent (trim is not
+    linear) but the per-cell MG guarantees hold: cnt never exceeds the
+    true (grp, shard) count, undercount ≤ (n_shard − Σcnt)/(k+1), and
+    every item with true cell count > n_shard/(k+1) survives —
+    property-pinned over a forced multi-batch run, with restart
+    transparency pinned like stream_frequent_items'.
+
+    NULL items excluded (not an item); NULL GROUPS are DROPPED here
+    (the batch form keeps them per SQL GROUP BY — coalesce to a
+    sentinel upstream if a NULL group must stream; the
+    stream_kmv_by_group divergence, documented there too). Emission
+    (update mode): every updated (grp, shard) re-emits its full
+    summary (grp, shard, item, cnt, n_shard); an all-trimmed cell
+    emits one accounting row (item NULL, cnt NULL, n_shard) — the
+    batch convention, so cell volume is never lost. n_shard strictly
+    grows per cell, so the latest emission per (grp, shard) is the
+    max-n_shard one."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hdk_spark.operators.sketches import _cms_base_hash, _mg_trim
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("n_shard", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            st_items, st_cnts, n = state.get
+            counters = {i: int(c) for i, c in zip(st_items, st_cnts)}
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            # EXACT micro-batch counts absorbed before the single trim
+            # — deterministic for the batch's multiset, so the
+            # one-batch case replays mg_summary_by_group bit-for-bit
+            for v, c in pdf["item"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+        _mg_trim(counters, k)
+        items = sorted(counters)
+        state.update((items, [counters[i] for i in items], n))
+        n_rows = max(len(items), 1)
+        yield pd.DataFrame(
+            {
+                "grp": pd.array([str(key[0])] * n_rows, dtype="string"),
+                "shard": pd.array([int(key[1])] * n_rows, dtype="int32"),
+                "item": pd.array(items or [None], dtype="string"),
+                "cnt": pd.array(
+                    [counters[i] for i in items] or [None], dtype="Int64"),
+                "n_shard": pd.array([n] * n_rows, dtype="int64"),
+            }
+        )
+
+    sharded = (
+        stream_df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("string").alias("item"),
+        )
+        .filter(F.col("item").isNotNull() & F.col("grp").isNotNull())
+        .withColumn(
+            "shard",
+            F.pmod(
+                _cms_base_hash(F.col("item"), hash_basis), F.lit(n_shards)
+            ).cast("int"),
+        )
+    )
+    return sharded.groupBy("grp", "shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dds(
     stream_df: DataFrame,
     value_col: str,

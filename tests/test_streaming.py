@@ -942,3 +942,187 @@ def test_stream_kmv_by_group_multibatch_equals_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="k must"):
         streaming.stream_kmv_by_group(st, "g", "v", k=1)
+
+
+def test_stream_mg_by_group_single_batch_equals_batch(spark, tmp_path):
+    """stream_frequent_items_by_group over a SINGLE-file source
+    (availableNow → one micro-batch): the emission equals the batch
+    mg_summary_by_group relation bit-for-bit for non-NULL groups (the
+    streaming form drops NULL groups — documented divergence, asserted
+    here), including the NULL-item accounting rows for all-trimmed
+    (grp, shard) cells."""
+    from hdk_spark.operators.sketches import mg_summary_by_group
+
+    rows = [(i, None if i % 17 == 0 else f"g{i % 3}",
+             f"item{(i * i) % 23}") for i in range(1500)]
+    src = str(tmp_path / "mgg_single")
+    spark.createDataFrame(rows, "id: long, g: string, v: string") \
+        .coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    st = streaming.stream_parquet(spark, src, schema)
+    kw = dict(k=4, n_shards=3, hash_basis="md5")
+    got = _collect(
+        spark,
+        streaming.stream_frequent_items_by_group(st, "g", "v", **kw),
+        "t_mgg_single", "update",
+    )
+    batch = mg_summary_by_group(spark.read.parquet(src), "g", "v", **kw)
+    # NULL group dropped by the stream, kept by the batch form
+    assert got.filter(F.col("grp").isNull()).count() == 0
+    assert batch.filter(F.col("grp").isNull()).count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.filter(F.col("grp").isNotNull()).collect()))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k"):
+        streaming.stream_frequent_items_by_group(st, "g", "v", k=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        streaming.stream_frequent_items_by_group(
+            st, "g", "v", k=4, n_shards=0)
+
+
+def test_stream_mg_by_group_multibatch_invariants(spark, tmp_path):
+    """Forced multi-batch run (3 files × maxFilesPerTrigger=1, one
+    group first appearing in file 2): counter values are
+    split-dependent but every (grp, shard) CELL keeps the MG
+    guarantees of stream_frequent_items' sub-stream — per cell's
+    LATEST emission: (a) ≤ k counters, (b) never over the true cell
+    count, (c) undercount ≤ (n_shard − Σcnt)/(k+1), (d) every item
+    with true cell count > n_shard/(k+1) survives, (e) Σ latest
+    n_shard per group == that group's history rows; state is bounded
+    at groups·n_shards·k."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql.window import Window
+
+    k, n_shards = 3, 2
+    f1 = [("web", f"v{(i * 7) % 19}" if i % 4 else "heavy")
+          for i in range(600)]
+    f2 = [("web" if i % 2 else "code",
+           f"w{(i * 11) % 23}" if i % 5 else "heavy")
+          for i in range(400)]  # 'code' first appears here
+    f3 = [("code", f"v{(i * 13) % 17}") for i in range(200)]
+    src = str(tmp_path / "mgg_multi")
+    os.makedirs(src)
+    for j, part in enumerate([f1, f2, f3]):
+        spark.createDataFrame(part, "g: string, v: string") \
+            .coalesce(1).write.parquet(f"{src}/p{j}")
+    schema = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(src).schema
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = _collect(
+        spark,
+        streaming.stream_frequent_items_by_group(
+            st, "g", "v", k=k, n_shards=n_shards, hash_basis="md5"),
+        "t_mgg_multi", "update",
+    )
+    latest = (
+        sink.withColumn(
+            "__m",
+            F.max("n_shard").over(Window.partitionBy("grp", "shard")))
+        .filter(F.col("n_shard") == F.col("__m"))
+        .drop("__m")
+    )
+    got = latest.collect()
+
+    def shard_of(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % n_shards
+
+    rows = f1 + f2 + f3
+    true = Counter((g, shard_of(v), v) for g, v in rows)
+    n_per_cell = Counter((g, shard_of(v)) for g, v in rows)
+    by_cell: dict = {}
+    for r in got:
+        cell = (r["grp"], r["shard"])
+        if r["item"] is not None:
+            by_cell.setdefault(cell, {})[r["item"]] = r["cnt"]
+        assert r["n_shard"] == n_per_cell[cell], cell
+    assert {g for g, _ in by_cell} == {"web", "code"}
+    # every group's cells account for its full history
+    seen_cells = {(r["grp"], r["shard"]) for r in got}
+    for g in ("web", "code"):
+        assert sum(n_per_cell[c] for c in seen_cells if c[0] == g) == \
+            sum(1 for gg, _ in rows if gg == g)
+    for cell, counters in by_cell.items():
+        g, s = cell
+        assert len(counters) <= k
+        err = (n_per_cell[cell] - sum(counters.values())) / (k + 1)
+        for item, cnt in counters.items():
+            assert cnt <= true[(g, s, item)], (cell, item)
+            assert true[(g, s, item)] - cnt <= err + 1e-9, (cell, item)
+        for (tg, ts, item), c in true.items():
+            if (tg, ts) == cell and c > n_per_cell[cell] / (k + 1):
+                assert item in counters, (cell, item, c)
+    # 'heavy' clears its bound in web's cell (150+40 of web rows)
+    assert "heavy" in by_cell[("web", shard_of("heavy"))]
+
+
+def test_stream_mg_by_group_checkpoint_restart_transparent(
+        spark, tmp_path):
+    """Restart transparency for the per-group MG twin, the
+    stream_frequent_items claim per (grp, shard): kill after batch 1 +
+    restart is INDISTINGUISHABLE from one uninterrupted run over the
+    same micro-batch splits — identical latest emissions per (grp,
+    shard) row for row, including a group first seen post-restart."""
+    from pyspark.sql.window import Window
+
+    k, n_shards = 3, 2
+    rows1 = [(i, "web", f"v{(i * 7) % 19}" if i % 4 else "heavy")
+             for i in range(800)]
+    rows2 = [(i, "web" if i % 2 else "code",
+              f"w{(i * 11) % 23}" if i % 5 else "heavy")
+             for i in range(400)]
+    df1 = spark.createDataFrame(rows1, "id: long, g: string, v: string")
+    df2 = spark.createDataFrame(rows2, "id: long, g: string, v: string")
+
+    def build(base):
+        src, cp, out = str(base / "src"), str(base / "cp"), str(base / "out")
+        os.makedirs(src)
+        df1.coalesce(1).write.parquet(src + "/p1")
+
+        def stream():
+            return (
+                spark.readStream.schema(df1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+
+        return src, cp, out, stream
+
+    def mk(st):
+        return streaming.stream_frequent_items_by_group(
+            st, "g", "v", k=k, n_shards=n_shards, hash_basis="md5")
+
+    # interrupted: batch 1, STOP, add p2, restart from the checkpoint
+    srci, cpi, outi, stream_i = build(tmp_path / "interrupted")
+    _run_checkpointed(mk(stream_i()), outi, cpi)
+    df2.coalesce(1).write.parquet(srci + "/p2")
+    _run_checkpointed(mk(stream_i()), outi, cpi)
+
+    # uninterrupted reference: both files upfront, same 1-file batches
+    srcu, cpu, outu, stream_u = build(tmp_path / "uninterrupted")
+    df2.coalesce(1).write.parquet(srcu + "/p2")
+    _run_checkpointed(mk(stream_u()), outu, cpu)
+
+    def latest_rows(out_dir):
+        w = Window.partitionBy("grp", "shard")
+        return sorted(
+            map(tuple, spark.read.parquet(out_dir)
+                .withColumn("__m", F.max("n_shard").over(w))
+                .filter(F.col("n_shard") == F.col("__m")).drop("__m")
+                .collect()),
+            key=lambda t: tuple(map(str, t)))
+
+    got_i, got_u = latest_rows(outi), latest_rows(outu)
+    assert got_i == got_u
+    assert {t[0] for t in got_i} == {"web", "code"}  # post-restart group
