@@ -244,8 +244,15 @@ def ann_ivf_topk(
             raise ValueError("codes= requires the bounds it was trained on")
         df, id_col, vec_col = sq8_decode(codes, bounds), "id", "v"
         gate_d = len(bounds)
+        if dim is not None and dim != gate_d:
+            raise ValueError(
+                f"dim={dim} conflicts with len(bounds)={gate_d} — the "
+                "coded lake's width is fixed by its bounds")
     elif centroids is not None:
         gate_d = len(next(iter(centroids.values())))
+        if dim is not None and dim != gate_d:
+            raise ValueError(
+                f"dim={dim} conflicts with centroid width {gate_d}")
     elif dim is not None:
         gate_d = dim
     else:
@@ -412,6 +419,10 @@ def ann_lsh_topk(
     if codes is not None:
         if bounds is None:
             raise ValueError("codes= requires the bounds it was trained on")
+        if dim is not None and dim != len(bounds):
+            raise ValueError(
+                f"dim={dim} conflicts with len(bounds)={len(bounds)} — "
+                "the coded lake's width is fixed by its bounds")
         df, id_col, vec_col = sq8_decode(codes, bounds), "id", "v"
         dim = len(bounds)
     elif dim is None:
@@ -1086,6 +1097,10 @@ def ann_multiprobe_topk(
     if codes is not None:
         if bounds is None:
             raise ValueError("codes= requires the bounds it was trained on")
+        if dim is not None and dim != len(bounds):
+            raise ValueError(
+                f"dim={dim} conflicts with len(bounds)={len(bounds)} — "
+                "the coded lake's width is fixed by its bounds")
         df, id_col, vec_col, dim = sq8_decode(codes, bounds), "id", "v", len(bounds)
     d = dim if dim is not None else _vec_dim(df, vec_col)
     planes = rademacher_planes(n_planes, d, seed)

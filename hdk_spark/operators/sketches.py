@@ -575,7 +575,11 @@ def mg_summary_by_group(
     groups-scaled, so the median/accounting joins keep their
     (grp, shard) equi-keys WITHOUT forced broadcasts (the
     dds_quantile_by_group precedent) — AQE may still broadcast small
-    ones."""
+    ones. The build transiently persists TWO relations (the distinct
+    count relation AND the fused phase-1) before releasing both, so
+    at a billion-(grp, item) vocabulary the transient cache is ~2×
+    the global form's; both are MEMORY_AND_DISK, so overflow spills
+    rather than evicting or failing."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_shards < 1:
@@ -656,7 +660,14 @@ def mg_merge_by_group(*summaries: DataFrame, k: int = 100) -> DataFrame:
     __src tag, NULL-item accounting rows preserved so all-trimmed
     (grp, shard) cells keep their volume. Groups missing from one
     slice pass through. Same per-group guarantees as mg_merge's
-    global ones; same k/basis discipline."""
+    global ones; same k/basis discipline.
+
+    Cache lifetime (the mg_summary discipline): the tagged union of
+    the inputs stays persisted — bounded at ≤ Σ inputs' rows (each
+    ≤ groups·shards·(k+1)) — because the RETURNED plan is lazy and
+    reads it from several sub-relations; long-lived sessions merging
+    many slices should materialize the result and ``.unpersist()``
+    the consumed summaries."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not summaries:
@@ -729,7 +740,14 @@ def mg_heavy_hitters_by_group(
     (φ·N_grp > n_{grp,shard}/(k+1)); pass the SAME k the summaries
     were built/merged with. Summary-sized arithmetic only; no forced
     broadcasts (groups-scaled sides). Returns (grp, item, cnt_lower,
-    cnt_upper, certain) ordered per group."""
+    cnt_upper, certain) ordered per group.
+
+    Cache lifetime (the mg_summary discipline): the keyed input
+    summary stays persisted — bounded, ≤ groups·shards·(k+1) rows —
+    because the RETURNED plan is lazy and reads it for totals, slack
+    AND the score join; long-lived sessions issuing many queries
+    should ``.unpersist()`` consumed summaries once results are
+    materialized."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 < phi <= 1.0):
@@ -1117,7 +1135,14 @@ def dds_quantile_by_group(
     groups both sides are groups-scaled and the equi-key hash join is
     the scale-safe shape (AQE may still broadcast small ones).
     Returns (grp, q, est, n) ordered; groups absent from the sketch
-    produce no rows (an all-NULL/empty group has no quantiles)."""
+    produce no rows (an all-NULL/empty group has no quantiles).
+
+    Cache lifetime (the mg_summary discipline): the keyed input
+    sketch stays persisted — bounded at ≤ groups·stores·binades·m
+    rows — because the RETURNED plan is lazy and reads it for the
+    walk AND the totals; long-lived sessions issuing many quantile
+    queries should ``.unpersist()`` consumed sketches once results
+    are materialized."""
     if m < 1 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 1, got {m}")
     if not qs:
@@ -1336,7 +1361,15 @@ def kmv_set_stats(
     broadcast crossJoin of three 1-row relations. In the exact regime
     (both true NDVs < k) every output equals the true value. Returns
     one row (n_k, n_inter, ndv_union, ndv_inter, ndv_a, ndv_b,
-    containment_a_in_b, containment_b_in_a, jaccard_est)."""
+    containment_a_in_b, containment_b_in_a, jaccard_est).
+
+    Cache lifetime (the mg_summary discipline): both ≤ k-row input
+    projections stay persisted because the RETURNED plan is lazy and
+    reads each twice (union + flag join); callers comparing MANY
+    summary pairs in a long-lived session should ``.unpersist()``
+    them (``df.unpersist()`` on the inputs) once the 1-row result is
+    materialized — each entry is tiny but the count is otherwise
+    unbounded."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     # same persist rationale as kmv_jaccard: each summary feeds the

@@ -550,6 +550,25 @@ def test_sq8_coded_corpus_composes_with_ann(spark):
     with pytest.raises(ValueError, match="bounds"):
         ann_ivf_topk(None, qids, codes=coded)
 
+    # an explicit dim= that CONFLICTS with the width implied by
+    # bounds/centroids raises instead of being silently overridden
+    # (ADVICE r12) — a matching dim= stays accepted
+    wrong = len(bounds) + 1
+    with pytest.raises(ValueError, match="conflicts"):
+        ann_multiprobe_topk(None, qids, codes=coded, bounds=bounds,
+                            dim=wrong)
+    with pytest.raises(ValueError, match="conflicts"):
+        ann_lsh_topk(None, qids, codes=coded, bounds=bounds, dim=wrong)
+    with pytest.raises(ValueError, match="conflicts"):
+        ann_ivf_topk(None, qids, codes=coded, bounds=bounds, dim=wrong)
+    with pytest.raises(ValueError, match="conflicts"):
+        ann_ivf_topk(None, qids, centroids=cents, dim=wrong,
+                     codes=None)
+    ivf_dim_ok = sorted(map(tuple, ann_ivf_topk(
+        None, qids, k=5, n_lists=4, nprobe=2, centroids=cents,
+        codes=coded, bounds=bounds, dim=len(bounds)).collect()))
+    assert ivf_dim_ok == ivf
+
 
 def test_bitext_auto_plane_count(spark):
     """n_planes=None derives max(8, ceil(log2(max(|src|, |tgt|))))
