@@ -1,0 +1,182 @@
+"""The per-group sketch maintenance model, end-to-end — the workflow
+an adopter actually runs at lake scale (VERDICT r12 #6):
+
+  ingest slice ──▶ build per-group KMV + DDS + MG summaries (one pass
+                   over the slice; k / bucket / counter rows PER GROUP)
+  store        ──▶ write the bounded summary relations next to the
+                   slice (parquet — they ARE plain relations)
+  maintain     ──▶ when a new slice lands, build ITS summaries and
+                   MERGE: counter adds / bottom-k unions only, the
+                   historical rows are never re-read
+  answer       ──▶ per-group NDV (kmv_ndv_by_group), per-group
+                   percentiles (dds_quantile_by_group), hot items per
+                   group (mg_heavy_hitters_by_group), and set-overlap
+                   questions BETWEEN two groups' samples
+                   (kmv_set_stats: jaccard, union/intersection NDV,
+                   both containments)
+
+"k rows per group per slice, merge forever": the 100 TB shape is that
+each answer above reads only summary relations — the corpus is touched
+once per slice, at build time. The script verifies the model while
+demonstrating it: every merged answer is asserted equal to the same
+operator run over a one-shot build of the full history (the merge
+laws), and the KMV NDVs are compared against exact per-group distinct
+counts.
+
+Run (any cwd): python scripts/sketch_maintenance_demo.py [sf_dir] [out_dir]
+Prints one JSON line of the per-group answers a pipeline owner stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K_KMV = 64          # KMV sample size per group
+M_DDS = 32          # DDSketch sub-buckets per binade
+K_MG, SHARDS = 4, 2  # MG counters per (group, shard)
+BASIS = "md5"       # deterministic across engines; prod default xxhash64
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import load_tables
+    from hdk_spark.operators.sketches import (
+        dds_build_by_group,
+        dds_merge_by_group,
+        dds_quantile_by_group,
+        kmv_by_group,
+        kmv_merge_by_group,
+        kmv_ndv_by_group,
+        kmv_set_stats,
+        mg_heavy_hitters_by_group,
+        mg_merge_by_group,
+        mg_summary_by_group,
+    )
+    from hdk_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
+    spark = get_spark("sketch_maintenance_demo")
+    load_tables(spark, sf_dir)
+
+    # the lake: documents, grouped by lang. Three per-group questions a
+    # corpus owner tracks per ingest slice: distinct vocabulary
+    # (planted: doc_id % 211), a length distribution, hot items
+    # (planted: doc_id % 29).
+    def planted(df):
+        return df.select(
+            "lang",
+            F.concat(F.lit("u"), (F.col("doc_id") % 211).cast("string"))
+            .alias("vocab"),
+            F.length("text").cast("double").alias("doc_len"),
+            # one genuinely hot item per group (25% of rows) so the
+            # heavy-hitter answer below has a certain survivor, plus a
+            # ~uniform tail that exercises the trims
+            F.when(F.col("doc_id") % 4 == 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("i"), (F.col("doc_id") % 29).cast("string")))
+            .alias("item"),
+        )
+
+    docs = planted(spark.table("documents"))
+    # two ingest slices (parity split stands in for "Monday's files,
+    # Tuesday's files")
+    slices = [
+        planted(spark.table("documents").filter(
+            F.pmod("doc_id", F.lit(2)) == i))
+        for i in range(2)
+    ]
+
+    # ---- build + store: one corpus pass per slice, bounded outputs
+    for i, sl in enumerate(slices):
+        kmv_by_group(sl, "lang", "vocab", k=K_KMV, hash_basis=BASIS) \
+            .write.mode("overwrite").parquet(f"{out_dir}/kmv_slice{i}")
+        dds_build_by_group(sl, "lang", "doc_len", m=M_DDS) \
+            .write.mode("overwrite").parquet(f"{out_dir}/dds_slice{i}")
+        mg = mg_summary_by_group(sl, "lang", "item", k=K_MG,
+                                 n_shards=SHARDS, hash_basis=BASIS)
+        mg.write.mode("overwrite").parquet(f"{out_dir}/mg_slice{i}")
+        mg.unpersist()  # the documented per-slice cache discipline
+
+    # ---- maintain: merge stored summaries — NO corpus re-read
+    rd = spark.read.parquet
+    kmv_all = kmv_merge_by_group(
+        rd(f"{out_dir}/kmv_slice0"), rd(f"{out_dir}/kmv_slice1"), k=K_KMV)
+    dds_all = dds_merge_by_group(
+        rd(f"{out_dir}/dds_slice0"), rd(f"{out_dir}/dds_slice1"))
+    mg_all = mg_merge_by_group(
+        rd(f"{out_dir}/mg_slice0"), rd(f"{out_dir}/mg_slice1"), k=K_MG)
+
+    # ---- the merge laws, verified against one-shot full-history builds
+    assert sorted(map(tuple, kmv_all.collect())) == sorted(map(tuple, (
+        kmv_by_group(docs, "lang", "vocab", k=K_KMV, hash_basis=BASIS)
+        .collect()))), "KMV merge law violated"
+    assert sorted(map(tuple, dds_all.collect())) == sorted(map(tuple, (
+        dds_build_by_group(docs, "lang", "doc_len", m=M_DDS)
+        .collect()))), "DDS merge law violated"
+    # (MG merged counters are slice-split-dependent by design; its
+    # guarantees are interval bounds, checked via heavy hitters below)
+
+    # ---- answer from summaries alone
+    ndv = {r["grp"]: r["ndv_est"]
+           for r in kmv_ndv_by_group(kmv_all, k=K_KMV,
+                                     hash_basis=BASIS).collect()}
+    truth = {r["lang"]: r["ndv"]
+             for r in docs.groupBy("lang").agg(
+                 F.countDistinct("vocab").alias("ndv")).collect()}
+    for g, est in ndv.items():
+        assert abs(est - truth[g]) / truth[g] < 0.5, (g, est, truth[g])
+
+    quantiles = {
+        (r["grp"], r["q"]): r["est"]
+        for r in dds_quantile_by_group(dds_all, [0.5, 0.99],
+                                       m=M_DDS).collect()
+    }
+
+    hh = mg_heavy_hitters_by_group(mg_all, phi=0.1, k=K_MG)
+    hot = {}
+    for r in hh.collect():
+        hot.setdefault(r["grp"], []).append(
+            [r["item"], r["cnt_lower"], r["cnt_upper"], r["certain"]])
+    # MG guarantee: every item above phi*N_grp in the TRUE counts is
+    # in each group's candidate set — 'hot' is 25% of every group
+    langs = {r["lang"] for r in
+             spark.table("documents").select("lang").distinct().collect()}
+    for g in langs:
+        assert any(c[0] == "hot" for c in hot.get(g, [])), (g, hot.get(g))
+
+    # ---- cross-group overlap from two groups' KMV samples alone
+    two = sorted(langs)[:2]
+    sa = kmv_all.filter(F.col("grp") == two[0]).select("h", "item")
+    sb = kmv_all.filter(F.col("grp") == two[1]).select("h", "item")
+    overlap = kmv_set_stats(sa, sb, k=K_KMV, hash_basis=BASIS).collect()[0]
+    # the kmv_set_stats cache-lifetime note: release the consumed inputs
+    sa.unpersist()
+    sb.unpersist()
+
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "store": out_dir,
+        "ndv_per_lang": {g: [ndv[g], truth[g]] for g in sorted(ndv)},
+        "doc_len_quantiles": {f"{g}@{q}": quantiles[(g, q)]
+                              for (g, q) in sorted(quantiles)},
+        "hot_items": {g: hot[g] for g in sorted(hot)},
+        "overlap_" + "_vs_".join(two): {
+            "jaccard": overlap["jaccard_est"],
+            "ndv_union": overlap["ndv_union"],
+            "ndv_inter": overlap["ndv_inter"],
+            "containment_a_in_b": overlap["containment_a_in_b"],
+            "containment_b_in_a": overlap["containment_b_in_a"],
+        },
+        "merge_laws": "verified (KMV bit-exact, DDS bit-exact, MG "
+                      "bounds via heavy hitters)",
+    }))
+
+
+if __name__ == "__main__":
+    main()
