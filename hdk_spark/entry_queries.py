@@ -14143,3 +14143,99 @@ ORDER BY grp, shard, item
 
 SPARK_IMPLS["streaming_mg_group_tops"] = q_streaming_mg_group_tops
 ORACLES["streaming_mg_group_tops"] = _STREAM_MG_GROUP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 13: per-group streaming DDSketch — the LAST per-group streaming
+# twin (KMV r12, MG r13 above, now DDS). A plain streaming aggregation
+# over (grp, store, b, j): the per-batch update IS dds_merge_by_group
+# (linear counter add), so complete mode equals dds_build_by_group of
+# the full history bit-for-bit regardless of micro-batch splits — and
+# unlike the stateful twins the NULL group is KEPT (SQL GROUP BY
+# semantics; no join-back to drop it). The oracle replays the same
+# per-group machinery as stats_dds_group_quantile over the streamed
+# source's planted measure.
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_dds_group_quantile(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_dds_by_group (streaming.py —
+    per-group bucket counters as streaming aggregation state, bounded
+    at ≤ groups·stores·binades·m cells), driven to completion, then
+    queried with dds_quantile_by_group unchanged. Planted measure
+    puts all three stores in every lang group (n_chars magnitudes, a
+    doc_id%11 negative stripe, a doc_id%13 zero stripe) — the
+    stats_dds_group_quantile planting, streamed."""
+    from hdk_spark.operators.sketches import dds_quantile_by_group
+    from hdk_spark.streaming import stream_dds_by_group
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    x = (
+        F.when(d % 13 == 7, F.lit(0.0))
+        .when(d % 11 == 3, -F.col("n_chars").cast("double"))
+        .otherwise(F.col("n_chars").cast("double"))
+    )
+    stream = _documents_stream(spark, sf_dir).select(
+        F.col("lang").alias("g"), x.alias("x"))
+    name = _run_stream(stream_dds_by_group(stream, "g", "x", m=64),
+                       "complete")
+    return dds_quantile_by_group(spark.table(name), [0.1, 0.5, 0.9],
+                                 m=64)
+
+
+_STREAM_DDS_GROUP_ORACLE = """
+WITH src AS (
+  SELECT lang AS grp,
+         CASE WHEN doc_id % 13 = 7 THEN 0.0
+              WHEN doc_id % 11 = 3 THEN -CAST(n_chars AS DOUBLE)
+              ELSE CAST(n_chars AS DOUBLE) END AS x
+  FROM documents
+), routed AS (
+  SELECT grp,
+         CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS store,
+         ABS(x) AS ax
+  FROM src WHERE x IS NOT NULL
+), seed AS (
+  SELECT grp, store, ax, CAST(floor(log2(ax)) AS BIGINT) AS b0
+  FROM routed WHERE store <> 0
+), fixed AS (
+  SELECT grp, store, ax,
+         CASE WHEN pow(2.0, b0 + 1) <= ax THEN b0 + 1
+              WHEN pow(2.0, b0) > ax THEN b0 - 1
+              ELSE b0 END AS b
+  FROM seed
+), cells AS (
+  SELECT grp, store, b,
+         CAST(floor((ax / pow(2.0, b) - 1.0) * 64.0) AS BIGINT) AS j,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM fixed GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT grp, 0, 0, 0, CAST(COUNT(*) AS BIGINT)
+  FROM routed WHERE store = 0 GROUP BY grp HAVING COUNT(*) > 0
+), cum AS (
+  SELECT grp, store, b, j, c,
+         SUM(c) OVER (
+           PARTITION BY grp
+           ORDER BY store,
+                    CASE WHEN store = -1 THEN -b ELSE b END,
+                    CASE WHEN store = -1 THEN -j ELSE j END
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cells
+), n AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY grp),
+qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS q),
+tgt AS (SELECT grp, q, n, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS t
+        FROM n CROSS JOIN qs)
+SELECT tgt.grp, q,
+       round(CASE WHEN store = 0 THEN 0.0
+                  ELSE store * pow(2.0, b) * (1.0 + (j + 0.5) / 64.0)
+             END, 6) + 0 AS est,
+       n
+FROM tgt JOIN cum ON cum.grp = tgt.grp
+                 AND cum.cum >= tgt.t AND cum.cum - cum.c < tgt.t
+ORDER BY tgt.grp, q
+"""
+
+SPARK_IMPLS["streaming_dds_group_quantile"] = q_streaming_dds_group_quantile
+ORACLES["streaming_dds_group_quantile"] = _STREAM_DDS_GROUP_ORACLE

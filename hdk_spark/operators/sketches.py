@@ -35,7 +35,9 @@ stream_frequent_items / stream_dds / stream_kmv (sharded bottom-k
 state, exact vs the batch summary regardless of micro-batch
 splits) / stream_kmv_by_group (per-group bottom-k, the kmv_by_group
 twin) / stream_frequent_items_by_group (per-(grp, shard) MG state,
-the mg_summary_by_group twin)."""
+the mg_summary_by_group twin) / stream_dds_by_group (per-group
+bucket counters as streaming aggregation state, the
+dds_build_by_group twin)."""
 
 from __future__ import annotations
 

@@ -749,6 +749,35 @@ def stream_dds(
     return dds_build(stream_df, value_col, m)
 
 
+def stream_dds_by_group(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Streaming per-GROUP DDSketch — the last per-group streaming
+    twin (KMV: stream_kmv_by_group; MG: stream_frequent_items_by_
+    group; now DDS): ``dds_build_by_group``'s (grp, store, b, j, c)
+    bucket relation as a streaming aggregation. Exactly ``stream_
+    dds``'s argument with grp in the grouping key: the per-batch
+    state update IS ``dds_merge_by_group`` (linear counter add per
+    (grp, store, b, j)), so order never matters and complete mode
+    equals ``dds_build_by_group`` over the full history BIT-FOR-BIT —
+    including NULL groups, which the groupBy KEEPS (unlike the
+    stateful applyInPandasWithState twins, which drop them): a plain
+    streaming aggregation has no join-back, so the batch form's SQL
+    GROUP BY semantics carry through unchanged. State bounded at
+    ≤ groups·stores·binades·m cells for an unbounded stream (group
+    count data-dependent — the per-group family's standing caveat).
+    Query the completed/stored buckets with ``dds_quantile_by_group``
+    as usual; counters add, so replayed rows double-count (the
+    stream_cms caveat: only exactly-once sinks see multiset-true
+    sketches)."""
+    from hdk_spark.operators.sketches import dds_build_by_group
+
+    return dds_build_by_group(stream_df, group_col, value_col, m)
+
+
 def stream_kmv(
     stream_df: DataFrame,
     value_col: str,

@@ -1110,6 +1110,90 @@ def main() -> None:
         assert est["lang"]["ndv_est"] == 37.0  # exact below-k branch
         return
 
+    if "--r13" in sys.argv:
+        # round-13 (VERDICT r12 #5): sf10 probe of the FIRST
+        # extrapolated join-strategy flip — customer ⋈ orders
+        # outgrowing the broadcast threshold. SCALE.md placed the flip
+        # at ~sf100 by byte extrapolation; this MEASURES the sf10
+        # point: 100 shifted replicas of sf0.1 (~60M lineitem, 15M
+        # orders, 1.5M customer), run q5_join_heavy + TPC-H q10/q18
+        # and diff the post-AQE executed plans against sf0.1 — does
+        # the static 1.5MB threshold already demote the dimension,
+        # does AQE's 32MB runtime threshold re-promote it, and is the
+        # transition a cliff or a graceful re-plan?
+        from hdk_spark.entry_queries import COMMON_SQL_EXTRA
+
+        DST10 = "/tmp/sf10_synth"
+        C10 = 100
+        t10 = ("customer", "orders", "lineitem")
+        if "--regen10" in sys.argv or not os.path.exists(DST10):
+            load_tables(spark, SRC)
+            t0 = time.perf_counter()
+            for t in t10:
+                base_t, shifts = spark.table(t), KEYED[t]
+                parts = []
+                for i in range(C10):
+                    c = base_t
+                    for col, stride in shifts.items():
+                        if col in c.columns:
+                            c = c.withColumn(
+                                col, F.col(col) + F.lit(i * stride))
+                    parts.append(c)
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                out.write.mode("overwrite").parquet(
+                    os.path.join(DST10, f"{t}.parquet"))
+            for t in ("nation", "region"):
+                spark.table(t).write.mode("overwrite").parquet(
+                    os.path.join(DST10, f"{t}.parquet"))
+            print("regenerated", DST10,
+                  round(time.perf_counter() - t0, 1), "s")
+
+        marks = ("BroadcastHashJoin", "SortMergeJoin",
+                 "ShuffledHashJoin", "AQEShuffleRead", "Exchange")
+
+        def plan_markers(df) -> dict:
+            df.write.format("noop").mode("overwrite").save()
+            df.collect()
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return {m: p.count(m) for m in marks}
+
+        Q = {
+            "q5_join_heavy": """
+                SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM customer JOIN orders ON c_custkey = o_custkey
+                              JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10""",
+            "tpch_q10": COMMON_SQL_EXTRA["tpch_q10_returned_items"],
+            "tpch_q18": COMMON_SQL_EXTRA["tpch_q18_large_volume_customer"],
+        }
+
+        results: dict = {}
+        for sf_name, d in (("sf0.1", SRC), ("sf10", DST10)):
+            load_tables(spark, d)
+            if sf_name == "sf10":
+                print("rows:", {t: spark.table(t).count() for t in t10})
+            # warm the scans so timed runs measure the joins
+            for t in t10:
+                spark.table(t).write.format("noop").mode(
+                    "overwrite").save()
+            for name, sql in Q.items():
+                w = best(lambda s=sql: spark.sql(s))
+                results.setdefault(name, {})[sf_name] = (
+                    w, plan_markers(spark.sql(sql)))
+        for name, r in results.items():
+            (w01, m01), (w10, m10) = r["sf0.1"], r["sf10"]
+            delta = {k: (m01[k], m10[k]) for k in marks
+                     if m01[k] != m10[k]}
+            print(f"{name}: sf0.1 {w01}s -> sf10 {w10}s "
+                  f"({round(w10 / w01, 1)}x wall for 100x data); "
+                  f"plan sf0.1->sf10 {delta if delta else 'IDENTICAL'}")
+            print(f"  sf10 markers: {r['sf10'][1]}")
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)

@@ -1126,3 +1126,56 @@ def test_stream_mg_by_group_checkpoint_restart_transparent(
     got_i, got_u = latest_rows(outi), latest_rows(outu)
     assert got_i == got_u
     assert {t[0] for t in got_i} == {"web", "code"}  # post-restart group
+
+
+def test_stream_dds_by_group_equals_batch(spark, tmp_path):
+    """stream_dds_by_group over a FORCED 3-micro-batch run: complete-
+    mode state equals dds_build_by_group of the full history
+    BIT-FOR-BIT (linear counters — the per-batch update IS
+    dds_merge_by_group, order never matters), INCLUDING the NULL
+    group: unlike the stateful per-group twins this is a plain
+    streaming aggregation, so SQL GROUP BY semantics carry through.
+    Streamed buckets feed dds_quantile_by_group unchanged."""
+    from hdk_spark.operators.sketches import (
+        dds_build_by_group, dds_quantile_by_group,
+    )
+
+    src = str(tmp_path / "ddsg_src")
+    os.makedirs(src)
+    files = [
+        [(i, "a" if i % 3 else None, float(i % 97) / 7.0 - 3.0)
+         for i in range(400)],
+        [(i, "b" if i % 2 else "a", float(i % 53) * 2.5)
+         for i in range(300)],  # 'b' first appears here
+        [(i, "b", 0.0 if i % 5 else -1e6) for i in range(100)],
+    ]
+    for j, rows in enumerate(files):
+        spark.createDataFrame(rows, "id: long, g: string, x: double") \
+            .coalesce(1).write.parquet(f"{src}/p{j}")
+    schema = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(src).schema
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = _collect(
+        spark,
+        streaming.stream_dds_by_group(st, "g", "x", m=32),
+        "t_ddsg", "complete",
+    )
+    hist = spark.read.option("recursiveFileLookup", "true").parquet(src)
+    batch = dds_build_by_group(hist, "g", "x", m=32)
+    key = lambda t: tuple(map(str, t))  # noqa: E731 — NULL-safe sort
+    assert sorted(map(tuple, got.collect()), key=key) == \
+        sorted(map(tuple, batch.collect()), key=key)
+    # the NULL group is present (kept per SQL GROUP BY)
+    assert got.filter(F.col("grp").isNull()).count() > 0
+
+    qs = [0.1, 0.5, 0.9]
+    assert sorted(map(tuple, dds_quantile_by_group(
+        got, qs, m=32).collect()), key=key) == \
+        sorted(map(tuple, dds_quantile_by_group(
+            batch, qs, m=32).collect()), key=key)
