@@ -14239,3 +14239,114 @@ ORDER BY tgt.grp, q
 
 SPARK_IMPLS["streaming_dds_group_quantile"] = q_streaming_dds_group_quantile
 ORACLES["streaming_dds_group_quantile"] = _STREAM_DDS_GROUP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 13: the all-pairs group overlap matrix — kmv_set_stats for every
+# unordered group pair from ONE kmv_by_group relation, no driver loop.
+# Planted vocab domains overlap differently per pair (g0 [0,167),
+# g1 [120,287), g2 [200,300) over doc_id//3, decorrelated from the %3
+# group residue) so the matrix has a disjoint pair (jaccard 0), an
+# asymmetric-containment pair, and all groups in the estimator branch.
+# The oracle replays per-group distinct → md5 bottom-k → the per-pair
+# union bottom-k walk → flags → every estimator expression per pair.
+# ---------------------------------------------------------------------------
+
+
+def q_stats_kmv_group_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs group vocabulary overlap (operators/sketches.py::
+    kmv_pairwise_stats over kmv_by_group, k=64 md5): "which sources
+    share vocabulary" for every unordered pair in one relational
+    plan — per-pair rows bit-identical to kmv_set_stats of the two
+    groups' summaries (the union bottom-k closure)."""
+    from hdk_spark.operators.sketches import (
+        kmv_by_group, kmv_pairwise_stats,
+    )
+
+    _tables(spark, sf_dir)
+    d = F.col("doc_id")
+    t = F.floor(d / 3).cast("long")
+    src = spark.table("documents").select(
+        F.concat(F.lit("g"), (d % 3).cast("string")).alias("g"),
+        F.concat(
+            F.lit("u"),
+            F.when(d % 3 == 0, t % 240)
+            .when(d % 3 == 1, F.lit(120) + t % 180)
+            .otherwise(F.lit(200) + t % 100).cast("string"),
+        ).alias("v"),
+    )
+    summ = kmv_by_group(src, "g", "v", k=64, hash_basis="md5")
+    return kmv_pairwise_stats(summ, k=64, hash_basis="md5") \
+        .orderBy("grp_a", "grp_b")
+
+
+_KMV_GROUP_PAIRWISE_ORACLE = f"""
+WITH src AS (
+  SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) AS grp,
+         'u' || CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id // 3) % 240
+                          WHEN doc_id % 3 = 1 THEN 120 + (doc_id // 3) % 180
+                          ELSE 200 + (doc_id // 3) % 100 END AS VARCHAR)
+           AS item
+  FROM documents WHERE doc_id IS NOT NULL
+), d AS (
+  SELECT grp, h, MIN(item) AS item FROM (
+    SELECT grp, {_KMV_H.format(v='item')} AS h, item
+    FROM (SELECT DISTINCT grp, item FROM src)) GROUP BY grp, h
+), s AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM d) WHERE rn <= 64
+), sides AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_side,
+         MAX(h / 4294967296.0) AS uks
+  FROM s GROUP BY grp
+), pairs AS (
+  SELECT a.grp AS ga, a.n_side AS na, a.uks AS uka,
+         b.grp AS gb, b.n_side AS nb, b.uks AS ukb
+  FROM sides a JOIN sides b ON a.grp < b.grp
+), u AS (
+  SELECT ga, gb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS ina, 0 AS inb
+    FROM pairs p JOIN s ON s.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS ina, 1 AS inb
+    FROM pairs p JOIN s ON s.grp = p.gb
+  ) GROUP BY ga, gb, h
+), kk AS (
+  SELECT * FROM (
+    SELECT ga, gb, h, ina, inb,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM u) WHERE rn <= 64
+), stats AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(ina * inb) AS BIGINT) AS n_inter,
+         MAX(h / 4294967296.0) AS uk
+  FROM kk GROUP BY ga, gb
+), est AS (
+  SELECT st.ga, st.gb, n_k, n_inter,
+         CASE WHEN n_k < 64 THEN CAST(n_k AS DOUBLE)
+              ELSE 63.0 / uk END AS eu,
+         CASE WHEN p.na < 64 THEN CAST(p.na AS DOUBLE)
+              ELSE 63.0 / p.uka END AS ea,
+         CASE WHEN p.nb < 64 THEN CAST(p.nb AS DOUBLE)
+              ELSE 63.0 / p.ukb END AS eb,
+         p.na, p.nb
+  FROM stats st JOIN pairs p ON p.ga = st.ga AND p.gb = st.gb
+)
+SELECT ga AS grp_a, gb AS grp_b, n_k, n_inter,
+       round(eu, 4) + 0 AS ndv_union,
+       round((n_inter / n_k) * eu, 4) + 0 AS ndv_inter,
+       round(ea, 4) + 0 AS ndv_a,
+       round(eb, 4) + 0 AS ndv_b,
+       CASE WHEN na > 0
+            THEN round(((n_inter / n_k) * eu) / ea, 4) + 0 END
+         AS containment_a_in_b,
+       CASE WHEN nb > 0
+            THEN round(((n_inter / n_k) * eu) / eb, 4) + 0 END
+         AS containment_b_in_a,
+       round(n_inter / n_k, 4) + 0 AS jaccard_est
+FROM est ORDER BY grp_a, grp_b
+"""
+
+SPARK_IMPLS["stats_kmv_group_pairwise"] = q_stats_kmv_group_pairwise
+ORACLES["stats_kmv_group_pairwise"] = _KMV_GROUP_PAIRWISE_ORACLE

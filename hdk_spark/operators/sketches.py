@@ -24,7 +24,8 @@ that survives 100 TB). Five families, one merge law each:
   Lee 2019.
 - distinct samples: KMV / bottom-k (kmv_summary / kmv_merge /
   kmv_ndv / kmv_jaccard / kmv_set_stats; per-group: kmv_by_group /
-  kmv_ndv_by_group / kmv_merge_by_group) — merge = bottom-k of the summary union
+  kmv_ndv_by_group / kmv_merge_by_group / kmv_pairwise_stats, the
+  all-pairs overlap matrix) — merge = bottom-k of the summary union
   (Bar-Yossef et al. 2002; Beyer et al. 2007), which also answers
   set-operation questions (Jaccard, union/intersection NDV, both
   containments) no other family can.
@@ -53,7 +54,7 @@ __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "dds_quantile_by_group",
            "kmv_summary", "kmv_merge", "kmv_ndv", "kmv_jaccard",
            "kmv_set_stats", "kmv_by_group", "kmv_ndv_by_group",
-           "kmv_merge_by_group",
+           "kmv_merge_by_group", "kmv_pairwise_stats",
 ]
 
 
@@ -1554,4 +1555,105 @@ def kmv_ndv_by_group(
             .otherwise(F.lit(float(k - 1)) / F.col("__uk")),
             4,
         ).alias("ndv_est"),
+    )
+
+
+def kmv_pairwise_stats(
+    summary: DataFrame, k: int = 256, hash_basis: str = "xxhash64"
+) -> DataFrame:
+    """ALL-PAIRS group overlap matrix from one :func:`kmv_by_group`
+    relation — "which sources/domains share vocabulary", the question
+    :func:`kmv_set_stats` answers for ONE pair, computed for every
+    unordered group pair in a single relational plan (no driver loop
+    over groups, no per-pair jobs). Each pair's row is BIT-IDENTICAL
+    to kmv_set_stats of the two groups' summaries (property-tested):
+    the per-pair union bottom-k equals the KMV summary of A ∪ B by
+    the same closure — each group's summary is the bottom-k of its
+    distinct hash set, so the k smallest of S_a ∪ S_b are the k
+    smallest of A ∪ B (Beyer et al. 2007 §5 compound estimators).
+
+    Shape: one pass over the ≤ groups·k-row summary for per-side
+    stats; the pair enumeration and the tagged per-pair union are
+    DELIBERATELY groups²-scaled — that is the size of the answer (the
+    pair matrix itself), not an avoidable blow-up. Everything is
+    summary-derived: the union relation is ≤ pairs·2k rows and the
+    bottom-k walk windows only over it (the dds_quantile_by_group
+    precedent — never over a corpus relation). With a large group
+    domain, filter the summary to the groups of interest first; the
+    matrix is quadratic in whatever you pass in. Joins keep their
+    group-key equi-joins without forced broadcasts (groups-scaled
+    sides, the per-group family's standing call). NULL groups
+    participate via the injective ``_grp_key`` (the NULL = NULL
+    equi-join fix), ordered before every value group in the pair
+    orientation.
+
+    Returns one row per unordered pair (grp_a < grp_b by the group
+    key): (grp_a, grp_b, n_k, n_inter, ndv_union, ndv_inter, ndv_a,
+    ndv_b, containment_a_in_b, containment_b_in_a, jaccard_est) —
+    the same estimator expressions as kmv_set_stats, NULL-guarded
+    divisions included.
+
+    Cache lifetime (the mg_summary discipline): the keyed summary
+    projection stays persisted — bounded at ≤ groups·k rows — because
+    the RETURNED plan is lazy and reads it three times (side stats +
+    both pair tags); long-lived sessions should ``.unpersist()``
+    consumed summaries once the matrix is materialized."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    s = summary.select(
+        _grp_key(F.col("grp")).alias("__gk"), "grp", "h"
+    ).persist()
+    sides = s.groupBy("__gk", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__uks"),
+    )
+    pa = sides.select(
+        F.col("__gk").alias("__ga"), F.col("grp").alias("grp_a"),
+        F.col("__n").alias("__na"), F.col("__uks").alias("__uka"))
+    pb = sides.select(
+        F.col("__gk").alias("__gb"), F.col("grp").alias("grp_b"),
+        F.col("__n").alias("__nb"), F.col("__uks").alias("__ukb"))
+    pairs = pa.crossJoin(pb).filter(F.col("__ga") < F.col("__gb"))
+    keys = pairs.select("__ga", "__gb")
+    ua = keys.join(s.select(F.col("__gk").alias("__ga"), "h"), "__ga") \
+        .select("__ga", "__gb", "h",
+                F.lit(1).alias("__ina"), F.lit(0).alias("__inb"))
+    ub = keys.join(s.select(F.col("__gk").alias("__gb"), "h"), "__gb") \
+        .select("__ga", "__gb", "h",
+                F.lit(0).alias("__ina"), F.lit(1).alias("__inb"))
+    u = ua.unionByName(ub).groupBy("__ga", "__gb", "h").agg(
+        F.max("__ina").alias("__ina"), F.max("__inb").alias("__inb"))
+    w = Window.partitionBy("__ga", "__gb").orderBy("h")
+    kk = u.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") <= k)
+    stats = kk.groupBy("__ga", "__gb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum(F.col("__ina") * F.col("__inb")).cast("long")
+        .alias("n_inter"),
+        F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__uk"),
+    )
+    joined = stats.join(pairs, ["__ga", "__gb"])
+    km1 = F.lit(float(k - 1))
+    # the kmv_set_stats estimator expressions, verbatim, per pair
+    eu = F.when(F.col("n_k") < k, F.col("n_k").cast("double")).otherwise(
+        km1 / F.col("__uk"))
+    ea = F.when(F.col("__na") < k, F.col("__na").cast("double")).otherwise(
+        km1 / F.col("__uka"))
+    eb = F.when(F.col("__nb") < k, F.col("__nb").cast("double")).otherwise(
+        km1 / F.col("__ukb"))
+    rho = F.col("n_inter") / F.col("n_k")
+    ei = rho * eu
+    return joined.select(
+        "grp_a", "grp_b", "n_k", "n_inter",
+        F.round(eu, 4).alias("ndv_union"),
+        F.round(ei, 4).alias("ndv_inter"),
+        F.round(ea, 4).alias("ndv_a"),
+        F.round(eb, 4).alias("ndv_b"),
+        F.when(F.col("__na") > 0, F.round(ei / ea, 4))
+        .alias("containment_a_in_b"),
+        F.when(F.col("__nb") > 0, F.round(ei / eb, 4))
+        .alias("containment_b_in_a"),
+        F.round(rho, 4).alias("jaccard_est"),
     )

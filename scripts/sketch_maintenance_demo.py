@@ -53,6 +53,7 @@ def main() -> None:
         kmv_by_group,
         kmv_merge_by_group,
         kmv_ndv_by_group,
+        kmv_pairwise_stats,
         kmv_set_stats,
         mg_heavy_hitters_by_group,
         mg_merge_by_group,
@@ -150,11 +151,21 @@ def main() -> None:
     for g in langs:
         assert any(c[0] == "hot" for c in hot.get(g, [])), (g, hot.get(g))
 
-    # ---- cross-group overlap from two groups' KMV samples alone
-    two = sorted(langs)[:2]
+    # ---- cross-group overlap: the ALL-PAIRS matrix from the merged
+    # summary relation alone (kmv_pairwise_stats — one relational
+    # plan, no per-pair driver loop), cross-checked for one pair
+    # against the single-pair kmv_set_stats form
+    matrix = {(r["grp_a"], r["grp_b"]): r
+              for r in kmv_pairwise_stats(
+                  kmv_all, k=K_KMV, hash_basis=BASIS).collect()}
+    assert len(matrix) == len(langs) * (len(langs) - 1) // 2
+    two = tuple(sorted(langs)[:2])
     sa = kmv_all.filter(F.col("grp") == two[0]).select("h", "item")
     sb = kmv_all.filter(F.col("grp") == two[1]).select("h", "item")
     overlap = kmv_set_stats(sa, sb, k=K_KMV, hash_basis=BASIS).collect()[0]
+    for c in ("n_k", "n_inter", "ndv_union", "ndv_inter", "jaccard_est",
+              "containment_a_in_b", "containment_b_in_a"):
+        assert matrix[two][c] == overlap[c], (two, c)
     # the kmv_set_stats cache-lifetime note: release the consumed inputs
     sa.unpersist()
     sb.unpersist()
@@ -166,15 +177,14 @@ def main() -> None:
         "doc_len_quantiles": {f"{g}@{q}": quantiles[(g, q)]
                               for (g, q) in sorted(quantiles)},
         "hot_items": {g: hot[g] for g in sorted(hot)},
-        "overlap_" + "_vs_".join(two): {
-            "jaccard": overlap["jaccard_est"],
-            "ndv_union": overlap["ndv_union"],
-            "ndv_inter": overlap["ndv_inter"],
-            "containment_a_in_b": overlap["containment_a_in_b"],
-            "containment_b_in_a": overlap["containment_b_in_a"],
+        "overlap_matrix": {
+            f"{a}_vs_{b}": [r["jaccard_est"], r["containment_a_in_b"],
+                            r["containment_b_in_a"]]
+            for (a, b), r in sorted(matrix.items())
         },
         "merge_laws": "verified (KMV bit-exact, DDS bit-exact, MG "
-                      "bounds via heavy hitters)",
+                      "bounds via heavy hitters; pairwise matrix == "
+                      "kmv_set_stats per pair)",
     }))
 
 

@@ -1359,3 +1359,72 @@ def test_mg_by_group_equals_per_group_global(spark):
         mg_merge_by_group(k=4)
     with pytest.raises(ValueError, match="phi"):
         mg_heavy_hitters_by_group(summ, phi=0.0, k=4)
+
+
+def test_kmv_pairwise_stats_equals_set_stats_per_pair(spark):
+    """The defining law of the pair matrix: every (grp_a, grp_b) row
+    of kmv_pairwise_stats is BIT-IDENTICAL to kmv_set_stats of the
+    two groups' own summaries — same union bottom-k, same membership
+    flags, same estimator expressions, same rounding. Groups span
+    both regimes (below-k exact and estimator), include a disjoint
+    pair (jaccard 0) and the NULL group (kept via the injective group
+    key, ordered before every value group); pair orientation is
+    grp_a < grp_b with NULL first."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import (
+        kmv_by_group, kmv_pairwise_stats, kmv_set_stats,
+    )
+
+    k = 32
+    # four groups: big (estimator), mid (overlaps big), tiny
+    # (disjoint from both), NULL (overlaps mid)
+    df = spark.range(6000).select(
+        F.when(F.col("id") % 10 == 9, None)
+        .when(F.col("id") % 3 == 0, F.lit("big"))
+        .when(F.col("id") % 3 == 1, F.lit("mid"))
+        .otherwise(F.lit("tiny")).alias("g"),
+        F.when(F.col("id") % 3 == 0,
+               F.concat(F.lit("v"), ((F.col("id") / 3).cast("long") % 900)
+                        .cast("string")))
+        .when(F.col("id") % 10 == 9,
+              F.concat(F.lit("v"),
+                       (F.lit(850) + (F.col("id") / 3).cast("long") % 100)
+                       .cast("string")))
+        .when(F.col("id") % 3 == 1,
+              F.concat(F.lit("v"),
+                       (F.lit(880) + (F.col("id") / 3).cast("long") % 60)
+                       .cast("string")))
+        .otherwise(F.concat(F.lit("w"), ((F.col("id") / 3).cast("long") % 7)
+                            .cast("string"))).alias("v"),
+    )
+    for basis in ("xxhash64", "md5"):
+        summ = kmv_by_group(df, "g", "v", k=k, hash_basis=basis)
+        got = kmv_pairwise_stats(summ, k=k, hash_basis=basis).collect()
+        # 4 groups -> 6 unordered pairs, NULL ordered first
+        assert len(got) == 6
+        assert sum(1 for r in got if r["grp_a"] is None) == 3
+        assert all(r["grp_b"] is not None for r in got)
+        cols = got[0].asDict().keys()
+        for r in got:
+            ca = (F.col("g").isNull() if r["grp_a"] is None
+                  else (F.col("g") == r["grp_a"]))
+            cb = F.col("g") == r["grp_b"]
+            want = kmv_set_stats(
+                kmv_by_group(df.filter(ca), "g", "v", k=k,
+                             hash_basis=basis).select("h", "item"),
+                kmv_by_group(df.filter(cb), "g", "v", k=k,
+                             hash_basis=basis).select("h", "item"),
+                k=k, hash_basis=basis).collect()[0]
+            for c in cols:
+                if c in ("grp_a", "grp_b"):
+                    continue
+                assert r[c] == want[c], (basis, r["grp_a"], r["grp_b"], c)
+        # the disjoint pair really is disjoint
+        tiny = [r for r in got if r["grp_b"] == "tiny"
+                or r["grp_a"] == "tiny"]
+        assert tiny and all(r["jaccard_est"] == 0.0 for r in tiny)
+
+    with pytest.raises(ValueError, match="k must"):
+        kmv_pairwise_stats(summ, k=1)
