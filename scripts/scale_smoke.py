@@ -1194,6 +1194,66 @@ def main() -> None:
             print(f"  sf10 markers: {r['sf10'][1]}")
         return
 
+    if "--r13b" in sys.argv:
+        # round-13: kmv_pairwise_stats at a real group count — 6M rows
+        # / 100 groups / ~20k distinct per group, k=128 → a 4,950-pair
+        # overlap matrix from ONE 12.8k-row summary relation in ONE
+        # relational plan. Against it: the only prior way to get the
+        # same answer, a driver loop of kmv_set_stats calls — measured
+        # on the first 10 groups (45 pairs) and extrapolated, because
+        # per-pair jobs dominate regardless of data size.
+        from hdk_spark.operators.sketches import (
+            kmv_by_group, kmv_pairwise_stats, kmv_set_stats,
+        )
+
+        n, k, n_grp = 6_000_000, 128, 100
+        base = spark.range(n).select(
+            F.concat(F.lit("g"), F.pmod(F.hash("id"), F.lit(n_grp))
+                     .cast("string")).alias("g"),
+            # per-group vocab domains overlap with the NEXT group by
+            # half, so the matrix has real structure
+            F.concat(
+                F.lit("u"),
+                (F.pmod(F.hash("id"), F.lit(n_grp)) * 10_000
+                 + F.pmod(F.hash("id", F.lit(7)), F.lit(20_000)))
+                .cast("string")).alias("v"),
+        )
+        t0 = time.perf_counter()
+        summ = kmv_by_group(base, "g", "v", k=k).persist()
+        n_summ = summ.count()
+        t_build = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        mat = kmv_pairwise_stats(summ, k=k)
+        n_pairs = mat.count()
+        t_mat = round(time.perf_counter() - t0, 2)
+        print(f"kmv_by_group(6M rows, {n_grp} groups, k={k}): "
+              f"{t_build}s summary_rows={n_summ}")
+        print(f"kmv_pairwise_stats: {n_pairs} pairs in {t_mat}s "
+              f"(ONE plan over the {n_summ}-row summary)")
+
+        # the driver-loop alternative on the first 10 groups (45 pairs)
+        sub = [f"g{i}" for i in range(10)]
+        parts = {g: summ.filter(F.col("grp") == g)
+                 .select("h", "item").persist() for g in sub}
+        for p in parts.values():
+            p.count()
+        t0 = time.perf_counter()
+        n_loop = 0
+        for i in range(len(sub)):
+            for j in range(i + 1, len(sub)):
+                kmv_set_stats(parts[sub[i]], parts[sub[j]], k=k).collect()
+                n_loop += 1
+        t_loop = round(time.perf_counter() - t0, 2)
+        per_pair = t_loop / n_loop
+        print(f"driver loop of kmv_set_stats: {n_loop} pairs in "
+              f"{t_loop}s ({per_pair:.2f}s/pair → "
+              f"~{round(per_pair * n_pairs)}s extrapolated for all "
+              f"{n_pairs} pairs)")
+        for p in parts.values():
+            p.unpersist()
+        summ.unpersist()
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
