@@ -1179,3 +1179,72 @@ def test_stream_dds_by_group_equals_batch(spark, tmp_path):
         got, qs, m=32).collect()), key=key) == \
         sorted(map(tuple, dds_quantile_by_group(
             batch, qs, m=32).collect()), key=key)
+
+
+def test_stream_dds_by_group_checkpoint_restart_equals_batch(
+        spark, tmp_path):
+    """Restart pin for the per-group DDS twin: kill after batch 1,
+    add a file, restart from the SAME checkpoint — the recovered
+    aggregation state must carry every (grp, store, b, j) counter
+    forward, so the latest emission per bucket (update mode emits
+    only CHANGED buckets per batch; a bucket's last emission is its
+    final value) equals dds_build_by_group of the full history
+    bit-for-bit, including a group first seen post-restart and the
+    NULL group."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import dds_build_by_group
+
+    src, cp = str(tmp_path / "ddsg_src"), str(tmp_path / "ddsg_cp")
+    out = str(tmp_path / "ddsg_out")
+    os.makedirs(src)
+    f1 = spark.createDataFrame(
+        [(i, "a" if i % 3 else None, float(i % 97) / 7.0 - 3.0)
+         for i in range(400)],
+        "id: long, g: string, x: double")
+    f2 = spark.createDataFrame(
+        [(i, "b" if i % 2 else "a", float(i % 53) * 2.5)
+         for i in range(300)],
+        "id: long, g: string, x: double")  # 'b' first seen POST-restart
+    f1.coalesce(1).write.parquet(src + "/p1")
+
+    def stream():
+        return (
+            spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    def sink_with_batch(stream_df):
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("__b", F.lit(batch_id)).write.mode(
+                "append").parquet(out)
+
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sink_with_batch(streaming.stream_dds_by_group(stream(), "g", "x", m=32))
+    f2.coalesce(1).write.parquet(src + "/p2")
+    sink_with_batch(streaming.stream_dds_by_group(stream(), "g", "x", m=32))
+
+    w = Window.partitionBy("grp", "store", "b", "j")
+    latest = (
+        spark.read.parquet(out)
+        .withColumn("__m", F.max("__b").over(w))
+        .filter(F.col("__b") == F.col("__m"))
+        .select("grp", "store", "b", "j", "c")
+    )
+    batch = dds_build_by_group(
+        f1.unionByName(f2).select("g", "x"), "g", "x", m=32)
+    key = lambda t: tuple(map(str, t))  # noqa: E731 — NULL-safe sort
+    assert sorted(map(tuple, latest.collect()), key=key) == \
+        sorted(map(tuple, batch.collect()), key=key)
+    got_groups = {r["grp"] for r in latest.select("grp").distinct().collect()}
+    assert got_groups == {"a", "b", None}
