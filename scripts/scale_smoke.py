@@ -1254,6 +1254,32 @@ def main() -> None:
         summ.unpersist()
         return
 
+    if "--r13c" in sys.argv:
+        # round-13 follow-up to the sf10 probe: is q5's 39× wall at
+        # 100× data a join problem or a partition-sizing problem?
+        # Sweep the shuffle partition count (with AQE on, this is the
+        # INITIAL split AQE coalesces from) at sf10 and sf0.1.
+        Q5 = """SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM customer JOIN orders ON c_custkey = o_custkey
+                              JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10"""
+        for sf_name, d in (("sf10", "/tmp/sf10_synth"), ("sf0.1", SRC)):
+            if not os.path.exists(d):
+                print(f"{sf_name}: {d} missing — run --r13 first")
+                continue
+            load_tables(spark, d)
+            for t in ("customer", "orders", "lineitem"):
+                spark.table(t).write.format("noop").mode(
+                    "overwrite").save()
+            for parts in (32, 128, 512):
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                print(f"{sf_name} q5 @ shuffle.partitions={parts}:",
+                      best(lambda: spark.sql(Q5)))
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
