@@ -48,6 +48,20 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # DELIBERATELY NOT SET (measured r13, scale_smoke.py --r13c):
+    # spark.sql.adaptive.coalescePartitions.initialPartitionNum=512.
+    # AQE coalesces DOWN from the initial split using measured map
+    # sizes, so at sf10 (60M lineitem) a 512-way initial split cuts
+    # q5 from 16.1 s to 6.6 s (32-way leaves ~2M rows per SMJ
+    # partition → sort spill), and in AGED long-lived sessions it
+    # also cut the minhash dedup path ~2.5× (more, smaller Python
+    # tasks across warm workers). But on a FRESH session at sf0.1 the
+    # same setting slows that dedup path ~35% (0.89 → 1.25 s —
+    # more Python tasks before worker startup amortizes), so adopting
+    # it globally would trade the young-session profile the bench
+    # measures for the aged-session profile. Callers running at
+    # sf10+ scale should set it per session; revisit as a default
+    # once the young-JVM Python-stage interaction is pinned.
 }
 
 
