@@ -298,12 +298,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r12; failed last check: 0, never checked: 3, green: 293  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r12; failed last check: 0, never checked: 5, green: 293  (window ~50).
 _PRIORITY: list[str] = [
     # never checked
     "streaming_mg_group_tops",
     "streaming_dds_group_quantile",
     "stats_kmv_group_pairwise",
+    "stats_cms_group_counts",
+    "streaming_cms_group_counts",
     # stable greens
     "chat_lint",
     "chat_preference_lint",

@@ -14350,3 +14350,142 @@ FROM est ORDER BY grp_a, grp_b
 
 SPARK_IMPLS["stats_kmv_group_pairwise"] = q_stats_kmv_group_pairwise
 ORACLES["stats_kmv_group_pairwise"] = _KMV_GROUP_PAIRWISE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# round 13: per-group Count-Min — the fourth per-group sketch family
+# (KMV distincts, DDS quantiles, MG tops, now CMS point frequencies),
+# exercised end-to-end: parity-slice builds → cms_merge_by_group →
+# cms_query_by_group ("how often does token X appear per lang"), with
+# exact truths riding along. The merge is linear, so the oracle
+# replays the cells over the FULL table (merge law == single build,
+# property-pinned) then the per-(grp, probe) min, reusing the
+# _STREAM_CMS_CELL hash fragment (depth 4, width 16, seed 37).
+# ---------------------------------------------------------------------------
+
+
+def q_stats_cms_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group CMS chain (operators/sketches.py::cms_build_by_group
+    → cms_merge_by_group → cms_query_by_group, depth 4 / width 16 /
+    md5): two parity ingest slices sketched separately, merged per
+    (grp, r, b) without re-reading rows, then four probes estimated
+    against EVERY lang group — width 16 forces real collisions so
+    over-estimates are value-checked, and the 'zz-absent' probe pins
+    per-group isolation (estimates come from the group's own cells)."""
+    from hdk_spark.operators.sketches import (
+        cms_build_by_group, cms_merge_by_group, cms_query_by_group,
+    )
+
+    _tables(spark, sf_dir)
+    kw = dict(depth=4, width=16, seed=37, hash_basis="md5")
+    docs = spark.table("documents").select(
+        "lang", "doc_id",
+        F.concat(F.lit("i"), (F.col("doc_id") % 23).cast("string"))
+        .alias("v"))
+    slices = [docs.filter(F.pmod("doc_id", F.lit(2)) == i)
+              for i in range(2)]
+    merged = cms_merge_by_group(
+        *[cms_build_by_group(s, "lang", "v", **kw) for s in slices])
+    probes = ["i0", "i7", "i15", "zz-absent"]
+    est = cms_query_by_group(merged, probes, **kw)
+    truth = (
+        docs.groupBy(F.col("lang").alias("grp"), F.col("v").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_true"))
+    )
+    return (
+        est.join(truth, ["grp", "item"], "left")
+        .select("grp", "item", "est",
+                F.coalesce("cnt_true", F.lit(0)).cast("long")
+                .alias("cnt_true"))
+        .orderBy("grp", "item")
+    )
+
+
+_CMS_GROUP_ORACLE = f"""
+WITH src AS (
+  SELECT lang AS grp, 'i' || CAST(doc_id % 23 AS VARCHAR) AS v
+  FROM documents WHERE doc_id IS NOT NULL
+), rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+vals AS (
+  SELECT unnest(['i0', 'i7', 'i15', 'zz-absent']) AS item
+), cells AS (
+  SELECT grp, r.r AS r, {_STREAM_CMS_CELL.format(v='s.v')} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM src s CROSS JOIN rr r
+  GROUP BY 1, 2, 3
+), grps AS (SELECT DISTINCT grp FROM src),
+probes AS (
+  SELECT g.grp, v.item, r.r AS r, {_STREAM_CMS_CELL.format(v='v.item')} AS b
+  FROM grps g CROSS JOIN vals v CROSS JOIN rr r
+), est AS (
+  SELECT p.grp, p.item, MIN(COALESCE(c.c, 0)) AS est
+  FROM probes p LEFT JOIN cells c
+    ON c.grp = p.grp AND c.r = p.r AND c.b = p.b
+  GROUP BY p.grp, p.item
+), truth AS (
+  SELECT grp, v AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM src GROUP BY grp, v
+)
+SELECT e.grp, e.item, CAST(e.est AS BIGINT) AS est,
+       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt_true
+FROM est e LEFT JOIN truth t ON t.grp = e.grp AND t.item = e.item
+ORDER BY e.grp, e.item
+"""
+
+SPARK_IMPLS["stats_cms_group_counts"] = q_stats_cms_group_counts
+ORACLES["stats_cms_group_counts"] = _CMS_GROUP_ORACLE
+
+
+def q_streaming_cms_group_counts(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents streamed through stream_cms_by_group (streaming.py —
+    per-group CMS cells as streaming aggregation state, the fourth
+    and last per-group streaming twin; state ≤ groups·depth·width
+    cells), driven to completion, then cms_query_by_group — complete
+    mode equals the batch build bit-for-bit (linear cells), so the
+    oracle replays the same per-group cell machinery over the full
+    history."""
+    from hdk_spark.operators.sketches import cms_query_by_group
+    from hdk_spark.streaming import stream_cms_by_group
+
+    _tables(spark, sf_dir)
+    kw = dict(depth=4, width=16, seed=37, hash_basis="md5")
+    stream = _documents_stream(spark, sf_dir).select(
+        "lang",
+        F.concat(F.lit("i"), (F.col("doc_id") % 23).cast("string"))
+        .alias("v"))
+    name = _run_stream(
+        stream_cms_by_group(stream, "lang", "v", **kw), "complete")
+    return cms_query_by_group(
+        spark.table(name), ["i0", "i7", "i15", "zz-absent"], **kw
+    ).orderBy("grp", "item")
+
+
+_STREAM_CMS_GROUP_ORACLE = f"""
+WITH src AS (
+  SELECT lang AS grp, 'i' || CAST(doc_id % 23 AS VARCHAR) AS v
+  FROM documents WHERE doc_id IS NOT NULL
+), rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+vals AS (
+  SELECT unnest(['i0', 'i7', 'i15', 'zz-absent']) AS item
+), cells AS (
+  SELECT grp, r.r AS r, {_STREAM_CMS_CELL.format(v='s.v')} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM src s CROSS JOIN rr r
+  GROUP BY 1, 2, 3
+), grps AS (SELECT DISTINCT grp FROM src),
+probes AS (
+  SELECT g.grp, v.item, r.r AS r, {_STREAM_CMS_CELL.format(v='v.item')} AS b
+  FROM grps g CROSS JOIN vals v CROSS JOIN rr r
+), est AS (
+  SELECT p.grp, p.item, MIN(COALESCE(c.c, 0)) AS est
+  FROM probes p LEFT JOIN cells c
+    ON c.grp = p.grp AND c.r = p.r AND c.b = p.b
+  GROUP BY p.grp, p.item
+)
+SELECT grp, item, CAST(est AS BIGINT) AS est
+FROM est ORDER BY grp, item
+"""
+
+SPARK_IMPLS["streaming_cms_group_counts"] = q_streaming_cms_group_counts
+ORACLES["streaming_cms_group_counts"] = _STREAM_CMS_GROUP_ORACLE

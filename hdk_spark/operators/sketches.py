@@ -11,8 +11,9 @@ that survives 100 TB). Five families, one merge law each:
   is EXACT by construction: registers are per-hash maxima, so
   sketch(A) ∪ sketch(B) has byte-for-byte the registers of
   sketch(A∪B) at the same lgConfigK (property-tested).
-- point frequencies: Count-Min (cms_build / cms_merge / cms_query)
-  — merge = linear cell sum.
+- point frequencies: Count-Min (cms_build / cms_merge / cms_query;
+  per-group: cms_build_by_group / cms_merge_by_group /
+  cms_query_by_group) — merge = linear cell sum.
 - frequency tops: Misra-Gries (mg_summary / mg_merge; exact-recount
   heavy hitters via frequent_items; per-group: mg_summary_by_group /
   mg_merge_by_group / mg_heavy_hitters_by_group) — merge = counter
@@ -36,9 +37,9 @@ stream_frequent_items / stream_dds / stream_kmv (sharded bottom-k
 state, exact vs the batch summary regardless of micro-batch
 splits) / stream_kmv_by_group (per-group bottom-k, the kmv_by_group
 twin) / stream_frequent_items_by_group (per-(grp, shard) MG state,
-the mg_summary_by_group twin) / stream_dds_by_group (per-group
-bucket counters as streaming aggregation state, the
-dds_build_by_group twin)."""
+the mg_summary_by_group twin) / stream_dds_by_group and
+stream_cms_by_group (per-group counter cells as streaming
+aggregation state — the linear-sketch twins)."""
 
 from __future__ import annotations
 
@@ -49,6 +50,8 @@ __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "mg_heavy_hitters", "mg_summary_by_group", "mg_merge_by_group",
            "mg_heavy_hitters_by_group",
            "cms_build", "cms_merge", "cms_query",
+           "cms_build_by_group", "cms_merge_by_group",
+           "cms_query_by_group",
            "dds_build", "dds_merge", "dds_quantile",
            "dds_build_by_group", "dds_merge_by_group",
            "dds_quantile_by_group",
@@ -915,6 +918,101 @@ def cms_query(
     return joined.groupBy("item").agg(
         F.min("c").cast("long").alias("est")
     )
+
+
+def cms_build_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 37,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Per-GROUP Count-Min sketch: (grp, r, b, c) cells — "how often
+    did X appear WITHIN group Y" as a stored, mergeable relation,
+    completing the per-group sketch matrix (KMV distincts, DDS
+    quantiles, MG tops, now CMS point frequencies). Same build shape
+    as :func:`cms_build` (one map-side explode of depth cells + ONE
+    partial-agg groupBy, no join, no window) with grp in the
+    aggregation key; each group's cells ARE the cms_build of that
+    group's values with grp attached (row-for-row law,
+    property-tested), so per-group state is bounded at
+    ≤ depth·width cells per group regardless of the group's
+    cardinality. NULL values excluded (not an item); NULL GROUPS
+    kept (SQL GROUP BY), like the other per-group builds."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    v = _cms_base_hash(F.col(value_col), hash_basis)
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("grp"), v.alias("__x"))
+    cells = src.select(
+        "grp",
+        F.explode(
+            F.array(*_cms_cell_structs(F.col("__x"), depth, width, seed))
+        ).alias("rb"),
+    )
+    return cells.groupBy(
+        "grp", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def cms_merge_by_group(*sketches: DataFrame) -> DataFrame:
+    """Merge :func:`cms_build_by_group` relations built with the SAME
+    (depth, width, seed): element-wise cell sum per (grp, r, b) —
+    exactly the per-group sketch of the concatenated multisets
+    (linear counters, deletions via negative slices work too).
+    Groups missing from one slice pass through."""
+    if not sketches:
+        raise ValueError("cms_merge_by_group needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "r", "b").agg(
+        F.sum("c").cast("long").alias("c"))
+
+
+def cms_query_by_group(
+    sketch: DataFrame,
+    values: "list[str]",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 37,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Point-frequency estimates PER GROUP from a
+    :func:`cms_build_by_group` relation: every probe value is
+    estimated against EVERY group in the sketch (min over its depth
+    cells; absent cell = 0) — "how often does token X appear per
+    domain" from the stored cells alone. The probe relation is
+    groups·|values|·depth rows (bounded; the group list comes from
+    one distinct over the sketch) and the cell lookup is an equi-join
+    on the injective NULL-safe group key + (r, b) — no forced
+    broadcast (groups-scaled sides, the per-group family's standing
+    call). Same ≥-true / ≤ true + εN_grp guarantee per group, with
+    N_grp the GROUP's volume. Returns (grp, item, est)."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    groups = sketch.select(
+        _grp_key(F.col("grp")).alias("__gk"), "grp").distinct()
+    vals = sketch.sparkSession.createDataFrame(
+        [(v,) for v in values], ["item"])
+    x = _cms_base_hash(F.col("item"), hash_basis)
+    probes = groups.crossJoin(vals).select(
+        "__gk", "grp", "item",
+        F.explode(
+            F.array(*_cms_cell_structs(x, depth, width, seed))
+        ).alias("rb"),
+    ).select("__gk", "grp", "item",
+             F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    keyed = sketch.select(
+        _grp_key(F.col("grp")).alias("__gk"), "r", "b", "c")
+    joined = probes.join(keyed, ["__gk", "r", "b"], "left").select(
+        "__gk", "grp", "item",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    return joined.groupBy("__gk", "grp", "item").agg(
+        F.min("c").cast("long").alias("est")
+    ).select("grp", "item", "est")
 
 
 def _dds_cells(x, m: int):

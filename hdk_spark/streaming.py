@@ -778,6 +778,34 @@ def stream_dds_by_group(
     return dds_build_by_group(stream_df, group_col, value_col, m)
 
 
+def stream_cms_by_group(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 37,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming per-GROUP Count-Min — the fourth and last per-group
+    streaming twin (KMV / MG / DDS / now CMS): ``cms_build_by_
+    group``'s (grp, r, b, c) cell relation as a plain streaming
+    aggregation. The per-batch state update IS ``cms_merge_by_group``
+    (linear cell add), so complete mode equals ``cms_build_by_group``
+    over the full history BIT-FOR-BIT regardless of micro-batch
+    splits, and the NULL group is KEPT (no join-back — the
+    stream_dds_by_group argument). State bounded at
+    ≤ groups·depth·width cells for an unbounded stream (group count
+    data-dependent — the family's standing caveat). Query the
+    completed/stored cells with ``cms_query_by_group`` as usual;
+    counters add, so replayed rows double-count (only exactly-once
+    sinks see multiset-true sketches)."""
+    from hdk_spark.operators.sketches import cms_build_by_group
+
+    return cms_build_by_group(stream_df, group_col, value_col,
+                              depth, width, seed, hash_basis)
+
+
 def stream_kmv(
     stream_df: DataFrame,
     value_col: str,

@@ -1428,3 +1428,76 @@ def test_kmv_pairwise_stats_equals_set_stats_per_pair(spark):
 
     with pytest.raises(ValueError, match="k must"):
         kmv_pairwise_stats(summ, k=1)
+
+
+def test_cms_by_group_defining_laws(spark):
+    """Per-group CMS laws in one planted relation: (a) each group's
+    cells ARE cms_build of that group's values with grp attached
+    (row-for-row, both hash bases), NULL group included (kept per SQL
+    GROUP BY); (b) parity-slice merge == single build bit-for-bit;
+    (c) cms_query_by_group == cms_query run on each group's own
+    sketch, for every (group, probe) pair — never under the group's
+    true count, and a probe absent from a group estimates from that
+    GROUP's cells only (cross-group counts never bleed in when the
+    estimate is 0)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import (
+        cms_build, cms_build_by_group, cms_merge_by_group, cms_query,
+        cms_query_by_group,
+    )
+
+    kw = dict(depth=3, width=64, seed=11, hash_basis="md5")
+    df = spark.range(4000).select(
+        F.when(F.col("id") % 7 == 6, None)
+        .when(F.col("id") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("code")).alias("g"),
+        F.when(F.col("id") % 13 == 0, None)  # NULL values excluded
+        .when(F.col("id") % 2 == 0,
+              F.concat(F.lit("w"), (F.col("id") % 50).cast("string")))
+        .otherwise(
+            F.concat(F.lit("c"), (F.col("id") % 21).cast("string")))
+        .alias("v"),
+    )
+    sk = cms_build_by_group(df, "g", "v", **kw)
+    cells = sk.collect()
+    groups = {r["grp"] for r in cells}
+    assert groups == {"web", "code", None}
+    for grp in groups:
+        cond = F.col("g").isNull() if grp is None else (F.col("g") == grp)
+        want = sorted(map(tuple, cms_build(
+            df.filter(cond), "v", **kw).collect()))
+        got = sorted((r["r"], r["b"], r["c"])
+                     for r in cells if r["grp"] == grp)
+        assert got == want, grp
+
+    s0 = cms_build_by_group(df.filter(F.col("id") % 3 != 0), "g", "v", **kw)
+    s1 = cms_build_by_group(df.filter(F.col("id") % 3 == 0), "g", "v", **kw)
+    key = lambda t: tuple(map(str, t))  # noqa: E731 — NULL-safe sort
+    assert sorted(map(tuple, cms_merge_by_group(s0, s1).collect()),
+                  key=key) == sorted(map(tuple, sk.collect()), key=key)
+
+    probes = ["w0", "w17", "c5", "absent"]
+    est = {(r["grp"], r["item"]): r["est"]
+           for r in cms_query_by_group(sk, probes, **kw).collect()}
+    assert len(est) == 3 * len(probes)  # every group x every probe
+    truth = {(r["g"], r["v"]): r["n"] for r in df.groupBy("g", "v")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for grp in groups:
+        cond = F.col("g").isNull() if grp is None else (F.col("g") == grp)
+        own = {r["item"]: r["est"] for r in cms_query(
+            cms_build(df.filter(cond), "v", **kw), probes, **kw).collect()}
+        for p in probes:
+            assert est[(grp, p)] == own[p], (grp, p)
+            assert est[(grp, p)] >= truth.get((grp, p), 0), (grp, p)
+    # 'w*' probes in the code group estimate from code cells only:
+    # exact-0 whenever no code value collides into all three cells
+    assert est[("code", "absent")] < est[("web", "w0")]
+
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_build_by_group(df, "g", "v", depth=0)
+    with pytest.raises(ValueError, match="at least one"):
+        cms_merge_by_group()
+    with pytest.raises(ValueError, match="non-empty"):
+        cms_query_by_group(sk, [])

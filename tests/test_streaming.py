@@ -1248,3 +1248,54 @@ def test_stream_dds_by_group_checkpoint_restart_equals_batch(
         sorted(map(tuple, batch.collect()), key=key)
     got_groups = {r["grp"] for r in latest.select("grp").distinct().collect()}
     assert got_groups == {"a", "b", None}
+
+
+def test_stream_cms_by_group_equals_batch(spark, tmp_path):
+    """stream_cms_by_group over a FORCED 3-micro-batch run: complete-
+    mode state equals cms_build_by_group of the full history
+    BIT-FOR-BIT (linear cells — per-batch update IS
+    cms_merge_by_group), INCLUDING the NULL group (plain streaming
+    aggregation, SQL GROUP BY carries through). Streamed cells feed
+    cms_query_by_group unchanged, never under each group's true
+    count."""
+    from hdk_spark.operators.sketches import (
+        cms_build_by_group, cms_query_by_group,
+    )
+
+    kw = dict(depth=3, width=64, seed=11, hash_basis="md5")
+    src = str(tmp_path / "cmsg_src")
+    os.makedirs(src)
+    files = [
+        [(i, "web" if i % 3 else None, f"w{i % 40}") for i in range(400)],
+        [(i, "code" if i % 2 else "web", f"c{i % 17}")
+         for i in range(300)],  # 'code' first appears here
+        [(i, "code", "hot") for i in range(100)],
+    ]
+    for j, rows in enumerate(files):
+        spark.createDataFrame(rows, "id: long, g: string, v: string") \
+            .coalesce(1).write.parquet(f"{src}/p{j}")
+    schema = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(src).schema
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = _collect(
+        spark,
+        streaming.stream_cms_by_group(st, "g", "v", **kw),
+        "t_cmsg", "complete",
+    )
+    hist = spark.read.option("recursiveFileLookup", "true").parquet(src)
+    batch = cms_build_by_group(hist, "g", "v", **kw)
+    key = lambda t: tuple(map(str, t))  # noqa: E731 — NULL-safe sort
+    assert sorted(map(tuple, got.collect()), key=key) == \
+        sorted(map(tuple, batch.collect()), key=key)
+    assert got.filter(F.col("grp").isNull()).count() > 0
+
+    est = {(r["grp"], r["item"]): r["est"] for r in cms_query_by_group(
+        got, ["hot", "w0", "c5"], **kw).collect()}
+    assert est[("code", "hot")] >= 100  # never under the true count
+    assert est[(None, "w0")] >= 1
