@@ -47,6 +47,9 @@ def main() -> None:
 
     from __spark_entry__ import load_tables
     from hdk_spark.operators.sketches import (
+        cms_build_by_group,
+        cms_merge_by_group,
+        cms_query_by_group,
         dds_build_by_group,
         dds_merge_by_group,
         dds_quantile_by_group,
@@ -94,11 +97,14 @@ def main() -> None:
     ]
 
     # ---- build + store: one corpus pass per slice, bounded outputs
+    cms_kw = dict(depth=4, width=64, seed=37, hash_basis=BASIS)
     for i, sl in enumerate(slices):
         kmv_by_group(sl, "lang", "vocab", k=K_KMV, hash_basis=BASIS) \
             .write.mode("overwrite").parquet(f"{out_dir}/kmv_slice{i}")
         dds_build_by_group(sl, "lang", "doc_len", m=M_DDS) \
             .write.mode("overwrite").parquet(f"{out_dir}/dds_slice{i}")
+        cms_build_by_group(sl, "lang", "item", **cms_kw) \
+            .write.mode("overwrite").parquet(f"{out_dir}/cms_slice{i}")
         mg = mg_summary_by_group(sl, "lang", "item", k=K_MG,
                                  n_shards=SHARDS, hash_basis=BASIS)
         mg.write.mode("overwrite").parquet(f"{out_dir}/mg_slice{i}")
@@ -110,6 +116,8 @@ def main() -> None:
         rd(f"{out_dir}/kmv_slice0"), rd(f"{out_dir}/kmv_slice1"), k=K_KMV)
     dds_all = dds_merge_by_group(
         rd(f"{out_dir}/dds_slice0"), rd(f"{out_dir}/dds_slice1"))
+    cms_all = cms_merge_by_group(
+        rd(f"{out_dir}/cms_slice0"), rd(f"{out_dir}/cms_slice1"))
     mg_all = mg_merge_by_group(
         rd(f"{out_dir}/mg_slice0"), rd(f"{out_dir}/mg_slice1"), k=K_MG)
 
@@ -138,6 +146,17 @@ def main() -> None:
         for r in dds_quantile_by_group(dds_all, [0.5, 0.99],
                                        m=M_DDS).collect()
     }
+
+    # point frequencies per group from the merged CMS cells: never
+    # under truth (the guarantee), 'hot' ≈ a quarter of each group
+    cms_est = {(r["grp"], r["item"]): r["est"]
+               for r in cms_query_by_group(
+                   cms_all, ["hot", "i3"], **cms_kw).collect()}
+    hot_truth = {r["lang"]: r["n"] for r in docs.filter(
+        F.col("item") == "hot").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for g, n in hot_truth.items():
+        assert cms_est[(g, "hot")] >= n, (g, cms_est[(g, "hot")], n)
 
     hh = mg_heavy_hitters_by_group(mg_all, phi=0.1, k=K_MG)
     hot = {}
@@ -182,9 +201,13 @@ def main() -> None:
                             r["containment_b_in_a"]]
             for (a, b), r in sorted(matrix.items())
         },
-        "merge_laws": "verified (KMV bit-exact, DDS bit-exact, MG "
-                      "bounds via heavy hitters; pairwise matrix == "
-                      "kmv_set_stats per pair)",
+        "hot_freq_per_lang_cms": {
+            g: [cms_est[(g, "hot")], hot_truth[g]]
+            for g in sorted(hot_truth)
+        },
+        "merge_laws": "verified (KMV bit-exact, DDS bit-exact, CMS "
+                      "never-under, MG bounds via heavy hitters; "
+                      "pairwise matrix == kmv_set_stats per pair)",
     }))
 
 
