@@ -1280,6 +1280,52 @@ def main() -> None:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
         return
 
+    if "--r13d" in sys.argv:
+        # round-13: per-group CMS at lake-ish scale — 6M rows / 100
+        # groups, depth 4 × width 1024. Build wall + the state
+        # honesty (cells ≤ groups·depth·width regardless of each
+        # group's cardinality), then a 50-probe × 100-group query
+        # from the stored cells with the never-under check against
+        # exact truth for a planted hot item.
+        from hdk_spark.operators.sketches import (
+            cms_build_by_group, cms_query_by_group,
+        )
+
+        n, n_grp = 6_000_000, 100
+        base = spark.range(n).select(
+            F.concat(F.lit("g"), F.pmod(F.hash("id"), F.lit(n_grp))
+                     .cast("string")).alias("g"),
+            F.when(F.col("id") % 4 == 0, F.lit("hot"))
+            .otherwise(
+                F.concat(F.lit("u"),
+                         F.pmod(F.hash("id", F.lit(7)), F.lit(200_000))
+                         .cast("string"))).alias("v"),
+        )
+        t0 = time.perf_counter()
+        sk = cms_build_by_group(base, "g", "v").persist()
+        n_cells = sk.count()
+        t_build = round(time.perf_counter() - t0, 2)
+        probes = ["hot"] + [f"u{i * 977}" for i in range(49)]
+        t0 = time.perf_counter()
+        est = cms_query_by_group(sk, probes).persist()
+        n_est = est.count()
+        t_q = round(time.perf_counter() - t0, 2)
+        hot_est = {r["grp"]: r["est"] for r in est.filter(
+            F.col("item") == "hot").collect()}
+        hot_true = {r["g"]: r["n"] for r in base.filter(
+            F.col("v") == "hot").groupBy("g").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        under = sum(1 for g, n_ in hot_true.items()
+                    if hot_est.get(g, 0) < n_)
+        print(f"cms_build_by_group(6M rows, {n_grp} groups): {t_build}s "
+              f"cells={n_cells} (≤ {n_grp * 4 * 1024} bound); "
+              f"query {len(probes)} probes × {n_grp} groups "
+              f"({n_est} estimates): {t_q}s; hot never-under "
+              f"violations: {under}/{len(hot_true)}")
+        est.unpersist()
+        sk.unpersist()
+        return
+
     if "--r9b" in sys.argv:
         # round-9 late additions on the 10x synth tables (50k docs,
         # 20k embeddings, 1M events — counts printed below)
