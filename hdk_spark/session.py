@@ -59,9 +59,13 @@ _DEFAULTS = {
     # same setting slows that dedup path ~35% (0.89 → 1.25 s —
     # more Python tasks before worker startup amortizes), so adopting
     # it globally would trade the young-session profile the bench
-    # measures for the aged-session profile. Callers running at
-    # sf10+ scale should set it per session; revisit as a default
-    # once the young-JVM Python-stage interaction is pinned.
+    # measures for the aged-session profile. Mechanism (pinned via
+    # task counts + executed plans): AQE never coalesces the minhash
+    # pipeline's REUSED signature exchange (two consumers share
+    # `Exchange hashpartitioning(signature, N)`), so this knob sets
+    # that stage's task count directly — 512 tasks of ~KB each, and
+    # per-task Python round-trips dominate until workers warm.
+    # Callers running at sf10+ scale should set it per session.
 }
 
 
