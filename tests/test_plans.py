@@ -1034,3 +1034,34 @@ def test_kmv_by_group_plan_no_window_no_per_group_jobs(spark):
     assert "Join" not in p
     assert "TakeOrderedAndProject" not in p  # that is the GLOBAL path
     assert "ObjectHashAggregate" in p
+
+
+def test_kmv_pairwise_stats_plan_summary_sized(spark):
+    """kmv_pairwise_stats' plan must be SUMMARY-sized end-to-end: the
+    only corpus work is the kmv_by_group build it consumes (cached —
+    InMemoryTableScans, one parquet scan), the pair enumeration is the
+    deliberate nested-loop of two GROUP-COUNT-sized side relations
+    (never of anything row-scaled), the per-pair union bottom-k
+    windows only over the ≤ pairs·2k union relation, and there is no
+    rangepartitioning (no global sort) anywhere."""
+    from hdk_spark.operators.sketches import kmv_by_group, kmv_pairwise_stats
+
+    li = spark.table("lineitem")
+    summ = kmv_by_group(li, "l_returnflag", "l_orderkey", k=64)
+    p = plan(kmv_pairwise_stats(summ, k=64))
+    # the persisted summary projection feeds every subtree through the
+    # cache (side stats + both pair tags) instead of re-deriving the
+    # corpus bottom-k per consumer
+    assert "InMemoryTableScan" in p
+    assert "rangepartitioning" not in p  # no global sort anywhere
+    # the pair enumeration exists (that IS the matrix) but only as a
+    # nested loop whose BOTH sides are group-count-sized aggregate
+    # outputs; an unconstrained cartesian of row-scaled relations
+    # would surface as CartesianProduct
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # the bottom-k walk windows over the pair-tagged union relation
+    # (bounded at pairs·2k rows), partitioned by the pair key — never
+    # a Window keyed on anything row-scaled
+    assert "Window" in p
+    assert "windowspecdefinition(__ga#" in p  # keyed on the pair key
