@@ -75,6 +75,59 @@ def _load_prev_bench() -> tuple[dict[str, float], float | None]:
         return {}, None
 
 
+def drifted_queries(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    anomalies: dict[str, dict],
+) -> list[str]:
+    """Queries >25% off their previous-round figure (excluding those
+    the 2× anomaly gate already re-measured) — the per-query drift
+    signal shared by the probe-set builder and the ambient verdict."""
+    return [
+        n
+        for n, t in timings.items()
+        if n not in anomalies
+        and prev.get(n)
+        and not (0.75 <= t / prev[n] <= 1.25)
+    ]
+
+
+def ambient_verdict(
+    probes: dict[str, float],
+    firsts: dict[str, float],
+    prev: dict[str, float],
+    drifted: "list[str]",
+) -> bool:
+    """Classify a fired probe pass as ambient (True) or reproducible
+    (False). Pure, unit-tested.
+
+    When specific queries drifted, the verdict is decided by THOSE
+    queries' probes ONLY — padding probes of in-band queries trivially
+    'return' and must not vote (they would auto-label any ≤2-query
+    reproducible regression ambient, defeating the per-query trigger).
+    A drifted query's probe counts as returned if it lands back inside
+    ±15% of the previous round OR improves ≥20% on its own first pass
+    this round (the immediate-stall signature — covers operator
+    queries whose end-of-process probes run on an aged JVM and cannot
+    re-reach a young-JVM band; a probe that is slower both ways still
+    reads reproducible, the conservative direction: a false
+    'reproducible' prompts an idle re-bench, never hides a
+    regression). ALL drifted probes must return for the ambient label.
+
+    With no per-query drift (the pure uniform-total trigger), every
+    probe is signal and the original ≥2-of-3 in-band rule applies.
+    """
+    def returned(n: str, t: float) -> bool:
+        in_band = bool(prev.get(n)) and 0.85 <= t / prev[n] <= 1.15
+        stall = n in firsts and t <= firsts[n] * 0.8
+        return in_band or stall
+
+    if drifted:
+        judged = {n: t for n, t in probes.items() if n in drifted}
+        return bool(judged) and all(returned(n, t) for n, t in judged.items())
+    return sum(1 for n, t in probes.items() if returned(n, t)) >= 2
+
+
 def drift_probe_names(
     timings: dict[str, float],
     prev: dict[str, float],
@@ -104,13 +157,7 @@ def drift_probe_names(
     """
     if not prev_total:
         return []
-    drifted = [
-        n
-        for n, t in timings.items()
-        if n not in anomalies
-        and prev.get(n)
-        and not (0.75 <= t / prev[n] <= 1.25)
-    ]
+    drifted = drifted_queries(timings, prev, anomalies)
     # a query added or removed since the previous round makes the
     # headline totals incomparable — compare over the intersection
     if set(timings) != set(prev):
@@ -318,21 +365,20 @@ def main() -> None:
     drift: dict[str, object] = {}
     probe_names = drift_probe_names(timings, prev, prev_total, total, anomalies)
     if probe_names:
+        firsts = dict(timings)
         probes: dict[str, float] = {}
         for name in probe_names:
             mk, py_stage = makers[name]
             probes[name] = best_of(mk, python_stage=py_stage)
-        # ambient iff the probes mostly return to the previous round's
-        # band (within ±15%) after the first pass drifted out of it
-        returned = sum(
-            1 for n, t in probes.items()
-            if prev.get(n) and 0.85 <= t / prev[n] <= 1.15
-        )
-        ambient = returned >= 2
+        # verdict logic extracted to ambient_verdict() (unit-tested):
+        # drifted queries' probes decide; padding probes never vote
+        drifted = drifted_queries(firsts, prev, anomalies)
+        ambient = ambient_verdict(probes, firsts, prev, drifted)
         drift = {
             "ambient_drift_suspected": ambient,
             "prev_total": prev_total,
             "first_total": total,
+            "drifted": drifted,
             "probes": probes,
         }
         if ambient:

@@ -110,3 +110,60 @@ def test_query_missing_from_prev_is_ignored():
     total = sum(timings.values())
     names = drift_probe_names(timings, PREV, PREV_TOTAL, total, {})
     assert names == []
+
+
+# --- ambient_verdict: who gets to vote --------------------------------
+
+from bench import ambient_verdict, drifted_queries  # noqa: E402
+
+
+def test_padding_probes_do_not_vote():
+    # the review finding: q9 regresses reproducibly +30%, q1/q2 are
+    # padding that never left the band — their probes trivially
+    # 'return' and must NOT produce an ambient label
+    firsts = {"q9": PREV["q9"] * 1.30, "q1": PREV["q1"], "q2": PREV["q2"]}
+    probes = {"q9": PREV["q9"] * 1.28, "q1": PREV["q1"], "q2": PREV["q2"]}
+    drifted = drifted_queries(firsts, PREV, {})
+    assert drifted == ["q9"]
+    assert ambient_verdict(probes, firsts, PREV, drifted) is False
+
+
+def test_drifted_probe_back_in_band_is_ambient():
+    firsts = {"q9": PREV["q9"] * 1.30, "q1": PREV["q1"], "q2": PREV["q2"]}
+    probes = {"q9": PREV["q9"] * 1.05, "q1": PREV["q1"], "q2": PREV["q2"]}
+    assert ambient_verdict(probes, firsts, PREV,
+                           drifted_queries(firsts, PREV, {})) is True
+
+
+def test_aged_jvm_stall_signature_counts_as_returned():
+    # an operator query's end-of-process probe cannot re-reach the
+    # young-JVM band, but improving >=20% on its own first pass is the
+    # immediate-stall signature and still reads ambient
+    firsts = {"q9": PREV["q9"] * 1.60}
+    probes = {"q9": PREV["q9"] * 1.20}  # out of band, but 25% < first
+    assert ambient_verdict(probes, firsts, PREV, ["q9"]) is True
+
+
+def test_probe_slower_both_ways_reads_reproducible():
+    firsts = {"q9": PREV["q9"] * 1.30}
+    probes = {"q9": PREV["q9"] * 1.35}
+    assert ambient_verdict(probes, firsts, PREV, ["q9"]) is False
+
+
+def test_two_drifted_one_returns_one_does_not():
+    # ALL drifted probes must return for the ambient label
+    firsts = {"q1": PREV["q1"] * 1.40, "q2": PREV["q2"] * 1.40}
+    probes = {"q1": PREV["q1"] * 1.02, "q2": PREV["q2"] * 1.38,
+              "q3": PREV["q3"]}
+    assert ambient_verdict(probes, firsts, PREV, ["q1", "q2"]) is False
+
+
+def test_uniform_total_trigger_keeps_majority_rule():
+    # no per-query drift (the r8 pattern): every probe is signal and
+    # the original >=2-of-3 in-band rule applies
+    firsts = {n: v * 1.2 for n, v in PREV.items()}
+    probes = {"q1": PREV["q1"], "q2": PREV["q2"], "q3": PREV["q3"] * 1.4}
+    assert ambient_verdict(probes, firsts, PREV, []) is True
+    probes_bad = {n: v * 1.4 for n, v in
+                  list(PREV.items())[:3]}
+    assert ambient_verdict(probes_bad, firsts, PREV, []) is False
