@@ -58,6 +58,7 @@ __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
            "kmv_summary", "kmv_merge", "kmv_ndv", "kmv_jaccard",
            "kmv_set_stats", "kmv_by_group", "kmv_ndv_by_group",
            "kmv_merge_by_group", "kmv_pairwise_stats",
+           "release_caches",
 ]
 
 
@@ -543,6 +544,37 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
     )
 
 
+def release_caches(df: DataFrame) -> int:
+    """Unpersist the bounded INTERNAL relations a sketch query
+    operator persisted while building ``df``'s plan, returning how
+    many were released. The query operators with lazy returns
+    (kmv_jaccard, kmv_set_stats, kmv_pairwise_stats,
+    mg_merge_by_group, mg_heavy_hitters_by_group,
+    dds_quantile_by_group) persist derived projections their multiple
+    subtrees share; ``input.unpersist()`` cannot release those —
+    Dataset.unpersist is non-cascading and matches only the exact
+    cached plan, so the documented discipline needs THIS entry point:
+    materialize the result, then ``release_caches(result)``. Must be
+    called on the very frame the operator returned (derived frames —
+    ``.orderBy(...)`` etc. — do not carry the cache list). Safe to
+    call twice; returns 0 for frames without attached caches."""
+    caches = getattr(df, "_hdk_caches", ())
+    for c in caches:
+        c.unpersist()
+    try:
+        df._hdk_caches = ()
+    except AttributeError:  # pragma: no cover - defensive
+        pass
+    return len(caches)
+
+
+def _attach_caches(df: DataFrame, caches) -> DataFrame:
+    """Record the internal persisted relations on the returned frame
+    so :func:`release_caches` can free them after materialization."""
+    df._hdk_caches = tuple(caches)
+    return df
+
+
 def _grp_key(grp_col):
     """Injective NOT-NULL join key for a nullable group column: SQL
     equi-joins never match NULL = NULL, so any per-group operator
@@ -671,9 +703,10 @@ def mg_merge_by_group(*summaries: DataFrame, k: int = 100) -> DataFrame:
     Cache lifetime (the mg_summary discipline): the tagged union of
     the inputs stays persisted — bounded at ≤ Σ inputs' rows (each
     ≤ groups·shards·(k+1)) — because the RETURNED plan is lazy and
-    reads it from several sub-relations; long-lived sessions merging
-    many slices should materialize the result and ``.unpersist()``
-    the consumed summaries."""
+    reads it from several sub-relations. Unpersisting the consumed
+    input summaries cannot release this internal relation: long-lived
+    sessions merging many slices should materialize the result, then
+    ``release_caches(result)``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not summaries:
@@ -729,8 +762,11 @@ def mg_merge_by_group(*summaries: DataFrame, k: int = 100) -> DataFrame:
         )
         .filter(F.col("cnt") > 0)
     )
-    return trimmed.join(n_rel, ["__gk", "shard"], "right").select(
-        "grp", "shard", "item", "cnt", "n_shard")
+    return _attach_caches(
+        trimmed.join(n_rel, ["__gk", "shard"], "right").select(
+            "grp", "shard", "item", "cnt", "n_shard"),
+        (u,),
+    )
 
 
 def mg_heavy_hitters_by_group(
@@ -751,9 +787,9 @@ def mg_heavy_hitters_by_group(
     Cache lifetime (the mg_summary discipline): the keyed input
     summary stays persisted — bounded, ≤ groups·shards·(k+1) rows —
     because the RETURNED plan is lazy and reads it for totals, slack
-    AND the score join; long-lived sessions issuing many queries
-    should ``.unpersist()`` consumed summaries once results are
-    materialized."""
+    AND the score join. Unpersisting the input summary cannot release
+    this keyed derivation: long-lived sessions issuing many queries
+    should materialize the result, then ``release_caches(result)``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 < phi <= 1.0):
@@ -786,11 +822,12 @@ def mg_heavy_hitters_by_group(
             (F.lit(phi) * F.col("n")).alias("__thr"),
         )
     )
-    return (
+    out = (
         scored.filter(F.col("__up") >= F.col("__thr"))
         .select("grp", "item", "cnt_lower", "cnt_upper", "certain")
         .orderBy("grp", F.desc("cnt_lower"), "item")
     )
+    return _attach_caches(out, (summary,))
 
 
 def _cms_base_hash(col, hash_basis: str):
@@ -1241,9 +1278,10 @@ def dds_quantile_by_group(
     Cache lifetime (the mg_summary discipline): the keyed input
     sketch stays persisted — bounded at ≤ groups·stores·binades·m
     rows — because the RETURNED plan is lazy and reads it for the
-    walk AND the totals; long-lived sessions issuing many quantile
-    queries should ``.unpersist()`` consumed sketches once results
-    are materialized."""
+    walk AND the totals. Unpersisting the input sketch cannot release
+    this keyed derivation: long-lived sessions issuing many quantile
+    queries should materialize the result, then
+    ``release_caches(result)``."""
     if m < 1 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 1, got {m}")
     if not qs:
@@ -1296,10 +1334,13 @@ def dds_quantile_by_group(
         & (F.col("__cum") - F.col("c") < F.col("__tgt")),
         "left",
     )
-    return hit.select(
-        "grp", "q", F.round(est, 6).alias("est"),
-        F.col("n").cast("long").alias("n"),
-    ).orderBy("grp", "q")
+    return _attach_caches(
+        hit.select(
+            "grp", "q", F.round(est, 6).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        ).orderBy("grp", "q"),
+        (sketch,),
+    )
 
 
 def _kmv_unit(hcol, hash_basis: str):
@@ -1428,9 +1469,13 @@ def kmv_jaccard(
     )
     n_k = kk.agg(F.count(F.lit(1)).cast("long").alias("n_k"))
     n_i = inter.agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    return n_k.crossJoin(F.broadcast(n_i)).select(
-        "n_k", "n_inter",
-        F.round(F.col("n_inter") / F.col("n_k"), 4).alias("jaccard_est"),
+    return _attach_caches(
+        n_k.crossJoin(F.broadcast(n_i)).select(
+            "n_k", "n_inter",
+            F.round(F.col("n_inter") / F.col("n_k"), 4)
+            .alias("jaccard_est"),
+        ),
+        (ha, hb),
     )
 
 
@@ -1466,11 +1511,12 @@ def kmv_set_stats(
 
     Cache lifetime (the mg_summary discipline): both ≤ k-row input
     projections stay persisted because the RETURNED plan is lazy and
-    reads each twice (union + flag join); callers comparing MANY
-    summary pairs in a long-lived session should ``.unpersist()``
-    them (``df.unpersist()`` on the inputs) once the 1-row result is
-    materialized — each entry is tiny but the count is otherwise
-    unbounded."""
+    reads each twice (union + flag join). ``input.unpersist()``
+    CANNOT release them (Dataset.unpersist is non-cascading and these
+    are derived projections): callers comparing MANY summary pairs in
+    a long-lived session should materialize the 1-row result, then
+    ``release_caches(result)`` — each entry is tiny but the count is
+    otherwise unbounded."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     # same persist rationale as kmv_jaccard: each summary feeds the
@@ -1512,17 +1558,20 @@ def kmv_set_stats(
         km1 / F.col("__ukb"))
     rho = F.col("n_inter") / F.col("n_k")
     ei = rho * eu
-    return joined.select(
-        "n_k", "n_inter",
-        F.round(eu, 4).alias("ndv_union"),
-        F.round(ei, 4).alias("ndv_inter"),
-        F.round(ea, 4).alias("ndv_a"),
-        F.round(eb, 4).alias("ndv_b"),
-        F.when(F.col("__na") > 0, F.round(ei / ea, 4))
-        .alias("containment_a_in_b"),
-        F.when(F.col("__nb") > 0, F.round(ei / eb, 4))
-        .alias("containment_b_in_a"),
-        F.round(rho, 4).alias("jaccard_est"),
+    return _attach_caches(
+        joined.select(
+            "n_k", "n_inter",
+            F.round(eu, 4).alias("ndv_union"),
+            F.round(ei, 4).alias("ndv_inter"),
+            F.round(ea, 4).alias("ndv_a"),
+            F.round(eb, 4).alias("ndv_b"),
+            F.when(F.col("__na") > 0, F.round(ei / ea, 4))
+            .alias("containment_a_in_b"),
+            F.when(F.col("__nb") > 0, F.round(ei / eb, 4))
+            .alias("containment_b_in_a"),
+            F.round(rho, 4).alias("jaccard_est"),
+        ),
+        (ha, hb),
     )
 
 
@@ -1694,8 +1743,9 @@ def kmv_pairwise_stats(
     Cache lifetime (the mg_summary discipline): the keyed summary
     projection stays persisted — bounded at ≤ groups·k rows — because
     the RETURNED plan is lazy and reads it three times (side stats +
-    both pair tags); long-lived sessions should ``.unpersist()``
-    consumed summaries once the matrix is materialized."""
+    both pair tags). Unpersisting the input summary cannot release
+    this keyed projection: long-lived sessions should materialize the
+    matrix, then ``release_caches(result)``."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     from pyspark.sql.window import Window
@@ -1743,15 +1793,18 @@ def kmv_pairwise_stats(
         km1 / F.col("__ukb"))
     rho = F.col("n_inter") / F.col("n_k")
     ei = rho * eu
-    return joined.select(
-        "grp_a", "grp_b", "n_k", "n_inter",
-        F.round(eu, 4).alias("ndv_union"),
-        F.round(ei, 4).alias("ndv_inter"),
-        F.round(ea, 4).alias("ndv_a"),
-        F.round(eb, 4).alias("ndv_b"),
-        F.when(F.col("__na") > 0, F.round(ei / ea, 4))
-        .alias("containment_a_in_b"),
-        F.when(F.col("__nb") > 0, F.round(ei / eb, 4))
-        .alias("containment_b_in_a"),
-        F.round(rho, 4).alias("jaccard_est"),
+    return _attach_caches(
+        joined.select(
+            "grp_a", "grp_b", "n_k", "n_inter",
+            F.round(eu, 4).alias("ndv_union"),
+            F.round(ei, 4).alias("ndv_inter"),
+            F.round(ea, 4).alias("ndv_a"),
+            F.round(eb, 4).alias("ndv_b"),
+            F.when(F.col("__na") > 0, F.round(ei / ea, 4))
+            .alias("containment_a_in_b"),
+            F.when(F.col("__nb") > 0, F.round(ei / eb, 4))
+            .alias("containment_b_in_a"),
+            F.round(rho, 4).alias("jaccard_est"),
+        ),
+        (s,),
     )

@@ -174,20 +174,24 @@ def main() -> None:
     # summary relation alone (kmv_pairwise_stats — one relational
     # plan, no per-pair driver loop), cross-checked for one pair
     # against the single-pair kmv_set_stats form
-    matrix = {(r["grp_a"], r["grp_b"]): r
-              for r in kmv_pairwise_stats(
-                  kmv_all, k=K_KMV, hash_basis=BASIS).collect()}
+    from hdk_spark.operators.sketches import release_caches
+
+    mat_df = kmv_pairwise_stats(kmv_all, k=K_KMV, hash_basis=BASIS)
+    matrix = {(r["grp_a"], r["grp_b"]): r for r in mat_df.collect()}
     assert len(matrix) == len(langs) * (len(langs) - 1) // 2
     two = tuple(sorted(langs)[:2])
     sa = kmv_all.filter(F.col("grp") == two[0]).select("h", "item")
     sb = kmv_all.filter(F.col("grp") == two[1]).select("h", "item")
-    overlap = kmv_set_stats(sa, sb, k=K_KMV, hash_basis=BASIS).collect()[0]
+    ov_df = kmv_set_stats(sa, sb, k=K_KMV, hash_basis=BASIS)
+    overlap = ov_df.collect()[0]
     for c in ("n_k", "n_inter", "ndv_union", "ndv_inter", "jaccard_est",
               "containment_a_in_b", "containment_b_in_a"):
         assert matrix[two][c] == overlap[c], (two, c)
-    # the kmv_set_stats cache-lifetime note: release the consumed inputs
-    sa.unpersist()
-    sb.unpersist()
+    # the documented cache discipline: release each operator's bounded
+    # INTERNAL caches once its result is materialized (unpersisting
+    # the inputs would be a no-op — Dataset.unpersist is non-cascading)
+    assert release_caches(mat_df) == 1
+    assert release_caches(ov_df) == 2
 
     print(json.dumps({
         "sf_dir": sf_dir,

@@ -1501,3 +1501,55 @@ def test_cms_by_group_defining_laws(spark):
         cms_merge_by_group()
     with pytest.raises(ValueError, match="non-empty"):
         cms_query_by_group(sk, [])
+
+
+def test_release_caches_frees_internal_persists(spark):
+    """ADVICE r12 / r13 self-review: the query operators with lazy
+    returns persist INTERNAL derived projections that
+    ``input.unpersist()`` can never release (Dataset.unpersist is
+    non-cascading and matches only the exact cached plan).
+    release_caches(result) is the working remedy: it unpersists the
+    relations the operator attached to its returned frame. Pinned
+    here for kmv_set_stats (two inputs), kmv_pairwise_stats,
+    mg_heavy_hitters_by_group and dds_quantile_by_group — the
+    attached frames' storage level actually clears, a second call is
+    a no-op, and a plain DataFrame returns 0."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.sketches import (
+        dds_build_by_group, dds_quantile_by_group, kmv_by_group,
+        kmv_pairwise_stats, kmv_set_stats, kmv_summary,
+        mg_heavy_hitters_by_group, mg_merge_by_group,
+        mg_summary_by_group, release_caches,
+    )
+
+    df = spark.range(800).select(
+        F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        .alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 37).cast("string")).alias("v"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
+
+    def spin(result_df, expect):
+        result_df.collect()  # materialize (and the internal caches)
+        caches = list(getattr(result_df, "_hdk_caches", ()))
+        assert len(caches) == expect
+        assert all(c.storageLevel.useMemory or c.storageLevel.useDisk
+                   for c in caches)
+        assert release_caches(result_df) == expect
+        assert all(not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+                   for c in caches)
+        assert release_caches(result_df) == 0  # idempotent
+
+    sa = kmv_summary(df.filter("g = 'a'"), "v", k=16)
+    sb = kmv_summary(df.filter("g = 'b'"), "v", k=16)
+    spin(kmv_set_stats(sa, sb, k=16), 2)
+    spin(kmv_pairwise_stats(kmv_by_group(df, "g", "v", k=16), k=16), 1)
+    summ = mg_summary_by_group(df, "g", "v", k=4, n_shards=2)
+    spin(mg_heavy_hitters_by_group(summ, phi=0.2, k=4), 1)
+    spin(mg_merge_by_group(summ, summ, k=4), 1)
+    spin(dds_quantile_by_group(
+        dds_build_by_group(df, "g", "x", m=16), [0.5], m=16), 1)
+    summ.unpersist()
+
+    assert release_caches(df) == 0  # plain frames carry no caches
