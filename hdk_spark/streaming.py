@@ -490,6 +490,37 @@ def stream_cms(
     return cms_build(stream_df, value_col, depth, width, seed, hash_basis)
 
 
+def _mg_state_update(k: int, make_frame):
+    """Shared applyInPandasWithState update for the Misra-Gries
+    streaming twins (global sharded and per-group): recover counters +
+    row count from state, absorb the micro-batch's EXACT per-key
+    counts, ONE trim (Agarwal et al. 2012 §3 — so a one-batch run
+    replays the batch summary bit-for-bit), store, then emit via
+    ``make_frame(key, items, counters, n)`` — the only part that
+    differs between the twins (key shape and output columns)."""
+    from hdk_spark.operators.sketches import _mg_trim
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st_items, st_cnts, n = state.get
+            counters = {i: int(c) for i, c in zip(st_items, st_cnts)}
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            # EXACT batch counts absorbed before the single trim —
+            # deterministic for the micro-batch's multiset
+            for v, c in pdf["item"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+        _mg_trim(counters, k)
+        items = sorted(counters)
+        state.update((items, [counters[i] for i in items], n))
+        yield make_frame(key, items, counters, n)
+
+    return update
+
+
 def stream_frequent_items(
     stream_df: DataFrame,
     value_col: str,
@@ -535,9 +566,9 @@ def stream_frequent_items(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from hdk_spark.operators.sketches import _cms_base_hash, _mg_trim
+    from hdk_spark.operators.sketches import _cms_base_hash
 
     out_schema = T.StructType(
         [
@@ -555,28 +586,12 @@ def stream_frequent_items(
         ]
     )
 
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            st_items, st_cnts, n = state.get
-            counters = {i: int(c) for i, c in zip(st_items, st_cnts)}
-            n = int(n)
-        else:
-            counters, n = {}, 0
-        for pdf in pdfs:
-            n += len(pdf)
-            # EXACT batch counts absorbed before the single trim —
-            # deterministic for the micro-batch's multiset, so the
-            # one-batch case replays mg_summary bit-for-bit
-            for v, c in pdf["item"].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-        _mg_trim(counters, k)
-        items = sorted(counters)
-        state.update((items, [counters[i] for i in items], n))
-        # an all-trimmed shard still emits ONE accounting row
-        # (item NULL, cnt NULL, n_shard) — same convention as the
-        # batch mg_summary, so shard volume is never lost
+    # an all-trimmed shard still emits ONE accounting row (item NULL,
+    # cnt NULL, n_shard) — same convention as the batch mg_summary,
+    # so shard volume is never lost
+    def make_frame(key, items, counters, n):
         n_rows = max(len(items), 1)
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "shard": pd.array([int(key[0])] * n_rows, dtype="int32"),
                 "item": pd.array(items or [None], dtype="string"),
@@ -585,6 +600,8 @@ def stream_frequent_items(
                 "n_shard": pd.array([n] * n_rows, dtype="int64"),
             }
         )
+
+    update = _mg_state_update(k, make_frame)
 
     sharded = (
         stream_df.select(F.col(value_col).cast("string").alias("item"))
@@ -655,9 +672,9 @@ def stream_frequent_items_by_group(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from hdk_spark.operators.sketches import _cms_base_hash, _mg_trim
+    from hdk_spark.operators.sketches import _cms_base_hash
 
     out_schema = T.StructType(
         [
@@ -676,25 +693,9 @@ def stream_frequent_items_by_group(
         ]
     )
 
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            st_items, st_cnts, n = state.get
-            counters = {i: int(c) for i, c in zip(st_items, st_cnts)}
-            n = int(n)
-        else:
-            counters, n = {}, 0
-        for pdf in pdfs:
-            n += len(pdf)
-            # EXACT micro-batch counts absorbed before the single trim
-            # — deterministic for the batch's multiset, so the
-            # one-batch case replays mg_summary_by_group bit-for-bit
-            for v, c in pdf["item"].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-        _mg_trim(counters, k)
-        items = sorted(counters)
-        state.update((items, [counters[i] for i in items], n))
+    def make_frame(key, items, counters, n):
         n_rows = max(len(items), 1)
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "grp": pd.array([str(key[0])] * n_rows, dtype="string"),
                 "shard": pd.array([int(key[1])] * n_rows, dtype="int32"),
@@ -704,6 +705,8 @@ def stream_frequent_items_by_group(
                 "n_shard": pd.array([n] * n_rows, dtype="int64"),
             }
         )
+
+    update = _mg_state_update(k, make_frame)
 
     sharded = (
         stream_df.select(

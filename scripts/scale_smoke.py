@@ -31,6 +31,20 @@ KEYED = {
 }
 
 
+PLAN_MARKS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "AQEShuffleRead", "Exchange")
+
+
+def plan_markers(df) -> dict:
+    """Post-AQE executed-plan marker counts. Runs an action on the
+    SAME Dataset first so its QueryExecution holds the FINAL adaptive
+    plan, not isFinalPlan=false."""
+    df.write.format("noop").mode("overwrite").save()
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {m: p.count(m) for m in PLAN_MARKS}
+
+
 def regen(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -1014,16 +1028,7 @@ def main() -> None:
         from hdk_spark.operators.similarity import ann_lsh_topk
         from hdk_spark.operators.text import analyze
 
-        marks = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-                 "AQEShuffleRead", "Exchange")
-
-        def plan_markers(df) -> dict:
-            # action on the SAME Dataset so its QueryExecution holds
-            # the FINAL adaptive plan, not isFinalPlan=false
-            df.write.format("noop").mode("overwrite").save()
-            df.collect()
-            p = df._jdf.queryExecution().executedPlan().toString()
-            return {m: p.count(m) for m in marks}
+        marks = PLAN_MARKS
 
         # tables currently loaded from DST (sf1_synth) by main()
         docs, emb = spark.table("documents"), spark.table("embeddings")
@@ -1150,14 +1155,7 @@ def main() -> None:
             print("regenerated", DST10,
                   round(time.perf_counter() - t0, 1), "s")
 
-        marks = ("BroadcastHashJoin", "SortMergeJoin",
-                 "ShuffledHashJoin", "AQEShuffleRead", "Exchange")
-
-        def plan_markers(df) -> dict:
-            df.write.format("noop").mode("overwrite").save()
-            df.collect()
-            p = df._jdf.queryExecution().executedPlan().toString()
-            return {m: p.count(m) for m in marks}
+        marks = PLAN_MARKS
 
         Q = {
             "q5_join_heavy": """
