@@ -411,8 +411,14 @@ def main() -> None:
                 "total stays inside the 15% band, and probes the "
                 "drifted queries themselves (r12's q1 +46% went "
                 "unannotated because q9's −16% held the total at "
-                "+14.8%). Trigger logic extracted to "
-                "drift_probe_names() and unit-tested. Idle-box "
+                "+14.8%). Trigger + verdict logic extracted to "
+                "drift_probe_names()/ambient_verdict() and unit-tested "
+                "(14 tests): drifted queries' probes alone decide the "
+                "ambient label — padding probes never vote — and a "
+                "probe improving ≥20% on its own first pass (the "
+                "immediate-stall signature) counts as returned, "
+                "covering operator queries whose end-of-process probes "
+                "run on an aged JVM. Idle-box "
                 "re-measure (VERDICT r12 #2): bench ALONE gives total "
                 "3.40-3.62 s, q7 0.89/q8 0.85/q9 0.45 — AND the r10 "
                 "tree's own bench.py run same-box-same-day gives q7 "
