@@ -298,60 +298,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r12; failed last check: 0, never checked: 5, green: 293  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r13; failed last check: 0, never checked: 0, green: 298  (window ~50).
 _PRIORITY: list[str] = [
-    # never checked
-    "streaming_mg_group_tops",
-    "streaming_dds_group_quantile",
-    "stats_kmv_group_pairwise",
-    "stats_cms_group_counts",
-    "streaming_cms_group_counts",
     # stable greens
-    "chat_lint",
-    "chat_preference_lint",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_window_decontam",
-    "dedup_window_decontam_bloom",
-    "dedup_window_decontam_remove",
-    "expr_bitwise_div",
-    "expr_math_funcs",
-    "expr_null_safe_in",
-    "expr_width_bucket_sample",
-    "geo_distance",
-    "html_extract",
-    "join_left_nulls",
-    "lateral_topn_per_group",
-    "multimodal_decode",
-    "multimodal_progressive",
-    "pivot_event_types",
-    "profile_dataset_report",
-    "set_except_customers",
-    "set_intersect_customers",
-    "set_union_distinct",
-    "similarity_cosine_topk",
-    "streaming_dedup_counts",
-    "string_like_regex",
-    "text_ccnet_buckets",
-    "text_lang_id",
-    "text_profile",
-    "text_scorer_score",
-    "text_scorer_train",
-    "union_all_parties",
-    "unpivot_measures",
-    "values_literal",
-    "warc_parse",
-    "web_domain_boilerplate",
-    "web_domain_cap",
-    "web_robots_filter",
-    "web_url_canonical_dedup",
-    "window_analytics",
-    "window_explicit_frames",
-    "window_rank_orders",
-    "window_running_sum",
-    "array_construct",
-    "bpe_encode_roundtrip",
     "bpe_train_merges",
     "crawl_pipeline",
     "crawl_pipeline_capped",
@@ -600,6 +549,56 @@ _PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
     "union_all_nary",
+    "array_construct",
+    "bpe_encode_roundtrip",
+    "chat_lint",
+    "chat_preference_lint",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_window_decontam",
+    "dedup_window_decontam_bloom",
+    "dedup_window_decontam_remove",
+    "expr_bitwise_div",
+    "expr_math_funcs",
+    "expr_null_safe_in",
+    "expr_width_bucket_sample",
+    "geo_distance",
+    "html_extract",
+    "join_left_nulls",
+    "lateral_topn_per_group",
+    "multimodal_decode",
+    "multimodal_progressive",
+    "pivot_event_types",
+    "profile_dataset_report",
+    "set_except_customers",
+    "set_intersect_customers",
+    "set_union_distinct",
+    "similarity_cosine_topk",
+    "stats_cms_group_counts",
+    "stats_kmv_group_pairwise",
+    "streaming_cms_group_counts",
+    "streaming_dds_group_quantile",
+    "streaming_dedup_counts",
+    "streaming_mg_group_tops",
+    "string_like_regex",
+    "text_ccnet_buckets",
+    "text_lang_id",
+    "text_profile",
+    "text_scorer_score",
+    "text_scorer_train",
+    "union_all_parties",
+    "unpivot_measures",
+    "values_literal",
+    "warc_parse",
+    "web_domain_boilerplate",
+    "web_domain_cap",
+    "web_robots_filter",
+    "web_url_canonical_dedup",
+    "window_analytics",
+    "window_explicit_frames",
+    "window_rank_orders",
+    "window_running_sum",
 ]
 
 
