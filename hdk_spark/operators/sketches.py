@@ -434,7 +434,13 @@ def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
     All inputs must share the hash basis and n_shards they were built
     with (shard ids are only comparable under the same sharding) and
     the SAME k should be passed here — a larger k cannot recover
-    already-trimmed mass, a smaller one tightens the summary."""
+    already-trimmed mass, a smaller one tightens the summary.
+
+    Cache lifetime: the tagged input union is persisted (bounded, ≤
+    inputs·(k+1) rows per shard) and the returned lazy plan reads it;
+    after materializing, release it with ``release_caches(result)`` —
+    unpersisting the inputs is a no-op (Dataset.unpersist is
+    non-cascading), the same defect the by-group twins fixed."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not summaries:
@@ -463,9 +469,12 @@ def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
         .agg(F.sum("n_shard").cast("long").alias("n_shard"))
     )
     # same right-outer + build-left broadcast as mg_summary
-    return F.broadcast(_mg_trim_relation(merged, k)).join(
-        n_rel, "shard", "right"
-    ).select("shard", "item", "cnt", "n_shard")
+    return _attach_caches(
+        F.broadcast(_mg_trim_relation(merged, k)).join(
+            n_rel, "shard", "right"
+        ).select("shard", "item", "cnt", "n_shard"),
+        (u,),
+    )
 
 
 def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
@@ -503,7 +512,12 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
     single row by construction, so the 'nested loop' is a constant);
     no window, no corpus access. Returns (item, cnt_lower, cnt_upper,
     certain), filterable fully in SQL (contract row
-    stats_mg_heavy_hitters)."""
+    stats_mg_heavy_hitters).
+
+    Cache lifetime: the bounded summary is persisted for its three
+    subtrees and the returned lazy plan reads it; after
+    materializing, ``release_caches(result)`` frees it — the same
+    discipline as the by-group twin."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 < phi <= 1.0):
@@ -537,10 +551,11 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
             (F.lit(phi) * F.col("n")).alias("__thr"),
         )
     )
-    return (
+    return _attach_caches(
         scored.filter(F.col("__up") >= F.col("__thr"))
         .select("item", "cnt_lower", "cnt_upper", "certain")
-        .orderBy(F.desc("cnt_lower"), "item")
+        .orderBy(F.desc("cnt_lower"), "item"),
+        (summary,),
     )
 
 
@@ -548,8 +563,9 @@ def release_caches(df: DataFrame) -> int:
     """Unpersist the bounded INTERNAL relations a sketch query
     operator persisted while building ``df``'s plan, returning how
     many were released. The query operators with lazy returns
-    (kmv_jaccard, kmv_set_stats, kmv_pairwise_stats,
-    mg_merge_by_group, mg_heavy_hitters_by_group,
+    (kmv_jaccard, kmv_set_stats, kmv_pairwise_stats, mg_merge,
+    mg_heavy_hitters, dds_quantile, mg_merge_by_group,
+    mg_heavy_hitters_by_group,
     dds_quantile_by_group) persist derived projections their multiple
     subtrees share; ``input.unpersist()`` cannot release those —
     Dataset.unpersist is non-cascading and matches only the exact
@@ -1155,7 +1171,13 @@ def dds_quantile(
     down to one; stored/parquet sketches only re-read kilobytes, but
     the persist is still strictly cheaper). Returns (q, est, n),
     ordered by q; an EMPTY sketch answers (q, NULL, 0) — no data has
-    no quantiles, but the row shape stays stable (test-pinned)."""
+    no quantiles, but the row shape stays stable (test-pinned).
+
+    Cache lifetime: the bounded sketch is persisted for its three
+    subtrees and the returned lazy plan reads it; after
+    materializing, ``release_caches(result)`` frees it — unpersisting
+    the input sketch cannot (non-cascading), matching the by-group
+    twin's discipline."""
     if m < 1 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 1, got {m}")
     if not qs:
@@ -1202,9 +1224,13 @@ def dds_quantile(
         & (F.col("__cum") - F.col("c") < F.col("__tgt")),
         "left",
     )
-    return hit.select(
-        "q", F.round(est, 6).alias("est"), F.col("n").cast("long").alias("n")
-    ).orderBy("q")
+    return _attach_caches(
+        hit.select(
+            "q", F.round(est, 6).alias("est"),
+            F.col("n").cast("long").alias("n")
+        ).orderBy("q"),
+        (sketch,),
+    )
 
 
 def dds_build_by_group(

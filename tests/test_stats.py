@@ -1511,16 +1511,20 @@ def test_release_caches_frees_internal_persists(spark):
     release_caches(result) is the working remedy: it unpersists the
     relations the operator attached to its returned frame. Pinned
     here for kmv_set_stats (two inputs), kmv_pairwise_stats,
-    mg_heavy_hitters_by_group and dds_quantile_by_group — the
-    attached frames' storage level actually clears, a second call is
-    a no-op, and a plain DataFrame returns 0."""
+    mg_heavy_hitters_by_group and dds_quantile_by_group, and (ADVICE
+    r13) for the GLOBAL trio that had the same leak — mg_merge's
+    tagged union, mg_heavy_hitters' summary, dds_quantile's sketch —
+    the attached frames' storage level actually clears, a second call
+    is a no-op, and a plain DataFrame returns 0."""
     from pyspark.sql import functions as F
 
     from hdk_spark.operators.sketches import (
-        dds_build_by_group, dds_quantile_by_group, kmv_by_group,
+        dds_build, dds_build_by_group, dds_quantile,
+        dds_quantile_by_group, kmv_by_group,
         kmv_pairwise_stats, kmv_set_stats, kmv_summary,
-        mg_heavy_hitters_by_group, mg_merge_by_group,
-        mg_summary_by_group, release_caches,
+        mg_heavy_hitters, mg_heavy_hitters_by_group, mg_merge,
+        mg_merge_by_group, mg_summary, mg_summary_by_group,
+        release_caches,
     )
 
     df = spark.range(800).select(
@@ -1550,6 +1554,11 @@ def test_release_caches_frees_internal_persists(spark):
     spin(mg_merge_by_group(summ, summ, k=4), 1)
     spin(dds_quantile_by_group(
         dds_build_by_group(df, "g", "x", m=16), [0.5], m=16), 1)
+    gsumm = mg_summary(df, "v", k=4, n_shards=2)
+    spin(mg_merge(gsumm, gsumm, k=4), 1)
+    spin(mg_heavy_hitters(gsumm, phi=0.2, k=4), 1)
+    spin(dds_quantile(dds_build(df, "x", m=16), [0.5], m=16), 1)
     summ.unpersist()
+    gsumm.unpersist()
 
     assert release_caches(df) == 0  # plain frames carry no caches
