@@ -109,23 +109,63 @@ def ambient_verdict(
     ±15% of the previous round OR improves ≥20% on its own first pass
     this round (the immediate-stall signature — covers operator
     queries whose end-of-process probes run on an aged JVM and cannot
-    re-reach a young-JVM band; a probe that is slower both ways still
-    reads reproducible, the conservative direction: a false
-    'reproducible' prompts an idle re-bench, never hides a
-    regression). ALL drifted probes must return for the ambient label.
+    re-reach a young-JVM band) — but the stall signature alone is
+    capped at an ABSOLUTE 1.25× of the previous round (ADVICE r13):
+    without the cap, a genuine regression with ≥20% run-to-run
+    variance could auto-label itself ambient purely by bouncing off
+    its own stalled first pass while still far above last round's
+    figure. A probe that is slower both ways, or stall-improved but
+    still past the 1.25× cap, reads reproducible — the conservative
+    direction: a false 'reproducible' prompts an idle re-bench, never
+    hides a regression. ALL drifted probes must return for the
+    ambient label; :func:`stall_only_returns` names the probes that
+    returned via the stall signature alone so the artifact
+    distinguishes them from probes that re-entered the band.
 
     With no per-query drift (the pure uniform-total trigger), every
     probe is signal and the original ≥2-of-3 in-band rule applies.
     """
     def returned(n: str, t: float) -> bool:
-        in_band = bool(prev.get(n)) and 0.85 <= t / prev[n] <= 1.15
-        stall = n in firsts and t <= firsts[n] * 0.8
-        return in_band or stall
+        return _probe_in_band(n, t, prev) or _probe_stall_return(
+            n, t, firsts, prev)
 
     if drifted:
         judged = {n: t for n, t in probes.items() if n in drifted}
         return bool(judged) and all(returned(n, t) for n, t in judged.items())
     return sum(1 for n, t in probes.items() if returned(n, t)) >= 2
+
+
+def _probe_in_band(n: str, t: float, prev: dict[str, float]) -> bool:
+    return bool(prev.get(n)) and 0.85 <= t / prev[n] <= 1.15
+
+
+def _probe_stall_return(
+    n: str, t: float, firsts: dict[str, float], prev: dict[str, float]
+) -> bool:
+    """The immediate-stall signature, capped: ≥20% better than its own
+    first pass this round AND within 1.25× of the previous round."""
+    return (
+        n in firsts
+        and t <= firsts[n] * 0.8
+        and bool(prev.get(n))
+        and t <= prev[n] * 1.25
+    )
+
+
+def stall_only_returns(
+    probes: dict[str, float],
+    firsts: dict[str, float],
+    prev: dict[str, float],
+) -> list[str]:
+    """Probes that counted as returned ONLY via the capped stall
+    signature (not by re-entering the ±15% band) — recorded in the
+    drift artifact so a stall-signature ambient label is
+    distinguishable from a band re-entry at a glance (ADVICE r13)."""
+    return sorted(
+        n for n, t in probes.items()
+        if _probe_stall_return(n, t, firsts, prev)
+        and not _probe_in_band(n, t, prev)
+    )
 
 
 def drift_probe_names(
@@ -380,6 +420,9 @@ def main() -> None:
             "first_total": total,
             "drifted": drifted,
             "probes": probes,
+            # probes that 'returned' via the capped stall signature
+            # alone, not by re-entering the band (ADVICE r13)
+            "stall_only_returns": stall_only_returns(probes, firsts, prev),
         }
         if ambient:
             for n, t in probes.items():
@@ -405,29 +448,25 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r13: drift-gate masking gap closed (VERDICT "
-                "r12 #1) — the probe pass now also fires when ANY "
-                "query moves >25% vs the previous round even if the "
-                "total stays inside the 15% band, and probes the "
-                "drifted queries themselves (r12's q1 +46% went "
-                "unannotated because q9's −16% held the total at "
-                "+14.8%). Trigger + verdict logic extracted to "
-                "drift_probe_names()/ambient_verdict() and unit-tested "
-                "(14 tests): drifted queries' probes alone decide the "
-                "ambient label — padding probes never vote — and a "
-                "probe improving ≥20% on its own first pass (the "
-                "immediate-stall signature) counts as returned, "
-                "covering operator queries whose end-of-process probes "
-                "run on an aged JVM. Idle-box "
-                "re-measure (VERDICT r12 #2): bench ALONE gives total "
-                "3.40-3.62 s, q7 0.89/q8 0.85/q9 0.45 — AND the r10 "
-                "tree's own bench.py run same-box-same-day gives q7 "
-                "1.48/q8 0.98/total 4.48, i.e. the current tree is "
-                "strictly FASTER than r10's on identical box state; "
-                "the q7/q8 two-round creep was ambient load, not a "
-                "code regression. q9 meets the r11 ≤0.45 s done-bar. "
-                "Defaults remain crc32/xxhash64/vectorized, oracle "
-                "bases contract-side",
+                "notes": "r14: stall-signature hardening (ADVICE r13) "
+                "— a drifted probe now counts as returned via the "
+                "immediate-stall signature (≥20% better than its own "
+                "first pass) ONLY when it is ALSO within an absolute "
+                "1.25× of the previous round; without the cap a "
+                "genuine regression with ≥20% run-to-run variance "
+                "could auto-label itself ambient by bouncing off its "
+                "own stalled first pass while still far above last "
+                "round. Probes that returned via the capped stall "
+                "signature alone (not band re-entry) are listed in "
+                "stall_only_returns so the artifact distinguishes the "
+                "two at a glance. The r13 gate semantics otherwise "
+                "hold: per-query >25% OR total >15% triggers; drifted "
+                "queries' probes alone decide (padding never votes); "
+                "slower-both-ways and stall-but-past-cap both read "
+                "reproducible — the conservative direction (a false "
+                "'reproducible' prompts an idle re-bench, never hides "
+                "a regression). Defaults remain crc32/xxhash64/"
+                "vectorized, oracle bases contract-side",
             }
         )
     )

@@ -144,6 +144,29 @@ def test_aged_jvm_stall_signature_counts_as_returned():
     assert ambient_verdict(probes, firsts, PREV, ["q9"]) is True
 
 
+def test_stall_signature_capped_at_125pct_of_prev():
+    # ADVICE r13: a genuine regression with >=20% run-to-run variance
+    # must not auto-label itself ambient purely by bouncing off its own
+    # stalled first pass — the stall signature only counts when the
+    # probe is ALSO within an absolute 1.25x of the previous round.
+    firsts = {"q9": PREV["q9"] * 2.00}
+    probes = {"q9": PREV["q9"] * 1.40}  # 30% better than first: 'stall'
+    assert ambient_verdict(probes, firsts, PREV, ["q9"]) is False
+
+
+def test_stall_only_returns_recorded_separately():
+    # the artifact must distinguish a stall-signature return from a
+    # band re-entry: q9 returned via the capped stall signature only,
+    # q1 re-entered the band outright, q2 did not return at all.
+    from bench import stall_only_returns
+
+    firsts = {"q9": PREV["q9"] * 1.60, "q1": PREV["q1"] * 1.40,
+              "q2": PREV["q2"] * 1.40}
+    probes = {"q9": PREV["q9"] * 1.20, "q1": PREV["q1"] * 1.05,
+              "q2": PREV["q2"] * 1.38}
+    assert stall_only_returns(probes, firsts, PREV) == ["q9"]
+
+
 def test_probe_slower_both_ways_reads_reproducible():
     firsts = {"q9": PREV["q9"] * 1.30}
     probes = {"q9": PREV["q9"] * 1.35}
