@@ -1027,7 +1027,7 @@ def cms_merge_by_group(*sketches: DataFrame) -> DataFrame:
 
 def cms_query_by_group(
     sketch: DataFrame,
-    values: "list[str]",
+    values: "list[str] | DataFrame",
     depth: int = 4,
     width: int = 1024,
     seed: int = 37,
@@ -1043,13 +1043,29 @@ def cms_query_by_group(
     on the injective NULL-safe group key + (r, b) — no forced
     broadcast (groups-scaled sides, the per-group family's standing
     call). Same ≥-true / ≤ true + εN_grp guarantee per group, with
-    N_grp the GROUP's volume. Returns (grp, item, est)."""
-    if not values:
-        raise ValueError("values must be non-empty")
+    N_grp the GROUP's volume. Returns (grp, item, est).
+
+    ``values`` is either a Python list (small probe sets inline as a
+    literal relation) or a DataFrame whose FIRST column holds the
+    probe items (probe sets too large to ship as literals — e.g. a
+    stored vocabulary or a top-terms relation; VERDICT r13 #5,
+    mirroring vocab_coverage's two paths). The DataFrame path
+    deduplicates and drops NULL probes, then runs the IDENTICAL cell
+    arithmetic — the two paths are property-tested bit-equal."""
+    if isinstance(values, DataFrame):
+        vals = (
+            values.select(
+                F.col(values.columns[0]).cast("string").alias("item"))
+            .filter(F.col("item").isNotNull())
+            .dropDuplicates(["item"])
+        )
+    else:
+        if not values:
+            raise ValueError("values must be non-empty")
+        vals = sketch.sparkSession.createDataFrame(
+            [(v,) for v in values], ["item"])
     groups = sketch.select(
         _grp_key(F.col("grp")).alias("__gk"), "grp").distinct()
-    vals = sketch.sparkSession.createDataFrame(
-        [(v,) for v in values], ["item"])
     x = _cms_base_hash(F.col("item"), hash_basis)
     probes = groups.crossJoin(vals).select(
         "__gk", "grp", "item",

@@ -48,14 +48,16 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    # DELIBERATELY NOT SET (measured r13, scale_smoke.py --r13c):
+    # DELIBERATELY NOT SET:
     # spark.sql.adaptive.coalescePartitions.initialPartitionNum=512.
-    # AQE coalesces DOWN from the initial split using measured map
-    # sizes, so at sf10 (60M lineitem) a 512-way initial split cuts
-    # q5 from 16.1 s to 6.6 s (32-way leaves ~2M rows per SMJ
-    # partition → sort spill), and in AGED long-lived sessions it
-    # also cut the minhash dedup path ~2.5× (more, smaller Python
-    # tasks across warm workers). But on a FRESH session at sf0.1 the
+    # r13c's sf10 claim for it (q5 16.1 s → 6.6 s, attributed to sort
+    # spill at 32-way) did NOT survive r14's controlled re-measurement
+    # (order-reversed + interleaved-paired A/B: no reproducible
+    # partition effect, zero spilled bytes at either count — SCALE.md
+    # r14a; the original sweep always ran 32 coldest and 512 warmest).
+    # What DID reproduce: in AGED long-lived sessions the knob cut the
+    # minhash dedup path ~2.5× (more, smaller Python tasks across
+    # warm workers). But on a FRESH session at sf0.1 the
     # same setting slows that dedup path ~35% (0.89 → 1.25 s —
     # more Python tasks before worker startup amortizes), so adopting
     # it globally would trade the young-session profile the bench
@@ -65,17 +67,101 @@ _DEFAULTS = {
     # `Exchange hashpartitioning(signature, N)`), so this knob sets
     # that stage's task count directly — 512 tasks of ~KB each, and
     # per-task Python round-trips dominate until workers warm.
-    # Callers running at sf10+ scale should set it per session.
+    # Callers running at sf10+ scale should set it per session —
+    # get_spark(scale_hint_rows=...) / scale_conf(rows) encode the
+    # measured rule (SCALE.md r13c/r14a).
 }
 
 
-def get_spark(app_name: str = "hdk_spark", **overrides: str) -> SparkSession:
-    """Return the shared SparkSession, creating it on first use."""
+#: rows per INITIAL shuffle partition the preset targets. ~120k rows
+#: (~tens of MB at TPC-H row widths) keeps each post-shuffle sort/hash
+#: working set comfortably inside any executor's memory and sits near
+#: Spark's own 64MB advisory post-shuffle partition size, while AQE
+#: coalescing makes over-provision ~free. NOTE (r14a): the r13c sweep
+#: that motivated this number (q5 at sf10: 16.1 s at 32 partitions →
+#: 6.6 s at 512, attributed to sort spill) did NOT survive controlled
+#: re-measurement — order-reversed and interleaved-paired A/B show NO
+#: reproducible partition effect at sf10 on this box (warm steady
+#: state ~3.2-4.2 s under BOTH settings) and ZERO spilled bytes at
+#: either count; the original ramp was a run-order/warmth artifact.
+#: The rule stays as the correct CLUSTER-sizing shape (bound the
+#: per-partition working set; excess is coalesced), but its local
+#: benefit claim is withdrawn — see SCALE.md r14a.
+_ROWS_PER_INITIAL_PARTITION = 120_000
+
+
+def scale_conf(rows: int, cores: "int | None" = None) -> "dict[str, str]":
+    """Session conf encoding the partition-sizing rule as a
+    per-workload PRESET (VERDICT r13 #2): with AQE on, size the
+    INITIAL shuffle partition count to the data —
+    ~:data:`_ROWS_PER_INITIAL_PARTITION` rows per partition, never
+    below the core count, rounded up to a power of two.
+    Over-provisioning is ~free where AQE coalesces (measured: neutral
+    at sf0.1 AND at sf10, SCALE.md r14a); the cost case is stages AQE
+    cannot coalesce (reused exchanges — the q7 analysis in _DEFAULTS),
+    which is why this is opt-in and not a default.
+
+    Honesty note (r14a, SCALE.md): the sf10 measurement that
+    originally motivated shipping this (r13c's 16.1 s → 6.6 s q5 ramp)
+    was re-measured with order-reversed and interleaved-paired A/B and
+    does NOT reproduce — no spill at any partition count, no
+    reproducible wall difference. The preset's value is the scale
+    SHAPE (per-partition working sets bounded regardless of data
+    volume — what a 1000-executor deploy needs when partitions
+    genuinely exceed executor memory), not a measured local[32] win.
+
+    ``rows``: row count of the largest relation the workload shuffles
+    (lineitem for the TPC-H shapes): 60M rows → 512; sf0.1's 600k →
+    the core count, i.e. the same initial split as the unset default,
+    so the bench/test profile is untouched by routing through the
+    preset.
+
+    Only ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``
+    is set (a runtime-settable SQL conf — applies to an existing
+    session via ``spark.conf.set`` too); ``shuffle.partitions`` stays
+    at the session default so non-AQE paths keep their sizing."""
+    if rows < 0:
+        raise ValueError(f"rows must be >= 0, got {rows}")
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = max(cores, -(-rows // _ROWS_PER_INITIAL_PARTITION))
+    n = 1 << (n - 1).bit_length()  # next power of two, ≥ n
+    return {
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(n)
+    }
+
+
+def build_conf(
+    scale_hint_rows: "int | None" = None, **overrides: str
+) -> "dict[str, str]":
+    """The conf dict ``get_spark`` applies: defaults, then the
+    :func:`scale_conf` preset when a scale hint is given, then caller
+    overrides (strongest last). Pure — pinned by tests without
+    building a session."""
+    conf = dict(_DEFAULTS)
+    if scale_hint_rows is not None:
+        conf.update(scale_conf(scale_hint_rows))
+    conf.update(overrides)
+    return conf
+
+
+def get_spark(
+    app_name: str = "hdk_spark",
+    scale_hint_rows: "int | None" = None,
+    **overrides: str,
+) -> SparkSession:
+    """Return the shared SparkSession, creating it on first use.
+
+    ``scale_hint_rows`` — row count of the largest relation the
+    session's workload shuffles; applies the measured
+    :func:`scale_conf` partition-sizing preset (SCALE.md r13c/r14a).
+    Omitted (the default), nothing changes — the bench and test
+    profiles run the unmodified defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.master(
         os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     ).appName(app_name)
-    for k, v in {**_DEFAULTS, **overrides}.items():
+    for k, v in build_conf(scale_hint_rows, **overrides).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

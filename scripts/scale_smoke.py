@@ -130,7 +130,12 @@ def main() -> None:
 
     from hdk_spark.session import get_spark
 
-    spark = get_spark("scale_smoke")
+    # --r14a reads spill metrics from the REST status API, which needs
+    # the UI up from session creation (spark.ui.enabled is static conf)
+    spark = get_spark(
+        "scale_smoke",
+        **({"spark.ui.enabled": "true"} if "--r14a" in sys.argv else {}),
+    )
     if "--cc100" in sys.argv:
         cc_stress_100x(spark)
         return
@@ -1276,6 +1281,65 @@ def main() -> None:
                 print(f"{sf_name} q5 @ shuffle.partitions={parts}:",
                       best(lambda: spark.sql(Q5)))
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+        return
+
+    if "--r14a" in sys.argv:
+        # round-14 (VERDICT r13 #2 + #4): run q5 at sf10 through the
+        # session.scale_conf preset vs the default, with SPILL NUMBERS
+        # from the REST status API (per-stage memory/diskBytesSpilled
+        # deltas). OUTCOME (SCALE.md r14a): zero spill at EITHER
+        # partition count and no reproducible wall difference —
+        # follow-up order-reversed and interleaved-paired A/B showed
+        # r13c's 16.1→6.6 s ramp was a run-order/warmth artifact (its
+        # sweep always ran 32 coldest, 512 warmest). Kept as the
+        # measurement harness that established that.
+        import json as _json
+        import urllib.request
+
+        from hdk_spark.session import scale_conf
+
+        D10 = "/tmp/sf10_synth"
+        if not os.path.exists(D10):
+            print("sf10 synth missing — run --r13 first")
+            return
+        load_tables(spark, D10)
+        for t in ("customer", "orders", "lineitem"):
+            spark.table(t).write.format("noop").mode("overwrite").save()
+        n_li = spark.table("lineitem").count()
+        preset = scale_conf(n_li)
+        (knob, val), = preset.items()
+        print(f"lineitem rows: {n_li:,} -> preset {knob.split('.')[-1]}"
+              f"={val}")
+
+        Q5 = """SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM customer JOIN orders ON c_custkey = o_custkey
+                              JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10"""
+
+        def spill_totals() -> "tuple[int, int]":
+            sc = spark.sparkContext
+            url = (f"{sc.uiWebUrl}/api/v1/applications/"
+                   f"{sc.applicationId}/stages")
+            with urllib.request.urlopen(url) as r:
+                st = _json.load(r)
+            return (sum(s.get("memoryBytesSpilled", 0) for s in st),
+                    sum(s.get("diskBytesSpilled", 0) for s in st))
+
+        for label, value in (("default-32", None), (f"preset-{val}", val)):
+            if value is None:
+                spark.conf.unset(knob)
+            else:
+                spark.conf.set(knob, value)
+            m0, d0 = spill_totals()
+            w = best(lambda: spark.sql(Q5))
+            m1, d1 = spill_totals()
+            # spill deltas cover both best-of-2 executions
+            print(f"sf10 q5 @ {label}: {w}s best-of-2, spill over the "
+                  f"2 runs: mem {(m1 - m0) / 2**20:.0f} MiB, "
+                  f"disk {(d1 - d0) / 2**20:.0f} MiB")
+        spark.conf.unset(knob)
         return
 
     if "--r13d" in sys.argv:

@@ -1495,6 +1495,17 @@ def test_cms_by_group_defining_laws(spark):
     # exact-0 whenever no code value collides into all three cells
     assert est[("code", "absent")] < est[("web", "w0")]
 
+    # DataFrame-probe path (VERDICT r13 #5): a probe relation too
+    # large to ship as literals must answer bit-identically to the
+    # literal path — same cell arithmetic, only the probe source
+    # differs. Duplicates and NULL probes in the relation are
+    # dropped, and the probe column is taken positionally (first).
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes] + [(probes[0],), (None,)], ["tok"])
+    est_df = {(r["grp"], r["item"]): r["est"]
+              for r in cms_query_by_group(sk, probe_df, **kw).collect()}
+    assert est_df == est
+
     with pytest.raises(ValueError, match="depth/width"):
         cms_build_by_group(df, "g", "v", depth=0)
     with pytest.raises(ValueError, match="at least one"):
