@@ -156,13 +156,22 @@ def stall_only_returns(
     probes: dict[str, float],
     firsts: dict[str, float],
     prev: dict[str, float],
+    drifted: "list[str] | None" = None,
 ) -> list[str]:
     """Probes that counted as returned ONLY via the capped stall
     signature (not by re-entering the ±15% band) — recorded in the
     drift artifact so a stall-signature ambient label is
-    distinguishable from a band re-entry at a glance (ADVICE r13)."""
+    distinguishable from a band re-entry at a glance (ADVICE r13).
+    When ``drifted`` is non-empty, only those queries' probes are
+    scanned — they are the only voters under ambient_verdict's
+    drifted-probes-decide rule, and annotating a non-voting padding
+    probe would misattribute how the label was earned (r14 review)."""
+    judged = {
+        n: t for n, t in probes.items()
+        if not drifted or n in drifted
+    }
     return sorted(
-        n for n, t in probes.items()
+        n for n, t in judged.items()
         if _probe_stall_return(n, t, firsts, prev)
         and not _probe_in_band(n, t, prev)
     )
@@ -189,11 +198,14 @@ def drift_probe_names(
        +14.8%, so the old total-only trigger stayed silent and the
        artifact read like a real regression).
 
-    Probe set: the drifted queries themselves first (cheapest-first, so
-    the evidence covers the queries that actually moved), padded with
-    the cheapest remaining queries to 3 probes. Queries already
-    re-measured by the 2× anomaly gate are excluded — they carry their
-    own first/rerun evidence.
+    Probe set: ALL drifted queries (cheapest-first; r14 review — the
+    former [:3] cap let a ≥4-query drift earn the ambient label with
+    its most expensive drifted queries never re-measured, silently
+    keeping their drifted first-pass timings while the verdict
+    docstring promised 'ALL drifted probes must return'), padded with
+    the cheapest remaining queries to a minimum of 3 probes. Queries
+    already re-measured by the 2× anomaly gate are excluded — they
+    carry their own first/rerun evidence.
     """
     if not prev_total:
         return []
@@ -209,7 +221,7 @@ def drift_probe_names(
     total_trigger = not anomalies and not (0.85 <= total / prev_total <= 1.15)
     if not (total_trigger or drifted):
         return []
-    names = sorted(drifted, key=lambda n: timings[n])[:3]
+    names = sorted(drifted, key=lambda n: timings[n])
     for n in sorted(timings, key=lambda k: timings[k]):
         if len(names) >= 3:
             break
@@ -421,8 +433,10 @@ def main() -> None:
             "drifted": drifted,
             "probes": probes,
             # probes that 'returned' via the capped stall signature
-            # alone, not by re-entering the band (ADVICE r13)
-            "stall_only_returns": stall_only_returns(probes, firsts, prev),
+            # alone, not by re-entering the band (ADVICE r13); only
+            # voting probes are scanned (padding never votes)
+            "stall_only_returns": stall_only_returns(
+                probes, firsts, prev, drifted),
         }
         if ambient:
             for n, t in probes.items():

@@ -517,14 +517,21 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
     Cache lifetime: the bounded summary is persisted for its three
     subtrees and the returned lazy plan reads it; after
     materializing, ``release_caches(result)`` frees it — the same
-    discipline as the by-group twin."""
+    discipline as the by-group twin. When the CALLER already cached
+    the summary (mg_summary returns a persisted frame), that cache is
+    reused and nothing is attached — release_caches(result) returns 0
+    and never clobbers a caller-owned cache."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"phi must be in (0, 1], got {phi}")
     # three consumers (totals, slack, items) — persist the bounded
-    # summary so an in-lineage input's corpus derivation runs once
-    summary = summary.persist()
+    # summary so an in-lineage input's corpus derivation runs once;
+    # when the caller already cached it (mg_summary returns a
+    # persisted frame by contract) reuse THEIR cache and attach
+    # nothing, so release_caches(result) can never clobber it
+    summary, _own = _persist_internal(
+        summary.select("shard", "item", "cnt", "n_shard"))
     totals = summary.select("shard", "n_shard").distinct()
     n_total = totals.agg(F.sum("n_shard").cast("long").alias("n"))
     slack = (
@@ -555,7 +562,7 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
         scored.filter(F.col("__up") >= F.col("__thr"))
         .select("item", "cnt_lower", "cnt_upper", "certain")
         .orderBy(F.desc("cnt_lower"), "item"),
-        (summary,),
+        _own,
     )
 
 
@@ -589,6 +596,20 @@ def _attach_caches(df: DataFrame, caches) -> DataFrame:
     so :func:`release_caches` can free them after materialization."""
     df._hdk_caches = tuple(caches)
     return df
+
+
+def _persist_internal(df: DataFrame) -> "tuple[DataFrame, tuple]":
+    """Persist an operator-internal multi-consumer relation and return
+    (frame, caches-to-attach). If an EQUIVALENT plan is already cached
+    — e.g. the caller passed a persisted summary, and even a derived
+    no-op projection canonicalizes to the cached plan, so persisting
+    would be a no-op and unpersisting would clobber the CALLER's cache
+    (r14 review) — the existing cache is reused and NOTHING is
+    attached: release_caches(result) only ever frees caches the
+    operator itself created."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df, ()
+    return df.persist(), (df,)
 
 
 def _grp_key(grp_col):
@@ -1053,12 +1074,23 @@ def cms_query_by_group(
     deduplicates and drops NULL probes, then runs the IDENTICAL cell
     arithmetic — the two paths are property-tested bit-equal."""
     if isinstance(values, DataFrame):
+        # positional toDF rename, not F.col/df[name]: a first column
+        # whose name contains a dot would otherwise resolve as a
+        # struct-field path and fail analysis (r14 review; both
+        # accessors dot-parse in Spark 4)
         vals = (
-            values.select(
-                F.col(values.columns[0]).cast("string").alias("item"))
+            values.toDF(*[f"_c{i}" for i in range(len(values.columns))])
+            .select(F.col("_c0").cast("string").alias("item"))
             .filter(F.col("item").isNotNull())
             .dropDuplicates(["item"])
         )
+        # same loud failure as the literal path: an upstream probe
+        # relation that came up empty (or all-NULL) must not return a
+        # silently empty answer — the one eager action here is a
+        # limit-1 probe of a relation the caller sized to be a probe
+        # set, not a corpus
+        if vals.isEmpty():
+            raise ValueError("values must be non-empty")
     else:
         if not values:
             raise ValueError("values must be non-empty")
@@ -1193,7 +1225,10 @@ def dds_quantile(
     subtrees and the returned lazy plan reads it; after
     materializing, ``release_caches(result)`` frees it — unpersisting
     the input sketch cannot (non-cascading), matching the by-group
-    twin's discipline."""
+    twin's discipline. When the caller already cached the sketch,
+    that cache is reused and nothing is attached —
+    release_caches(result) returns 0 and never clobbers a
+    caller-owned cache."""
     if m < 1 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 1, got {m}")
     if not qs:
@@ -1202,7 +1237,9 @@ def dds_quantile(
         raise ValueError(f"quantiles must be in [0, 1], got {qs}")
     from pyspark.sql.window import Window
 
-    sketch = sketch.persist()
+    # an already-persisted input must not become OUR releasable cache:
+    # reuse the caller's cache and attach nothing (see _persist_internal)
+    sketch, _own = _persist_internal(sketch.select("store", "b", "j", "c"))
     ordered = sketch.select(
         "store", "b", "j", "c",
         F.when(F.col("store") == -1, -F.col("b")).otherwise(F.col("b"))
@@ -1245,7 +1282,7 @@ def dds_quantile(
             "q", F.round(est, 6).alias("est"),
             F.col("n").cast("long").alias("n")
         ).orderBy("q"),
-        (sketch,),
+        _own,
     )
 
 

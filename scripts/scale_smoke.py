@@ -1327,18 +1327,38 @@ def main() -> None:
             return (sum(s.get("memoryBytesSpilled", 0) for s in st),
                     sum(s.get("diskBytesSpilled", 0) for s in st))
 
-        for label, value in (("default-32", None), (f"preset-{val}", val)):
+        # INTERLEAVED A/B (the r14a methodology rule this probe's own
+        # first fixed-order run helped establish): alternate the two
+        # configs so JVM/page-cache warmth cannot masquerade as a
+        # config effect; report per-config best + all samples + the
+        # per-config spill delta.
+        def one(value) -> float:
             if value is None:
                 spark.conf.unset(knob)
             else:
                 spark.conf.set(knob, value)
-            m0, d0 = spill_totals()
-            w = best(lambda: spark.sql(Q5))
-            m1, d1 = spill_totals()
-            # spill deltas cover both best-of-2 executions
-            print(f"sf10 q5 @ {label}: {w}s best-of-2, spill over the "
-                  f"2 runs: mem {(m1 - m0) / 2**20:.0f} MiB, "
-                  f"disk {(d1 - d0) / 2**20:.0f} MiB")
+            t0 = time.perf_counter()
+            spark.sql(Q5).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 2)
+
+        one(None), one(val)  # warm both configs once, unmeasured
+        samples: dict = {"default-32": [], f"preset-{val}": []}
+        spills: dict = {}
+        for label, value in (("default-32", None), (f"preset-{val}", val)):
+            spills[label] = [0, 0]
+        for _ in range(4):
+            for label, value in (("default-32", None),
+                                 (f"preset-{val}", val)):
+                m0, d0 = spill_totals()
+                samples[label].append(one(value))
+                m1, d1 = spill_totals()
+                spills[label][0] += m1 - m0
+                spills[label][1] += d1 - d0
+        for label, ss in samples.items():
+            mem, disk = spills[label]
+            print(f"sf10 q5 @ {label}: best {min(ss)}s of interleaved "
+                  f"{ss}; spill over the 4 runs: mem {mem / 2**20:.0f} "
+                  f"MiB, disk {disk / 2**20:.0f} MiB")
         spark.conf.unset(knob)
         return
 

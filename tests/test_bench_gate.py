@@ -167,6 +167,35 @@ def test_stall_only_returns_recorded_separately():
     assert stall_only_returns(probes, firsts, PREV) == ["q9"]
 
 
+def test_stall_only_returns_excludes_padding_probes():
+    # r14 review: with drifted non-empty only the VOTING probes are
+    # scanned — a padding probe that happens to match the stall shape
+    # (first 1.2x prev, probe 0.8x prev: >=20% better than first, under
+    # the 1.25x cap, below the 0.85 band floor) must not be annotated
+    # as a stall-only return it never cast.
+    from bench import stall_only_returns
+
+    firsts = {"q9": PREV["q9"] * 1.60, "q1": PREV["q1"] * 1.20}
+    probes = {"q9": PREV["q9"] * 1.20, "q1": PREV["q1"] * 0.80}
+    assert stall_only_returns(probes, firsts, PREV) == ["q1", "q9"]
+    assert stall_only_returns(probes, firsts, PREV, ["q9"]) == ["q9"]
+
+
+def test_all_drifted_queries_probed_not_just_three():
+    # r14 review: the former [:3] cap let a >=4-query drift earn the
+    # ambient label with its most expensive drifted queries never
+    # re-measured. Every drifted query must appear in the probe set.
+    timings = {n: v * 1.40 for n, v in PREV.items()}  # all 6 drift
+    total = sum(timings.values())
+    names = drift_probe_names(timings, PREV, PREV_TOTAL, total, {})
+    assert set(names) == set(PREV)  # all drifted queries probed
+    # and the small-drift case still pads up to 3 probes
+    t2 = dict(PREV)
+    t2["q9"] = PREV["q9"] * 1.30
+    names2 = drift_probe_names(t2, PREV, PREV_TOTAL, sum(t2.values()), {})
+    assert "q9" in names2 and len(names2) == 3
+
+
 def test_probe_slower_both_ways_reads_reproducible():
     firsts = {"q9": PREV["q9"] * 1.30}
     probes = {"q9": PREV["q9"] * 1.35}

@@ -1500,11 +1500,19 @@ def test_cms_by_group_defining_laws(spark):
     # literal path — same cell arithmetic, only the probe source
     # differs. Duplicates and NULL probes in the relation are
     # dropped, and the probe column is taken positionally (first).
+    # a dotted first-column name must resolve positionally, not as a
+    # struct-field path (r14 review)
     probe_df = spark.createDataFrame(
-        [(p,) for p in probes] + [(probes[0],), (None,)], ["tok"])
+        [(p,) for p in probes] + [(probes[0],), (None,)], ["probe.tok"])
     est_df = {(r["grp"], r["item"]): r["est"]
               for r in cms_query_by_group(sk, probe_df, **kw).collect()}
     assert est_df == est
+    # an empty (or all-NULL) probe relation fails as loudly as the
+    # empty literal list — never a silently empty answer (r14 review)
+    for bad in (probe_df.limit(0),
+                spark.createDataFrame([(None,)], "tok: string")):
+        with pytest.raises(ValueError, match="non-empty"):
+            cms_query_by_group(sk, bad, **kw)
 
     with pytest.raises(ValueError, match="depth/width"):
         cms_build_by_group(df, "g", "v", depth=0)
@@ -1531,7 +1539,7 @@ def test_release_caches_frees_internal_persists(spark):
 
     from hdk_spark.operators.sketches import (
         dds_build, dds_build_by_group, dds_quantile,
-        dds_quantile_by_group, kmv_by_group,
+        dds_quantile_by_group, kmv_by_group, kmv_jaccard,
         kmv_pairwise_stats, kmv_set_stats, kmv_summary,
         mg_heavy_hitters, mg_heavy_hitters_by_group, mg_merge,
         mg_merge_by_group, mg_summary, mg_summary_by_group,
@@ -1559,6 +1567,7 @@ def test_release_caches_frees_internal_persists(spark):
     sa = kmv_summary(df.filter("g = 'a'"), "v", k=16)
     sb = kmv_summary(df.filter("g = 'b'"), "v", k=16)
     spin(kmv_set_stats(sa, sb, k=16), 2)
+    spin(kmv_jaccard(sa, sb, k=16), 2)
     spin(kmv_pairwise_stats(kmv_by_group(df, "g", "v", k=16), k=16), 1)
     summ = mg_summary_by_group(df, "g", "v", k=4, n_shards=2)
     spin(mg_heavy_hitters_by_group(summ, phi=0.2, k=4), 1)
@@ -1567,9 +1576,21 @@ def test_release_caches_frees_internal_persists(spark):
         dds_build_by_group(df, "g", "x", m=16), [0.5], m=16), 1)
     gsumm = mg_summary(df, "v", k=4, n_shards=2)
     spin(mg_merge(gsumm, gsumm, k=4), 1)
+    # ownership (r14 review): mg_summary returns a PERSISTED frame the
+    # caller owns — a caller-cached input is REUSED, nothing is
+    # attached (release_caches returns 0), and the caller's cache
+    # survives the release call
+    spin(mg_heavy_hitters(gsumm, phi=0.2, k=4), 0)
+    assert (gsumm.storageLevel.useMemory or gsumm.storageLevel.useDisk)
+    gsk = dds_build(df, "x", m=16).persist()
+    gsk.count()
+    spin(dds_quantile(gsk, [0.5], m=16), 0)
+    assert (gsk.storageLevel.useMemory or gsk.storageLevel.useDisk)
+    gsk.unpersist()
+    # ...and an UNCACHED input gets the operator's own releasable cache
+    gsumm.unpersist()
     spin(mg_heavy_hitters(gsumm, phi=0.2, k=4), 1)
     spin(dds_quantile(dds_build(df, "x", m=16), [0.5], m=16), 1)
     summ.unpersist()
-    gsumm.unpersist()
 
     assert release_caches(df) == 0  # plain frames carry no caches
