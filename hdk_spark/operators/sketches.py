@@ -43,6 +43,8 @@ aggregation state — the linear-sketch twins)."""
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ndv_rollup", "merge_ndv_rollups", "ndv_estimate",
@@ -457,7 +459,9 @@ def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
     for i, s in enumerate(summaries[1:], start=1):
         u = u.unionByName(s.select(
             "shard", "item", "cnt", "n_shard", F.lit(i).alias("__src")))
-    u = u.persist()  # bounded: ≤ inputs·(k+1) rows per shard
+    # bounded: ≤ inputs·(k+1) rows per shard; ownership-aware persist
+    # (repeat calls share one refcounted entry — see _persist_internal)
+    u, _own = _persist_internal(u)
     merged = (
         u.filter(F.col("item").isNotNull())  # accounting rows
         .groupBy("shard", "item")
@@ -473,7 +477,7 @@ def mg_merge(*summaries: DataFrame, k: int = 100) -> DataFrame:
         F.broadcast(_mg_trim_relation(merged, k)).join(
             n_rel, "shard", "right"
         ).select("shard", "item", "cnt", "n_shard"),
-        (u,),
+        _own,
     )
 
 
@@ -569,8 +573,8 @@ def mg_heavy_hitters(summary: DataFrame, phi: float, k: int) -> DataFrame:
 def release_caches(df: DataFrame) -> int:
     """Unpersist the bounded INTERNAL relations a sketch query
     operator persisted while building ``df``'s plan, returning how
-    many were released. The query operators with lazy returns
-    (kmv_jaccard, kmv_set_stats, kmv_pairwise_stats, mg_merge,
+    many were actually unpersisted. The query operators with lazy
+    returns (kmv_jaccard, kmv_set_stats, kmv_pairwise_stats, mg_merge,
     mg_heavy_hitters, dds_quantile, mg_merge_by_group,
     mg_heavy_hitters_by_group,
     dds_quantile_by_group) persist derived projections their multiple
@@ -580,15 +584,38 @@ def release_caches(df: DataFrame) -> int:
     materialize the result, then ``release_caches(result)``. Must be
     called on the very frame the operator returned (derived frames —
     ``.orderBy(...)`` etc. — do not carry the cache list). Safe to
-    call twice; returns 0 for frames without attached caches."""
+    call twice; returns 0 for frames without attached caches.
+
+    Internal caches are REFERENCE-COUNTED: Spark's cache manager is
+    plan-keyed, so two calls of the same operator on the same input
+    share one physical cache entry. Each result frame holds one
+    reference; releasing one result decrements, and the entry is
+    unpersisted only when its last referencing result is released —
+    releasing result A never drops a cache an unmaterialized result B
+    still reads (r14 review)."""
     caches = getattr(df, "_hdk_caches", ())
-    for c in caches:
-        c.unpersist()
+    released = 0
+    with _CACHE_REG_LOCK:
+        for c in caches:
+            ents = _CACHE_REGISTRY.get(c.semanticHash(), [])
+            for ent in ents:
+                if ent[0] is c:
+                    ent[1] -= 1
+                    if ent[1] <= 0:
+                        c.unpersist()
+                        released += 1
+                        ents.remove(ent)
+                        if not ents:
+                            del _CACHE_REGISTRY[c.semanticHash()]
+                    break
+            else:  # pragma: no cover - defensive (pre-registry frame)
+                c.unpersist()
+                released += 1
     try:
         df._hdk_caches = ()
     except AttributeError:  # pragma: no cover - defensive
         pass
-    return len(caches)
+    return released
 
 
 def _attach_caches(df: DataFrame, caches) -> DataFrame:
@@ -598,18 +625,43 @@ def _attach_caches(df: DataFrame, caches) -> DataFrame:
     return df
 
 
+# semanticHash -> [[frame, refcount], ...] for operator-owned internal
+# caches (a short list per key tolerates hash collisions; sameSemantics
+# disambiguates). Guarded by _CACHE_REG_LOCK for multi-threaded drivers.
+_CACHE_REGISTRY: dict[int, list] = {}
+_CACHE_REG_LOCK = threading.Lock()
+
+
 def _persist_internal(df: DataFrame) -> "tuple[DataFrame, tuple]":
     """Persist an operator-internal multi-consumer relation and return
-    (frame, caches-to-attach). If an EQUIVALENT plan is already cached
-    — e.g. the caller passed a persisted summary, and even a derived
-    no-op projection canonicalizes to the cached plan, so persisting
-    would be a no-op and unpersisting would clobber the CALLER's cache
-    (r14 review) — the existing cache is reused and NOTHING is
-    attached: release_caches(result) only ever frees caches the
-    operator itself created."""
-    if df.storageLevel.useMemory or df.storageLevel.useDisk:
-        return df, ()
-    return df.persist(), (df,)
+    (frame, caches-to-attach), deciding OWNERSHIP — who may unpersist
+    it (r14 review):
+
+    - Plan already in the operator-owned registry: an earlier operator
+      call created it (Spark's cache manager is plan-keyed, so a
+      repeat call would otherwise see its own cache as 'already
+      cached' and attach nothing, leaving the first call's entry
+      unreleasable once the caller keeps only the newest result).
+      The refcount is bumped and the SAME frame re-attached, so every
+      result holds a releasable reference and the entry survives until
+      the last one is released.
+    - Plan cached but NOT in the registry: the CALLER cached it (even
+      a derived no-op projection canonicalizes to the cached input
+      plan). Reuse it and attach NOTHING — release_caches(result)
+      must never clobber a caller-owned cache.
+    - Otherwise: persist, register with refcount 1, attach."""
+    with _CACHE_REG_LOCK:
+        ents = _CACHE_REGISTRY.get(df.semanticHash())
+        if ents:
+            for ent in ents:
+                if ent[0].sameSemantics(df):
+                    ent[1] += 1
+                    return ent[0], (ent[0],)
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return df, ()
+        df = df.persist()
+        _CACHE_REGISTRY.setdefault(df.semanticHash(), []).append([df, 1])
+        return df, (df,)
 
 
 def _grp_key(grp_col):
@@ -756,7 +808,8 @@ def mg_merge_by_group(*summaries: DataFrame, k: int = 100) -> DataFrame:
             F.lit(i).alias("__src")))
     # bounded: ≤ inputs·(k+1) rows per (grp, shard); __gk for the
     # NULL-group-safe joins (see _grp_key)
-    u = u.withColumn("__gk", _grp_key(F.col("grp"))).persist()
+    u, _own = _persist_internal(
+        u.withColumn("__gk", _grp_key(F.col("grp"))))
     merged = (
         u.filter(F.col("item").isNotNull())
         .groupBy("__gk", "shard", "item")
@@ -802,7 +855,7 @@ def mg_merge_by_group(*summaries: DataFrame, k: int = 100) -> DataFrame:
     return _attach_caches(
         trimmed.join(n_rel, ["__gk", "shard"], "right").select(
             "grp", "shard", "item", "cnt", "n_shard"),
-        (u,),
+        _own,
     )
 
 
@@ -832,7 +885,8 @@ def mg_heavy_hitters_by_group(
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"phi must be in (0, 1], got {phi}")
     # __gk: NULL-group-safe join key (see _grp_key)
-    summary = summary.withColumn("__gk", _grp_key(F.col("grp"))).persist()
+    summary, _own = _persist_internal(
+        summary.withColumn("__gk", _grp_key(F.col("grp"))))
     totals = summary.select("__gk", "shard", "n_shard").distinct()
     n_grp = totals.groupBy("__gk").agg(
         F.sum("n_shard").cast("long").alias("n"))
@@ -864,7 +918,7 @@ def mg_heavy_hitters_by_group(
         .select("grp", "item", "cnt_lower", "cnt_upper", "certain")
         .orderBy("grp", F.desc("cnt_lower"), "item")
     )
-    return _attach_caches(out, (summary,))
+    return _attach_caches(out, _own)
 
 
 def _cms_base_hash(col, hash_basis: str):
@@ -1373,7 +1427,8 @@ def dds_quantile_by_group(
     # bounded (groups·stores·binades·m rows), the family's persist
     # rule. __gk: NULL-group-safe join key (see _grp_key) — a plain
     # grp equi-join would silently drop the NULL group's quantiles.
-    sketch = sketch.withColumn("__gk", _grp_key(F.col("grp"))).persist()
+    sketch, _own = _persist_internal(
+        sketch.withColumn("__gk", _grp_key(F.col("grp"))))
     ordered = sketch.select(
         "__gk", "store", "b", "j", "c",
         F.when(F.col("store") == -1, -F.col("b")).otherwise(F.col("b"))
@@ -1418,7 +1473,7 @@ def dds_quantile_by_group(
             "grp", "q", F.round(est, 6).alias("est"),
             F.col("n").cast("long").alias("n"),
         ).orderBy("grp", "q"),
-        (sketch,),
+        _own,
     )
 
 
@@ -1539,8 +1594,8 @@ def kmv_jaccard(
     # the bottom-k TakeOrdered cannot be exchange-reused — un-persisted,
     # in-lineage summaries re-ran their corpus distinct+bottom-k per
     # consumer (executed-plan-verified)
-    ha = summary_a.select("h").persist()
-    hb = summary_b.select("h").persist()
+    ha, _own_a = _persist_internal(summary_a.select("h"))
+    hb, _own_b = _persist_internal(summary_b.select("h"))
     kk = ha.unionByName(hb).distinct().orderBy("h").limit(k)
     inter = (
         kk.join(F.broadcast(ha), "h", "left_semi")
@@ -1554,7 +1609,7 @@ def kmv_jaccard(
             F.round(F.col("n_inter") / F.col("n_k"), 4)
             .alias("jaccard_est"),
         ),
-        (ha, hb),
+        _own_a + _own_b,
     )
 
 
@@ -1602,8 +1657,8 @@ def kmv_set_stats(
     # union AND a membership flag join, and TakeOrdered subtrees
     # don't exchange-reuse — in-lineage summaries would re-run their
     # corpus distinct+bottom-k per consumer
-    ha = summary_a.select("h").persist()
-    hb = summary_b.select("h").persist()
+    ha, _own_a = _persist_internal(summary_a.select("h"))
+    hb, _own_b = _persist_internal(summary_b.select("h"))
     kk = ha.unionByName(hb).distinct().orderBy("h").limit(k)
     flagged = kk.join(
         F.broadcast(ha.select("h", F.lit(1).alias("__ina"))), "h", "left"
@@ -1650,7 +1705,7 @@ def kmv_set_stats(
             .alias("containment_b_in_a"),
             F.round(rho, 4).alias("jaccard_est"),
         ),
-        (ha, hb),
+        _own_a + _own_b,
     )
 
 
@@ -1829,9 +1884,8 @@ def kmv_pairwise_stats(
         raise ValueError(f"k must be >= 2, got {k}")
     from pyspark.sql.window import Window
 
-    s = summary.select(
-        _grp_key(F.col("grp")).alias("__gk"), "grp", "h"
-    ).persist()
+    s, _own = _persist_internal(summary.select(
+        _grp_key(F.col("grp")).alias("__gk"), "grp", "h"))
     sides = s.groupBy("__gk", "grp").agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.max(_kmv_unit(F.col("h"), hash_basis)).alias("__uks"),
@@ -1885,5 +1939,5 @@ def kmv_pairwise_stats(
             .alias("containment_b_in_a"),
             F.round(rho, 4).alias("jaccard_est"),
         ),
-        (s,),
+        _own,
     )

@@ -1342,13 +1342,14 @@ def main() -> None:
             return round(time.perf_counter() - t0, 2)
 
         one(None), one(val)  # warm both configs once, unmeasured
-        samples: dict = {"default-32": [], f"preset-{val}": []}
-        spills: dict = {}
-        for label, value in (("default-32", None), (f"preset-{val}", val)):
-            spills[label] = [0, 0]
-        for _ in range(4):
-            for label, value in (("default-32", None),
-                                 (f"preset-{val}", val)):
+        pair = (("default-32", None), (f"preset-{val}", val))
+        samples: dict = {label: [] for label, _ in pair}
+        spills: dict = {label: [0, 0] for label, _ in pair}
+        for rnd in range(4):
+            # ABBA: alternate which config LEADS each round — a fixed
+            # A,B order inside every pair would still hand config B a
+            # systematic within-pair warmth edge (r14 review)
+            for label, value in (pair if rnd % 2 == 0 else pair[::-1]):
                 m0, d0 = spill_totals()
                 samples[label].append(one(value))
                 m1, d1 = spill_totals()

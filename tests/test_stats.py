@@ -1591,6 +1591,22 @@ def test_release_caches_frees_internal_persists(spark):
     gsumm.unpersist()
     spin(mg_heavy_hitters(gsumm, phi=0.2, k=4), 1)
     spin(dds_quantile(dds_build(df, "x", m=16), [0.5], m=16), 1)
+    # refcount (r14 review, 2nd pass): two results of the SAME operator
+    # call share ONE plan-keyed cache entry; releasing one result must
+    # not drop the cache the other still reads, and the entry stays
+    # releasable through the LAST result. Without the registry the
+    # second call would see 'already cached', attach nothing, and the
+    # unreleasable-leak class would be back for repeat calls.
+    r1 = mg_heavy_hitters(gsumm, phi=0.2, k=4)
+    r2 = mg_heavy_hitters(gsumm, phi=0.2, k=4)
+    shared = r1._hdk_caches[0]
+    assert shared is r2._hdk_caches[0]  # one registry frame, refcount 2
+    r1.collect()
+    assert release_caches(r1) == 0  # reference dropped, cache retained
+    assert shared.storageLevel.useMemory or shared.storageLevel.useDisk
+    r2.collect()  # still materializes off the shared cache
+    assert release_caches(r2) == 1  # last reference frees it
+    assert not (shared.storageLevel.useMemory or shared.storageLevel.useDisk)
     summ.unpersist()
 
     assert release_caches(df) == 0  # plain frames carry no caches
