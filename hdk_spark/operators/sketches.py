@@ -649,18 +649,37 @@ def _persist_internal(df: DataFrame) -> "tuple[DataFrame, tuple]":
       a derived no-op projection canonicalizes to the cached input
       plan). Reuse it and attach NOTHING — release_caches(result)
       must never clobber a caller-owned cache.
-    - Otherwise: persist, register with refcount 1, attach."""
+    - Otherwise: persist, register with refcount 1, attach.
+
+    Sharing is scoped to ONE SparkSession (identity-compared): plans
+    from different sessions can canonicalize equal, but handing back a
+    frame bound to another session would be wrong, and frames from a
+    STOPPED session raise on any JVM access. Entries whose session is
+    gone are evicted on the way past (a restart orphans them — their
+    JVM-side caches died with the session, so eviction is the whole
+    cleanup)."""
+    key = df.semanticHash()
     with _CACHE_REG_LOCK:
-        ents = _CACHE_REGISTRY.get(df.semanticHash())
-        if ents:
-            for ent in ents:
-                if ent[0].sameSemantics(df):
+        ents = _CACHE_REGISTRY.get(key, [])
+        for ent in list(ents):
+            cand = ent[0]
+            try:
+                if (cand.sparkSession is df.sparkSession
+                        and cand.sameSemantics(df)):
                     ent[1] += 1
-                    return ent[0], (ent[0],)
+                    return cand, (cand,)
+                # different session: keep the entry only if its own
+                # session still answers (live foreign session), evict
+                # a dead one (raises on JVM access)
+                cand.storageLevel
+            except Exception:
+                ents.remove(ent)
+                if not ents:
+                    _CACHE_REGISTRY.pop(key, None)
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
             return df, ()
         df = df.persist()
-        _CACHE_REGISTRY.setdefault(df.semanticHash(), []).append([df, 1])
+        _CACHE_REGISTRY.setdefault(key, []).append([df, 1])
         return df, (df,)
 
 

@@ -1610,3 +1610,43 @@ def test_release_caches_frees_internal_persists(spark):
     summ.unpersist()
 
     assert release_caches(df) == 0  # plain frames carry no caches
+
+
+def test_persist_internal_registry_session_scoping(spark):
+    # the registry survives session restarts only by EVICTING orphans:
+    # an entry whose session died raises on any JVM access and must be
+    # dropped on the way past (its JVM-side cache died with the
+    # session), while an entry from a DIFFERENT LIVE session (or a
+    # hash collision) is kept but never shared — handing back a frame
+    # bound to another session would be wrong (r14 review, 3rd pass)
+    from hdk_spark.operators import sketches as sk
+
+    proj = spark.range(10).selectExpr("cast(id as string) as v").select("v")
+    key = proj.semanticHash()
+
+    class _DeadFrame:
+        def __getattr__(self, name):  # any JVM access raises
+            raise RuntimeError("session stopped")
+
+    sk._CACHE_REGISTRY[key] = [[_DeadFrame(), 3]]
+    got, own = sk._persist_internal(proj)
+    try:
+        ents = sk._CACHE_REGISTRY[key]
+        assert own == (got,)  # fresh registration, not the orphan
+        assert all(not isinstance(e[0], _DeadFrame) for e in ents)
+
+        # live foreign-session frame under the same key: kept, unshared
+        # (inserted FIRST so the lookup actually walks past it)
+        p2 = (spark.newSession().range(10)
+              .selectExpr("cast(id as string) as v").select("v"))
+        ents.insert(0, [p2, 1])
+        got2, own2 = sk._persist_internal(proj)
+        assert got2 is got and own2 == (got,)  # shared with OUR entry
+        assert any(e[0] is p2 for e in sk._CACHE_REGISTRY[key])  # kept
+    finally:
+        sk._CACHE_REGISTRY.get(key, [[None]])[:] = [
+            e for e in sk._CACHE_REGISTRY.get(key, []) if e[0] is got]
+        rel = sk.release_caches(sk._attach_caches(got.limit(0), own))
+        sk.release_caches(sk._attach_caches(got.limit(0), own))  # rc 2
+    assert rel == 0  # two references (the repeat call) — first is a decrement
+    assert key not in sk._CACHE_REGISTRY
