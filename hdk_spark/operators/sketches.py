@@ -44,6 +44,7 @@ aggregation state — the linear-sketch twins)."""
 from __future__ import annotations
 
 import threading
+import weakref
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -592,29 +593,39 @@ def release_caches(df: DataFrame) -> int:
     reference; releasing one result decrements, and the entry is
     unpersisted only when its last referencing result is released —
     releasing result A never drops a cache an unmaterialized result B
-    still reads (r14 review)."""
-    caches = getattr(df, "_hdk_caches", ())
-    released = 0
+    still reads (r14 review). The read-and-clear of the attached list
+    is atomic under the registry lock, so two concurrent releases of
+    the SAME result frame decrement once, not twice."""
     with _CACHE_REG_LOCK:
-        for c in caches:
-            ents = _CACHE_REGISTRY.get(c.semanticHash(), [])
+        caches = tuple(getattr(df, "_hdk_caches", ()))
+        try:
+            df._hdk_caches = ()
+        except AttributeError:  # pragma: no cover - defensive
+            pass
+    released = 0
+    for c in caches:
+        try:
+            key = c.semanticHash()
+        except Exception:  # pragma: no cover - session died under the
+            continue  # result; its JVM cache died with it — nothing to free
+        free = True
+        with _CACHE_REG_LOCK:
+            ents = _CACHE_REGISTRY.get(key, [])
             for ent in ents:
-                if ent[0] is c:
+                if ent[0]() is c:
                     ent[1] -= 1
-                    if ent[1] <= 0:
-                        c.unpersist()
-                        released += 1
+                    free = ent[1] <= 0
+                    if free:
                         ents.remove(ent)
                         if not ents:
-                            del _CACHE_REGISTRY[c.semanticHash()]
+                            del _CACHE_REGISTRY[key]
                     break
-            else:  # pragma: no cover - defensive (pre-registry frame)
+        if free:  # last reference (or a pre-registry frame, defensively)
+            try:
                 c.unpersist()
                 released += 1
-    try:
-        df._hdk_caches = ()
-    except AttributeError:  # pragma: no cover - defensive
-        pass
+            except Exception:  # pragma: no cover - defensive
+                pass
     return released
 
 
@@ -625,9 +636,14 @@ def _attach_caches(df: DataFrame, caches) -> DataFrame:
     return df
 
 
-# semanticHash -> [[frame, refcount], ...] for operator-owned internal
-# caches (a short list per key tolerates hash collisions; sameSemantics
-# disambiguates). Guarded by _CACHE_REG_LOCK for multi-threaded drivers.
+# semanticHash -> [[weakref(frame), refcount], ...] for operator-owned
+# internal caches (a short list per key tolerates hash collisions;
+# sameSemantics disambiguates). WEAK references: the strong refs live
+# in the results' _hdk_caches, so when every result of an entry is
+# garbage-collected without release_caches, the entry dies with them
+# and is pruned on the next same-key pass — the registry never pins
+# frames (or their sessions) for the process lifetime. The lock guards
+# dict/refcount mutation only; JVM roundtrips happen outside it.
 _CACHE_REGISTRY: dict[int, list] = {}
 _CACHE_REG_LOCK = threading.Lock()
 
@@ -647,40 +663,72 @@ def _persist_internal(df: DataFrame) -> "tuple[DataFrame, tuple]":
       the last one is released.
     - Plan cached but NOT in the registry: the CALLER cached it (even
       a derived no-op projection canonicalizes to the cached input
-      plan). Reuse it and attach NOTHING — release_caches(result)
-      must never clobber a caller-owned cache.
+      plan), or an earlier result was dropped without release and its
+      weak registration died with it. Either way: reuse it and attach
+      NOTHING — release_caches(result) must never clobber a
+      possibly-caller-owned cache. An orphaned cache therefore stays
+      for the session and is simply REUSED by later identical calls
+      (never duplicated — the cache manager is plan-keyed), which is
+      the bounded steady state for callers that skip the release
+      discipline.
     - Otherwise: persist, register with refcount 1, attach.
 
     Sharing is scoped to ONE SparkSession (identity-compared): plans
     from different sessions can canonicalize equal, but handing back a
-    frame bound to another session would be wrong, and frames from a
-    STOPPED session raise on any JVM access. Entries whose session is
-    gone are evicted on the way past (a restart orphans them — their
-    JVM-side caches died with the session, so eviction is the whole
-    cleanup)."""
+    frame bound to another session would be wrong, and a frame from a
+    STOPPED session is unusable (JVM accesses raise). Unusable entries
+    are skipped; they leave the registry when their last referencing
+    result is garbage-collected (weak references) or released.
+
+    Concurrency: candidate probing (sameSemantics — a JVM roundtrip)
+    runs OUTSIDE the lock against a snapshot; the increment re-checks
+    the entry is still registered with a live count. Two threads that
+    race to persist the same new plan converge on one entry: the
+    loser's persist() is a plan-keyed no-op on the winner's cache, and
+    the post-persist re-scan under the lock folds the loser into the
+    winner's entry instead of double-registering."""
     key = df.semanticHash()
     with _CACHE_REG_LOCK:
+        snapshot = list(_CACHE_REGISTRY.get(key, ()))
+    match = None
+    for ent in snapshot:
+        cand = ent[0]()
+        if cand is None:
+            continue  # GC'd — pruned under the lock below
+        try:
+            if (cand.sparkSession is df.sparkSession
+                    and cand.sameSemantics(df)):
+                match = (ent, cand)
+                break
+        except Exception:  # dead session: unusable, skip
+            continue
+    with _CACHE_REG_LOCK:
         ents = _CACHE_REGISTRY.get(key, [])
-        for ent in list(ents):
-            cand = ent[0]
+        ents[:] = [e for e in ents if e[0]() is not None]  # prune GC'd
+        if (match is not None
+                and any(e is match[0] for e in ents)
+                and match[0][1] > 0):
+            match[0][1] += 1
+            return match[1], (match[1],)
+        if not ents:
+            _CACHE_REGISTRY.pop(key, None)
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df, ()  # caller-owned cache: reuse, never attach
+    df = df.persist()
+    with _CACHE_REG_LOCK:
+        ents = _CACHE_REGISTRY.setdefault(key, [])
+        for ent in ents:  # lost a persist race? fold into the winner
+            cand = ent[0]()
             try:
-                if (cand.sparkSession is df.sparkSession
+                if (cand is not None and ent[1] > 0
+                        and cand.sparkSession is df.sparkSession
                         and cand.sameSemantics(df)):
                     ent[1] += 1
                     return cand, (cand,)
-                # different session: keep the entry only if its own
-                # session still answers (live foreign session), evict
-                # a dead one (raises on JVM access)
-                cand.storageLevel
-            except Exception:
-                ents.remove(ent)
-                if not ents:
-                    _CACHE_REGISTRY.pop(key, None)
-        if df.storageLevel.useMemory or df.storageLevel.useDisk:
-            return df, ()
-        df = df.persist()
-        _CACHE_REGISTRY.setdefault(key, []).append([df, 1])
-        return df, (df,)
+            except Exception:  # pragma: no cover - defensive
+                continue
+        ents.append([weakref.ref(df), 1])
+    return df, (df,)
 
 
 def _grp_key(grp_col):

@@ -1613,12 +1613,15 @@ def test_release_caches_frees_internal_persists(spark):
 
 
 def test_persist_internal_registry_session_scoping(spark):
-    # the registry survives session restarts only by EVICTING orphans:
-    # an entry whose session died raises on any JVM access and must be
-    # dropped on the way past (its JVM-side cache died with the
-    # session), while an entry from a DIFFERENT LIVE session (or a
-    # hash collision) is kept but never shared — handing back a frame
-    # bound to another session would be wrong (r14 review, 3rd pass)
+    # registry lifetime + scoping (r14 review, 3rd pass): entries hold
+    # WEAK references (the strong refs live in results' _hdk_caches),
+    # so abandoned entries are pruned once their results are GC'd; an
+    # entry whose session died is skipped (unusable — never shared);
+    # an entry from a DIFFERENT LIVE session (or a hash collision) is
+    # kept but never shared — handing back a frame bound to another
+    # session would be wrong.
+    import weakref
+
     from hdk_spark.operators import sketches as sk
 
     proj = spark.range(10).selectExpr("cast(id as string) as v").select("v")
@@ -1628,25 +1631,70 @@ def test_persist_internal_registry_session_scoping(spark):
         def __getattr__(self, name):  # any JVM access raises
             raise RuntimeError("session stopped")
 
-    sk._CACHE_REGISTRY[key] = [[_DeadFrame(), 3]]
+    dead = _DeadFrame()
+    sk._CACHE_REGISTRY[key] = [
+        [lambda: None, 7],  # GC'd entry: all its results were dropped
+        [lambda: dead, 3],  # dead-session entry, still referenced
+    ]
     got, own = sk._persist_internal(proj)
     try:
         ents = sk._CACHE_REGISTRY[key]
-        assert own == (got,)  # fresh registration, not the orphan
-        assert all(not isinstance(e[0], _DeadFrame) for e in ents)
+        assert own == (got,)  # fresh registration — neither orphan shared
+        assert not any(e[0]() is None for e in ents)  # GC'd pruned
+        assert any(e[0]() is dead for e in ents)  # referenced one kept
+        assert isinstance(ents[-1][0], weakref.ref)  # ours is weak
 
         # live foreign-session frame under the same key: kept, unshared
         # (inserted FIRST so the lookup actually walks past it)
         p2 = (spark.newSession().range(10)
               .selectExpr("cast(id as string) as v").select("v"))
-        ents.insert(0, [p2, 1])
+        ents.insert(0, [lambda: p2, 1])
         got2, own2 = sk._persist_internal(proj)
         assert got2 is got and own2 == (got,)  # shared with OUR entry
-        assert any(e[0] is p2 for e in sk._CACHE_REGISTRY[key])  # kept
+        assert any(e[0]() is p2 for e in sk._CACHE_REGISTRY[key])  # kept
     finally:
         sk._CACHE_REGISTRY.get(key, [[None]])[:] = [
-            e for e in sk._CACHE_REGISTRY.get(key, []) if e[0] is got]
+            e for e in sk._CACHE_REGISTRY.get(key, [])
+            if e[0]() is got]
         rel = sk.release_caches(sk._attach_caches(got.limit(0), own))
         sk.release_caches(sk._attach_caches(got.limit(0), own))  # rc 2
     assert rel == 0  # two references (the repeat call) — first is a decrement
     assert key not in sk._CACHE_REGISTRY
+    assert not (got.storageLevel.useMemory or got.storageLevel.useDisk)
+
+
+def test_persist_internal_registry_is_weak(spark):
+    # dropping every result of an operator call (no release_caches)
+    # must let the registry entry die with them — the registry never
+    # pins frames for the process lifetime (r14 review, 3rd pass)
+    import gc
+    import weakref
+
+    from hdk_spark.operators import sketches as sk
+
+    def make():  # no test-local handle: persist() returns self, so
+        # holding the input would itself pin the registered frame
+        return (spark.range(10)
+                .selectExpr("cast(id as string) as vv").select("vv"))
+
+    key = make().semanticHash()
+    got, own = sk._persist_internal(make())
+    assert any(e[0]() is got for e in sk._CACHE_REGISTRY[key])
+    ref = weakref.ref(got)
+    cached_plan = got  # keep one handle to unpersist the JVM entry
+    del got, own
+    gc.collect()
+    # the only strong ref left is ours; registry alone must not pin it
+    assert ref() is cached_plan
+    del cached_plan
+    gc.collect()
+    assert ref() is None  # registry held only a weak reference
+    # the dead entry is pruned on the next same-key pass, and the
+    # orphaned JVM cache (plan-keyed, still live) is REUSED as if
+    # caller-owned — never duplicated, never clobbered: the bounded
+    # steady state for callers that skip the release discipline
+    got2, own2 = sk._persist_internal(make())
+    assert own2 == ()  # reused, unowned — release has nothing to do
+    assert key not in sk._CACHE_REGISTRY
+    assert got2.storageLevel.useMemory or got2.storageLevel.useDisk
+    got2.unpersist()  # test hygiene: drop the orphan explicitly
