@@ -1663,6 +1663,47 @@ def test_persist_internal_registry_session_scoping(spark):
     assert not (got.storageLevel.useMemory or got.storageLevel.useDisk)
 
 
+def test_release_caches_concurrent_single_decrement(spark):
+    # the release race (r14 review, 3rd pass): the attached-list
+    # read-and-clear is atomic under the registry lock, so N threads
+    # releasing the SAME result frame decrement its reference once
+    # total — and releasing two sibling results from many threads
+    # frees the shared entry exactly once, never while a sibling's
+    # reference is still live
+    import threading as th
+
+    from hdk_spark.operators import sketches as sk
+
+    df = spark.range(200).selectExpr(
+        "'g' as g", "cast(id % 7 as string) as v")
+    summ = sk.mg_summary(df, "v", k=4, n_shards=2)
+    summ.unpersist()  # uncached input → operator-owned registration
+    r1 = sk.mg_heavy_hitters(summ, phi=0.2, k=4)
+    r2 = sk.mg_heavy_hitters(summ, phi=0.2, k=4)
+    shared = r1._hdk_caches[0]
+    assert shared is r2._hdk_caches[0]
+    r1.collect()
+
+    results: list[int] = []
+    barrier = th.Barrier(8)
+
+    def release(frame):
+        barrier.wait()
+        results.append(sk.release_caches(frame))
+
+    threads = [th.Thread(target=release, args=(r1,)) for _ in range(4)]
+    threads += [th.Thread(target=release, args=(r2,)) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # 2 references total: exactly one thread observed the final free;
+    # every other call (repeat or sibling-decrement) returned 0
+    assert sorted(results) == [0] * 7 + [1]
+    assert not (shared.storageLevel.useMemory or shared.storageLevel.useDisk)
+    assert shared.semanticHash() not in sk._CACHE_REGISTRY
+
+
 def test_persist_internal_registry_is_weak(spark):
     # dropping every result of an operator call (no release_caches)
     # must let the registry entry die with them — the registry never
