@@ -1250,6 +1250,221 @@ def test_stream_dds_by_group_checkpoint_restart_equals_batch(
     assert got_groups == {"a", "b", None}
 
 
+def test_stream_cms_dds_global_checkpoint_restart_equals_batch(
+        spark, tmp_path):
+    """Restart pins for the GLOBAL linear-sketch twins (stream_cms /
+    stream_dds). With these, the CMS-by-group pin, and the HLL pin
+    below, EVERY streaming sketch twin in the module (KMV/MG/DDS/CMS
+    global + by-group, HLL per-group — HLL's only twin) carries a
+    kill-and-restart pin. Same law as the by-group pins: the
+    recovered aggregation state carries every cell/bucket counter
+    forward, so the latest per-cell emission (update mode) equals the
+    batch sketch of the full history bit-for-bit — linear counters,
+    exact equality."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import cms_build, dds_build
+
+    f1 = spark.createDataFrame(
+        [(i, f"w{i % 23}", float(i % 97) / 7.0 - 3.0) for i in range(400)],
+        "id: long, v: string, x: double")
+    f2 = spark.createDataFrame(
+        [(i, f"c{i % 11}", float(i % 53) * 2.5) for i in range(300)],
+        "id: long, v: string, x: double")
+
+    def pin(tag, make_stream, latest_keys, batch_df):
+        src = str(tmp_path / f"{tag}_src")
+        cp = str(tmp_path / f"{tag}_cp")
+        out = str(tmp_path / f"{tag}_out")
+        os.makedirs(src)
+        f1.coalesce(1).write.parquet(src + "/p1")
+
+        def stream():
+            return (
+                spark.readStream.schema(f1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+
+        def run(stream_df):
+            def sink(batch_df_, batch_id):
+                batch_df_.withColumn("__b", F.lit(batch_id)).write.mode(
+                    "append").parquet(out)
+
+            q = (
+                stream_df.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(make_stream(stream()))  # batch 1, then KILL
+        f2.coalesce(1).write.parquet(src + "/p2")
+        run(make_stream(stream()))  # restart: recovers state, reads p2
+
+        w = Window.partitionBy(*latest_keys)
+        latest = (
+            spark.read.parquet(out)
+            .withColumn("__m", F.max("__b").over(w))
+            .filter(F.col("__b") == F.col("__m"))
+            .drop("__b", "__m")
+        )
+        assert sorted(map(tuple, latest.collect())) == \
+            sorted(map(tuple, batch_df.collect())), tag
+
+    hist = f1.unionByName(f2)
+    kw = dict(depth=3, width=32, seed=7)
+    pin("cmsr",
+        lambda st: streaming.stream_cms(st, "v", **kw),
+        ("r", "b"), cms_build(hist, "v", **kw))
+    pin("ddsr",
+        lambda st: streaming.stream_dds(st.selectExpr("x"), "x", m=32),
+        ("store", "b", "j"), dds_build(hist, "x", m=32))
+
+
+def test_stream_ndv_rollup_checkpoint_restart_equals_batch(
+        spark, tmp_path):
+    """Restart pin for the HLL family (stream_ndv_rollup), the fifth
+    and last: kill after batch 1, add a file, restart from the SAME
+    checkpoint. Recovered per-group sketch state register-max-unions
+    the post-restart rows, so the latest per-group emission's
+    ndv_estimate equals the batch rollup of the full history exactly
+    (estimates are deterministic for fixed registers — the existing
+    equality law), and n_rows is exact: the file source's checkpoint
+    processes each file once, so the additive counter sees no
+    replays across a clean restart."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import ndv_estimate, ndv_rollup
+
+    src, cp = str(tmp_path / "hllr_src"), str(tmp_path / "hllr_cp")
+    out = str(tmp_path / "hllr_out")
+    os.makedirs(src)
+    f1 = spark.createDataFrame(
+        [(i, "web" if i % 3 else None, f"u{i % 61}") for i in range(400)],
+        "id: long, g: string, v: string")
+    f2 = spark.createDataFrame(
+        [(i, "code" if i % 2 else "web", f"x{i % 37}")
+         for i in range(300)],
+        "id: long, g: string, v: string")  # 'code' first seen POST-restart
+    f1.coalesce(1).write.parquet(src + "/p1")
+
+    def stream():
+        return (
+            spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    def run():
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("__b", F.lit(batch_id)).write.mode(
+                "append").parquet(out)
+
+        q = (
+            streaming.stream_ndv_rollup(stream(), "g", "v", lgk=12)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # batch 1, then KILL
+    f2.coalesce(1).write.parquet(src + "/p2")
+    run()  # restart: recovers per-group sketches, reads ONLY p2
+
+    w = Window.partitionBy("grp")
+    latest = (
+        spark.read.parquet(out)
+        .withColumn("__m", F.max("__b").over(w))
+        .filter(F.col("__b") == F.col("__m"))
+        .drop("__b", "__m")
+    )
+    got = ndv_estimate(latest)
+    batch = ndv_estimate(ndv_rollup(f1.unionByName(f2), "g", "v", lgk=12))
+    key = lambda t: tuple(map(str, t))  # noqa: E731 — NULL-safe sort
+    assert sorted(map(tuple, got.collect()), key=key) == \
+        sorted(map(tuple, batch.collect()), key=key)
+    groups = {r["grp"] for r in latest.select("grp").distinct().collect()}
+    assert groups == {"web", "code", None}
+
+
+def test_stream_cms_by_group_checkpoint_restart_equals_batch(
+        spark, tmp_path):
+    """Restart pin for the per-group CMS twin — the last mergeable
+    family member without one (KMV/MG/DDS global + by-group all have
+    theirs): kill after batch 1, add a file, restart from the SAME
+    checkpoint. The recovered aggregation state must carry every
+    (grp, r, b) cell forward, so the latest emission per cell (update
+    mode emits only CHANGED cells per batch; a cell's last emission
+    is its final count) equals cms_build_by_group of the full history
+    bit-for-bit — linear counters, so batch equality is exact —
+    including a group first seen post-restart and the NULL group."""
+    from pyspark.sql.window import Window
+
+    from hdk_spark.operators.sketches import cms_build_by_group
+
+    kw = dict(depth=3, width=64, seed=11, hash_basis="md5")
+    src, cp = str(tmp_path / "cmsgr_src"), str(tmp_path / "cmsgr_cp")
+    out = str(tmp_path / "cmsgr_out")
+    os.makedirs(src)
+    f1 = spark.createDataFrame(
+        [(i, "web" if i % 3 else None, f"w{i % 40}") for i in range(400)],
+        "id: long, g: string, v: string")
+    f2 = spark.createDataFrame(
+        [(i, "code" if i % 2 else "web", f"c{i % 17}")
+         for i in range(300)],
+        "id: long, g: string, v: string")  # 'code' first seen POST-restart
+    f1.coalesce(1).write.parquet(src + "/p1")
+
+    def stream():
+        return (
+            spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    def sink_with_batch(stream_df):
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("__b", F.lit(batch_id)).write.mode(
+                "append").parquet(out)
+
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sink_with_batch(streaming.stream_cms_by_group(stream(), "g", "v", **kw))
+    f2.coalesce(1).write.parquet(src + "/p2")
+    sink_with_batch(streaming.stream_cms_by_group(stream(), "g", "v", **kw))
+
+    w = Window.partitionBy("grp", "r", "b")
+    latest = (
+        spark.read.parquet(out)
+        .withColumn("__m", F.max("__b").over(w))
+        .filter(F.col("__b") == F.col("__m"))
+        .select("grp", "r", "b", "c")
+    )
+    batch = cms_build_by_group(
+        f1.unionByName(f2).select("g", "v"), "g", "v", **kw)
+    key = lambda t: tuple(map(str, t))  # noqa: E731 — NULL-safe sort
+    assert sorted(map(tuple, latest.collect()), key=key) == \
+        sorted(map(tuple, batch.collect()), key=key)
+    got_groups = {r["grp"] for r in latest.select("grp").distinct().collect()}
+    assert got_groups == {"web", "code", None}
+
+
 def test_stream_cms_by_group_equals_batch(spark, tmp_path):
     """stream_cms_by_group over a FORCED 3-micro-batch run: complete-
     mode state equals cms_build_by_group of the full history
