@@ -675,10 +675,14 @@ def _persist_internal(df: DataFrame) -> "tuple[DataFrame, tuple]":
 
     Sharing is scoped to ONE SparkSession (identity-compared): plans
     from different sessions can canonicalize equal, but handing back a
-    frame bound to another session would be wrong, and a frame from a
-    STOPPED session is unusable (JVM accesses raise). Unusable entries
-    are skipped; they leave the registry when their last referencing
-    result is garbage-collected (weak references) or released.
+    frame bound to another session would be wrong. The identity check
+    is what excludes a stale frame after a session restart — measured
+    on Spark 4.1.2 classic, a STOPPED session's frame still ANSWERS
+    metadata calls (storageLevel/semanticHash read JVM-side state;
+    only deriving or executing raises), so exception-based eviction
+    would never fire; the try/except is defensive only. Stale entries
+    leave the registry when their last referencing result is
+    garbage-collected (weak references) or released.
 
     Concurrency: candidate probing (sameSemantics — a JVM roundtrip)
     runs OUTSIDE the lock against a snapshot; the increment re-checks

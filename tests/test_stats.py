@@ -1628,7 +1628,12 @@ def test_persist_internal_registry_session_scoping(spark):
     key = proj.semanticHash()
 
     class _DeadFrame:
-        def __getattr__(self, name):  # any JVM access raises
+        # worst-case mock: every access raises. (A REAL stopped-session
+        # frame still answers storageLevel/semanticHash — measured on
+        # Spark 4.1.2 — and is excluded by the session-IDENTITY check
+        # instead; this mock additionally pins that even a frame whose
+        # every access raises cannot break the lookup.)
+        def __getattr__(self, name):
             raise RuntimeError("session stopped")
 
     dead = _DeadFrame()
