@@ -297,8 +297,18 @@ def minhash_signatures(
                         out[pos] = next(it)
             return pd.Series(out)
 
+        # asNondeterministic (guide §4.4): the .filter(isNotNull) below
+        # references the UDF column, and the optimizer pushes that
+        # filter below any upstream exchange (repartition_for_width) by
+        # DUPLICATING the UDF — the plan then carries TWO
+        # ArrowEvalPython nodes, the first of which runs the whole
+        # sketch on the raw scan's partitioning (a single-file corpus =
+        # ONE serial task) before the fan-out. The flag forbids the
+        # optimizer from re-evaluating/reordering the call; per-row
+        # output is unchanged (the sketch is genuinely deterministic).
+        _sig_nd = _sig.asNondeterministic()
         return (
-            df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
+            df.select(F.col(id_col).alias("id"), _sig_nd(F.col(text_col)).alias("signature"))
             .filter(F.col("signature").isNotNull())
         )
 

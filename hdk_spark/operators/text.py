@@ -435,7 +435,19 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Tokenization is materialized ONCE into array columns behind a
     non-deterministic barrier (stops CollapseProject from inlining the
     split into each of the ~7 consumers — measured 2-3x on the sf0.1
-    profile). Semantics identical to composing the public functions."""
+    profile). Semantics identical to composing the public functions.
+
+    The input is fanned out to core-count partitions first
+    (:func:`~hdk_spark.operators.dedup.repartition_for_width`, same
+    rationale as the minhash sketch): the profile is pure per-row CPU
+    (interpreted higher-order functions over the token arrays), and a
+    small single-file corpus arrives as ONE scan partition, serializing
+    the whole profile into a single task. At real scale the scan
+    already has enough splits and the fan-out is a no-op; row values
+    are unchanged either way (only partitioning/row order move)."""
+    from hdk_spark.operators.dedup import repartition_for_width
+
+    df = repartition_for_width(df)
     t = F.col(text_col)
     staged = df.select(
         F.col(id_col), t.alias("__text"),
