@@ -104,6 +104,46 @@ def test_minhash_lsh_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_minhash_sketch_udf_evaluated_once(spark):
+    """The §4.4 duplication pin (r14): the sketch pandas UDF's isNotNull
+    filter must NOT be pushed below the fan-out exchange by duplicating
+    the UDF — the duplicated copy ran the whole sketch serially on the
+    raw scan's partitioning (one task for a single-file corpus). The
+    nondeterministic flag keeps exactly ONE Python eval node, placed
+    ABOVE the exchange."""
+    from hdk_spark.operators.dedup import (
+        minhash_signatures,
+        repartition_for_width,
+    )
+
+    df = minhash_signatures(
+        repartition_for_width(spark.table("documents")), "doc_id", "text"
+    )
+    p = plan(df)
+    # one eval node total (the plan prints each node once per id)
+    import re
+
+    evals = re.findall(r"\(\d+\) ArrowEvalPython", p)
+    assert len(evals) == 1, f"expected 1 ArrowEvalPython node, got {len(evals)}"
+    # and it sits above the round-robin exchange: the exchange's input
+    # must not contain a pythonUDF column
+    m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert m is not None and "pythonUDF" not in m.group(1), (
+        "the fan-out exchange should carry raw rows, not UDF output "
+        f"(got inputs: {m and m.group(1)})"
+    )
+
+
+def test_analyze_fans_out_single_partition_input(spark):
+    """analyze() must not run the whole interpreted-HOF profile in one
+    task when the corpus arrives as a single scan partition (r14): its
+    plan carries the round-robin fan-out exchange."""
+    from hdk_spark.operators.text import analyze
+
+    p = plan(analyze(spark.table("documents")))
+    assert "RoundRobinPartitioning" in p
+
+
 def test_ngram_jaccard_joins_on_shingle_key(spark):
     from hdk_spark.operators.dedup import ngram_jaccard_pairs
 
