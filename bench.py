@@ -462,25 +462,25 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r14: stall-signature hardening (ADVICE r13) "
-                "— a drifted probe now counts as returned via the "
-                "immediate-stall signature (≥20% better than its own "
-                "first pass) ONLY when it is ALSO within an absolute "
-                "1.25× of the previous round; without the cap a "
-                "genuine regression with ≥20% run-to-run variance "
-                "could auto-label itself ambient by bouncing off its "
-                "own stalled first pass while still far above last "
-                "round. Probes that returned via the capped stall "
-                "signature alone (not band re-entry) are listed in "
-                "stall_only_returns so the artifact distinguishes the "
-                "two at a glance. The r13 gate semantics otherwise "
-                "hold: per-query >25% OR total >15% triggers; drifted "
-                "queries' probes alone decide (padding never votes); "
-                "slower-both-ways and stall-but-past-cap both read "
-                "reproducible — the conservative direction (a false "
-                "'reproducible' prompts an idle re-bench, never hides "
-                "a regression). Defaults remain crc32/xxhash64/"
-                "vectorized, oracle bases contract-side",
+                "notes": "r14 OPTIMIZATION round: (1) q7's minhash "
+                "sketch UDF was being evaluated TWICE — the isNotNull "
+                "filter on its output was pushed below the fan-out "
+                "repartition by duplicating the Arrow UDF, running the "
+                "whole sketch serially on the raw scan's partitioning "
+                "(one task for a single-file corpus) before the "
+                "parallel pass; asNondeterministic() pins one "
+                "ArrowEvalPython above the exchange (guide §4.4; "
+                "interleaved A/B of the signature stage: 1.16-5.8 s -> "
+                "0.51-0.66 s; plan-regression test added). (2) q8's "
+                "analyze() had NO exchange — the whole interpreted-HOF "
+                "profile ran in ONE task on single-file input; it now "
+                "fans out to core-count partitions (no-op at scale). "
+                "Row values unchanged on both paths (oracle-verified). "
+                "Timing methodology unchanged from r13 (noop sink, "
+                "best-of-N, ramped cores, drift gate incl. the r14 "
+                "stall-signature 1.25x cap from ADVICE r13). Defaults "
+                "remain crc32/xxhash64/vectorized, oracle bases "
+                "contract-side",
             }
         )
     )
