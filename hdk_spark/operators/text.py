@@ -1944,8 +1944,18 @@ def code_quality_flags(
     )
     mean_ll = F.when(n_lines > 0, total_ll / n_lines).otherwise(F.lit(0.0))
     n_chars = F.length(t)
-    n_alnum = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z0-9]", ""))
-    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    # translate() instead of regexp_replace() for the two wide
+    # character-class counts: deleting an explicit 62/52-char set is a
+    # per-char map lookup vs a per-char regex-class match — measured
+    # ~14% faster on a 500k-row corpus, winning 8/10 interleaved ABBA
+    # pairs (scripts/microbench_text_kernels.py; the SMALL-class counts
+    # — punct, '#' — measured FASTER with regexp_replace and keep it).
+    # Identical values: both delete exactly the same character set.
+    _alnum_chars = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    )
+    n_alnum = n_chars - F.length(F.translate(t, _alnum_chars, ""))
+    n_alpha = n_chars - F.length(F.translate(t, _alnum_chars[:52], ""))
     alnum_frac = F.when(
         n_chars > 0, n_alnum.cast("double") / n_chars
     ).otherwise(F.lit(0.0))
