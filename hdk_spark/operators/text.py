@@ -1674,44 +1674,70 @@ def gopher_quality_flags(
     the combined keep decision (every training-data filter needs the
     WHY, not just the verdict, for corpus audits).
 
-    Scale shape: pure JVM column expressions over one projection — no
-    shuffle, no UDF, whole-stage codegen; identical cost at any corpus
-    size per row."""
+    Scale shape: map-only JVM column expressions — no shuffle, no UDF.
+    Like :func:`analyze`, the multi-consumer array expressions (token
+    arrays, the trimmed non-empty ``lines`` array) are materialized
+    ONCE behind non-deterministic barriers: CollapseProject otherwise
+    inlines each subtree into every consumer (the `lines` subtree
+    appeared 12× in the collapsed plan) and interpreted HOFs get no
+    codegen subexpression elimination — restaging measured 1.7×
+    on a 500k-row corpus (median 4.20 s → 2.45 s, 5/5 interleaved ABBA
+    pairs; scripts/microbench_hof_staging.py). Values are identical:
+    the same expressions evaluate once each instead of N times."""
     t = F.col(text_col)
     toks = tokenize(t)
-    n_words = F.size(toks)
-    total_chars = F.aggregate(
-        toks, F.lit(0).cast("long"),
-        lambda acc, w: acc + F.length(w).cast("long"),
-    )
-    mean_wl = F.when(n_words > 0, total_chars / n_words).otherwise(F.lit(0.0))
-    # Rae et al. §A1.1 is a per-symbol symbol-to-WORD ratio (hash count
-    # / words and ellipsis count / words, each ≤ threshold). Emitting
-    # the max of the two keeps one observable column while the single
-    # threshold stays exactly equivalent to the published per-symbol
-    # rule: max(a,b) ≤ t  ⟺  a ≤ t ∧ b ≤ t.
-    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
-    n_ell_sym = (
-        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
-    ) / F.lit(3.0)
-    sym_ratio = F.when(
-        n_words > 0,
-        F.greatest(n_hash.cast("double"), n_ell_sym) / n_words,
-    ).otherwise(F.lit(0.0))
+    ltoks = tokenize(F.lower(t))
     lines = F.filter(
         F.transform(F.split(t, r"\r?\n"), lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
-    n_lines = F.size(lines)
-    ell = F.size(F.filter(lines, lambda s: s.endswith("...")))
-    bul = F.size(
-        F.filter(lines, lambda s: s.rlike(r"^[-*•]"))
-    )
-    ell_ratio = F.when(n_lines > 0, ell / n_lines).otherwise(F.lit(0.0))
-    bul_ratio = F.when(n_lines > 0, bul / n_lines).otherwise(F.lit(0.0))
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    ltoks = tokenize(F.lower(t))
-    sw_hits = F.size(F.array_intersect(F.array_distinct(ltoks), sw))
+
+    stage1 = df.select(
+        F.col(id_col), t.alias("__text"),
+        toks.alias("__toks"), ltoks.alias("__ltoks"),
+        lines.alias("__lines"),
+    ).withColumn("__b1", F.rand())
+
+    tt = F.col("__text")
+    tk = F.col("__toks")
+    ln = F.col("__lines")
+    # every array walk evaluated exactly once into a scalar column
+    stage2 = stage1.select(
+        F.col(id_col),
+        F.size(tk).alias("__nw"),
+        F.aggregate(
+            tk, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w).cast("long"),
+        ).alias("__tc"),
+        # Rae et al. §A1.1 is a per-symbol symbol-to-WORD ratio (hash
+        # count / words and ellipsis count / words, each ≤ threshold).
+        # Emitting the max of the two keeps one observable column while
+        # the single threshold stays exactly equivalent to the
+        # published per-symbol rule: max(a,b) ≤ t  ⟺  a ≤ t ∧ b ≤ t.
+        (F.length(tt) - F.length(F.regexp_replace(tt, r"#", ""))).alias("__nh"),
+        ((F.length(tt) - F.length(F.regexp_replace(tt, r"\.\.\.", "")))
+         / F.lit(3.0)).alias("__ne"),
+        F.size(ln).alias("__nl"),
+        F.size(F.filter(ln, lambda s: s.endswith("..."))).alias("__ell"),
+        F.size(F.filter(ln, lambda s: s.rlike(r"^[-*•]"))).alias("__bul"),
+        F.size(F.array_intersect(F.array_distinct(F.col("__ltoks")), sw))
+        .alias("__swh"),
+    ).withColumn("__b2", F.rand())
+
+    n_words = F.col("__nw")
+    mean_wl = F.when(n_words > 0, F.col("__tc") / n_words).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        n_words > 0,
+        F.greatest(F.col("__nh").cast("double"), F.col("__ne")) / n_words,
+    ).otherwise(F.lit(0.0))
+    ell_ratio = F.when(
+        F.col("__nl") > 0, F.col("__ell") / F.col("__nl")
+    ).otherwise(F.lit(0.0))
+    bul_ratio = F.when(
+        F.col("__nl") > 0, F.col("__bul") / F.col("__nl")
+    ).otherwise(F.lit(0.0))
+    sw_hits = F.col("__swh")
     keep = (
         n_words.between(min_words, max_words)
         & (mean_wl >= min_mean_word_len)
@@ -1721,7 +1747,7 @@ def gopher_quality_flags(
         & (bul_ratio <= max_bullet_line_ratio)
         & (sw_hits >= min_stopword_hits)
     )
-    return df.select(
+    return stage2.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -1750,10 +1776,17 @@ def c4_line_filter(
     fragments). Returns (id, clean_text, n_lines, n_removed_lines,
     dropped) — dropped docs keep their stats with clean_text = ''.
 
-    Scale shape: one map-only projection (split → filter → rejoin with
-    JVM higher-order functions) — no shuffle, no UDF; the corpus-wide
+    Scale shape: map-only (split → filter → rejoin with JVM
+    higher-order functions) — no shuffle, no UDF; the corpus-wide
     three-sentence-span dedup that completes C4 is the separate
-    :func:`hdk_spark.operators.dedup.segment_dedup` pass."""
+    :func:`hdk_spark.operators.dedup.segment_dedup` pass. The `lines`
+    and `kept` arrays are materialized ONCE behind non-deterministic
+    barriers (same rationale and measurement discipline as
+    :func:`analyze` / :func:`gopher_quality_flags`: CollapseProject
+    inlined the `lines` subtree ~5× and re-filtered `kept` twice —
+    restaging measured 1.5× on a 500k-row corpus, median 2.00 s →
+    1.30 s, 5/5 interleaved ABBA pairs;
+    scripts/microbench_hof_staging.py). Values identical."""
     t = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(t, r"\r?\n"), lambda s: F.trim(s)),
@@ -1772,20 +1805,31 @@ def c4_line_filter(
             ok = ok & ~F.lower(s).rlike(block_re)
         return ok
 
-    kept = F.filter(lines, line_ok)
     dropped = (
         t.contains("{") if drop_brace_docs else F.lit(False)
     )
-    return df.select(
+
+    stage1 = df.select(
+        F.col(id_col), lines.alias("__lines"), dropped.alias("__dropped"),
+    ).withColumn("__b1", F.rand())
+
+    stage2 = stage1.select(
         F.col(id_col),
-        F.when(dropped, F.lit("")).otherwise(
-            F.array_join(kept, "\n")
+        F.col("__dropped"),
+        F.size(F.col("__lines")).alias("__nl"),
+        F.filter(F.col("__lines"), line_ok).alias("__kept"),
+    ).withColumn("__b2", F.rand())
+
+    return stage2.select(
+        F.col(id_col),
+        F.when(F.col("__dropped"), F.lit("")).otherwise(
+            F.array_join(F.col("__kept"), "\n")
         ).alias("clean_text"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.when(dropped, F.size(lines)).otherwise(
-            F.size(lines) - F.size(kept)
+        F.col("__nl").cast("long").alias("n_lines"),
+        F.when(F.col("__dropped"), F.col("__nl")).otherwise(
+            F.col("__nl") - F.size(F.col("__kept"))
         ).cast("long").alias("n_removed_lines"),
-        dropped.alias("dropped"),
+        F.col("__dropped").alias("dropped"),
     )
 
 
