@@ -12094,8 +12094,16 @@ def q_chat_sft_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    from hdk_spark.functions.scalar import nd_identity
+
+    # nd_identity stages the PLANTED conversation JSON once: the
+    # packer consumes the column several times, and a deterministic
+    # alias would be re-inlined (and re-built) per consumer by
+    # CollapseProject — plan-audited ×5 before the r14 staging. Real
+    # (columnar) inputs don't need this; only the planted expression
+    # does. Values are unchanged (nd_identity is the identity).
     planted = spark.table("documents").select(
-        "doc_id", conv.alias("conversation")
+        "doc_id", nd_identity(conv).alias("conversation")
     )
     out = sft_pack_export(planted, budget=40, n_shards=4, seed=0)
     return out.select(

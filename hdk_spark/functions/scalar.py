@@ -409,3 +409,27 @@ def scalar_function(name: str, *args) -> Column:
     if key == "offset_in_fragment":
         return offset_in_fragment()
     raise ValueError(f"unsupported scalar function: {name}")
+
+
+# ---------------------------------------------------------------------------
+# optimizer barriers (r14)
+# ---------------------------------------------------------------------------
+
+
+def nd_identity(c: Column) -> Column:
+    """Value-exact identity that is NON-DETERMINISTIC to the optimizer:
+    ``element_at(shuffle(array(c)), 1)`` — shuffling a 1-element array
+    is the identity, and no simplification rule looks through shuffle.
+
+    Use on ONE consumed column of a staging projection to keep
+    CollapseProject from re-inlining the stage's expensive expressions
+    into every consumer and PushDownPredicate from substituting them
+    into filters (both rules refuse when any project field is
+    non-deterministic). Unlike a bare ``F.rand()`` barrier column,
+    this survives ColumnPruning because the column is genuinely
+    consumed; unlike ``rand() < -1`` filter guards, it cannot be
+    constant-folded away (the rand-range rule).
+
+    Cost: one 1-element array wrap per row. Do NOT use on columns a
+    consumer must push predicates through for scan pruning."""
+    return F.element_at(F.shuffle(F.array(c)), 1)

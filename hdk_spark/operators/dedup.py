@@ -70,20 +70,60 @@ def exact_dedup_digest(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array<string> column.
+def _shingles_from_toks(toks, n: int = 3):
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column (an attribute reference, not the split expression —
+    pass ``F.col('__toks')`` staged behind a barrier, so the tokenizer
+    runs once per row no matter how many slices reference it).
 
     Built with slice + zip_with so every reference to the token array
     sits at a higher-order-function *input* position (evaluated once
     per row). Referencing it from inside a lambda body would re-run
-    the split per element — O(words²) string work per doc."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    the producing expression per element — O(words²) string work per
+    doc when the input is the raw split."""
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     parts = [F.slice(toks, j + 1, k) for j in range(n)]
     sh = parts[0]
     for p in parts[1:]:
         sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
     return F.array_distinct(sh)
+
+
+def _shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array<string> column, built
+    directly over the tokenizing split. Plan-audit note (r14): the
+    inner split appears ~2n times in this expression's plan text
+    (each slice carries the token array AND its size), and interpreted
+    HOF arguments get no codegen subexpression elimination — prefer
+    :func:`_shingle_frame` / :func:`_shingles_from_toks` over a staged
+    token column wherever the operator controls the projection."""
+    return _shingles_from_toks(F.split(F.trim(F.lower(text_col)), r"\s+"), n)
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh, n_sh) with the tokenizer and the shingle array each
+    materialized exactly ONCE per row behind non-deterministic barriers
+    (a dropped ``F.rand()`` column blocks CollapseProject — the r14
+    staging idiom from text.analyze): without them, CollapseProject
+    inlines the shingle subtree into every consumer (sh, n_sh, the
+    explode), and each inlined copy re-runs the split ~2n times
+    (plan-audited ×18 in dedup_ngram_jaccard before the fix)."""
+    toksd = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).withColumn("__b1", F.rand())
+    shd = toksd.select(
+        "id", _shingles_from_toks(F.col("__toks"), n).alias("sh")
+    ).withColumn("__b2", F.rand())
+    # coalesce makes n_sh non-nullable: NULL-text rows (sh NULL) never
+    # survive the explode+isNotNull downstream, so the 0 is never
+    # observed — but a nullable n_sh lets InferFiltersFromConstraints
+    # derive isnotnull(n_sh) from the final jaccard filter and push it
+    # to the scan with the WHOLE shingle chain substituted in (one
+    # extra full-chain eval per row on each self-join side).
+    return shd.select(
+        "id", "sh", F.coalesce(F.size("sh"), F.lit(0)).alias("n_sh")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -117,10 +157,17 @@ def ngram_jaccard_pairs(
     mostly stop-shingles degrades gracefully). ``None`` disables the cap
     (exact — what the SQL oracle expresses).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    sh = _shingle_frame(df, id_col, text_col, n)
+    # explode_outer + isNotNull ≡ explode here (shingle elements are
+    # never NULL: concat_ws never yields NULL), chosen because plain
+    # explode triggers InferFiltersFromGenerate, whose size(sh) > 0
+    # filter is pushed below the staging projections by alias
+    # substitution and re-runs the WHOLE shingle chain per row at the
+    # scan — in every self-join branch (plan-audited: 4 extra
+    # full-chain Filter evals before this form).
+    exploded = sh.select(
+        "id", "n_sh", F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
     if max_doc_freq is not None:
         # DF count shuffles on the same key as the self-join below, and
         # the semi-join keeps the posting lists bounded before they can
@@ -325,16 +372,26 @@ def minhash_signatures(
         def base_hash(s):
             return F.crc32(F.encode(s, "utf-8")).cast("long")
 
-    hashed = df.select(
+    # staged (r14): tokenizer materialized once (the shingle
+    # expression's plan text otherwise carries the split ~2n times),
+    # and the non-empty filter moved ABOVE the barrier — below it,
+    # PushDownPredicate substitutes the alias and re-evaluates the
+    # whole shingle+hash chain a second time just for the filter.
+    toksd = df.select(
         F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).withColumn("__b0", F.rand(seed))
+    hashed = toksd.select(
+        "id",
         F.transform(
-            _shingles(F.col(text_col), n),
+            _shingles_from_toks(F.col("__toks"), n),
             lambda s: F.pmod(base_hash(s), F.lit(_MERSENNE)),
         ).alias("hs"),
-    ).filter(F.size("hs") > 0)
+    )
     # Barrier: stops CollapseProject from inlining the shingle+hash
     # expression into each of the num_perm references below.
     hashed = hashed.withColumn("__barrier", F.rand(seed))
+    hashed = hashed.filter(F.size("hs") > 0)
 
     def _perm_min(a: int, b: int):
         return F.array_min(
@@ -827,9 +884,19 @@ def embedding_neardup_pairs(
         base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")),
         "id_b",
     )
+    from hdk_spark.functions.scalar import nd_identity
+
+    # staged (r14): the exact-rescore dot product is computed ONCE per
+    # candidate pair — a deterministic cosine alias gets its ≥ filter
+    # pushed into the join condition AND re-inlined into the output
+    # projection (two aggregate(zip_with(…)) evals per pair,
+    # plan-audited). nd_identity blocks the substitution; row volume
+    # is unchanged (the condition was evaluated post-match anyway).
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        paired.withColumn("cosine", cos)
+        paired.select(
+            "id_a", "id_b", nd_identity(cos).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", round6("cosine").alias("cosine"))
     )
@@ -1064,11 +1131,23 @@ def contamination_flags(
     for t in benchmark_texts:
         bench |= _py_shingles(t, n)
     lit = F.array(*[F.lit(s) for s in sorted(bench)])
-    overlap = F.size(F.array_intersect(_shingles(F.col(text_col), n), lit))
-    return df.select(
+    # staged (r14): tokenizer then overlap count each materialized once
+    # behind a barrier — the collapsed form re-ran the shingle subtree
+    # (and its ~2n inner splits) once per consumer (plan-audited ×12)
+    toksd = df.select(
         F.col(id_col).alias("id"),
-        overlap.cast("bigint").alias("n_overlap"),
-        (overlap >= F.lit(min_overlap)).alias("contaminated"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).withColumn("__b1", F.rand())
+    ovd = toksd.select(
+        "id",
+        F.size(F.array_intersect(_shingles_from_toks(F.col("__toks"), n), lit))
+        .cast("bigint")
+        .alias("n_overlap"),
+    ).withColumn("__b2", F.rand())
+    return ovd.select(
+        "id",
+        "n_overlap",
+        (F.col("n_overlap") >= F.lit(min_overlap)).alias("contaminated"),
     )
 
 
@@ -1176,9 +1255,19 @@ def _contamination_bloom_impl(
             "m_bits > 2^22 would collect an oversized bitset; "
             "use a broadcast join on the word index instead"
         )
-    ev = eval_df.select(
-        F.explode(_shingles(F.col(eval_text_col), n)).alias("s")
-    ).distinct()
+    # staged (r14): the shingle expression's plan text carries the
+    # tokenizing split ~2n times (slice args) — stage the token array
+    # once so the eval pass splits each text once
+    ev = (
+        eval_df.select(
+            F.split(F.trim(F.lower(F.col(eval_text_col))), r"\s+").alias(
+                "__toks"
+            )
+        )
+        .withColumn("__b1", F.rand())
+        .select(F.explode(_shingles_from_toks(F.col("__toks"), n)).alias("s"))
+        .distinct()
+    )
     arr = _collect_bloom_bitset(ev, m_bits, k_hashes)
 
     if impl == "pandas":
@@ -1245,15 +1334,31 @@ def _contamination_bloom_impl(
 
     # coalesce: NULL text → NULL shingle array → size() NULL; the
     # pandas impl yields 0/False there, and the two impls promise
-    # identical flags
+    # identical flags. Staged (r14): tokenizer then hit count each
+    # materialized once behind a barrier — the collapsed form re-ran
+    # the whole probe per consumer column.
     n_hit = F.coalesce(
-        F.size(F.filter(_shingles(F.col(text_col), n), all_bits_set)),
+        F.size(
+            F.filter(_shingles_from_toks(F.col("__toks"), n), all_bits_set)
+        ),
         F.lit(0),
     )
-    return df.crossJoin(F.broadcast(bits_df)).select(
-        F.col(id_col).alias("id"),
-        n_hit.cast("bigint").alias("n_hit_shingles"),
-        (n_hit >= F.lit(min_overlap)).alias("contaminated"),
+    toksd = (
+        df.crossJoin(F.broadcast(bits_df))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("__bloom_bits"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+        )
+        .withColumn("__b1", F.rand())
+    )
+    hitd = toksd.select(
+        "id", n_hit.cast("bigint").alias("n_hit_shingles")
+    ).withColumn("__b2", F.rand())
+    return hitd.select(
+        "id",
+        "n_hit_shingles",
+        (F.col("n_hit_shingles") >= F.lit(min_overlap)).alias("contaminated"),
     )
 
 

@@ -71,11 +71,35 @@ def bm25_topk(
     ).collect()[0]
     avgdl, n_docs = float(stats["avgdl"]), int(stats["n_docs"])
 
+    # staged (r14): ONE token walk per term, materialized into an
+    # array column — the previous form inlined each term's
+    # size(filter(__toks, …)) walk twice into the score (numerator +
+    # denominator), and the .filter(score > 0) was then pushed below
+    # the projection with the WHOLE score expression substituted in,
+    # re-running every walk a second time per row at the scan
+    # (plan-audited: the full tokenize+filter chain sat in both the
+    # scan Filter and the Project).
+    tfs = F.array(
+        *[
+            F.size(F.filter("__toks", lambda x: x == F.lit(t))).cast("double")
+            for t in query_terms
+        ]
+    )
+    # the appended rand() element is never read (element_at positions
+    # 1..T below) — it exists to make the ALIAS expression
+    # non-deterministic, which forbids both CollapseProject and
+    # PushDownPredicate from substituting the walk array into
+    # consumers (a bare rand() barrier column gets column-pruned and
+    # the protection evaporates; comparisons like rand() < -1 get
+    # constant-folded by the rand-range rule)
+    staged2 = staged.select(
+        "id", "__dl", F.array_append(tfs, F.rand()).alias("__tfs")
+    )
     score = F.lit(0.0)
     for i, t in enumerate(query_terms):
         df_t = int(stats[f"df_{i}"])
         idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-        tf = F.size(F.filter("__toks", lambda x: x == F.lit(t))).cast("double")
+        tf = F.element_at("__tfs", i + 1)
         score = score + F.lit(idf) * (
             tf
             * F.lit(k1 + 1.0)
@@ -83,7 +107,7 @@ def bm25_topk(
         )
 
     return (
-        staged.select("id", F.round(score, 6).alias("score"))
+        staged2.select("id", F.round(score, 6).alias("score"))
         .filter(F.col("score") > 0.0)
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
@@ -110,8 +134,12 @@ def build_text_index(
     staged = df.select(
         F.col(id_col).alias("id"), toks.alias("__toks")
     ).withColumn("dl", F.size("__toks").cast("long"))
+    # explode_outer + isNotNull ≡ explode (tokens are never NULL) and
+    # keeps InferFiltersFromGenerate from re-running the tokenizer in
+    # a pushed-down scan filter (r14, plan-audited ×3)
     postings = (
-        staged.select("id", F.explode("__toks").alias("term"))
+        staged.select("id", F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term", "id")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )

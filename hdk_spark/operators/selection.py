@@ -39,11 +39,19 @@ def _grams(df: DataFrame, id_col: str, text_col: str,
     hashed feature set. NULL/empty text yields NO grams (split of ''
     would emit one empty token — guarded, the token_count
     convention). One explode; no shuffle."""
-    toks = F.when(
+    # staged (r14): tokenizer in its own projection — the bigram
+    # zip_with otherwise inlines one split copy per slice/size
+    # reference (plan-audited ×5); explode_outer + isNotNull ≡
+    # explode (gram elements are never NULL; the array is NULL only
+    # for NULL text) and avoids InferFiltersFromGenerate re-running
+    # the chain in a pushed-down scan filter.
+    toks0 = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast(
             "array<string>"
         )
     ).otherwise(tokenize(F.lower(F.col(text_col))))
+    staged = df.select(F.col(id_col).alias("id"), toks0.alias("__toks"))
+    toks = F.col("__toks")
     grams = toks
     if use_bigrams:
         n = F.size(toks)
@@ -53,8 +61,9 @@ def _grams(df: DataFrame, id_col: str, text_col: str,
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
         grams = F.concat(toks, bi)
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    return (
+        staged.select("id", F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
     )
 
 

@@ -971,17 +971,28 @@ def mine_contrastive_pairs(
             mode=mode, n_planes=n_planes, n_tables=n_tables, seed=seed,
             dim=dim,
         )
+        # explode both directions in ONE pass (r14): the previous
+        # union of two selects over `pairs` duplicated the whole
+        # candidate-join + exact-rescore subtree — Spark recomputes a
+        # DAG-shared relation per union branch. Same rows, same
+        # columns; downstream is a window + groupBy, so row order is
+        # irrelevant.
         sym = pairs.select(
-            F.col("id_a").alias("anchor"),
-            F.col("id_b").alias("other"),
-            "cosine",
-        ).union(
-            pairs.select(
-                F.col("id_b").alias("anchor"),
-                F.col("id_a").alias("other"),
-                "cosine",
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("anchor"),
+                        F.col("id_b").alias("other"),
+                        F.col("cosine"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("anchor"),
+                        F.col("id_a").alias("other"),
+                        F.col("cosine"),
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.anchor", "__e.other", "__e.cosine")
     else:
         sym = _asym_anchor_pairs(
             df, id_col, vec_col, neg_lo, n_planes, n_tables, seed,

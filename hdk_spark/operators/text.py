@@ -869,18 +869,30 @@ def bigram_logprob(
     """
 
     def explode_bigrams(frame: DataFrame, tcol: str, keep_id: bool) -> DataFrame:
-        toks = tokenize(F.lower(F.col(tcol)))
+        # staged (r14): tokenizer in its OWN projection (the slice
+        # arguments otherwise each inline their own copy of the
+        # split); explode_outer + isNotNull ≡ explode (zip_with
+        # elements are structs, never NULL; bg NULL ⇔ NULL text) and
+        # avoids InferFiltersFromGenerate re-running the whole chain
+        # in a pushed-down scan filter.
         cols = [F.col(id_col)] if keep_id else []
-        return frame.select(
-            *cols,
-            F.explode(
-                F.zip_with(
-                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("bg"),
-        ).select(*cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        staged = frame.select(
+            *cols, tokenize(F.lower(F.col(tcol))).alias("__toks")
+        )
+        toks = F.col("__toks")
+        k = F.greatest(F.size(toks) - 1, F.lit(0))
+        bg = F.zip_with(
+            F.slice(toks, 1, k),
+            F.slice(toks, 2, k),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return (
+            staged.select(*cols, F.explode_outer(bg).alias("bg"))
+            .filter(F.col("bg").isNotNull())
+            .select(
+                *cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+            )
+        )
 
     bigrams = explode_bigrams(df, text_col, keep_id=True)
     if model_df is not None:
@@ -1005,7 +1017,19 @@ def trigram_logprob(
     hashed = basis == "xxhash64"
 
     def positions(frame: DataFrame, tcol: str, keep_id: bool) -> DataFrame:
-        toks = tokenize(F.lower(F.col(tcol)))
+        # staged (r14): the tokenizer lands in its OWN projection so
+        # the in-lambda element_at references bind an attribute, not
+        # the split expression — inlined, each element re-ran the
+        # split (O(tokens²) string work per doc). explode_outer +
+        # isNotNull ≡ explode here (struct elements are never NULL;
+        # trip is NULL exactly when the doc has no tokens) and keeps
+        # InferFiltersFromGenerate from re-evaluating the whole
+        # transform chain in a pushed-down scan filter.
+        cols = [F.col(id_col)] if keep_id else []
+        staged = frame.select(
+            *cols, tokenize(F.lower(F.col(tcol))).alias("__toks")
+        )
+        toks = F.col("__toks")
         n = F.size(toks)
         trip = F.when(
             n >= 1,
@@ -1018,8 +1042,9 @@ def trigram_logprob(
                 ),
             ),
         )
-        cols = [F.col(id_col)] if keep_id else []
-        raw = frame.select(*cols, F.explode(trip).alias("t")).select(
+        raw = staged.select(
+            *cols, F.explode_outer(trip).alias("t")
+        ).filter(F.col("t").isNotNull()).select(
             *cols,
             F.col("t.w1").alias("w1"),
             F.col("t.w2").alias("w2"),
@@ -1310,7 +1335,13 @@ def hashed_linear_score(
     if len(w) != n_buckets:
         raise ValueError(f"need {n_buckets} weights, got {len(w)}")
     warr = F.array(*[F.lit(float(x)) for x in w])
-    toks = tokenize(F.lower(F.col(text_col)))
+    # staged (r14): tokenizer in its own projection — the collapsed
+    # form re-ran the split once per consumer (the fold input, the
+    # n_tokens count, and the score's divisor)
+    staged = df.select(
+        F.col(id_col), tokenize(F.lower(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
     bucket = lambda t: _md5_bucket(t, n_buckets)  # noqa: E731
     raw = F.aggregate(
         toks,
@@ -1319,7 +1350,7 @@ def hashed_linear_score(
     )
     n = F.size(toks)
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw / F.greatest(n, F.lit(1)).cast("double")))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         F.round(score, 6).alias("score"),
@@ -1374,15 +1405,23 @@ def train_quality_scorer(
     ``return_history=True``)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    toks = tokenize(F.lower(F.col(text_col)))
-    bl = F.transform(toks, lambda t: _md5_bucket(t, n_buckets))
+    # staged (r14): tokenizer in its own projection (the collapsed
+    # form split once for n and once for the bucket transform); the
+    # monotonically_increasing_id below it already blocks predicate
+    # pushdown into the scan
+    staged0 = df.filter(F.col(label_col).isNotNull()).select(
+        F.monotonically_increasing_id().alias("__rid"),
+        F.col(label_col).cast("double").alias("y"),
+        tokenize(F.lower(F.col(text_col))).alias("__toks"),
+    )
     base = (
-        df.filter(F.col(label_col).isNotNull())
-        .select(
-            F.monotonically_increasing_id().alias("__rid"),
-            F.col(label_col).cast("double").alias("y"),
-            F.size(toks).cast("long").alias("n"),
-            bl.alias("__bl"),
+        staged0.select(
+            "__rid",
+            "y",
+            F.size("__toks").cast("long").alias("n"),
+            F.transform(
+                "__toks", lambda t: _md5_bucket(t, n_buckets)
+            ).alias("__bl"),
         )
         .filter(F.col("n") >= 1)
     )
@@ -2244,7 +2283,17 @@ def kneser_ney_logprob(
         raise ValueError("discounts must lie in (0, 1)")
 
     def positions(frame: DataFrame, tcol: str, keep_id: bool) -> DataFrame:
-        toks = tokenize(F.lower(F.col(tcol)))
+        # staged (r14): tokenizer in its OWN projection so the
+        # in-lambda element_at references bind an attribute (inlined,
+        # each element re-ran the split — O(tokens²) per doc);
+        # explode_outer + isNotNull ≡ explode (structs never NULL,
+        # trip NULL ⇔ <3 tokens) and avoids the inferred size()>0
+        # scan filter re-evaluating the whole chain.
+        cols = [F.col(id_col)] if keep_id else []
+        staged = frame.select(
+            *cols, tokenize(F.lower(F.col(tcol))).alias("__toks")
+        )
+        toks = F.col("__toks")
         n = F.size(toks)
         trip = F.when(
             n >= 3,
@@ -2257,8 +2306,9 @@ def kneser_ney_logprob(
                 ),
             ),
         )
-        cols = [F.col(id_col)] if keep_id else []
-        return frame.select(*cols, F.explode(trip).alias("t")).select(
+        return staged.select(
+            *cols, F.explode_outer(trip).alias("t")
+        ).filter(F.col("t").isNotNull()).select(
             *cols,
             F.col("t.w1").alias("w1"),
             F.col("t.w2").alias("w2"),
@@ -2419,19 +2469,29 @@ def blocklist_gate(
         F.length(F.trim(F.col(text_col))) > 0,
         F.split(F.trim(F.lower(F.col(text_col))), _WS),
     ).otherwise(F.array().cast("array<string>"))
+    # staged (r14): tokenizer, then the matched-token array, each in
+    # their own projection — the collapsed form re-ran the tokenize
+    # once per consumer (n_tokens + the three hit columns, ×4 splits
+    # and ×3 full normalize+filter walks per row in the plan)
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
     norm = F.transform(
-        toks,
+        F.col("__toks"),
         lambda t: F.regexp_replace(
             F.regexp_replace(t, r"^[^a-z0-9]+", ""), r"[^a-z0-9]+$", ""
         ),
     )
     hits = F.filter(norm, lambda t: F.array_contains(lit_terms, t))
-    return df.select(
+    staged2 = staged.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(hits).cast("long").alias("n_hits"),
-        F.array_sort(F.array_distinct(hits)).alias("hit_terms"),
-        (F.size(hits) > F.lit(max_hits)).alias("blocked"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        hits.alias("__hits"),
+    )
+    return staged2.select(
+        F.col(id_col),
+        "n_tokens",
+        F.size("__hits").cast("long").alias("n_hits"),
+        F.array_sort(F.array_distinct("__hits")).alias("hit_terms"),
+        (F.size("__hits") > F.lit(max_hits)).alias("blocked"),
     )
 
 
@@ -2582,10 +2642,18 @@ def rouge_n(
 
     from hdk_spark.functions.scalar import round6
 
-    out = df.select(
+    # staged (r14): tokenizers in their own projection — grams()
+    # references its input from inside a transform lambda, and the
+    # inlined split re-ran per element (O(tokens²) per row)
+    staged = df.select(
         F.col(id_col),
-        grams(toks(ref_col)).alias("__gr"),
-        grams(toks(hyp_col)).alias("__gh"),
+        toks(ref_col).alias("__tr"),
+        toks(hyp_col).alias("__th"),
+    )
+    out = staged.select(
+        F.col(id_col),
+        grams(F.col("__tr")).alias("__gr"),
+        grams(F.col("__th")).alias("__gh"),
     ).select(
         F.col(id_col),
         F.size("__gr").cast("long").alias("ref_grams"),

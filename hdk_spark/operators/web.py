@@ -29,6 +29,13 @@ def _reg_domain(url) -> "F.Column":
     link edge use the same domain definition."""
     host = F.regexp_extract(url, _HOST, 1)
     labels = F.split(host, r"\.")
+    return _reg_domain_from(host, labels)
+
+
+def _reg_domain_from(host, labels) -> "F.Column":
+    """:func:`_reg_domain` over pre-materialized host/label columns —
+    pass staged attributes so the host regex and label split are not
+    re-inlined into every consumer (the r14 staging discipline)."""
     return F.when(
         F.size(labels) >= 2,
         F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
@@ -48,23 +55,32 @@ def url_features(
 
     Map-only: pure regexp/split/HOF composition, whole-stage codegen.
     """
+    # staged (r14): host regex, label split, path and scheme each
+    # materialized ONCE — the collapsed form re-ran the host
+    # regexp_extract + split once per consumer (reg_domain, tld, host:
+    # plan-audited ×5); every staged column is multi-referenced above,
+    # which keeps CollapseProject from re-inlining it
     url = F.col(url_col)
     host = F.regexp_extract(url, _HOST, 1)
-    labels = F.split(host, r"\.")
-    nlab = F.size(labels)
-    reg_domain = _reg_domain(url)
-    path = F.regexp_extract(url, _PATH, 2)
-    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
-    scheme = F.regexp_extract(url, _SCHEME, 1)
-    return df.select(
+    staged = df.select(
         "*",
-        scheme.alias("scheme"),
-        host.alias("host"),
-        reg_domain.alias("reg_domain"),
+        host.alias("__host"),
+        F.split(host, r"\.").alias("__labels"),
+        F.regexp_extract(url, _PATH, 2).alias("__path"),
+        F.regexp_extract(url, _SCHEME, 1).alias("__scheme"),
+    )
+    labels = F.col("__labels")
+    nlab = F.size(labels)
+    depth = F.size(F.filter(F.split("__path", "/"), lambda x: x != ""))
+    return staged.select(
+        *df.columns,
+        F.col("__scheme").alias("scheme"),
+        F.col("__host").alias("host"),
+        _reg_domain_from(F.col("__host"), labels).alias("reg_domain"),
         F.when(nlab >= 2, F.element_at(labels, -1)).otherwise(F.lit("")).alias("tld"),
-        path.alias("path"),
+        F.col("__path").alias("path"),
         depth.cast("long").alias("path_depth"),
-        (scheme == "https").alias("is_https"),
+        (F.col("__scheme") == "https").alias("is_https"),
     )
 
 
@@ -647,16 +663,45 @@ def link_graph(
     # both endpoints lowercase BEFORE domain extraction: hosts are
     # case-insensitive and a mixed-case page URL must not produce a
     # differently-cased edge endpoint than the same host as a target
+    # staged (r14): the collapsed form re-ran the target-host regex +
+    # label split once per consumer and the != '' filters were pushed
+    # down with the whole chain substituted (plan-audited ×9 host
+    # splits); host and labels are now materialized once per anchor
+    # and the filters substitute only cheap attribute arithmetic.
+    # explode_outer ≡ explode here: a NULL target (pages without
+    # anchors) fails the rlike filter exactly like explode dropping
+    # the row, and it keeps InferFiltersFromGenerate from re-running
+    # the href extraction in a pushed-down scan filter.
     ex = df.select(
         _reg_domain(F.lower(F.col(url_col))).alias("src_domain"),
-        F.explode(_href_targets(F.coalesce(F.col(html_col), F.lit("")))).alias(
-            "__target"
-        ),
+        F.explode_outer(
+            _href_targets(F.coalesce(F.col(html_col), F.lit("")))
+        ).alias("__target"),
+    )
+    from hdk_spark.functions.scalar import nd_identity
+
+    tgt = ex.filter(F.col("__target").rlike(r"^(?i)https?://"))
+    # nd_identity: the downstream != '' filters would otherwise be
+    # pushed below this projection with the host regex substituted in
+    # (PushDownPredicate substitutes through any deterministic
+    # projection regardless of expression cost)
+    staged = tgt.select(
+        "src_domain",
+        nd_identity(
+            F.regexp_extract(F.lower(F.col("__target")), _HOST, 1)
+        ).alias("__thost"),
+    )
+    staged2 = staged.select(
+        "src_domain",
+        "__thost",
+        F.split("__thost", r"\.").alias("__tlabels"),
     )
     return (
-        ex.filter(F.col("__target").rlike(r"^(?i)https?://"))
-        .select(
-            "src_domain", _reg_domain(F.lower(F.col("__target"))).alias("dst_domain")
+        staged2.select(
+            "src_domain",
+            _reg_domain_from(F.col("__thost"), F.col("__tlabels")).alias(
+                "dst_domain"
+            ),
         )
         .filter(
             (F.col("src_domain") != "")
@@ -709,8 +754,21 @@ def crawl_frontier(
     )
     if drop_seen:
         probed = probed.filter(~F.col("maybe_seen"))
-    feats = probed.select(
-        "*", _reg_domain(F.col("canonical_url")).alias("reg_domain")
+    # staged (r14): host regex and label split once each (_reg_domain
+    # over the attribute otherwise inlines the host extraction per
+    # label reference — plan-audited ×3)
+    feats0 = probed.select(
+        "*",
+        F.regexp_extract(F.col("canonical_url"), _HOST, 1).alias("__fhost"),
+    )
+    feats1 = feats0.select(
+        "*", F.split("__fhost", r"\.").alias("__flabels")
+    )
+    feats = feats1.select(
+        *probed.columns,
+        _reg_domain_from(F.col("__fhost"), F.col("__flabels")).alias(
+            "reg_domain"
+        ),
     )
     auth = authority.select(
         F.col("node").alias("reg_domain"),
@@ -817,13 +875,29 @@ def politeness_schedule(
 
     if per_host < 1:
         raise ValueError(f"per_host must be >= 1, got {per_host}")
-    dom = _reg_domain(canonical_url(F.col(url_col)))
-    staged = frontier.select(
-        F.col(url_col).alias("url"), dom.alias("reg_domain"),
-        (
-            F.col(priority_col).cast("long")
-            if priority_col is not None else F.lit(0).cast("long")
-        ).alias("__p"),
+    # staged (r14): canonical URL → host → labels each materialized
+    # once — _reg_domain over the inlined canonical_url chain re-ran
+    # the whole canonicalization per label reference (plan-audited ×8)
+    prio = (
+        F.col(priority_col).cast("long")
+        if priority_col is not None else F.lit(0).cast("long")
+    )
+    staged0 = frontier.select(
+        F.col(url_col).alias("url"),
+        prio.alias("__p"),
+        F.regexp_extract(
+            canonical_url(F.col(url_col)), _HOST, 1
+        ).alias("__host"),
+    )
+    staged1 = staged0.select(
+        "url", "__p", "__host", F.split("__host", r"\.").alias("__labels")
+    )
+    staged = staged1.select(
+        "url",
+        _reg_domain_from(F.col("__host"), F.col("__labels")).alias(
+            "reg_domain"
+        ),
+        F.col("__p"),
     )
     w = Window.partitionBy("reg_domain").orderBy(
         F.desc("__p"), F.asc("url")
@@ -870,14 +944,25 @@ def anchor_text_index(
     """
     from hdk_spark.operators.html import _HREF_VAL_RE
 
+    from hdk_spark.functions.scalar import nd_identity
+
+    # staged (r14): per-tag href/inner-text regexes materialized ONCE —
+    # the collapsed form re-ran them per consumer and the rlike/!=''
+    # filters were pushed below with the chains substituted
+    # (plan-audited ×6). nd_identity on __src makes the per-tag
+    # projection non-deterministic, which blocks both CollapseProject
+    # and predicate pushdown through it; explode_outer ≡ explode (a
+    # NULL tag's NULL href fails the rlike filter exactly like the
+    # dropped row) and avoids InferFiltersFromGenerate re-running the
+    # full-tag extraction in a scan filter.
     h = F.coalesce(F.col(html_col), F.lit(""))
     tags = F.regexp_extract_all(h, F.lit(_ANCHOR_TAG_RE), 0)
     src = _reg_domain(F.lower(F.col(url_col)))
     ex = df.select(
         src.alias("__src"),
-        F.explode(tags).alias("__tag"),
+        F.explode_outer(tags).alias("__tag"),
     ).select(
-        "__src",
+        nd_identity(F.col("__src")).alias("__src"),
         F.regexp_extract(F.col("__tag"), _HREF_VAL_RE, 1).alias("__href"),
         F.lower(
             F.trim(
@@ -891,11 +976,27 @@ def anchor_text_index(
             )
         ).alias("__txt"),
     )
-    good = ex.filter(
+    hosted = ex.filter(
         F.col("__href").rlike(r"^(?i)https?://") & (F.col("__txt") != "")
     ).select(
         "__src",
-        _reg_domain(F.lower(F.col("__href"))).alias("dst_domain"),
+        "__txt",
+        # nd_identity: keeps the downstream != filters from sinking
+        # below this projection with the host regex substituted in
+        nd_identity(
+            F.regexp_extract(F.lower(F.col("__href")), _HOST, 1)
+        ).alias("__dhost"),
+    )
+    good = hosted.select(
+        "__src",
+        "__txt",
+        "__dhost",
+        F.split("__dhost", r"\.").alias("__dlabels"),
+    ).select(
+        "__src",
+        _reg_domain_from(F.col("__dhost"), F.col("__dlabels")).alias(
+            "dst_domain"
+        ),
         "__txt",
     ).filter(
         (F.col("dst_domain") != "") & (F.col("dst_domain") != F.col("__src"))
