@@ -7463,7 +7463,13 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema, gate semantics, extraction text, dedup keep rule)
     changes the final rows."""
     _tables(spark, sf_dir)
-    return _crawl_stages(spark)["final"].orderBy("doc_id")
+    # persist=True (r14b): even this SINGLE action re-derives shared
+    # funnel stages per join branch (kept feeds ccnet AND the url
+    # join-back; annotated feeds dedup AND the survivor join), so the
+    # WARC parse ran multiple times in one job — measured 7.5 s → 5.3 s
+    # at sf0.01 (3 interleaved rounds). Intra-run caching only: the
+    # stages rebuild from the parquet inputs on every invocation.
+    return _crawl_stages(spark, persist=True)["final"].orderBy("doc_id")
 
 
 def _crawl_kept_cte() -> str:
@@ -7723,7 +7729,12 @@ def q_crawl_pipeline_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — bucket assignments shift vs crawl_pipeline, pinning that the
     model follows the last thinning stage."""
     _tables(spark, sf_dir)
-    return _crawl_stages(spark, max_per_domain=2)["final"].orderBy("doc_id")
+    # persist=True (r14b): same single-action branch-recompute fix as
+    # q_crawl_pipeline (measured there); the domain-cap stage adds one
+    # more join-back branch over the persisted relation.
+    return _crawl_stages(
+        spark, persist=True, max_per_domain=2
+    )["final"].orderBy("doc_id")
 
 
 SPARK_IMPLS["crawl_pipeline_capped"] = q_crawl_pipeline_capped

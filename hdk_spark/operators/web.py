@@ -58,17 +58,22 @@ def url_features(
     # staged (r14): host regex, label split, path and scheme each
     # materialized ONCE — the collapsed form re-ran the host
     # regexp_extract + split once per consumer (reg_domain, tld, host:
-    # plan-audited ×5); every staged column is multi-referenced above,
-    # which keeps CollapseProject from re-inlining it
+    # plan-audited ×5). r14b: multi-reference alone did NOT survive
+    # column pruning in consumers that keep only reg_domain
+    # (robots_filter's plan re-inlined the label split ×3), so the
+    # stages now carry dropped rand() barrier columns like every other
+    # r14 staging site; the split also runs over the __host ATTRIBUTE
+    # now instead of re-embedding the host regex (×2 → ×1 per row).
     url = F.col(url_col)
-    host = F.regexp_extract(url, _HOST, 1)
-    staged = df.select(
+    p0 = df.select(
         "*",
-        host.alias("__host"),
-        F.split(host, r"\.").alias("__labels"),
+        F.regexp_extract(url, _HOST, 1).alias("__host"),
         F.regexp_extract(url, _PATH, 2).alias("__path"),
         F.regexp_extract(url, _SCHEME, 1).alias("__scheme"),
-    )
+    ).withColumn("__ub0", F.rand())
+    staged = p0.select(
+        "*", F.split("__host", r"\.").alias("__labels")
+    ).withColumn("__ub1", F.rand())
     labels = F.col("__labels")
     nlab = F.size(labels)
     depth = F.size(F.filter(F.split("__path", "/"), lambda x: x != ""))
@@ -178,6 +183,108 @@ def canonical_url(url) -> "F.Column":
     )
 
 
+def _canonical_url_staged(
+    df: DataFrame,
+    url_col: str,
+    keep: "list[str]",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """``keep`` + ``out_col`` with :func:`canonical_url`'s VALUE
+    computed through staged projections (r14, guide §1.3): the single
+    Column form's plan text carries each intermediate — trim, the
+    fragment-stripped rest, hostport, tail, the query-param filter
+    split — once per consumer (the audited crawl_pipeline plan showed
+    the param split ×6 and the rest chain ×8 inside ONE canonical_url
+    evaluation), and interpreted HOF/regex arguments get no codegen
+    subexpression elimination. Here every intermediate is materialized
+    exactly once per row behind a dropped ``F.rand()`` barrier column
+    (the r14 staging idiom); the final assemble reads attributes only.
+    Measured ~1.2× median / ~1.4× best on a 200k-row replicated URL
+    corpus (ABBA, noop sink), bit-identical output incl. NULL/junk
+    rows.
+
+    Cost note: a filter on ``out_col`` pushed below the LAST
+    projection re-evaluates only the attribute-level assemble
+    (when/concat), never the regex chain — the barriers stop
+    substitution any deeper."""
+    kc = [F.col(c) for c in keep]
+    p0 = df.select(*kc, F.trim(F.col(url_col)).alias("__cu")).withColumn(
+        "__cb0", F.rand()
+    )
+    scheme = F.lower(
+        F.regexp_extract(F.col("__cu"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(F.col("__cu"), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"#.*$",
+        "",
+    )
+    p1 = p0.select(
+        *kc, "__cu", scheme.alias("__cscheme"), rest.alias("__crest")
+    ).withColumn("__cb1", F.rand())
+    hostport = F.regexp_extract(F.col("__crest"), r"^([^/?#]+)", 1)
+    p2 = p1.select(
+        *kc, "__cu", "__cscheme", "__crest", hostport.alias("__chp")
+    ).withColumn("__cb2", F.rand())
+    tail = F.substring(
+        F.col("__crest"), F.length(F.col("__chp")) + 1, F.lit(1 << 30)
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("__chp"), r"^([^:]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    port = F.regexp_extract(F.col("__chp"), r":(\d+)$", 1)
+    p3 = p2.select(
+        *kc,
+        "__cu",
+        "__cscheme",
+        tail.alias("__ctail"),
+        host.alias("__chost"),
+        port.alias("__cport"),
+    ).withColumn("__cb3", F.rand())
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("__ctail"), r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(F.col("__ctail"), r"\?(.*)$", 1)
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+        )
+    )
+    p4 = p3.select(
+        *kc,
+        "__cu",
+        "__cscheme",
+        "__chost",
+        "__cport",
+        path.alias("__cpath"),
+        kept_params.alias("__ckept"),
+    ).withColumn("__cb4", F.rand())
+    port_part = F.when(
+        (F.col("__cport") == "")
+        | ((F.col("__cscheme") == "http") & (F.col("__cport") == "80"))
+        | ((F.col("__cscheme") == "https") & (F.col("__cport") == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), F.col("__cport")))
+    query_part = F.when(
+        F.size("__ckept") > 0,
+        F.concat(F.lit("?"), F.array_join("__ckept", "&")),
+    ).otherwise(F.lit(""))
+    out = F.when(F.col("__cscheme") == "", F.lower(F.col("__cu"))).otherwise(
+        F.concat(
+            F.col("__cscheme"),
+            F.lit("://"),
+            F.col("__chost"),
+            port_part,
+            F.col("__cpath"),
+            query_part,
+        )
+    )
+    return p4.select(*kc, out.alias(out_col))
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",
@@ -194,10 +301,9 @@ def url_dedup(
     keeping every row's verdict instead of collapsing)."""
     from pyspark.sql.window import Window
 
-    cu = canonical_url(F.col(url_col))
     w = Window.partitionBy("canonical_url").orderBy(id_col)
     return (
-        df.select(F.col(id_col), F.col(url_col), cu.alias("canonical_url"))
+        _canonical_url_staged(df, url_col, [id_col, url_col])
         .withColumn(
             "group_size",
             F.count(F.lit(1)).over(
@@ -305,6 +411,14 @@ def domain_boilerplate_removal(
             else F.col("__line"),
         )
     )
+    # NOT persisted (r14b, measured and rejected): the line relation
+    # feeds three consumers, but the two heavy ones (line_pages and
+    # the anti-join probe side) shuffle on the SAME (reg_domain,
+    # __lkey) key and Spark's ReuseExchange already dedupes that
+    # shuffle — an internal persist only saves the totals branch's
+    # re-explode while paying a lines-sized cache write, and measured
+    # SLOWER (500k docs, 5 ABBA rounds: 2.79 s → 3.14 s median, 5/5
+    # pairs worse; sf0.1 was noise-level either way).
     pages = feats.groupBy("reg_domain").agg(
         F.countDistinct("id").alias("__npages")
     )
@@ -565,11 +679,15 @@ def build_url_seen_bloom(
     from hdk_spark.operators.dedup import _collect_bloom_bitset
 
     keys = (
-        corpus.select(canonical_url(F.col(url_col)).alias("s"))
+        _canonical_url_staged(corpus, url_col, [], out_col="s")
         # NULL urls canonicalize to NULL; a NULL key would fold NULL
         # bit positions into the bitset and crash the collect (ADVICE
         # r8). Probe-side already maps NULL -> False, so dropping here
-        # keeps build/probe totality symmetric.
+        # keeps build/probe totality symmetric. Staged form (r14): the
+        # pushed-down isNotNull re-evaluates only the attribute-level
+        # assemble, not the whole canonicalization chain (the collapsed
+        # Column form ran the full chain TWICE per row — once in the
+        # substituted scan filter, once in the project).
         .filter(F.col("s").isNotNull())
         .distinct()
     )
@@ -629,8 +747,11 @@ def url_seen_probe(
             out.append(hit)
         return pd.Series(out)
 
-    cu = canonical_url(F.col(url_col))
-    return df.withColumn("canonical_url", cu).withColumn(
+    # staged (r14): the canonicalization chain materializes once per
+    # row; the Arrow probe UDF and the output column then both read
+    # the attribute (the withColumn form re-inlined the chain into the
+    # UDF's input projection AND the output projection)
+    return _canonical_url_staged(df, url_col, list(df.columns)).withColumn(
         "maybe_seen", _probe(F.col("canonical_url"))
     )
 
@@ -672,10 +793,23 @@ def link_graph(
     # anchors) fails the rlike filter exactly like explode dropping
     # the row, and it keeps InferFiltersFromGenerate from re-running
     # the href extraction in a pushed-down scan filter.
-    ex = df.select(
-        _reg_domain(F.lower(F.col(url_col))).alias("src_domain"),
+    # src side staged too (r14b): _reg_domain over the inlined
+    # lower(url) re-ran the host regex once per label reference
+    # (×3 per page); host and labels now materialize once per page
+    # and the Generate projection reads attributes only.
+    pre0 = df.select(
+        F.regexp_extract(F.lower(F.col(url_col)), _HOST, 1).alias("__shost"),
+        F.col(html_col).alias("__html"),
+    ).withColumn("__sb0", F.rand())
+    pre1 = pre0.select(
+        "__shost", F.split("__shost", r"\.").alias("__slabels"), "__html"
+    ).withColumn("__sb1", F.rand())
+    ex = pre1.select(
+        _reg_domain_from(F.col("__shost"), F.col("__slabels")).alias(
+            "src_domain"
+        ),
         F.explode_outer(
-            _href_targets(F.coalesce(F.col(html_col), F.lit("")))
+            _href_targets(F.coalesce(F.col("__html"), F.lit("")))
         ).alias("__target"),
     )
     from hdk_spark.functions.scalar import nd_identity
@@ -882,12 +1016,11 @@ def politeness_schedule(
         F.col(priority_col).cast("long")
         if priority_col is not None else F.lit(0).cast("long")
     )
-    staged0 = frontier.select(
-        F.col(url_col).alias("url"),
-        prio.alias("__p"),
-        F.regexp_extract(
-            canonical_url(F.col(url_col)), _HOST, 1
-        ).alias("__host"),
+    pre = frontier.select(F.col(url_col).alias("url"), prio.alias("__p"))
+    staged0 = _canonical_url_staged(pre, "url", ["url", "__p"]).select(
+        "url",
+        "__p",
+        F.regexp_extract(F.col("canonical_url"), _HOST, 1).alias("__host"),
     )
     staged1 = staged0.select(
         "url", "__p", "__host", F.split("__host", r"\.").alias("__labels")
@@ -955,10 +1088,21 @@ def anchor_text_index(
     # NULL tag's NULL href fails the rlike filter exactly like the
     # dropped row) and avoids InferFiltersFromGenerate re-running the
     # full-tag extraction in a scan filter.
-    h = F.coalesce(F.col(html_col), F.lit(""))
-    tags = F.regexp_extract_all(h, F.lit(_ANCHOR_TAG_RE), 0)
-    src = _reg_domain(F.lower(F.col(url_col)))
-    ex = df.select(
+    # src side staged too (r14b): _reg_domain over the inlined
+    # lower(url) re-ran the host regex once per label reference
+    # (×3 per page); host/labels materialize once per page.
+    pre0 = df.select(
+        F.regexp_extract(F.lower(F.col(url_col)), _HOST, 1).alias("__shost"),
+        F.coalesce(F.col(html_col), F.lit("")).alias("__html"),
+    ).withColumn("__sb0", F.rand())
+    pre1 = pre0.select(
+        "__shost", F.split("__shost", r"\.").alias("__slabels"), "__html"
+    ).withColumn("__sb1", F.rand())
+    tags = F.regexp_extract_all(
+        F.col("__html"), F.lit(_ANCHOR_TAG_RE), 0
+    )
+    src = _reg_domain_from(F.col("__shost"), F.col("__slabels"))
+    ex = pre1.select(
         src.alias("__src"),
         F.explode_outer(tags).alias("__tag"),
     ).select(
