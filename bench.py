@@ -476,11 +476,23 @@ def main() -> None:
                 "profile ran in ONE task on single-file input; it now "
                 "fans out to core-count partitions (no-op at scale). "
                 "Row values unchanged on both paths (oracle-verified). "
-                "Timing methodology unchanged from r13 (noop sink, "
-                "best-of-N, ramped cores, drift gate incl. the r14 "
-                "stall-signature 1.25x cap from ADVICE r13). Defaults "
-                "remain crc32/xxhash64/vectorized, oracle bases "
-                "contract-side",
+                "(3) Repo-wide HOF-subtree staging: the duplication "
+                "audit (scripts/hof_dup_audit_all.py) flagged 34 "
+                "contract rows whose plans re-ran an interpreted "
+                "tokenizer/host-regex/canonicalizer subtree per "
+                "consumer (CollapseProject inlining, in-lambda split "
+                "re-evaluation — O(tokens^2), InferFiltersFromGenerate "
+                "+ pushdown substitution); all staged behind "
+                "rand()/nd_identity barriers, measured per family "
+                "(trigram positions 13.7 -> 2.35 s median at 200k "
+                "rows) and bit-exact vs the oracle (54 consumer rows "
+                "re-gated). None are bench queries except q7's "
+                "crc32/sql path, so the headline moves little by "
+                "design. Timing methodology unchanged from r13 (noop "
+                "sink, best-of-N, ramped cores, drift gate incl. the "
+                "r14 stall-signature 1.25x cap from ADVICE r13). "
+                "Defaults remain crc32/xxhash64/vectorized, oracle "
+                "bases contract-side",
             }
         )
     )
