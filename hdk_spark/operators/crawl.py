@@ -61,18 +61,33 @@ def crawl_curate(
                        (deterministic hash order — web.domain_cap)
       ``final``        (doc_id, url, lang, n_tokens, avg_logprob, bucket)
 
-    ``persist_stages=True`` persists each intermediate relation —
-    REQUIRED when the caller will trigger more than one action over
-    the funnel (e.g. :func:`stage_counts` after collecting ``final``);
-    without it every count re-parses the WARC bytes upstream. The
-    WARC id column is the pipeline's ``doc_id``.
+    ``persist_stages=True`` persists the payload relations the stages
+    share (pages, the enriched extraction) plus the narrow decision
+    relations — REQUIRED when the caller will trigger more than one
+    action over the funnel (e.g. :func:`stage_counts` after collecting
+    ``final``); without it every count re-parses the WARC bytes
+    upstream. The WARC id column is the pipeline's ``doc_id``.
 
-    Scale shape: the composition adds NO exchanges of its own — every
-    shuffle belongs to a member stage (robots equi-join + per-url
-    window, dedup window, LM aggregations, NTILE). Language ID runs
-    BEFORE dedup (a per-document map-only annotation — identical
-    either side of it) while the CCNet LM corpus is built AFTER dedup,
-    so duplicate pages can't skew the model distribution."""
+    Scale shape (guide §8 decide-on-metadata / attach-payload-once,
+    r15): every per-row annotation (extracted text, noindex, lang) is
+    computed in ONE map-only pass over the page payload; every
+    thinning DECISION (robots allow, noindex, canonical-URL keep,
+    domain cap) is computed over narrow (doc_id, url, flag) relations
+    only; each stage's payload output attaches text to its survivor
+    id-set with a single doc_id equi-join. Materializing any one stage
+    therefore moves the text payload through AT MOST ONE hash
+    exchange (the r14 shape shipped text through 2-3: the
+    lang join-back, the dedup-keep join, and the cap join each
+    re-shuffled it — plan_audit_payload flagged it as the one
+    genuinely heavy repeat-mover). The annotation pass runs over ALL
+    200/text-html pages, including robots-disallowed ones the old
+    shape skipped — per-row map-only work (no shuffle) traded for two
+    fewer payload shuffles, the guide §8 economics; lang/extraction
+    are pure per-row functions so survivor values are identical.
+    Language ID stays BEFORE dedup (per-document map-only annotation —
+    identical either side of it) while the CCNet LM corpus is built
+    AFTER the last thinning stage, so duplicate pages can't skew the
+    model distribution."""
     from hdk_spark.operators.html import html_extract
     from hdk_spark.operators.text import ccnet_buckets, lang_id_ngram
     from hdk_spark.operators.warc import warc_records
@@ -96,44 +111,72 @@ def crawl_curate(
     )
     stages["http_gate"] = pages
 
-    allowed = robots_filter(
-        pages.select("doc_id", "url"), parse_robots(robots)
-    ).filter(F.col("allowed")).select("doc_id")
-    gated = _p(pages.join(allowed, "doc_id"))
-    stages["robots_gate"] = gated
-
-    ext = html_extract(gated, html_col="html").join(
-        gated.select("doc_id", "url"), "doc_id"
+    # ONE map-only annotation pass over the payload: text + noindex
+    # (html_extract) and lang (lang_id_ngram), both pure per-row
+    # projections threaded via keep= — no join-backs, so nothing here
+    # shuffles html/text. Persisted so extraction + the lang fold run
+    # once per run however many stages the caller materializes.
+    enriched = _p(
+        lang_id_ngram(
+            html_extract(pages, html_col="html", keep=("url",)).select(
+                "doc_id", "url", "text", "noindex"
+            ),
+            n_buckets=n_lang_buckets,
+            langs=langs,
+            basis=lang_basis,
+            model=lang_model,
+            keep=("url", "text", "noindex"),
+        ).select(
+            "doc_id", "url", "text", "noindex",
+            F.col("lang").alias("lang_pred"),
+        )
     )
-    indexed = _p(
-        ext.filter(~F.col("noindex")).select("doc_id", "url", "text")
-    )
-    stages["noindex_gate"] = indexed
+    payload = enriched.select("doc_id", "url", "text")
 
-    langs_df = lang_id_ngram(
-        indexed,
-        n_buckets=n_lang_buckets,
-        langs=langs,
-        basis=lang_basis,
-        model=lang_model,
-    ).select("doc_id", F.col("lang").alias("lang_pred"))
-    annotated = indexed.join(langs_df, "doc_id")
-    keep = url_dedup(annotated).filter(~F.col("is_dup")).select("doc_id")
-    kept = _p(annotated.join(keep, "doc_id"))
+    # ---- decision pass: narrow relations only ----
+    allowed = _p(
+        robots_filter(pages.select("doc_id", "url"), parse_robots(robots))
+        .filter(F.col("allowed")).select("doc_id")
+    )
+    stages["robots_gate"] = pages.join(allowed, "doc_id")
+
+    # (doc_id, url, lang_pred) survivors of robots ∧ ¬noindex — the
+    # metadata proxy every later decision runs on
+    surv = _p(
+        enriched.filter(~F.col("noindex"))
+        .select("doc_id", "url", "lang_pred")
+        .join(allowed, "doc_id")
+    )
+    stages["noindex_gate"] = payload.join(surv.select("doc_id"), "doc_id")
+
+    keep = (
+        url_dedup(surv.select("doc_id", "url"))
+        .filter(~F.col("is_dup")).select("doc_id")
+    )
+    kept_ids = _p(surv.join(keep, "doc_id"))
+
+    def _attach(ids: DataFrame) -> DataFrame:
+        # the single payload-crossing join: (doc_id, url, text) ⋈ ids
+        return _p(payload.join(ids.select("doc_id", "lang_pred"), "doc_id"))
+
+    kept = _attach(kept_ids)
     stages["url_dedup"] = kept
 
     if max_per_domain is not None:
         from hdk_spark.operators.web import domain_cap
 
-        capped_ids = domain_cap(
-            kept, max_per_domain=max_per_domain
+        capped = domain_cap(
+            kept_ids, max_per_domain=max_per_domain
         ).filter(F.col("kept")).select("doc_id")
-        kept = _p(kept.join(capped_ids, "doc_id"))
+        kept_ids = _p(kept_ids.join(capped, "doc_id"))
+        kept = _attach(kept_ids)
         stages["domain_cap"] = kept
 
+    # the LM corpus and the NTILE ranking run over the one
+    # text-carrying relation of the last thinning stage
     final = (
         ccnet_buckets(kept, lang_col="lang_pred", model=ccnet_model)
-        .join(kept.select("doc_id", "url"), "doc_id")
+        .join(kept_ids.select("doc_id", "url"), "doc_id")
         .select("doc_id", "url", "lang", "n_tokens", "avg_logprob", "bucket")
     )
     stages["final"] = _p(final)

@@ -74,13 +74,27 @@ def html_extract(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    keep: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Per-document extraction record: visible ``text``
     (:func:`html_to_text`), the ``<title>`` content, and the curation
     counters crawl pipelines gate on — link count (link farms), image
     count, and the text-to-markup ratio (boilerplate-heavy pages score
     low). One map-only projection; feed ``text`` straight into the
-    text-quality/dedup operators."""
+    text-quality/dedup operators.
+
+    ``keep`` threads extra input columns through the projection
+    unchanged (the lang_id_ngram pattern): composed pipelines that
+    need (id, url, text) in one map-only relation would otherwise
+    join this output back to its own input — an extra exchange that
+    ships the text payload a second time (guide §2.3/§8)."""
+    keep = tuple(keep)
+    reserved = {
+        "text", "title", "n_links", "n_images", "text_ratio", "noindex",
+    }
+    clash = [c for c in keep if c in reserved or c == id_col]
+    if clash:
+        raise ValueError(f"keep columns collide with output names: {clash}")
     # NULL html rows must produce empty records, not NULL/-1 artifacts
     h = F.coalesce(F.col(html_col), F.lit(""))
     text = html_to_text(h)
@@ -104,6 +118,7 @@ def html_extract(
     )
     return df.select(
         F.col(id_col),
+        *keep,
         text.alias("text"),
         title.alias("title"),
         n_links.cast("long").alias("n_links"),

@@ -385,21 +385,45 @@ def lang_id(text: Column) -> Column:
     wins; ties break alphabetically (deterministic). Kept as the
     cheap fallback flag inside the profile surface; the first-class
     classifier is :func:`lang_id_ngram` (26 languages, char-trigram
-    hashed model)."""
-    toks = tokenize(F.lower(text))
+    hashed model).
 
-    def _hits(words: list[str]) -> Column:
+    The tokenizer binds ONCE as a ``transform`` lambda variable and
+    the argmax runs inside the lambda (r15, VERDICT r14 #8): the old
+    when-fold embedded ``tokenize(lower(text))`` twice per language —
+    the hof audit's ×52 split flag — because interpreted HOF arguments
+    get no codegen subexpression elimination. Values are identical:
+    ``array_position`` returns the FIRST max over the alphabetically
+    sorted language list, exactly the strictly-greater fold's
+    alphabetical-first tie-break, and a max of 0 (or a NULL score
+    array from NULL text) still yields 'und'."""
+    sel = sorted(STOPWORDS)
+    lang_arr = F.array(*[F.lit(lang) for lang in sel])
+
+    def _hits(t: Column, words: "list[str]") -> Column:
         sw = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.size(F.filter(t, lambda w: F.array_contains(sw, w)))
 
-    # fold: keep lang with strictly greater score (alphabetical-first tie-break)
-    out = F.lit("und")
-    max_score = F.lit(0)
-    for lang in sorted(STOPWORDS):
-        s = _hits(STOPWORDS[lang])
-        out = F.when(s > max_score, F.lit(lang)).otherwise(out)
-        max_score = F.when(s > max_score, s).otherwise(max_score)
-    return out
+    def _best(sc: Column) -> Column:
+        m = F.array_max(sc)
+        return F.when(
+            F.coalesce(m, F.lit(0)) <= 0, F.lit("und")
+        ).otherwise(
+            F.element_at(lang_arr, F.array_position(sc, m).cast("int"))
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(tokenize(F.lower(text))),
+            lambda t: F.element_at(
+                F.transform(
+                    F.array(F.array(*[_hits(t, STOPWORDS[x]) for x in sel])),
+                    _best,
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
 
 
 # Rolling polynomial fingerprint. Per-word value uses only O(1) char ops

@@ -82,12 +82,17 @@ def heavy_nonkey_exchanges(jplan) -> "list[tuple[str, list[str]]]":
         ps = part.toString()
         if not ps.startswith("hashpartitioning"):
             continue
+        # Only BARE AttributeReference keys exempt a column (ADVICE
+        # r14): a key that is an expression over a heavy column (e.g.
+        # hashpartitioning(xxhash64(text))) still ships the column's
+        # bytes as payload — exempting its references was a false
+        # negative.
         key_ids = set()
         exprs = part.expressions()
         for i in range(exprs.size()):
-            refs = exprs.apply(i).references().toSeq()
-            for j in range(refs.size()):
-                key_ids.add(refs.apply(j).exprId().id())
+            e = exprs.apply(i)
+            if e.getClass().getSimpleName() == "AttributeReference":
+                key_ids.add(e.exprId().id())
         attrs = n.output()
         heavy = []
         for i in range(attrs.size()):

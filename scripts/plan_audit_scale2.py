@@ -68,6 +68,22 @@ def _walk(node, depth: int = 0):
         yield from _walk(ch.apply(i), depth + 1)
 
 
+def _walk_feed_chain(node):
+    """Walk only the subtree that directly FEEDS ``node`` — stop at
+    exchanges and joins (ADVICE r14): a bounder that belongs to an
+    unrelated operator deeper in the plan (past a shuffle boundary or
+    on the other side of a join) does not bound THIS window's input,
+    and accepting it silently unflagged genuinely unbounded windows
+    stacked above unrelated top-k subtrees."""
+    yield node
+    nm = node.getClass().getSimpleName()
+    if "Exchange" in nm or "Join" in nm:
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_feed_chain(ch.apply(i))
+
+
 def unbounded_global_windows(jplan) -> int:
     n = 0
     for node, _ in _walk(jplan):
@@ -76,7 +92,8 @@ def unbounded_global_windows(jplan) -> int:
         if not node.partitionSpec().isEmpty():
             continue
         if not any(
-            d.getClass().getSimpleName() in _BOUNDERS for d, _ in _walk(node)
+            d.getClass().getSimpleName() in _BOUNDERS
+            for d in _walk_feed_chain(node)
         ):
             n += 1
     return n
@@ -110,13 +127,15 @@ for name, fn in QUERIES.items():
             )
         )
         n_gw = unbounded_global_windows(qe.sparkPlan())
+        # inside the try (ADVICE r14): a py4j failure here must record
+        # an ERROR row, not abort the whole sweep
+        deep_sorts = midplan_global_sorts(qe.sparkPlan())
     except Exception as e:  # noqa: BLE001
         rows.append((name, "-", f"ERROR({type(e).__name__}: {str(e)[:80]})"))
         continue
     flags = []
     if n_gw:
         flags.append(f"GLOBAL_WINDOW:{n_gw}")
-    deep_sorts = midplan_global_sorts(qe.sparkPlan())
     if deep_sorts:
         flags.append(f"MIDPLAN_GLOBAL_SORT:depths={deep_sorts}")
     n_single = plan.count("SinglePartition")
