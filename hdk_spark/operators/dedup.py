@@ -516,10 +516,21 @@ def minhash_lsh_dedup(
     # (least/greatest ids, symmetric estimate), so bucket order only
     # affects row order, not the result set
     buckets = banded.groupBy("band", "bh").agg(F.collect_list("ds").alias("ms"))
+    # Band-0 buckets survive the size filter unconditionally (r15):
+    # intra-group pairs are emitted off each group's single band-0
+    # bucket row below, so the groups relation has exactly ONE
+    # consumer — the old shape union'd a second scan of `groups`,
+    # and that second consumer either re-read the cache per iteration
+    # (persist_signatures=True) or turned the signature exchange into
+    # a ReusedExchange, which AQE refuses to coalesce
+    # (persist_signatures=False — the 03b4eb4 scale question). A
+    # singleton band-0 bucket contributes no cross pairs (the
+    # transform over a 1-element ms yields nothing) and its intra
+    # pairs exactly when the lone member is a clone group.
     size_ok = F.size("ms") >= 2
     if max_bucket_size is not None:
         size_ok = size_ok & (F.size("ms") <= max_bucket_size)
-    buckets = buckets.filter(size_ok)
+    buckets = buckets.filter(size_ok | (F.col("band") == 0))
     nm = F.size("ms")
 
     def _est(x, y):
@@ -574,40 +585,55 @@ def minhash_lsh_dedup(
             ),
         )
     )
-    # stage 3a: cross-group member expansion — pure projection explodes
-    # over the carried member lists (candidate-sized, no join)
-    cross = (
-        buckets.select(F.explode(pair_arr).alias("p"))
+    # stage 3a: cross-group pairs — gated per bucket row by size_ok
+    # (oversized buckets keep dropping cross pairs exactly as before;
+    # their band-0 row still emits intra pairs below) and pre-filtered
+    # by the threshold here so intra pairs keep the old branch's
+    # semantics of never passing through the threshold filter.
+    cross_arr = F.when(
+        size_ok, F.filter(pair_arr, lambda p: p["jaccard_est"] >= threshold)
+    ).otherwise(F.array())
+
+    # stage 3b: intra-group pairs — identical signatures agree on
+    # every permutation, so est is exactly 1. Emitted off each group's
+    # single band-0 bucket row (every group lands in exactly one
+    # (band=0, bh) bucket), as (ga=[x], gb=[y]) singleton-array structs
+    # so the same member-expansion explodes below serve both kinds;
+    # gids are array_sort'd ascending upstream, so x < y and the
+    # least/greatest normalization is a value no-op, exactly like the
+    # old straight-off-groups branch.
+    def _intra_for(m):
+        g = m["gids"]
+        ng = F.size(g)
+        return F.flatten(
+            F.transform(
+                g,
+                lambda x, i: F.transform(
+                    F.slice(g, i + F.lit(2), ng - i - 1),
+                    lambda y: F.struct(
+                        F.array(x).alias("ga"),
+                        F.array(y).alias("gb"),
+                        F.lit(1.0).alias("jaccard_est"),
+                    ),
+                ),
+            )
+        )
+
+    intra_arr = F.when(
+        band_col == 0,
+        F.flatten(F.transform(F.col("ms"), _intra_for)),
+    ).otherwise(F.array())
+
+    return (
+        buckets.select(F.explode(F.concat(cross_arr, intra_arr)).alias("p"))
         .select("p.ga", "p.gb", "p.jaccard_est")
-        .filter(F.col("jaccard_est") >= threshold)
         .select(F.explode("ga").alias("ma"), "gb", "jaccard_est")
         .select("ma", F.explode("gb").alias("mb"), "jaccard_est")
         .select(
             F.least("ma", "mb").alias("id_a"),
             F.greatest("ma", "mb").alias("id_b"),
-            "jaccard_est",
+            F.round("jaccard_est", 6).alias("jaccard_est"),
         )
-    )
-    # stage 3b: intra-group pairs straight off the (persisted) groups
-    g = F.col("gids")
-    ng = F.size(g)
-    intra_pairs = F.flatten(
-        F.transform(
-            g,
-            lambda x, i: F.transform(
-                F.slice(g, i + F.lit(2), ng - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    # identical signatures agree on every permutation → est is exactly 1
-    intra = (
-        groups.filter(F.size("gids") >= 2)
-        .select(F.explode(intra_pairs).alias("p"))
-        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard_est"))
-    )
-    return cross.unionByName(intra).select(
-        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
     )
 
 

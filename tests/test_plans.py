@@ -104,6 +104,29 @@ def test_minhash_lsh_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_minhash_lsh_groups_single_consumer(spark):
+    """The r15 banding restructure: intra-group pairs are emitted off
+    the band-0 bucket rows, so the collapsed signature relation has
+    exactly ONE consumer — no Union of a second `groups` scan. With
+    persist_signatures=False the whole pipeline is then one lineage
+    (no ReusedExchange), which makes the signature exchange
+    AQE-coalescible (reused exchanges keep the initial partition
+    count — the 03b4eb4 scale question)."""
+    from hdk_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.table("documents")
+    p = plan(minhash_lsh_dedup(docs, threshold=0.5))
+    assert "Union" not in p, "groups relation re-scanned + union'd"
+    p2 = plan(
+        minhash_lsh_dedup(docs, threshold=0.5, persist_signatures=False)
+    )
+    assert "Union" not in p2
+    assert "ReusedExchange" not in p2, (
+        "unpersisted pipeline must be a single lineage so AQE can "
+        "coalesce the signature exchange"
+    )
+
+
 def test_minhash_sketch_udf_evaluated_once(spark):
     """The §4.4 duplication pin (r14): the sketch pandas UDF's isNotNull
     filter must NOT be pushed below the fan-out exchange by duplicating
