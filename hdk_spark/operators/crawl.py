@@ -69,25 +69,23 @@ def crawl_curate(
     upstream. The WARC id column is the pipeline's ``doc_id``.
 
     Scale shape (guide §8 decide-on-metadata / attach-payload-once,
-    r15): every per-row annotation (extracted text, noindex, lang) is
-    computed in ONE map-only pass over the page payload; every
-    thinning DECISION (robots allow, noindex, canonical-URL keep,
-    domain cap) is computed over narrow (doc_id, url, flag) relations
+    r15): text extraction is ONE map-only pass over the page payload;
+    every thinning DECISION (robots allow, noindex, canonical-URL
+    keep, domain cap) is computed over narrow (doc_id, url) relations
     only; each stage's payload output attaches text to its survivor
-    id-set with a single doc_id equi-join. Materializing any one stage
-    therefore moves the text payload through AT MOST ONE hash
-    exchange (the r14 shape shipped text through 2-3: the
-    lang join-back, the dedup-keep join, and the cap join each
-    re-shuffled it — plan_audit_payload flagged it as the one
-    genuinely heavy repeat-mover). The annotation pass runs over ALL
-    200/text-html pages, including robots-disallowed ones the old
-    shape skipped — per-row map-only work (no shuffle) traded for two
-    fewer payload shuffles, the guide §8 economics; lang/extraction
-    are pure per-row functions so survivor values are identical.
-    Language ID stays BEFORE dedup (per-document map-only annotation —
-    identical either side of it) while the CCNet LM corpus is built
-    AFTER the last thinning stage, so duplicate pages can't skew the
-    model distribution."""
+    id-set with a single doc_id equi-join, and language ID — a pure
+    per-row projection, value-identical wherever it runs — is computed
+    ABOVE that attach, so the per-language fold only ever scores
+    SURVIVORS. Materializing any one stage therefore moves the text
+    payload through AT MOST ONE hash exchange (the r14 shape shipped
+    text through 2-3: the lang join-back, the dedup-keep join, and
+    the cap join each re-shuffled it — plan_audit_payload flagged it
+    as the one genuinely heavy repeat-mover). The extraction pass
+    runs over ALL 200/text-html pages, including robots-disallowed
+    ones the old shape skipped — per-row map-only work (no shuffle)
+    traded for two fewer payload shuffles, the guide §8 economics.
+    The CCNet LM corpus is built AFTER the last thinning stage, so
+    duplicate pages can't skew the model distribution."""
     from hdk_spark.operators.html import html_extract
     from hdk_spark.operators.text import ccnet_buckets, lang_id_ngram
     from hdk_spark.operators.warc import warc_records
@@ -111,27 +109,14 @@ def crawl_curate(
     )
     stages["http_gate"] = pages
 
-    # ONE map-only annotation pass over the payload: text + noindex
-    # (html_extract) and lang (lang_id_ngram), both pure per-row
-    # projections threaded via keep= — no join-backs, so nothing here
-    # shuffles html/text. Persisted so extraction + the lang fold run
-    # once per run however many stages the caller materializes.
-    enriched = _p(
-        lang_id_ngram(
-            html_extract(pages, html_col="html", keep=("url",)).select(
-                "doc_id", "url", "text", "noindex"
-            ),
-            n_buckets=n_lang_buckets,
-            langs=langs,
-            basis=lang_basis,
-            model=lang_model,
-            keep=("url", "text", "noindex"),
-        ).select(
-            "doc_id", "url", "text", "noindex",
-            F.col("lang").alias("lang_pred"),
-        )
-    )
-    payload = enriched.select("doc_id", "url", "text")
+    # ONE map-only extraction pass over the payload (html_extract with
+    # url threaded via keep= — no join-back). The persisted payload
+    # relation means extraction runs once per run however many stages
+    # the caller materializes; the noindex flag projects off the same
+    # extraction record but prunes to just the html rlike (text is
+    # never computed in that lineage).
+    ext = html_extract(pages, html_col="html", keep=("url",))
+    payload = _p(ext.select("doc_id", "url", "text"))
 
     # ---- decision pass: narrow relations only ----
     allowed = _p(
@@ -140,24 +125,37 @@ def crawl_curate(
     )
     stages["robots_gate"] = pages.join(allowed, "doc_id")
 
-    # (doc_id, url, lang_pred) survivors of robots ∧ ¬noindex — the
-    # metadata proxy every later decision runs on
+    # (doc_id, url) survivors of robots ∧ ¬noindex — the metadata
+    # proxy every later decision runs on
     surv = _p(
-        enriched.filter(~F.col("noindex"))
-        .select("doc_id", "url", "lang_pred")
+        ext.select("doc_id", "url", "noindex")
+        .filter(~F.col("noindex"))
+        .select("doc_id", "url")
         .join(allowed, "doc_id")
     )
     stages["noindex_gate"] = payload.join(surv.select("doc_id"), "doc_id")
 
-    keep = (
-        url_dedup(surv.select("doc_id", "url"))
-        .filter(~F.col("is_dup")).select("doc_id")
-    )
+    keep = url_dedup(surv).filter(~F.col("is_dup")).select("doc_id")
     kept_ids = _p(surv.join(keep, "doc_id"))
 
     def _attach(ids: DataFrame) -> DataFrame:
-        # the single payload-crossing join: (doc_id, url, text) ⋈ ids
-        return _p(payload.join(ids.select("doc_id", "lang_pred"), "doc_id"))
+        # the single payload-crossing join, with language ID computed
+        # ABOVE it: lang_id_ngram is a pure per-row projection, so
+        # scoring only the attached SURVIVORS is value-identical to
+        # scoring everything upstream, and the expensive per-language
+        # fold never runs on rows a later gate would drop
+        return _p(
+            lang_id_ngram(
+                payload.join(ids.select("doc_id"), "doc_id"),
+                n_buckets=n_lang_buckets,
+                langs=langs,
+                basis=lang_basis,
+                model=lang_model,
+                keep=("url", "text"),
+            ).select(
+                "doc_id", "url", "text", F.col("lang").alias("lang_pred")
+            )
+        )
 
     kept = _attach(kept_ids)
     stages["url_dedup"] = kept
