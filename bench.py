@@ -492,37 +492,41 @@ def main() -> None:
                 # fully-fold-deterministic 3.188 s vs vectorized 0.451 s.
                 # Production defaults are now crc32/xxhash64/vectorized;
                 # contract queries pin md5/deterministic explicitly.
-                "notes": "r14 OPTIMIZATION round: (1) q7's minhash "
-                "sketch UDF was being evaluated TWICE — the isNotNull "
-                "filter on its output was pushed below the fan-out "
-                "repartition by duplicating the Arrow UDF, running the "
-                "whole sketch serially on the raw scan's partitioning "
-                "(one task for a single-file corpus) before the "
-                "parallel pass; asNondeterministic() pins one "
-                "ArrowEvalPython above the exchange (guide §4.4; "
-                "interleaved A/B of the signature stage: 1.16-5.8 s -> "
-                "0.51-0.66 s; plan-regression test added). (2) q8's "
-                "analyze() had NO exchange — the whole interpreted-HOF "
-                "profile ran in ONE task on single-file input; it now "
-                "fans out to core-count partitions (no-op at scale). "
-                "Row values unchanged on both paths (oracle-verified). "
-                "(3) Repo-wide HOF-subtree staging: the duplication "
-                "audit (scripts/hof_dup_audit_all.py) flagged 34 "
-                "contract rows whose plans re-ran an interpreted "
-                "tokenizer/host-regex/canonicalizer subtree per "
-                "consumer (CollapseProject inlining, in-lambda split "
-                "re-evaluation — O(tokens^2), InferFiltersFromGenerate "
-                "+ pushdown substitution); all staged behind "
-                "rand()/nd_identity barriers, measured per family "
-                "(trigram positions 13.7 -> 2.35 s median at 200k "
-                "rows) and bit-exact vs the oracle (54 consumer rows "
-                "re-gated). None are bench queries except q7's "
-                "crc32/sql path, so the headline moves little by "
-                "design. Timing methodology unchanged from r13 (noop "
-                "sink, best-of-N, ramped cores, drift gate incl. the "
-                "r14 stall-signature 1.25x cap from ADVICE r13). "
-                "Defaults remain crc32/xxhash64/vectorized, oracle "
-                "bases contract-side",
+                "notes": "r15 OPTIMIZATION round (second): (1) q9 "
+                "ann_lsh_topk now serves the candidate dedup AND the "
+                "top-k window from ONE qid-keyed exchange (was two "
+                "back-to-back: hashpartitioning(qid,id) then (qid), "
+                "plus an extra AQE stage job) — output bit-identical "
+                "(exceptAll-verified both modes, 11 similarity rows "
+                "oracle-green), warm q9 ~0.58 -> ~0.43 s. (2) q7's "
+                "collapsed-signature relation is now single-consumer "
+                "(intra-group clone pairs emitted off each group's "
+                "band-0 bucket row instead of a second scan union'd "
+                "at the end), so AQE can coalesce the signature and "
+                "band/bh exchanges instead of pinning the "
+                "Python-heavy band stage to the initial partition "
+                "count via a ReusedExchange — output bit-equal across "
+                "14 configs + 20 dedup rows + streaming twin; "
+                "fresh-session equal-or-better, warm within noise by "
+                "design (the bench's plan-keyed signature cache). "
+                "(3) crawl funnel (not a bench query): guide-§8 "
+                "decide-on-metadata restructure, text/html now cross "
+                "ZERO payload-carrying hash exchanges at forced-split "
+                "audit (was 2-3 per row); lang scored on survivors "
+                "only; sf0.01 walls 6.6->4.3/10.0->5.5/7.4->4.5 s. "
+                "(4) This JSON gained master/cpus/sf_dir/"
+                "overhead_floor_sec (VERDICT r14 #2) — runtime-"
+                "observed from the live SparkContext, proving "
+                "$SPARK_GRAFT_CPUS flowed through; overhead_floor_sec "
+                "is the measured per-job fixed cost (one noop action "
+                "over cpus trivial tasks), which at sf0.1 is within a "
+                "few x of EVERY headline query's wall — that floor, "
+                "not ignored cores, is why 8-vs-32-core ratios read "
+                "~1 at this scale factor. Timed regions, query set, "
+                "and methodology (noop sink, best-of-N, ramped cores, "
+                "drift gate) are byte-identical to r13/r14 — fields "
+                "are additive only. Defaults remain crc32/xxhash64/"
+                "vectorized, oracle bases contract-side",
             }
         )
     )

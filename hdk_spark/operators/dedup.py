@@ -107,7 +107,14 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     staging idiom from text.analyze): without them, CollapseProject
     inlines the shingle subtree into every consumer (sh, n_sh, the
     explode), and each inlined copy re-runs the split ~2n times
-    (plan-audited ×18 in dedup_ngram_jaccard before the fix)."""
+    (plan-audited ×18 in dedup_ngram_jaccard before the fix).
+
+    Caller warning (VERDICT r14 #6): the rand() barriers block ALL
+    predicate pushdown through the staged projections — correct for
+    this operator's internal filters, but a caller composing it under
+    a selective filter on ``id_col`` loses scan pruning; apply such
+    filters to ``df`` BEFORE calling (same caveat as
+    :func:`hdk_spark.functions.scalar.nd_identity`)."""
     toksd = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),

@@ -206,7 +206,14 @@ def _canonical_url_staged(
     Cost note: a filter on ``out_col`` pushed below the LAST
     projection re-evaluates only the attribute-level assemble
     (when/concat), never the regex chain — the barriers stop
-    substitution any deeper."""
+    substitution any deeper.
+
+    Caller warning (VERDICT r14 #6): those same barriers block ALL
+    predicate pushdown through the staged projections — a caller
+    composing a consumer of this helper under a selective filter on
+    ``keep`` columns loses scan pruning; filter ``df`` BEFORE the
+    staged operator (same caveat as
+    :func:`hdk_spark.functions.scalar.nd_identity`)."""
     kc = [F.col(c) for c in keep]
     p0 = df.select(*kc, F.trim(F.col(url_col)).alias("__cu")).withColumn(
         "__cb0", F.rand()

@@ -130,14 +130,123 @@ def main() -> None:
 
     from hdk_spark.session import get_spark
 
-    # --r14a reads spill metrics from the REST status API, which needs
-    # the UI up from session creation (spark.ui.enabled is static conf)
+    # --r14a/--r15spill read spill metrics from the REST status API,
+    # which needs the UI up from session creation (static conf)
     spark = get_spark(
         "scale_smoke",
-        **({"spark.ui.enabled": "true"} if "--r14a" in sys.argv else {}),
+        **({"spark.ui.enabled": "true"}
+           if ("--r14a" in sys.argv or "--r15spill" in sys.argv) else {}),
     )
     if "--cc100" in sys.argv:
         cc_stress_100x(spark)
+        return
+
+    if "--r15spill" in sys.argv:
+        # round-15 (VERDICT r14 #6): spill/peak-memory validation of
+        # the r14 STAGED operators at sf10 — the rand()/nd_identity
+        # barriers materialize token/shingle/canonical arrays per row,
+        # so check the staged dedup/web shapes still run with zero (or
+        # documented) spill at 100× the bench corpus. Corpus: 100
+        # key-shifted replicas of sf0.1 documents (500k rows, ~58 MB
+        # parquet) with a per-replica text tag so the CLONE-GROUP
+        # TOPOLOGY scales in group count, not group size (untagged
+        # replicas would grow each identical-text group ×100 and the
+        # intra-pair output would explode quadratically — a different
+        # experiment). Spill/peak numbers from the REST status API,
+        # scoped per shape via the stage-id high-water mark.
+        import json as _json
+        import urllib.request
+
+        D15 = "/tmp/sf10_docs_synth"
+        if "--regen15" in sys.argv or not os.path.exists(D15):
+            load_tables(spark, SRC)
+            base = spark.table("documents")
+            parts = []
+            for i in range(100):
+                parts.append(
+                    base.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+                    ).withColumn(
+                        "text",
+                        F.concat(F.col("text"), F.lit(f" r{i}")),
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(D15)
+            print("regenerated", D15)
+        docs = spark.read.parquet(D15)
+        print("docs:", docs.count())
+
+        def stages() -> list:
+            sc = spark.sparkContext
+            url = (f"{sc.uiWebUrl}/api/v1/applications/"
+                   f"{sc.applicationId}/stages")
+            with urllib.request.urlopen(url) as r:
+                return _json.load(r)
+
+        d = F.col("doc_id")
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://sub"), (d % 50).cast("string"),
+                F.lit(".site"), (d % 700).cast("string"),
+                F.lit(".com/p"), d.cast("string"),
+                F.when(d % 2 == 0, F.lit("?utm_source=x&id=1"))
+                .otherwise(F.lit("/")),
+            ).alias("url"),
+        )
+        n_dom = 20_000
+        a = F.concat(F.lit("site"), ((d * 2 + 1) % n_dom).cast("string"),
+                     F.lit(".com"))
+        b = F.concat(F.lit("site"), ((d * 3 + 2) % n_dom).cast("string"),
+                     F.lit(".com"))
+        pages = docs.select(
+            "doc_id",
+            F.concat(F.lit("http://site"), (d % n_dom).cast("string"),
+                     F.lit(".com/p/"), d.cast("string")).alias("url"),
+            F.concat(
+                F.lit('<html><body><a href="http://'), a,
+                F.lit('/x">1</a><a href="https://'), b, F.lit('/y">2</a>'),
+                F.lit("</body></html>"),
+            ).alias("html"),
+        )
+
+        from hdk_spark.operators.dedup import (
+            minhash_lsh_dedup,
+            ngram_jaccard_pairs,
+        )
+        from hdk_spark.operators.web import (
+            link_graph,
+            politeness_schedule,
+            url_dedup,
+        )
+
+        shapes = {
+            "dedup_ngram_jaccard_pairs_n3": lambda: ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5),
+            "dedup_minhash_lsh": lambda: minhash_lsh_dedup(
+                docs, threshold=0.5),
+            "web_url_dedup": lambda: url_dedup(urls),
+            "web_politeness_schedule": lambda: politeness_schedule(urls),
+            "web_link_graph": lambda: link_graph(pages),
+        }
+        for name, mk in shapes.items():
+            before = stages()
+            hwm = max((s["stageId"] for s in before), default=-1)
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 2)
+            new = [s for s in stages() if s["stageId"] > hwm]
+            mem = sum(s.get("memoryBytesSpilled", 0) for s in new)
+            dsk = sum(s.get("diskBytesSpilled", 0) for s in new)
+            peak = max(
+                (s.get("peakExecutionMemory", 0) for s in new), default=0)
+            print(f"{name}: wall={wall}s stages={len(new)} "
+                  f"spill_mem={mem / 2**20:.0f}MiB "
+                  f"spill_disk={dsk / 2**20:.0f}MiB "
+                  f"peak_exec_mem_per_stage={peak / 2**20:.0f}MiB")
         return
     if "--regen" in sys.argv or not os.path.exists(DST):
         regen(spark)

@@ -6,7 +6,20 @@ reference's SQLite-comparator strategy (reference
 Tests/ArrowSQLRunner/SQLiteComparator.h) that its fixed corpus lacks.
 """
 
+import os
 import pathlib
+
+# Default example budget (VERDICT r14 #1 — the driver's verify budget):
+# every grammar keeps its authored example count under HDK_FULL_FUZZ=1
+# (run at least once per round; this round's full-count run is recorded
+# in OPTIMIZATION_r15.md), but the default suite caps each test at 8
+# examples so the whole tests/ run fits the external verify window.
+_FULL_FUZZ = os.environ.get("HDK_FULL_FUZZ") == "1"
+
+
+def _ex(n: int) -> int:
+    return n if _FULL_FUZZ else min(n, 8)
+
 
 import pandas as pd
 import pytest
@@ -77,7 +90,7 @@ def queries(draw):
 
 @given(sql=queries())
 @settings(
-    max_examples=25,
+    max_examples=_ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -120,7 +133,7 @@ def window_queries(draw):
 
 @given(sql=window_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -147,7 +160,7 @@ def setop_queries(draw):
 
 @given(sql=setop_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -234,7 +247,7 @@ def date_queries(draw):
 
 @given(sql=date_queries())
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -354,7 +367,7 @@ def str_queries(draw):
 
 @given(sql=str_queries())
 @settings(
-    max_examples=25,
+    max_examples=_ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -420,7 +433,7 @@ def join_queries(draw):
 
 @given(sql=join_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -461,7 +474,7 @@ def subquery_queries(draw):
 
 @given(sql=subquery_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -516,7 +529,7 @@ def grouping_queries(draw):
 
 @given(sql=grouping_queries())
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -586,7 +599,7 @@ def window_events_queries(draw):
 
 @given(sql=window_events_queries())
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -660,7 +673,7 @@ def fk_join_queries(draw):
 
 @given(sql=fk_join_queries())
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -732,7 +745,7 @@ def scalar_queries(draw):
 
 @given(sql=scalar_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -789,7 +802,7 @@ def framed_window_queries(draw):
 
 @given(sql=framed_window_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -872,7 +885,7 @@ def join_condition_queries(draw):
 
 @given(sql=join_condition_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -940,7 +953,7 @@ def sort_limit_queries(draw):
 
 @given(sql=sort_limit_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -1000,7 +1013,7 @@ def scalar_subquery_queries(draw):
 
 @given(sql=scalar_subquery_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -1059,7 +1072,7 @@ def filter_agg_queries(draw):
 
 @given(sql=filter_agg_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -1105,7 +1118,7 @@ def cte_reuse_queries(draw):
 
 @given(sql=cte_reuse_queries())
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

@@ -592,6 +592,55 @@ def test_lang_id_ngram_matches_python_reference(spark):
         assert got[i]["n_grams"] == len(bidx)
 
 
+def test_lang_id_helper_matches_old_fold(spark):
+    """The r15 staged lang_id (tokenizer bound once in a transform
+    lambda, argmax via array_position — VERDICT r14 #8's ×52-split
+    fix) must be value-identical to the old strictly-greater when-fold
+    it replaced, including the alphabetical-first tie-break, the
+    zero-hit 'und', and NULL/empty/whitespace inputs."""
+    from pyspark.sql import functions as F
+
+    from hdk_spark.operators.text import STOPWORDS, lang_id, tokenize
+
+    rows = [
+        (0, "the cat and the dog of it is that for"),        # en
+        (1, "der hund und die katze ist ein eine zu von"),    # de
+        (2, "le chat et la maison est un une dans pour"),     # fr
+        (3, "el perro y la casa es un una en por"),           # es
+        (4, "la la la"),          # la ∈ fr AND es — tie → alphabetical
+        (5, "xyzzy plugh"),       # zero hits → und
+        (6, ""),                  # empty → und
+        (7, "   "),               # whitespace-only → und
+        (8, None),                # NULL → und
+        (9, "the der le el"),     # 1 hit each — 4-way tie → 'de' (alpha)
+        (10, "y y es es the"),    # es 4 hits beats en 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    # the pre-r15 implementation, verbatim semantics
+    toks = tokenize(F.lower(F.col("text")))
+    old = F.lit("und")
+    max_score = F.lit(0)
+    for lg in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        s = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        old = F.when(s > max_score, F.lit(lg)).otherwise(old)
+        max_score = F.when(s > max_score, s).otherwise(max_score)
+
+    got = df.select(
+        "doc_id", lang_id(F.col("text")).alias("new"), old.alias("old")
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], (r["doc_id"], r["new"], r["old"])
+    by_id = {r["doc_id"]: r["new"] for r in got}
+    # 'la' ∈ STOPWORDS['fr'] and STOPWORDS['es']: 3 hits each — the
+    # strictly-greater fold keeps the first alphabetical ('es'
+    # precedes 'fr'; fr's equal score never displaces it)
+    assert by_id[4] == "es"
+    assert by_id[5] == "und" and by_id[8] == "und"
+    assert by_id[9] == "de"
+
+
 def test_lang_id_ngram_map_only_plan(spark):
     from hdk_spark.operators.text import lang_id_ngram
 
