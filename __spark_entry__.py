@@ -298,66 +298,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the last contract-row commit of a round); the
 # test_module_integrity priority guard fails if any queries() entry
 # is missing from this list.
-# Regenerated by scripts/rotate_priority.py — rotated against r13; failed last check: 0, never checked: 0, green: 298  (window ~50).
+# Regenerated by scripts/rotate_priority.py — rotated against r14; failed last check: 0, never checked: 0, green: 298  (window ~50).
 _PRIORITY: list[str] = [
-    # stable greens
-    "bpe_train_merges",
+    # r15 lead: rows whose operator code changed in r15, then
+    # the r14-rewritten rows the r14 driver window never checked
     "crawl_pipeline",
     "crawl_pipeline_capped",
     "crawl_pipeline_stages",
-    "date_add_diff",
-    "date_current_bounds",
-    "date_extract_fields",
-    "date_extract_trunc",
-    "date_interval_arith",
-    "date_trunc_epochs",
-    "date_trunc_exotic",
-    "dedup_clusters",
-    "dedup_contamination",
-    "dedup_keep_best",
-    "dedup_pipeline",
-    "dedup_semantic",
-    "embedding_kmeans",
-    "events_json_props",
-    "events_sessionize",
-    "graph_pagerank",
-    "html_links",
-    "join_cross_small",
-    "join_full_outer",
-    "layout_compaction",
-    "multimodal_exif",
-    "multimodal_image_info",
-    "multimodal_media_info",
-    "pack_sequences",
-    "sample_export_pipeline",
-    "sample_shard_manifest",
-    "sample_token_budget",
-    "search_bm25_batch",
-    "search_rrf_fusion",
-    "stats_agreement",
-    "stats_fleiss",
-    "stats_label_merge",
-    "streaming_crawl_ingest",
-    "temporal_retention",
-    "text_ccnet_buckets_lm3",
-    "text_fix_encoding",
-    "text_lang_id_train",
+    "training_export_pipeline",
+    "html_extract",
+    "dedup_minhash_lsh",
+    "similarity_ann_lsh",
+    "text_lang_id",
     "text_lang_id_trained",
-    "text_trigram_cross",
-    "text_trigram_logprob",
-    "web_crawl_frontier",
-    "web_link_graph",
-    "web_robots_directives",
-    "web_url_seen_bloom",
-    "chat_loss_mask",
-    "chat_sft_export",
+    "streaming_incremental_dedup",
+    "html_links",
+    "dedup_ngram_jaccard",
+    "web_robots_filter",
+    "web_url_canonical_dedup",
+    "web_domain_boilerplate",
+    "text_gopher_flags",
+    "text_c4_lines",
+    "text_profile",
+    "catalog_stats",
+    "dedup_clusters_star",
+    "graph_hits",
+    "graph_trustrank",
+    "similarity_bitext_mine",
+    "similarity_contrastive_mine",
+    "text_ccnet_buckets_kn3",
+    "text_code_flags",
+    "text_kneser_ney",
+    "text_scorer_score",
+    "text_scorer_train",
+    "web_anchor_text",
+    "web_domain_cap",
+    "web_politeness_schedule",
+    "web_url_features",
+    "dedup_sketch_pr",
+    "select_dsir_sample",
+    "select_dsir_weights",
+    # stale-first rotation (scripts/rotate_priority.py)
     "dedup_split_leakage",
     "denoise_fim_psm",
     "denoise_mlm_mask",
     "denoise_span_corruption",
-    "graph_hits",
     "graph_label_propagation",
-    "graph_trustrank",
     "multimodal_phash_dct",
     "pack_materialize_chunks",
     "pack_sequences_split",
@@ -368,12 +354,9 @@ _PRIORITY: list[str] = [
     "sample_repeat_expand",
     "search_retrieval_metrics",
     "select_curriculum_order",
-    "select_dsir_sample",
-    "select_dsir_weights",
     "select_temperature_budgets",
     "select_temperature_export",
     "select_temperature_mixture",
-    "similarity_contrastive_mine",
     "similarity_ivfpq_topk",
     "similarity_pq_encode",
     "similarity_pq_topk",
@@ -388,21 +371,14 @@ _PRIORITY: list[str] = [
     "temporal_scd2_history",
     "text_bleu_overlap",
     "text_blocklist_gate",
-    "text_ccnet_buckets_kn3",
     "text_char_entropy",
     "text_dedup_doc_lines",
     "text_fold_homoglyphs",
-    "text_kneser_ney",
     "text_zipf_fit",
     "tok_unigram_encode",
     "tok_wordpiece_encode",
-    "training_export_pipeline",
-    "web_anchor_text",
-    "web_politeness_schedule",
     "agg_approx",
     "agg_topk_bottomk",
-    "catalog_stats",
-    "dedup_minhash_lsh",
     "dedup_segments",
     "dedup_simhash",
     "embedding_correlation",
@@ -426,7 +402,6 @@ _PRIORITY: list[str] = [
     "sample_stratified",
     "sample_weighted",
     "search_bm25",
-    "similarity_bitext_mine",
     "similarity_multiprobe_lsh",
     "similarity_sq8_topk",
     "stats_cms_frequency",
@@ -457,13 +432,10 @@ _PRIORITY: list[str] = [
     "agg_having",
     "cube_lineitem_status",
     "dedup_bloom_decontam",
-    "dedup_clusters_star",
     "dedup_duplicate_spans",
     "dedup_remove_spans",
-    "dedup_sketch_pr",
     "distinct_projection",
     "similarity_ann_ivf",
-    "similarity_ann_lsh",
     "similarity_sq8_ann",
     "stats_dds_merge",
     "stats_dds_quantile",
@@ -478,7 +450,6 @@ _PRIORITY: list[str] = [
     "stats_zscore",
     "streaming_dds_quantile",
     "streaming_frequent_items",
-    "streaming_incremental_dedup",
     "streaming_kmv_ndv",
     "temporal_gaps",
     "temporal_resample_fill",
@@ -498,7 +469,6 @@ _PRIORITY: list[str] = [
     "tpch_q16_supplier_counts",
     "tpch_q2_min_cost_supplier",
     "web_domain_stats",
-    "web_url_features",
     "agg_moments",
     "agg_quantile_modes",
     "agg_sample_single_value",
@@ -531,9 +501,6 @@ _PRIORITY: list[str] = [
     "subquery_correlated_min",
     "subquery_correlated_scalar",
     "temporal_rollup_merge",
-    "text_c4_lines",
-    "text_code_flags",
-    "text_gopher_flags",
     "text_ngram_repetition",
     "text_vocab_coverage",
     "tpch_q10_returned_items",
@@ -555,7 +522,6 @@ _PRIORITY: list[str] = [
     "chat_preference_lint",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_window_decontam",
     "dedup_window_decontam_bloom",
     "dedup_window_decontam_remove",
@@ -564,7 +530,6 @@ _PRIORITY: list[str] = [
     "expr_null_safe_in",
     "expr_width_bucket_sample",
     "geo_distance",
-    "html_extract",
     "join_left_nulls",
     "lateral_topn_per_group",
     "multimodal_decode",
@@ -583,22 +548,59 @@ _PRIORITY: list[str] = [
     "streaming_mg_group_tops",
     "string_like_regex",
     "text_ccnet_buckets",
-    "text_lang_id",
-    "text_profile",
-    "text_scorer_score",
-    "text_scorer_train",
     "union_all_parties",
     "unpivot_measures",
     "values_literal",
     "warc_parse",
-    "web_domain_boilerplate",
-    "web_domain_cap",
-    "web_robots_filter",
-    "web_url_canonical_dedup",
     "window_analytics",
     "window_explicit_frames",
     "window_rank_orders",
     "window_running_sum",
+    "bpe_train_merges",
+    "chat_loss_mask",
+    "chat_sft_export",
+    "date_add_diff",
+    "date_current_bounds",
+    "date_extract_fields",
+    "date_extract_trunc",
+    "date_interval_arith",
+    "date_trunc_epochs",
+    "date_trunc_exotic",
+    "dedup_clusters",
+    "dedup_contamination",
+    "dedup_keep_best",
+    "dedup_pipeline",
+    "dedup_semantic",
+    "embedding_kmeans",
+    "events_json_props",
+    "events_sessionize",
+    "graph_pagerank",
+    "join_cross_small",
+    "join_full_outer",
+    "layout_compaction",
+    "multimodal_exif",
+    "multimodal_image_info",
+    "multimodal_media_info",
+    "pack_sequences",
+    "sample_export_pipeline",
+    "sample_shard_manifest",
+    "sample_token_budget",
+    "search_bm25_batch",
+    "search_rrf_fusion",
+    "stats_agreement",
+    "stats_fleiss",
+    "stats_label_merge",
+    "streaming_crawl_ingest",
+    "temporal_retention",
+    "text_ccnet_buckets_lm3",
+    "text_fix_encoding",
+    "text_lang_id_train",
+    "text_trigram_cross",
+    "text_trigram_logprob",
+    "web_crawl_frontier",
+    "web_link_graph",
+    "web_robots_directives",
+    "web_url_seen_bloom",
 ]
 
 

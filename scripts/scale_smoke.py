@@ -147,18 +147,25 @@ def main() -> None:
         # barriers materialize token/shingle/canonical arrays per row,
         # so check the staged dedup/web shapes still run with zero (or
         # documented) spill at 100× the bench corpus. Corpus: 100
-        # key-shifted replicas of sf0.1 documents (500k rows, ~58 MB
-        # parquet) with a per-replica text tag so the CLONE-GROUP
-        # TOPOLOGY scales in group count, not group size (untagged
-        # replicas would grow each identical-text group ×100 and the
-        # intra-pair output would explode quadratically — a different
-        # experiment). Spill/peak numbers from the REST status API,
-        # scoped per shape via the stage-id high-water mark.
+        # key-shifted replicas of sf0.1 documents (500k rows) with a
+        # per-replica tag appended to EVERY token, so every shingle is
+        # replica-disjoint and the CLONE-GROUP TOPOLOGY scales in
+        # group count, not group size. (A trailing-only tag leaves all
+        # mid-text shingles shared across the 100 replicas → ~1000-doc
+        # shingle groups → the inverted-index join emits pairs
+        # quadratically: the first attempt filled 80 GB of shuffle and
+        # died on disk. Callers run exact dedup BEFORE jaccard — the
+        # r9 funnel does — so small-group × many-groups is the
+        # operator's real at-scale regime.) Spill/peak numbers from
+        # the REST status API, scoped per shape via the stage-id
+        # high-water mark.
         import json as _json
         import urllib.request
 
         D15 = "/tmp/sf10_docs_synth"
         if "--regen15" in sys.argv or not os.path.exists(D15):
+            from __spark_entry__ import load_tables
+
             load_tables(spark, SRC)
             base = spark.table("documents")
             parts = []
@@ -168,7 +175,9 @@ def main() -> None:
                         "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
                     ).withColumn(
                         "text",
-                        F.concat(F.col("text"), F.lit(f" r{i}")),
+                        F.regexp_replace(
+                            F.col("text"), r"(\S+)", f"$1r{i}"
+                        ),
                     )
                 )
             out = parts[0]
